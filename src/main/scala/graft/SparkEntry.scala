@@ -1,13 +1,573 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextOps, VectorOps}
+import graft.operators.{Multimodal, Similarity, TextDedup}
+import graft.ops.{Dedup, Exact, Merge, Watermark}
+import graft.pipeline.Sync
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2,
+  * each paired (where ANSI-SQL-expressible) with DuckDB oracle SQL over
+  * the same parquet tables.
+  *
+  * Oracle-parity rules used throughout (SURVEY §7.4):
+  *   - every query ends in a deterministic total ORDER BY;
+  *   - no raw `sum(double)` — monetary aggregates go through DECIMAL and
+  *     come back as DOUBLE (see [[graft.ops.Exact]]);
+  *   - no raw TimestampType in outputs (engines disagree on tz-adjust
+  *     metadata in parquet) — dates or formatted strings instead;
+  *   - column names aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Flagship: one full incremental-sync round (scan → argmax dedup →
+    * recency-guarded merge), the reference's E3 lifecycle on fixtures.
+    * Driver smoke-checks rows > 0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    mergedEvents(spark, "/root/testdata/sf0.001")
+
+  /** target = events before Jan 15 at (user_id, day) grain; updates = the
+    * Jan 10–25 re-extract; both argmax-deduped; recency on ts. */
+  private def mergedEvents(s: SparkSession, dir: String): DataFrame = {
+    def slice(lo: String, hi: String) = Dedup.argmaxWindow(
+      T(s, dir, "events")
+        .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+        .withColumn("event_date", to_date(col("ts"))),
+      Seq("user_id", "event_date"),
+      Seq(col("value").desc, col("event_id")))
+      .select("user_id", "event_date", "ts", "value", "event_id")
+    val target = slice("2024-01-01", "2024-01-15")
+    val updates = slice("2024-01-10", "2024-01-25")
+    Merge.recencyMerge(target, updates, Seq("user_id", "event_date"), "ts")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── A1: incremental-sync watermark (groupBy-max) ───────────────────
+    "q01_watermark" -> ((s, dir) =>
+      Watermark.latestDates(T(s, dir, "lineitem"), "l_suppkey", "l_shipdate")
+        .orderBy("l_suppkey")),
+
+    // ── A2 (window form): argmax dedup via row_number ──────────────────
+    "q02_dedup_window" -> ((s, dir) =>
+      Dedup.argmaxWindow(
+        T(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
+        Seq("user_id", "event_date"),
+        Seq(col("value").desc, col("event_id")))
+        .select("user_id", "event_date", "event_id", "value")
+        .orderBy("user_id", "event_date")),
+
+    // ── A2 (agg form): argmax dedup via max_by ─────────────────────────
+    // Ordering key folds (linenumber, partkey, quantity) into one exact
+    // BIGINT so ties in the key imply identical output values — max_by
+    // tie-breaking is nondeterministic in both engines (SURVEY §7.4).
+    "q03_dedup_maxby" -> ((s, dir) => {
+      val ordKey = col("l_linenumber").cast(LongType) * lit(100000000000L) +
+        col("l_partkey") * lit(1000L) + col("l_quantity").cast(LongType)
+      Dedup.argmaxMaxBy(T(s, dir, "lineitem"), Seq("l_orderkey"),
+        Seq("last_partkey" -> col("l_partkey"),
+          "last_quantity" -> col("l_quantity")),
+        ordKey)
+        .orderBy("l_orderkey")
+    }),
+
+    // ── A3 + T1: distinct + sort ───────────────────────────────────────
+    "q04_distinct" -> ((s, dir) =>
+      T(s, dir, "events").select("event_type").distinct().orderBy("event_type")),
+
+    // ── J4: star-schema join chain with broadcast dims ─────────────────
+    "q05_star_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(Exact.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    // ── A1/A5 composite: TPC-H Q1-shaped pricing summary ───────────────
+    "q06_agg_pricing" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
+          Exact.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Exact.revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order").cast(DoubleType))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ── J2 (semi): EXISTS rewrite ──────────────────────────────────────
+    "q07_semi_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val li = T(s, dir, "lineitem").filter(col("l_shipdate") >= lit("2001-06-01"))
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    }),
+
+    // ── J2 (anti): NOT EXISTS rewrite ──────────────────────────────────
+    "q08_anti_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // ── O10: last-writer-wins upsert (anti ∪ updates) ──────────────────
+    "q09_upsert" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      def slice(pred: Column, src: String) = li.filter(pred)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          lit(src).as("src"))
+      val target = slice(col("l_shipdate") < lit("1998-01-01"), "tgt")
+      val updates = slice(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1999-01-01"), "upd")
+      Merge.upsert(target, updates, Seq("l_orderkey", "l_linenumber"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.moneySum(col("l_extendedprice")).as("total_price"))
+        .orderBy("src")
+    }),
+
+    // ── O11: recency-guarded merge (flagship pipeline, aggregated) ─────
+    "q10_recency_merge" -> ((s, dir) =>
+      mergedEvents(s, dir)
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("event_date")),
+
+    // ── U1: union-all of page fetches ──────────────────────────────────
+    "q11_union" -> ((s, dir) => {
+      val e = T(s, dir, "events").select("event_id", "event_type", "value")
+      e.filter(col("event_type") === "click")
+        .unionByName(e.filter(col("event_type") === "purchase"))
+        .orderBy("event_id")
+    }),
+
+    // ── P1–P7: scalar transform pipeline ───────────────────────────────
+    "q12_transforms" -> ((s, dir) =>
+      T(s, dir, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+        concat_ws("::", col("user_id"), col("event_type")).as("ckey"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"),
+        regexp_replace(col("event_type"), "'", "''").as("escaped"),
+        upper(col("event_type")).as("etype_uc"))
+        .orderBy("event_id")),
+
+    // ── P9/P10: watermark windows w/ epoch default + date arithmetic ───
+    "q13_watermark_windows" -> ((s, dir) =>
+      Watermark.syncWindows(
+        Watermark.latestDates(T(s, dir, "lineitem"), "l_suppkey", "l_shipdate"),
+        T(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey")),
+        "l_suppkey", lookbackDays = 7, freshnessDays = 1,
+        asOf = lit("1998-12-01"))
+        .orderBy("l_suppkey")),
+
+    // ── W1: lag window — day-over-day delta ────────────────────────────
+    "q14_window_lag" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("event_date"))
+        .agg(Exact.moneySum(col("value")).as("daily"))
+      val w = Window.partitionBy("user_id").orderBy("event_date")
+      daily.withColumn("prev_daily", lag("daily", 1).over(w))
+        .withColumn("delta", col("daily") - col("prev_daily"))
+        .orderBy("user_id", "event_date")
+    }),
+
+    // ── T2 + window rank: top-k per group ──────────────────────────────
+    "q15_topk_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "value")
+        .orderBy("user_id", "rn")
+    }),
+
+    // ── [ext] rollup: hierarchical totals ──────────────────────────────
+    "q16_rollup" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .rollup(col("event_type"), col("event_date"))
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total_value"))
+        .select(
+          coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("event_date"), lit("<all>")).as("event_date"),
+          col("n"), col("total_value"))
+        .orderBy("event_type", "event_date")),
+
+    // ── distinct aggregate ─────────────────────────────────────────────
+    "q17_distinct_agg" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    // ── [ext] approx distinct (HLL) — rows-only check (approximate) ────
+    "q18_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    // ── [ext] set ops ──────────────────────────────────────────────────
+    "q19_intersect" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      def day(d: String) = e.filter(to_date(col("ts")) === lit(d)).select("user_id")
+      day("2024-01-05").intersect(day("2024-01-06")).orderBy("user_id")
+    }),
+    "q20_except" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      def day(d: String) = e.filter(to_date(col("ts")) === lit(d)).select("user_id")
+      day("2024-01-05").except(day("2024-01-06")).orderBy("user_id")
+    }),
+
+    // ── [north star] exact dedup by content hash ───────────────────────
+    "q21_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByContent(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("content_hash")),
+    "q22_dedup_keep_first" -> ((s, dir) =>
+      T(s, dir, "documents").groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").orderBy("doc_id")),
+
+    // ── [north star] MinHash LSH near-dup (1-word shingles ≈ word sets) ─
+    "q23_minhash_lsh" -> ((s, dir) =>
+      TextDedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, shingleLen = 1)
+        .orderBy("id_a", "id_b")),
+
+    // ── [north star] bucketed exact n-gram Jaccard near-dup ───────────
+    "q24_jaccard_pairs" -> ((s, dir) =>
+      TextDedup.jaccardNearDups(T(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, bandWidth = 8)
+        .orderBy("id_a", "id_b")),
+
+    // ── [north star] SimHash fingerprint clustering ────────────────────
+    "q25_simhash" -> ((s, dir) =>
+      TextDedup.simhashDocs(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── [north star] text quality scoring ──────────────────────────────
+    "q26_text_quality" -> ((s, dir) => {
+      val txt = col("text")
+      T(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        TextOps.tokenCount(txt).as("n_tokens"),
+        TextOps.distinctTokenCount(txt).as("n_distinct"),
+        TextOps.avgTokenLen(txt).as("avg_token_len"),
+        TextOps.stopwordRatio(txt).as("stop_ratio"),
+        TextOps.qualityScore(txt).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ── [north star] language ID heuristic (rows-only; profile-based) ──
+    "q27_langid" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // ── [north star] token counting (whitespace + BPE-ish regex) ───────
+    "q28_token_counts" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        size(TextOps.regexTokens(col("text"))).cast(LongType).as("n_regex_tokens"))
+        .orderBy("doc_id")),
+
+    // ── [north star] rolling-hash document fingerprint ─────────────────
+    "q29_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ── [north star] brute-force cosine top-k (query = vec 0) ──────────
+    "q30_cosine_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("sim", VectorOps.cosine(col("embedding"), col("qv")))
+        .select(col("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // ── [north star] ANN via random-hyperplane LSH (rows-only) ─────────
+    "q31_ann_lsh" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(e, "vec_id", "embedding", dim = 64, query = qv,
+        k = 10, nPlanes = 8)
+    }),
+
+    // ── [north star] embedding near-dup pairs, label-blocked ───────────
+    "q32_neardup_embeddings" -> ((s, dir) =>
+      Similarity.blockedNearDups(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // ── [north star] multimodal: blob column + typed metadata join ─────
+    "q33_multimodal_meta" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .join(T(s, dir, "embeddings"),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("label"),
+          length(col("text").cast("binary")).cast(LongType).as("blob_bytes"),
+          substring(col("text"), 1, 16).as("head16"), col("lang"))
+        .orderBy("doc_id")),
+
+    // ── [north star] partition-batched media decode stub (rows-only) ───
+    "q34_mm_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s, Multimodal.asMedia(T(s, dir, "documents")))
+        .toDF().orderBy("doc_id")),
+
+    // ── [ext] Structured Streaming: tumbling daily aggregate ───────────
+    "q35_stream_daily" -> ((s, dir) =>
+      graft.streaming.EventStream.dailyTotals(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val toks = "list_filter(string_split(text,' '), x -> x <> '')"
+    val stop = s"list_filter($toks, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to' OR x='in' OR x='is')"
+    val moneyV = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+    val cosine = (a: String, b: String) =>
+      s"list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
+        s"(sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
+        s"sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+    Map(
+      "q01_watermark" ->
+        """SELECT l_suppkey, CAST(max(l_shipdate) AS DATE) AS latest_date
+          |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+      "q02_dedup_window" ->
+        """SELECT user_id, event_date, event_id, value FROM (
+          |  SELECT user_id, CAST(ts AS DATE) AS event_date, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+          |                            ORDER BY value DESC, event_id) AS rn
+          |  FROM events) WHERE rn = 1 ORDER BY user_id, event_date""".stripMargin,
+      "q03_dedup_maxby" ->
+        """SELECT l_orderkey,
+          |  max_by(l_partkey, l_linenumber*100000000000 + l_partkey*1000
+          |                    + CAST(l_quantity AS BIGINT)) AS last_partkey,
+          |  max_by(l_quantity, l_linenumber*100000000000 + l_partkey*1000
+          |                     + CAST(l_quantity AS BIGINT)) AS last_quantity
+          |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+      "q04_distinct" ->
+        "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+      "q05_star_join" ->
+        """SELECT r_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      "q06_agg_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(l_quantity) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+          |  count(*) AS count_order,
+          |  sum(l_quantity) / CAST(count(*) AS DOUBLE) AS avg_qty
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q07_semi_join" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate >= TIMESTAMP '2001-06-01')
+          |ORDER BY o_orderkey""".stripMargin,
+      "q08_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+      "q09_upsert" ->
+        """WITH target AS (
+          |  SELECT l_orderkey, l_linenumber, l_extendedprice, 'tgt' AS src
+          |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+          |updates AS (
+          |  SELECT l_orderkey, l_linenumber, l_extendedprice, 'upd' AS src
+          |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |                  AND l_shipdate < TIMESTAMP '1999-01-01'),
+          |merged AS (
+          |  SELECT * FROM target t
+          |  WHERE NOT EXISTS (SELECT 1 FROM updates u
+          |                    WHERE u.l_orderkey = t.l_orderkey
+          |                      AND u.l_linenumber = t.l_linenumber)
+          |  UNION ALL SELECT * FROM updates)
+          |SELECT src, count(*) AS n_rows,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM merged GROUP BY src ORDER BY src""".stripMargin,
+      "q10_recency_merge" ->
+        s"""WITH dedup_t AS (
+           |  SELECT user_id, event_date, ts, value, event_id FROM (
+           |    SELECT user_id, CAST(ts AS DATE) AS event_date, ts, value, event_id,
+           |           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+           |                              ORDER BY value DESC, event_id) AS rn
+           |    FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15')
+           |  WHERE rn = 1),
+           |dedup_u AS (
+           |  SELECT user_id, event_date, ts, value, event_id FROM (
+           |    SELECT user_id, CAST(ts AS DATE) AS event_date, ts, value, event_id,
+           |           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+           |                              ORDER BY value DESC, event_id) AS rn
+           |    FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-25')
+           |  WHERE rn = 1),
+           |winners AS (
+           |  SELECT u.* FROM dedup_u u
+           |  LEFT JOIN dedup_t t ON u.user_id = t.user_id AND u.event_date = t.event_date
+           |  WHERE t.ts IS NULL OR u.ts >= t.ts),
+           |merged AS (
+           |  SELECT * FROM dedup_t t
+           |  WHERE NOT EXISTS (SELECT 1 FROM winners w
+           |                    WHERE w.user_id = t.user_id AND w.event_date = t.event_date)
+           |  UNION ALL SELECT * FROM winners)
+           |SELECT event_date, count(*) AS n_rows, $moneyV AS total_value
+           |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin,
+      "q11_union" ->
+        """SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+          |UNION ALL
+          |SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+          |ORDER BY event_id""".stripMargin,
+      "q12_transforms" ->
+        """SELECT event_id,
+          |  strftime(ts, '%Y-%m-%d') AS day_str,
+          |  concat_ws('::', user_id, event_type) AS ckey,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+          |  replace(event_type, '''', '''''') AS escaped,
+          |  upper(event_type) AS etype_uc
+          |FROM events ORDER BY event_id""".stripMargin,
+      "q13_watermark_windows" ->
+        """WITH latest AS (
+          |  SELECT l_suppkey, CAST(max(l_shipdate) AS DATE) AS latest_date
+          |  FROM lineitem GROUP BY l_suppkey)
+          |SELECT s_suppkey AS l_suppkey,
+          |  coalesce(latest_date, DATE '1970-01-01') AS latest_date,
+          |  coalesce(latest_date, DATE '1970-01-01') + (1 - 7) AS target_start,
+          |  DATE '1998-12-01' - 1 AS target_end,
+          |  coalesce(latest_date, DATE '1970-01-01') + (1 - 7) > DATE '1998-12-01' - 1 AS skip
+          |FROM supplier LEFT JOIN latest ON s_suppkey = l_suppkey
+          |ORDER BY l_suppkey""".stripMargin,
+      "q14_window_lag" ->
+        s"""WITH daily AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS event_date, $moneyV AS daily
+           |  FROM events GROUP BY 1, 2)
+           |SELECT user_id, event_date, daily,
+           |  lag(daily) OVER (PARTITION BY user_id ORDER BY event_date) AS prev_daily,
+           |  daily - lag(daily) OVER (PARTITION BY user_id ORDER BY event_date) AS delta
+           |FROM daily ORDER BY user_id, event_date""".stripMargin,
+      "q15_topk_per_user" ->
+        """SELECT user_id, rn, event_id, value FROM (
+          |  SELECT user_id, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY value DESC, event_id) AS rn
+          |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+      "q16_rollup" ->
+        s"""SELECT coalesce(event_type, '<all>') AS event_type,
+           |  coalesce(event_date, '<all>') AS event_date,
+           |  count(*) AS n, $moneyV AS total_value
+           |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value FROM events)
+           |GROUP BY ROLLUP(event_type, event_date)
+           |ORDER BY 1, 2""".stripMargin,
+      "q17_distinct_agg" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q19_intersect" ->
+        """SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+          |INTERSECT
+          |SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-06'
+          |ORDER BY user_id""".stripMargin,
+      "q20_except" ->
+        """SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+          |EXCEPT
+          |SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-06'
+          |ORDER BY user_id""".stripMargin,
+      "q21_dedup_exact" ->
+        """SELECT sha256(text) AS content_hash, count(*) AS n_dups,
+          |       min(doc_id) AS keep_id
+          |FROM documents GROUP BY sha256(text) ORDER BY content_hash""".stripMargin,
+      "q22_dedup_keep_first" ->
+        """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+          |ORDER BY doc_id""".stripMargin,
+      "q24_jaccard_pairs" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))  AS ws
+          |  FROM documents),
+          |b AS (SELECT doc_id, ws, CAST(floor(len(ws) / 8) AS BIGINT) AS bucket FROM w)
+          |SELECT id_a, id_b, jaccard FROM (
+          |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+          |    CAST(len(list_intersect(a.ws, b2.ws)) AS DOUBLE) /
+          |      (CAST(len(a.ws) + len(b2.ws) AS DOUBLE) -
+          |       CAST(len(list_intersect(a.ws, b2.ws)) AS DOUBLE)) AS jaccard
+          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+      "q26_text_quality" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, n_chars, text, $toks AS toks FROM documents)
+           |SELECT doc_id, n_chars,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           |  CAST(len($stop) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+           |  CAST(len($stop) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0
+           |    + (CASE WHEN len(toks) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END)
+           |    - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |      / CAST(length(replace(text, ' ', '')) AS DOUBLE) AS quality
+           |FROM tk ORDER BY doc_id""".stripMargin,
+      "q28_token_counts" ->
+        s"""SELECT doc_id,
+           |  CAST(len($toks) AS BIGINT) AS n_ws_tokens,
+           |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_regex_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q29_fingerprint" ->
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(list_filter(string_split(substr(text, 1, 64), ''), c -> c <> ''),
+          |                   c -> CAST(ascii(c) AS BIGINT))),
+          |    (h, c) -> (h * 31 + c) % 1073741824) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q30_cosine_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, ${cosine("embedding", "qv")} AS sim
+           |FROM embeddings, q WHERE vec_id <> 0
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+      "q32_neardup_embeddings" ->
+        s"""SELECT block, id_a, id_b, sim FROM (
+           |  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${cosine("a.embedding", "b.embedding")} AS sim
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id < b.vec_id)
+           |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+      "q33_multimodal_meta" ->
+        """SELECT doc_id, label,
+          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blob_bytes,
+          |  substr(text, 1, 16) AS head16, lang
+          |FROM documents JOIN embeddings ON doc_id = vec_id
+          |ORDER BY doc_id""".stripMargin,
+      "q35_stream_daily" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, event_type,
+           |  count(*) AS n, $moneyV AS total_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star operator).
+  *
+  * Media (image/audio/video) are opaque `binary` columns travelling next
+  * to typed metadata; decode/feature-extraction runs per partition so any
+  * native decoding library is initialized once per task, not per row —
+  * the Scala analog of PySpark's `mapInPandas` batching. The decode step
+  * itself is STUBBED deterministically (no media libs in this container,
+  * by design); everything around it — schema, batching, partitioning —
+  * is real.
+  *
+  * Scale notes: blobs never become shuffle keys; all keys here are the
+  * (small) id/metadata columns. Feature extraction is a narrow map — at
+  * 100 TB it scales linearly with input splits, and column pruning means
+  * metadata-only queries never read the blob column from parquet.
+  */
+object Multimodal {
+
+  final case class MediaFeature(doc_id: Long, n_bytes: Long, feat0: Double, feat1: Double)
+
+  /** Attach an opaque blob column (here synthesized from text — the
+    * fixtures carry no real media) plus typed metadata. */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("blob"),
+      col("lang"), col("source"))
+
+  /** Partition-batched "decode": DETERMINISTIC STUB for the media decoder
+    * (a real deployment swaps the body for e.g. JPEG decode + model
+    * features; the Spark-side contract — one initialization per partition,
+    * typed output schema — is what's under test). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select("doc_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition init happens here (codec tables, model weights, …)
+        batch.map { case (id, blob) =>
+          val n = blob.length.toLong
+          // stub features: byte-sum and alternating-sum — deterministic
+          var s0 = 0L; var s1 = 0L; var i = 0
+          while (i < blob.length) {
+            s0 += blob(i) & 0xff
+            s1 += (if (i % 2 == 0) 1 else -1) * (blob(i) & 0xff)
+            i += 1
+          }
+          MediaFeature(id, n, s0.toDouble / math.max(n, 1), s1.toDouble / math.max(n, 1))
+        }
+      }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** O10–O13 — merge/upsert, the reference's core mutation operator, which it
+  * implements four independent times (SURVEY.md §2.7). Re-expressed here as
+  * pure join rewrites over immutable DataFrames (the merge *semantics* are
+  * the capability under test, not the Delta transaction log).
+  *
+  * Two semantics exist in the reference:
+  *   - last-writer-wins upsert: Delta MERGE whenMatchedUpdateAll /
+  *     whenNotMatchedInsertAll (spark_deltalake_sync.py:296-300,
+  *     deltalake_sync.py:239-248) and Postgres ON CONFLICT DO UPDATE
+  *     (postgres_sync.py:56-69);
+  *   - recency-guarded merge: BigQuery's 3-step staged merge keeps an
+  *     update only if `source.extracted_at >= target.extracted_at OR
+  *     target.extracted_at IS NULL`
+  *     (src/etl/sql/bigquery_dml__upsert_daily_stock_price.sql:10-20).
+  * The recency-guarded form is canonical here (SURVEY §7.4.1).
+  *
+  * Scale notes: both forms are a single shuffle on the merge key (the
+  * anti join and the union reuse the updates' exchange under AQE). The
+  * updates side of an incremental sync is typically ≪ target — Catalyst
+  * broadcasts it when under the threshold, turning the merge into a
+  * shuffle-free scan of the target. Against a 100 TB partitioned target,
+  * pair this with partition pruning: only target partitions intersecting
+  * the updates' date range need rewriting (the reference's BigQuery table
+  * is `PARTITION BY date CLUSTER BY symbol` for exactly this reason).
+  */
+object Merge {
+
+  /** O10/O12/O13 — unconditional last-writer-wins upsert: every target row
+    * whose key appears in `updates` is replaced. */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(updates, keys, "left_anti").unionByName(updates)
+
+  /** O11 — recency-guarded merge: an update replaces the target row only
+    * if `updates.recencyCol >= target.recencyCol` (or no target row
+    * exists). Stale updates are dropped; untouched target rows survive. */
+  def recencyMerge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                   recencyCol: String): DataFrame = {
+    val tKeyed = target.select((keys :+ recencyCol).map(c => col(c).as(s"__t_$c")): _*)
+    val cond = keys.map(k => updates(k) === tKeyed(s"__t_$k")).reduce(_ && _)
+    val winners = updates
+      .join(tKeyed, cond, "left")
+      .filter(col(s"__t_$recencyCol").isNull ||
+        col(recencyCol) >= col(s"__t_$recencyCol"))
+      .select(updates.columns.map(updates(_)): _*)
+    target.join(winners, keys, "left_anti").unionByName(winners)
+  }
+
+  /** K8-flavored variant: stamp an audit column on the rows being written,
+    * as the BigQuery merge stamps `inserted_at = CURRENT_TIMESTAMP()`
+    * (bigquery_dml__upsert_daily_stock_price.sql:32). Audit value is a
+    * parameter so oracle-compared queries can pass a literal. */
+  def upsertAudited(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                    auditCol: String, auditValue: org.apache.spark.sql.Column): DataFrame =
+    upsert(target.withColumn(auditCol, lit(null).cast("timestamp")),
+      updates.withColumn(auditCol, auditValue), keys)
+}

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.ops.{Dedup, Merge, Watermark}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's two-phase sync pipeline re-expressed over immutable
+  * DataFrames (reference entry point: src/main.py:43-67; PySpark path
+  * spark_deltalake_sync.py:312-336).
+  *
+  * Phase 1 (dimension): snapshot overwrite — O14
+  * (spark_deltalake_sync.py:151-165): the new extract *is* the new table.
+  *
+  * Phase 2 (fact): for each key, fetch rows in the watermark window, argmax-
+  * dedup them, and recency-merge into the target. The reference fans out
+  * per-symbol over a thread pool (src/utils/multithreading.py:20-76); under
+  * Spark the whole batch is one partitioned DataFrame job — task
+  * parallelism replaces thread orchestration wholesale (SURVEY §2.8 D1).
+  *
+  * Backfill mode (D2) is just `lookbackDays = 36500`
+  * (postgres_sync.py:262): same plan, wider window.
+  */
+object Sync {
+
+  /** O14 — dimension snapshot refresh. */
+  def companySnapshot(extract: DataFrame): DataFrame = extract
+
+  /** One incremental sync round for the fact table.
+    *
+    * @param target   current state of the fact table
+    * @param fetched  newly-extracted rows (may overlap target, may contain
+    *                 intra-batch duplicates)
+    * @param keys     the fact grain, e.g. (symbol, date)
+    * @param dedupOrd total order picking the winner among duplicates
+    *                 (reference: max close — pse_edge.py:259)
+    * @param recencyCol timestamp guarding stale updates (O11)
+    */
+  def syncRound(target: DataFrame, fetched: DataFrame, keys: Seq[String],
+                dedupOrd: Seq[Column], recencyCol: String): DataFrame = {
+    val deduped = Dedup.argmaxWindow(fetched, keys, dedupOrd)
+    Merge.recencyMerge(target, deduped, keys, recencyCol)
+  }
+
+  /** The work-list filter: keys whose watermark window is non-empty
+    * (reference skip logic: postgres_sync.py:205). */
+  def pendingKeys(target: DataFrame, allKeys: DataFrame, key: String,
+                  dateCol: String, lookbackDays: Int, freshnessDays: Int,
+                  asOf: Column): DataFrame =
+    Watermark.syncWindows(
+      Watermark.latestDates(target, key, dateCol),
+      allKeys, key, lookbackDays, freshnessDays, asOf)
+      .filter(!col("skip"))
+}
