@@ -1,0 +1,146 @@
+package graft
+
+import graft.ops.{Dedup, Exact, Merge, Transforms, Watermark}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the reference-traceable operator core (SURVEY.md §2):
+  * argmax dedup (A2), merge/upsert semantics (O10/O11), watermark state
+  * (A1/P10), scalar transforms (P1–P10), exact aggregation. Golden-value
+  * style mirrors the reference's integration tests
+  * (reference: tests/integration/test_pse_edge.py:37-75). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (symbol, date, close, extracted_at) — the reference's fact grain
+  private def prices(rows: (String, String, Double, String)*) =
+    rows.toSeq.toDF("symbol", "date", "close", "extracted_at")
+
+  test("argmaxWindow keeps the max-close row per (symbol,date)") {
+    val df = prices(
+      ("JFC", "2022-03-01", 10.0, "t1"), ("JFC", "2022-03-01", 12.0, "t2"),
+      ("JFC", "2022-03-02", 11.0, "t3"), ("ALI", "2022-03-01", 5.0, "t4"))
+    val out = Dedup.argmaxWindow(df, Seq("symbol", "date"),
+      Seq(col("close").desc, col("extracted_at")))
+      .orderBy("symbol", "date")
+    assert(rowsOf(out) === Seq(
+      Seq("ALI", "2022-03-01", 5.0, "t4"),
+      Seq("JFC", "2022-03-01", 12.0, "t2"),
+      Seq("JFC", "2022-03-02", 11.0, "t3")))
+  }
+
+  test("argmaxWindow is deterministic under input row order shuffling") {
+    val base = Seq(
+      ("JFC", "2022-03-01", 10.0, "a"), ("JFC", "2022-03-01", 10.0, "b"),
+      ("JFC", "2022-03-01", 12.0, "c"))
+    val out1 = Dedup.argmaxWindow(prices(base: _*), Seq("symbol", "date"),
+      Seq(col("close").desc, col("extracted_at"))).collect()
+    val out2 = Dedup.argmaxWindow(prices(base.reverse: _*), Seq("symbol", "date"),
+      Seq(col("close").desc, col("extracted_at"))).collect()
+    assert(out1 === out2)
+  }
+
+  test("argmaxMaxBy agrees with argmaxWindow on tie-free data") {
+    val df = prices(
+      ("JFC", "2022-03-01", 10.0, "t1"), ("JFC", "2022-03-01", 12.0, "t2"),
+      ("ALI", "2022-03-01", 5.0, "t4"))
+    val viaAgg = Dedup.argmaxMaxBy(df, Seq("symbol", "date"),
+      Seq("close" -> col("close"), "extracted_at" -> col("extracted_at")),
+      col("close")).orderBy("symbol").collect()
+    val viaWin = Dedup.argmaxWindow(df, Seq("symbol", "date"),
+      Seq(col("close").desc))
+      .select("symbol", "date", "close", "extracted_at")
+      .orderBy("symbol").collect()
+    assert(viaAgg === viaWin)
+  }
+
+  test("exactByContent groups duplicates and keeps min id") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    val out = Dedup.exactByContent(docs, "text", "doc_id")
+      .orderBy("keep_id").select("n_dups", "keep_id")
+    assert(rowsOf(out) === Seq(Seq(2L, 1L), Seq(1L, 2L)))
+  }
+
+  test("upsert: updates replace matched keys, target rows otherwise survive") {
+    val target = prices(("JFC", "d1", 1.0, "t1"), ("ALI", "d1", 2.0, "t1"))
+    val updates = prices(("JFC", "d1", 9.0, "t2"), ("MBT", "d1", 3.0, "t2"))
+    val out = Merge.upsert(target, updates, Seq("symbol", "date")).orderBy("symbol")
+    assert(rowsOf(out) === Seq(
+      Seq("ALI", "d1", 2.0, "t1"),
+      Seq("JFC", "d1", 9.0, "t2"),
+      Seq("MBT", "d1", 3.0, "t2")))
+  }
+
+  test("recencyMerge drops stale updates (O11 vs O10 semantics divergence)") {
+    val target = prices(("JFC", "d1", 1.0, "2024-02-01"), ("ALI", "d1", 2.0, "2024-02-01"))
+    val updates = prices(
+      ("JFC", "d1", 9.0, "2024-01-01"), // STALE: older than target
+      ("ALI", "d1", 8.0, "2024-03-01"), // fresh: replaces
+      ("MBT", "d1", 3.0, "2024-01-01")) // new key: inserts regardless
+    val out = Merge.recencyMerge(target, updates, Seq("symbol", "date"), "extracted_at")
+      .orderBy("symbol")
+    assert(rowsOf(out) === Seq(
+      Seq("ALI", "d1", 8.0, "2024-03-01"),
+      Seq("JFC", "d1", 1.0, "2024-02-01"),
+      Seq("MBT", "d1", 3.0, "2024-01-01")))
+  }
+
+  test("merge idempotence: merge(merge(t,u),u) == merge(t,u)") {
+    val target = prices(("JFC", "d1", 1.0, "t1"), ("ALI", "d1", 2.0, "t3"))
+    val updates = prices(("JFC", "d1", 9.0, "t2"), ("MBT", "d2", 3.0, "t2"))
+    def once = Merge.recencyMerge(target, updates, Seq("symbol", "date"), "extracted_at")
+    val twice = Merge.recencyMerge(once, updates, Seq("symbol", "date"), "extracted_at")
+    assert(rowsOf(twice.orderBy("symbol", "date")) ===
+      rowsOf(once.orderBy("symbol", "date")))
+  }
+
+  test("latestDates computes per-key max date") {
+    val df = prices(("JFC", "2022-03-01", 1.0, "t"), ("JFC", "2022-03-05", 1.0, "t"),
+      ("ALI", "2022-02-01", 1.0, "t"))
+    val out = Watermark.latestDates(df, "symbol", "date").orderBy("symbol")
+    assert(rowsOf(out.select(col("symbol"), col("latest_date").cast("string"))) ===
+      Seq(Seq("ALI", "2022-02-01"), Seq("JFC", "2022-03-05")))
+  }
+
+  test("syncWindows: epoch default for never-synced keys, skip when current") {
+    val latest = Seq(("JFC", "2024-01-10")).toDF("symbol", "latest_date")
+      .select(col("symbol"), col("latest_date").cast("date").as("latest_date"))
+    val allKeys = Seq("JFC", "NEW").toDF("symbol")
+    val out = Watermark.syncWindows(latest, allKeys, "symbol",
+      lookbackDays = 0, freshnessDays = 1, asOf = lit("2024-01-11"))
+      .orderBy("symbol")
+      .select(col("symbol"), col("latest_date").cast("string"),
+        col("target_start").cast("string"), col("target_end").cast("string"),
+        col("skip"))
+    // lookback=0: start = latest+1; JFC latest=2024-01-10 → start 01-11 >
+    // end 01-10 → skip (the reference's up-to-date fast path,
+    // postgres_sync.py:205); NEW defaults to epoch → backfill from 1970.
+    assert(rowsOf(out) === Seq(
+      Seq("JFC", "2024-01-10", "2024-01-11", "2024-01-10", true),
+      Seq("NEW", "1970-01-01", "1970-01-02", "2024-01-10", false)))
+  }
+
+  test("transforms: escape/concat-key/extract-id golden values") {
+    val df = Seq(("O'Brien & Co", "JFC", "2022-03-01",
+      "onclick=\"cmDetail('654')\"")).toDF("name", "symbol", "date", "attr")
+    val out = df.select(
+      Transforms.escapeQuotes(col("name")).as("esc"),
+      Transforms.concatKey(col("symbol"), col("date")).as("ck"),
+      Transforms.extractId(col("attr")).as("id"))
+    assert(rowsOf(out) === Seq(Seq("O''Brien & Co", "JFC::2022-03-01", "654")))
+  }
+
+  test("moneySum is exact where naive double sum drifts") {
+    // 0.1 + 0.2 != 0.3 in IEEE doubles; decimal path lands exactly on 0.3
+    val df = Seq(0.1, 0.2).toDF("v")
+    val Row(exact: Double) = df.agg(Exact.moneySum(col("v"))).head()
+    assert(exact === 0.3)
+  }
+
+  test("revenueSum matches hand-computed decimal arithmetic") {
+    val df = Seq((100.10, 0.05), (200.20, 0.10)).toDF("price", "disc")
+    val Row(rev: Double) = df.agg(Exact.revenueSum(col("price"), col("disc"))).head()
+    // 100.10*0.95 + 200.20*0.90 = 95.095 + 180.18 = 275.275
+    assert(rev === 275.275)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.TextDedup
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Specs for the text-analysis and near-dup surface (north-star ops). */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc = "the quick brown fox jumps over the lazy dog"
+
+  test("token counts, distinct counts, stopword ratio on a known sentence") {
+    val df = Seq(doc).toDF("text")
+    val Row(n: Long, d: Long, stop: Double) = df.select(
+      TextOps.tokenCount(col("text")),
+      TextOps.distinctTokenCount(col("text")),
+      TextOps.stopwordRatio(col("text"))).head()
+    assert(n === 9)
+    assert(d === 8) // "the" twice
+    assert(stop === 2.0 / 9.0) // two "the"s
+  }
+
+  test("tokens are robust to repeated spaces") {
+    val Row(n: Long) = Seq("a  b   c").toDF("text")
+      .select(TextOps.tokenCount(col("text"))).head()
+    assert(n === 3)
+  }
+
+  test("regexTokens splits on non-alphanumeric runs") {
+    val toks = Seq("Hello, world! x2")
+      .toDF("text").select(TextOps.regexTokens(col("text"))).head().getSeq[String](0)
+    assert(toks === Seq("hello", "world", "x2"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq("abc", "acb", "abc").toDF("text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) === fps(2)) // same text → same fp
+    assert(fps(0) !== fps(1)) // permuted text → different fp (rolling hash)
+    // golden: h("abc") = ((0*31+97)*31+98)*31+99 = 96354
+    assert(fps(0) === ((97L * 31 + 98) * 31 + 99))
+  }
+
+  test("langId picks the profile with most matching bigrams") {
+    val out = Seq("the weather is fine here", "zzz qqq xxx")
+      .toDF("text").select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(out(0) === "en")
+    assert(out(1) === "und")
+  }
+
+  test("jaccardNearDups finds a known near-pair and skips far pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"), // jaccard 5/7 ≈ 0.714
+      (3L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.jaccardNearDups(docs, "doc_id", "text",
+      threshold = 0.6, bandWidth = 8).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 2L)
+    assert(math.abs(out(0).getDouble(2) - 5.0 / 7.0) < 1e-12)
+  }
+
+  test("minhashNearDups recalls identical and near-identical docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.9, shingleLen = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs collide, disjoint docs differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "unrelated content entirely different")
+    ).toDF("doc_id", "text")
+    val sh = TextDedup.simhashDocs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(sh(0) === sh(1))
+    assert(sh(0) !== sh(2))
+  }
+}

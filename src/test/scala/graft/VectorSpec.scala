@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Specs for embedding-vector math, similarity search, and the multimodal
+  * decode plumbing (north-star ops). */
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm / cosine golden values") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val Row(d: Double, n: Double, c: Double) = df.select(
+      VectorOps.dot(col("a"), col("b")),
+      VectorOps.norm(col("a")),
+      VectorOps.cosine(col("a"), col("b"))).head()
+    assert(d === 2.0)
+    assert(n === 3.0)
+    assert(c === 2.0 / (3.0 * 2.0))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(3.0f, 4.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(VectorOps.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) === 0.0)
+  }
+
+  test("bruteForceTopK returns nearest ids in similarity order") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      query = Seq(1.0, 0.0), k = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).getDouble(1) === 1.0)
+  }
+
+  test("randomHyperplaneSig is deterministic and groups near vectors") {
+    val vecs = Seq(
+      (1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(1.01f)),
+      (3L, Seq.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val sigs = vecs.select(col("vec_id"),
+      VectorOps.randomHyperplaneSig(col("embedding"), dim = 8, nPlanes = 8))
+      .orderBy("vec_id").collect().map(_.getLong(1))
+    assert(sigs(0) === sigs(1)) // parallel vectors share all sign bits
+    assert(sigs(0) !== sigs(2)) // antipodal vectors flip every bit
+  }
+
+  test("blockedNearDups only compares within a block") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "x"), (2L, Seq(1.0f, 0.01f), "x"),
+      (3L, Seq(1.0f, 0.0f), "y")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.blockedNearDups(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect()
+    // (1,3) identical but different blocks → absent; (1,2) present
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSet === Set((1L, 2L)))
+  }
+
+  test("multimodal decode stub: per-row features from blob bytes") {
+    val docs = Seq((7L, "ab", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val out = Multimodal.decodeFeatures(spark, Multimodal.asMedia(docs)).collect()
+    assert(out.length === 1)
+    val f = out(0)
+    assert(f.doc_id === 7L && f.n_bytes === 2L)
+    assert(f.feat0 === (97 + 98) / 2.0) // byte-sum / n
+    assert(f.feat1 === (97 - 98) / 2.0) // alternating sum / n
+  }
+}
