@@ -242,15 +242,17 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id").orderBy("doc_id")),
 
-    // ── [north star] MinHash LSH near-dup (1-word shingles ≈ word sets) ─
+    // ── [north star] MinHash LSH near-dup over 3-word shingles ─────────
     "q23_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, shingleLen = 1)
+        threshold = 0.5, shingleLen = 3)
         .orderBy("id_a", "id_b")),
 
     // ── [north star] bucketed exact n-gram Jaccard near-dup ───────────
+    // (vocabulary-bitmap plan: per-pair work is bit_count over longs, not
+    // string-array intersection — same values as the array-intersect form)
     "q24_jaccard_pairs" -> ((s, dir) =>
-      TextDedup.jaccardNearDups(T(s, dir, "documents"), "doc_id", "text",
+      TextDedup.jaccardNearDupsBitset(T(s, dir, "documents"), "doc_id", "text",
         threshold = 0.6, bandWidth = 8)
         .orderBy("id_a", "id_b")),
 

@@ -31,29 +31,43 @@ object TextDedup {
   // never overflows under ANSI mode (p=2^61-1 would need 128-bit mults).
   private val MersennePrime = 2147483647L
 
+  /** Distinct hashed `shingleLen`-word shingles per document: one 64-bit
+    * xxhash64 per sliding window over the token array (expression-tree, no
+    * UDF). Hashing up front means every downstream set operation
+    * (minhash, exact-Jaccard verify) runs on longs, not strings — and at
+    * 100 TB the shingle arrays, not the raw text, are all that flows
+    * through the pipeline. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  shingleLen: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val shingles = transform(
+      sequence(lit(1), greatest(size(toks) - (shingleLen - 1), lit(1))),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(shingleLen)))))
+    docs.select(col(idCol), array_distinct(shingles).as("sh"))
+  }
+
   /** Per-document minhash signature rows: (id, band, bucket).
     *
-    * k minhashes from one base 64-bit hash per shingle via the usual
+    * k minhashes from the base shingle hashes via the usual
     * (a_i * h + b_i) mod p family; signature split into `bands` bands of
     * `rowsPerBand` hashes; each band hashed to one bucket value.
     */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-                   shingleLen: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+                   shingleLen: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    bandsOfShingles(shingleSets(docs, idCol, textCol, shingleLen), idCol,
+      bands, rowsPerBand)
+
+  private def bandsOfShingles(sets: DataFrame, idCol: String,
+                              bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val toks = TextOps.tokens(col(textCol))
-    // 3-word shingles: slice windows out of the token array (expression-tree,
-    // no UDF); xxhash64 gives the 64-bit base hash per shingle.
-    val shingles = transform(
-      sequence(lit(1), greatest(size(toks) - (shingleLen - 1), lit(1))),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(shingleLen)))))
     val minhashes = (0 until k).map { i =>
       val a = 2 * i + 1
       val b = 7919 * (i + 1)
-      array_min(transform(shingles,
+      array_min(transform(col("sh"),
         h => pmod(pmod(h, lit(MersennePrime)) * lit(a.toLong) + lit(b.toLong),
           lit(MersennePrime)))).as(s"mh_$i")
     }
-    val sig = docs.select(col(idCol), array(minhashes: _*).as("sig"))
+    val sig = sets.select(col(idCol), array(minhashes: _*).as("sig"))
     val bandRows = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("bucket"))
@@ -63,22 +77,28 @@ object TextDedup {
   }
 
   /** Candidate pairs from LSH banding, verified with exact Jaccard over
-    * distinct word sets; keeps pairs with jaccard >= threshold. */
+    * the same distinct shingle sets the signatures were built from (the
+    * self-consistent MinHash pipeline: LSH approximates exactly the
+    * quantity the verifier computes); keeps pairs >= threshold.
+    *
+    * Shingle length is the selectivity lever: 1-word shingles degrade to
+    * bag-of-words (documents from a small vocabulary all collide and LSH
+    * degenerates to all-pairs); 3-word shingles keep sequences distinctive
+    * so candidate volume tracks true near-dups. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, shingleLen: Int = 3,
                       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val bb = minhashBands(docs, idCol, textCol, shingleLen, bands, rowsPerBand)
+    val sets = shingleSets(docs, idCol, textCol, shingleLen)
+    val bb = bandsOfShingles(sets, idCol, bands, rowsPerBand)
     val l = bb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = bb.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val words = docs.select(col(idCol),
-      array_distinct(TextOps.tokens(col(textCol))).as("ws"))
     candidates
-      .join(words.select(col(idCol).as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
-      .join(words.select(col(idCol).as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardExpr(col("ws_a"), col("ws_b")))
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardExpr(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -104,6 +124,58 @@ object TextDedup {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", jaccardExpr(col("ws_a"), col("ws_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard pairs via a vocabulary bitmap: identical semantics to
+    * [[jaccardNearDups]], different physical plan. Each document's
+    * distinct word set becomes a fixed-width bitmask over a dense
+    * vocabulary id space, so the per-pair intersection is
+    * `Σ bit_count(a & b)` over a handful of longs instead of a string
+    * array intersect — an order of magnitude cheaper when millions of
+    * candidate pairs share a small vocabulary.
+    *
+    * Scale notes: the vocabulary table is tiny relative to the corpus
+    * (Heaps' law) and is broadcast; the dense-id assignment is a
+    * single-partition window over distinct words, which is fine up to
+    * ~10^7 vocab — beyond that (or for unbounded shingle spaces) use the
+    * hashed-shingle minhash path instead, which needs no global ids. */
+  def jaccardNearDupsBitset(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, bandWidth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("ws"))
+    val tok = words.select(col("id"), explode(col("ws")).as("w"))
+    val vocab = tok.select("w").distinct()
+      .withColumn("wid", row_number().over(Window.orderBy("w")) - 1)
+    val vocabSize = vocab.count().toInt // plan parameter: mask width
+    val nSlots = (vocabSize + 63) / 64
+    // 1L<<k lookup (shiftleft() only shifts by literal ints, not columns)
+    val pow2 = array((0 until 64).map(k => lit(1L << k)): _*)
+    // doc → wid list → bitmask array<long> of width nSlots
+    val masks = tok.join(broadcast(vocab), Seq("w"))
+      .groupBy("id").agg(collect_set(col("wid")).as("wids"))
+      .select(col("id"), size(col("wids")).as("n"),
+        transform(sequence(lit(0), lit(nSlots - 1)), j =>
+          aggregate(
+            filter(col("wids"), w => floor(w / 64).cast("int") === j),
+            lit(0L),
+            (acc, w) => acc.bitwiseOR(element_at(pow2, pmod(w, lit(64)) + 1)))
+        ).as("mask"))
+      .withColumn("bucket", floor(col("n") / bandWidth))
+    val a = masks.select(col("id").as("id_a"), col("n").as("n_a"),
+      col("mask").as("m_a"), col("bucket"))
+    val b = masks.select(col("id").as("id_b"), col("n").as("n_b"),
+      col("mask").as("m_b"), col("bucket"))
+    val inter = aggregate(
+      zip_with(col("m_a"), col("m_b"), (x, y) => bit_count(x.bitwiseAND(y))),
+      lit(0), (acc, x) => acc + x).cast(DoubleType)
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__i", inter)
+      .withColumn("jaccard",
+        col("__i") / ((col("n_a") + col("n_b")).cast(DoubleType) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
