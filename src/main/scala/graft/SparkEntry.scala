@@ -340,7 +340,78 @@ object SparkEntry {
 
     // ── [ext] Structured Streaming: tumbling daily aggregate ───────────
     "q35_stream_daily" -> ((s, dir) =>
-      graft.streaming.EventStream.dailyTotals(s, dir))
+      graft.streaming.EventStream.dailyTotals(s, dir)),
+
+    // ── [ext] as-of join: latest prior click per purchase, via window ──
+    // (SURVEY §2.4 "range/as-of variant on events"; single shuffle on
+    // user_id — the union+window form of an as-of join, no theta join)
+    "q36_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, dir, "events")
+        .withColumn("prev_click_ts",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          date_format(col("prev_click_ts"), "yyyy-MM-dd HH:mm:ss").as("prev_click_s"))
+        .orderBy("event_id")
+    }),
+
+    // ── [ext] range frame: events per user in the preceding hour ───────
+    "q37_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast(LongType)) // epoch seconds
+        .rangeBetween(-3600, -1)
+      T(s, dir, "events")
+        .withColumn("n_prev_hour", count(lit(1)).over(w))
+        .select("event_id", "user_id", "n_prev_hour")
+        .orderBy("event_id")
+    }),
+
+    // ── S4/K3/K4: schema-enforced CSV sink + source round-trip ─────────
+    // (per-group CSV spill via partitionBy — the reference's per-symbol
+    // CSV staging, spark_deltalake_sync.py:244-274 — then the declared-
+    // schema glob re-read, deltalake_sync.py:229; aggregate must match
+    // the parquet-native oracle exactly: the round-trip is lossless)
+    "q38_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      T(s, dir, "events").select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").partitionBy("event_type")
+        .option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_type", StringType)))
+      s.read.schema(schema).option("header", "true").csv(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // ── S9: parameterized SQL (the reference's Jinja-templated .sql
+    // files, src/utils/misc.py:11-54 → Spark named-parameter API) ──────
+    "q39_sql_params" -> ((s, dir) => {
+      T(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM events_v WHERE event_type <> :skip AND value >= :minv
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Map("skip" -> "view", "minv" -> 10))
+    }),
+
+    // ── [ext] cube: all grouping-set combinations ──────────────────────
+    "q40_cube" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .cube(col("event_type"), col("event_date"))
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total_value"))
+        .select(
+          coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("event_date"), lit("<all>")).as("event_date"),
+          col("n"), col("total_value"))
+        .orderBy("event_type", "event_date"))
   )
 
   def oracleSql: Map[String, String] = {
@@ -569,7 +640,39 @@ object SparkEntry {
       "q35_stream_daily" ->
         s"""SELECT CAST(ts AS DATE) AS event_date, event_type,
            |  count(*) AS n, $moneyV AS total_value
-           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q36_asof_join" ->
+        """SELECT user_id, event_id,
+          |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+          |  strftime(prev_click_ts, '%Y-%m-%d %H:%M:%S') AS prev_click_s
+          |FROM (
+          |  SELECT user_id, event_id, ts, event_type,
+          |         max(CASE WHEN event_type='click' THEN ts END) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+          |  FROM events)
+          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+      "q37_range_frame" ->
+        """SELECT event_id, user_id, n_prev_hour FROM (
+          |  SELECT event_id, user_id,
+          |         count(*) OVER (PARTITION BY user_id
+          |                        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+          |                        RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS n_prev_hour
+          |  FROM events) ORDER BY event_id""".stripMargin,
+      "q38_csv_roundtrip" ->
+        s"""SELECT event_type, count(*) AS n, $moneyV AS total_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q39_sql_params" ->
+        s"""SELECT event_type, count(*) AS n, $moneyV AS total_value
+           |FROM events WHERE event_type <> 'view' AND value >= 10
+           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q40_cube" ->
+        s"""SELECT coalesce(event_type, '<all>') AS event_type,
+           |  coalesce(event_date, '<all>') AS event_date,
+           |  count(*) AS n, $moneyV AS total_value
+           |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value FROM events)
+           |GROUP BY CUBE(event_type, event_date)
+           |ORDER BY 1, 2""".stripMargin
     )
   }
 }

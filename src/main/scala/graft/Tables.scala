@@ -26,7 +26,11 @@ object Tables {
     // Fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
     // rejects outright; read it as nanos-since-epoch LONG and truncate to
     // micros. `div` (integer division) — a double roundtrip at 1.7e18 loses
-    // sub-µs precision.
+    // sub-µs precision. Scale caveat: predicates on the converted column
+    // cannot push into the parquet scan (the conversion hides the raw
+    // column) — a property of this nanos fixture, not the engine; a
+    // production events table in TIMESTAMP(MICROS), or one partitioned by
+    // date, gets full predicate/partition pruning with the same code.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&

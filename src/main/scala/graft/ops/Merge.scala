@@ -37,17 +37,29 @@ object Merge {
 
   /** O11 — recency-guarded merge: an update replaces the target row only
     * if `updates.recencyCol >= target.recencyCol` (or no target row
-    * exists). Stale updates are dropped; untouched target rows survive. */
+    * exists). Stale updates are dropped; untouched target rows survive.
+    *
+    * Physical shape: ONE full-outer join on the key columns, then a
+    * per-column conditional projection — each input is scanned exactly
+    * once. (The naive staged form — left join to pick winners, anti join
+    * to keep survivors, union — evaluates both subtrees twice, which at
+    * 100 TB doubles the dominant cost. The reference's 3-step BigQuery
+    * merge has that staged shape because SQL DML forced it; a relational
+    * engine does not.) Keys are assumed non-null (they are the table's
+    * primary key; reference DDL declares NOT NULL —
+    * src/db/postgres/daily_stock_price.sql:6-7). */
   def recencyMerge(target: DataFrame, updates: DataFrame, keys: Seq[String],
                    recencyCol: String): DataFrame = {
-    val tKeyed = target.select((keys :+ recencyCol).map(c => col(c).as(s"__t_$c")): _*)
-    val cond = keys.map(k => updates(k) === tKeyed(s"__t_$k")).reduce(_ && _)
-    val winners = updates
-      .join(tKeyed, cond, "left")
-      .filter(col(s"__t_$recencyCol").isNull ||
-        col(recencyCol) >= col(s"__t_$recencyCol"))
-      .select(updates.columns.map(updates(_)): _*)
-    target.join(winners, keys, "left_anti").unionByName(winners)
+    val outCols = target.columns.toSeq
+    val t = target.select(outCols.map(c => col(c).as(s"__t_$c")): _*)
+    val u = updates.select(outCols.map(c => col(c).as(s"__u_$c")): _*)
+    val cond = keys.map(k => u(s"__u_$k") === t(s"__t_$k")).reduce(_ && _)
+    val takeUpdate = col(s"__u_${keys.head}").isNotNull &&
+      (col(s"__t_${keys.head}").isNull ||
+        col(s"__u_$recencyCol") >= col(s"__t_$recencyCol"))
+    t.join(u, cond, "full_outer")
+      .select(outCols.map(c =>
+        when(takeUpdate, col(s"__u_$c")).otherwise(col(s"__t_$c")).as(c)): _*)
   }
 
   /** K8-flavored variant: stamp an audit column on the rows being written,
