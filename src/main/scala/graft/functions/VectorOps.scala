@@ -31,14 +31,28 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native codegen'd expression ([[CosineSim]]):
+    * one fused loop, stays inside whole-stage codegen. Bit-identical to
+    * [[cosineHof]] (same summation order). */
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b)
+
+  /** The higher-order-function composition of the same quantity; kept as
+    * the pure-built-in reference implementation (and the cross-check in
+    * tests). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane (SimHash-for-vectors) LSH signature: `nPlanes` sign
     * bits packed into a long. Hyperplane components are a deterministic
     * pseudo-random lattice (no RNG at execution time → reproducible plans,
     * no per-task seed skew). Vectors with small angle collide with high
     * probability; use the bucket as a join key for ANN candidate pairs. */
-  def randomHyperplaneSig(v: Column, dim: Int, nPlanes: Int = 16): Column = {
+  def randomHyperplaneSig(v: Column, dim: Int, nPlanes: Int = 16): Column =
+    HyperplaneSig(v, dim, nPlanes)
+
+  /** Expression-tree form of the same signature (nPlanes × dim flat
+    * terms); kept as the pure-built-in reference for tests — its codegen
+    * compile time makes it the wrong choice in hot paths. */
+  def randomHyperplaneSigHof(v: Column, dim: Int, nPlanes: Int = 16): Column = {
     def planeComponent(p: Int, i: Int): Double =
       (((p * 1009 + i * 9176 + 917) * 2654435761L) % 2001 - 1000) / 1000.0
     val bits = (0 until nPlanes).map { p =>

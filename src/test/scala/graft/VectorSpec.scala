@@ -21,6 +21,18 @@ class VectorSpec extends SparkSpec {
     assert(c === 2.0 / (3.0 * 2.0))
   }
 
+  test("native CosineSim is bit-identical to the HOF composition on fixtures") {
+    val e = Tables.load(spark, sf0001, "embeddings").limit(200)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(q)
+      .select(VectorOps.cosine(col("embedding"), col("qv")).as("fast"),
+        VectorOps.cosineHof(col("embedding"), col("qv")).as("ref"))
+      .collect()
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq(
       (Seq(3.0f, 4.0f), Seq(3.0f, 4.0f)),
@@ -49,6 +61,15 @@ class VectorSpec extends SparkSpec {
       .orderBy("vec_id").collect().map(_.getLong(1))
     assert(sigs(0) === sigs(1)) // parallel vectors share all sign bits
     assert(sigs(0) !== sigs(2)) // antipodal vectors flip every bit
+  }
+
+  test("native HyperplaneSig matches the HOF signature on fixtures") {
+    val e = Tables.load(spark, sf0001, "embeddings").limit(100)
+    val both = e.select(
+      VectorOps.randomHyperplaneSig(col("embedding"), 64, 8).as("fast"),
+      VectorOps.randomHyperplaneSigHof(col("embedding"), 64, 8).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("blockedNearDups only compares within a block") {
