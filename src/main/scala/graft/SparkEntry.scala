@@ -401,6 +401,18 @@ object SparkEntry {
         Map("skip" -> "view", "minv" -> 10))
     }),
 
+    // ── [ext] stateful streaming: watermark state in mapGroupsWithState ─
+    "q41_stream_stateful" -> ((s, dir) =>
+      graft.streaming.EventStream.statefulWatermarks(s, dir)),
+
+    // ── [ext] skew-salted two-stage aggregation ────────────────────────
+    // (event_type: 5 hot keys over the whole table — the shape where a
+    // plain groupBy funnels each key into one reducer)
+    "q42_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedSumCount(T(s, dir, "events"), Seq("event_type"),
+        col("value"), nSalts = 16)
+        .orderBy("event_type")),
+
     // ── [ext] cube: all grouping-set combinations ──────────────────────
     "q40_cube" -> ((s, dir) =>
       T(s, dir, "events")
@@ -672,7 +684,13 @@ object SparkEntry {
            |  count(*) AS n, $moneyV AS total_value
            |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value FROM events)
            |GROUP BY CUBE(event_type, event_date)
-           |ORDER BY 1, 2""".stripMargin
+           |ORDER BY 1, 2""".stripMargin,
+      "q41_stream_stateful" ->
+        """SELECT user_id, max(CAST(ts AS DATE)) AS latest_date
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q42_salted_agg" ->
+        s"""SELECT event_type, count(*) AS n, $moneyV AS total_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     )
   }
 }

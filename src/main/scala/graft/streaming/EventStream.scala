@@ -23,28 +23,86 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EventStream {
 
-  /** Tumbling 1-day totals per event_type over the events fixture,
-    * executed as a real streaming query into a memory sink, returned as a
-    * batch DataFrame for the verify/oracle harness. */
-  def dailyTotals(spark: SparkSession, dir: String): DataFrame = {
-    // nanosAsLong surfaces the TIMESTAMP(NANOS) fixture column as a nanos
-    // LONG; restore a proper event-time column for the window (micros
-    // truncation, same as the batch path in Tables.load).
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, event_type: String, value: Double)
+  final case class UserWatermark(user_id: Long, latest_epoch_day: Long)
+
+  /** The reference's incremental-sync watermark state (`max(date) per
+    * key`, kept in the destination table — SURVEY §2.9) as *streaming
+    * state*: `mapGroupsWithState` holds one epoch-day long per key and
+    * folds each micro-batch into it. This is the Structured Streaming
+    * twin of [[graft.ops.Watermark.latestDates]] — same state, pushed
+    * into the engine's state store instead of the sink table.
+    *
+    * Scale notes: state size is |keys| × 8 bytes, partitioned by the
+    * shuffle on the grouping key; RocksDB state store + changelog
+    * checkpointing is the production configuration. Output mode Update
+    * emits only keys whose watermark advanced in the batch. */
+  def statefulWatermarks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val stream = eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+    val updated = watermarkState(stream)
+    val name = s"stream_wm_${System.nanoTime()}"
+    val q = updated.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // multiple micro-batches may emit a key repeatedly; last write wins
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(col("latest_epoch_day")).as("latest_epoch_day"))
+      .select(col("user_id"),
+        date_add(to_date(lit("1970-01-01")), col("latest_epoch_day").cast("int"))
+          .as("latest_date"))
+      .orderBy("user_id")
+  }
+
+  /** The state transition itself, factored out so tests can drive it over
+    * a MemoryStream batch by batch: per-key state = max UTC epoch day seen
+    * so far; each batch folds in and emits the new watermark. */
+  def watermarkState(stream: org.apache.spark.sql.Dataset[EventRow]): org.apache.spark.sql.Dataset[UserWatermark] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Long, UserWatermark](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[Long]) =>
+          // epoch millis → UTC epoch day (no JVM-default-zone dependence)
+          val batchMax = rows.map(r =>
+            java.lang.Math.floorDiv(r.ts.getTime, 86400000L)).max
+          val newMax = math.max(state.getOption.getOrElse(Long.MinValue), batchMax)
+          state.update(newMax)
+          UserWatermark(user, newMax)
+      }
+  }
+
+  /** Shared stream source over the events fixture (nanos→micros ts, see
+    * Tables.load). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // The file stream source wants a *directory* of arriving files (its
-    // production shape); the fixture is a single parquet file, so stage a
-    // copy into a temp landing dir.
     val landing = java.nio.file.Files.createTempDirectory("graft_stream_in_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       landing.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .parquet(landing.toString)
       .withColumn("ts",
         if (schema("ts").dataType == org.apache.spark.sql.types.TimestampType) col("ts")
         else timestamp_micros(expr("ts div 1000")))
-    val agg = stream
+  }
+
+  /** Tumbling 1-day totals per event_type over the events fixture,
+    * executed as a real streaming query into a memory sink, returned as a
+    * batch DataFrame for the verify/oracle harness. */
+  def dailyTotals(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast(Exact.Money)).as("tv"))
     val name = s"stream_daily_${System.nanoTime()}"

@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{EventRow, UserWatermark}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming specs: the stateful watermark transition driven batch by
+  * batch over a MemoryStream (state survives across micro-batches; stale
+  * events do not regress it). */
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(user: Long, day: String): EventRow =
+    EventRow(0L, java.sql.Timestamp.valueOf(s"$day 12:00:00"), user, "click", 1.0)
+
+  test("watermark state advances across batches and ignores stale events") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventStream.watermarkState(ms.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("wm_test").start()
+    try {
+      ms.addData(ev(1, "2024-01-05"), ev(2, "2024-01-03"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("wm_test").as[UserWatermark].collect()
+        .map(w => w.user_id -> w.latest_epoch_day).toMap
+      assert(afterB1(1L) === java.time.LocalDate.parse("2024-01-05").toEpochDay)
+      assert(afterB1(2L) === java.time.LocalDate.parse("2024-01-03").toEpochDay)
+
+      // batch 2: a STALE event for user 1 (state must not regress) and a
+      // fresher one for user 2 (state must advance)
+      ms.addData(ev(1, "2024-01-02"), ev(2, "2024-01-09"))
+      q.processAllAvailable()
+      val finals = spark.table("wm_test").as[UserWatermark]
+        .groupBy("user_id").agg(max("latest_epoch_day").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finals(1L) === java.time.LocalDate.parse("2024-01-05").toEpochDay)
+      assert(finals(2L) === java.time.LocalDate.parse("2024-01-09").toEpochDay)
+      // the batch-2 emission for user 1 carries the RETAINED state
+      val emissions = spark.table("wm_test").as[UserWatermark].collect()
+        .count(w => w.user_id == 1L &&
+          w.latest_epoch_day == java.time.LocalDate.parse("2024-01-05").toEpochDay)
+      assert(emissions === 2) // batch 1 set it, batch 2 re-emitted it unchanged
+    } finally q.stop()
+  }
+
+  test("salted aggregation equals the plain groupBy on fixtures") {
+    val e = Tables.load(spark, sf0001, "events")
+    val salted = graft.ops.Skew.saltedSumCount(e, Seq("event_type"), col("value"), 16)
+      .orderBy("event_type")
+    val plain = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Exact.moneySum(col("value")).as("total_value"))
+      .orderBy("event_type")
+    assert(rowsOf(salted) === rowsOf(plain))
+  }
+}
