@@ -317,6 +317,15 @@ object SparkEntry {
         k = 10, nPlanes = 8)
     }),
 
+    // ── [north star] ANN via IVF coarse quantization (rows-only) ───────
+    "q43_ann_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        query = qv, k = 10)
+    }),
+
     // ── [north star] embedding near-dup pairs, label-blocked ───────────
     "q32_neardup_embeddings" -> ((s, dir) =>
       Similarity.blockedNearDups(T(s, dir, "embeddings"), "vec_id",

@@ -46,6 +46,52 @@ object Similarity {
       .select(col("block"), col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization: k-means centroids
+    * partition the vector space; each vector is assigned to its nearest
+    * centroid ("cell"); a query probes only the `nProbes` cells whose
+    * centroids are nearest, then brute-forces inside them.
+    *
+    * Scale notes: training samples the corpus (centroid count ≪ rows);
+    * assignment is a narrow map (broadcast centroid matrix); the search
+    * scan prunes to nProbes/nCells of the data — with a table bucketed or
+    * partitioned by `cell`, the probe becomes partition pruning and never
+    * touches the rest. Deterministic: fixed seed, deterministic init. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nCells: Int = 16,
+              nProbes: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // L2-normalize before clustering: on unit vectors euclidean distance
+    // is monotone in cosine, so euclidean k-means cells respect the
+    // cosine geometry the search runs in.
+    val unit = {
+      val v = col(vecCol).cast("array<double>")
+      transform(v, x => x / VectorOps.norm(col(vecCol)))
+    }
+    val withFeat = embeddings.withColumn("__fv", array_to_vector(unit))
+    // coarse quantizer: a few Lloyd iterations suffice (cells only gate
+    // the probe set; in production the codebook is trained offline once)
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+      .fit(withFeat)
+    // driver-side: the nProbes centroids nearest the query (tiny matrix)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val qArr = query.map(_ / qNorm).toArray
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbes).map(_._1)
+    val q = array(query.map(lit): _*)
+    model.transform(withFeat)
+      .filter(col("__cell").isin(probes.toSeq: _*))
+      .withColumn("sim", VectorOps.cosine(col(vecCol), q))
+      .select(col(idCol), col("__cell").as("cell"), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN via random-hyperplane LSH: bucket all vectors by signature, then
     * brute-force only inside the query's bucket. Trades recall for a
     * candidate set ~N/2^nPlanes. */
