@@ -347,6 +347,14 @@ object SparkEntry {
       Multimodal.decodeFeatures(s, Multimodal.asMedia(T(s, dir, "documents")))
         .toDF().orderBy("doc_id")),
 
+    // ── [north star] multimodal: frame sampling over media blobs ───────
+    "q44_mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.asMedia(T(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("frame_no"), col("offset").as("byte_off"),
+          length(col("frame_bytes")).cast(LongType).as("n_bytes"))
+        .orderBy("doc_id", "frame_no")),
+
     // ── [ext] Structured Streaming: tumbling daily aggregate ───────────
     "q35_stream_daily" -> ((s, dir) =>
       graft.streaming.EventStream.dailyTotals(s, dir)),
@@ -694,6 +702,12 @@ object SparkEntry {
            |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value FROM events)
            |GROUP BY CUBE(event_type, event_date)
            |ORDER BY 1, 2""".stripMargin,
+      "q44_mm_frames" ->
+        """WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents)
+          |SELECT doc_id, CAST(off // 128 AS INT) AS frame_no, off AS byte_off,
+          |       CAST(least(off + 64, len) - off AS BIGINT) AS n_bytes
+          |FROM d, unnest(range(0, greatest(len, 1), 128)) AS t(off)
+          |ORDER BY doc_id, frame_no""".stripMargin,
       "q41_stream_stateful" ->
         """SELECT user_id, max(CAST(ts AS DATE)) AS latest_date
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

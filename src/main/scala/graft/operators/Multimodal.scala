@@ -28,6 +28,28 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("blob"),
       col("lang"), col("source"))
 
+  final case class Frame(doc_id: Long, frame_no: Int, offset: Long, frame_bytes: Array[Byte])
+
+  /** Frame sampling: explode each media blob into fixed-stride frames
+    * with positional metadata — the video/audio analog of `explode` for
+    * text tokens. The "frame boundary" here is a byte stride
+    * (DETERMINISTIC STUB for a container-format parser; the Spark shape —
+    * one blob row in, N typed frame rows out, blob never a shuffle key —
+    * is the part under test). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameLen: Int = 64, stride: Int = 128): Dataset[Frame] = {
+    import spark.implicits._
+    media.select("doc_id", "blob").as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        // a container parser would locate keyframes here
+        Iterator.range(0, math.max(blob.length, 1), stride).zipWithIndex.map {
+          case (off, no) =>
+            Frame(id, no, off.toLong,
+              java.util.Arrays.copyOfRange(blob, off, math.min(off + frameLen, blob.length)))
+        }
+      }
+  }
+
   /** Partition-batched "decode": DETERMINISTIC STUB for the media decoder
     * (a real deployment swaps the body for e.g. JPEG decode + model
     * features; the Spark-side contract — one initialization per partition,

@@ -70,10 +70,14 @@ object Similarity {
     }
     val withFeat = embeddings.withColumn("__fv", array_to_vector(unit))
     // coarse quantizer: a few Lloyd iterations suffice (cells only gate
-    // the probe set; in production the codebook is trained offline once)
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+    // the probe set; in production the codebook is trained offline once,
+    // on a sample). Cache the training projection — Lloyd iterates it,
+    // and recomputing scan+normalize per iteration dominates otherwise.
+    val train = withFeat.select("__fv").cache()
+    val model = try new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
-      .fit(withFeat)
+      .fit(train)
+    finally train.unpersist()
     // driver-side: the nProbes centroids nearest the query (tiny matrix)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val qArr = query.map(_ / qNorm).toArray

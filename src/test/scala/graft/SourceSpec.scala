@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.TextDedup
+import org.apache.spark.sql.functions._
+
+/** Specs for the DSv2 paginated source and physical-plan-variant
+  * equivalences. */
+class SourceSpec extends SparkSpec {
+
+  test("PagedSource: one partition per page, deterministic union of pages") {
+    val df = spark.read.format("graft.sources.PagedSource")
+      .option("pages", "4").option("pageSize", "50").load()
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 200)
+    // page 2's first row, exactly as the synthetic directory defines it
+    val r = df.filter(col("symbol") === "SYM0100").collect()
+    assert(r.length === 1)
+    assert(r(0).getString(1) === "Company 100 Inc.")
+    assert(r(0).getInt(2) === 2)
+    // distinct symbols across pages — union of pages is disjoint
+    assert(df.select("symbol").distinct().count() === 200)
+  }
+
+  test("PagedSource prunes columns through the DSv2 scan") {
+    val df = spark.read.format("graft.sources.PagedSource").load().select("symbol")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("symbol"))
+    assert(!scan.contains("company_name"))
+  }
+
+  test("bitset jaccard plan produces identical pairs to the array-intersect plan") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val a = TextDedup.jaccardNearDups(docs, "doc_id", "text", 0.6, 8)
+      .orderBy("id_a", "id_b").collect()
+    val b = TextDedup.jaccardNearDupsBitset(docs, "doc_id", "text", 0.6, 8)
+      .orderBy("id_a", "id_b").collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) === y.getLong(0))
+      assert(x.getLong(1) === y.getLong(1))
+      assert(java.lang.Double.doubleToLongBits(x.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(y.getDouble(2)))
+    }
+  }
+}
