@@ -38,7 +38,15 @@ object TextDedup {
     * 100 TB the shingle arrays, not the raw text, are all that flows
     * through the pipeline. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-                  shingleLen: Int): DataFrame = {
+                  shingleLen: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.ShingleHash(col(textCol), shingleLen).as("sh"))
+
+  /** Expression-tree form of [[shingleSets]] (4 nested higher-order
+    * functions — seconds of Janino compile per embedding plan); kept as
+    * the pure-built-in reference for equivalence tests. */
+  def shingleSetsHof(docs: DataFrame, idCol: String, textCol: String,
+                     shingleLen: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val shingles = transform(
       sequence(lit(1), greatest(size(toks) - (shingleLen - 1), lit(1))),
@@ -57,17 +65,23 @@ object TextDedup {
     bandsOfShingles(shingleSets(docs, idCol, textCol, shingleLen), idCol,
       bands, rowsPerBand)
 
+  /** k-minhash signature, expression-tree form: k re-walks of the shingle
+    * array. Kept as the pure-built-in reference for tests; hot paths use
+    * the native [[graft.functions.MinHashSig]] (identical values). */
+  def minhashSigHof(sh: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    array((0 until k).map { i =>
+      val a = 2 * i + 1
+      val b = 7919 * (i + 1)
+      array_min(transform(sh,
+        h => pmod(pmod(h, lit(MersennePrime)) * lit(a.toLong) + lit(b.toLong),
+          lit(MersennePrime))))
+    }: _*)
+
   private def bandsOfShingles(sets: DataFrame, idCol: String,
                               bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val minhashes = (0 until k).map { i =>
-      val a = 2 * i + 1
-      val b = 7919 * (i + 1)
-      array_min(transform(col("sh"),
-        h => pmod(pmod(h, lit(MersennePrime)) * lit(a.toLong) + lit(b.toLong),
-          lit(MersennePrime)))).as(s"mh_$i")
-    }
-    val sig = sets.select(col(idCol), array(minhashes: _*).as("sig"))
+    val sig = sets.select(col(idCol),
+      graft.functions.MinHashSig(col("sh"), k).as("sig"))
     val bandRows = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("bucket"))
@@ -88,7 +102,13 @@ object TextDedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, shingleLen: Int = 3,
                       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    // The shingle sets feed three plan branches (banding + both sides of
+    // candidate verification); Spark cannot share subplans across
+    // branches, so without an explicit persist the tokenize+shingle tree
+    // is re-evaluated (and re-codegen'd) three times. MEMORY_AND_DISK:
+    // spills rather than recomputes at scale.
     val sets = shingleSets(docs, idCol, textCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bb = bandsOfShingles(sets, idCol, bands, rowsPerBand)
     val l = bb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = bb.select(col(idCol).as("id_b"), col("band"), col("bucket"))

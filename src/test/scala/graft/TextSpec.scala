@@ -74,6 +74,28 @@ class TextSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("native ShingleHash matches the expression-tree shingle pipeline on fixtures") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(200)
+    val a = TextDedup.shingleSets(docs, "doc_id", "text", 3).orderBy("doc_id").collect()
+    val b = TextDedup.shingleSetsHof(docs, "doc_id", "text", 3).orderBy("doc_id").collect()
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) === y.getLong(0))
+      assert(x.getSeq[Long](1) === y.getSeq[Long](1))
+    }
+  }
+
+  test("native MinHashSig matches the expression-tree minhash family on fixtures") {
+    val sets = TextDedup.shingleSets(
+      Tables.load(spark, sf0001, "documents").limit(100), "doc_id", "text", 3)
+    val both = sets.select(
+      graft.functions.MinHashSig(col("sh"), 16).as("fast"),
+      TextDedup.minhashSigHof(col("sh"), 16).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
   test("simhash: identical docs collide, disjoint docs differ") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
