@@ -184,6 +184,9 @@ object TextDedup {
             (acc, w) => acc.bitwiseOR(element_at(pow2, pmod(w, lit(64)) + 1)))
         ).as("mask"))
       .withColumn("bucket", floor(col("n") / bandWidth))
+      // both sides of the self-join read these masks; persist so the
+      // explode+join+bitmask build runs (and compiles) once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = masks.select(col("id").as("id_a"), col("n").as("n_a"),
       col("mask").as("m_a"), col("bucket"))
     val b = masks.select(col("id").as("id_b"), col("n").as("n_b"),

@@ -15,11 +15,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * decimal sums stay exact and order-independent — see [[Exact]]), so the
   * result is identical to the unsalted form.
   *
-  * The salt is `xxhash64(whole row) mod nSalts` — deterministic (no RNG,
-  * reproducible plans/retries) while spreading a hot key's rows across
-  * salts. Map-side partial aggregation already combines within a task;
-  * salting additionally balances the *reduce* side, which is what melts
-  * at 100 TB.
+  * The salt is `xxhash64(keys, value) mod nSalts` — deterministic (no
+  * RNG, reproducible plans/retries) while spreading a hot key's rows
+  * across salts. Hashing only the columns the aggregate reads (never the
+  * whole row) keeps column pruning intact: the scan stays as narrow as
+  * the unsalted query's. Map-side partial aggregation already combines
+  * within a task; salting additionally balances the *reduce* side, which
+  * is what melts at 100 TB.
   */
 object Skew {
 
@@ -28,7 +30,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,
                      nSalts: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(nSalts.toLong)))
+      pmod(xxhash64(keys.map(col) :+ valueCol: _*), lit(nSalts.toLong)))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__n"),
