@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.{CosineSim, HyperplaneSig, MinHashSig, ShingleHash}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session-extension registration for the engine's native expressions, so
+  * SQL users call them like built-ins:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   SELECT cosine_sim(embedding, query_vec) FROM embeddings
+  * }}}
+  *
+  * (For an already-built session — e.g. tests — use
+  * [[GraftExtensions.register]].) This is the sanctioned Spark hook for
+  * shipping custom Catalyst expressions with a library: no fork, no
+  * session-internal APIs at call sites, full codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("hyperplane_sig",
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => HyperplaneSig(args(0),
+        intArg(args(1), "dim"), intArg(args(2), "nPlanes"))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), intArg(args(1), "k"))),
+    ("shingle_hash",
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
+      (args: Seq[Expression]) => ShingleHash(args(0), intArg(args(1), "n"))))
+
+  /** Register on a live session (the extensions hook only runs at session
+    * build time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftShim.registerFunctions(spark, functions)
+}

@@ -317,6 +317,20 @@ object SparkEntry {
         k = 10, nPlanes = 8)
     }),
 
+    // ── [north star] SQL-surface cosine top-k via registered native fn ─
+    // (same answer as q30, expressed in SQL through the
+    // SparkSessionExtensions function-registration path)
+    "q45_sql_cosine" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      T(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """SELECT vec_id, cosine_sim(embedding, qv) AS sim
+          |FROM embeddings_v,
+          |     (SELECT embedding AS qv FROM embeddings_v WHERE vec_id = 0)
+          |WHERE vec_id <> 0
+          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+    }),
+
     // ── [north star] ANN via IVF coarse quantization (rows-only) ───────
     "q43_ann_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -649,6 +663,11 @@ object SparkEntry {
           |    (h, c) -> (h * 31 + c) % 1073741824) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q30_cosine_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, ${cosine("embedding", "qv")} AS sim
+           |FROM embeddings, q WHERE vec_id <> 0
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+      "q45_sql_cosine" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
            |SELECT vec_id, ${cosine("embedding", "qv")} AS sim
            |FROM embeddings, q WHERE vec_id <> 0

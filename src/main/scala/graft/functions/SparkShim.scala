@@ -9,4 +9,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Late (post-build) function registration on a live session — the
+    * runtime twin of SparkSessionExtensions.injectFunction. */
+  def registerFunctions(
+      spark: SparkSession,
+      fns: Seq[(String, catalyst.expressions.ExpressionInfo,
+        Seq[catalyst.expressions.Expression] => catalyst.expressions.Expression)]): Unit =
+    fns.foreach { case (name, info, builder) =>
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+        .registerFunction(catalyst.FunctionIdentifier(name), info, builder)
+    }
 }

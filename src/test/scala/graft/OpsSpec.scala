@@ -130,6 +130,26 @@ class OpsSpec extends SparkSpec {
     assert(rowsOf(out) === Seq(Seq("O''Brien & Co", "JFC::2022-03-01", "654")))
   }
 
+  test("upsertAudited stamps the audit column on written rows only (K8)") {
+    val target = prices(("JFC", "d1", 1.0, "t1"))
+    val updates = prices(("ALI", "d1", 2.0, "t2"))
+    val out = Merge.upsertAudited(target, updates, Seq("symbol", "date"),
+      "inserted_at", lit("2024-06-01 00:00:00").cast("timestamp"))
+      .orderBy("symbol")
+    val rows = out.select(col("symbol"), col("inserted_at").cast("string")).collect()
+    assert(rows(0).getString(0) === "ALI" && rows(0).getString(1) === "2024-06-01 00:00:00")
+    assert(rows(1).getString(0) === "JFC" && rows(1).isNullAt(1))
+  }
+
+  test("SQL-registered native functions evaluate through spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+        "shingle_hash('a b c d', 3) AS sh").head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getSeq[Long](1).length === 2) // "a b c", "b c d"
+  }
+
   test("moneySum is exact where naive double sum drifts") {
     // 0.1 + 0.2 != 0.3 in IEEE doubles; decimal path lands exactly on 0.3
     val df = Seq(0.1, 0.2).toDF("v")
