@@ -444,6 +444,36 @@ object SparkEntry {
         col("value"), nSalts = 16)
         .orderBy("event_type")),
 
+    // ── [ext] scalar subquery: orders above a global exact-avg bar ─────
+    "q46_scalar_subquery" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val bar = o.agg((Exact.moneyAvg(col("o_totalprice")) * lit(1.5)).as("bar"))
+      o.join(broadcast(bar)) // 1-row scalar: broadcast cross join
+        .filter(col("o_totalprice") > col("bar"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ── [ext] grouping sets: two independent rollup axes in one pass ───
+    "q47_grouping_sets" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupingSets(Seq(Seq(col("event_type")), Seq(col("event_date"))),
+          col("event_type"), col("event_date"))
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total_value"))
+        .select(
+          coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("event_date"), lit("<all>")).as("event_date"),
+          col("n"), col("total_value"))
+        .orderBy("event_type", "event_date")),
+
+    // ── [ext] exact interpolated percentiles per group ─────────────────
+    "q48_percentiles" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"))
+        .orderBy("event_type")),
+
     // ── [ext] cube: all grouping-set combinations ──────────────────────
     "q40_cube" -> ((s, dir) =>
       T(s, dir, "events")
@@ -727,6 +757,23 @@ object SparkEntry {
           |       CAST(least(off + 64, len) - off AS BIGINT) AS n_bytes
           |FROM d, unnest(range(0, greatest(len, 1), 128)) AS t(off)
           |ORDER BY doc_id, frame_no""".stripMargin,
+      "q46_scalar_subquery" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |         / CAST(count(o_totalprice) AS DOUBLE) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin,
+      "q47_grouping_sets" ->
+        s"""SELECT coalesce(event_type, '<all>') AS event_type,
+           |  coalesce(event_date, '<all>') AS event_date,
+           |  count(*) AS n, $moneyV AS total_value
+           |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value FROM events)
+           |GROUP BY GROUPING SETS ((event_type), (event_date))
+           |ORDER BY 1, 2""".stripMargin,
+      "q48_percentiles" ->
+        """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+          |       quantile_cont(value, 0.9) AS p90
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q41_stream_stateful" ->
         """SELECT user_id, max(CAST(ts AS DATE)) AS latest_date
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
