@@ -444,6 +444,35 @@ object SparkEntry {
         col("value"), nSalts = 16)
         .orderBy("event_type")),
 
+    // ── [ext] ranking-window variety: ntile / percent_rank / cume_dist ─
+    "q49_window_variety" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("event_id")
+    }),
+
+    // ── [ext] pivot: event types to columns via conditional aggregation ─
+    "q50_pivot" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(Exact.moneySum(col("value")))
+        .na.fill(0.0, Seq("click", "purchase", "view"))
+        .orderBy("user_id")),
+
+    // ── typed JSON parse (from_json with schema; P-family on props) ────
+    "q51_from_json" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("p", from_json(col("props"), StructType(Seq(
+          StructField("k", LongType)))))
+        .groupBy(col("event_type"))
+        .agg(sum(col("p.k")).as("sum_k"), count(col("p.k")).as("n_k"))
+        .orderBy("event_type")),
+
     // ── [ext] scalar subquery: orders above a global exact-avg bar ─────
     "q46_scalar_subquery" -> ((s, dir) => {
       val o = T(s, dir, "orders")
@@ -757,6 +786,25 @@ object SparkEntry {
           |       CAST(least(off + 64, len) - off AS BIGINT) AS n_bytes
           |FROM d, unnest(range(0, greatest(len, 1), 128)) AS t(off)
           |ORDER BY doc_id, frame_no""".stripMargin,
+      "q49_window_variety" ->
+        """SELECT user_id, event_id,
+          |  ntile(4) OVER w AS quartile,
+          |  percent_rank() OVER w AS pr,
+          |  cume_dist() OVER w AS cd
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+          |ORDER BY event_id""".stripMargin,
+      "q50_pivot" ->
+        """SELECT user_id,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type='click') AS DOUBLE), 0.0) AS click,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type='purchase') AS DOUBLE), 0.0) AS purchase,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type='view') AS DOUBLE), 0.0) AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q51_from_json" ->
+        """SELECT event_type,
+          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |  count(json_extract_string(props, '$.k')) AS n_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q46_scalar_subquery" ->
         """SELECT o_orderkey, o_totalprice FROM orders
           |WHERE o_totalprice > 1.5 * (
