@@ -261,6 +261,12 @@ object SparkEntry {
       TextDedup.simhashDocs(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ── [north star] SimHash near-dup pairs (banded Hamming join) ──────
+    "q52_simhash_pairs" -> ((s, dir) =>
+      TextDedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
     // ── [north star] text quality scoring ──────────────────────────────
     "q26_text_quality" -> ((s, dir) => {
       val txt = col("text")

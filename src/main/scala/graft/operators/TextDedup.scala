@@ -203,12 +203,44 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per document: for each bit position, sum +1/-1 votes
-    * from each token's xxhash64; bit set iff the vote is positive.
-    * Implemented as explode + 64 sum-aggregates so Spark's partial (map-
-    * side) hash aggregation does the voting before any shuffle — at 100 TB
-    * the shuffle carries one 64-long row per (doc, partition), not tokens. */
-  def simhashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash near-dup pairs: candidates share at least one of four
+    * 16-bit bands of the fingerprint (pigeonhole: any pair within
+    * Hamming distance 3 must agree on ≥1 band), then verified with the
+    * exact popcount of the XOR. The classic Manku/Jain/Sarma (WWW'07)
+    * banding scheme — candidate generation is an equi-join on a 16-bit
+    * key, never an all-pairs scan. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = simhashDocs(docs, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bits"))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bits"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("bits"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** 64-bit SimHash per document — native per-row expression
+    * ([[graft.functions.SimHash64]]): zero shuffle, one loop. */
+  def simhashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.SimHash64(col(textCol)).as("simhash"))
+
+  /** Explode + 64-sum-aggregate formulation of the same fingerprint;
+    * kept as the pure-built-in reference for equivalence tests (it
+    * shuffles vote rows and compiles a 64-aggregate class — the native
+    * form exists because of exactly that cost). */
+  def simhashDocsAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

@@ -96,6 +96,27 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("native SimHash64 matches the explode+aggregate formulation on fixtures") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(200)
+    val fast = TextDedup.simhashDocs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val ref = TextDedup.simhashDocsAgg(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(fast === ref)
+  }
+
+  test("simhashNearDups pairs identical docs at hamming 0, skips unrelated") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different unrelated content words here")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ===
+      Set((1L, 2L, 0)))
+  }
+
   test("simhash: identical docs collide, disjoint docs differ") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
