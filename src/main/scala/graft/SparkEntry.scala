@@ -450,6 +450,32 @@ object SparkEntry {
         col("value"), nSalts = 16)
         .orderBy("event_type")),
 
+    // ── J4 composite: TPC-H Q3-shaped shipping-priority top-k ──────────
+    // (selective dim filters pushed to both scans; broadcast of the
+    // filtered small sides; top-10 via TakeOrderedAndProject)
+    "q53_shipping_priority" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+      val l = T(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(Exact.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ── A-family: HAVING — groups filtered on their aggregate ──────────
+    "q54_having" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          Exact.moneySum(col("l_extendedprice")).as("total"))
+        .filter(col("n_items") >= 5)
+        .orderBy("l_orderkey")),
+
     // ── [ext] ranking-window variety: ntile / percent_rank / cume_dist ─
     "q49_window_variety" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
@@ -792,6 +818,24 @@ object SparkEntry {
           |       CAST(least(off + 64, len) - off AS BIGINT) AS n_bytes
           |FROM d, unnest(range(0, greatest(len, 1), 128)) AS t(off)
           |ORDER BY doc_id, frame_no""".stripMargin,
+      "q53_shipping_priority" ->
+        """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          |  o_orderpriority,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1995-03-15'
+          |  AND l_shipdate > TIMESTAMP '1995-03-15'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      "q54_having" ->
+        """SELECT l_orderkey, count(*) AS n_items,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM lineitem GROUP BY l_orderkey
+          |HAVING count(*) >= 5 ORDER BY l_orderkey""".stripMargin,
       "q49_window_variety" ->
         """SELECT user_id, event_id,
           |  ntile(4) OVER w AS quartile,
