@@ -41,6 +41,19 @@ object Sync {
     Merge.recencyMerge(target, deduped, keys, recencyCol)
   }
 
+  /** D4 — idempotent init / existence probe (reference:
+    * `DeltaTable.isDeltaTable` → create-empty-with-schema,
+    * spark_deltalake_sync.py:131-140; `TableNotFoundError` catch,
+    * deltalake_sync.py:58-60): read the target if it exists, otherwise
+    * return an empty relation with the declared schema so the first sync
+    * round behaves identically to every later one. */
+  def loadOrInit(spark: org.apache.spark.sql.SparkSession, path: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    scala.util.Try(spark.read.schema(schema).parquet(path))
+      .filter(_ => new java.io.File(path).exists())
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
   /** The work-list filter: keys whose watermark window is non-empty
     * (reference skip logic: postgres_sync.py:205). */
   def pendingKeys(target: DataFrame, allKeys: DataFrame, key: String,

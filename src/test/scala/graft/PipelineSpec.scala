@@ -67,6 +67,22 @@ class PipelineSpec extends SparkSpec {
     assert(rowsOf(out.select("symbol")) === Seq(Seq("NEW")))
   }
 
+  test("loadOrInit: empty typed relation for a missing path, data when present") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("symbol", StringType),
+      StructField("close", DoubleType)))
+    val missing = Sync.loadOrInit(spark, "/tmp/graft_no_such_dir_xyz", schema)
+    assert(missing.schema === schema)
+    assert(missing.count() === 0)
+    // first sync round against the empty init == bootstrap
+    val fetched = Seq(("JFC", 1.0)).toDF("symbol", "close")
+    assert(graft.ops.Merge.upsert(missing, fetched, Seq("symbol")).count() === 1)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_init_").toString + "/t"
+    fetched.write.parquet(dir)
+    assert(Sync.loadOrInit(spark, dir, fetched.schema).count() === 1)
+  }
+
   test("flagship entry pipeline returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
