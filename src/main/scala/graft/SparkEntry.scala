@@ -67,8 +67,11 @@ object SparkEntry {
     // Ordering key folds (linenumber, partkey, quantity) into one exact
     // BIGINT so ties in the key imply identical output values — max_by
     // tie-breaking is nondeterministic in both engines (SURVEY §7.4).
+    // Strides: linenumber ≤ 7 rides at 1e15, partkey at 1e3 — injective
+    // while partkey < 1e12 (TPC-H partkey = 200k·SF, so good past SF 1M)
+    // and the max key 7e15+1e15 stays far under 2^63 for ANSI mode.
     "q03_dedup_maxby" -> ((s, dir) => {
-      val ordKey = col("l_linenumber").cast(LongType) * lit(100000000000L) +
+      val ordKey = col("l_linenumber").cast(LongType) * lit(1000000000000000L) +
         col("l_partkey") * lit(1000L) + col("l_quantity").cast(LongType)
       Dedup.argmaxMaxBy(T(s, dir, "lineitem"), Seq("l_orderkey"),
         Seq("last_partkey" -> col("l_partkey"),
@@ -191,7 +194,7 @@ object SparkEntry {
     "q15_topk_per_user" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
       T(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast(LongType)) // BIGINT: dtype parity with DuckDB's row_number
         .filter(col("rn") <= 3)
         .select("user_id", "rn", "event_id", "value")
         .orderBy("user_id", "rn")
@@ -481,7 +484,7 @@ object SparkEntry {
       val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
       T(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast(LongType).as("quartile"), // BIGINT: dtype parity with DuckDB
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
         .orderBy("event_id")
@@ -568,9 +571,9 @@ object SparkEntry {
           |  FROM events) WHERE rn = 1 ORDER BY user_id, event_date""".stripMargin,
       "q03_dedup_maxby" ->
         """SELECT l_orderkey,
-          |  max_by(l_partkey, l_linenumber*100000000000 + l_partkey*1000
+          |  max_by(l_partkey, l_linenumber*1000000000000000 + l_partkey*1000
           |                    + CAST(l_quantity AS BIGINT)) AS last_partkey,
-          |  max_by(l_quantity, l_linenumber*100000000000 + l_partkey*1000
+          |  max_by(l_quantity, l_linenumber*1000000000000000 + l_partkey*1000
           |                     + CAST(l_quantity AS BIGINT)) AS last_quantity
           |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
       "q04_distinct" ->
@@ -720,7 +723,8 @@ object SparkEntry {
           |  SELECT doc_id,
           |         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))  AS ws
           |  FROM documents),
-          |b AS (SELECT doc_id, ws, CAST(floor(len(ws) / 8) AS BIGINT) AS bucket FROM w)
+          |b AS (SELECT doc_id, ws, CAST(floor(len(ws) / 8) AS BIGINT) AS bucket
+          |      FROM w WHERE len(ws) > 0)
           |SELECT id_a, id_b, jaccard FROM (
           |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
           |    CAST(len(list_intersect(a.ws, b2.ws)) AS DOUBLE) /
@@ -852,7 +856,7 @@ object SparkEntry {
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "q51_from_json" ->
         """SELECT event_type,
-          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  count(json_extract_string(props, '$.k')) AS n_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q46_scalar_subquery" ->

@@ -72,7 +72,7 @@ case class CosineSim(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val n = ctx.freshName("n"); val v = ctx.freshName("v")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
@@ -80,12 +80,12 @@ case class CosineSim(left: Expression, right: Expression)
          |  $dot += ${get(a, i, lf)} * ${get(b, i, rf)};
          |}
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double v = ${get(a, i, lf)};
-         |  $na += v * v;
+         |  double $v = ${get(a, i, lf)};
+         |  $na += $v * $v;
          |}
          |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double v = ${get(b, i, rf)};
-         |  $nb += v * v;
+         |  double $v = ${get(b, i, rf)};
+         |  $nb += $v * $v;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin

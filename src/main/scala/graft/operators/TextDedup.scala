@@ -115,20 +115,30 @@ object TextDedup {
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    candidates
+    val pairs = candidates
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccardExpr(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Materialize the (small) survivor set eagerly, then release the cached
+    // shingle sets — without this, repeated invocations (Bench runs every
+    // query in one session) accumulate cache blocks for the session's
+    // lifetime. The checkpointed result's own blocks are reclaimed by the
+    // ContextCleaner once the returned frame is unreachable.
+    val out = pairs.localCheckpoint(true)
+    sets.unpersist()
+    out
   }
 
   /** |A ∩ B| / |A ∪ B| over distinct-element arrays, as exact integer
-    * counts divided in double (cross-engine bit-stable). */
+    * counts divided in double (cross-engine bit-stable). Two empty sets
+    * yield 0.0, not 0/0 = NaN — NaN compares greatest under Spark/DuckDB
+    * ordering semantics and would make empty docs spurious "duplicates". */
   def jaccardExpr(wsA: org.apache.spark.sql.Column, wsB: org.apache.spark.sql.Column) = {
     val inter = size(array_intersect(wsA, wsB)).cast(DoubleType)
     val union = (size(wsA) + size(wsB)).cast(DoubleType) - inter
-    inter / union
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
   /** Exact Jaccard pairs blocked by distinct-token-count band: documents
@@ -136,8 +146,12 @@ object TextDedup {
     * bucket only. */
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, bandWidth: Int = 8): DataFrame = {
+    // Zero-token documents are excluded (here AND in the bitset form, so the
+    // two plans stay value-identical): an empty word set has Jaccard 0 to
+    // everything, so it can never be a near-dup pair member.
     val words = docs.select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("ws"))
+      .filter(size(col("ws")) > 0)
       .withColumn("bucket", floor(size(col("ws")) / bandWidth))
     val a = words.select(col("id").as("id_a"), col("ws").as("ws_a"), col("bucket"))
     val b = words.select(col("id").as("id_b"), col("ws").as("ws_b"), col("bucket"))
@@ -164,8 +178,12 @@ object TextDedup {
   def jaccardNearDupsBitset(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, bandWidth: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // filter matches jaccardNearDups: zero-token docs are excluded there,
+    // and would otherwise silently vanish here anyway (explode emits no
+    // rows) — make the exclusion explicit and identical in both forms.
     val words = docs.select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("ws"))
+      .filter(size(col("ws")) > 0)
     val tok = words.select(col("id"), explode(col("ws")).as("w"))
     val vocab = tok.select("w").distinct()
       .withColumn("wid", row_number().over(Window.orderBy("w")) - 1)
@@ -194,13 +212,18 @@ object TextDedup {
     val inter = aggregate(
       zip_with(col("m_a"), col("m_b"), (x, y) => bit_count(x.bitwiseAND(y))),
       lit(0), (acc, x) => acc + x).cast(DoubleType)
-    a.join(b, Seq("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("__i", inter)
       .withColumn("jaccard",
         col("__i") / ((col("n_a") + col("n_b")).cast(DoubleType) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // same cache discipline as minhashNearDups: materialize survivors,
+    // release the mask cache.
+    val out = pairs.localCheckpoint(true)
+    masks.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs: candidates share at least one of four

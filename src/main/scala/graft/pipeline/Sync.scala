@@ -48,11 +48,17 @@ object Sync {
     * return an empty relation with the declared schema so the first sync
     * round behaves identically to every later one. */
   def loadOrInit(spark: org.apache.spark.sql.SparkSession, path: String,
-                 schema: org.apache.spark.sql.types.StructType): DataFrame =
-    scala.util.Try(spark.read.schema(schema).parquet(path))
-      .filter(_ => new java.io.File(path).exists())
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+                 schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // Existence probe goes through the Hadoop FileSystem resolved from the
+    // path's own scheme — a java.io.File check only sees the local disk and
+    // would treat an existing hdfs:///s3:// target as absent, silently
+    // replacing real state with an empty relation.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** The work-list filter: keys whose watermark window is non-empty
     * (reference skip logic: postgres_sync.py:205). */

@@ -29,6 +29,13 @@ for name in sorted(oracle):
     want = want[sorted(want.columns)]
     if list(got.columns) != list(want.columns):
         print(f"COLS    {name}: got {list(got.columns)} want {list(want.columns)}"); fail += 1; continue
+    # dtype parity: the driver hashes raw values, so an int64 Spark column vs
+    # a HUGEINT/decimal DuckDB column (float64/object in pandas) is a FAIL
+    # even when the numeric values coincide.
+    dt_bad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+              if str(got[c].dtype) != str(want[c].dtype)]
+    if dt_bad:
+        print(f"DTYPE   {name}: {dt_bad}"); fail += 1; continue
     if len(got) != len(want):
         print(f"ROWS    {name}: got {len(got)} want {len(want)}"); fail += 1; continue
     mismatch = None
