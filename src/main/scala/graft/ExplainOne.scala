@@ -1,0 +1,15 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { n =>
+      println(s"=== $n ===")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.1").explain("formatted")
+    }
+    spark.stop()
+  }
+}

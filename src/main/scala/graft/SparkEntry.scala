@@ -251,6 +251,14 @@ object SparkEntry {
         threshold = 0.5, shingleLen = 3)
         .orderBy("id_a", "id_b")),
 
+    // ── [north star] MinHash LSH with cross-engine hashes (oracled) ────
+    // same pipeline as q23 with sha-derived shingle hashes and raw-value
+    // band keys, so the DuckDB oracle replays every stage bit-for-bit
+    "q55_minhash_verifiable" -> ((s, dir) =>
+      TextDedup.minhashNearDupsVerifiable(T(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, shingleLen = 3)
+        .orderBy("id_a", "id_b")),
+
     // ── [north star] bucketed exact n-gram Jaccard near-dup ───────────
     // (vocabulary-bitmap plan: per-pair work is bit_count over longs, not
     // string-array intersection — same values as the array-intersect form)
@@ -559,6 +567,37 @@ object SparkEntry {
       s"list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
         s"(sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
         s"sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+    // q31: replicate HyperplaneSig's deterministic plane lattice; each
+    // component is an exact small-integer/1000.0 division, so embedding it
+    // as `<int>/1000.0` reproduces the identical IEEE double in DuckDB.
+    val planeList = (p: Int) => (0 until 64).map { i =>
+      val c = ((p * 1009 + i * 9176 + 917) * 2654435761L) % 2001 - 1000
+      s"$c/1000.0"
+    }.mkString("[", ", ", "]")
+    val hyperSig = (v: String) => (0 until 8).map { p =>
+      s"(CASE WHEN list_inner_product(CAST($v AS DOUBLE[]), ${planeList(p)}) >= 0" +
+        s" THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    // q27: language-ID scores generated from the same profile table the
+    // Spark expression uses (TextOps.LangProfiles); tie-break = greatest
+    // language code, matching Spark's greatest() over (score, lang) structs.
+    val langs = graft.functions.TextOps.LangProfiles.toSeq.sortBy(_._1)
+    val langScores = langs.map { case (l, gs) =>
+      s"(${gs.map(g => s"contains(text,'$g')::INT").mkString(" + ")}) AS s_$l"
+    }.mkString(", ")
+    val langBest = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+    val langWinner = langs.reverse.init
+      .map { case (l, _) => s"WHEN s_$l = ms THEN '$l'" }
+      .mkString(" ") + s" ELSE '${langs.head._1}'"
+    // q55: the cross-engine MinHash pipeline replayed stage by stage —
+    // sha-derived 60-bit shingle hashes, the (2j+1, 7919(j+1)) mod 2^31-1
+    // permutation family (MinHashSig), band keys as joined minhash values.
+    val minhashTerm = (j: Int) =>
+      s"list_min(list_transform(sh, h -> ((h % 2147483647) * ${2 * j + 1} + ${7919 * (j + 1)}) % 2147483647))"
+    val minhashSigs = (0 until 16).map(j => s"${minhashTerm(j)} AS m$j").mkString(", ")
+    val minhashKeys = (0 until 4).map(b =>
+      (0 until 4).map(j => s"CAST(m${4 * b + j} AS VARCHAR)")
+        .mkString(" || '_' || ") + s" AS b$b").mkString(", ")
     Map(
       "q01_watermark" ->
         """SELECT l_suppkey, CAST(max(l_shipdate) AS DATE) AS latest_date
@@ -718,6 +757,27 @@ object SparkEntry {
       "q22_dedup_keep_first" ->
         """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
           |ORDER BY doc_id""".stripMargin,
+      "q55_minhash_verifiable" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS tk FROM documents),
+           |sh0 AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, greatest(len(tk) - 2, 1) + 1),
+           |    i -> ('0x' || substr(sha256(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT)) AS sh
+           |  FROM toks),
+           |sigs AS (SELECT doc_id, sh, $minhashSigs FROM sh0),
+           |keys AS (SELECT doc_id, sh, $minhashKeys FROM sigs),
+           |cand AS (
+           |  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.sh AS sh_a, c.sh AS sh_b
+           |  FROM keys a JOIN keys c ON a.doc_id < c.doc_id
+           |   AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3))
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT id_a, id_b,
+           |    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+           |      (CAST(len(sh_a) + len(sh_b) AS DOUBLE) -
+           |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) AS jaccard
+           |  FROM cand)
+           |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
       "q24_jaccard_pairs" ->
         """WITH w AS (
           |  SELECT doc_id,
@@ -745,6 +805,28 @@ object SparkEntry {
            |    - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
            |      / CAST(length(replace(text, ' ', '')) AS DOUBLE) AS quality
            |FROM tk ORDER BY doc_id""".stripMargin,
+      "q27_langid" ->
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN ms > 0 THEN (CASE $langWinner END) ELSE 'und' END AS lang_pred
+           |FROM (SELECT doc_id, lang, $langScores, $langBest AS ms FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "q31_ann_lsh" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, CAST(${hyperSig("embedding")} AS BIGINT) AS bucket,
+           |       ${cosine("embedding", "qv")} AS sim
+           |FROM embeddings, q
+           |WHERE ${hyperSig("embedding")} = ${hyperSig("qv")}
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+      "q34_mm_decode" ->
+        """SELECT doc_id,
+          |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+          |  CAST(coalesce(list_sum(list_transform(range(1, strlen(text)+1),
+          |         i -> ord(text[i]))), 0) AS DOUBLE)
+          |    / greatest(strlen(text), 1) AS feat0,
+          |  CAST(coalesce(list_sum(list_transform(range(1, strlen(text)+1),
+          |         i -> (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END) * ord(text[i]))), 0) AS DOUBLE)
+          |    / greatest(strlen(text), 1) AS feat1
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q28_token_counts" ->
         s"""SELECT doc_id,
            |  CAST(len($toks) AS BIGINT) AS n_ws_tokens,

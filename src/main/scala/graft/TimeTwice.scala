@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeTwice {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.NanosPredicatePushdown
+    val names = args.toSeq
+    for (n <- names) {
+      val fn = SparkEntry.queries(n)
+      val t0 = System.nanoTime(); fn(spark, sfDir).count()
+      val c1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); fn(spark, sfDir).count()
+      val c2 = (System.nanoTime() - t1) / 1e9
+      println(f"TIME2 $n%-24s cold=$c1%6.2f warm=$c2%6.2f")
+    }
+    spark.stop()
+  }
+}

@@ -51,49 +51,86 @@ object Similarity {
     * centroid ("cell"); a query probes only the `nProbes` cells whose
     * centroids are nearest, then brute-forces inside them.
     *
-    * Scale notes: training samples the corpus (centroid count ≪ rows);
-    * assignment is a narrow map (broadcast centroid matrix); the search
-    * scan prunes to nProbes/nCells of the data — with a table bucketed or
-    * partitioned by `cell`, the probe becomes partition pruning and never
-    * touches the rest. Deterministic: fixed seed, deterministic init. */
+    * The codebook is trained driver-side with Lloyd iterations over a
+    * bounded sample — the production shape (FAISS-style IVF trains the
+    * coarse quantizer offline on a corpus sample; centroid count ≪ rows,
+    * so distributing the *training* buys nothing and costs a scheduled
+    * job per iteration). The cluster-scale parts stay distributed:
+    * assignment is a narrow map against the broadcast-as-literal centroid
+    * matrix (native [[graft.functions.CosineSim]] per centroid — on unit
+    * vectors argmax cosine = argmin euclidean), and the probe filter
+    * prunes the search scan to nProbes/nCells of the data; with the table
+    * written partitioned/bucketed by `cell` it becomes partition pruning
+    * and never touches the rest. Deterministic: sample = first
+    * `trainCap` rows in storage order, farthest-point init. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, nCells: Int = 16,
-              nProbes: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // L2-normalize before clustering: on unit vectors euclidean distance
-    // is monotone in cosine, so euclidean k-means cells respect the
-    // cosine geometry the search runs in.
-    val unit = {
-      val v = col(vecCol).cast("array<double>")
-      transform(v, x => x / VectorOps.norm(col(vecCol)))
-    }
-    val withFeat = embeddings.withColumn("__fv", array_to_vector(unit))
-    // coarse quantizer: a few Lloyd iterations suffice (cells only gate
-    // the probe set; in production the codebook is trained offline once,
-    // on a sample). Cache the training projection — Lloyd iterates it,
-    // and recomputing scan+normalize per iteration dominates otherwise.
-    val train = withFeat.select("__fv").cache()
-    val model = try new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("__fv").setPredictionCol("__cell")
-      .fit(train)
-    finally train.unpersist()
-    // driver-side: the nProbes centroids nearest the query (tiny matrix)
-    val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val qArr = query.map(_ / qNorm).toArray
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val d = c.toArray.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
-        (i, d)
-      }
-      .sortBy(_._2).take(nProbes).map(_._1)
+              nProbes: Int = 4, trainCap: Int = 4096): DataFrame = {
+    val sample = embeddings.select(col(vecCol).cast("array<double>"))
+      .limit(trainCap).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map(unitNorm)
+    val cents = lloyd(sample, nCells, iters = 5)
+    // driver-side: the nProbes centroids nearest the query
+    val qUnit = unitNorm(query.toArray)
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qUnit).map { case (x, y) => x * y }.sum) }
+      .sortBy(-_._2).take(nProbes).map(_._1)
     val q = array(query.map(lit): _*)
-    model.transform(withFeat)
-      .filter(col("__cell").isin(probes.toSeq: _*))
+    embeddings
+      // cell = argmax dot against the broadcast codebook (centroids are
+      // unit vectors, so argmax dot ≡ argmax cosine); one native fused
+      // loop per row — see NearestCentroid for why not an expression array
+      .withColumn("__cell",
+        graft.functions.NearestCentroid(col(vecCol), cents).cast("long"))
+      .filter(col("__cell").isin(probes.map(_.toLong): _*))
       .withColumn("sim", VectorOps.cosine(col(vecCol), q))
       .select(col(idCol), col("__cell").as("cell"), col("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  private def unitNorm(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Deterministic Lloyd: farthest-point init (first point, then greedily
+    * the point farthest from its nearest chosen centroid), `iters` rounds
+    * of assign + mean, re-normalized to the unit sphere each round
+    * (spherical k-means — cells respect cosine geometry). */
+  private def lloyd(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(xs.nonEmpty, "empty training sample")
+    val d = xs.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val kk = math.min(k, xs.length)
+    val cents = scala.collection.mutable.ArrayBuffer(xs.head)
+    while (cents.length < kk) {
+      val next = xs.maxBy(x => cents.map(c => dist2(x, c)).min)
+      cents += next
+    }
+    var cur = cents.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Int](kk)
+      xs.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < kk) {
+          val dd = dist2(x, cur(j)); if (dd < bestD) { bestD = dd; best = j }; j += 1
+        }
+        var i = 0; while (i < d) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cur = cur.indices.map { j =>
+        if (counts(j) == 0) cur(j)
+        else unitNorm(sums(j).map(_ / counts(j)))
+      }.toArray
+    }
+    cur
   }
 
   /** ANN via random-hyperplane LSH: bucket all vectors by signature, then

@@ -42,6 +42,22 @@ object TextDedup {
     docs.select(col(idCol),
       graft.functions.ShingleHash(col(textCol), shingleLen).as("sh"))
 
+  /** Shingle hashes every ANSI-SQL engine reproduces bit-for-bit: the
+    * first 15 hex chars (60 bits) of sha256 over the space-joined
+    * shingle, parsed as a BIGINT. Production paths use [[shingleSets]]
+    * (xxhash64 — one multiply per word instead of a sha round); this form
+    * exists so the MinHash pipeline can be oracle-verified end-to-end
+    * ([[minhashNearDupsVerifiable]]). */
+  def shingleSetsSha(docs: DataFrame, idCol: String, textCol: String,
+                     shingleLen: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val shingles = transform(
+      sequence(lit(1), greatest(size(toks) - (shingleLen - 1), lit(1))),
+      i => conv(substring(sha2(concat_ws(" ", slice(toks, i, lit(shingleLen))), 256),
+        1, 15), 16, 10).cast(LongType))
+    docs.select(col(idCol), array_distinct(shingles).as("sh"))
+  }
+
   /** Expression-tree form of [[shingleSets]] (4 nested higher-order
     * functions — seconds of Janino compile per embedding plan); kept as
     * the pure-built-in reference for equivalence tests. */
@@ -131,6 +147,47 @@ object TextDedup {
     out
   }
 
+  /** [[minhashNearDups]] with every engine-specific hash swapped for a
+    * cross-engine-reproducible one, so the full LSH pipeline — shingle →
+    * k-minhash → band bucket → candidate join → exact-Jaccard verify —
+    * hash-matches an ANSI-SQL oracle instead of getting a rows-only
+    * check. Two substitutions: shingles via [[shingleSetsSha]], and the
+    * band bucket is the band's minhash values themselves joined as a
+    * string (no 64-bit band hash; the key is a few bytes longer, the
+    * candidate set is identical). Same shuffle structure and scale
+    * behavior as the production form. */
+  def minhashNearDupsVerifiable(docs: DataFrame, idCol: String, textCol: String,
+                                threshold: Double = 0.5, shingleLen: Int = 3,
+                                bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sets = shingleSetsSha(docs, idCol, textCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = bands * rowsPerBand
+    val sig = sets.select(col(idCol),
+      graft.functions.MinHashSig(col("sh"), k).as("sig"))
+    val bandRows = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", transform(
+          slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string"))).as("bucket"))
+    }
+    val bb = sig.select(col(idCol), explode(array(bandRows: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val l = bb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = bb.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = candidates
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardExpr(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val out = pairs.localCheckpoint(true)
+    sets.unpersist()
+    out
+  }
+
   /** |A ∩ B| / |A ∪ B| over distinct-element arrays, as exact integer
     * counts divided in double (cross-engine bit-stable). Two empty sets
     * yield 0.0, not 0/0 = NaN — NaN compares greatest under Spark/DuckDB
@@ -209,9 +266,11 @@ object TextDedup {
       col("mask").as("m_a"), col("bucket"))
     val b = masks.select(col("id").as("id_b"), col("n").as("n_b"),
       col("mask").as("m_b"), col("bucket"))
-    val inter = aggregate(
-      zip_with(col("m_a"), col("m_b"), (x, y) => bit_count(x.bitwiseAND(y))),
-      lit(0), (acc, x) => acc + x).cast(DoubleType)
+    // native fused popcount loop — the HOF form
+    // aggregate(zip_with(..., bit_count(x & y))) is value-identical but
+    // allocates lambda frames per slot per candidate pair (see BitAndCount).
+    val inter = graft.functions.BitAndCount(col("m_a"), col("m_b"))
+      .cast(DoubleType)
     val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("__i", inter)

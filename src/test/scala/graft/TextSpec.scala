@@ -117,6 +117,35 @@ class TextSpec extends SparkSpec {
       Set((1L, 2L, 0)))
   }
 
+  test("minhashNearDupsVerifiable matches the production pipeline's verified pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely unrelated sentence about database engines and joins"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    // both variants verify candidates with exact jaccard over the same
+    // word-shingle sets, so identical docs must pair in both; the sha
+    // variant's candidate set may differ on borderline pairs (different
+    // minhash values), but never on identical documents
+    val sha = TextDedup.minhashNearDupsVerifiable(docs, "doc_id", "text",
+      threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prod = TextDedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sha.contains((1L, 4L)))
+    assert(prod.contains((1L, 4L)))
+    assert(!sha.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("shingleSetsSha: 60-bit sha shingle hashes, distinct per doc") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val sets = TextDedup.shingleSetsSha(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(sets(0) === sets(1))          // same text, same hashes
+    assert(sets(0).toSet.intersect(sets(2).toSet).isEmpty)
+    assert(sets(0).forall(h => h >= 0L && h < (1L << 60)))
+  }
+
   test("simhash: identical docs collide, disjoint docs differ") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
