@@ -556,7 +556,112 @@ object SparkEntry {
           coalesce(col("event_type"), lit("<all>")).as("event_type"),
           coalesce(col("event_date"), lit("<all>")).as("event_date"),
           col("n"), col("total_value"))
-        .orderBy("event_type", "event_date"))
+        .orderBy("event_type", "event_date")),
+
+    // ── [north star] IVF ANN, oracle-checkable twin of q43 ─────────────
+    // (deterministic centroid lattice instead of the trained codebook —
+    // identical plan: narrow argmax-dot cell assignment, probe filter,
+    // local top-k; see Similarity.ivfTopKVerifiable)
+    "q56_ivf_verifiable" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfTopKVerifiable(e.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", query = qv, k = 10)
+    }),
+
+    // ── [north star] SimHash, oracle-checkable twin of q25 ─────────────
+    // (sha-derived 60-bit token hashes instead of xxhash64; same native
+    // one-loop voting expression, zero shuffle)
+    "q57_simhash_verifiable" -> ((s, dir) =>
+      TextDedup.simhashDocsVerifiable(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── [north star] SimHash near-dup pairs, oracled twin of q52 ───────
+    "q58_simhash_pairs_verifiable" -> ((s, dir) =>
+      TextDedup.simhashNearDupsVerifiable(T(s, dir, "documents"), "doc_id",
+        "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ── [ext] KMV distinct sketch — the oracle-checkable counterpart of
+    // q18's HLL (O(k) state per group, exactly reproducible in ANSI SQL;
+    // see functions.KMinValues) ────────────────────────────────────────
+    "q59_kmv_distinct" -> ((s, dir) => {
+      val k = 16
+      T(s, dir, "events").groupBy("event_type")
+        .agg(graft.functions.KMinValues(
+            graft.ops.Sampling.shaHash60(col("user_id")), k).as("kmv"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"),
+          when(size(col("kmv")) < k, size(col("kmv")).cast(DoubleType))
+            .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) /
+              element_at(col("kmv"), k).cast(DoubleType)).as("est_distinct"),
+          element_at(col("kmv"), least(size(col("kmv")), lit(k))).as("kth_min"),
+          col("n_exact"))
+        .orderBy("event_type")
+    }),
+
+    // ── [north star] sessionization (gaps-and-islands; single shuffle) ─
+    "q60_sessionize" -> ((s, dir) =>
+      graft.operators.Sessions.sessionize(T(s, dir, "events"), "user_id",
+        "ts", "event_id", "value", gapUs = 43200000000L) // 12h
+        .orderBy("user_id", "session_id")),
+
+    // ── [north star] sessionization via built-in session_window ────────
+    "q61_session_window" -> ((s, dir) =>
+      graft.operators.Sessions.sessionWindows(T(s, dir, "events"), "user_id",
+        "ts", "value", gap = "12 hours")
+        .orderBy("user_id", "session_start_us")),
+
+    // ── [ext] interval self-join: order bursts per customer ────────────
+    // (the scalable range-join shape: equi key bounds the quadratic, the
+    // range predicate only filters within the key group)
+    "q62_interval_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      val a = o.select(col("o_custkey"), col("o_orderkey").as("k_a"),
+        col("od").as("d_a"))
+      val b = o.select(col("o_custkey"), col("o_orderkey").as("k_b"),
+        col("od").as("d_b"))
+      val gap = abs(datediff(col("d_b"), col("d_a")))
+      a.join(b, Seq("o_custkey"))
+        .filter(col("k_a") < col("k_b") && gap <= 3)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(gap).cast(LongType).as("min_gap_days"))
+        .orderBy("o_custkey")
+    }),
+
+    // ── [north star] deterministic stratified sampling ─────────────────
+    // (hash-threshold coin per row — reproducible across engines,
+    // partitionings, and reruns, unlike df.sample; see ops.Sampling)
+    "q63_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("event_type") === "purchase", lit(100L))
+        .when(col("event_type") === "click", lit(25L))
+        .otherwise(lit(10L))
+      graft.ops.Sampling.stratifiedSample(T(s, dir, "events"),
+          col("event_id"), rate)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"),
+          Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // ── [ext] bloom-filter semi-join pruning (runtime-filter shape) ────
+    // (bloom prefilter at the fact scan + exact semi join; result is
+    // provably identical to the plain semi join — see ops.RuntimeFilter)
+    "q64_bloom_semijoin" -> ((s, dir) => {
+      val urgent = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.ops.RuntimeFilter.bloomSemiJoin(
+          T(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice"),
+          urgent, "l_orderkey", "o_orderkey", expectedItems = 131072L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("l_extendedprice")).as("total"))
+        .orderBy("l_returnflag")
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -598,6 +703,42 @@ object SparkEntry {
     val minhashKeys = (0 until 4).map(b =>
       (0 until 4).map(j => s"CAST(m${4 * b + j} AS VARCHAR)")
         .mkString(" || '_' || ") + s" AS b$b").mkString(", ")
+    // q56: the deterministic IVF centroid lattice as exact-rational SQL
+    // literals (same <int>/1000.0 trick as q31's hyperplanes); cell
+    // assignment replays NearestCentroid's argmax-dot with lowest-index
+    // tie-break as an ascending CASE over precomputed dots.
+    val centList = (p: Int) => (0 until 64)
+      .map(i => s"${graft.operators.Similarity.ivfLatticeInt(p, i)}/1000.0")
+      .mkString("[", ", ", "]")
+    val centDot = (v: String, p: Int) =>
+      s"list_inner_product(CAST($v AS DOUBLE[]), ${centList(p)})"
+    val cellDots = (0 until 8).map(p => s"${centDot("embedding", p)} AS d$p").mkString(", ")
+    val cellCase = "CASE " +
+      (0 until 8).map(p => s"WHEN d$p = m THEN $p").mkString(" ") + " END"
+    val qCentDots = (0 until 8)
+      .map(p => s"SELECT $p AS cid, ${centDot("qv", p)} AS dq FROM q")
+      .mkString(" UNION ALL ")
+    // q57/q58: the verifiable simhash fingerprint as a reusable CTE chain —
+    // sha-derived 60-bit token hashes (multiset), per-bit ±1 votes, packed
+    // sign bits; zero-token docs get fingerprint 0 (matches SimHashOf([])).
+    val simhashFp =
+      s"""tok AS (SELECT doc_id, unnest($toks) AS tk FROM documents),
+         |th AS (SELECT doc_id, ('0x' || substr(sha256(tk), 1, 15))::BIGINT AS h FROM tok),
+         |v AS (SELECT doc_id, i, CAST(sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS vote
+         |      FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS i) g GROUP BY doc_id, i),
+         |fp0 AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+         |        FROM v GROUP BY doc_id),
+         |fp AS (SELECT d.doc_id, coalesce(fp0.simhash, 0) AS simhash
+         |       FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id)""".stripMargin
+    // q60/q61: gaps-and-islands sessions in microseconds (epoch_us floors
+    // TIMESTAMP_NS exactly like the engine's nanos-div-1000 conversion).
+    val sessionCte =
+      s"""e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+         |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |                       OR us - lag(us) OVER w >= 43200000000 THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |sess AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)""".stripMargin
     Map(
       "q01_watermark" ->
         """SELECT l_suppkey, CAST(max(l_shipdate) AS DATE) AS latest_date
@@ -963,7 +1104,87 @@ object SparkEntry {
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "q42_salted_agg" ->
         s"""SELECT event_type, count(*) AS n, $moneyV AS total_value
-           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q56_ivf_verifiable" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |d AS (SELECT vec_id, embedding, $cellDots FROM embeddings WHERE vec_id <> 0),
+           |a AS (SELECT vec_id, embedding, CAST($cellCase AS BIGINT) AS cell
+           |      FROM (SELECT *, greatest(${(0 until 8).map("d" + _).mkString(", ")}) AS m FROM d)),
+           |cq AS ($qCentDots),
+           |probe AS (SELECT cid FROM (
+           |  SELECT cid, row_number() OVER (ORDER BY dq DESC, cid) AS rn FROM cq)
+           |  WHERE rn <= 2)
+           |SELECT vec_id, cell, ${cosine("embedding", "qv")} AS sim
+           |FROM a, q WHERE cell IN (SELECT cid FROM probe)
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+      "q57_simhash_verifiable" ->
+        s"""WITH $simhashFp
+           |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+      "q58_simhash_pairs_verifiable" ->
+        s"""WITH $simhashFp,
+           |banded AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bits
+           |           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           |                a.simhash AS sh_a, c.simhash AS sh_b
+           |         FROM banded a JOIN banded c
+           |           ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
+           |SELECT id_a, id_b, hamming FROM (
+           |  SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM cand)
+           |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+      "q59_kmv_distinct" ->
+        """WITH h AS (SELECT DISTINCT event_type,
+          |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |r AS (SELECT event_type, h,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+          |s AS (SELECT event_type, max(rn) AS nd,
+          |        max(CASE WHEN rn = 16 THEN h END) AS h16,
+          |        max(CASE WHEN rn <= 16 THEN h END) AS kth FROM r GROUP BY event_type),
+          |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+          |      FROM events GROUP BY event_type)
+          |SELECT s.event_type,
+          |  CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+          |       ELSE 17293822569102704640.0 / CAST(h16 AS DOUBLE) END AS est_distinct,
+          |  kth AS kth_min, n_exact
+          |FROM s JOIN x ON s.event_type = x.event_type
+          |ORDER BY s.event_type""".stripMargin,
+      "q60_sessionize" ->
+        s"""WITH $sessionCte
+           |SELECT user_id, session_id, min(us) AS session_start_us,
+           |  max(us) AS session_end_us, count(*) AS n_events,
+           |  $moneyV AS total_value
+           |FROM sess GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin,
+      "q61_session_window" ->
+        s"""WITH $sessionCte
+           |SELECT user_id, min(us) AS session_start_us,
+           |  max(us) + 43200000000 AS session_end_us, count(*) AS n_events,
+           |  $moneyV AS total_value
+           |FROM sess GROUP BY user_id, session_id
+           |ORDER BY user_id, session_start_us""".stripMargin,
+      "q62_interval_join" ->
+        """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+          |SELECT o_custkey, count(*) AS n_pairs,
+          |  CAST(min(abs(date_diff('day', a_od, b_od))) AS BIGINT) AS min_gap_days
+          |FROM (SELECT a.o_custkey, a.od AS a_od, b.od AS b_od
+          |      FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+          |        AND a.o_orderkey < b.o_orderkey
+          |        AND abs(date_diff('day', a.od, b.od)) <= 3)
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      "q63_stratified_sample" ->
+        s"""SELECT event_type, count(*) AS n_sampled, $moneyV AS total_value
+           |FROM events
+           |WHERE ('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+           |      (CASE event_type WHEN 'purchase' THEN 100 WHEN 'click' THEN 25 ELSE 10 END)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q64_bloom_semijoin" ->
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM lineitem
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_orderkey = l_orderkey
+          |                AND o_orderpriority = '1-URGENT')
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     )
   }
 }

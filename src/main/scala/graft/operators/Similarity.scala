@@ -90,6 +90,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic integer-rational centroid lattice for the verifiable
+    * IVF variant: component (p,i) is an exact small-integer/1000 division,
+    * so embedding the integers as `<int>/1000.0` in an oracle's SQL
+    * reproduces the identical IEEE doubles (same trick as
+    * [[graft.functions.VectorOps.randomHyperplaneSig]]'s plane lattice). */
+  def ivfLatticeInt(p: Int, i: Int): Long =
+    ((p * 2017L + i * 7351L + 523L) * 2654435761L) % 2001L - 1000L
+
+  def ivfLattice(nCells: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nCells, dim)((p, i) => ivfLatticeInt(p, i) / 1000.0)
+
+  /** [[ivfTopK]] with the k-means codebook swapped for the deterministic
+    * [[ivfLattice]], so cell assignment, probe selection, and the final
+    * top-k all hash-match an ANSI-SQL oracle (the trained codebook is
+    * engine-private state; a fixed lattice is not). The plan is the
+    * production plan — narrow argmax-dot assignment against a plan-time
+    * constant matrix ([[graft.functions.NearestCentroid]]), probe filter,
+    * local top-k — only the codebook quality differs, which is the
+    * documented trade: q43 stays the production form. */
+  def ivfTopKVerifiable(embeddings: DataFrame, idCol: String, vecCol: String,
+                        query: Seq[Double], k: Int, nCells: Int = 8,
+                        dim: Int = 64, nProbes: Int = 2): DataFrame = {
+    val cents = ivfLattice(nCells, dim)
+    // probe ranking mirrors NearestCentroid's left-to-right dot loop; ties
+    // break to the lower cell id (matches the oracle's ORDER BY d DESC, cid)
+    val probes = cents.zipWithIndex.map { case (c, p) =>
+      var dot = 0.0; var i = 0
+      val n = math.min(query.length, c.length)
+      while (i < n) { dot += query(i) * c(i); i += 1 }
+      (p, dot)
+    }.sortBy { case (p, d) => (-d, p) }.take(nProbes).map(_._1)
+    val q = array(query.map(lit): _*)
+    embeddings
+      .withColumn("cell",
+        graft.functions.NearestCentroid(col(vecCol), cents).cast("long"))
+      .filter(col("cell").isin(probes.map(_.toLong): _*))
+      .withColumn("sim", VectorOps.cosine(col(vecCol), q))
+      .select(col(idCol), col("cell"), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   private def unitNorm(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0.0) v else v.map(_ / n)

@@ -318,6 +318,49 @@ object TextDedup {
     docs.select(col(idCol),
       graft.functions.SimHash64(col(textCol)).as("simhash"))
 
+  /** Per-token-occurrence 60-bit sha-derived hashes (multiset — simhash
+    * voting weights repeated tokens). Same cross-engine hash construction
+    * as [[shingleSetsSha]]; stays an expression tree (sha2 + conv are
+    * codegen'd built-ins). */
+  def shaTokenHashes(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(TextOps.tokens(text),
+      t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast(LongType))
+
+  /** [[simhashDocs]] with the engine-private xxhash64 swapped for the
+    * sha-derived 60-bit token hash, so the fingerprint — and everything
+    * built on it — hash-matches an ANSI-SQL oracle. Production stays
+    * [[simhashDocs]] (xxhash64 is one multiply-rotate per token vs a sha
+    * round); the plan shape (pure per-row map, zero shuffle) is identical. */
+  def simhashDocsVerifiable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.SimHashOf(shaTokenHashes(col(textCol)), 60).as("simhash"))
+
+  /** [[simhashNearDups]] over the verifiable 60-bit fingerprint: four
+    * 15-bit bands (pigeonhole guarantee holds for Hamming ≤ 3), exact
+    * XOR-popcount verify. Same candidate-generation equi-join structure as
+    * the production form. */
+  def simhashNearDupsVerifiable(docs: DataFrame, idCol: String, textCol: String,
+                                maxHamming: Int = 3): DataFrame = {
+    val sh = simhashDocsVerifiable(docs, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 15)
+            .bitwiseAND(lit(0x7FFFL)).as("bits"))): _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bits"))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bits"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("bits"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Explode + 64-sum-aggregate formulation of the same fingerprint;
     * kept as the pure-built-in reference for equivalence tests (it
     * shuffles vote rows and compiles a 64-aggregate class — the native

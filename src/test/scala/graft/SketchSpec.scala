@@ -1,0 +1,155 @@
+package graft
+
+import graft.functions.{KMinValues, SimHashOf}
+import graft.operators.{Sessions, Similarity, TextDedup}
+import graft.ops.{RuntimeFilter, Sampling}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-2 additions: KMV sketch, verifiable simhash/IVF,
+  * sessionization, deterministic sampling, bloom semi-join pruning. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMinValues keeps the k smallest distinct values across partitions") {
+    val df = spark.range(0, 1000).repartition(7)
+      .select((col("id") * 37 % 1000).as("h")) // a permutation of 0..999
+    val got = df.agg(KMinValues(col("h"), 5).as("kmv"))
+      .head().getSeq[Long](0)
+    assert(got === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("KMinValues dedups and returns fewer than k when input is small") {
+    val df = Seq(9L, 9L, 3L, 3L, 7L).toDF("h")
+    val got = df.agg(KMinValues(col("h"), 16).as("kmv")).head().getSeq[Long](0)
+    assert(got === Seq(3L, 7L, 9L))
+  }
+
+  test("KMV estimate tracks the true distinct count within ~2/sqrt(k)") {
+    val n = 50000
+    val df = spark.range(0, n)
+      .select(Sampling.shaHash60(col("id")).as("h"))
+    val k = 64
+    val kth = df.agg(KMinValues(col("h"), k).as("kmv"))
+      .select(element_at(col("kmv"), k)).head().getLong(0)
+    val est = (k - 1).toDouble * math.pow(2, 60) / kth.toDouble
+    assert(math.abs(est - n) / n < 2.0 / math.sqrt(k),
+      s"estimate $est too far from $n")
+  }
+
+  test("SimHashOf matches the vote definition on a tiny golden case") {
+    // hashes 0b01 and 0b01 and 0b10: bit0 votes +1+1-1=1 → set;
+    // bit1 votes -1-1+1=-1 → clear; all higher bits negative.
+    val got = Seq(Seq(1L, 1L, 2L)).toDF("hs")
+      .select(SimHashOf(col("hs"), 60)).head().getLong(0)
+    assert(got === 1L)
+    // empty input → 0
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(SimHashOf(col("hs"), 60)).head().getLong(0)
+    assert(empty === 0L)
+  }
+
+  test("verifiable simhash pairs finds identical docs at hamming 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "utterly different content entirely unrelated words")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.simhashNearDupsVerifiable(docs, "doc_id", "text")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(out.head.getLong(2) === 0L)
+  }
+
+  test("ivfTopKVerifiable returns vectors from probed cells only, top-k by cosine") {
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 0.37 + j * 0.11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = (0 until 64).map(j => math.sin(0.37 + j * 0.11)) // = vector 1
+    val out = Similarity.ivfTopKVerifiable(vecs, "vec_id", "embedding",
+      query = q, k = 5)
+    val rows = out.collect()
+    assert(rows.length === 5)
+    // the query equals vector 1, which must be its own nearest neighbor
+    // provided its cell is probed — and it is, since its dot ranking
+    // equals the query's
+    assert(rows.head.getLong(0) === 1L)
+    assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-9)
+    // sims are non-increasing
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sorted.reverse.toSeq === sims.toSeq)
+  }
+
+  test("sessionize splits on gaps >= threshold and aggregates per session") {
+    val events = Seq(
+      // user 1: two sessions — 3 events within 10m, then a 2h gap
+      (1L, "2024-01-01 10:00:00", 10L, 1.0),
+      (2L, "2024-01-01 10:05:00", 10L, 2.0),
+      (3L, "2024-01-01 10:10:00", 10L, 3.0),
+      (4L, "2024-01-01 12:10:00", 10L, 4.0),
+      // user 2: one session
+      (5L, "2024-01-01 00:00:00", 20L, 5.0)
+    ).toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Sessions.sessionize(events, "user_id", "ts", "event_id",
+      "value", gapUs = 3600L * 1000000L) // 1h
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length === 3)
+    val s1 = out(0)
+    assert(s1.getLong(1) === 1L && s1.getLong(4) === 3L) // 3 events
+    assert(s1.getDouble(5) === 6.0)
+    val s2 = out(1)
+    assert(s2.getLong(1) === 2L && s2.getLong(4) === 1L)
+    // exact-boundary check: a gap of exactly 1h starts a new session
+    val boundary = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (2L, "2024-01-01 11:00:00", 1L, 1.0)
+    ).toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    assert(Sessions.sessionize(boundary, "user_id", "ts", "event_id",
+      "value", gapUs = 3600L * 1000000L).count() === 2)
+  }
+
+  test("sessionWindows agrees with sessionize on session boundaries") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (2L, "2024-01-01 10:30:00", 1L, 1.0),
+      (3L, "2024-01-01 12:00:00", 1L, 1.0) // 90m gap → new session
+    ).toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val a = Sessions.sessionize(events, "user_id", "ts", "event_id",
+      "value", gapUs = 3600L * 1000000L)
+      .select("user_id", "session_start_us", "n_events")
+      .orderBy("session_start_us").collect()
+    val b = Sessions.sessionWindows(events, "user_id", "ts", "value", "1 hour")
+      .select("user_id", "session_start_us", "n_events")
+      .orderBy("session_start_us").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("stratifiedSample is deterministic and respects the zero/full rates") {
+    val df = spark.range(0, 1000).select(col("id"),
+      when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")).as("parity"))
+    val rate = when(col("parity") === "even", lit(100L)).otherwise(lit(0L))
+    val out = Sampling.stratifiedSample(df, col("id"), rate)
+    assert(out.filter(col("parity") === "odd").count() === 0L)
+    assert(out.filter(col("parity") === "even").count() === 500L)
+    // rerun with different partitioning → identical selection
+    val again = Sampling.stratifiedSample(df.repartition(13), col("id"), rate)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted
+      === out.select("id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("bloomSemiJoin equals the plain semi join") {
+    val fact = spark.range(0, 10000).select(col("id").as("k"),
+      (col("id") % 97).as("v"))
+    val dim = spark.range(0, 10000).filter(col("id") % 11 === 0)
+      .select(col("id").as("dk"))
+    val got = RuntimeFilter.bloomSemiJoin(fact, dim, "k", "dk",
+      expectedItems = 4096)
+      .orderBy("k").collect()
+    val want = fact.join(dim.select(col("dk").as("k")), Seq("k"), "left_semi")
+      .orderBy("k").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+}
