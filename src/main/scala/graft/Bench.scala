@@ -12,6 +12,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.NanosPredicatePushdown
+    // Untimed warmup: pay the one-time session costs (Hadoop FS init,
+    // Janino/JIT compiler warmup, broadcast/shuffle thread pools, parquet
+    // footer cache) before the first measured query — they belong to the
+    // JVM, not to whichever query happens to run first.
+    try {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(0, 10000).toDF("id")
+      w.join(w.select(col("id"), (col("id") % 7).as("g")), Seq("id"))
+        .groupBy("g").count().count()
+      Tables.load(spark, sfDir, "lineitem").select("l_orderkey").limit(1).count()
+      Tables.load(spark, sfDir, "events").select("event_id").limit(1).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -31,6 +31,17 @@ object TextDedup {
   // never overflows under ANSI mode (p=2^61-1 would need 128-bit mults).
   private val MersennePrime = 2147483647L
 
+  /** Ensure CPU-heavy per-row work (sha rounds, shingling, minhash walks)
+    * has at least one task per core. A small corpus arrives as one file →
+    * one scan partition → one task, serializing the whole hash pipeline;
+    * repartitioning a few thousand raw rows is free next to the hashing it
+    * parallelizes. At real scale the scan already has ≫ parallelism
+    * splits and this is a no-op (no shuffle inserted). */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Distinct hashed `shingleLen`-word shingles per document: one 64-bit
     * xxhash64 per sliding window over the token array (expression-tree, no
     * UDF). Hashing up front means every downstream set operation
@@ -49,7 +60,15 @@ object TextDedup {
     * exists so the MinHash pipeline can be oracle-verified end-to-end
     * ([[minhashNearDupsVerifiable]]). */
   def shingleSetsSha(docs: DataFrame, idCol: String, textCol: String,
-                     shingleLen: Int): DataFrame = {
+                     shingleLen: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.ShingleHashSha(col(textCol), shingleLen).as("sh"))
+
+  /** Expression-tree form of [[shingleSetsSha]]; kept as the pure-built-in
+    * reference for equivalence tests (the native form exists because this
+    * tree's Janino compile dominates small-corpus wall clock). */
+  def shingleSetsShaHof(docs: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val shingles = transform(
       sequence(lit(1), greatest(size(toks) - (shingleLen - 1), lit(1))),
@@ -123,7 +142,7 @@ object TextDedup {
     // branches, so without an explicit persist the tokenize+shingle tree
     // is re-evaluated (and re-codegen'd) three times. MEMORY_AND_DISK:
     // spills rather than recomputes at scale.
-    val sets = shingleSets(docs, idCol, textCol, shingleLen)
+    val sets = shingleSets(widen(docs), idCol, textCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bb = bandsOfShingles(sets, idCol, bands, rowsPerBand)
     val l = bb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
@@ -159,7 +178,7 @@ object TextDedup {
   def minhashNearDupsVerifiable(docs: DataFrame, idCol: String, textCol: String,
                                 threshold: Double = 0.5, shingleLen: Int = 3,
                                 bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val sets = shingleSetsSha(docs, idCol, textCol, shingleLen)
+    val sets = shingleSetsSha(widen(docs), idCol, textCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = bands * rowsPerBand
     val sig = sets.select(col(idCol),
@@ -206,7 +225,7 @@ object TextDedup {
     // Zero-token documents are excluded (here AND in the bitset form, so the
     // two plans stay value-identical): an empty word set has Jaccard 0 to
     // everything, so it can never be a near-dup pair member.
-    val words = docs.select(col(idCol).as("id"),
+    val words = widen(docs).select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("ws"))
       .filter(size(col("ws")) > 0)
       .withColumn("bucket", floor(size(col("ws")) / bandWidth))
@@ -238,7 +257,7 @@ object TextDedup {
     // filter matches jaccardNearDups: zero-token docs are excluded there,
     // and would otherwise silently vanish here anyway (explode emits no
     // rows) — make the exclusion explicit and identical in both forms.
-    val words = docs.select(col(idCol).as("id"),
+    val words = widen(docs).select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("ws"))
       .filter(size(col("ws")) > 0)
     val tok = words.select(col("id"), explode(col("ws")).as("w"))
@@ -246,18 +265,13 @@ object TextDedup {
       .withColumn("wid", row_number().over(Window.orderBy("w")) - 1)
     val vocabSize = vocab.count().toInt // plan parameter: mask width
     val nSlots = (vocabSize + 63) / 64
-    // 1L<<k lookup (shiftleft() only shifts by literal ints, not columns)
-    val pow2 = array((0 until 64).map(k => lit(1L << k)): _*)
-    // doc → wid list → bitmask array<long> of width nSlots
+    // doc → wid list → bitmask array<long> of width nSlots: one native
+    // pass (O(nSlots + |wids|)); the HOF form re-walked the wid list per
+    // slot — see BitsetOf (equivalence asserted in tests)
     val masks = tok.join(broadcast(vocab), Seq("w"))
       .groupBy("id").agg(collect_set(col("wid")).as("wids"))
       .select(col("id"), size(col("wids")).as("n"),
-        transform(sequence(lit(0), lit(nSlots - 1)), j =>
-          aggregate(
-            filter(col("wids"), w => floor(w / 64).cast("int") === j),
-            lit(0L),
-            (acc, w) => acc.bitwiseOR(element_at(pow2, pmod(w, lit(64)) + 1)))
-        ).as("mask"))
+        graft.functions.BitsetOf(col("wids"), nSlots).as("mask"))
       .withColumn("bucket", floor(col("n") / bandWidth))
       // both sides of the self-join read these masks; persist so the
       // explode+join+bitmask build runs (and compiles) once
@@ -293,7 +307,7 @@ object TextDedup {
     * key, never an all-pairs scan. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sh = simhashDocs(docs, idCol, textCol)
+    val sh = simhashDocs(widen(docs), idCol, textCol)
     val banded = sh.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -333,7 +347,7 @@ object TextDedup {
     * round); the plan shape (pure per-row map, zero shuffle) is identical. */
   def simhashDocsVerifiable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
-      graft.functions.SimHashOf(shaTokenHashes(col(textCol)), 60).as("simhash"))
+      graft.functions.SimHashSha(col(textCol)).as("simhash"))
 
   /** [[simhashNearDups]] over the verifiable 60-bit fingerprint: four
     * 15-bit bands (pigeonhole guarantee holds for Hamming ≤ 3), exact
@@ -341,7 +355,7 @@ object TextDedup {
     * the production form. */
   def simhashNearDupsVerifiable(docs: DataFrame, idCol: String, textCol: String,
                                 maxHamming: Int = 3): DataFrame = {
-    val sh = simhashDocsVerifiable(docs, idCol, textCol)
+    val sh = simhashDocsVerifiable(widen(docs), idCol, textCol)
     val banded = sh.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

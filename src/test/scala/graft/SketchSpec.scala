@@ -49,6 +49,54 @@ class SketchSpec extends SparkSpec {
     assert(empty === 0L)
   }
 
+  test("ShingleHashSha bit-matches the sha2/conv expression-tree form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"), // fewer tokens than the shingle width
+      (3L, "")         // degenerate: one empty-window hash
+    ).toDF("doc_id", "text")
+    val native = TextDedup.shingleSetsSha(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val hof = TextDedup.shingleSetsShaHof(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(native.toSeq === hof.toSeq)
+  }
+
+  test("SimHashSha bit-matches SimHashOf over the sha token hashes") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val native = docs.select(graft.functions.SimHashSha(col("text")))
+      .collect().map(_.getLong(0))
+    val hof = docs.select(
+      SimHashOf(TextDedup.shaTokenHashes(col("text")), 60))
+      .collect().map(_.getLong(0))
+    assert(native.toSeq === hof.toSeq)
+  }
+
+  test("BitsetOf bit-matches the per-slot HOF form and BitAndCount agrees") {
+    val nSlots = 3
+    val df = Seq(Seq(0, 1, 63, 64, 127, 128, 190), Seq.empty[Int])
+      .toDF("wids")
+    val pow2 = array((0 until 64).map(k => lit(1L << k)): _*)
+    val hofMask = transform(sequence(lit(0), lit(nSlots - 1)), j =>
+      aggregate(
+        filter(col("wids"), w => floor(w / 64).cast("int") === j),
+        lit(0L),
+        (acc, w) => acc.bitwiseOR(element_at(pow2, pmod(w, lit(64)) + 1))))
+    val rows = df.select(
+      graft.functions.BitsetOf(col("wids"), nSlots).as("native"),
+      hofMask.as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // popcount of the self-intersection equals the id count
+    val Row(c: Int) = df.limit(1).select(
+      graft.functions.BitAndCount(
+        graft.functions.BitsetOf(col("wids"), nSlots),
+        graft.functions.BitsetOf(col("wids"), nSlots))).head()
+    assert(c === 7)
+  }
+
   test("verifiable simhash pairs finds identical docs at hamming 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
