@@ -46,6 +46,44 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window merges sessions across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    def at(user: Long, t: String) =
+      EventRow(0L, java.sql.Timestamp.valueOf(t), user, "click", 1.0)
+    val agg = ms.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+    // session windows only support Append in streaming: a session is
+    // emitted exactly once, when the event-time watermark passes its end
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_test").start()
+    try {
+      // batch 1: two events 30m apart → one open session
+      ms.addData(at(1, "2024-01-01 10:00:00"), at(1, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      // batch 2: an event 40m later bridges into (extends) the same
+      // session; a second event 3h later opens a new one
+      ms.addData(at(1, "2024-01-01 11:10:00"), at(1, "2024-01-01 14:10:00"))
+      q.processAllAvailable()
+      // watermark advances on *subsequent* batches: 16:00 closes the
+      // merged session (ends 12:10), then 23:00 closes the 14:10 one
+      ms.addData(at(2, "2024-01-01 16:00:00"))
+      q.processAllAvailable()
+      ms.addData(at(2, "2024-01-01 23:00:00"))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_test")
+        .filter(col("user_id") === 1)
+        .select(col("w.start").cast("string").as("start"), col("n"))
+        .orderBy("start")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(emitted.toSeq === Seq(
+        ("2024-01-01 10:00:00", 3L), // merged across batches: all three events
+        ("2024-01-01 14:10:00", 1L)))
+    } finally q.stop()
+  }
+
   test("salted aggregation equals the plain groupBy on fixtures") {
     val e = Tables.load(spark, sf0001, "events")
     val salted = graft.ops.Skew.saltedSumCount(e, Seq("event_type"), col("value"), 16)
