@@ -647,6 +647,53 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ── [north star] benchmark decontamination (n-gram overlap) ────────
+    // (training docs sharing any 4-word shingle with the eval set src0;
+    // the eval side's distinct shingles broadcast — no corpus shuffle)
+    "q65_decontaminate" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextDedup.decontaminate(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", shingleLen = 4)
+        .orderBy("doc_id")
+    }),
+
+    // ── [north star] global token top-k (vocabulary head) ─────────────
+    // (explode → partial-agg wordcount → TakeOrderedAndProject)
+    "q66_token_topk" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)),
+
+    // ── [north star] near-dup cluster formation (connected components) ─
+    // (simhash pairs → min-label propagation → cluster sizes; the oracle
+    // replays the closure as a DuckDB recursive CTE)
+    "q67_neardup_clusters" -> ((s, dir) => {
+      val pairs = TextDedup.simhashNearDupsVerifiable(
+        T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
+    }),
+
+    // ── [north star] deterministic per-group corpus cap ────────────────
+    // (keep ≤5 docs per language, chosen by content-stable hash order —
+    // the corpus-balancing step of a training-data mix. One shuffle on
+    // the group key; for heavily skewed groups the two-phase form —
+    // per-partition pre-cap, then the window — bounds task memory.)
+    "q68_per_group_cap" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(graft.ops.Sampling.shaHash60(col("doc_id")), col("doc_id"))
+      T(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    }),
+
     // ── [ext] bloom-filter semi-join pruning (runtime-filter shape) ────
     // (bloom prefilter at the fact scan + exact semi join; result is
     // provably identical to the plain semi join — see ops.RuntimeFilter)
@@ -1177,6 +1224,49 @@ object SparkEntry {
            |WHERE ('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
            |      (CASE event_type WHEN 'purchase' THEN 100 WHEN 'click' THEN 25 ELSE 10 END)
            |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q65_decontaminate" ->
+        s"""WITH tk AS (SELECT doc_id, source, $toks AS tk FROM documents
+           |            WHERE len($toks) > 0),
+           |sh0 AS (SELECT doc_id, source, list_distinct(list_transform(
+           |    range(1, greatest(len(tk) - 3, 1) + 1),
+           |    i -> ('0x' || substr(sha256(array_to_string(tk[i:i+3], ' ')), 1, 15))::BIGINT)) AS sh
+           |  FROM tk),
+           |t AS (SELECT doc_id, unnest(sh) AS h FROM sh0 WHERE source <> 'src0'),
+           |b AS (SELECT DISTINCT unnest(sh) AS h FROM sh0 WHERE source = 'src0')
+           |SELECT doc_id, count(DISTINCT t.h) AS n_hits
+           |FROM t JOIN b ON t.h = b.h
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q66_token_topk" ->
+        s"""SELECT tok, count(*) AS n
+           |FROM (SELECT unnest($toks) AS tok FROM documents)
+           |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+      "q67_neardup_clusters" ->
+        s"""WITH RECURSIVE $simhashFp,
+           |banded AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bits
+           |           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           |                a.simhash AS sh_a, c.simhash AS sh_b
+           |         FROM banded a JOIN banded c
+           |           ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id),
+           |pe AS (SELECT id_a, id_b FROM (
+           |    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM cand)
+           |  WHERE hamming <= 3),
+           |ed AS (SELECT id_a AS src, id_b AS dst FROM pe
+           |       UNION ALL SELECT id_b, id_a FROM pe),
+           |nodes AS (SELECT DISTINCT src AS id FROM ed),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN ed e ON e.src = r.id),
+           |comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+           |SELECT cluster_id, count(*) AS n_members
+           |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+      "q68_per_group_cap" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          |    ORDER BY ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+          |             doc_id) AS rn
+          |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
       "q64_bloom_semijoin" ->
         """SELECT l_returnflag, count(*) AS n,
           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -207,6 +207,31 @@ object TextDedup {
     out
   }
 
+  /** Benchmark decontamination (north-star): flag training documents that
+    * share any `shingleLen`-word shingle with an evaluation/benchmark set
+    * — the standard n-gram-overlap test-set-contamination check run
+    * before every training run. Returns (id, n_hits) for contaminated
+    * docs, n_hits = how many distinct shingles of the doc appear in the
+    * benchmark set.
+    *
+    * Plan shape at 100 TB: both sides reduce to hashed shingles at the
+    * scan (narrow, sha-60 for oracle parity); the benchmark side is tiny
+    * (an eval suite) → its distinct shingle set broadcasts, and the check
+    * is a broadcast join against the exploded training shingles — no
+    * shuffle of the corpus. Zero-token docs are excluded on both sides
+    * (their degenerate empty-window hash would cross-match all of them). */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, shingleLen: Int = 5): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .filter(size(TextOps.tokens(col(textCol))) > 0)
+      .select(col(idCol),
+        graft.functions.ShingleHashSha(col(textCol), shingleLen).as("sh"))
+    val t = shingles(train).select(col(idCol), explode(col("sh")).as("h"))
+    val b = shingles(bench).select(explode(col("sh")).as("h")).distinct()
+    t.join(broadcast(b), Seq("h"))
+      .groupBy(idCol).agg(countDistinct(col("h")).as("n_hits"))
+  }
+
   /** |A ∩ B| / |A ∪ B| over distinct-element arrays, as exact integer
     * counts divided in double (cross-engine bit-stable). Two empty sets
     * yield 0.0, not 0/0 = NaN — NaN compares greatest under Spark/DuckDB

@@ -188,6 +188,35 @@ class SketchSpec extends SparkSpec {
       === out.select("id").collect().map(_.getLong(0)).sorted)
   }
 
+  test("connectedComponents labels every component by its smallest member") {
+    // two components {1,2,3,9} (path) and {5,6}, singleton edges absent
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents propagates across a long chain (multi-round)") {
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got === Array(1L))
+  }
+
+  test("decontaminate flags only docs sharing a shingle with the benchmark") {
+    val train = Seq(
+      (1L, "aa bb cc dd ee ff gg"),      // contains bench shingle aa..ee
+      (2L, "zz yy xx ww vv uu tt"),      // disjoint
+      (3L, "")                           // zero tokens: excluded
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val got = TextDedup.decontaminate(train, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L))
+  }
+
   test("bloomSemiJoin equals the plain semi join") {
     val fact = spark.range(0, 10000).select(col("id").as("k"),
       (col("id") % 97).as("v"))
