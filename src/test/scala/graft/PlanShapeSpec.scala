@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan regression guards: the plans we tuned for (broadcasts,
+  * shared exchanges, map-side top-k, bloom prefilter placement) asserted
+  * as properties, so a refactor that silently degrades a plan — an extra
+  * shuffle, a lost broadcast, a filter that stops reaching the scan —
+  * fails here rather than only showing up as a bench regression. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(SimpleMode)
+
+  private def countOf(plan: String, op: String): Int =
+    op.r.findAllIn(plan).length
+
+  test("q60 sessionize: windows and aggregation share one hash exchange") {
+    val plan = planOf("q60_sessionize")
+    // one hashpartitioning exchange on user_id feeds both window passes
+    // and the session aggregation; the only other exchange is the output
+    // ordering's rangepartitioning
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"expected exactly one hash exchange, got:\n$plan")
+    assert(countOf(plan, "Exchange rangepartitioning") === 1,
+      s"expected one range exchange (final orderBy), got:\n$plan")
+  }
+
+  test("q05 star join: every dimension side broadcasts") {
+    val plan = planOf("q05_star_join")
+    assert(countOf(plan, "BroadcastHashJoin") === 4,
+      s"expected 4 broadcast joins (orders/customer/nation/region), got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"star join must not sort-merge at this scale:\n$plan")
+  }
+
+  test("q64 bloom semi-join: prefilter sits at the fact scan, join broadcasts") {
+    val plan = planOf("q64_bloom_semijoin")
+    val scanIdx = plan.indexOf("might_contain")
+    assert(scanIdx >= 0, s"bloom prefilter missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"exact verify must be a broadcast semi join:\n$plan")
+  }
+
+  test("top-k queries run as TakeOrderedAndProject (map-side heaps)") {
+    for (q <- Seq("q66_token_topk", "q30_cosine_topk")) {
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q should plan orderBy+limit as TakeOrderedAndProject:\n$plan")
+    }
+  }
+
+  test("q06 date predicate reaches the parquet scan") {
+    val plan = planOf("q06_agg_pricing")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must push into the scan:\n$plan")
+  }
+
+  test("q68 per-group cap: a single shuffle feeds the ranking window") {
+    val plan = planOf("q68_per_group_cap")
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"expected one hash exchange (lang), got:\n$plan")
+  }
+}
