@@ -694,6 +694,16 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ── [ext] SCD2 history from a change log (K8's audit-column story
+    // kept fully addressable; incremental merge form spec'd equivalent) ─
+    "q69_scd2_history" -> ((s, dir) =>
+      Merge.scd2FromLog(
+        T(s, dir, "events").select("user_id", "event_id", "value", "ts"),
+        Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_id")),
+
     // ── [ext] bloom-filter semi-join pruning (runtime-filter shape) ────
     // (bloom prefilter at the fact scan + exact semi join; result is
     // provably identical to the plain semi join — see ops.RuntimeFilter)
@@ -1267,6 +1277,14 @@ object SparkEntry {
           |    ORDER BY ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
           |             doc_id) AS rn
           |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+      "q69_scd2_history" ->
+        """SELECT user_id, event_id, value, valid_from_us, valid_to_us,
+          |       valid_to_us IS NULL AS is_current
+          |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS valid_from_us,
+          |             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+          |               ORDER BY epoch_us(ts), event_id) AS valid_to_us
+          |      FROM events)
+          |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
       "q64_bloom_semijoin" ->
         """SELECT l_returnflag, count(*) AS n,
           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -70,4 +70,52 @@ object Merge {
                     auditCol: String, auditValue: org.apache.spark.sql.Column): DataFrame =
     upsert(target.withColumn(auditCol, lit(null).cast("timestamp")),
       updates.withColumn(auditCol, auditValue), keys)
+
+  /** SCD type-2 history built from a change log in one pass: each change
+    * row becomes a version valid from its own timestamp until the key's
+    * next change (`lead`), open-ended (`valid_to_us` null, `is_current`
+    * true) for the latest. The warehouse-dimension twin of the
+    * reference's audit-column story (K8): instead of overwriting rows and
+    * stamping `updated_at`, every historical state is kept addressable.
+    *
+    * One shuffle on the key; validity bounds are microseconds (see
+    * [[graft.operators.Sessions]] on cross-engine micros). `tieCol`
+    * breaks equal-timestamp ordering deterministically. */
+  def scd2FromLog(log: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("valid_from_us"), col(tieCol))
+    log
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  /** Incremental SCD2 merge: close the open versions of keys that appear
+    * in `newLog` (their `valid_to_us` becomes the key's first new change
+    * time) and append the new log's versions. Equivalent to rebuilding
+    * with [[scd2FromLog]] over the concatenated log whenever the log is
+    * split at a per-key time boundary (asserted as a property in
+    * OpsSpec) — which is exactly the incremental-sync situation: each
+    * sync's changes are newer than everything already merged.
+    *
+    * Physical shape: one aggregation of the (small) new log for the
+    * close times, one broadcastable left join against the history, one
+    * union — the history table is scanned once and never shuffled. */
+  def scd2Merge(hist: DataFrame, newLog: DataFrame, keys: Seq[String],
+                tsCol: String, tieCol: String): DataFrame = {
+    val upd = scd2FromLog(newLog, keys, tsCol, tieCol)
+    val firstNew = newLog
+      .groupBy(keys.map(col): _*)
+      .agg(min(unix_micros(col(tsCol))).as("__first_new_us"))
+    hist.join(firstNew, keys, "left")
+      .withColumn("valid_to_us",
+        when(col("valid_to_us").isNull && col("__first_new_us").isNotNull,
+          col("__first_new_us")).otherwise(col("valid_to_us")))
+      .withColumn("is_current",
+        col("valid_to_us").isNull)
+      .drop("__first_new_us")
+      .unionByName(upd)
+  }
 }

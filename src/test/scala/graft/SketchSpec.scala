@@ -217,6 +217,27 @@ class SketchSpec extends SparkSpec {
     assert(got === Map(1L -> 1L))
   }
 
+  test("incremental SCD2 merge equals a full rebuild over the whole log") {
+    import graft.ops.Merge
+    val e = Tables.load(spark, sf0001, "events")
+      .select("user_id", "event_id", "value", "ts")
+    val oldLog = e.filter(col("ts") < lit("2024-01-15"))
+    val newLog = e.filter(col("ts") >= lit("2024-01-15"))
+    val rebuild = Merge.scd2FromLog(e, Seq("user_id"), "ts", "event_id")
+    val incremental = Merge.scd2Merge(
+      Merge.scd2FromLog(oldLog, Seq("user_id"), "ts", "event_id"),
+      newLog, Seq("user_id"), "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_id", "value", "valid_from_us",
+        "valid_to_us", "is_current")
+        .orderBy("user_id", "valid_from_us", "event_id").collect().toSeq
+    assert(canon(incremental) === canon(rebuild))
+    // exactly one open version per key
+    val opens = incremental.filter(col("is_current"))
+      .groupBy("user_id").count().filter(col("count") =!= 1).count()
+    assert(opens === 0L)
+  }
+
   test("bloomSemiJoin equals the plain semi join") {
     val fact = spark.range(0, 10000).select(col("id").as("k"),
       (col("id") % 97).as("v"))
