@@ -84,6 +84,44 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val ctx = spark.sqlContext
+    def at(id: Long, t: String, typ: String) =
+      EventRow(id, java.sql.Timestamp.valueOf(t), 1L, typ, 1.0)
+    val clicks = MemoryStream[EventRow]
+    val buys = MemoryStream[EventRow]
+    // both sides watermarked; the join condition bounds how long click
+    // state is retained (purchases match clicks from the preceding hour)
+    val c = clicks.toDS().withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val b = buys.toDS().withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val j = b.join(c, b("user_id") === c("user_id") &&
+      col("click_ts") <= col("buy_ts") &&
+      col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("buy_id"), col("click_id"))
+    val q = j.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join_test").start()
+    try {
+      clicks.addData(at(10, "2024-01-01 10:00:00", "click"),
+        at(11, "2024-01-01 12:00:00", "click"))
+      buys.addData(at(20, "2024-01-01 10:30:00", "purchase"), // joins click 10
+        at(21, "2024-01-01 13:30:00", "purchase"))            // no click yet
+      q.processAllAvailable()
+      // batch 2: a late click lands inside purchase 21's window — the
+      // join's buffered state still matches it (that buffering is what
+      // stream-stream joins retain state for); purchase 22 joins it too
+      clicks.addData(at(12, "2024-01-01 13:25:00", "click"))
+      buys.addData(at(22, "2024-01-01 13:40:00", "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ss_join_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((20L, 10L), (21L, 12L), (22L, 12L)))
+    } finally q.stop()
+  }
+
   test("salted aggregation equals the plain groupBy on fixtures") {
     val e = Tables.load(spark, sf0001, "events")
     val salted = graft.ops.Skew.saltedSumCount(e, Seq("event_type"), col("value"), 16)
