@@ -217,6 +217,53 @@ class SketchSpec extends SparkSpec {
     assert(got === Map(1L -> 1L))
   }
 
+  test("property: sessionize and sessionWindows agree on random event sets") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val events = (1 to 300).map { i =>
+        val user = 1L + rnd.nextInt(5)
+        val ts = new java.sql.Timestamp(1704067200000L + rnd.nextInt(500000) * 1000L)
+        (i.toLong, ts, user, rnd.nextDouble() * 10)
+      }.toDF("event_id", "ts", "user_id", "value")
+      val a = Sessions.sessionize(events, "user_id", "ts", "event_id",
+        "value", gapUs = 3600L * 1000000L)
+        .select("user_id", "session_start_us", "session_end_us", "n_events", "total_value")
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      val b = Sessions.sessionWindows(events, "user_id", "ts", "value", "1 hour")
+        .select(col("user_id"), col("session_start_us"),
+          // window end = last event + gap by definition; normalize back
+          (col("session_end_us") - 3600L * 1000000L).as("session_end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      assert(a === b, s"trial $trial diverged")
+    }
+  }
+
+  test("property: connectedComponents matches a union-find reference") {
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 80).map(_ =>
+        (1L + rnd.nextInt(60), 1L + rnd.nextInt(60)))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+      val got = graft.operators.Components.connectedComponents(
+        edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial diverged")
+    }
+  }
+
   test("incremental SCD2 merge equals a full rebuild over the whole log") {
     import graft.ops.Merge
     val e = Tables.load(spark, sf0001, "events")
