@@ -792,7 +792,7 @@ object SparkEntry {
     val sessionCte =
       s"""e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
          |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-         |                       OR us - lag(us) OVER w >= 43200000000 THEN 1 ELSE 0 END AS new_s
+         |                       OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new_s
          |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
          |sess AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
          |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)""".stripMargin

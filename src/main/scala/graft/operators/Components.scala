@@ -60,6 +60,14 @@ object Components {
       labels = next.select("id", "lbl")
       i += 1
     }
+    // un-converged labels are WRONG labels (some nodes still carry a
+    // non-minimal id) — fail loudly rather than return them. Superseded
+    // rounds' checkpoint blocks are reclaimed by the ContextCleaner once
+    // the old `labels` reference is dropped (same discipline as
+    // TextDedup's caches).
+    require(converged,
+      s"connected components did not converge in $maxIter rounds " +
+        "(pointer jumping covers diameter ~2^maxIter; raise maxIter)")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 }

@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
 /** Sessionization over an event stream (north-star training-pipeline
   * operator; the reference's closest analog is its daily micro-batch
   * grouping, §2.9): group each user's events into sessions separated by
-  * inactivity gaps ≥ `gapUs` microseconds.
+  * inactivity gaps > `gapUs` microseconds.
   *
   * Two forms with identical session semantics (an event starting exactly
-  * at `prev + gap` opens a new session — Spark's `session_window` merges
-  * strictly-before-end only, and the gaps-and-islands predicate uses `>=`
-  * to match):
+  * at `prev + gap` still MERGES — Spark's `session_window` treats the
+  * window end inclusively, verified empirically on 4.1.2, so the
+  * gaps-and-islands predicate splits only on `>`):
   *
   *   - [[sessionize]]: the classic gaps-and-islands plan — `lag` marks
   *     session starts, a running `sum` numbers them, one `groupBy`
@@ -43,7 +43,7 @@ object Sessions {
       .withColumn("__us", unix_micros(col(tsCol)))
       .withColumn("__prev", lag(col("__us"), 1).over(order))
       .withColumn("__new",
-        when(col("__prev").isNull || col("__us") - col("__prev") >= gapUs, 1L)
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("__new")).over(running))
       .groupBy(col(userCol), col("session_id"))

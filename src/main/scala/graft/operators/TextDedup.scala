@@ -222,8 +222,10 @@ object TextDedup {
     * (their degenerate empty-window hash would cross-match all of them). */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, shingleLen: Int = 5): DataFrame = {
-    def shingles(df: DataFrame) = df
-      .filter(size(TextOps.tokens(col(textCol))) > 0)
+    // zero-token exclusion via trim (equivalent to tokens>0, but avoids a
+    // second full tokenization in the filter predicate — ShingleHashSha
+    // already tokenizes once inside its fused loop)
+    def shingles(df: DataFrame) = widen(df.filter(length(trim(col(textCol))) > 0))
       .select(col(idCol),
         graft.functions.ShingleHashSha(col(textCol), shingleLen).as("sh"))
     val t = shingles(train).select(col(idCol), explode(col("sh")).as("h"))

@@ -128,7 +128,7 @@ class SketchSpec extends SparkSpec {
     assert(sims.sorted.reverse.toSeq === sims.toSeq)
   }
 
-  test("sessionize splits on gaps >= threshold and aggregates per session") {
+  test("sessionize splits on gaps > threshold and aggregates per session") {
     val events = Seq(
       // user 1: two sessions — 3 events within 10m, then a 2h gap
       (1L, "2024-01-01 10:00:00", 10L, 1.0),
@@ -148,14 +148,17 @@ class SketchSpec extends SparkSpec {
     assert(s1.getDouble(5) === 6.0)
     val s2 = out(1)
     assert(s2.getLong(1) === 2L && s2.getLong(4) === 1L)
-    // exact-boundary check: a gap of exactly 1h starts a new session
+    // exact-boundary check: a gap of exactly 1h MERGES (session_window's
+    // window end is inclusive; both forms must agree — see Sessions)
     val boundary = Seq(
       (1L, "2024-01-01 10:00:00", 1L, 1.0),
       (2L, "2024-01-01 11:00:00", 1L, 1.0)
     ).toDF("event_id", "ts_s", "user_id", "value")
       .withColumn("ts", to_timestamp(col("ts_s")))
     assert(Sessions.sessionize(boundary, "user_id", "ts", "event_id",
-      "value", gapUs = 3600L * 1000000L).count() === 2)
+      "value", gapUs = 3600L * 1000000L).count() === 1)
+    assert(Sessions.sessionWindows(boundary, "user_id", "ts", "value", "1 hour")
+      .count() === 1)
   }
 
   test("sessionWindows agrees with sessionize on session boundaries") {

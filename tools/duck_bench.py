@@ -16,13 +16,15 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 times = {}
+errors = []
 for name in sorted(oracle):
     t0 = time.time()
     try:
         con.execute(oracle[name]).fetchall()
-        times[name] = round(time.time() - t0, 3)
+        times[name] = time.time() - t0
     except Exception as e:
-        times[name] = -1.0
+        errors.append(name)
         print(f"ERROR {name}: {str(e)[:120]}", file=sys.stderr)
-print(json.dumps({"total": round(sum(v for v in times.values() if v > 0), 1),
-                  "n": len(times), "queries": times}))
+print(json.dumps({"total": round(sum(times.values()), 1),
+                  "n_ok": len(times), "n_err": len(errors), "errors": errors,
+                  "queries": {k: round(v, 3) for k, v in times.items()}}))
