@@ -1,6 +1,8 @@
 package graft
 
-import graft.functions.{CosineSim, HyperplaneSig, MinHashSig, ShingleHash}
+import graft.functions.{BitAndCount, BitsetOf, CosineSim, HyperplaneSig,
+  KMinValues, MinHashSig, ShingleHash, ShingleHashSha, SimHash64,
+  SimHashOf, SimHashSha}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -48,7 +50,29 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args(0), intArg(args(1), "k"))),
     ("shingle_hash",
       new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
-      (args: Seq[Expression]) => ShingleHash(args(0), intArg(args(1), "n"))))
+      (args: Seq[Expression]) => ShingleHash(args(0), intArg(args(1), "n"))),
+    ("shingle_hash_sha",
+      new ExpressionInfo(classOf[ShingleHashSha].getName, "shingle_hash_sha"),
+      (args: Seq[Expression]) => ShingleHashSha(args(0), intArg(args(1), "n"))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    ("simhash_sha",
+      new ExpressionInfo(classOf[SimHashSha].getName, "simhash_sha"),
+      (args: Seq[Expression]) => SimHashSha(args(0))),
+    ("simhash_of",
+      new ExpressionInfo(classOf[SimHashOf].getName, "simhash_of"),
+      (args: Seq[Expression]) => SimHashOf(args(0), intArg(args(1), "nBits"))),
+    ("bitset_of",
+      new ExpressionInfo(classOf[BitsetOf].getName, "bitset_of"),
+      (args: Seq[Expression]) => BitsetOf(args(0), intArg(args(1), "nSlots"))),
+    ("bit_and_count",
+      new ExpressionInfo(classOf[BitAndCount].getName, "bit_and_count"),
+      (args: Seq[Expression]) => BitAndCount(args(0), args(1))),
+    ("k_min_values",
+      new ExpressionInfo(classOf[KMinValues].getName, "k_min_values"),
+      (args: Seq[Expression]) =>
+        KMinValues(args(0), intArg(args(1), "k")).toAggregateExpression()))
 
   /** Register on a live session (the extensions hook only runs at session
     * build time). */

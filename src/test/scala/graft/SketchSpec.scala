@@ -220,6 +220,32 @@ class SketchSpec extends SparkSpec {
     assert(got === Map(1L -> 1L))
   }
 
+  test("registered SQL surface covers the round-2 natives") {
+    GraftExtensions.register(spark)
+    Seq((1L, "alpha beta beta gamma"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_docs")
+    // sha-simhash through SQL matches the Column API
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash_sha(text) AS s FROM sql_docs ORDER BY doc_id")
+      .collect().map(_.getLong(1))
+    val viaApi = Seq((1L, "alpha beta beta gamma"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.SimHashSha(col("text"))).orderBy()
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSet === viaApi.toSet)
+    // KMV aggregate usable from SQL
+    spark.range(0, 100).select((col("id") * 7 % 100).as("h"))
+      .createOrReplaceTempView("sql_hashes")
+    val kmv = spark.sql("SELECT k_min_values(h, 4) FROM sql_hashes")
+      .head().getSeq[Long](0)
+    assert(kmv === Seq(0L, 1L, 2L, 3L))
+    // bitset build + popcount round-trip in SQL
+    val cnt = spark.sql(
+      "SELECT bit_and_count(bitset_of(array(1, 64, 130), 3), bitset_of(array(1, 64, 7), 3))")
+      .head().getInt(0)
+    assert(cnt === 2)
+  }
+
   test("property: sessionize and sessionWindows agree on random event sets") {
     val rnd = new scala.util.Random(20260812L)
     for (trial <- 1 to 3) {
