@@ -694,6 +694,12 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ── [north star] multimodal: nearest-neighbor resize stub ──────────
+    "q70_mm_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(s, Multimodal.asMedia(T(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")),
+
     // ── [ext] SCD2 history from a change log (K8's audit-column story
     // kept fully addressable; incremental merge form spec'd equivalent) ─
     "q69_scd2_history" -> ((s, dir) =>
@@ -1277,6 +1283,16 @@ object SparkEntry {
           |    ORDER BY ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
           |             doc_id) AS rn
           |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+      "q70_mm_resize" ->
+        """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+          |  CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE 16 END AS BIGINT) AS thumb_len,
+          |  CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE
+          |    list_sum(list_transform(range(0, 16),
+          |      i -> ord(text[CAST(i * strlen(text) // 16 AS INT) + 1]))) END AS BIGINT) AS thumb_sum,
+          |  CAST(CASE WHEN strlen(text) = 0 THEN -1 ELSE ord(text[1]) END AS BIGINT) AS thumb_head,
+          |  CAST(CASE WHEN strlen(text) = 0 THEN -1 ELSE
+          |    ord(text[CAST(15 * strlen(text) // 16 AS INT) + 1]) END AS BIGINT) AS thumb_tail
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q69_scd2_history" ->
         """SELECT user_id, event_id, value, valid_from_us, valid_to_us,
           |       valid_to_us IS NULL AS is_current

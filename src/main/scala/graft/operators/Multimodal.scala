@@ -50,6 +50,39 @@ object Multimodal {
       }
   }
 
+  final case class Thumb(doc_id: Long, n_bytes: Long, thumb_len: Long,
+                         thumb_sum: Long, thumb_head: Long, thumb_tail: Long)
+
+  /** Resize: nearest-neighbor resampling of each blob to `target` bytes —
+    * the 1-D form of the image-resize kernel (source index =
+    * `i * n / target`, floor). DETERMINISTIC STUB for a real resampler
+    * (same contract as [[decodeFeatures]]: swap the body for an image
+    * library; the per-partition batching, typed schema, and
+    * blob-never-a-key plan shape are the parts under test). Returns
+    * summary scalars of the thumbnail so the result is oracle-comparable
+    * without binary columns in the output. */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+                 target: Int = 16): Dataset[Thumb] = {
+    import spark.implicits._
+    media.select("doc_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, blob) =>
+          val n = blob.length
+          if (n == 0) Thumb(id, 0L, 0L, 0L, -1L, -1L)
+          else {
+            var sum = 0L; var i = 0
+            while (i < target) {
+              sum += blob((i.toLong * n / target).toInt) & 0xff
+              i += 1
+            }
+            Thumb(id, n.toLong, target.toLong, sum,
+              (blob(0) & 0xff).toLong,
+              (blob(((target - 1).toLong * n / target).toInt) & 0xff).toLong)
+          }
+        }
+      }
+  }
+
   /** Partition-batched "decode": DETERMINISTIC STUB for the media decoder
     * (a real deployment swaps the body for e.g. JPEG decode + model
     * features; the Spark-side contract — one initialization per partition,
