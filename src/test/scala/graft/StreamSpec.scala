@@ -122,6 +122,65 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental upsert converges to the batch merge") {
+    // the reference's daily sync as a stream: each micro-batch of
+    // extracted rows is argmax-deduped then upserted into the target
+    // table — state lives in the destination, exactly like the
+    // reference's watermark-in-the-table design (SURVEY §2.9)
+    implicit val ctx = spark.sqlContext
+    import graft.ops.{Dedup, Merge}
+    val ms = MemoryStream[EventRow]
+    var target = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    val q = ms.toDS().toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val updates = Dedup.argmaxWindow(
+          batch.select("user_id", "ts", "value"),
+          Seq("user_id"), Seq(col("ts").desc, col("value")))
+        target = Merge.recencyMerge(target, updates, Seq("user_id"), "ts")
+          .localCheckpoint(true)
+        ()
+      }.start()
+    def ev(user: Long, t: String, v: Double) =
+      EventRow(0L, java.sql.Timestamp.valueOf(t), user, "click", v)
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1.0), ev(2, "2024-01-01 09:00:00", 5.0))
+      q.processAllAvailable()
+      // batch 2: user 1 advances; user 2 sends a STALE row (dropped)
+      ms.addData(ev(1, "2024-01-02 10:00:00", 2.0), ev(2, "2024-01-01 08:00:00", 9.0))
+      q.processAllAvailable()
+      val got = target.orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      assert(got.toSeq === Seq(
+        (1L, "2024-01-02 10:00:00.0", 2.0),
+        (2L, "2024-01-01 09:00:00.0", 5.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups re-deliveries across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val deduped = ms.toDS()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dropdup_test").start()
+    def ev(id: Long, t: String) =
+      EventRow(id, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0)
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // batch 2 re-delivers event 1 (at-least-once source) within the
+      // watermark window plus a genuinely new event
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(3, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dropdup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("salted aggregation equals the plain groupBy on fixtures") {
     val e = Tables.load(spark, sf0001, "events")
     val salted = graft.ops.Skew.saltedSumCount(e, Seq("event_type"), col("value"), 16)
