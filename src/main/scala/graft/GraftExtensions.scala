@@ -71,8 +71,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => BitAndCount(args(0), args(1))),
     ("k_min_values",
       new ExpressionInfo(classOf[KMinValues].getName, "k_min_values"),
-      (args: Seq[Expression]) =>
-        KMinValues(args(0), intArg(args(1), "k")).toAggregateExpression()))
+      // return the bare AggregateFunction: the analyzer wraps it and owns
+      // DISTINCT/FILTER handling (pre-wrapping toAggregateExpression here
+      // would make those variants fail resolution)
+      (args: Seq[Expression]) => KMinValues(args(0), intArg(args(1), "k"))))
 
   /** Register on a live session (the extensions hook only runs at session
     * build time). */

@@ -695,6 +695,9 @@ object SparkEntry {
     }),
 
     // ── [north star] multimodal: nearest-neighbor resize stub ──────────
+    // (oracle note: like q34, the DuckDB side reads ord(text[i]) — code
+    // points by character index — while the engine samples UTF-8 bytes;
+    // equal only because the driver's documents fixture is pure ASCII)
     "q70_mm_resize" -> ((s, dir) =>
       Multimodal.resizeStub(s, Multimodal.asMedia(T(s, dir, "documents")))
         .toDF()

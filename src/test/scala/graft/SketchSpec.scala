@@ -239,6 +239,12 @@ class SketchSpec extends SparkSpec {
     val kmv = spark.sql("SELECT k_min_values(h, 4) FROM sql_hashes")
       .head().getSeq[Long](0)
     assert(kmv === Seq(0L, 1L, 2L, 3L))
+    // DISTINCT and FILTER variants resolve (the builder returns the bare
+    // AggregateFunction so the analyzer owns the wrapping)
+    val kmvD = spark.sql(
+      "SELECT k_min_values(DISTINCT h, 4) FILTER (WHERE h >= 2) FROM sql_hashes")
+      .head().getSeq[Long](0)
+    assert(kmvD === Seq(2L, 3L, 4L, 5L))
     // bitset build + popcount round-trip in SQL
     val cnt = spark.sql(
       "SELECT bit_and_count(bitset_of(array(1, 64, 130), 3), bitset_of(array(1, 64, 7), 3))")
