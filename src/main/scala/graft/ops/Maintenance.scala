@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance operations (K7 — the reference's `vacuum` /
+  * lifecycle step, `src/etl/deltalake_sync.py:90,255`, re-expressed for a
+  * parquet layout).
+  *
+  * The production problem this solves is small files: an incremental
+  * sync that appends a few rows per run accretes thousands of tiny
+  * parquet files, and at 100 TB the NameNode/listing and per-file open
+  * costs dominate scans. Compaction rewrites the data into
+  * ~`targetBytes` files. Write-then-swap keeps the table readable until
+  * the new files are complete (the poor man's transaction — a real
+  * deployment uses a table format's commit protocol for this).
+  */
+object Maintenance {
+
+  /** Rewrite `dir` into files of roughly `targetBytes` each. Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles() = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(dir + "__compact_tmp")
+    spark.read.parquet(dir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: remove old data files, move the compacted ones in
+    before.foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new Path(path, f.getPath.getName)))
+    fs.delete(tmp, true)
+    (before.length, parquetFiles().length)
+  }
+}

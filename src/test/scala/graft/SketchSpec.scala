@@ -320,6 +320,21 @@ class SketchSpec extends SparkSpec {
     assert(opens === 0L)
   }
 
+  test("compact merges small files and preserves the data exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    // simulate incremental appends: 20 tiny files
+    spark.range(0, 2000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(20)
+      .write.mode("overwrite").parquet(tmp)
+    val beforeRows = spark.read.parquet(tmp).orderBy("id").collect()
+    val (nBefore, nAfter) = graft.ops.Maintenance.compact(spark, tmp,
+      targetBytes = 1024L * 1024)
+    assert(nBefore === 20)
+    assert(nAfter < nBefore)
+    val afterRows = spark.read.parquet(tmp).orderBy("id").collect()
+    assert(afterRows.toSeq === beforeRows.toSeq)
+  }
+
   test("bloomSemiJoin equals the plain semi join") {
     val fact = spark.range(0, 10000).select(col("id").as("k"),
       (col("id") % 97).as("v"))
