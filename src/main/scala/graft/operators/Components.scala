@@ -48,7 +48,10 @@ object Components {
       // pointer jump: follow the new label one hop through the previous
       // round's table (labels are node ids, so lbl1 indexes it) — chain
       // lengths halve per round, so convergence is O(log diameter)
-      // instead of O(diameter)
+      // instead of O(diameter). (Doubling the pointers further inside
+      // the round was tried and reverted: the self-join duplicates the
+      // whole un-checkpointed subtree, costing more than the rounds it
+      // saves.)
       val next = stepped.join(
           labels.select(col("id").as("lbl1"), col("lbl").as("plbl")),
           Seq("lbl1"), "left")
