@@ -26,6 +26,13 @@ object Maintenance {
     def parquetFiles() = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val before = parquetFiles()
+    // a partitionBy layout has no top-level data files; compacting it
+    // here would rewrite the data flat while leaving the partition
+    // directories in place (duplicates). Partitioned tables need
+    // per-partition compaction — fail loudly instead.
+    require(before.nonEmpty,
+      s"$dir has no top-level parquet files — partitioned layouts must be " +
+        "compacted per partition directory")
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(dir + "__compact_tmp")
