@@ -29,10 +29,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Keep the JSON line SHORT: the harness retains only the last ~2000
+    // chars of process output, so per-query keys are the qNN prefix (the
+    // unambiguous short form of the SparkEntry.queries names) and timings
+    // are rounded to ms — full-precision full-name output would outgrow
+    // the window and the line would never parse.
+    def shortKey(name: String): String = {
+      val cut = name.indexOf('_')
+      if (cut > 0) name.substring(0, cut) else name
+    }
+    val qs = results.map { case (k, v) =>
+      s"\"" + shortKey(k) + "\":" + (math.rint(v * 1000) / 1000)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalR = math.rint(total * 1000) / 1000
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,11 +31,27 @@ object Components {
     // materialize the symmetrized edge list once — it is re-joined every
     // round, and without this the upstream pair pipeline (shingling,
     // banding, verification) re-executes per iteration
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Size the loop's parallelism to the EDGE list, not the session
+    // default: near-dup edges are orders of magnitude fewer rows than the
+    // corpus that produced them, and every subsequent round re-shuffles
+    // this width. ~1M edge rows per task keeps tasks comfortably sized at
+    // any scale; the count is free (sym0 is already materialized).
+    val parts = math.max(1, math.min(
+      sym0.sparkSession.sparkContext.defaultParallelism * 4,
+      (sym0.count() / 1000000L).toInt + 1))
+    val sym =
+      if (sym0.rdd.getNumPartitions <= parts) sym0
+      else sym0.repartition(parts).localCheckpoint(true)
+    // Label init fused with the first propagation round: every node of a
+    // symmetrized edge list appears as `src`, so min(dst) per src IS round
+    // one's neighbor-min — one aggregate replaces the distinct() plus one
+    // full loop iteration.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
