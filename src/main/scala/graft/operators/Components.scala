@@ -25,23 +25,36 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges two-column DataFrame of undirected edges
+    * @param driverThreshold symmetrized-edge count at or below which the
+    *        component structure is solved by driver-side union-find
+    *        instead of the iterative join loop. A near-dup pair graph is
+    *        orders of magnitude smaller than the corpus that produced it
+    *        (it is the *output* of the LSH filter), so even a 100 TB
+    *        corpus rarely yields more than a few 10^7 pairs — two longs
+    *        per edge on the driver — while the join loop costs several
+    *        scheduler round-trips per iteration regardless of size. Above
+    *        the threshold the distributed loop takes over unchanged. Both
+    *        paths produce identical labels (asserted in SketchSpec).
     * @return (id, cluster_id) — cluster_id = smallest member id */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
-                          dstCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          dstCol: String = "id_b", maxIter: Int = 20,
+                          driverThreshold: Long = 5000000L): DataFrame = {
     // materialize the symmetrized edge list once — it is re-joined every
     // round, and without this the upstream pair pipeline (shingling,
     // banding, verification) re-executes per iteration
     val sym0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .localCheckpoint(true)
+    val nEdges = sym0.count() // free: sym0 is already materialized
+    if (nEdges <= driverThreshold) return driverComponents(sym0)
     // Size the loop's parallelism to the EDGE list, not the session
     // default: near-dup edges are orders of magnitude fewer rows than the
     // corpus that produced them, and every subsequent round re-shuffles
     // this width. ~1M edge rows per task keeps tasks comfortably sized at
-    // any scale; the count is free (sym0 is already materialized).
+    // any scale.
     val parts = math.max(1, math.min(
       sym0.sparkSession.sparkContext.defaultParallelism * 4,
-      (sym0.count() / 1000000L).toInt + 1))
+      (nEdges / 1000000L).toInt + 1))
     val sym =
       if (sym0.rdd.getNumPartitions <= parts) sym0
       else sym0.repartition(parts).localCheckpoint(true)
@@ -88,5 +101,45 @@ object Components {
       s"connected components did not converge in $maxIter rounds " +
         "(pointer jumping covers diameter ~2^maxIter; raise maxIter)")
     labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Small-graph path: union-find (path halving) on the driver over
+    * index-mapped node ids — O(E α(E)) in one collect, versus several
+    * scheduler round-trips per round for the join loop. The cluster label
+    * (min member id) is deliberately NOT computed with JVM orderings:
+    * node ids keep their engine type end-to-end and the per-component min
+    * is taken by a Spark `min() OVER (PARTITION BY root)` on the (tiny)
+    * membership table, so label semantics (UTF8 binary string order,
+    * decimal order, …) are bit-identical to the distributed path. */
+  private def driverComponents(sym: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = sym.sparkSession
+    val idType = sym.schema("src").dataType
+    val rows = sym.collect()
+    val index = scala.collection.mutable.HashMap.empty[Any, Int]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def idx(v: Any): Int =
+      index.getOrElseUpdate(v, { nodes += v; nodes.length - 1 })
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = idx(r.get(0)); val b = idx(r.get(1))
+      while (parent.length < nodes.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val membership = nodes.indices.map { i =>
+      org.apache.spark.sql.Row(nodes(i), find(i))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("root", org.apache.spark.sql.types.IntegerType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(membership, 1), schema)
+      .withColumn("cluster_id", min(col("id")).over(Window.partitionBy("root")))
+      .select(col("id"), col("cluster_id"))
   }
 }

@@ -202,10 +202,28 @@ class SketchSpec extends SparkSpec {
   }
 
   test("connectedComponents propagates across a long chain (multi-round)") {
+    // driverThreshold = 0 forces the distributed join loop — the chain
+    // needs several pointer-jumping rounds, the loop's hardest shape
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = graft.operators.Components.connectedComponents(edges)
+    val got = graft.operators.Components.connectedComponents(
+        edges, driverThreshold = 0L)
       .collect().map(r => r.getLong(1)).distinct
     assert(got === Array(1L))
+  }
+
+  test("connectedComponents driver and distributed paths agree on string ids") {
+    // string ids exercise label-ordering parity: the driver path must not
+    // substitute JVM string order for the engine's UTF8 binary order
+    val edges = Seq(("doc_b", "doc_a"), ("doc_b", "doc_c"), ("doc_x", "doc_y"))
+      .toDF("id_a", "id_b")
+    val viaDriver = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaLoop = graft.operators.Components.connectedComponents(
+        edges, driverThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaDriver === viaLoop)
+    assert(viaDriver === Map("doc_a" -> "doc_a", "doc_b" -> "doc_a",
+      "doc_c" -> "doc_a", "doc_x" -> "doc_x", "doc_y" -> "doc_x"))
   }
 
   test("decontaminate flags only docs sharing a shingle with the benchmark") {
@@ -292,10 +310,12 @@ class SketchSpec extends SparkSpec {
       }
       val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(id => id -> find(id)).toMap
-      val got = graft.operators.Components.connectedComponents(
-        edges.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === want, s"trial $trial diverged")
+      for (threshold <- Seq(0L, 5000000L)) { // loop path AND driver path
+        val got = graft.operators.Components.connectedComponents(
+          edges.toDF("id_a", "id_b"), driverThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"trial $trial threshold $threshold diverged")
+      }
     }
   }
 
