@@ -727,6 +727,179 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           Exact.moneySum(col("l_extendedprice")).as("total"))
         .orderBy("l_returnflag")
+    }),
+
+    // ── [ext] unpivot / melt: wide per-flag sums → long (measure, total) ─
+    // (schema-reshaping for sink-side EAV layouts; Dataset.unpivot is the
+    // built-in generator — no UDTF needed)
+    "q71_unpivot" -> ((s, dir) => {
+      val agg = T(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        Exact.moneySum(col("l_quantity")).as("quantity"),
+        Exact.moneySum(col("l_extendedprice")).as("extendedprice"),
+        Exact.moneySum(col("l_discount")).as("discount"),
+        Exact.moneySum(col("l_tax")).as("tax"))
+      agg.unpivot(Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "total")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // ── [ext] correlated EXISTS / NOT EXISTS (rewritten by Catalyst to
+    // semi/anti joins — the declarative form of q07/q08) ────────────────
+    "q72_exists_subquery" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer_v")
+      T(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT'
+          |                AND o.o_totalprice > 150000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderstatus = 'F'
+          |                    AND o2.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // ── [ext] positional explode (UDTF shape): token stream with offsets ─
+    "q73_posexplode" -> ((s, dir) =>
+      T(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .orderBy("doc_id", "pos")),
+
+    // ── J4 at full TPC-H Q5 shape: 6-way join, broadcast dims, decimal
+    // revenue; supplier and customer constrained to the same nation ─────
+    "q74_local_supplier_volume" -> ((s, dir) => {
+      val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem"); val su = T(s, dir, "supplier")
+      val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(Exact.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ── [ext] TPC-H Q17 shape: per-key scalar aggregate feeding a filter
+    // on the same table (avg quantity per part; quantities are exact
+    // small integers, so the double avg is order-independent) ───────────
+    "q75_small_qty_revenue" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val avgQ = l.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qbar"))
+      l.join(T(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .filter(col("p_brand") === "Brand#1")
+        .join(avgQ, col("ap_partkey") === col("p_partkey"))
+        .filter(col("l_quantity") < col("qbar"))
+        .agg((Exact.moneySum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    }),
+
+    // ── [ext] forward-fill (gap fill): last non-null carried forward per
+    // key — last(ignoreNulls) over a running row frame ──────────────────
+    "q76_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("last_purchase_value",
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // ── [ext] distribution ranks: ntile/percent_rank/cume_dist over a
+    // global ordering (tie-broken to be total, so ranks are exact
+    // rationals — identical doubles in any engine). At scale a global
+    // ranking runs range-partitioned (Spark's orderBy does) — the single
+    // window here is the per-range step. ────────────────────────────────
+    "q77_rank_quartiles" -> ((s, dir) => {
+      val per = T(s, dir, "events").groupBy("user_id")
+        .agg(Exact.moneySum(col("value")).as("total"), count(lit(1)).as("n"))
+      val w = Window.orderBy(col("total").desc, col("user_id"))
+      per.select(col("user_id"), col("total"), col("n"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy("user_id")
+    }),
+
+    // ── [ext] streaming cross-batch dedup (dropDuplicatesWithinWatermark)
+    "q78_stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventStream.dedupedCounts(s, dir)),
+
+    // ── [north star] n-gram frequency profile: top-5 bigrams per language
+    "q79_bigram_topk" -> ((s, dir) => {
+      val bg = T(s, dir, "documents")
+        .select(col("lang"), TextOps.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("lang"),
+          explode(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1)))).as("bigram"))
+      val counted = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+      counted.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("lang", "bigram", "n", "rk").orderBy("lang", "rk")
+    }),
+
+    // ── [north star] fuzzy key matching: blocked levenshtein join (edit
+    // distance within (lang, length-bucket) blocks — never all-pairs) ────
+    "q80_fuzzy_block_join" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 24).as("pfx"),
+        floor(col("n_chars") / 40).as("bkt"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("bkt"),
+        col("pfx").as("pfx_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("bkt"),
+        col("pfx").as("pfx_b"))
+      a.join(b, Seq("lang", "bkt")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")).cast(LongType))
+        .filter(col("dist") <= 6)
+        .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
+    }),
+
+    // ── [north star] kNN join: per-query top-k over a broadcast query set
+    "q81_knn_join" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.filter(col("vec_id") >= 3).crossJoin(broadcast(q))
+        .withColumn("cos", graft.functions.CosineSim(col("embedding"), col("qv")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("q_id", "vec_id", "cos", "rk").orderBy("q_id", "rk")
+    }),
+
+    // ── [ext] schema-evolution union: unionByName(allowMissingColumns)
+    // (the reference's CSV-staging schema drift, handled relationally) ───
+    "q82_union_by_name" -> ((s, dir) => {
+      val ev = T(s, dir, "events").filter(col("event_id") < 2000)
+      val v1 = ev.select(col("event_id"), col("user_id"), col("value"))
+      val v2 = ev.filter(col("event_type") === "purchase")
+        .select((col("event_id") + 1000000).as("event_id"),
+          col("event_type"), col("user_id"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select("event_id", "user_id", "value", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // ── [north star] pattern mining: regexp_extract_all over documents ──
+    "q83_regexp_extract_all" -> ((s, dir) => {
+      val longs = regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))
+      T(s, dir, "documents").select(col("doc_id"),
+        size(longs).as("n_long"),
+        // try_: ANSI element_at throws on the empty match list
+        coalesce(try_element_at(longs, lit(1)), lit("")).as("first_long"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1311,7 +1484,113 @@ object SparkEntry {
           |WHERE EXISTS (SELECT 1 FROM orders
           |              WHERE o_orderkey = l_orderkey
           |                AND o_orderpriority = '1-URGENT')
-          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q71_unpivot" ->
+        """WITH a AS (SELECT l_returnflag,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS quantity,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS extendedprice,
+          |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount,
+          |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, measure, total FROM (
+          |  SELECT l_returnflag, 'quantity' AS measure, quantity AS total FROM a
+          |  UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM a
+          |  UNION ALL SELECT l_returnflag, 'discount', discount FROM a
+          |  UNION ALL SELECT l_returnflag, 'tax', tax FROM a)
+          |ORDER BY l_returnflag, measure""".stripMargin,
+      "q72_exists_subquery" ->
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT'
+          |                AND o.o_totalprice > 150000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderstatus = 'F'
+          |                    AND o2.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin,
+      "q73_posexplode" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 = 0)
+           |SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM
+           |  (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM t)
+           |ORDER BY doc_id, pos""".stripMargin,
+      "q74_local_supplier_volume" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON l_orderkey = o_orderkey
+          |  JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+          |  JOIN nation ON n_nationkey = s_nationkey
+          |  JOIN region ON r_regionkey = n_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+      "q75_small_qty_revenue" ->
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) * CAST(0.2 AS DOUBLE) AS qbar
+          |        FROM lineitem GROUP BY l_partkey) a ON ap_partkey = p_partkey
+          |WHERE p_brand = 'Brand#1' AND l_quantity < qbar""".stripMargin,
+      "q76_forward_fill" ->
+        """SELECT event_id, user_id,
+          |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+          |FROM events ORDER BY event_id""".stripMargin,
+      "q77_rank_quartiles" ->
+        """WITH per AS (SELECT user_id,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          |  count(*) AS n FROM events GROUP BY user_id)
+          |SELECT user_id, total, n,
+          |  CAST(ntile(4) OVER w AS INT) AS quartile,
+          |  percent_rank() OVER w AS pr,
+          |  cume_dist() OVER w AS cd
+          |FROM per WINDOW w AS (ORDER BY total DESC, user_id)
+          |ORDER BY user_id""".stripMargin,
+      "q78_stream_dedup" ->
+        s"""SELECT event_type, count(*) AS n, $moneyV AS total_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q79_bigram_topk" ->
+        s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
+           |t2 AS (SELECT lang, tk FROM t WHERE len(tk) >= 2),
+           |bg AS (SELECT lang, unnest(range(1, len(tk))) AS i, tk FROM t2),
+           |b2 AS (SELECT lang, tk[i] || ' ' || tk[i+1] AS bigram FROM bg),
+           |c AS (SELECT lang, bigram, count(*) AS n FROM b2 GROUP BY lang, bigram),
+           |r AS (SELECT lang, bigram, n, row_number() OVER
+           |        (PARTITION BY lang ORDER BY n DESC, bigram) AS rk FROM c)
+           |SELECT lang, bigram, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+           |ORDER BY lang, rk""".stripMargin,
+      "q80_fuzzy_block_join" ->
+        """WITH d AS (SELECT doc_id, lang, substr(text, 1, 24) AS pfx,
+          |                  n_chars // 40 AS bkt FROM documents)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+          |FROM d a JOIN d b ON a.lang = b.lang AND a.bkt = b.bkt
+          |  AND a.doc_id < b.doc_id
+          |WHERE levenshtein(a.pfx, b.pfx) <= 6
+          |ORDER BY id_a, id_b""".stripMargin,
+      "q81_knn_join" ->
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+           |base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+           |c AS (SELECT q_id, vec_id, ${cosine("embedding", "qv")} AS cos FROM base, q),
+           |r AS (SELECT q_id, vec_id, cos, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM c)
+           |SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+           |ORDER BY q_id, rk""".stripMargin,
+      "q82_union_by_name" ->
+        """SELECT event_id, user_id, value, event_type FROM (
+          |  SELECT event_id, user_id, value FROM events WHERE event_id < 2000
+          |  UNION ALL BY NAME
+          |  SELECT event_id + 1000000 AS event_id, event_type, user_id
+          |  FROM events WHERE event_id < 2000 AND event_type = 'purchase')
+          |ORDER BY event_id""".stripMargin,
+      "q83_regexp_extract_all" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS INT) AS n_long,
+          |  coalesce(regexp_extract_all(text, '[a-z]{7,}')[1], '') AS first_long
+          |FROM documents ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -83,19 +83,57 @@ object EventStream {
   }
 
   /** Shared stream source over the events fixture (nanos→micros ts, see
-    * Tables.load). */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    * Tables.load). `copies` > 1 lands the same file several times — the
+    * arriving-duplicate-batch shape that exercises cross-batch dedup. */
+  private def eventsStream(spark: SparkSession, dir: String,
+                           copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val landing = java.nio.file.Files.createTempDirectory("graft_stream_in_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landing.resolve("events.parquet"))
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        landing.resolve(s"events_$i.parquet"))
+    }
     spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
       .parquet(landing.toString)
       .withColumn("ts",
         if (schema("ts").dataType == org.apache.spark.sql.types.TimestampType) col("ts")
         else timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming dedup across micro-batches: the same events file lands
+    * twice (two micro-batches via maxFilesPerTrigger=1), and
+    * `dropDuplicatesWithinWatermark` on the event id suppresses the
+    * second copy — the streaming twin of the reference's
+    * duplicate-tolerant upsert (late or re-delivered extracts must not
+    * double-count; SURVEY §2.9). Rows of batch 2 that fall behind the
+    * advancing watermark are dropped as late data — also correct here,
+    * since every batch-2 row is a duplicate by construction. Output:
+    * per-type counts/totals over the deduped stream, equal to the batch
+    * distinct-set aggregate regardless of batch boundaries.
+    *
+    * Scale notes: dedup state is keyed by event_id and bounded by the
+    * watermark horizon (state TTL = delay), not by stream length — the
+    * always-on form of exact dedup; RocksDB state store in production. */
+  def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir, copies = 2)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Exact.Money)).cast(DoubleType).as("total_value"))
+      .orderBy("event_type")
   }
 
   /** Tumbling 1-day totals per event_type over the events fixture,
