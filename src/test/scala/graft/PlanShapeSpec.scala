@@ -63,4 +63,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "Exchange hashpartitioning") === 1,
       s"expected one hash exchange (lang), got:\n$plan")
   }
+
+  test("q74 star join: dims broadcast and the date filter reaches the scan") {
+    val plan = planOf("q74_local_supplier_volume")
+    assert(!plan.contains("SortMergeJoin"),
+      s"Q5-shape join must not sort-merge at this scale:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"orderdate window must push into the orders scan:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must push into the region scan:\n$plan")
+  }
+
+  test("q81 kNN join: query set broadcasts, one shuffle for the top-k window") {
+    val plan = planOf("q81_knn_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query vectors must broadcast (never shuffle the base scan):\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"expected one hash exchange (q_id window), got:\n$plan")
+  }
+
+  test("q76 forward-fill: a single shuffle feeds the running-frame window") {
+    val plan = planOf("q76_forward_fill")
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"expected one hash exchange (user_id), got:\n$plan")
+  }
 }
