@@ -892,6 +892,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ── [ext] stream-stream interval join (purchase→click attribution) ──
+    "q84_stream_interval_join" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoined(s, dir)),
+
+    // ── [ext] NATIVE as-of join: custom LogicalPlan + Strategy + exec ───
+    // (plans.AsOfJoinPlan → sort-merge AsOfJoinExec: co-partition both
+    // sides on the key, sort (key, ts), one merge pass — no union
+    // materialization; q36 is the relational twin of this plan)
+    "q85_asof_native" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.operators.AsOf.asofBackward(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("prev_click_s"))
+        .orderBy("event_id")
+    }),
+
     // ── [north star] pattern mining: regexp_extract_all over documents ──
     "q83_regexp_extract_all" -> ((s, dir) => {
       val longs = regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))
@@ -1590,7 +1612,27 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS INT) AS n_long,
           |  coalesce(regexp_extract_all(text, '[a-z]{7,}')[1], '') AS first_long
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q84_stream_interval_join" ->
+        """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+          |           FROM events WHERE event_type = 'click'),
+          |b AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS bus
+          |      FROM events WHERE event_type = 'purchase')
+          |SELECT buy_id, click_id, bus - cus AS gap_us
+          |FROM b JOIN c ON b.user_id = c.user_id
+          |  AND cus <= bus AND cus >= bus - 3600000000
+          |ORDER BY buy_id, click_id""".stripMargin,
+      "q85_asof_native" ->
+        """SELECT user_id, event_id,
+          |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+          |  strftime(prev_click_ts, '%Y-%m-%d %H:%M:%S') AS prev_click_s
+          |FROM (
+          |  SELECT b.user_id, b.event_id, b.ts,
+          |         (SELECT max(c.ts) FROM events c
+          |          WHERE c.user_id = b.user_id AND c.event_type = 'click'
+          |            AND c.ts <= b.ts) AS prev_click_ts
+          |  FROM events b WHERE b.event_type = 'purchase')
+          |ORDER BY event_id""".stripMargin
     )
   }
 }

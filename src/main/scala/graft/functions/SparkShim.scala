@@ -10,6 +10,17 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame from a raw logical plan (the `private[sql]`
+    * `Dataset.ofRows`) — needed to surface custom logical operators
+    * (e.g. [[graft.plans.AsOfJoinPlan]]) through the public Dataset API. */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan under a Dataset. */
+  def logicalPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
   /** Late (post-build) function registration on a live session — the
     * runtime twin of SparkSessionExtensions.injectFunction. */
   def registerFunctions(

@@ -136,6 +136,41 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** Stream-stream interval join over one branched source: purchases
+    * joined to the same user's clicks from the preceding hour. Both
+    * branches carry a watermark and the join condition bounds click-state
+    * retention (state TTL = watermark delay + interval width) — the
+    * always-on attribution-join shape. Inner stream-stream joins emit
+    * each match in the micro-batch it completes in, so the collected
+    * result equals the batch interval join regardless of batching. */
+  def intervalJoined(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(spark, dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = src.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val joined = buys.join(clicks,
+      col("b_user") === col("c_user") &&
+        col("click_ts") <= col("buy_ts") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+    val name = s"stream_ij_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("buy_id"), col("click_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("buy_id", "click_id")
+  }
+
   /** Tumbling 1-day totals per event_type over the events fixture,
     * executed as a real streaming query into a memory sink, returned as a
     * batch DataFrame for the verify/oracle harness. */
