@@ -37,4 +37,15 @@ class PruneSpec extends SparkSpec {
       .orderBy("event_type").collect()
     assert(q.orderBy("event_type").collect() === expected)
   }
+
+  test("q87 join against a filtered dim prunes fact partitions dynamically") {
+    val df = SparkEntry.queries("q87_dpp_join")(spark, sf0001)
+    val planText = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    // the dim-side isin predicate reaches the fact scan twice: once as a
+    // static inferred partition filter, once as a runtime DPP subquery
+    assert(planText.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning at the fact scan, got:\n$planText")
+    assert(df.count() === 3) // click / purchase / signup groups survive
+  }
 }

@@ -101,6 +101,28 @@ class VectorSpec extends SparkSpec {
     assert(ivf.map(_.getLong(0)).count(bf10) >= 3)
   }
 
+  test("q88 centroid pooling: full dim per label, norm below unit vectors") {
+    val rows = SparkEntry.queries("q88_embed_centroids")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // every label's centroid spans the full embedding dimension
+    assert(rows.forall(_.getLong(1) === 64L))
+    // averaging near-uniform random unit-scale vectors shrinks the norm
+    // well below 1 but never to 0
+    assert(rows.forall { r =>
+      val n = r.getDouble(2); n > 0.0 && n < 1.0
+    })
+  }
+
+  test("q89 int8 quantization: reconstruction error bounded by half an LSB") {
+    val rows = SparkEntry.queries("q89_vec_quantize")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // round-to-nearest symmetric quantization: per-vector max error is at
+    // most 0.5 quantization steps, and positive for any non-lattice input
+    assert(rows.forall { r =>
+      val lsb = r.getDouble(2); lsb > 0.0 && lsb <= 0.5
+    })
+  }
+
   test("multimodal decode stub: per-row features from blob bytes") {
     val docs = Seq((7L, "ab", "en", "web")).toDF("doc_id", "text", "lang", "source")
     val out = Multimodal.decodeFeatures(spark, Multimodal.asMedia(docs)).collect()
