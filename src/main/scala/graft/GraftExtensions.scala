@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{BitAndCount, BitsetOf, CosineSim, HyperplaneSig,
   KMinValues, MinHashSig, ShingleHash, ShingleHashSha, SimHash64,
-  SimHashOf, SimHashSha}
+  SimHashOf, SimHashSha, ZValue}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -75,7 +75,16 @@ object GraftExtensions {
       // return the bare AggregateFunction: the analyzer wraps it and owns
       // DISTINCT/FILTER handling (pre-wrapping toAggregateExpression here
       // would make those variants fail resolution)
-      (args: Seq[Expression]) => KMinValues(args(0), intArg(args(1), "k"))))
+      (args: Seq[Expression]) => KMinValues(args(0), intArg(args(1), "k"))),
+    ("z_value",
+      new ExpressionInfo(classOf[ZValue].getName, "z_value"),
+      // SQL integer literals arrive as INT — widen like a built-in would
+      (args: Seq[Expression]) => ZValue(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.LongType),
+        intArg(args(2), "bits"))))
 
   /** Register on a live session (the extensions hook only runs at session
     * build time). */

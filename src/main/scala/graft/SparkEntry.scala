@@ -1033,6 +1033,63 @@ object SparkEntry {
           when(bucket < 8, "train").when(bucket < 9, "valid").otherwise("test"))
         .select("doc_id", "cluster_id", "split")
         .orderBy("doc_id")
+    }),
+
+    // ── [ext] Z-order (Morton) clustering key — native expression ──────
+    // z_value interleaves (day index, user id) into one sort key; sorting
+    // the layout by it clusters BOTH dimensions, so min/max stats prune
+    // files/row-groups for predicates on EITHER column (ZOrderSpec shows
+    // the locality win vs a date-only sort) — the multi-dimensional form
+    // of the reference's CLUSTER BY symbol. Here the key feeds a coarse
+    // spatial-cell rollup so the oracle replays the exact bit math.
+    "q91_zorder_cells" -> ((s, dir) => {
+      val day = greatest(
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))), lit(0))
+        .cast(LongType)
+      T(s, dir, "events")
+        .withColumn("z", graft.functions.ZValue(
+          day, col("user_id").cast(LongType), 11))
+        .withColumn("cell", shiftright(col("z"), 10))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("cell")
+    }),
+
+    // ── [north star] token-id encoding (text → tensor prep) ────────────
+    // Corpus-frequency vocabulary (top-K by frequency, rank = id, 0 =
+    // UNK; K=16 here so the synthetic corpus' 31-token vocabulary
+    // exercises the UNK path — production would use 50k+) built
+    // once, broadcast to the encode pass: the id-mapping step between raw
+    // text and training tensors. Vocab is a bounded global top-k (one
+    // agg + 1024-row sort), encode is scan + broadcast hash join — no
+    // fact-side shuffle at any corpus size. Output is an exact integer
+    // fingerprint of each doc's id sequence (Σ (pos+1)·id) so the oracle
+    // replays the full encoding, not just counts.
+    "q92_token_ids" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val vocab = docs
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(16)
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+        .select("tok", "id")
+      val enc = docs
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .withColumn("id", coalesce(col("id"), lit(0)))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_unk"),
+          sum((col("pos") + lit(1L)) * col("id")).as("ids_fingerprint"))
+      // zero-token docs produce no exploded rows — reattach with zeros
+      docs.select("doc_id").join(enc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+          coalesce(col("ids_fingerprint"), lit(0L)).as("ids_fingerprint"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1808,7 +1865,32 @@ object SparkEntry {
            |FROM (SELECT doc_id, cluster_id,
            |        ('0x' || substr(sha256(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS m
            |      FROM withc)
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+      "q91_zorder_cells" ->
+        s"""SELECT (z >> 10) AS cell, count(*) AS n, $moneyV AS total_value
+           |FROM (SELECT ${graft.functions.ZValue.oracleSql("dd", "user_id", 11)} AS z, value
+           |      FROM (SELECT greatest(date_diff('day', DATE '2024-01-01',
+           |                                      CAST(ts AS DATE)), 0) AS dd,
+           |                   user_id, value FROM events))
+           |GROUP BY cell ORDER BY cell""".stripMargin,
+      "q92_token_ids" ->
+        s"""WITH vocab AS (
+           |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER) AS id
+           |  FROM (SELECT tok, count(*) AS n
+           |        FROM (SELECT unnest($toks) AS tok FROM documents)
+           |        GROUP BY tok ORDER BY n DESC, tok LIMIT 16)),
+           |tk AS (SELECT doc_id, unnest(range(len($toks))) AS pos,
+           |              unnest($toks) AS tok FROM documents),
+           |enc AS (SELECT t.doc_id, count(*) AS n_tokens,
+           |               CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           |               CAST(sum((t.pos + 1) * coalesce(v.id, 0)) AS BIGINT) AS ids_fingerprint
+           |        FROM tk t LEFT JOIN vocab v ON t.tok = v.tok
+           |        GROUP BY t.doc_id)
+           |SELECT d.doc_id, coalesce(e.n_tokens, 0) AS n_tokens,
+           |       coalesce(e.n_unk, 0) AS n_unk,
+           |       coalesce(e.ids_fingerprint, 0) AS ids_fingerprint
+           |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+           |ORDER BY d.doc_id""".stripMargin
     )
   }
 }

@@ -157,4 +157,20 @@ class TextSpec extends SparkSpec {
     assert(sh(0) === sh(1))
     assert(sh(0) !== sh(2))
   }
+
+  test("q92 token-id encoding: counts, UNK, and zero-token docs") {
+    val rows = SparkEntry.queries("q92_token_ids")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every document appears exactly once, including any zero-token ones
+    val nDocs = Tables.load(spark, sf0001, "documents").count()
+    assert(rows.length === nDocs)
+    rows.foreach { case (_, nTok, nUnk, fp) =>
+      assert(nUnk <= nTok)                 // UNKs are a subset of tokens
+      assert(nTok > 0 || fp === 0L)        // empty doc → zero fingerprint
+      // fingerprint bound: ids ≤ 16 (vocab cap), positions < nTok
+      assert(fp <= 16L * nTok * (nTok + 1) / 2)
+    }
+    // the 16-entry vocab cannot cover the corpus' 31-token vocabulary
+    assert(rows.map(_._3).sum > 0L)
+  }
 }
