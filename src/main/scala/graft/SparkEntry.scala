@@ -1090,6 +1090,30 @@ object SparkEntry {
           coalesce(col("n_unk"), lit(0L)).as("n_unk"),
           coalesce(col("ids_fingerprint"), lit(0L)).as("ids_fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // ── [ext] dynamic partition overwrite (partition-level upsert) ─────
+    // The lakehouse write path for the reference's daily incremental
+    // sync: re-extracted days replace ONLY their own date partitions —
+    // untouched partitions are not rewritten (OverwriteSpec asserts
+    // file identity), so the daily write cost scales with the delta,
+    // not the table. Contrast with q09/q10's row-level join merges.
+    "q93_dynamic_partition_overwrite" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dpo_").toString
+      val e = T(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .select("event_id", "user_id", "value", "event_date")
+      e.write.partitionBy("event_date").mode("overwrite").parquet(tmp)
+      // the Jan 10–14 re-extract arrives with corrected (doubled) values
+      e.filter(col("event_date").between("2024-01-10", "2024-01-14"))
+        .withColumn("value", col("value") * 2)
+        .write.partitionBy("event_date").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date_s"))
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("event_date_s")
     })
   )
 
@@ -1890,7 +1914,15 @@ object SparkEntry {
            |       coalesce(e.n_unk, 0) AS n_unk,
            |       coalesce(e.ids_fingerprint, 0) AS ids_fingerprint
            |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
-           |ORDER BY d.doc_id""".stripMargin
+           |ORDER BY d.doc_id""".stripMargin,
+      "q93_dynamic_partition_overwrite" ->
+        """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date_s,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(CASE WHEN CAST(ts AS DATE)
+          |                       BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+          |                     THEN value * 2 ELSE value END
+          |                AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY event_date_s ORDER BY event_date_s""".stripMargin
     )
   }
 }
