@@ -1058,37 +1058,38 @@ object SparkEntry {
     // ── [north star] token-id encoding (text → tensor prep) ────────────
     // Corpus-frequency vocabulary (top-K by frequency, rank = id, 0 =
     // UNK; K=16 here so the synthetic corpus' 31-token vocabulary
-    // exercises the UNK path — production would use 50k+) built
-    // once, broadcast to the encode pass: the id-mapping step between raw
-    // text and training tensors. Vocab is a bounded global top-k (one
-    // agg + 1024-row sort), encode is scan + broadcast hash join — no
-    // fact-side shuffle at any corpus size. Output is an exact integer
-    // fingerprint of each doc's id sequence (Σ (pos+1)·id) so the oracle
-    // replays the full encoding, not just counts.
+    // exercises the UNK path — production would use 50k+). The vocab is
+    // a bounded global top-K (one map-side-combined agg, K-row sort) and
+    // comes back to the driver as a plan PARAMETER — like a query vector
+    // or centroid matrix — embedded as a map literal. The encode pass is
+    // then pure per-row expression work inside the scan's codegen:
+    // NO explode, NO shuffle, NO join of the fact table at any corpus
+    // size (the naive explode → re-group → join-back plan shuffles
+    // every token twice). Output is an exact integer fingerprint of each
+    // doc's id sequence (Σ (pos+1)·id) so the oracle replays the full
+    // encoding, not just counts.
     "q92_token_ids" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val vocab = docs
+      val vocabRows = docs
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(16)
-        .withColumn("id",
-          row_number().over(Window.orderBy(col("n").desc, col("tok"))))
-        .select("tok", "id")
-      val enc = docs
-        .select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-        .join(broadcast(vocab), Seq("tok"), "left")
-        .withColumn("id", coalesce(col("id"), lit(0)))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_tokens"),
-          sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_unk"),
-          sum((col("pos") + lit(1L)) * col("id")).as("ids_fingerprint"))
-      // zero-token docs produce no exploded rows — reattach with zeros
-      docs.select("doc_id").join(enc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("n_unk"), lit(0L)).as("n_unk"),
-          coalesce(col("ids_fingerprint"), lit(0L)).as("ids_fingerprint"))
+        .select("tok").collect().map(_.getString(0)) // bounded by K
+      val vocabMap = map(vocabRows.zipWithIndex.flatMap {
+        case (tok, i) => Seq(lit(tok), lit(i + 1))
+      }.toIndexedSeq: _*)
+      val tk = TextOps.tokens(col("text"))
+      // ANSI: element_at throws on a missing map key — try_ probes it
+      val idOf = (t: Column) =>
+        coalesce(try_element_at(vocabMap, t), lit(0)).cast(LongType)
+      docs.select(col("doc_id"),
+          size(tk).cast(LongType).as("n_tokens"),
+          size(filter(tk, t => idOf(t) === 0L)).cast(LongType).as("n_unk"),
+          // sequence(1, 0) infers step -1 → [1, 0]; guard the empty doc
+          when(size(tk) === 0, lit(0L)).otherwise(aggregate(
+            zip_with(tk, sequence(lit(1L), size(tk).cast(LongType)),
+              (t, pos) => pos * idOf(t)),
+            lit(0L), (acc, x) => acc + x)).as("ids_fingerprint"))
         .orderBy("doc_id")
     }),
 
@@ -1114,7 +1115,18 @@ object SparkEntry {
         .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date_s"))
         .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total_value"))
         .orderBy("event_date_s")
-    })
+    }),
+
+    // ── [ext] one-pass data-quality audit (the reference's test-layer
+    // assertions as an engine operator: N constraints = N conditional
+    // counts in ONE scan, not N scans; NULL predicate counts as fail) ──
+    "q94_quality_audit" -> ((s, dir) =>
+      graft.ops.Audit.audit(T(s, dir, "lineitem"), Seq(
+        "l_quantity_le_25" -> (col("l_quantity") <= 25),
+        "l_discount_le_5pct" -> col("l_discount").between(0, 0.05),
+        "l_shipdate_not_null" -> col("l_shipdate").isNotNull,
+        "l_extendedprice_positive" -> (col("l_extendedprice") > 0),
+        "l_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"))))
   )
 
 
@@ -1922,7 +1934,21 @@ object SparkEntry {
           |                       BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
           |                     THEN value * 2 ELSE value END
           |                AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-          |FROM events GROUP BY event_date_s ORDER BY event_date_s""".stripMargin
+          |FROM events GROUP BY event_date_s ORDER BY event_date_s""".stripMargin,
+      "q94_quality_audit" -> {
+        val checks = Seq(
+          "l_quantity_le_25" -> "l_quantity <= 25",
+          "l_discount_le_5pct" -> "l_discount BETWEEN 0 AND 0.05",
+          "l_shipdate_not_null" -> "l_shipdate IS NOT NULL",
+          "l_extendedprice_positive" -> "l_extendedprice > 0",
+          "l_returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')")
+        checks.map { case (name, pred) =>
+          s"""SELECT '$name' AS check_name,
+             |  CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             |  CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+      }
     )
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Exact, Merge, Transforms, Watermark}
+import graft.ops.{Audit, Dedup, Exact, Merge, Transforms, Watermark}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -162,5 +162,16 @@ class OpsSpec extends SparkSpec {
     val Row(rev: Double) = df.agg(Exact.revenueSum(col("price"), col("disc"))).head()
     // 100.10*0.95 + 200.20*0.90 = 95.095 + 180.18 = 275.275
     assert(rev === 275.275)
+  }
+
+  test("audit: all checks in one pass, NULL predicate counts as failure") {
+    val df = Seq((Option(1), "a"), (None, "b"), (Option(-1), null))
+      .toDF("x", "s")
+    val rep = Audit.audit(df, Seq(
+        "x_pos" -> (col("x") > 0),
+        "s_not_null" -> col("s").isNotNull))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // x > 0: NULL x is not proven positive → failure, like the -1 row
+    assert(rep === Array(("s_not_null", 2L, 1L), ("x_pos", 1L, 2L)))
   }
 }
