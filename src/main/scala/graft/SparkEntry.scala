@@ -862,8 +862,12 @@ object SparkEntry {
       val b = d.select(col("doc_id").as("id_b"), col("lang"), col("bkt"),
         col("pfx").as("pfx_b"))
       a.join(b, Seq("lang", "bkt")).filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")).cast(LongType))
-        .filter(col("dist") <= 6)
+        // bounded form: banded DP costs O(threshold·n) per pair instead
+        // of O(n²) and returns -1 above the bound — at corpus scale the
+        // per-pair constant IS the join cost
+        .withColumn("dist",
+          levenshtein(col("pfx_a"), col("pfx_b"), 6).cast(LongType))
+        .filter(col("dist") >= 0)
         .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
     }),
 
@@ -1126,7 +1130,11 @@ object SparkEntry {
         "l_discount_le_5pct" -> col("l_discount").between(0, 0.05),
         "l_shipdate_not_null" -> col("l_shipdate").isNotNull,
         "l_extendedprice_positive" -> (col("l_extendedprice") > 0),
-        "l_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"))))
+        "l_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")))),
+
+    // ── [ext] stream-static broadcast enrichment (stateless lookup) ────
+    "q95_stream_enrich" -> ((s, dir) =>
+      graft.streaming.EventStream.enrichedTotals(s, dir))
   )
 
 
@@ -1948,7 +1956,15 @@ object SparkEntry {
              |  CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
              |FROM lineitem""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
-      }
+      },
+      "q95_stream_enrich" ->
+        """SELECT event_type, weight, count(*) AS n,
+          |  CAST(sum(CAST(value * weight AS DECIMAL(18,2))) AS DOUBLE) AS weighted_value
+          |FROM events
+          |JOIN (VALUES ('click', 1), ('view', 0), ('purchase', 5),
+          |             ('signup', 3), ('logout', 0))
+          |  AS dim(event_type, weight) USING (event_type)
+          |GROUP BY event_type, weight ORDER BY event_type""".stripMargin
     )
   }
 }

@@ -136,6 +136,38 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** Stream-static broadcast enrichment: every micro-batch hash-joins
+    * against a static dimension that is re-planned (and re-broadcast)
+    * per batch — the standard lookup/enrichment shape. Unlike
+    * stream-stream joins this keeps NO state: cost is flat regardless
+    * of stream length, and the dim can change between batches (a
+    * slowly-changing lookup). No stream-side shuffle either — the
+    * broadcast hash join pipelines inside the scan. Output: per-type
+    * weighted totals over the enriched stream; decimal sums make the
+    * result equal to the batch join regardless of batch boundaries. */
+  def enrichedTotals(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.createDataFrame(Seq(
+        ("click", 1), ("view", 0), ("purchase", 5), ("signup", 3),
+        ("logout", 0)))
+      .toDF("event_type", "weight")
+    val enriched = eventsStream(spark, dir)
+      .join(broadcast(dim), "event_type")
+      .withColumn("weighted", col("value") * col("weight"))
+    val name = s"stream_enrich_${System.nanoTime()}"
+    val q = enriched.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type", "weight")
+      .agg(count(lit(1)).as("n"),
+        sum(col("weighted").cast(Exact.Money)).cast(DoubleType).as("weighted_value"))
+      .orderBy("event_type")
+  }
+
   /** Stream-stream interval join over one branched source: purchases
     * joined to the same user's clicks from the preceding hour. Both
     * branches carry a watermark and the join condition bounds click-state
