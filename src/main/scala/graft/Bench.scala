@@ -52,6 +52,11 @@ object Bench {
       val cut = name.indexOf('_')
       if (cut > 0) name.substring(0, cut) else name
     }
+    // two queries sharing a qNN prefix would emit duplicate JSON keys and
+    // one timing would be silently dropped by any parser — fail instead
+    require(results.keys.map(shortKey).toSet.size == results.size,
+      "duplicate short query keys in bench output: " +
+        results.keys.groupBy(shortKey).filter(_._2.size > 1).keys.mkString(", "))
     val qs = results.map { case (k, v) =>
       s"\"" + shortKey(k) + "\":" + (math.rint(v * 1000) / 1000)
     }.mkString("{", ",", "}")

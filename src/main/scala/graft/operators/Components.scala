@@ -29,16 +29,20 @@ object Components {
     *        component structure is solved by driver-side union-find
     *        instead of the iterative join loop. A near-dup pair graph is
     *        orders of magnitude smaller than the corpus that produced it
-    *        (it is the *output* of the LSH filter), so even a 100 TB
-    *        corpus rarely yields more than a few 10^7 pairs — two longs
-    *        per edge on the driver — while the join loop costs several
-    *        scheduler round-trips per iteration regardless of size. Above
-    *        the threshold the distributed loop takes over unchanged. Both
-    *        paths produce identical labels (asserted in SketchSpec).
+    *        (it is the *output* of the LSH filter), while the join loop
+    *        costs several scheduler round-trips per iteration regardless
+    *        of size. Driver memory at the threshold: edges stream through
+    *        `toLocalIterator` (one partition resident at a time), so the
+    *        held state is the DISTINCT-node map (boxed id → int) plus an
+    *        int parent array — ~100 B per distinct node, edge count only
+    *        bounds it. 1M edges ⇒ ≤2M nodes ⇒ ≤200 MB worst case, far
+    *        under a default 4 GB driver. Above the threshold the
+    *        distributed loop takes over unchanged. Both paths produce
+    *        identical labels (asserted in SketchSpec).
     * @return (id, cluster_id) — cluster_id = smallest member id */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b", maxIter: Int = 20,
-                          driverThreshold: Long = 5000000L): DataFrame = {
+                          driverThreshold: Long = 1000000L): DataFrame = {
     // materialize the symmetrized edge list once — it is re-joined every
     // round, and without this the upstream pair pipeline (shingling,
     // banding, verification) re-executes per iteration
@@ -115,7 +119,6 @@ object Components {
     import org.apache.spark.sql.expressions.Window
     val spark = sym.sparkSession
     val idType = sym.schema("src").dataType
-    val rows = sym.collect()
     val index = scala.collection.mutable.HashMap.empty[Any, Int]
     val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
     def idx(v: Any): Int =
@@ -126,7 +129,10 @@ object Components {
       while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
       x
     }
-    rows.foreach { r =>
+    // stream edges instead of collect(): only one partition of Rows is
+    // resident at a time, so driver heap holds the distinct-node state,
+    // not the full boxed edge list
+    sym.toLocalIterator().forEachRemaining { r =>
       val a = idx(r.get(0)); val b = idx(r.get(1))
       while (parent.length < nodes.length) parent += parent.length
       val ra = find(a); val rb = find(b)

@@ -20,18 +20,22 @@ object Audit {
 
   def audit(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")
-    val aggs = checks.flatMap { case (name, pred) =>
+    // aggregate columns get positional generated names (c0_pass, c0_total,
+    // …), never the user-supplied check name: a name containing '.' or '`'
+    // would otherwise be re-parsed as a nested-field reference when the
+    // report selects it back
+    val aggs = checks.zipWithIndex.flatMap { case ((_, pred), i) =>
       Seq(
-        sum(when(pred, 1L).otherwise(0L)).as(s"${name}__pass"),
-        count(lit(1)).as(s"${name}__total"))
+        sum(when(pred, 1L).otherwise(0L)).as(s"c${i}_pass"),
+        count(lit(1)).as(s"c${i}_total"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val reportRows = checks.map { case (name, _) =>
+    val reportRows = checks.zipWithIndex.map { case ((name, _), i) =>
       struct(
         lit(name).as("check_name"),
-        coalesce(col(s"${name}__pass"), lit(0L)).as("n_pass"),
-        (coalesce(col(s"${name}__total"), lit(0L)) -
-          coalesce(col(s"${name}__pass"), lit(0L))).as("n_fail"))
+        coalesce(col(s"c${i}_pass"), lit(0L)).as("n_pass"),
+        (coalesce(col(s"c${i}_total"), lit(0L)) -
+          coalesce(col(s"c${i}_pass"), lit(0L))).as("n_fail"))
     }
     one.select(explode(array(reportRows: _*)).as("c"))
       .select(col("c.check_name"), col("c.n_pass"), col("c.n_fail"))

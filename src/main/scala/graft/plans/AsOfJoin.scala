@@ -111,17 +111,31 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var matchedTs = 0L
         private var nextRight: InternalRow = _ // lookahead (copied)
         private var nextRightKey: InternalRow = _
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            nextRight = rIter.next().copy()
-            nextRightKey = rKeyProj(nextRight).copy()
-          } else { nextRight = null; nextRightKey = null }
+        // NULL keys and NULL timestamps never satisfy `rKey = lKey AND
+        // rTs <= lTs` under SQL comparison semantics, so such right rows
+        // are dropped on read (mirrors equi-join build-side behavior)
+        private def advanceRight(): Unit = {
+          nextRight = null; nextRightKey = null
+          while (nextRight == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyProj(r)
+            if (!k.anyNull && !rTsProj(r).isNullAt(0)) {
+              nextRight = r.copy()
+              nextRightKey = k.copy()
+            }
+          }
+        }
         advanceRight()
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
+          // a NULL left key or timestamp can't match any right row, but the
+          // row itself is still emitted (left outer contract) with null
+          // right columns, without disturbing the merge state
+          if (lKey.anyNull || lTsProj(l).isNullAt(0))
+            return out(joined(l, nullRight))
           val lTsV = lTsProj(l).getLong(0)
           // drop buffered/lookahead rows from key groups before the left key
           if (matchedRight != null && keyOrd.compare(rKeyProj(matchedRight), lKey) != 0)

@@ -76,6 +76,27 @@ class AsOfSpec extends SparkSpec {
     assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty)
   }
 
+  test("NULL keys and NULL timestamps never match (SQL comparison semantics)") {
+    // right side: a NULL ts (must not read as epoch-0 "very old" match) and
+    // a NULL key (must not match a NULL left key)
+    val q = Seq(
+      (Option("A"), Option(ts("2024-01-01 10:00:00")), 1.0),
+      (Option("A"), Option.empty[java.sql.Timestamp], 99.0),
+      (Option.empty[String], Option(ts("2024-01-01 08:00:00")), 98.0)
+    ).toDF("q_sym", "q_ts", "px")
+    val t = Seq(
+      (Option("A"), Option(ts("2024-01-01 09:00:00")), 200L), // only NULL-ts quote precedes → no match
+      (Option("A"), Option(ts("2024-01-01 11:00:00")), 201L), // real 10:00 quote wins; NULL-ts ignored
+      (Option.empty[String], Option(ts("2024-01-01 12:00:00")), 202L), // NULL key → no match even vs NULL-key quote
+      (Option("A"), Option.empty[java.sql.Timestamp], 203L)   // NULL left ts → no match
+    ).toDF("sym", "t_ts", "trade_id")
+    val got = AsOf.asofBackward(t, q, Seq("sym"), Seq("q_sym"), "t_ts", "q_ts")
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(got === Map(200L -> null, 201L -> 1.0, 202L -> null, 203L -> null))
+  }
+
   test("physical plan: two shuffles, two sorts, one AsOfJoinExec merge") {
     val plan = AsOf.asofBackward(trades, quotes,
         Seq("sym"), Seq("q_sym"), "t_ts", "q_ts")
