@@ -43,13 +43,16 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b", maxIter: Int = 20,
                           driverThreshold: Long = 1000000L): DataFrame = {
-    // materialize the symmetrized edge list once — it is re-joined every
-    // round, and without this the upstream pair pipeline (shingling,
-    // banding, verification) re-executes per iteration
-    val sym0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // materialize the edge list once BEFORE symmetrizing — the union's two
+    // branches would otherwise each execute the upstream pair pipeline
+    // (shingling, banding, verification), doubling its cost; the swap is
+    // a free projection over the checkpointed blocks. Materialization also
+    // keeps the pipeline from re-executing per iteration (it is re-joined
+    // every round).
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
-    val nEdges = sym0.count() // free: sym0 is already materialized
+    val sym0 = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val nEdges = 2L * e0.count() // free: e0 is already materialized
     if (nEdges <= driverThreshold) return driverComponents(sym0)
     // Size the loop's parallelism to the EDGE list, not the session
     // default: near-dup edges are orders of magnitude fewer rows than the

@@ -23,6 +23,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EventStream {
 
+  /** Stateful operators allocate one state store per shuffle partition,
+    * and every micro-batch commits a delta file per store — so a
+    * stream-stream join (4 stores/partition) under the batch session's
+    * 32 shuffle partitions pays 128 state commits per batch for a few
+    * thousand keys of state. The partition count is pinned in the offset
+    * log at query START, so it is a per-query sizing decision, not a
+    * session one: size it to state volume (keys × bytes / target
+    * partition size), independent of the batch default. A 100 TB
+    * deployment sizes UP for the same reason this sizes down. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+  private val StatePartitions = 8
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
                             user_id: Long, event_type: String, value: Double)
   final case class UserWatermark(user_id: Long, latest_epoch_day: Long)
@@ -46,13 +63,15 @@ object EventStream {
       .as[EventRow]
     val updated = watermarkState(stream)
     val name = s"stream_wm_${System.nanoTime()}"
-    val q = updated.toDF().writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, StatePartitions) {
+      val q = updated.toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // multiple micro-batches may emit a key repeatedly; last write wins
     spark.table(name)
       .groupBy("user_id")
@@ -122,13 +141,15 @@ object EventStream {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
     val name = s"stream_dedup_${System.nanoTime()}"
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, StatePartitions) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -190,13 +211,15 @@ object EventStream {
         col("click_ts") <= col("buy_ts") &&
         col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
     val name = s"stream_ij_${System.nanoTime()}"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, StatePartitions) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(col("buy_id"), col("click_id"),
         (unix_micros(col("buy_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
@@ -211,13 +234,15 @@ object EventStream {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast(Exact.Money)).as("tv"))
     val name = s"stream_daily_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, StatePartitions) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(to_date(col("w.start")).as("event_date"), col("event_type"),
         col("n"), col("tv").cast(DoubleType).as("total_value"))
