@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.{Multimodal, Similarity, TextDedup}
+import graft.operators.{Corpus, Multimodal, Similarity, TextDedup}
 import graft.ops.{Dedup, Exact, Merge, Watermark}
 import graft.pipeline.Sync
 import org.apache.spark.sql.expressions.Window
@@ -1134,7 +1134,49 @@ object SparkEntry {
 
     // ── [ext] stream-static broadcast enrichment (stateless lookup) ────
     "q95_stream_enrich" -> ((s, dir) =>
-      graft.streaming.EventStream.enrichedTotals(s, dir))
+      graft.streaming.EventStream.enrichedTotals(s, dir)),
+
+    // ── [north star] sequence packing: fixed token-budget packs per lang
+    "q96_sequence_pack" -> ((s, dir) =>
+      Corpus.packSequences(T(s, dir, "documents"), "doc_id", "text",
+        groupCol = "lang", tokenBudget = 512)
+        .orderBy("lang", "pack_id")),
+
+    // ── [north star] context-window chunking (overlap = size - stride) ─
+    "q97_chunk_windows" -> ((s, dir) =>
+      Corpus.chunk(T(s, dir, "documents"), "doc_id", "text",
+        size = 200, stride = 150)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ── [north star] PII redaction + audit counts. The fixture text is
+    // PII-free, so a deterministic dirty column (email + numeric ref
+    // derived from doc_id) is synthesized first; the oracle replays the
+    // same construct → redact → count pipeline byte-for-byte ───────────
+    "q98_pii_redact" -> ((s, dir) => {
+      val dirty = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast(StringType), lit("@mail.example.com ref "),
+          (col("doc_id") * 7919 + 1000000).cast(StringType)).as("dirty"))
+      Corpus.redactPii(dirty, "doc_id", "dirty").orderBy("doc_id")
+    }),
+
+    // ── [north star] repetition quality gate (dup word/bigram fractions)
+    "q99_repetition_filter" -> ((s, dir) =>
+      Corpus.repetitionStats(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── [north star] incremental batch-vs-corpus dedup: the daily
+    // re-extract guard on a corpus (batch = every 7th doc re-crawled,
+    // every 3rd of those genuinely changed → only changed rows survive)
+    "q100_incremental_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      Corpus.dedupAgainstCorpus(docs, batch, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    })
   )
 
 
@@ -1964,7 +2006,69 @@ object SparkEntry {
           |JOIN (VALUES ('click', 1), ('view', 0), ('purchase', 5),
           |             ('signup', 3), ('logout', 0))
           |  AS dim(event_type, weight) USING (event_type)
-          |GROUP BY event_type, weight ORDER BY event_type""".stripMargin
+          |GROUP BY event_type, weight ORDER BY event_type""".stripMargin,
+      "q96_sequence_pack" ->
+        s"""WITH tk AS (SELECT lang, doc_id,
+           |              CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+           |c AS (SELECT lang, doc_id, n_tokens,
+           |        coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+           |      FROM tk)
+           |SELECT lang, CAST(floor(tokens_before / 512) AS BIGINT) AS pack_id,
+           |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+      "q97_chunk_windows" ->
+        """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          |       substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+          |FROM (SELECT doc_id, text,
+          |        unnest(range(0, greatest((length(text) - 1) // 150, 0) + 1)) AS i
+          |      FROM documents WHERE length(text) > 0)
+          |ORDER BY doc_id, chunk_idx""".stripMargin,
+      "q98_pii_redact" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        s"""WITH d AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |       || '@mail.example.com ref '
+           |       || CAST(doc_id * 7919 + 1000000 AS VARCHAR) AS dirty
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(dirty, '$email', '<EMAIL>', 'g'),
+           |                 '[0-9]{6,}', '<ID>', 'g') AS redacted,
+           |  CAST(len(regexp_extract_all(dirty, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(
+           |    regexp_replace(dirty, '$email', '<EMAIL>', 'g'),
+           |    '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
+           |FROM d ORDER BY doc_id""".stripMargin
+      },
+      "q99_repetition_filter" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |bg AS (SELECT doc_id, toks,
+           |         CASE WHEN len(toks) >= 2
+           |           THEN list_transform(range(1, len(toks)),
+           |                               i -> toks[i] || ' ' || toks[i+1])
+           |           ELSE CAST([] AS VARCHAR[]) END AS bigrams
+           |       FROM tk),
+           |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(toks) > 0
+           |    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           |    ELSE 0.0 END AS dup_word_frac,
+           |  CASE WHEN len(bigrams) > 0
+           |    THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / CAST(len(bigrams) AS DOUBLE)
+           |    ELSE 0.0 END AS dup_bigram_frac
+           |  FROM bg)
+           |SELECT doc_id, n_tokens, dup_word_frac, dup_bigram_frac,
+           |       (dup_word_frac <= 0.4 AND dup_bigram_frac <= 0.25) AS keep
+           |FROM st ORDER BY doc_id""".stripMargin,
+      "q100_incremental_dedup" ->
+        """WITH batch AS (
+          |  SELECT doc_id + 1000000 AS doc_id,
+          |         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |ck AS (SELECT DISTINCT ('0x' || substr(sha256(text), 1, 15))::BIGINT AS k
+          |       FROM documents)
+          |SELECT doc_id FROM batch
+          |WHERE ('0x' || substr(sha256(text), 1, 15))::BIGINT NOT IN (SELECT k FROM ck)
+          |ORDER BY doc_id""".stripMargin
     )
   }
 }

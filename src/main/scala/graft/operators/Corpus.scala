@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-corpus preparation operators (north-star LLM-pipeline surface;
+  * no reference implementation — SURVEY.md §2.10). These are the steps that
+  * sit between "deduped documents" and "tensors on a training host":
+  * sequence packing, context-window chunking, PII redaction, repetition
+  * quality filtering, and incremental batch-vs-corpus dedup (the
+  * reference's daily re-extract upsert pattern, `postgres_sync.py:205`,
+  * applied to a document corpus instead of a price table).
+  *
+  * Scale design: chunking / redaction / repetition are pure per-row
+  * expression trees — zero shuffle, they pipeline inside the scan's
+  * whole-stage codegen at any corpus size. Packing shuffles once on the
+  * pack-group key and never builds a global ordering. Incremental dedup is
+  * one hash equi-join whose build side is the (small) daily batch.
+  */
+object Corpus {
+
+  /** Greedy sequence packing: assign documents to fixed token-budget packs.
+    *
+    * Documents are packed *within* a group key (language/source/shard —
+    * packs never straddle groups, which is also what keeps this scalable:
+    * the running sum is a window over the group partition, one shuffle,
+    * no global total order; at 100 TB pack groups are thousands of
+    * (source, shard) cells, each a few GB). Order within a group is the
+    * deterministic id order, so re-runs produce identical packs.
+    *
+    * A document whose tokens cross the boundary opens the next pack
+    * (cumulative-sum bucketing): pack_id = floor(tokens_before / budget).
+    * Packs can overflow by at most one document — the standard
+    * approximation that avoids per-pack sequential state.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, tokenBudget: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(groupCol), col(idCol),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / tokenBudget))
+      .groupBy(col(groupCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+  }
+
+  /** Context-window chunking: overlapping character windows of `size` at
+    * `stride` offsets — the retrieval/long-doc-training splitter. Chunk i
+    * covers [i*stride, i*stride+size); the last chunk starts at the last
+    * stride offset that still lands inside the text. Empty docs yield no
+    * chunks. posexplode keeps the offset as chunk_idx (UDTF shape).
+    * Per-row generate + substring: no shuffle, scan-pipelined. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val n = length(col(textCol))
+    val offsets = when(n > 0,
+      sequence(lit(0), floor((n - 1) / stride).cast(IntegerType)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    docs
+      .select(col(idCol), col(textCol), posexplode(offsets).as(Seq("chunk_idx", "off")))
+      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        substring(col(textCol), col("off") * stride + 1, lit(size)).as("chunk"))
+  }
+
+  /** Email-address pattern shared by the redactor and its tests. Kept to
+    * syntax RE2 and java.util.regex agree on (no backrefs/lookaround) so
+    * the DuckDB oracle replays it byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (ids, phone fragments, account numbers). */
+  val DigitRunRe = "[0-9]{6,}"
+
+  /** PII redaction: replace emails and long digit runs with typed
+    * placeholders and count what was removed (the audit trail a data-
+    * governance pass needs). Order matters: emails first, so their
+    * digit-bearing local parts don't get half-eaten by the digit rule.
+    * Pure regexp expression work — shuffle-free at any scale. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        DigitRunRe, "<ID>").as("redacted"),
+      regexp_count(col(textCol), lit(EmailRe)).cast(LongType).as("n_emails"),
+      regexp_count(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        lit(DigitRunRe)).cast(LongType).as("n_digit_runs"))
+
+  /** Gopher-style repetition signals: duplicate-word fraction and
+    * duplicate-bigram fraction (1 - distinct/total), plus a keep flag.
+    * Both are array-expression work over the token list — linear per row,
+    * no explode, no shuffle; the whole quality gate runs inside the scan.
+    * Exact integer ratios divide reproducibly across engines. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      maxDupWordFrac: Double = 0.4,
+                      maxDupBigramFrac: Double = 0.25): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    def dupFrac(arr: org.apache.spark.sql.Column) =
+      when(size(arr) > 0,
+        lit(1.0) - size(array_distinct(arr)).cast(DoubleType) /
+          size(arr).cast(DoubleType))
+        .otherwise(lit(0.0))
+    docs.select(
+      col(idCol),
+      size(toks).cast(LongType).as("n_tokens"),
+      dupFrac(toks).as("dup_word_frac"),
+      dupFrac(bigrams).as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= maxDupWordFrac &&
+          col("dup_bigram_frac") <= maxDupBigramFrac)
+  }
+
+  /** Incremental dedup: drop batch rows whose content already exists in
+    * the corpus — the daily-re-extract guard (reference skips symbols
+    * whose watermark is current; a corpus skips documents whose text it
+    * already holds). Left-anti hash join on the 60-bit sha content key:
+    * the batch (small, one day's crawl) is the streamed side and Spark
+    * broadcasts the smaller side under AQE; corpus text never moves, only
+    * its 8-byte hashes. */
+  def dedupAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    // 60-bit sha content key (first 15 hex chars of sha256, base-16) —
+    // the repo-wide cross-engine hash (see graft.functions.Sha60): an
+    // 8-byte shuffle key the DuckDB oracle reproduces bit-for-bit.
+    val key = conv(substring(sha2(col(textCol), 256), 1, 15), 16, 10)
+      .cast(LongType)
+    val corpusKeys = corpus.select(key.as("content_key")).distinct()
+    batch.withColumn("content_key", key)
+      .join(corpusKeys, Seq("content_key"), "left_anti")
+      .drop("content_key")
+  }
+}

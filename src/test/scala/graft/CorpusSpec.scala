@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-corpus preparation surface
+  * ([[graft.operators.Corpus]]): sequence packing, chunking, PII
+  * redaction, repetition gating, incremental batch-vs-corpus dedup. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences assigns cumulative-sum packs per group, overflow opens next pack") {
+    // group g: doc 1 (3 tok), doc 2 (4 tok), doc 3 (2 tok), budget 5:
+    //   doc 1 before=0 -> pack 0; doc 2 before=3 -> pack 0 (overflows to 7);
+    //   doc 3 before=7 -> pack 1. Group h packs independently.
+    val docs = Seq(
+      (1L, "a b c", "g"), (2L, "d e f g", "g"), (3L, "h i", "g"),
+      (4L, "x y z w v", "h")).toDF("doc_id", "text", "lang")
+    val out = Corpus.packSequences(docs, "doc_id", "text", "lang", 5)
+      .orderBy("lang", "pack_id")
+    assert(rowsOf(out) === Seq(
+      Seq("g", 0L, 2L, 7L),
+      Seq("g", 1L, 1L, 2L),
+      Seq("h", 0L, 1L, 5L)))
+  }
+
+  test("packSequences is deterministic under input shuffling") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = Corpus.packSequences(docs, "doc_id", "text", "lang", 512)
+    val b = Corpus.packSequences(docs.orderBy(rand(7)), "doc_id", "text", "lang", 512)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("chunk produces stride-offset windows; last chunk short; empty doc none") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    // size=4, stride=3 over 10 chars -> offsets 0,3,6,9
+    val out = Corpus.chunk(docs, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+    assert(rowsOf(out) === Seq(
+      Seq(1L, 0L, "abcd"), Seq(1L, 1L, "defg"),
+      Seq(1L, 2L, "ghij"), Seq(1L, 3L, "j")))
+  }
+
+  test("chunk offsets never start past the text end") {
+    // length 9 = exactly 3 strides: last offset must be 6, not 9
+    val docs = Seq((1L, "abcdefghi")).toDF("doc_id", "text")
+    val out = Corpus.chunk(docs, "doc_id", "text", size = 4, stride = 3)
+    assert(out.count() === 3)
+  }
+
+  test("redactPii replaces emails before digit runs and counts both") {
+    val docs = Seq((1L, "mail bob.smith+x@corp.example.org ref 12345678 ok"),
+                   (2L, "clean text")).toDF("doc_id", "text")
+    val out = Corpus.redactPii(docs, "doc_id", "text").orderBy("doc_id")
+    assert(rowsOf(out) === Seq(
+      Seq(1L, "mail <EMAIL> ref <ID> ok", 1L, 1L),
+      Seq(2L, "clean text", 0L, 0L)))
+  }
+
+  test("redactPii leaves short digit runs alone") {
+    val Row(_, red: String, _, runs: Long) =
+      Corpus.redactPii(Seq((1L, "v1 build 12345 x")).toDF("doc_id", "text"),
+        "doc_id", "text").head()
+    assert(red === "v1 build 12345 x" && runs === 0L)
+  }
+
+  test("repetitionStats computes dup fractions and keep flag") {
+    val docs = Seq(
+      (1L, "a a a a"),           // 4 tokens, 1 distinct -> dup 0.75; bigrams "a a" x3 -> dup 2/3
+      (2L, "a b c d"),           // all distinct -> 0.0 / 0.0
+      (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(docs, "doc_id", "text").orderBy("doc_id")
+    assert(rowsOf(out) === Seq(
+      Seq(1L, 4L, 0.75, 1.0 - 1.0 / 3.0, false), // = 0.666…67: the engine computes 1 - d/t, not d'/t
+      Seq(2L, 4L, 0.0, 0.0, true),
+      Seq(3L, 0L, 0.0, 0.0, true)))
+  }
+
+  test("dedupAgainstCorpus drops exact re-extracts, keeps changed docs") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val batch = Seq((11L, "alpha"), (12L, "beta v2"), (13L, "delta"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dedupAgainstCorpus(corpus, batch, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+    assert(rowsOf(out) === Seq(Seq(12L), Seq(13L)))
+  }
+
+  test("dedupAgainstCorpus is idempotent: re-running against corpus+batch drops everything") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((11L, "alpha"), (12L, "new")).toDF("doc_id", "text")
+    val merged = corpus.unionByName(
+      Corpus.dedupAgainstCorpus(corpus, batch, "doc_id", "text"))
+    assert(Corpus.dedupAgainstCorpus(merged, batch, "doc_id", "text").isEmpty)
+  }
+}

@@ -87,4 +87,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "Exchange hashpartitioning") === 1,
       s"expected one hash exchange (user_id), got:\n$plan")
   }
+
+  test("q97/q98/q99 per-row corpus ops: zero shuffle before the output sort") {
+    // chunking, PII redaction, and repetition gating are scan-pipelined
+    // expression work — any hash exchange means a regression broke the
+    // 100 TB story (the final orderBy's range exchange is the only one)
+    for (q <- Seq("q97_chunk_windows", "q98_pii_redact", "q99_repetition_filter")) {
+      val plan = planOf(q)
+      assert(countOf(plan, "Exchange hashpartitioning") === 0,
+        s"$q must not shuffle:\n$plan")
+    }
+  }
+
+  test("q96 sequence packing: one hash exchange shared by window and agg") {
+    val plan = planOf("q96_sequence_pack")
+    // the running-sum window partitions by lang and the pack aggregation
+    // groups by (lang, pack_id) — the agg reuses the window's clustering
+    // only partially, so allow the partial-agg exchange but nothing more
+    assert(countOf(plan, "Exchange hashpartitioning") <= 2,
+      s"packing grew extra shuffles:\n$plan")
+  }
+
+  test("q100 incremental dedup: batch-vs-corpus anti join, no text shuffle") {
+    val plan = planOf("q100_incremental_dedup")
+    assert(plan.contains("LeftAnti"),
+      s"corpus guard must be an anti join:\n$plan")
+  }
 }
