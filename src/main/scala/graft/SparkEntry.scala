@@ -1176,6 +1176,16 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Corpus.dedupAgainstCorpus(docs, batch, "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // ── [north star] composed curation pipeline: repetition gate →
+    // exact dedup → 4-gram decontamination vs the src0 eval set →
+    // deterministic per-lang cap → per-lang kept-docs/kept-tokens summary
+    "q101_curate_pipeline" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Corpus.curate(d.filter(col("source") =!= "src0"), "doc_id", "text",
+        groupCol = "lang", evalSet = d.filter(col("source") === "src0"),
+        capPerGroup = 40).orderBy("lang")
     })
   )
 
@@ -2068,7 +2078,48 @@ object SparkEntry {
           |       FROM documents)
           |SELECT doc_id FROM batch
           |WHERE ('0x' || substr(sha256(text), 1, 15))::BIGINT NOT IN (SELECT k FROM ck)
-          |ORDER BY doc_id""".stripMargin
+          |ORDER BY doc_id""".stripMargin,
+      "q101_curate_pipeline" ->
+        s"""WITH tk AS (SELECT doc_id, lang, text, $toks AS toks
+           |            FROM documents WHERE source <> 'src0'),
+           |bg AS (SELECT *, CASE WHEN len(toks) >= 2
+           |         THEN list_transform(range(1, len(toks)),
+           |                             i -> toks[i] || ' ' || toks[i+1])
+           |         ELSE CAST([] AS VARCHAR[]) END AS bigrams FROM tk),
+           |st AS (SELECT doc_id, lang, text, toks,
+           |         CAST(len(toks) AS BIGINT) AS n_tokens,
+           |         CASE WHEN len(toks) > 0
+           |           THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           |           ELSE 0.0 END AS dup_word_frac,
+           |         CASE WHEN len(bigrams) > 0
+           |           THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / CAST(len(bigrams) AS DOUBLE)
+           |           ELSE 0.0 END AS dup_bigram_frac
+           |       FROM bg),
+           |gated AS (SELECT * FROM st
+           |          WHERE dup_word_frac <= 0.4 AND dup_bigram_frac <= 0.25
+           |            AND n_tokens >= 10),
+           |deduped AS (SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS dup_rn
+           |    FROM gated) WHERE dup_rn = 1),
+           |tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |          range(1, greatest(len(toks) - 3, 1) + 1),
+           |          i -> ('0x' || substr(sha256(array_to_string(toks[i:i+3], ' ')), 1, 15))::BIGINT))) AS h
+           |        FROM deduped WHERE len(toks) > 0),
+           |esh0 AS (SELECT $toks AS toks FROM documents WHERE source = 'src0'),
+           |esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+           |          range(1, greatest(len(toks) - 3, 1) + 1),
+           |          i -> ('0x' || substr(sha256(array_to_string(toks[i:i+3], ' ')), 1, 15))::BIGINT))) AS h
+           |        FROM esh0 WHERE len(toks) > 0),
+           |dirty AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e ON t.h = e.h),
+           |clean AS (SELECT d.* FROM deduped d
+           |          WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+           |capped AS (SELECT * FROM (
+           |    SELECT lang, n_tokens, row_number() OVER (PARTITION BY lang
+           |      ORDER BY ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+           |               doc_id) AS cap_rn
+           |    FROM clean) WHERE cap_rn <= 40)
+           |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+           |FROM capped GROUP BY lang ORDER BY lang""".stripMargin
     )
   }
 }

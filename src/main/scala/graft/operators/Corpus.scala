@@ -118,6 +118,43 @@ object Corpus {
           col("dup_bigram_frac") <= maxDupBigramFrac)
   }
 
+  /** End-to-end curation pipeline — the operators of this module plus
+    * dedup/decontamination composed the way a real corpus build chains
+    * them: repetition quality gate → exact content dedup (keep min id) →
+    * n-gram decontamination against an eval set → deterministic per-group
+    * cap. Returns the per-group summary (docs kept, tokens kept).
+    *
+    * Every stage keeps its individual scale shape (gate is scan-local;
+    * dedup shuffles 8-byte keys once; decontamination broadcasts the eval
+    * shingle set; cap is one window over the group key), so the composed
+    * plan is three shuffles end-to-end regardless of corpus size.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             groupCol: String, evalSet: DataFrame, capPerGroup: Int,
+             minTokens: Int = 10, maxDupWordFrac: Double = 0.4,
+             maxDupBigramFrac: Double = 0.25): DataFrame = {
+    val stats = repetitionStats(docs, idCol, textCol,
+      maxDupWordFrac, maxDupBigramFrac)
+    val gated = docs.join(
+      stats.filter(col("keep") && col("n_tokens") >= minTokens)
+        .select(col(idCol), col("n_tokens")),
+      Seq(idCol))
+    // exact dedup: keep the smallest id per content group
+    val dedupW = Window.partitionBy(textCol).orderBy(col(idCol))
+    val deduped = gated.withColumn("dup_rn", row_number().over(dedupW))
+      .filter(col("dup_rn") === 1).drop("dup_rn")
+    val contaminated = TextDedup.decontaminate(
+      deduped, evalSet, idCol, textCol, shingleLen = 4)
+      .select(idCol)
+    val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
+    val capW = Window.partitionBy(groupCol)
+      .orderBy(graft.ops.Sampling.shaHash60(col(idCol)), col(idCol))
+    clean.withColumn("cap_rn", row_number().over(capW))
+      .filter(col("cap_rn") <= capPerGroup)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Incremental dedup: drop batch rows whose content already exists in
     * the corpus — the daily-re-extract guard (reference skips symbols
     * whose watermark is current; a corpus skips documents whose text it

@@ -87,6 +87,28 @@ class CorpusSpec extends SparkSpec {
     assert(rowsOf(out) === Seq(Seq(12L), Seq(13L)))
   }
 
+  test("curate chains gate -> dedup -> decontaminate -> cap") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, s"$base alpha beta", "en"),                       // kept
+      (2L, s"$base alpha beta", "en"),                       // exact dup of 1 -> dropped
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam", "en"), // repetitive -> gated
+      (4L, s"$base w1 w2 w3 w4", "en"))                      // shares a 4-gram with eval -> dropped
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq((100L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val out = Corpus.curate(docs, "doc_id", "text", "lang", eval, capPerGroup = 10)
+    assert(rowsOf(out) === Seq(Seq("en", 1L, 14L)))
+  }
+
+  test("curate per-group cap bounds the kept docs deterministically") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"uniq$i one two three four five six seven eight nine ten", "en"))
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq((100L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Corpus.curate(docs, "doc_id", "text", "lang", eval, capPerGroup = 7)
+    assert(rowsOf(out) === Seq(Seq("en", 7L, 77L)))
+  }
+
   test("dedupAgainstCorpus is idempotent: re-running against corpus+batch drops everything") {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val batch = Seq((11L, "alpha"), (12L, "new")).toDF("doc_id", "text")
