@@ -1186,7 +1186,13 @@ object SparkEntry {
       Corpus.curate(d.filter(col("source") =!= "src0"), "doc_id", "text",
         groupCol = "lang", evalSet = d.filter(col("source") === "src0"),
         capPerGroup = 40).orderBy("lang")
-    })
+    }),
+
+    // ── [ext] streaming sessionization: session_window state merged
+    // across micro-batches (events split by id parity → nearly every
+    // session spans both batches); result ≡ the batch q61 aggregation
+    "q102_stream_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionTotals(s, dir))
   )
 
 
@@ -2119,7 +2125,16 @@ object SparkEntry {
            |               doc_id) AS cap_rn
            |    FROM clean) WHERE cap_rn <= 40)
            |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-           |FROM capped GROUP BY lang ORDER BY lang""".stripMargin
+           |FROM capped GROUP BY lang ORDER BY lang""".stripMargin,
+      // identical to q61's oracle: the streamed session aggregation must
+      // equal the batch one regardless of micro-batch boundaries
+      "q102_stream_sessions" ->
+        s"""WITH $sessionCte
+           |SELECT user_id, min(us) AS session_start_us,
+           |  max(us) + 43200000000 AS session_end_us, count(*) AS n_events,
+           |  $moneyV AS total_value
+           |FROM sess GROUP BY user_id, session_id
+           |ORDER BY user_id, session_start_us""".stripMargin
     )
   }
 }

@@ -229,6 +229,62 @@ object EventStream {
   /** Tumbling 1-day totals per event_type over the events fixture,
     * executed as a real streaming query into a memory sink, returned as a
     * batch DataFrame for the verify/oracle harness. */
+  /** Streaming sessionization: the batch `session_window` aggregation
+    * (q61, [[graft.operators.Sessions.sessionWindows]]) over a
+    * micro-batched stream. The fixture is split into two landing files
+    * by event-id parity, so nearly every session has events in BOTH
+    * micro-batches (`maxFilesPerTrigger=1`) — the session-merge path of
+    * the state store (partial sessions from batch 1 extended/merged by
+    * batch 2's events) is what this exercises, not just windowed
+    * counting. Complete output mode re-emits the merged state, so the
+    * result equals the batch aggregation exactly (decimal sums make it
+    * bit-identical regardless of batch boundaries).
+    *
+    * Scale notes: session state is bounded by open sessions per key,
+    * not stream length; with a watermark (production form) closed
+    * sessions evict as event time passes gap + delay. */
+  def sessionTotals(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
+    def land(half: DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_sess_$tag")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, landing.resolve(s"$tag.parquet"))
+    }
+    land(src.filter(col("event_id") % 2 === 0), "even")
+    land(src.filter(col("event_id") % 2 === 1), "odd")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+      .withColumn("ts",
+        if (schema("ts").dataType == org.apache.spark.sql.types.TimestampType) col("ts")
+        else timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "12 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Exact.Money)).as("tv"))
+    val name = s"stream_sessions_${System.nanoTime()}"
+    withStatePartitions(spark, StatePartitions) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("tv").cast(DoubleType).as("total_value"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   def dailyTotals(spark: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))

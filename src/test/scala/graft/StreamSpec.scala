@@ -181,6 +181,17 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed sessionTotals equals the batch session_window aggregation") {
+    // the fixture stream is split by id parity into two micro-batches, so
+    // this passes only if partial sessions from batch 1 merge with batch
+    // 2's events — the state-store session-merge path
+    val streamed = graft.streaming.EventStream.sessionTotals(spark, sf0001)
+    val batch = graft.operators.Sessions.sessionWindows(
+      Tables.load(spark, sf0001, "events"), "user_id", "ts", "value",
+      gap = "12 hours").orderBy("user_id", "session_start_us")
+    assert(rowsOf(streamed) === rowsOf(batch))
+  }
+
   test("salted aggregation equals the plain groupBy on fixtures") {
     val e = Tables.load(spark, sf0001, "events")
     val salted = graft.ops.Skew.saltedSumCount(e, Seq("event_type"), col("value"), 16)
