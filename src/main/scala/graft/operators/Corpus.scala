@@ -124,10 +124,12 @@ object Corpus {
     * n-gram decontamination against an eval set → deterministic per-group
     * cap. Returns the per-group summary (docs kept, tokens kept).
     *
-    * Every stage keeps its individual scale shape (gate is scan-local;
-    * dedup shuffles 8-byte keys once; decontamination broadcasts the eval
-    * shingle set; cap is one window over the group key), so the composed
-    * plan is three shuffles end-to-end regardless of corpus size.
+    * Every stage keeps its individual scale shape: the gate is scan-local
+    * expression work; dedup is one window keyed on the content digest;
+    * decontamination broadcasts the eval shingle set and shuffles only
+    * (id, 8-byte shingle hash) pairs; the cap is one window over the
+    * group key. Nothing in the composition adds a shuffle a standalone
+    * stage wouldn't pay, and no stage ever cross-joins or collects.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              groupCol: String, evalSet: DataFrame, capPerGroup: Int,
@@ -139,8 +141,12 @@ object Corpus {
       stats.filter(col("keep") && col("n_tokens") >= minTokens)
         .select(col(idCol), col("n_tokens")),
       Seq(idCol))
-    // exact dedup: keep the smallest id per content group
-    val dedupW = Window.partitionBy(textCol).orderBy(col(idCol))
+    // exact dedup: keep the smallest id per content group. The window is
+    // keyed on the 256-bit content hash, not the text: same groups (the
+    // oracle partitions by text — collision-free at any feasible corpus
+    // size), but the shuffle sorts/compares 64-char digests instead of
+    // arbitrarily long documents.
+    val dedupW = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
     val deduped = gated.withColumn("dup_rn", row_number().over(dedupW))
       .filter(col("dup_rn") === 1).drop("dup_rn")
     val contaminated = TextDedup.decontaminate(

@@ -77,6 +77,54 @@ class CorpusSpec extends SparkSpec {
       Seq(3L, 0L, 0.0, 0.0, true)))
   }
 
+  test("property: packing conserves tokens and pack ids are contiguous from 0") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 300L).map { i =>
+      val words = Seq.fill(1 + rnd.nextInt(60))("w" + rnd.nextInt(20))
+      (i, words.mkString(" "), "g" + rnd.nextInt(4))
+    }.toDF("doc_id", "text", "lang")
+    val packs = Corpus.packSequences(docs, "doc_id", "text", "lang", 128)
+    val byGroup = packs.groupBy("lang")
+      .agg(sum("pack_tokens").as("total"), max("pack_id").as("max_p"),
+        countDistinct("pack_id").as("n_p"), min("pack_id").as("min_p"))
+      .collect()
+    val truth = docs.select(col("lang"),
+      graft.functions.TextOps.tokenCount(col("text")).as("n"))
+      .groupBy("lang").agg(sum("n").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byGroup.foreach { r =>
+      assert(r.getLong(1) === truth(r.getString(0)), "tokens conserved")
+      assert(r.getLong(4) === 0L, "first pack is 0")
+      assert(r.getLong(3) === r.getLong(2) + 1, "pack ids contiguous")
+    }
+  }
+
+  test("property: non-overlapping chunks reconstruct the text exactly") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 50L).map { i =>
+      (i, rnd.alphanumeric.take(rnd.nextInt(400)).mkString)
+    }.toDF("doc_id", "text")
+    val rebuilt = Corpus.chunk(docs, "doc_id", "text", size = 64, stride = 64)
+      .groupBy("doc_id")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("chunk_idx"), col("chunk"))))
+        .getField("chunk")).as("rebuilt"))
+    val bad = docs.join(rebuilt, Seq("doc_id"))
+      .filter(col("text") =!= col("rebuilt") && length(col("text")) > 0)
+    assert(bad.isEmpty, "chunks at stride==size must tile the text")
+  }
+
+  test("property: redacted output never matches the PII patterns") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 100L).map { i =>
+      val noise = Seq.fill(5)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+      (i, s"$noise user$i@x$i.example.net id ${1000000 + rnd.nextInt(999999)} $noise")
+    }.toDF("doc_id", "text")
+    val out = Corpus.redactPii(docs, "doc_id", "text")
+    assert(out.filter(regexp_count(col("redacted"), lit(Corpus.EmailRe)) > 0 ||
+      regexp_count(col("redacted"), lit(Corpus.DigitRunRe)) > 0).isEmpty)
+    assert(out.filter(col("n_emails") =!= 1L || col("n_digit_runs") =!= 1L).isEmpty)
+  }
+
   test("dedupAgainstCorpus drops exact re-extracts, keeps changed docs") {
     val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
