@@ -181,6 +181,41 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source checkpoint resumes incrementally: no reprocessing, only new files") {
+    // the streaming form of the reference's watermark-skip ("symbol is
+    // up to date -> skip", postgres_sync.py:205): source progress lives
+    // in the checkpoint, so a restarted job pays only for NEW data
+    import scala.collection.mutable.ArrayBuffer
+    val landing = java.nio.file.Files.createTempDirectory("graft_ckpt_land_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val events = Tables.load(spark, sf0001, "events").select("event_id", "user_id", "value")
+    def land(tag: String, lo: Long, hi: Long): Long = {
+      val slice = events.filter(col("event_id") >= lo && col("event_id") < hi)
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$tag")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, landing.resolve(s"$tag.parquet"))
+      slice.count()
+    }
+    def runOnce(): Long = {
+      val rows = new ArrayBuffer[Long]
+      val q = spark.readStream.schema(events.schema).parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => rows += df.count(): Unit)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      rows.sum
+    }
+    val n1 = land("a", 0, 300) + land("b", 300, 600)
+    assert(runOnce() === n1, "first run processes the backlog")
+    assert(runOnce() === 0L, "restart with no new files processes nothing")
+    val n3 = land("c", 600, 1000)
+    assert(runOnce() === n3, "restart pays only for the new file")
+  }
+
   test("streamed sessionTotals equals the batch session_window aggregation") {
     // the fixture stream is split by id parity into two micro-batches, so
     // this passes only if partial sessions from batch 1 merge with batch
