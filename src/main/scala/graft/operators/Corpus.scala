@@ -41,8 +41,10 @@ object Corpus {
     val w = Window.partitionBy(groupCol).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
+      // NULL text = 0 tokens: without the coalesce a NULL propagates into
+      // pack_id and the row lands in a phantom NULL pack
       .select(col(groupCol), col(idCol),
-        TextOps.tokenCount(col(textCol)).as("n_tokens"))
+        coalesce(TextOps.tokenCount(col(textCol)), lit(0L)).as("n_tokens"))
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", floor(col("tokens_before") / tokenBudget))
       .groupBy(col(groupCol), col("pack_id"))
@@ -84,11 +86,13 @@ object Corpus {
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol),
+      // NULL text stays NULL, but its audit counts are 0 (nothing removed)
       regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         DigitRunRe, "<ID>").as("redacted"),
-      regexp_count(col(textCol), lit(EmailRe)).cast(LongType).as("n_emails"),
-      regexp_count(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-        lit(DigitRunRe)).cast(LongType).as("n_digit_runs"))
+      coalesce(regexp_count(col(textCol), lit(EmailRe)).cast(LongType), lit(0L))
+        .as("n_emails"),
+      coalesce(regexp_count(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        lit(DigitRunRe)).cast(LongType), lit(0L)).as("n_digit_runs"))
 
   /** Gopher-style repetition signals: duplicate-word fraction and
     * duplicate-bigram fraction (1 - distinct/total), plus a keep flag.
@@ -110,9 +114,11 @@ object Corpus {
         .otherwise(lit(0.0))
     docs.select(
       col(idCol),
-      size(toks).cast(LongType).as("n_tokens"),
-      dupFrac(toks).as("dup_word_frac"),
-      dupFrac(bigrams).as("dup_bigram_frac"))
+      // NULL text = 0 tokens (keep=true like the empty doc, not a NULL
+      // flag that silently falls out of both keep and drop filters)
+      coalesce(size(toks).cast(LongType), lit(0L)).as("n_tokens"),
+      coalesce(dupFrac(toks), lit(0.0)).as("dup_word_frac"),
+      coalesce(dupFrac(bigrams), lit(0.0)).as("dup_bigram_frac"))
       .withColumn("keep",
         col("dup_word_frac") <= maxDupWordFrac &&
           col("dup_bigram_frac") <= maxDupBigramFrac)
@@ -167,7 +173,10 @@ object Corpus {
     * already holds). Left-anti hash join on the 60-bit sha content key:
     * the batch (small, one day's crawl) is the streamed side and Spark
     * broadcasts the smaller side under AQE; corpus text never moves, only
-    * its 8-byte hashes. */
+    * its 8-byte hashes. NULL text hashes to a NULL key, which matches
+    * nothing under join equality — NULL-text batch rows are always kept
+    * (standard SQL comparison semantics; filter them upstream if NULLs
+    * should dedup). */
   def dedupAgainstCorpus(corpus: DataFrame, batch: DataFrame,
                          idCol: String, textCol: String): DataFrame = {
     // 60-bit sha content key (first 15 hex chars of sha256, base-16) —

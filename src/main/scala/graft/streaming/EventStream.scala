@@ -251,8 +251,9 @@ object EventStream {
     def land(half: DataFrame, tag: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_sess_$tag")
       half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet"))
+        .findFirst().get() finally listing.close()
       java.nio.file.Files.copy(part, landing.resolve(s"$tag.parquet"))
     }
     land(src.filter(col("event_id") % 2 === 0), "even")

@@ -125,6 +125,23 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(col("n_emails") =!= 1L || col("n_digit_runs") =!= 1L).isEmpty)
   }
 
+  test("NULL text: zero-token pack/stats rows, zero redaction counts, never dedup-matched") {
+    val docs = Seq((1L, null: String, "g"), (2L, "a b", "g"))
+      .toDF("doc_id", "text", "lang")
+    val packs = Corpus.packSequences(docs, "doc_id", "text", "lang", 5)
+    assert(rowsOf(packs.select("pack_id", "n_docs", "pack_tokens")) ===
+      Seq(Seq(0L, 2L, 2L)), "null doc joins pack 0 with 0 tokens")
+    val stats = Corpus.repetitionStats(docs, "doc_id", "text").orderBy("doc_id")
+    assert(rowsOf(stats) === Seq(
+      Seq(1L, 0L, 0.0, 0.0, true), Seq(2L, 2L, 0.0, 0.0, true)))
+    val red = Corpus.redactPii(docs, "doc_id", "text").orderBy("doc_id").head()
+    assert(red.isNullAt(1) && red.getLong(2) === 0L && red.getLong(3) === 0L)
+    val kept = Corpus.dedupAgainstCorpus(
+      docs, Seq((9L, null: String), (10L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text").select("doc_id")
+    assert(rowsOf(kept) === Seq(Seq(9L)), "null batch text kept, exact match dropped")
+  }
+
   test("dedupAgainstCorpus drops exact re-extracts, keeps changed docs") {
     val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")

@@ -193,8 +193,9 @@ class StreamSpec extends SparkSpec {
       val slice = events.filter(col("event_id") >= lo && col("event_id") < hi)
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$tag")
       slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet"))
+        .findFirst().get() finally listing.close()
       java.nio.file.Files.copy(part, landing.resolve(s"$tag.parquet"))
       slice.count()
     }
