@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe (dev tool, not driver contract): replicate the sf0.1
+  * documents fixture 10× and 100× (distinct doc_ids) and time the
+  * scan-pipelined corpus operators at each scale. The point is the
+  * *shape*: per-row ops (quality stats, encoding, redaction) and
+  * single-shuffle ops (exact dedup, packing) should scale ~linearly in
+  * rows on fixed cores — the local stand-in for "add executors, not
+  * algorithms" at 100 TB. Pair-forming near-dup ops are deliberately
+  * excluded: replicating every doc 100× makes every doc a 100-way exact
+  * dup, which measures the fixture artifact, not the operator.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+
+    def corpusAt(mult: Int): DataFrame = {
+      val path = s"/tmp/graft_scale_docs_$mult.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val n = base.count()
+        spark.range(0, mult).crossJoin(base)
+          .withColumn("doc_id", col("doc_id") + col("id") * n)
+          .drop("id")
+          .repartition(32)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+
+    def time(name: String, mult: Int)(f: DataFrame => Long): Unit = {
+      val docs = corpusAt(mult)
+      f(docs) // warm plan + JIT
+      val t0 = System.nanoTime()
+      val rows = f(docs)
+      val s = (System.nanoTime() - t0) / 1e9
+      val inRows = 5000L * mult
+      println(f"SCALE $name%-16s x$mult%-4d ${s}%7.3f s  ${inRows / s / 1000}%9.1f krows/s  ($rows out)")
+    }
+
+    for (mult <- Seq(1, 10, 100)) {
+      time("repetition", mult)(d =>
+        Corpus.repetitionStats(d, "doc_id", "text").filter(col("keep")).count())
+      time("quality", mult)(d => d.select(col("doc_id"),
+        graft.functions.TextOps.qualityScore(lower(col("text"))).as("q"))
+        .filter(col("q") > 0.5).count())
+      time("redact", mult)(d =>
+        Corpus.redactPii(d, "doc_id", "text")
+          .agg(sum("n_emails")).collect().head.getLong(0) + 0L)
+      time("exact_dedup", mult)(d =>
+        graft.ops.Dedup.exactByContent(d, "text", "doc_id").count())
+      time("packing", mult)(d =>
+        Corpus.packSequences(d, "doc_id", "text", "lang", 512).count())
+      time("chunking", mult)(d =>
+        Corpus.chunk(d, "doc_id", "text", 200, 150).count())
+    }
+    spark.stop()
+  }
+}
