@@ -61,6 +61,49 @@ object ScaleProbe {
       time("chunking", mult)(d =>
         Corpus.chunk(d, "doc_id", "text", 200, 150).count())
     }
+
+    // ── shuffle-bearing event ops: same probe over a replicated events
+    // table (user_id offset per copy keeps per-user density constant, so
+    // session/window state per key stays fixed while rows × 100) ───────
+    val ebase = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    def eventsAt(mult: Int): DataFrame = {
+      val path = s"/tmp/graft_scale_events_$mult.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val users = ebase.agg(max("user_id")).head.getLong(0) + 1
+        val n = ebase.count()
+        spark.range(0, mult).crossJoin(ebase)
+          .withColumn("user_id", col("user_id") + col("id") * users)
+          .withColumn("event_id", col("event_id") + col("id") * n)
+          .drop("id")
+          .repartition(32)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+    def etime(name: String, mult: Int)(f: DataFrame => Long): Unit = {
+      val ev = eventsAt(mult)
+      f(ev)
+      val t0 = System.nanoTime()
+      val rows = f(ev)
+      val s = (System.nanoTime() - t0) / 1e9
+      val inRows = 100000L * mult
+      println(f"SCALE $name%-16s x$mult%-4d ${s}%7.3f s  ${inRows / s / 1000}%9.1f krows/s  ($rows out)")
+    }
+    for (mult <- Seq(1, 10, 100)) {
+      etime("watermark", mult)(e =>
+        graft.ops.Watermark.latestDates(e, "user_id", "ts").count())
+      etime("argmax_dedup", mult)(e =>
+        graft.ops.Dedup.argmaxWindow(
+          e.withColumn("event_date", to_date(col("ts"))),
+          Seq("user_id", "event_date"),
+          Seq(col("value").desc, col("event_id"))).count())
+      etime("sessionize", mult)(e =>
+        graft.operators.Sessions.sessionize(e, "user_id", "ts", "event_id",
+          "value", gapUs = 43200000000L).count())
+      etime("salted_agg", mult)(e =>
+        graft.ops.Skew.saltedSumCount(e, Seq("event_type"), col("value"), 16)
+          .count())
+    }
     spark.stop()
   }
 }
