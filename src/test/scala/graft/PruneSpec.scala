@@ -39,13 +39,23 @@ class PruneSpec extends SparkSpec {
   }
 
   test("q87 join against a filtered dim prunes fact partitions dynamically") {
-    val df = SparkEntry.queries("q87_dpp_join")(spark, sf0001)
-    val planText = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.SimpleMode)
-    // the dim-side isin predicate reaches the fact scan twice: once as a
-    // static inferred partition filter, once as a runtime DPP subquery
-    assert(planText.contains("dynamicpruningexpression"),
-      s"expected dynamic partition pruning at the fact scan, got:\n$planText")
-    assert(df.count() === 3) // click / purchase / signup groups survive
+    // the scan's PartitionFilters render through maxMetadataStringLength
+    // (default 100 chars): late in a long-lived session the 5-digit
+    // expression ids push "dynamicpruningexpression#NNNNN" past the cap
+    // and the assertion would miss a filter that IS in the plan — raise
+    // the render cap for the check, restore after
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "1000")
+    try {
+      val df = SparkEntry.queries("q87_dpp_join")(spark, sf0001)
+      val planText = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      // the dim-side isin predicate reaches the fact scan twice: once as a
+      // static inferred partition filter, once as a runtime DPP subquery
+      assert(planText.contains("dynamicpruningexpression"),
+        s"expected dynamic partition pruning at the fact scan, got:\n$planText")
+      assert(df.count() === 3) // click / purchase / signup groups survive
+    } finally spark.conf.set(key, prev)
   }
 }
