@@ -22,9 +22,15 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
 
+    // reuse requires the _SUCCESS marker, not bare directory existence —
+    // a run killed mid-write would otherwise leave a partial corpus that
+    // silently skews every subsequent timing
+    def complete(path: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+
     def corpusAt(mult: Int): DataFrame = {
       val path = s"/tmp/graft_scale_docs_$mult.parquet"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      if (!complete(path)) {
         val n = base.count()
         spark.range(0, mult).crossJoin(base)
           .withColumn("doc_id", col("doc_id") + col("id") * n)
@@ -68,7 +74,7 @@ object ScaleProbe {
     val ebase = Tables.load(spark, "/root/testdata/sf0.1", "events")
     def eventsAt(mult: Int): DataFrame = {
       val path = s"/tmp/graft_scale_events_$mult.parquet"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      if (!complete(path)) {
         val users = ebase.agg(max("user_id")).head.getLong(0) + 1
         val n = ebase.count()
         spark.range(0, mult).crossJoin(ebase)

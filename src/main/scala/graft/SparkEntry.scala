@@ -2050,10 +2050,11 @@ object SparkEntry {
            |SELECT doc_id,
            |  regexp_replace(regexp_replace(dirty, '$email', '<EMAIL>', 'g'),
            |                 '[0-9]{6,}', '<ID>', 'g') AS redacted,
-           |  CAST(len(regexp_extract_all(dirty, '$email')) AS BIGINT) AS n_emails,
-           |  CAST(len(regexp_extract_all(
+           |  coalesce(CAST(len(regexp_extract_all(dirty, '$email')) AS BIGINT), 0)
+           |    AS n_emails,
+           |  coalesce(CAST(len(regexp_extract_all(
            |    regexp_replace(dirty, '$email', '<EMAIL>', 'g'),
-           |    '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
+           |    '[0-9]{6,}')) AS BIGINT), 0) AS n_digit_runs
            |FROM d ORDER BY doc_id""".stripMargin
       },
       "q99_repetition_filter" ->
@@ -2064,7 +2065,8 @@ object SparkEntry {
            |                               i -> toks[i] || ' ' || toks[i+1])
            |           ELSE CAST([] AS VARCHAR[]) END AS bigrams
            |       FROM tk),
-           |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |st AS (SELECT doc_id,
+           |  coalesce(CAST(len(toks) AS BIGINT), 0) AS n_tokens,
            |  CASE WHEN len(toks) > 0
            |    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
            |    ELSE 0.0 END AS dup_word_frac,

@@ -65,9 +65,11 @@ object Corpus {
       sequence(lit(0), floor((n - 1) / stride).cast(IntegerType)))
       .otherwise(array().cast(ArrayType(IntegerType)))
     docs
-      .select(col(idCol), col(textCol), posexplode(offsets).as(Seq("chunk_idx", "off")))
+      // offsets is sequence(0, k) step 1, so the element IS the index —
+      // one column serves as both chunk_idx and the substring offset
+      .select(col(idCol), col(textCol), explode(offsets).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
-        substring(col(textCol), col("off") * stride + 1, lit(size)).as("chunk"))
+        substring(col(textCol), col("chunk_idx") * stride + 1, lit(size)).as("chunk"))
   }
 
   /** Email-address pattern shared by the redactor and its tests. Kept to
@@ -99,9 +101,12 @@ object Corpus {
     * Both are array-expression work over the token list — linear per row,
     * no explode, no shuffle; the whole quality gate runs inside the scan.
     * Exact integer ratios divide reproducibly across engines. */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
-                      maxDupWordFrac: Double = 0.4,
-                      maxDupBigramFrac: Double = 0.25): DataFrame = {
+  /** The three repetition stat columns over a text column — exposed so
+    * callers ([[curate]]) can compute them inline in the document scan
+    * instead of joining a stats projection back to the corpus. NULL text
+    * = 0 tokens (keep=true like the empty doc, not a NULL flag that
+    * silently falls out of both keep and drop filters). */
+  private def repetitionCols(textCol: String): Seq[org.apache.spark.sql.Column] = {
     val toks = TextOps.tokens(col(textCol))
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
@@ -112,17 +117,19 @@ object Corpus {
         lit(1.0) - size(array_distinct(arr)).cast(DoubleType) /
           size(arr).cast(DoubleType))
         .otherwise(lit(0.0))
-    docs.select(
-      col(idCol),
-      // NULL text = 0 tokens (keep=true like the empty doc, not a NULL
-      // flag that silently falls out of both keep and drop filters)
+    Seq(
       coalesce(size(toks).cast(LongType), lit(0L)).as("n_tokens"),
       coalesce(dupFrac(toks), lit(0.0)).as("dup_word_frac"),
       coalesce(dupFrac(bigrams), lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      maxDupWordFrac: Double = 0.4,
+                      maxDupBigramFrac: Double = 0.25): DataFrame =
+    docs.select(col(idCol) +: repetitionCols(textCol): _*)
       .withColumn("keep",
         col("dup_word_frac") <= maxDupWordFrac &&
           col("dup_bigram_frac") <= maxDupBigramFrac)
-  }
 
   /** End-to-end curation pipeline — the operators of this module plus
     * dedup/decontamination composed the way a real corpus build chains
@@ -141,20 +148,28 @@ object Corpus {
              groupCol: String, evalSet: DataFrame, capPerGroup: Int,
              minTokens: Int = 10, maxDupWordFrac: Double = 0.4,
              maxDupBigramFrac: Double = 0.25): DataFrame = {
-    val stats = repetitionStats(docs, idCol, textCol,
-      maxDupWordFrac, maxDupBigramFrac)
-    val gated = docs.join(
-      stats.filter(col("keep") && col("n_tokens") >= minTokens)
-        .select(col(idCol), col("n_tokens")),
-      Seq(idCol))
+    // the gate stats are pure per-row expressions, so they are computed
+    // INLINE on the document scan — joining a stats projection back to
+    // the corpus would shuffle the whole table by id for no reason
+    val gated = docs
+      .select(col("*") +: repetitionCols(textCol): _*)
+      .filter(col("dup_word_frac") <= maxDupWordFrac &&
+        col("dup_bigram_frac") <= maxDupBigramFrac &&
+        col("n_tokens") >= minTokens)
+      .drop("dup_word_frac", "dup_bigram_frac")
     // exact dedup: keep the smallest id per content group. The window is
     // keyed on the 256-bit content hash, not the text: same groups (the
     // oracle partitions by text — collision-free at any feasible corpus
     // size), but the shuffle sorts/compares 64-char digests instead of
     // arbitrarily long documents.
     val dedupW = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    // materialized once: BOTH the contamination probe and the clean-set
+    // anti join consume this relation — without the checkpoint each
+    // branch re-runs the gate + dedup window over the whole corpus (the
+    // same double-compute Components paid before its round-3 fix)
     val deduped = gated.withColumn("dup_rn", row_number().over(dedupW))
       .filter(col("dup_rn") === 1).drop("dup_rn")
+      .localCheckpoint(true)
     val contaminated = TextDedup.decontaminate(
       deduped, evalSet, idCol, textCol, shingleLen = 4)
       .select(idCol)

@@ -40,6 +40,19 @@ object EventStream {
   }
   private val StatePartitions = 8
 
+  /** Best-effort recursive delete of a staging temp dir (the landed
+    * copies would otherwise accumulate in /tmp across bench passes —
+    * each sessionTotals invocation stages the full events fixture). */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    try {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p): Unit)
+      finally walk.close()
+    } catch { case _: java.io.IOException => () }
+  }
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
                             user_id: Long, event_type: String, value: Double)
   final case class UserWatermark(user_id: Long, latest_epoch_day: Long)
@@ -255,6 +268,7 @@ object EventStream {
       val part = try listing.filter(_.toString.endsWith(".parquet"))
         .findFirst().get() finally listing.close()
       java.nio.file.Files.copy(part, landing.resolve(s"$tag.parquet"))
+      deleteRecursively(tmp) // staging copy no longer needed once landed
     }
     land(src.filter(col("event_id") % 2 === 0), "even")
     land(src.filter(col("event_id") % 2 === 1), "odd")
@@ -278,6 +292,9 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
+    // the memory sink now holds the merged sessions on the driver; the
+    // landed fixture copies are dead weight
+    deleteRecursively(landing)
     spark.table(name)
       .select(col("user_id"),
         unix_micros(col("w.start")).as("session_start_us"),

@@ -113,4 +113,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"),
       s"corpus guard must be an anti join:\n$plan")
   }
+
+  test("q101 curate: gate is inline scan work, not a stats self-join") {
+    val plan = planOf("q101_curate_pipeline")
+    // the quality gate computes its stat expressions in the document scan;
+    // the only joins are decontamination's broadcast shingle join and the
+    // clean-set anti join — a sort-merge join here means the gate (or the
+    // contamination filter) regressed to shuffling the corpus by id
+    assert(!plan.contains("SortMergeJoin"),
+      s"curate must not sort-merge join at fixture scale:\n$plan")
+    // exchanges: dedup window, decontaminate groupBy, cap window, final
+    // sort — anything beyond that is a composition regression
+    assert(countOf(plan, "Exchange hashpartitioning") <= 4,
+      s"curate grew extra shuffles:\n$plan")
+  }
 }
