@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.{Corpus, Multimodal, Similarity, TextDedup}
+import graft.operators.{Corpus, Multimodal, Ranking, Similarity, TextDedup}
 import graft.ops.{Dedup, Exact, Merge, Watermark}
 import graft.pipeline.Sync
 import org.apache.spark.sql.expressions.Window
@@ -818,17 +818,19 @@ object SparkEntry {
 
     // ── [ext] distribution ranks: ntile/percent_rank/cume_dist over a
     // global ordering (tie-broken to be total, so ranks are exact
-    // rationals — identical doubles in any engine). At scale a global
-    // ranking runs range-partitioned (Spark's orderBy does) — the single
-    // window here is the per-range step. ────────────────────────────────
+    // rationals — identical doubles in any engine). Two-phase
+    // range-partitioned ranking (operators.Ranking): no single-reducer
+    // window anywhere in the plan — PlanShapeSpec asserts zero
+    // `Exchange SinglePartition`. ────────────────────────────────────────
     "q77_rank_quartiles" -> ((s, dir) => {
       val per = T(s, dir, "events").groupBy("user_id")
         .agg(Exact.moneySum(col("value")).as("total"), count(lit(1)).as("n"))
-      val w = Window.orderBy(col("total").desc, col("user_id"))
-      per.select(col("user_id"), col("total"), col("n"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+      val ranked = Ranking.withGlobalRank(per, "__rk", "__N",
+        col("total").desc, col("user_id").asc)
+      ranked.select(col("user_id"), col("total"), col("n"),
+        Ranking.ntileOf(4, col("__rk"), col("__N")).as("quartile"),
+        Ranking.percentRankOf(col("__rk"), col("__N")).as("pr"),
+        Ranking.cumeDistOf(col("__rk"), col("__N")).as("cd"))
         .orderBy("user_id")
     }),
 

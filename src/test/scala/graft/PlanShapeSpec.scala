@@ -108,6 +108,18 @@ class PlanShapeSpec extends SparkSpec {
       s"packing grew extra shuffles:\n$plan")
   }
 
+  test("q77 global ranks: no single-partition exchange anywhere in the plan") {
+    val plan = planOf("q77_rank_quartiles")
+    // the old form (Window.orderBy with no partition key) planned an
+    // Exchange SinglePartition — every row through one task; the two-phase
+    // Ranking plan must never reintroduce one (the per-range window runs
+    // on a hash exchange, the offsets side is broadcast)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global ranking regressed to a single-reducer plan:\n$plan")
+    assert(countOf(plan, "Exchange rangepartitioning") >= 1,
+      s"expected the range-repartition phase:\n$plan")
+  }
+
   test("q100 incremental dedup: batch-vs-corpus anti join, no text shuffle") {
     val plan = planOf("q100_incremental_dedup")
     assert(plan.contains("LeftAnti"),

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Ranking
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase global ranking must be value-identical to the single-window
+  * form (row_number / ntile / percent_rank / cume_dist over a global
+  * ORDER BY) — the window form is the spec; Ranking is the scale-safe
+  * plan for it. */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(n: Int, buckets: Int): Unit = {
+    // deterministic pseudo-random totals with ties in `v` (the tie-break
+    // on id is what makes the order total, which Ranking requires)
+    val df = spark.range(n.toLong).toDF("id")
+      .withColumn("v", pmod(col("id") * 2654435761L, lit(97L)))
+      .repartition(4)
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val expected = df.select(col("id"),
+      row_number().over(w).cast("long").as("rk"),
+      ntile(buckets).over(w).as("tile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+    val actual = Ranking.withGlobalRank(df, "rk", "N", col("v").desc, col("id").asc)
+      .select(col("id"), col("rk"),
+        Ranking.ntileOf(buckets, col("rk"), col("N")).as("tile"),
+        Ranking.percentRankOf(col("rk"), col("N")).as("pr"),
+        Ranking.cumeDistOf(col("rk"), col("N")).as("cd"))
+    assert(rowsOf(actual.orderBy("id")) === rowsOf(expected.orderBy("id")),
+      s"n=$n buckets=$buckets")
+  }
+
+  test("matches the global-window form on a mid-size set") { check(1000, 4) }
+  test("matches when rows spread unevenly over tiles") { check(1003, 7) }
+  test("matches when N < buckets (each row its own tile)") { check(3, 4) }
+  test("matches on a single row (percent_rank 0.0)") { check(1, 4) }
+
+  test("empty input yields empty output") {
+    val df = spark.range(0).toDF("id")
+    assert(Ranking.withGlobalRank(df, "rk", "N", col("id").asc).count() === 0)
+  }
+}
