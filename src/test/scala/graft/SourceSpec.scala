@@ -28,6 +28,21 @@ class SourceSpec extends SparkSpec {
     assert(!scan.contains("company_name"))
   }
 
+  test("bitset jaccard keeps a pair sitting exactly ON the threshold") {
+    import spark.implicits._
+    // J(1,2) = 3/5 = 0.6 exactly — the >= filter must keep it; doc 3
+    // shares a bucket but stays below threshold (J(1,3) = 3/8)
+    val docs = Seq(
+      (1L, "common1 common2 common3 rare1a"),
+      (2L, "common1 common2 common3 rare2a"),
+      (3L, "common1 common2 common3 rare3a rare3b rare3c rare3d")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.jaccardNearDupsBitset(docs, "doc_id", "text",
+      threshold = 0.6, bandWidth = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(out.head.getDouble(2) === 0.6)
+  }
+
   test("bitset jaccard plan produces identical pairs to the array-intersect plan") {
     val docs = Tables.load(spark, sf0001, "documents")
     val a = TextDedup.jaccardNearDups(docs, "doc_id", "text", 0.6, 8)

@@ -63,6 +63,34 @@ class TextSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(2) - 5.0 / 7.0) < 1e-12)
   }
 
+  test("q80 segment candidates recall a worst-case 6-edit pair exactly at the bound") {
+    // adversarial corpus for the PassJoin pigeonhole: doc 2 edits SIX of
+    // doc 1's seven prefix segments (only "ggg" survives — the minimum
+    // the theorem guarantees); doc 3 adds a 7th edit (dist 7, excluded);
+    // doc 4 is an exact copy; docs 5/6 exercise the short-prefix "" path
+    val docs = spark.createDataFrame(Seq(
+      (1L, "en", "aaaabbbbccccdddeeefffggg", 24L),
+      (2L, "en", "XaaaXbbbXcccXddXeeXffggg", 24L),
+      (3L, "en", "XaaaXbbbXcccXddXeeXffXgg", 24L),
+      (4L, "en", "aaaabbbbccccdddeeefffggg", 24L),
+      (5L, "en", "shrt", 4L),
+      (6L, "en", "shrt", 4L)
+    )).toDF("doc_id", "lang", "text", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("q80docs")
+    try {
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = SparkEntry.queries("q80_fuzzy_block_join")(spark, tmp.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out === Set((1L, 2L, 6L), (1L, 4L, 0L), (2L, 3L, 1L),
+        (2L, 4L, 6L), (5L, 6L, 0L)))
+    } finally {
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally walk.close()
+    }
+  }
+
   test("minhashNearDups recalls identical and near-identical docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
