@@ -41,13 +41,15 @@ object ScaleProbe {
       spark.read.parquet(path)
     }
 
+    val baseRows = base.count() // derive, don't hardcode: krows/s must
+                                // track the fixture if its size changes
     def time(name: String, mult: Int)(f: DataFrame => Long): Unit = {
       val docs = corpusAt(mult)
       f(docs) // warm plan + JIT
       val t0 = System.nanoTime()
       val rows = f(docs)
       val s = (System.nanoTime() - t0) / 1e9
-      val inRows = 5000L * mult
+      val inRows = baseRows * mult
       println(f"SCALE $name%-16s x$mult%-4d ${s}%7.3f s  ${inRows / s / 1000}%9.1f krows/s  ($rows out)")
     }
 
@@ -86,13 +88,14 @@ object ScaleProbe {
       }
       spark.read.parquet(path)
     }
+    val ebaseRows = ebase.count()
     def etime(name: String, mult: Int)(f: DataFrame => Long): Unit = {
       val ev = eventsAt(mult)
       f(ev)
       val t0 = System.nanoTime()
       val rows = f(ev)
       val s = (System.nanoTime() - t0) / 1e9
-      val inRows = 100000L * mult
+      val inRows = ebaseRows * mult
       println(f"SCALE $name%-16s x$mult%-4d ${s}%7.3f s  ${inRows / s / 1000}%9.1f krows/s  ($rows out)")
     }
     for (mult <- Seq(1, 10, 100)) {

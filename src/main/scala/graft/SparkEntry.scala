@@ -424,7 +424,7 @@ object SparkEntry {
     // schema glob re-read, deltalake_sync.py:229; aggregate must match
     // the parquet-native oracle exactly: the round-trip is lossless)
     "q38_csv_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      val tmp = TempWork.fresh("csv")
       T(s, dir, "events").select("event_id", "user_id", "value", "event_type")
         .write.mode("overwrite").partitionBy("event_type")
         .option("header", "true").csv(tmp)
@@ -968,7 +968,7 @@ object SparkEntry {
       // can survive in spark-warehouse/ after the session (and its
       // in-memory catalog entry) is gone, and the next session's CREATE
       // then dies on "location already exists".
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      val tmp = TempWork.fresh("bkt")
       T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$tmp/lineitem")
@@ -995,7 +995,7 @@ object SparkEntry {
     // (PruneSpec asserts dynamicpruningexpression in the scan). At
     // 100 TB: scan 3 of N partitions instead of the whole table.
     "q87_dpp_join" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+      val tmp = TempWork.fresh("dpp")
       T(s, dir, "events").select("event_id", "value", "event_type")
         .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
       val facts = s.read.parquet(tmp)
@@ -1131,7 +1131,7 @@ object SparkEntry {
     // file identity), so the daily write cost scales with the delta,
     // not the table. Contrast with q09/q10's row-level join merges.
     "q93_dynamic_partition_overwrite" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dpo_").toString
+      val tmp = TempWork.fresh("dpo")
       val e = T(s, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
         .select("event_id", "user_id", "value", "event_date")
@@ -2112,7 +2112,7 @@ object SparkEntry {
           |ck AS (SELECT DISTINCT ('0x' || substr(sha256(text), 1, 15))::BIGINT AS k
           |       FROM documents)
           |SELECT doc_id FROM batch
-          |WHERE ('0x' || substr(sha256(text), 1, 15))::BIGINT NOT IN (SELECT k FROM ck)
+          |ANTI JOIN ck ON ('0x' || substr(sha256(batch.text), 1, 15))::BIGINT = ck.k
           |ORDER BY doc_id""".stripMargin,
       "q101_curate_pipeline" ->
         s"""WITH tk AS (SELECT doc_id, lang, text, $toks AS toks

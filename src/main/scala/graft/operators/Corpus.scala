@@ -106,7 +106,8 @@ object Corpus {
     * instead of joining a stats projection back to the corpus. NULL text
     * = 0 tokens (keep=true like the empty doc, not a NULL flag that
     * silently falls out of both keep and drop filters). */
-  private def repetitionCols(textCol: String): Seq[org.apache.spark.sql.Column] = {
+  private def repetitionCols(textCol: String,
+                             prefix: String = ""): Seq[org.apache.spark.sql.Column] = {
     val toks = TextOps.tokens(col(textCol))
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
@@ -118,9 +119,9 @@ object Corpus {
           size(arr).cast(DoubleType))
         .otherwise(lit(0.0))
     Seq(
-      coalesce(size(toks).cast(LongType), lit(0L)).as("n_tokens"),
-      coalesce(dupFrac(toks), lit(0.0)).as("dup_word_frac"),
-      coalesce(dupFrac(bigrams), lit(0.0)).as("dup_bigram_frac"))
+      coalesce(size(toks).cast(LongType), lit(0L)).as(s"${prefix}n_tokens"),
+      coalesce(dupFrac(toks), lit(0.0)).as(s"${prefix}dup_word_frac"),
+      coalesce(dupFrac(bigrams), lit(0.0)).as(s"${prefix}dup_bigram_frac"))
   }
 
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
@@ -150,13 +151,17 @@ object Corpus {
              maxDupBigramFrac: Double = 0.25): DataFrame = {
     // the gate stats are pure per-row expressions, so they are computed
     // INLINE on the document scan — joining a stats projection back to
-    // the corpus would shuffle the whole table by id for no reason
+    // the corpus would shuffle the whole table by id for no reason.
+    // Stat columns carry a reserved internal prefix so an input that
+    // already has n_tokens/dup_*_frac columns can't collide ambiguously.
+    require(!docs.columns.exists(_.startsWith("__graft_")),
+      "curate reserves the __graft_ column prefix")
     val gated = docs
-      .select(col("*") +: repetitionCols(textCol): _*)
-      .filter(col("dup_word_frac") <= maxDupWordFrac &&
-        col("dup_bigram_frac") <= maxDupBigramFrac &&
-        col("n_tokens") >= minTokens)
-      .drop("dup_word_frac", "dup_bigram_frac")
+      .select(col("*") +: repetitionCols(textCol, prefix = "__graft_"): _*)
+      .filter(col("__graft_dup_word_frac") <= maxDupWordFrac &&
+        col("__graft_dup_bigram_frac") <= maxDupBigramFrac &&
+        col("__graft_n_tokens") >= minTokens)
+      .drop("__graft_dup_word_frac", "__graft_dup_bigram_frac")
     // exact dedup: keep the smallest id per content group. The window is
     // keyed on the 256-bit content hash, not the text: same groups (the
     // oracle partitions by text — collision-free at any feasible corpus
@@ -179,7 +184,8 @@ object Corpus {
     clean.withColumn("cap_rn", row_number().over(capW))
       .filter(col("cap_rn") <= capPerGroup)
       .groupBy(groupCol)
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__graft_n_tokens")).as("n_tokens"))
   }
 
   /** Incremental dedup: drop batch rows whose content already exists in

@@ -40,18 +40,12 @@ object EventStream {
   }
   private val StatePartitions = 8
 
-  /** Best-effort recursive delete of a staging temp dir (the landed
-    * copies would otherwise accumulate in /tmp across bench passes —
-    * each sessionTotals invocation stages the full events fixture). */
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    try {
-      val walk = Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p): Unit)
-      finally walk.close()
-    } catch { case _: java.io.IOException => () }
-  }
+  /** Best-effort recursive delete of a staging temp dir (every streaming
+    * query stages fixture copies into a landing dir; [[runToResult]]
+    * deletes it once the memory sink is materialized, so /tmp stays
+    * stable across bench passes). */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    graft.TempWork.deleteRecursively(dir)
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
                             user_id: Long, event_type: String, value: Double)
@@ -69,30 +63,22 @@ object EventStream {
     * checkpointing is the production configuration. Output mode Update
     * emits only keys whose watermark advanced in the batch. */
   def statefulWatermarks(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val stream = eventsStream(spark, dir)
+    val (src, landing) = eventsStream(spark, dir)
+    val stream = src
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[EventRow]
     val updated = watermarkState(stream)
-    val name = s"stream_wm_${System.nanoTime()}"
-    withStatePartitions(spark, StatePartitions) {
-      val q = updated.toDF().writeStream
-        .outputMode(OutputMode.Update())
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    runToResult(spark, updated.toDF(), "update",
+      statePartitioned = true, Some(landing)) { t =>
+      // multiple micro-batches may emit a key repeatedly; last write wins
+      t.groupBy("user_id")
+        .agg(max(col("latest_epoch_day")).as("latest_epoch_day"))
+        .select(col("user_id"),
+          date_add(to_date(lit("1970-01-01")), col("latest_epoch_day").cast("int"))
+            .as("latest_date"))
+        .orderBy("user_id")
     }
-    // multiple micro-batches may emit a key repeatedly; last write wins
-    spark.table(name)
-      .groupBy("user_id")
-      .agg(max(col("latest_epoch_day")).as("latest_epoch_day"))
-      .select(col("user_id"),
-        date_add(to_date(lit("1970-01-01")), col("latest_epoch_day").cast("int"))
-          .as("latest_date"))
-      .orderBy("user_id")
   }
 
   /** The state transition itself, factored out so tests can drive it over
@@ -116,9 +102,11 @@ object EventStream {
 
   /** Shared stream source over the events fixture (nanos→micros ts, see
     * Tables.load). `copies` > 1 lands the same file several times — the
-    * arriving-duplicate-batch shape that exercises cross-batch dedup. */
+    * arriving-duplicate-batch shape that exercises cross-batch dedup.
+    * Returns the landing dir too: callers hand it to [[runToResult]],
+    * which deletes it once the sink is materialized. */
   private def eventsStream(spark: SparkSession, dir: String,
-                           copies: Int = 1): DataFrame = {
+                           copies: Int = 1): (DataFrame, java.nio.file.Path) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val landing = java.nio.file.Files.createTempDirectory("graft_stream_in_")
@@ -127,12 +115,37 @@ object EventStream {
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         landing.resolve(s"events_$i.parquet"))
     }
-    spark.readStream.schema(schema)
+    val df = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one file per micro-batch
       .parquet(landing.toString)
       .withColumn("ts",
         if (schema("ts").dataType == org.apache.spark.sql.types.TimestampType) col("ts")
         else timestamp_micros(expr("ts div 1000")))
+    (df, landing)
+  }
+
+  /** Run a streaming DataFrame into a uniquely-named memory sink
+    * (AvailableNow, awaited), apply `finish` to the sink table, and
+    * eagerly materialize the result so the sink view can be DROPPED and
+    * the landing dir DELETED before returning. Without this, repeated
+    * bench passes accumulate full result sets in driver memory (one
+    * never-dropped temp view per invocation) and fixture copies in /tmp. */
+  private def runToResult(spark: SparkSession, df: DataFrame, mode: String,
+                          statePartitioned: Boolean,
+                          landing: Option[java.nio.file.Path])
+                         (finish: DataFrame => DataFrame): DataFrame = {
+    val name = s"stream_q_${System.nanoTime()}"
+    def run(): Unit = {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    if (statePartitioned) withStatePartitions(spark, StatePartitions)(run())
+    else run()
+    val out = finish(spark.table(name)).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    landing.foreach(deleteRecursively)
+    out
   }
 
   /** Streaming dedup across micro-batches: the same events file lands
@@ -150,24 +163,17 @@ object EventStream {
     * watermark horizon (state TTL = delay), not by stream length — the
     * always-on form of exact dedup; RocksDB state store in production. */
   def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = eventsStream(spark, dir, copies = 2)
+    val (src, landing) = eventsStream(spark, dir, copies = 2)
+    val deduped = src
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
-    val name = s"stream_dedup_${System.nanoTime()}"
-    withStatePartitions(spark, StatePartitions) {
-      val q = deduped.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    runToResult(spark, deduped, "append",
+      statePartitioned = true, Some(landing)) { t =>
+      t.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Exact.Money)).cast(DoubleType).as("total_value"))
+        .orderBy("event_type")
     }
-    spark.table(name)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(Exact.Money)).cast(DoubleType).as("total_value"))
-      .orderBy("event_type")
   }
 
   /** Stream-static broadcast enrichment: every micro-batch hash-joins
@@ -184,22 +190,17 @@ object EventStream {
         ("click", 1), ("view", 0), ("purchase", 5), ("signup", 3),
         ("logout", 0)))
       .toDF("event_type", "weight")
-    val enriched = eventsStream(spark, dir)
+    val (src, landing) = eventsStream(spark, dir)
+    val enriched = src
       .join(broadcast(dim), "event_type")
       .withColumn("weighted", col("value") * col("weight"))
-    val name = s"stream_enrich_${System.nanoTime()}"
-    val q = enriched.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-      .groupBy("event_type", "weight")
-      .agg(count(lit(1)).as("n"),
-        sum(col("weighted").cast(Exact.Money)).cast(DoubleType).as("weighted_value"))
-      .orderBy("event_type")
+    runToResult(spark, enriched, "append",
+      statePartitioned = false, Some(landing)) { t =>
+      t.groupBy("event_type", "weight")
+        .agg(count(lit(1)).as("n"),
+          sum(col("weighted").cast(Exact.Money)).cast(DoubleType).as("weighted_value"))
+        .orderBy("event_type")
+    }
   }
 
   /** Stream-stream interval join over one branched source: purchases
@@ -210,7 +211,7 @@ object EventStream {
     * each match in the micro-batch it completes in, so the collected
     * result equals the batch interval join regardless of batching. */
   def intervalJoined(spark: SparkSession, dir: String): DataFrame = {
-    val src = eventsStream(spark, dir)
+    val (src, landing) = eventsStream(spark, dir)
     val clicks = src.filter(col("event_type") === "click")
       .withWatermark("ts", "1 hour")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -223,20 +224,12 @@ object EventStream {
       col("b_user") === col("c_user") &&
         col("click_ts") <= col("buy_ts") &&
         col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
-    val name = s"stream_ij_${System.nanoTime()}"
-    withStatePartitions(spark, StatePartitions) {
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
-      .select(col("buy_id"), col("click_id"),
+    runToResult(spark, joined, "append",
+      statePartitioned = true, Some(landing)) { t =>
+      t.select(col("buy_id"), col("click_id"),
         (unix_micros(col("buy_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
-      .orderBy("buy_id", "click_id")
+        .orderBy("buy_id", "click_id")
+    }
   }
 
   /** Tumbling 1-day totals per event_type over the events fixture,
@@ -282,44 +275,26 @@ object EventStream {
       .groupBy(col("user_id"), session_window(col("ts"), "12 hours").as("w"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(Exact.Money)).as("tv"))
-    val name = s"stream_sessions_${System.nanoTime()}"
-    withStatePartitions(spark, StatePartitions) {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    // the memory sink now holds the merged sessions on the driver; the
-    // landed fixture copies are dead weight
-    deleteRecursively(landing)
-    spark.table(name)
-      .select(col("user_id"),
+    runToResult(spark, agg, "complete",
+      statePartitioned = true, Some(landing)) { t =>
+      t.select(col("user_id"),
         unix_micros(col("w.start")).as("session_start_us"),
         unix_micros(col("w.end")).as("session_end_us"),
         col("n_events"), col("tv").cast(DoubleType).as("total_value"))
-      .orderBy("user_id", "session_start_us")
+        .orderBy("user_id", "session_start_us")
+    }
   }
 
   def dailyTotals(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    val (src, landing) = eventsStream(spark, dir)
+    val agg = src
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast(Exact.Money)).as("tv"))
-    val name = s"stream_daily_${System.nanoTime()}"
-    withStatePartitions(spark, StatePartitions) {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
-      .select(to_date(col("w.start")).as("event_date"), col("event_type"),
+    runToResult(spark, agg, "complete",
+      statePartitioned = true, Some(landing)) { t =>
+      t.select(to_date(col("w.start")).as("event_date"), col("event_type"),
         col("n"), col("tv").cast(DoubleType).as("total_value"))
-      .orderBy("event_date", "event_type")
+        .orderBy("event_date", "event_type")
+    }
   }
 }

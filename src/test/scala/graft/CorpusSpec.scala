@@ -165,6 +165,19 @@ class CorpusSpec extends SparkSpec {
     assert(rowsOf(out) === Seq(Seq("en", 1L, 14L)))
   }
 
+  test("curate tolerates an input that already has an n_tokens column") {
+    // the stat columns are internally prefixed, so a pre-existing
+    // n_tokens (common in pre-profiled corpora) must neither collide
+    // ambiguously nor be read by the gate — the bogus value 999 would
+    // flip the minTokens filter if it were
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven", "en", 999L))
+      .toDF("doc_id", "text", "lang", "n_tokens")
+    val eval = Seq((100L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Corpus.curate(docs, "doc_id", "text", "lang", eval, capPerGroup = 5)
+    assert(rowsOf(out) === Seq(Seq("en", 1L, 11L)))
+  }
+
   test("curate per-group cap bounds the kept docs deterministically") {
     val docs = (1L to 30L).map(i =>
       (i, s"uniq$i one two three four five six seven eight nine ten", "en"))
