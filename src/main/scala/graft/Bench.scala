@@ -41,12 +41,15 @@ object Bench {
     // min of two timed passes per query: one-shot timings on a shared
     // host pick up load spikes (observed: a 0.7s query reading 7s once);
     // the minimum is the standard steady-state estimator and matches
-    // what the warmed JVM actually sustains. The second pass is skipped
-    // for long-running queries — a spike distorts a 300ms query 20×, a
-    // 3s one by a fraction, and the skip keeps total bench wall-clock
-    // within the driver's patience. A query that throws gets its elapsed
-    // time but contributes no rows — the driver's rows>0 checks catch
-    // that separately.
+    // what the warmed JVM actually sustains. Default is min-of-two for
+    // EVERY query — round 4 skipped the second pass above 2.5s and its
+    // apparent q05/q52/q53/q62/q86/q92/q93 "regressions" turned out to be
+    // exactly the queries that lost it, so round-over-round comparisons
+    // were aliasing the harness change. SPARK_GRAFT_ONE_SHOT_CUTOFF=<sec>
+    // restores the skip (one-shot timing for queries at/above the cutoff)
+    // when bench wall-clock matters more than variance. A query that
+    // throws gets its elapsed time but contributes no rows — the driver's
+    // rows>0 checks catch that separately.
     // returns (elapsed, succeeded): a failed pass must never win the min —
     // a query that works on pass 1 but throws quickly on pass 2 (the
     // streaming queries re-stage temp files per invocation) would
@@ -56,9 +59,11 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    val oneShotCutoff = sys.env.get("SPARK_GRAFT_ONE_SHOT_CUTOFF")
+      .map(_.toDouble).getOrElse(Double.MaxValue)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (first, ok1) = timeOnce(fn)
-      val best = if (!ok1 || first >= 2.5) first else {
+      val best = if (!ok1 || first >= oneShotCutoff) first else {
         val (second, ok2) = timeOnce(fn)
         if (ok2) math.min(first, second) else first
       }

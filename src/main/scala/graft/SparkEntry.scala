@@ -218,10 +218,20 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")),
 
-    // ── [ext] approx distinct (HLL) — rows-only check (approximate) ────
+    // ── [ext] approx distinct (HLL) — oracle-checkable form: the HLL
+    // estimate itself is engine-private (Spark's HLL++ vs DuckDB's HLL
+    // disagree by design), so the query emits the exact distinct count
+    // plus the accuracy CONTRACT (estimate within 5% of exact — the
+    // default rsd): the invariant both engines can agree on bit-for-bit.
+    // approx_count_distinct still runs on the engine side; a broken HLL
+    // flips approx_ok and fails the hash compare. ──────────────────────
     "q18_approx_distinct" -> ((s, dir) =>
       T(s, dir, "events").groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast(DoubleType) <=
+            col("n_exact").cast(DoubleType) * 0.05).as("approx_ok"))
         .orderBy("event_type")),
 
     // ── [ext] set ops ──────────────────────────────────────────────────
@@ -246,13 +256,15 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")),
 
     // ── [north star] MinHash LSH near-dup over 3-word shingles ─────────
-    "q23_minhash_lsh" -> ((s, dir) =>
-      TextDedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, shingleLen = 3)
-        .orderBy("id_a", "id_b")),
+    // The production pipeline hashes shingles with xxhash64 (engine-
+    // private — no DuckDB twin), so it is NOT a driver query: TextSpec
+    // pins its verified pair set equal to q55's sha-derived variant on
+    // fixtures, and q55 is the oracle-checked form of the same pipeline.
+    // Same policy for the xxhash SimHash forms (q57/q58 carry the oracle)
+    // and the trained-codebook IVF (q56 carries it).
 
     // ── [north star] MinHash LSH with cross-engine hashes (oracled) ────
-    // same pipeline as q23 with sha-derived shingle hashes and raw-value
+    // same pipeline with sha-derived shingle hashes and raw-value
     // band keys, so the DuckDB oracle replays every stage bit-for-bit
     "q55_minhash_verifiable" -> ((s, dir) =>
       TextDedup.minhashNearDupsVerifiable(T(s, dir, "documents"), "doc_id", "text",
@@ -265,17 +277,6 @@ object SparkEntry {
     "q24_jaccard_pairs" -> ((s, dir) =>
       TextDedup.jaccardNearDupsBitset(T(s, dir, "documents"), "doc_id", "text",
         threshold = 0.6, bandWidth = 8)
-        .orderBy("id_a", "id_b")),
-
-    // ── [north star] SimHash fingerprint clustering ────────────────────
-    "q25_simhash" -> ((s, dir) =>
-      TextDedup.simhashDocs(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // ── [north star] SimHash near-dup pairs (banded Hamming join) ──────
-    "q52_simhash_pairs" -> ((s, dir) =>
-      TextDedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // ── [north star] text quality scoring ──────────────────────────────
@@ -346,15 +347,6 @@ object SparkEntry {
           |     (SELECT embedding AS qv FROM embeddings_v WHERE vec_id = 0)
           |WHERE vec_id <> 0
           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
-    }),
-
-    // ── [north star] ANN via IVF coarse quantization (rows-only) ───────
-    "q43_ann_ivf" -> ((s, dir) => {
-      val e = T(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0).map(_.toDouble)
-      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        query = qv, k = 10)
     }),
 
     // ── [north star] embedding near-dup pairs, label-blocked ───────────
@@ -1439,6 +1431,13 @@ object SparkEntry {
            |ORDER BY 1, 2""".stripMargin,
       "q17_distinct_agg" ->
         """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the engine runs approx_count_distinct and reports whether the
+      // estimate lands within the 5% contract; the oracle states the
+      // contract holds — a broken HLL flips approx_ok and hash-fails
+      "q18_approx_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+          |       true AS approx_ok
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q19_intersect" ->
         """SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'

@@ -46,4 +46,30 @@ object Maintenance {
     fs.delete(tmp, true)
     (before.length, parquetFiles().length)
   }
+
+  /** K6 full-table delete (the reference's delete-then-reload reset,
+    * re-expressed for a parquet layout): overwrite `dir` with an EMPTY
+    * relation that preserves the table's read schema — a bare directory
+    * wipe would make the next `spark.read.parquet` die on schema
+    * inference, so one zero-row file carrying the schema stays behind.
+    * Works on partitioned layouts too: the partition columns fold back
+    * into the file schema (an empty table has no partitions to prune;
+    * the next partitioned write re-establishes the layout). Same
+    * write-then-swap pattern as [[compact]], so a concurrent reader sees
+    * the old table or the empty one, never a half-deleted directory.
+    * Returns the number of rows deleted. */
+  def deleteAll(spark: SparkSession, dir: String): Long = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.parquet(dir)
+    val deleted = df.count()
+    val tmp = new Path(dir + "__delete_tmp")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+      .coalesce(1) // exactly one task → exactly one schema-bearing file
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path), s"swap failed: $tmp -> $path")
+    deleted
+  }
 }

@@ -164,6 +164,27 @@ class OpsSpec extends SparkSpec {
     assert(rev === 275.275)
   }
 
+  test("deleteAll empties a partitioned layout but keeps it readable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delete_").toString
+    Seq((1L, 10.0, "click"), (2L, 20.0, "view"), (3L, 30.0, "click"))
+      .toDF("id", "v", "kind")
+      .write.mode("overwrite").partitionBy("kind").parquet(tmp)
+    val schemaBefore = spark.read.parquet(tmp).schema
+    assert(graft.ops.Maintenance.deleteAll(spark, tmp) === 3L)
+    // the table stays readable (one schema-bearing empty file — a bare
+    // dir wipe would break schema inference) with zero rows and the same
+    // logical schema, partition column included
+    val after = spark.read.parquet(tmp)
+    assert(after.count() === 0L)
+    assert(after.schema.fields.map(f => (f.name, f.dataType)).toSet ===
+      schemaBefore.fields.map(f => (f.name, f.dataType)).toSet)
+    // and the next partitioned write re-establishes the layout
+    Seq((9L, 90.0, "signup")).toDF("id", "v", "kind")
+      .write.mode("overwrite").partitionBy("kind").parquet(tmp)
+    assert(spark.read.parquet(tmp).count() === 1L)
+    graft.TempWork.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("audit: all checks in one pass, NULL predicate counts as failure") {
     val df = Seq((Option(1), "a"), (None, "b"), (Option(-1), null))
       .toDF("x", "s")
