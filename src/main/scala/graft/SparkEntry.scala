@@ -429,6 +429,29 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ── S5: CSV glob scan with schema inference (the reference's
+    // inferSchema read, spark_deltalake_sync.py:293). The engine
+    // standardizes on declared schemas (SURVEY §7.4.2: inference is a
+    // correctness hazard — int-vs-long promotion depends on the values
+    // seen), so the inferred read is cast to the canonical types right
+    // after the scan; the aggregate must still hash-match the
+    // parquet-native oracle, proving the inferred round-trip lossless.
+    // At scale, inference costs one extra pass over the staged files —
+    // acceptable for a staging load, never for the fact path (S4/S6
+    // remain the production scans). ────────────────────────────────────
+    "q103_csv_infer" -> ((s, dir) => {
+      val tmp = TempWork.fresh("csv_infer")
+      T(s, dir, "events").select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+        .select(col("event_id").cast(LongType), col("user_id").cast(LongType),
+          col("value").cast(DoubleType), col("event_type"))
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // ── S9: parameterized SQL (the reference's Jinja-templated .sql
     // files, src/utils/misc.py:11-54 → Spark named-parameter API) ──────
     "q39_sql_params" -> ((s, dir) => {
@@ -1590,6 +1613,10 @@ object SparkEntry {
         s"""SELECT event_type, count(*) AS n, $moneyV AS total_value
            |FROM events WHERE event_type <> 'view' AND value >= 10
            |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q103_csv_infer" ->
+        s"""SELECT event_type, count(DISTINCT user_id) AS n_users,
+           |  $moneyV AS total_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q40_cube" ->
         s"""SELECT coalesce(event_type, '<all>') AS event_type,
            |  coalesce(event_date, '<all>') AS event_date,

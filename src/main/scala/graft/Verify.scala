@@ -17,7 +17,16 @@ object Verify {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.NanosPredicatePushdown
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q103,q38 → dump just those queries (local
+    // iteration; the driver sets nothing and gets the full dump)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (n, _) =>
+        keys.exists(k => n == k || n.startsWith(k + "_")) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

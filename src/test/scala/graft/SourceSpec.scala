@@ -28,6 +28,36 @@ class SourceSpec extends SparkSpec {
     assert(!scan.contains("company_name"))
   }
 
+  test("S5: CSV inferSchema recovers numeric types; q103 matches the declared-schema read") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_infer_spec_").toString
+    try {
+      Tables.load(spark, sf0001, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val inferred = spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(tmp)
+      // inference must land on NUMERIC types for the numeric columns —
+      // this is the hazard S5 standardizes away: whether event_id comes
+      // back int or long depends on the values seen, so assert numeric,
+      // not the exact width
+      val byName = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
+      assert(Set[Any](IntegerType, LongType).contains(byName("event_id")))
+      assert(Set[Any](IntegerType, LongType).contains(byName("user_id")))
+      assert(byName("value") === DoubleType)
+      // after the canonical cast, the inferred read agrees with the
+      // declared-schema read row-for-row
+      val declared = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_type", StringType)))
+      val a = inferred.select(col("event_id").cast(LongType),
+        col("user_id").cast(LongType), col("value").cast(DoubleType),
+        col("event_type"))
+      val b = spark.read.schema(declared).option("header", "true").csv(tmp)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    } finally TempWork.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("bitset jaccard keeps a pair sitting exactly ON the threshold") {
     import spark.implicits._
     // J(1,2) = 3/5 = 0.6 exactly — the >= filter must keep it; doc 3
