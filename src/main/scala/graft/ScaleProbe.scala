@@ -112,6 +112,15 @@ object ScaleProbe {
       etime("salted_agg", mult)(e =>
         graft.ops.Skew.saltedSumCount(e, Seq("event_type"), col("value"), 16)
           .count())
+      // global ranking over per-user totals: the user_id offset per copy
+      // means the KEY count grows 100× with the corpus — the axis where
+      // the old Window.orderBy single-reducer plan died; the two-phase
+      // Ranking must stay ~linear here (q77/q104/q106's core)
+      etime("global_rank", mult)(e => {
+        val per = e.groupBy("user_id").agg(sum("value").as("total"))
+        graft.operators.Ranking.withGlobalRank(per, "rk", "n",
+          col("total").desc, col("user_id").asc).count()
+      })
     }
     spark.stop()
   }

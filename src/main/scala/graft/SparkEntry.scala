@@ -1234,7 +1234,66 @@ object SparkEntry {
     // across micro-batches (events split by id parity → nearly every
     // session spans both batches); result ≡ the batch q61 aggregation
     "q102_stream_sessions" -> ((s, dir) =>
-      graft.streaming.EventStream.sessionTotals(s, dir))
+      graft.streaming.EventStream.sessionTotals(s, dir)),
+
+    // ── [north star] deterministic corpus shuffle: the global training
+    // order comes from a seeded content-stable hash, positioned by the
+    // scale-safe two-phase Ranking (range-partition on the hash → local
+    // row_number + broadcast offsets; no single-reducer window).
+    // Reruns, repartitions, and engine versions all produce the
+    // identical order — the property a resumable 100 TB training run
+    // needs from its shuffle; shard = pos mod 8 gives the balanced
+    // shard assignment for the data loader. ───────────────────────────
+    "q104_corpus_shuffle" -> ((s, dir) => {
+      val seeded = T(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Sampling.shaHash60(
+          concat(col("doc_id").cast(StringType), lit(":42"))).as("shuffle_key"))
+      Ranking.withGlobalRank(seeded, "pos", "__N",
+          col("shuffle_key").asc, col("doc_id").asc)
+        .select(col("doc_id"), col("shuffle_key"), col("pos"),
+          pmod(col("pos") - 1, lit(8L)).cast(IntegerType).as("shard"))
+        .orderBy("doc_id")
+    }),
+
+    // ── [north star] source-mixing audit: per-source target sampling
+    // rates (plan parameters) applied as a deterministic hash-threshold
+    // keep-predicate, reported as achieved-vs-target mix in ONE scan —
+    // conditional aggregation, not filter+join, so the nightly
+    // "is the mix drifting" check costs one map-side pass plus a
+    // group-by-source shuffle of |sources| rows. src0 is the eval
+    // set: rate 0, never trained on. ──────────────────────────────────
+    "q105_source_mixing" -> ((s, dir) => {
+      val rate = when(col("source") === "src0", lit(0L))
+        .when(col("source") === "src1", lit(100L))
+        .when(col("source") === "src2", lit(50L))
+        .otherwise(lit(20L))
+      val keep =
+        pmod(graft.ops.Sampling.shaHash60(col("doc_id")), lit(100L)) < rate
+      T(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(keep, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          sum(when(keep, col("n_chars").cast(LongType)).otherwise(lit(0L)))
+            .as("kept_chars"),
+          max(rate).as("target_pct"))
+        .orderBy("source")
+    }),
+
+    // ── [north star] global quality gate: keep EXACTLY the top quarter
+    // of the corpus by quality score — an exact global quantile via the
+    // two-phase Ranking, so the cut is reproducible document-for-
+    // document (audited corpus releases). When exactness isn't
+    // required, the cheap path is an approx_percentile threshold
+    // broadcast against the scan; this is the exact form. ─────────────
+    "q106_quality_gate" -> ((s, dir) => {
+      val scored = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      Ranking.withGlobalRank(scored, "rk", "__N",
+          col("quality").desc, col("doc_id").asc)
+        .filter(col("rk") * lit(4L) <= col("__N"))
+        .select("doc_id", "lang", "quality", "rk")
+        .orderBy("doc_id")
+    })
   )
 
 
@@ -1617,6 +1676,39 @@ object SparkEntry {
         s"""SELECT event_type, count(DISTINCT user_id) AS n_users,
            |  $moneyV AS total_value
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q104_corpus_shuffle" ->
+        """WITH k AS (SELECT doc_id,
+          |  ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+          |    AS shuffle_key FROM documents),
+          |r AS (SELECT doc_id, shuffle_key,
+          |        row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos FROM k)
+          |SELECT doc_id, shuffle_key, pos, CAST((pos - 1) % 8 AS INT) AS shard
+          |FROM r ORDER BY doc_id""".stripMargin,
+      "q105_source_mixing" ->
+        """WITH s AS (SELECT source, n_chars,
+          |  ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+          |    (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 100
+          |                 WHEN 'src2' THEN 50 ELSE 20 END) AS keep,
+          |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 100
+          |              WHEN 'src2' THEN 50 ELSE 20 END AS rate
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+          |  CAST(max(rate) AS BIGINT) AS target_pct
+          |FROM s GROUP BY source ORDER BY source""".stripMargin,
+      "q106_quality_gate" ->
+        s"""WITH sc AS (SELECT doc_id, lang,
+           |  CAST(len($stop) AS DOUBLE) / CAST(len($toks) AS DOUBLE) * 2.0
+           |    + (CASE WHEN len($toks) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END)
+           |    - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |      / CAST(length(replace(text, ' ', '')) AS DOUBLE) AS quality
+           |  FROM documents),
+           |r AS (SELECT doc_id, lang, quality,
+           |        row_number() OVER (ORDER BY quality DESC, doc_id) AS rk,
+           |        count(*) OVER () AS n FROM sc)
+           |SELECT doc_id, lang, quality, rk FROM r WHERE rk * 4 <= n
+           |ORDER BY doc_id""".stripMargin,
       "q40_cube" ->
         s"""SELECT coalesce(event_type, '<all>') AS event_type,
            |  coalesce(event_date, '<all>') AS event_date,

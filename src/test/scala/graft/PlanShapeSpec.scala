@@ -120,6 +120,28 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the range-repartition phase:\n$plan")
   }
 
+  test("q104/q106 Ranking consumers: no single-partition exchange either") {
+    // every query built on Ranking.withGlobalRank inherits q77's
+    // guarantee — guard each consumer so a future rewrite of one query
+    // can't quietly fall back to the global-window form
+    for (q <- Seq("q104_corpus_shuffle", "q106_quality_gate")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q regressed to a single-reducer plan:\n$plan")
+      assert(countOf(plan, "Exchange rangepartitioning") >= 1,
+        s"$q lost the range-repartition phase:\n$plan")
+    }
+  }
+
+  test("q105 mixing audit: one scan, one group-by-source exchange") {
+    val plan = planOf("q105_source_mixing")
+    // conditional aggregation — the keep-predicate must not introduce a
+    // filter+join second pass over the corpus
+    assert(countOf(plan, "Exchange") <= 2, // partial-agg + output sort
+      s"mixing audit grew extra shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"mixing audit must be join-free:\n$plan")
+  }
+
   test("q100 incremental dedup: batch-vs-corpus anti join, no text shuffle") {
     val plan = planOf("q100_incremental_dedup")
     assert(plan.contains("LeftAnti"),
