@@ -925,6 +925,32 @@ object SparkEntry {
         .select("q_id", "vec_id", "cos", "rk").orderBy("q_id", "rk")
     }),
 
+    // ── [north star] hard-negative mining: contrastive-training triplets
+    // (anchor, top-1 positive, top-5 margin-separated negatives). One
+    // broadcast of the anchor set, ONE similarity scan, one q_id-hash
+    // exchange reused by both ranking windows and the tiny positive-set
+    // broadcast join — negatives are the highest-cosine candidates at
+    // least `margin` below the positive, the standard triplet-loss
+    // sampling rule. Scale shape = q81's kNN (base never shuffles on
+    // data size, only on |anchors| partitions). ────────────────────────
+    "q108_hard_negatives" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val ranked = e.filter(col("vec_id") >= 3).crossJoin(broadcast(anchors))
+        .withColumn("cos", graft.functions.CosineSim(col("embedding"), col("qv")))
+        .withColumn("rk", row_number().over(w))
+      val pos = ranked.filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+      ranked.filter(col("rk") > 1).join(broadcast(pos), Seq("q_id"))
+        .filter(col("cos") <= col("pos_cos") - lit(0.05))
+        .withColumn("nrk", row_number().over(w)).filter(col("nrk") <= 5)
+        .select(col("q_id"), col("pos_id"), col("pos_cos"),
+          col("vec_id").as("neg_id"), col("cos").as("neg_cos"), col("nrk"))
+        .orderBy("q_id", "nrk")
+    }),
+
     // ── [ext] schema-evolution union: unionByName(allowMissingColumns)
     // (the reference's CSV-staging schema drift, handled relationally) ───
     "q82_union_by_name" -> ((s, dir) => {
@@ -1235,6 +1261,15 @@ object SparkEntry {
     // session spans both batches); result ≡ the batch q61 aggregation
     "q102_stream_sessions" -> ((s, dir) =>
       graft.streaming.EventStream.sessionTotals(s, dir)),
+
+    // ── [ext] streaming merge sink: foreachBatch + join-rewrite upsert
+    // into a parquet destination with per-batchId commit markers (the
+    // exactly-once "stream → MERGE INTO table" production pattern).
+    // Each micro-batch folds associative partials (count/decimal-sum/
+    // greatest) into the table, so the result is identical for any
+    // batch split and a DuckDB batch oracle checks it bit-for-bit. ─────
+    "q107_stream_merge_sink" -> ((s, dir) =>
+      graft.streaming.EventStream.mergedUserTotals(s, dir)),
 
     // ── [north star] deterministic corpus shuffle: the global training
     // order comes from a seeded content-stable hash, positioned by the
@@ -1676,6 +1711,24 @@ object SparkEntry {
         s"""SELECT event_type, count(DISTINCT user_id) AS n_users,
            |  $moneyV AS total_value
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q108_hard_negatives" ->
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+           |base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+           |c AS (SELECT q_id, vec_id, ${cosine("embedding", "qv")} AS cos FROM base, q),
+           |r AS (SELECT q_id, vec_id, cos, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM c),
+           |p AS (SELECT q_id, vec_id AS pos_id, cos AS pos_cos FROM r WHERE rk = 1),
+           |n AS (SELECT r.q_id, p.pos_id, p.pos_cos, r.vec_id AS neg_id,
+           |        r.cos AS neg_cos, row_number() OVER
+           |          (PARTITION BY r.q_id ORDER BY r.cos DESC, r.vec_id) AS nrk
+           |      FROM r JOIN p ON r.q_id = p.q_id
+           |      WHERE r.rk > 1 AND r.cos <= p.pos_cos - 0.05)
+           |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos, CAST(nrk AS INT) AS nrk
+           |FROM n WHERE nrk <= 5 ORDER BY q_id, nrk""".stripMargin,
+      "q107_stream_merge_sink" ->
+        s"""SELECT user_id, count(*) AS n_events, $moneyV AS total_value,
+           |  max(epoch_us(ts)) AS latest_us
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "q104_corpus_shuffle" ->
         """WITH k AS (SELECT doc_id,
           |  ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT

@@ -285,6 +285,98 @@ object EventStream {
     }
   }
 
+  /** Streaming merge sink: `foreachBatch` + join-rewrite upsert into a
+    * parquet destination — the production "stream → MERGE INTO table"
+    * pattern (the streaming twin of [[graft.ops.Merge.upsert]], and the
+    * always-on form of the reference's scheduled incremental sync).
+    *
+    * Exactly-once: foreachBatch delivers each micro-batch AT LEAST once
+    * (a crash between sink write and checkpoint commit re-runs the
+    * batch), so the write must be idempotent per `batchId`. The standard
+    * fix, implemented here: a commit marker per batchId next to the
+    * destination — a re-delivered batch sees its marker and skips. On
+    * Delta/Iceberg the `txnAppId`/snapshot commit plays this role.
+    *
+    * Each batch folds PARTIAL aggregates into the destination (count
+    * adds, decimal total adds, latest-timestamp takes greatest) — all
+    * associative and commutative, so the final table is identical for
+    * ANY micro-batch partitioning of the input, which is what lets a
+    * DuckDB batch oracle check a streaming pipeline bit-for-bit.
+    *
+    * Scale notes: per batch this costs one shuffle of the BATCH (small)
+    * plus a key-partitioned join against the destination; at 100 TB the
+    * destination is a bucketed/partitioned table so the merge join is
+    * exchange-free on the table side, and the swap is a transactional
+    * table commit, not a directory rename. State lives in the sink, not
+    * the state store — destination size, not stream length. */
+  def mergedUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_mrg_")
+    def land(half: DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_mrg_$tag")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet"))
+        .findFirst().get() finally listing.close()
+      java.nio.file.Files.copy(part, landing.resolve(s"$tag.parquet"))
+      deleteRecursively(tmp)
+    }
+    land(src.filter(col("event_id") % 2 === 0), "even")
+    land(src.filter(col("event_id") % 2 === 1), "odd")
+    val dest = java.nio.file.Files.createTempDirectory("graft_stream_dest_")
+    val dataDir = dest.resolve("data")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+      .withColumn("ts",
+        if (schema("ts").dataType == org.apache.spark.sql.types.TimestampType) col("ts")
+        else timestamp_micros(expr("ts div 1000")))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = dest.resolve(s"commit_$batchId")
+        if (!java.nio.file.Files.exists(marker)) { // idempotent re-delivery guard
+          val b = batch.groupBy("user_id").agg(
+            count(lit(1)).as("b_n"),
+            sum(col("value").cast(Exact.Money)).as("b_tv"),
+            max(unix_micros(col("ts"))).as("b_latest"))
+          val cur =
+            if (java.nio.file.Files.exists(dataDir))
+              spark.read.parquet(dataDir.toString)
+            else b.filter(lit(false)).select(col("user_id"),
+              col("b_n").as("n_events"), col("b_tv").as("tv"),
+              col("b_latest").as("latest_us"))
+          val merged = cur.join(b, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("n_events"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
+                .as("n_events"),
+              (coalesce(col("tv"), lit(0).cast(Exact.Money)) +
+                coalesce(col("b_tv"), lit(0).cast(Exact.Money))).as("tv"),
+              greatest(coalesce(col("latest_us"), lit(Long.MinValue)),
+                coalesce(col("b_latest"), lit(Long.MinValue))).as("latest_us"))
+          // write-then-swap (same discipline as ops.Maintenance): a
+          // reader sees the old table or the new one, never a half-write
+          val next = dest.resolve(s"data_next_$batchId")
+          merged.write.mode("overwrite").parquet(next.toString)
+          deleteRecursively(dataDir)
+          java.nio.file.Files.move(next, dataDir)
+          java.nio.file.Files.createFile(marker)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(dataDir.toString)
+      .select(col("user_id"), col("n_events"),
+        col("tv").cast(DoubleType).as("total_value"), col("latest_us"))
+      .orderBy("user_id")
+      .localCheckpoint(true)
+    deleteRecursively(landing)
+    deleteRecursively(dest)
+    out
+  }
+
   def dailyTotals(spark: SparkSession, dir: String): DataFrame = {
     val (src, landing) = eventsStream(spark, dir)
     val agg = src

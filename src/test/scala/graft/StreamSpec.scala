@@ -158,6 +158,20 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet merge sink equals the batch aggregate") {
+    // mergedUserTotals folds associative partials (count / decimal sum /
+    // greatest) into a parquet destination per micro-batch — the result
+    // must equal the one-shot batch aggregate for any batch split
+    val streamed = graft.streaming.EventStream.mergedUserTotals(spark, sf0001)
+    val batch = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(graft.ops.Exact.Money)).cast("double").as("total_value"),
+        max(unix_micros(col("ts"))).as("latest_us"))
+      .orderBy("user_id")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark dedups re-deliveries across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EventRow]
