@@ -926,25 +926,26 @@ object SparkEntry {
     }),
 
     // ── [north star] hard-negative mining: contrastive-training triplets
-    // (anchor, top-1 positive, top-5 margin-separated negatives). One
-    // broadcast of the anchor set, ONE similarity scan, one q_id-hash
-    // exchange reused by both ranking windows and the tiny positive-set
-    // broadcast join — negatives are the highest-cosine candidates at
-    // least `margin` below the positive, the standard triplet-loss
-    // sampling rule. Scale shape = q81's kNN (base never shuffles on
-    // data size, only on |anchors| partitions). ────────────────────────
+    // (anchor, top-1 positive, top-5 margin-separated negatives — the
+    // standard triplet-loss sampling rule). Single-pass form: the
+    // positive for every candidate row is just `first(...)` over the
+    // SAME (cos desc, vec_id) ordered window that ranks the candidates,
+    // so ONE similarity scan and ONE q_id-hash exchange feed rank,
+    // positive columns, and the post-margin-filter re-rank (a join-back
+    // of a separately-computed positive set would rescan and recompute
+    // the similarity — twice the dominant cost at corpus scale). Scale
+    // shape = q81's kNN: base never shuffles on data size. ─────────────
     "q108_hard_negatives" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val anchors = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      val ranked = e.filter(col("vec_id") >= 3).crossJoin(broadcast(anchors))
+      e.filter(col("vec_id") >= 3).crossJoin(broadcast(anchors))
         .withColumn("cos", graft.functions.CosineSim(col("embedding"), col("qv")))
         .withColumn("rk", row_number().over(w))
-      val pos = ranked.filter(col("rk") === 1)
-        .select(col("q_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
-      ranked.filter(col("rk") > 1).join(broadcast(pos), Seq("q_id"))
-        .filter(col("cos") <= col("pos_cos") - lit(0.05))
+        .withColumn("pos_id", first(col("vec_id")).over(w))
+        .withColumn("pos_cos", first(col("cos")).over(w))
+        .filter(col("rk") > 1 && col("cos") <= col("pos_cos") - lit(0.05))
         .withColumn("nrk", row_number().over(w)).filter(col("nrk") <= 5)
         .select(col("q_id"), col("pos_id"), col("pos_cos"),
           col("vec_id").as("neg_id"), col("cos").as("neg_cos"), col("nrk"))

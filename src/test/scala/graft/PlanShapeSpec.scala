@@ -142,6 +142,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"mixing audit must be join-free:\n$plan")
   }
 
+  test("q108 hard negatives: one similarity scan, one candidate exchange") {
+    val plan = planOf("q108_hard_negatives")
+    // the single-pass window form: positive columns come from first()
+    // over the ranking window, NOT from a join-back of a separately
+    // computed positive set (which would rescan + recompute the
+    // similarity — twice the dominant cost at corpus scale)
+    assert(countOf(plan, "Scan parquet") === 2, // base + broadcast anchors
+      s"similarity recomputed through an extra scan:\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"both windows must share the q_id exchange:\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") === 0,
+      s"positive set must not be joined back:\n$plan")
+  }
+
   test("q100 incremental dedup: batch-vs-corpus anti join, no text shuffle") {
     val plan = planOf("q100_incremental_dedup")
     assert(plan.contains("LeftAnti"),
