@@ -60,7 +60,13 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val oneShotCutoff = sys.env.get("SPARK_GRAFT_ONE_SHOT_CUTOFF")
-      .map(_.toDouble).getOrElse(Double.MaxValue)
+      .flatMap { s =>
+        val parsed = scala.util.Try(s.toDouble).toOption
+        if (parsed.isEmpty) // a typo'd dev knob must not abort the bench
+          System.err.println(
+            s"[bench] ignoring unparseable SPARK_GRAFT_ONE_SHOT_CUTOFF='$s'")
+        parsed
+      }.getOrElse(Double.MaxValue)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (first, ok1) = timeOnce(fn)
       val best = if (!ok1 || first >= oneShotCutoff) first else {

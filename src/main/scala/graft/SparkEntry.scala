@@ -221,17 +221,19 @@ object SparkEntry {
     // ── [ext] approx distinct (HLL) — oracle-checkable form: the HLL
     // estimate itself is engine-private (Spark's HLL++ vs DuckDB's HLL
     // disagree by design), so the query emits the exact distinct count
-    // plus the accuracy CONTRACT (estimate within 5% of exact — the
-    // default rsd): the invariant both engines can agree on bit-for-bit.
-    // approx_count_distinct still runs on the engine side; a broken HLL
-    // flips approx_ok and fails the hash compare. ──────────────────────
+    // plus a sanity BOUND on the estimate: the invariant both engines
+    // can agree on bit-for-bit. The bound is 20% — 4× the default rsd,
+    // NOT the rsd itself: rsd 0.05 is one standard deviation, so a
+    // healthy sketch lands outside 5% on roughly a third of counters;
+    // 20% is ~4σ (spurious-failure odds negligible) while a BROKEN
+    // sketch (off by 2×+) still flips approx_ok and fails the hash. ────
     "q18_approx_distinct" -> ((s, dir) =>
       T(s, dir, "events").groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_exact"),
           approx_count_distinct(col("user_id")).as("approx"))
         .select(col("event_type"), col("n_exact"),
           (abs(col("approx") - col("n_exact")).cast(DoubleType) <=
-            col("n_exact").cast(DoubleType) * 0.05).as("approx_ok"))
+            col("n_exact").cast(DoubleType) * 0.20).as("approx_ok"))
         .orderBy("event_type")),
 
     // ── [ext] set ops ──────────────────────────────────────────────────
@@ -1551,8 +1553,10 @@ object SparkEntry {
         """SELECT event_type, count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the engine runs approx_count_distinct and reports whether the
-      // estimate lands within the 5% contract; the oracle states the
-      // contract holds — a broken HLL flips approx_ok and hash-fails
+      // estimate lands within the 20% (~4σ) sanity bound; the oracle
+      // states the bound holds — a broken HLL flips approx_ok and
+      // hash-fails, while a healthy sketch passes with negligible
+      // spurious-failure odds even on regenerated fixtures
       "q18_approx_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS n_exact,
           |       true AS approx_ok

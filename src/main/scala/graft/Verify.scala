@@ -45,7 +45,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // dump only the selected queries' oracles: a filtered dump with the
+    // FULL oracle map would make check.py count every unselected query
+    // as MISSING (or worse, silently compare a stale prior dump)
+    val selectedOracles = SparkEntry.oracleSql.filter {
+      case (k, _) => selected.contains(k)
+    }
+    val json = selectedOracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

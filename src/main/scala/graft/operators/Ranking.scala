@@ -46,16 +46,30 @@ object Ranking {
   private val Off = "__graft_off"
 
   /** Adds `rankCol` = 1-based global row number under `order` and
-    * `nCol` = total row count, without a single-partition exchange. */
+    * `nCol` = total row count, without a single-partition exchange.
+    *
+    * The range-partitioned relation is eagerly `localCheckpoint`ed
+    * before fan-out. This is correctness, not caching: `ranged` is
+    * consumed by BOTH the local-rank window and the per-range counts,
+    * and without materialization each consumer re-executes its own
+    * `repartitionByRange`, whose boundaries come from an independently
+    * seeded reservoir sample — on data large enough that the sample is
+    * not the whole input, the two executions can pick DIFFERENT
+    * boundaries, making the pid→offset join silently wrong (Spark's
+    * ReuseExchange does not unify the branches here — verified on the
+    * q77 plan, which re-scanned the source three times). Pinning the
+    * partitions costs one executor-local materialization of the
+    * projected ranking columns — the same order of cost Spark's own
+    * global sort pays — and also collapses the plan to a single source
+    * scan and a single range exchange. */
   def withGlobalRank(df: DataFrame, rankCol: String, nCol: String,
                      order: Column*): DataFrame = {
     val ranged = df.repartitionByRange(order: _*)
       .withColumn(Pid, spark_partition_id())
+      .localCheckpoint(true)
     val local = ranged.withColumn(LocalRank,
       row_number().over(Window.partitionBy(Pid).orderBy(order: _*)))
-    // Tiny side: one row per range. Computed off `ranged` directly so the
-    // range exchange is shared with the window branch (ReuseExchange) and
-    // only a partial count re-scans each range.
+    // Tiny side: one row per range, read from the checkpointed partitions.
     val counts = ranged.groupBy(col(Pid)).agg(count(lit(1)).as("__graft_n"))
     val offsets = counts
       .crossJoin(broadcast(

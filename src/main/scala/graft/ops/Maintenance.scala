@@ -48,28 +48,42 @@ object Maintenance {
   }
 
   /** K6 full-table delete (the reference's delete-then-reload reset,
-    * re-expressed for a parquet layout): overwrite `dir` with an EMPTY
-    * relation that preserves the table's read schema — a bare directory
-    * wipe would make the next `spark.read.parquet` die on schema
-    * inference, so one zero-row file carrying the schema stays behind.
-    * Works on partitioned layouts too: the partition columns fold back
-    * into the file schema (an empty table has no partitions to prune;
-    * the next partitioned write re-establishes the layout). Same
-    * write-then-swap pattern as [[compact]], so a concurrent reader sees
-    * the old table or the empty one, never a half-deleted directory.
+    * re-expressed for a parquet layout): replace `dir`'s contents with
+    * an EMPTY relation that preserves the table's read schema — a bare
+    * directory wipe would make the next `spark.read.parquet` die on
+    * schema inference, so one zero-row file carrying the schema stays
+    * behind. Works on partitioned layouts too: the partition columns
+    * fold back into the file schema (an empty table has no partitions
+    * to prune; the next partitioned write re-establishes the layout).
+    *
+    * Like [[compact]], the directory itself stays present throughout —
+    * the empty file is staged to a unique tmp dir, the old contents are
+    * removed, and the staged file moves in. Single-writer assumption
+    * (the reference's schedulers never overlap a sync with itself): a
+    * concurrent reader never sees a MISSING path; in the brief
+    * swap window it can see an empty directory and fail schema
+    * inference, which is a retryable read error, not data loss. The
+    * 100 TB path is `DELETE FROM` on a transactional table format,
+    * where this whole dance is one metadata commit.
     * Returns the number of rows deleted. */
   def deleteAll(spark: SparkSession, dir: String): Long = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df = spark.read.parquet(dir)
     val deleted = df.count()
-    val tmp = new Path(dir + "__delete_tmp")
+    // unique staging name: concurrent deletes of DIFFERENT tables can
+    // share a parent dir, and a crashed prior attempt must not collide
+    val tmp = new Path(dir + "__delete_tmp_" + java.util.UUID.randomUUID())
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
       .coalesce(1) // exactly one task → exactly one schema-bearing file
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    require(fs.rename(tmp, path), s"swap failed: $tmp -> $path")
+    val empty = fs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.listStatus(path).foreach(f => fs.delete(f.getPath, true))
+    require(fs.rename(empty, new Path(path, empty.getName)),
+      s"swap failed: $empty -> $path")
+    fs.delete(tmp, true)
     deleted
   }
 }

@@ -6,6 +6,8 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming surface (SURVEY.md §2.9 [ext]).
   *
   * The reference's "streaming" is a daily scheduled micro-batch with
@@ -135,17 +137,23 @@ object EventStream {
                           landing: Option[java.nio.file.Path])
                          (finish: DataFrame => DataFrame): DataFrame = {
     val name = s"stream_q_${System.nanoTime()}"
-    def run(): Unit = {
-      val q = df.writeStream.outputMode(mode).format("memory")
-        .queryName(name).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // cleanup must survive a FAILED pass too: Bench.timeOnce expects
+    // streaming queries to sometimes throw and keeps going — without the
+    // finally, each failed pass would leak its landing dir and sink view,
+    // exactly the accumulation this helper exists to prevent
+    try {
+      def run(): Unit = {
+        val q = df.writeStream.outputMode(mode).format("memory")
+          .queryName(name).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      if (statePartitioned) withStatePartitions(spark, StatePartitions)(run())
+      else run()
+      finish(spark.table(name)).localCheckpoint(true)
+    } finally {
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      landing.foreach(deleteRecursively)
     }
-    if (statePartitioned) withStatePartitions(spark, StatePartitions)(run())
-    else run()
-    val out = finish(spark.table(name)).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    landing.foreach(deleteRecursively)
-    out
   }
 
   /** Streaming dedup across micro-batches: the same events file lands
@@ -249,28 +257,45 @@ object EventStream {
     * Scale notes: session state is bounded by open sessions per key,
     * not stream length; with a watermark (production form) closed
     * sessions evict as event time passes gap + delay. */
-  def sessionTotals(spark: SparkSession, dir: String): DataFrame = {
+  /** Land the events fixture split into one file per predicate (each
+    * becomes its own micro-batch under maxFilesPerTrigger=1) and return
+    * the ts-shimmed file-source stream over the landing dir. Shared by
+    * [[sessionTotals]] and [[mergedUserTotals]] — the split-by-parity
+    * staging, schema shim, and landing protocol live in exactly one
+    * place. Caller owns deleting the returned landing dir. */
+  private def splitStream(spark: SparkSession, dir: String, tag: String,
+                          splits: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, java.nio.file.Path) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.read.parquet(s"$dir/events.parquet")
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
-    def land(half: DataFrame, tag: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_sess_$tag")
-      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val landing = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
+    splits.foreach { case (name, pred) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_${tag}_$name")
+      src.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val listing = java.nio.file.Files.list(tmp)
       val part = try listing.filter(_.toString.endsWith(".parquet"))
         .findFirst().get() finally listing.close()
-      java.nio.file.Files.copy(part, landing.resolve(s"$tag.parquet"))
+      java.nio.file.Files.copy(part, landing.resolve(s"$name.parquet"))
       deleteRecursively(tmp) // staging copy no longer needed once landed
     }
-    land(src.filter(col("event_id") % 2 === 0), "even")
-    land(src.filter(col("event_id") % 2 === 1), "odd")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing.toString)
       .withColumn("ts",
         if (schema("ts").dataType == org.apache.spark.sql.types.TimestampType) col("ts")
         else timestamp_micros(expr("ts div 1000")))
+    (stream, landing)
+  }
+
+  private def parityStream(spark: SparkSession, dir: String, tag: String)
+      : (DataFrame, java.nio.file.Path) =
+    splitStream(spark, dir, tag, Seq(
+      "even" -> (col("event_id") % 2 === 0),
+      "odd" -> (col("event_id") % 2 === 1)))
+
+  def sessionTotals(spark: SparkSession, dir: String): DataFrame = {
+    val (stream, landing) = parityStream(spark, dir, "sess_")
     val agg = stream
       .groupBy(col("user_id"), session_window(col("ts"), "12 hours").as("w"))
       .agg(count(lit(1)).as("n_events"),
@@ -297,6 +322,15 @@ object EventStream {
     * destination — a re-delivered batch sees its marker and skips. On
     * Delta/Iceberg the `txnAppId`/snapshot commit plays this role.
     *
+    * The commit protocol is crash-ordered: batch N writes the full new
+    * table to `data_v{N}` (reading from `data_v{N-1}`), then creates the
+    * `commit_{N}` marker. The current table is `data_v{max committed}`.
+    * A crash BEFORE the marker re-runs the batch, which rebuilds
+    * `data_v{N}` from the still-intact `data_v{N-1}` (overwrite mode, so
+    * a half-written v{N} is simply replaced); a crash AFTER the marker
+    * skips the batch. No state is ever deleted before its successor is
+    * committed — prior versions are swept only after the marker lands.
+    *
     * Each batch folds PARTIAL aggregates into the destination (count
     * adds, decimal total adds, latest-timestamp takes greatest) — all
     * associative and commutative, so the final table is identical for
@@ -306,48 +340,37 @@ object EventStream {
     * Scale notes: per batch this costs one shuffle of the BATCH (small)
     * plus a key-partitioned join against the destination; at 100 TB the
     * destination is a bucketed/partitioned table so the merge join is
-    * exchange-free on the table side, and the swap is a transactional
-    * table commit, not a directory rename. State lives in the sink, not
-    * the state store — destination size, not stream length. */
+    * exchange-free on the table side, and the version commit is a
+    * transactional table commit, not a directory convention. State
+    * lives in the sink, not the state store — destination size, not
+    * stream length. */
   def mergedUserTotals(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.read.parquet(s"$dir/events.parquet")
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_mrg_")
-    def land(half: DataFrame, tag: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_mrg_$tag")
-      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = java.nio.file.Files.list(tmp)
-      val part = try listing.filter(_.toString.endsWith(".parquet"))
-        .findFirst().get() finally listing.close()
-      java.nio.file.Files.copy(part, landing.resolve(s"$tag.parquet"))
-      deleteRecursively(tmp)
-    }
-    land(src.filter(col("event_id") % 2 === 0), "even")
-    land(src.filter(col("event_id") % 2 === 1), "odd")
+    val (stream, landing) = parityStream(spark, dir, "mrg_")
     val dest = java.nio.file.Files.createTempDirectory("graft_stream_dest_")
-    val dataDir = dest.resolve("data")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(landing.toString)
-      .withColumn("ts",
-        if (schema("ts").dataType == org.apache.spark.sql.types.TimestampType) col("ts")
-        else timestamp_micros(expr("ts div 1000")))
+    def committed(): Option[Long] = {
+      val listing = java.nio.file.Files.list(dest)
+      val ids = try listing.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("commit_"))
+        .map(_.stripPrefix("commit_").toLong).toSeq
+      finally listing.close()
+      if (ids.isEmpty) None else Some(ids.max)
+    }
+    def dataV(id: Long) = dest.resolve(s"data_v$id")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = dest.resolve(s"commit_$batchId")
-        if (!java.nio.file.Files.exists(marker)) { // idempotent re-delivery guard
+        val cur = committed()
+        if (!cur.exists(_ >= batchId)) { // idempotent re-delivery guard
           val b = batch.groupBy("user_id").agg(
             count(lit(1)).as("b_n"),
             sum(col("value").cast(Exact.Money)).as("b_tv"),
             max(unix_micros(col("ts"))).as("b_latest"))
-          val cur =
-            if (java.nio.file.Files.exists(dataDir))
-              spark.read.parquet(dataDir.toString)
-            else b.filter(lit(false)).select(col("user_id"),
+          val prev = cur match {
+            case Some(id) => spark.read.parquet(dataV(id).toString)
+            case None => b.filter(lit(false)).select(col("user_id"),
               col("b_n").as("n_events"), col("b_tv").as("tv"),
               col("b_latest").as("latest_us"))
-          val merged = cur.join(b, Seq("user_id"), "full_outer")
+          }
+          val merged = prev.join(b, Seq("user_id"), "full_outer")
             .select(col("user_id"),
               (coalesce(col("n_events"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
                 .as("n_events"),
@@ -355,26 +378,26 @@ object EventStream {
                 coalesce(col("b_tv"), lit(0).cast(Exact.Money))).as("tv"),
               greatest(coalesce(col("latest_us"), lit(Long.MinValue)),
                 coalesce(col("b_latest"), lit(Long.MinValue))).as("latest_us"))
-          // write-then-swap (same discipline as ops.Maintenance): a
-          // reader sees the old table or the new one, never a half-write
-          val next = dest.resolve(s"data_next_$batchId")
-          merged.write.mode("overwrite").parquet(next.toString)
-          deleteRecursively(dataDir)
-          java.nio.file.Files.move(next, dataDir)
-          java.nio.file.Files.createFile(marker)
+          merged.write.mode("overwrite").parquet(dataV(batchId).toString)
+          java.nio.file.Files.createFile(dest.resolve(s"commit_$batchId"))
+          cur.foreach(id => deleteRecursively(dataV(id))) // sweep AFTER commit
         }
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = spark.read.parquet(dataDir.toString)
-      .select(col("user_id"), col("n_events"),
-        col("tv").cast(DoubleType).as("total_value"), col("latest_us"))
-      .orderBy("user_id")
-      .localCheckpoint(true)
-    deleteRecursively(landing)
-    deleteRecursively(dest)
-    out
+    try {
+      q.awaitTermination()
+      val last = committed().getOrElse(
+        sys.error("streaming merge produced no committed version"))
+      spark.read.parquet(dataV(last).toString)
+        .select(col("user_id"), col("n_events"),
+          col("tv").cast(DoubleType).as("total_value"), col("latest_us"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+    } finally {
+      deleteRecursively(landing)
+      deleteRecursively(dest)
+    }
   }
 
   def dailyTotals(spark: SparkSession, dir: String): DataFrame = {

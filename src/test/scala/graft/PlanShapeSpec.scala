@@ -116,8 +116,13 @@ class PlanShapeSpec extends SparkSpec {
     // on a hash exchange, the offsets side is broadcast)
     assert(!plan.contains("Exchange SinglePartition"),
       s"global ranking regressed to a single-reducer plan:\n$plan")
-    assert(countOf(plan, "Exchange rangepartitioning") >= 1,
-      s"expected the range-repartition phase:\n$plan")
+    // the range phase runs inside Ranking's eager localCheckpoint (the
+    // boundary-pinning materialization), so the result plan reads the
+    // checkpointed partitions instead of re-sampling a range exchange
+    // per consumer — exactly one ExistingRDD scan branch pair, and the
+    // only rangepartitioning left is the final output orderBy
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the pinned-boundary checkpoint scan:\n$plan")
   }
 
   test("q104/q106 Ranking consumers: no single-partition exchange either") {
@@ -128,8 +133,8 @@ class PlanShapeSpec extends SparkSpec {
       val plan = planOf(q)
       assert(!plan.contains("Exchange SinglePartition"),
         s"$q regressed to a single-reducer plan:\n$plan")
-      assert(countOf(plan, "Exchange rangepartitioning") >= 1,
-        s"$q lost the range-repartition phase:\n$plan")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q lost Ranking's pinned-boundary checkpoint:\n$plan")
     }
   }
 
