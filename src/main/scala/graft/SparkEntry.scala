@@ -1274,6 +1274,36 @@ object SparkEntry {
     "q107_stream_merge_sink" -> ((s, dir) =>
       graft.streaming.EventStream.mergedUserTotals(s, dir)),
 
+    // ── [north star] inverted index: token → document-frequency +
+    // bounded posting list (the 10 smallest doc_ids). The IR backbone
+    // for exact-phrase lookup and dedup tooling over a corpus. The
+    // aggregation STATE is bounded before buffering: collect_list over
+    // when(rn<=10, doc_id) skips the null it yields past rank 10, so a
+    // head token's aggregator holds 10 ids + a count — a plain
+    // collect-then-slice would buffer EVERY posting of "the". All rows
+    // still flow through (df counts the full posting set, so rank
+    // pruning of ROWS is impossible by construction); the per-partition
+    // sort feeding the window is the index build's inherent O(n log n).
+    // The aggregate runs on the window's token exchange — no shuffle of
+    // its own. min_df=25 prunes the tail at the aggregate; postings are
+    // emitted comma-joined so the oracle compares exactly. Full posting
+    // lists at 100 TB would instead partition the index by
+    // (token, doc-range) — the cap is the state-bounding choice. ───────
+    "q109_inverted_index" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .distinct() // document frequency counts each doc once
+      val wTok = Window.partitionBy("tok").orderBy("doc_id")
+      toks.withColumn("rn", row_number().over(wTok))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", transform(
+            array_sort(collect_list(when(col("rn") <= 10, col("doc_id")))),
+            _.cast(StringType))).as("postings"))
+        .filter(col("df") >= 25)
+        .orderBy("tok")
+    }),
+
     // ── [north star] deterministic corpus shuffle: the global training
     // order comes from a seeded content-stable hash, positioned by the
     // scale-safe two-phase Ranking (range-partition on the hash → local
@@ -1734,6 +1764,16 @@ object SparkEntry {
         s"""SELECT user_id, count(*) AS n_events, $moneyV AS total_value,
            |  max(epoch_us(ts)) AS latest_us
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q109_inverted_index" ->
+        s"""WITH t0 AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+           |t AS (SELECT DISTINCT doc_id, tok FROM t0),
+           |r AS (SELECT tok, doc_id, row_number() OVER
+           |        (PARTITION BY tok ORDER BY doc_id) AS rn FROM t),
+           |g AS (SELECT tok, count(*) AS df,
+           |        array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 10)), ',')
+           |          AS postings
+           |      FROM r GROUP BY tok)
+           |SELECT tok, df, postings FROM g WHERE df >= 25 ORDER BY tok""".stripMargin,
       "q104_corpus_shuffle" ->
         """WITH k AS (SELECT doc_id,
           |  ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT

@@ -161,6 +161,18 @@ class PlanShapeSpec extends SparkSpec {
       s"positive set must not be joined back:\n$plan")
   }
 
+  test("q109 inverted index: posting agg reuses the window's token exchange") {
+    val plan = planOf("q109_inverted_index")
+    // distinct (doc_id, tok) + token window = exactly two hash exchanges;
+    // the posting-list aggregation must run on the window's partitioning
+    // (rank pruning of rows is impossible — df counts every posting — so
+    // the bound lives in the agg state: collect_list over when(rn<=10))
+    assert(countOf(plan, "Exchange hashpartitioning") === 2,
+      s"posting aggregation grew its own shuffle:\n$plan")
+    assert(plan.contains("CASE WHEN (rn"),
+      s"expected the rank-bounded posting buffer:\n$plan")
+  }
+
   test("q100 incremental dedup: batch-vs-corpus anti join, no text shuffle") {
     val plan = planOf("q100_incremental_dedup")
     assert(plan.contains("LeftAnti"),
