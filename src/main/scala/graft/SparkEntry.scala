@@ -1304,6 +1304,47 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // ── [north star] BM25 ranked retrieval over the corpus (k1=1.2,
+    // b=0.75; idf as the (N-df+0.5)/(df+0.5) RATIO, not its log — log is
+    // not correctly-rounded by IEEE so engines may differ in the last
+    // ulp, while +,-,*,/ are exact-rounded and reproduce bit-for-bit;
+    // the ratio keeps per-term monotonicity, documented deviation).
+    // Zero-shuffle tf: per-term counts via size(filter(tokens)) inside
+    // the scan projection — no explode, no (doc,term) exchange. All
+    // corpus statistics (N, Σdl, per-term df) come from ONE global
+    // partial-aggregate row broadcast back to the scan; per-term scores
+    // add in fixed syntactic order so double addition is deterministic.
+    // Top-20 via TakeOrderedAndProject. ────────────────────────────────
+    "q110_bm25_topk" -> ((s, dir) => {
+      val terms = Seq("join", "stream", "window")
+      val base = T(s, dir, "documents")
+        .select(col("doc_id") +: size(TextOps.tokens(col("text"))).as("dl") +:
+          terms.map(t => size(filter(TextOps.tokens(col("text")),
+            x => x === lit(t))).as(s"tf_$t")): _*)
+      val statAggs =
+        count(lit(1)).as("n") +: sum(col("dl").cast(LongType)).as("sumdl") +:
+          terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      val nD = col("n").cast(DoubleType)
+      val avgdl = col("sumdl").cast(DoubleType) / nD
+      def termScore(t: String) = {
+        val tfd = col(s"tf_$t").cast(DoubleType)
+        val dfd = col(s"df_$t").cast(DoubleType)
+        val idf = (nD - dfd + lit(0.5)) / (dfd + lit(0.5))
+        idf * (tfd * lit(2.2)) /
+          (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl))
+      }
+      base.crossJoin(broadcast(stats))
+        .withColumn("score",
+          terms.map(termScore).reduceLeft(_ + _)) // fixed addition order
+        .filter(col("score") > 0)
+        .select(col("doc_id"), col("score"),
+          col("tf_join").cast(LongType), col("tf_stream").cast(LongType),
+          col("tf_window").cast(LongType))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    }),
+
     // ── [north star] deterministic corpus shuffle: the global training
     // order comes from a seeded content-stable hash, positioned by the
     // scale-safe two-phase Ranking (range-partition on the hash → local
@@ -1764,6 +1805,31 @@ object SparkEntry {
         s"""SELECT user_id, count(*) AS n_events, $moneyV AS total_value,
            |  max(epoch_us(ts)) AS latest_us
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q110_bm25_topk" ->
+        s"""WITH b AS (SELECT doc_id, len($toks) AS dl,
+           |  len(list_filter($toks, x -> x = 'join')) AS tf_join,
+           |  len(list_filter($toks, x -> x = 'stream')) AS tf_stream,
+           |  len(list_filter($toks, x -> x = 'window')) AS tf_window
+           |  FROM documents),
+           |g AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+           |        sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+           |        sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream,
+           |        sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+           |      FROM b),
+           |sc AS (SELECT doc_id, tf_join, tf_stream, tf_window,
+           |  (CAST(n AS DOUBLE) - CAST(df_join AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_join AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           |    * (CAST(tf_join AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           |    / (CAST(tf_join AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+           |  + (CAST(n AS DOUBLE) - CAST(df_stream AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_stream AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           |    * (CAST(tf_stream AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           |    / (CAST(tf_stream AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+           |  + (CAST(n AS DOUBLE) - CAST(df_window AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_window AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           |    * (CAST(tf_window AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           |    / (CAST(tf_window AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+           |  AS score
+           |  FROM b, g)
+           |SELECT doc_id, score, tf_join, tf_stream, tf_window FROM sc
+           |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
       "q109_inverted_index" ->
         s"""WITH t0 AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
            |t AS (SELECT DISTINCT doc_id, tok FROM t0),

@@ -173,6 +173,19 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the rank-bounded posting buffer:\n$plan")
   }
 
+  test("q110 BM25: zero data shuffles, broadcast stats, top-k operator") {
+    val plan = planOf("q110_bm25_topk")
+    // term frequencies are HOF projections in the scan — no explode and
+    // no (doc, term) exchange anywhere; the only aggregation is the
+    // one-row global stats, which broadcasts back to the scan
+    assert(countOf(plan, "Exchange hashpartitioning") === 0,
+      s"BM25 grew a per-key shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"term frequencies must not explode the token arrays:\n$plan")
+  }
+
   test("q100 incremental dedup: batch-vs-corpus anti join, no text shuffle") {
     val plan = planOf("q100_incremental_dedup")
     assert(plan.contains("LeftAnti"),
