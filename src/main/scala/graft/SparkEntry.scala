@@ -1345,6 +1345,54 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     }),
 
+    // ── [ext] snapshot diff: keyed reconciliation of two table versions
+    // (the "what changed since yesterday" audit every sync pipeline
+    // runs). One full-outer join on the key; row status from null-side
+    // tests plus a value compare; unchanged rows — the overwhelming
+    // majority at scale — are filtered out BEFORE the output sort, so
+    // the result is proportional to the churn, not the table. Snapshots
+    // here are deterministic slices of the events fixture (B drops some
+    // of A's rows, adds others, and rewrites every 11th value). ────────
+    "q111_snapshot_diff" -> ((s, dir) => {
+      val e = T(s, dir, "events").select("event_id", "event_type", "value")
+      val snapA = e.filter(col("event_id") % 7 =!= 1)
+        .select(col("event_id"), col("event_type").as("type_a"),
+          col("value").as("value_a"))
+      val snapB = e.filter(col("event_id") % 5 =!= 2)
+        .select(col("event_id"), col("event_type").as("type_b"),
+          when(col("event_id") % 11 === 0, col("value") + lit(1.0))
+            .otherwise(col("value")).as("value_b"))
+      snapA.join(snapB, Seq("event_id"), "full_outer")
+        .withColumn("status",
+          when(col("type_b").isNull, lit("removed"))
+            .when(col("type_a").isNull, lit("added"))
+            .when(col("value_a") =!= col("value_b"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .filter(col("status") =!= "unchanged")
+        .select("event_id", "status", "value_a", "value_b")
+        .orderBy("event_id")
+    }),
+
+    // ── [ext] CDC apply: fold a change log (insert/update/delete ops)
+    // into final table state — last op per key wins, and a trailing
+    // DELETE erases the key (the semantics plain upsert can't express).
+    // One shuffle: per-key argmax window ordered by (ts, event_id), then
+    // the delete filter. The reference's event_type stands in for the
+    // op column: click→I, view→U, purchase→D. ─────────────────────────
+    "q112_cdc_apply" -> ((s, dir) => {
+      val log = T(s, dir, "events").select(col("user_id"),
+        col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "click", lit("I"))
+          .when(col("event_type") === "view", lit("U"))
+          .otherwise(lit("D")).as("op"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("op") =!= "D")
+        .select(col("user_id"), col("op"), col("value"))
+        .orderBy("user_id")
+    }),
+
     // ── [north star] deterministic corpus shuffle: the global training
     // order comes from a seeded content-stable hash, positioned by the
     // scale-safe two-phase Ranking (range-partition on the hash → local
@@ -1805,6 +1853,31 @@ object SparkEntry {
         s"""SELECT user_id, count(*) AS n_events, $moneyV AS total_value,
            |  max(epoch_us(ts)) AS latest_us
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q111_snapshot_diff" ->
+        """WITH e AS (SELECT event_id, event_type, value FROM events),
+          |a AS (SELECT event_id, event_type AS type_a, value AS value_a
+          |      FROM e WHERE event_id % 7 <> 1),
+          |b AS (SELECT event_id, event_type AS type_b,
+          |        CASE WHEN event_id % 11 = 0 THEN value + 1.0 ELSE value END AS value_b
+          |      FROM e WHERE event_id % 5 <> 2),
+          |d AS (SELECT coalesce(a.event_id, b.event_id) AS event_id,
+          |        CASE WHEN type_b IS NULL THEN 'removed'
+          |             WHEN type_a IS NULL THEN 'added'
+          |             WHEN value_a <> value_b THEN 'changed'
+          |             ELSE 'unchanged' END AS status,
+          |        value_a, value_b
+          |      FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+          |SELECT event_id, status, value_a, value_b FROM d
+          |WHERE status <> 'unchanged' ORDER BY event_id""".stripMargin,
+      "q112_cdc_apply" ->
+        """WITH log AS (SELECT user_id, ts, event_id, value,
+          |  CASE event_type WHEN 'click' THEN 'I' WHEN 'view' THEN 'U'
+          |       ELSE 'D' END AS op FROM events),
+          |r AS (SELECT user_id, op, value, row_number() OVER
+          |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM log)
+          |SELECT user_id, op, value FROM r WHERE rn = 1 AND op <> 'D'
+          |ORDER BY user_id""".stripMargin,
       "q110_bm25_topk" ->
         s"""WITH b AS (SELECT doc_id, len($toks) AS dl,
            |  len(list_filter($toks, x -> x = 'join')) AS tf_join,
