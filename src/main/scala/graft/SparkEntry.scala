@@ -1450,6 +1450,113 @@ object SparkEntry {
         .filter(col("rk") * lit(4L) <= col("__N"))
         .select("doc_id", "lang", "quality", "rk")
         .orderBy("doc_id")
+    }),
+
+    // ── [ext] numeric column profiling: the "ANALYZE TABLE" pass every
+    // ingest runs before trusting a new drop. ONE aggregation computes
+    // (non-null count, exact distinct count, min, max) for every column;
+    // the per-column rows come from `stack` over that single row, so the
+    // table is scanned once no matter how many columns are profiled.
+    // The multi-count-distinct plans through Spark's Expand (input ×
+    // #columns before partial aggregation) — the exact form; a 100 TB
+    // profile would swap count_distinct for approx_count_distinct and
+    // keep the identical shape. ─────────────────────────────────────────
+    "q114_profile" -> ((s, dir) => {
+      val pcols = Seq("event_id", "user_id", "value")
+      val aggs = count(lit(1)).as("n_rows") +: pcols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast(DoubleType).as(s"mn_$c"),
+        max(col(c)).cast(DoubleType).as(s"mx_$c")))
+      val stackArgs = pcols.map(c =>
+        s"'$c', n_rows - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      T(s, dir, "events").agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${pcols.size}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, min_v, max_v)")
+        .orderBy("column_name")
+    }),
+
+    // ── [ext] per-group outlier detection: events whose value sits more
+    // than 3σ from their user's mean. Mean and variance come from
+    // DECIMAL-exact Σv and Σv² window aggregates over ONE exchange on
+    // user_id (no agg+join-back second shuffle), converted to double
+    // only at the final mean/var arithmetic — the identical IEEE
+    // expression shape on both engines, so the 3σ cut is bit-exact and
+    // independent of shuffle layout. ───────────────────────────────────
+    "q115_outliers" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val vdec = col("value").cast(DecimalType(18, 2))
+      val nD = col("cnt").cast(DoubleType)
+      val mean = col("s1").cast(DoubleType) / nD
+      val varE = col("s2").cast(DoubleType) / nD - mean * mean
+      val dev = col("value") - mean
+      T(s, dir, "events")
+        .withColumn("s1", sum(vdec).over(w))
+        .withColumn("s2", sum((vdec * vdec).cast(DecimalType(38, 4))).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("cnt") >= 20 && dev * dev > lit(9.0) * varE)
+        .select(col("event_id"), col("user_id"), col("value"),
+          mean.as("grp_mean"), varE.as("grp_var"))
+        .orderBy("event_id")
+    }),
+
+    // ── [ext] triangle counting on the co-purchase graph (parts that
+    // share an urgent order). Degree-ordered edge orientation (Cohen
+    // 2009) — see operators/Graph.scala for why the naive triangle join
+    // is quadratic in hub degree and this one is not. Output: top-20
+    // parts by triangle participation. Integer counts → exact on any
+    // engine. ──────────────────────────────────────────────────────────
+    "q118_triangles" -> ((s, dir) => {
+      val urgent = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        urgent, "l_orderkey", "l_partkey")
+      graft.operators.Graph.triangleParticipation(edges)
+        .orderBy(col("n_tri").desc, col("vertex"))
+        .limit(20)
+        .select(col("vertex").as("part"), col("n_tri"))
+    }),
+
+    // ── [ext] time-grid resample + linear interpolation: per-user daily
+    // purchase series gap-filled onto a dense date grid (the feature-
+    // engineering staple). Per-day argmax pick, grid via sequence()
+    // (DuckDB: generate_series), then interpolation from the last/next
+    // observed day with forward/back-fill at the edges — all windows
+    // share the ONE user_id exchange, and the interpolation arithmetic
+    // (integer day deltas, exact-rounded double ops in identical shape)
+    // reproduces bit-for-bit cross-engine. ─────────────────────────────
+    "q119_resample" -> ((s, dir) => {
+      val perDay = Dedup.argmaxWindow(
+        T(s, dir, "events").filter(col("event_type") === "purchase")
+          .withColumn("d", to_date(col("ts"))),
+        Seq("user_id", "d"), Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("d"), col("value"))
+      val grid = perDay.groupBy("user_id")
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+      val wAll = Window.partitionBy("user_id").orderBy("d")
+      val wPrev = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val filled = grid.join(perDay, Seq("user_id", "d"), "left")
+        .withColumn("pv", last(col("value"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("value").isNotNull, col("d")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("value"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("value").isNotNull, col("d")),
+          ignoreNulls = true).over(wNext))
+      val frac = datediff(col("d"), col("pd")).cast(DoubleType) /
+        datediff(col("nd"), col("pd")).cast(DoubleType)
+      filled.select(col("user_id"), col("d"),
+        when(col("value").isNotNull, col("value"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) * frac)
+          .as("v_filled"),
+        col("value").isNotNull.as("observed"))
+        .orderBy("user_id", "d")
     })
   )
 
@@ -2518,7 +2625,87 @@ object SparkEntry {
            |  max(us) + 43200000000 AS session_end_us, count(*) AS n_events,
            |  $moneyV AS total_value
            |FROM sess GROUP BY user_id, session_id
-           |ORDER BY user_id, session_start_us""".stripMargin
+           |ORDER BY user_id, session_start_us""".stripMargin,
+      "q114_profile" ->
+        """SELECT * FROM (
+          |  SELECT 'event_id' AS column_name, count(*) - count(event_id) AS n_nulls,
+          |    count(DISTINCT event_id) AS n_distinct,
+          |    CAST(min(event_id) AS DOUBLE) AS min_v, CAST(max(event_id) AS DOUBLE) AS max_v
+          |  FROM events
+          |  UNION ALL
+          |  SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id),
+          |    CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE) FROM events
+          |  UNION ALL
+          |  SELECT 'value', count(*) - count(value), count(DISTINCT value),
+          |    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE) FROM events)
+          |ORDER BY column_name""".stripMargin,
+      "q115_outliers" ->
+        """WITH st AS (SELECT event_id, user_id, value,
+          |  sum(CAST(value AS DECIMAL(18,2))) OVER w AS s1,
+          |  sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+          |      AS DECIMAL(38,4))) OVER w AS s2,
+          |  count(*) OVER w AS cnt
+          |  FROM events WINDOW w AS (PARTITION BY user_id))
+          |SELECT event_id, user_id, value,
+          |  CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS grp_mean,
+          |  CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+          |    - (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+          |      * (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) AS grp_var
+          |FROM st
+          |WHERE cnt >= 20 AND
+          |  (value - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+          |    * (value - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+          |  > 9.0 * (CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+          |    - (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+          |      * (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)))
+          |ORDER BY event_id""".stripMargin,
+      "q118_triangles" ->
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |      WHERE o_orderpriority = '1-URGENT'),
+          |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+          |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+          |deg AS (SELECT k, count(*) AS d FROM
+          |        (SELECT a AS k FROM e0 UNION ALL SELECT b FROM e0) GROUP BY k),
+          |e AS (SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b END AS u,
+          |             CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a END AS v
+          |      FROM e0 JOIN deg da ON da.k = e0.a JOIN deg db ON db.k = e0.b),
+          |tri AS (SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+          |        FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          |        JOIN e e3 ON least(e3.u, e3.v) = e1.v
+          |                 AND greatest(e3.u, e3.v) = e2.v),
+          |part_tri AS (SELECT ta AS part FROM tri UNION ALL
+          |             SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+          |SELECT part, count(*) AS n_tri FROM part_tri GROUP BY part
+          |ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
+      "q119_resample" ->
+        """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d, value,
+          |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+          |                       ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events WHERE event_type = 'purchase'),
+          |pd AS (SELECT user_id, d, value FROM p WHERE rn = 1),
+          |grid AS (SELECT user_id, unnest(generate_series(min(d), max(d),
+          |           INTERVAL 1 DAY))::DATE AS d FROM pd GROUP BY user_id),
+          |f AS (SELECT g.user_id, g.d, pd.value,
+          |  last_value(pd.value IGNORE NULLS) OVER wp AS pv,
+          |  last_value(CASE WHEN pd.value IS NOT NULL THEN g.d END IGNORE NULLS)
+          |    OVER wp AS pdte,
+          |  first_value(pd.value IGNORE NULLS) OVER wn AS nv,
+          |  first_value(CASE WHEN pd.value IS NOT NULL THEN g.d END IGNORE NULLS)
+          |    OVER wn AS ndte
+          |  FROM grid g LEFT JOIN pd ON g.user_id = pd.user_id AND g.d = pd.d
+          |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.d
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |         wn AS (PARTITION BY g.user_id ORDER BY g.d
+          |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          |SELECT user_id, d,
+          |  CASE WHEN value IS NOT NULL THEN value
+          |       WHEN pv IS NULL THEN nv
+          |       WHEN nv IS NULL THEN pv
+          |       ELSE pv + (nv - pv) * (CAST(d - pdte AS DOUBLE)
+          |                              / CAST(ndte - pdte AS DOUBLE)) END AS v_filled,
+          |  value IS NOT NULL AS observed
+          |FROM f ORDER BY user_id, d""".stripMargin
     )
   }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed triangle counting on an undirected graph.
+  *
+  * The naive triangle join (edges ⋈ edges ⋈ edges) enumerates a wedge for
+  * every 2-path, i.e. Σ_v deg(v)², which explodes on skewed degree
+  * distributions (the co-purchase graph below has ~41M wedges at sf0.1
+  * unoriented vs ~1.9M triangles). The standard scalable fix (Cohen,
+  * "Graph Twiddling in a MapReduce World", 2009; also Suri & Vassilvitskii
+  * WWW'11) orients every edge from its lower-(degree, id) endpoint to the
+  * higher one: each triangle is then counted exactly once, and wedge
+  * generation is bounded by Σ_v outdeg(v)² where outdeg ≤ O(√E) for every
+  * vertex — the heavy hub that dominates the naive join generates NO
+  * wedges because all its edges point inward.
+  *
+  * Shuffle shape: degree agg (one exchange on vertex), orientation joins
+  * against the degree table (broadcast when |V| is small, shuffle join
+  * otherwise — Spark's planner picks by stats), wedge self-join on the
+  * out-vertex, and the closing-edge equi-join on (b, c). Everything is
+  * equi-join shaped — no cross products anywhere — so AQE can handle skew
+  * per key.
+  */
+object Graph {
+
+  /** Canonical undirected edge set from a (group, member) co-occurrence
+    * relation: an edge links two members that share a group, deduplicated
+    * across groups, with endpoints ordered a < b. */
+  def coOccurrenceEdges(pairs: DataFrame, groupCol: String,
+                        memberCol: String): DataFrame = {
+    val g = pairs.select(col(groupCol).as("__g"), col(memberCol).as("__m"))
+      .distinct()
+    g.alias("l").join(g.alias("r"), col("l.__g") === col("r.__g"))
+      .filter(col("l.__m") < col("r.__m"))
+      .select(col("l.__m").as("a"), col("r.__m").as("b"))
+      .distinct()
+  }
+
+  /** Per-vertex triangle participation counts over undirected edges
+    * (columns `a`, `b`, already deduplicated, a < b). Returns
+    * (vertex, n_tri) — every triangle credits all three corners. */
+  def triangleParticipation(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("k"))
+      .unionAll(edges.select(col("b").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("d"))
+    // Orient low → high by (degree, id): a total order on vertices, so
+    // each undirected edge gets exactly one direction.
+    val oriented = edges
+      .join(deg.select(col("k").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("k").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    // Wedges from a shared out-vertex: each triangle produces exactly ONE
+    // wedge, at its minimum corner in orientation order. The wedge pair is
+    // canonicalized by vertex id (e1.v < e2.v), and the closing edge —
+    // which is oriented by (degree, id), not id — is re-canonicalized the
+    // same way with least/greatest so the equi-join matches.
+    val e = oriented.localCheckpoint(true)
+    val wedges = e.alias("e1").join(e.alias("e2"), col("e1.u") === col("e2.u"))
+      .filter(col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
+    val closing = e.select(
+      least(col("u"), col("v")).as("tb"), greatest(col("u"), col("v")).as("tc"))
+    val tri = wedges.join(closing, Seq("tb", "tc"))
+    tri.select(col("ta").as("vertex"))
+      .unionAll(tri.select(col("tb").as("vertex")))
+      .unionAll(tri.select(col("tc").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).cast(LongType).as("n_tri"))
+  }
+}
