@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{BitAndCount, BitsetOf, CosineSim, HyperplaneSig,
   KMinValues, MinHashSig, ShingleHash, ShingleHashSha, SimHash64,
-  SimHashOf, SimHashSha, ZValue}
+  SimHashOf, SimHashSha, SpaceSaving, ZValue}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -76,6 +76,10 @@ object GraftExtensions {
       // DISTINCT/FILTER handling (pre-wrapping toAggregateExpression here
       // would make those variants fail resolution)
       (args: Seq[Expression]) => KMinValues(args(0), intArg(args(1), "k"))),
+    ("space_saving",
+      new ExpressionInfo(classOf[SpaceSaving].getName, "space_saving"),
+      // bare AggregateFunction for the same analyzer-wrapping reason
+      (args: Seq[Expression]) => SpaceSaving(args(0), intArg(args(1), "m"))),
     ("z_value",
       new ExpressionInfo(classOf[ZValue].getName, "z_value"),
       // SQL integer literals arrive as INT — widen like a built-in would

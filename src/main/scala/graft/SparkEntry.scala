@@ -47,6 +47,37 @@ object SparkEntry {
     Merge.recencyMerge(target, updates, Seq("user_id", "event_date"), "ts")
   }
 
+  /** Shared BM25 scorer (q110, q113): ratio-idf BM25 with k1=1.2, b=0.75
+    * over `terms` — zero-shuffle per-doc term frequencies from the scan
+    * projection, ONE broadcast global-stats row, per-term scores added in
+    * fixed syntactic order (see q110's comment for why the idf ratio is
+    * kept unlogged: +,-,*,/ are exact-rounded, log is not). Returns
+    * (doc_id, dl, tf_<term>..., score). */
+  private def bm25Scored(s: SparkSession, dir: String,
+                         terms: Seq[String]): DataFrame = {
+    val base = T(s, dir, "documents")
+      .select(col("doc_id") +: size(TextOps.tokens(col("text"))).as("dl") +:
+        terms.map(t => size(filter(TextOps.tokens(col("text")),
+          x => x === lit(t))).as(s"tf_$t")): _*)
+    val statAggs =
+      count(lit(1)).as("n") +: sum(col("dl").cast(LongType)).as("sumdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val nD = col("n").cast(DoubleType)
+    val avgdl = col("sumdl").cast(DoubleType) / nD
+    def termScore(t: String) = {
+      val tfd = col(s"tf_$t").cast(DoubleType)
+      val dfd = col(s"df_$t").cast(DoubleType)
+      val idf = (nD - dfd + lit(0.5)) / (dfd + lit(0.5))
+      idf * (tfd * lit(2.2)) /
+        (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl))
+    }
+    base.crossJoin(broadcast(stats))
+      .withColumn("score",
+        terms.map(termScore).reduceLeft(_ + _)) // fixed addition order
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── A1: incremental-sync watermark (groupBy-max) ───────────────────
@@ -1315,35 +1346,13 @@ object SparkEntry {
     // partial-aggregate row broadcast back to the scan; per-term scores
     // add in fixed syntactic order so double addition is deterministic.
     // Top-20 via TakeOrderedAndProject. ────────────────────────────────
-    "q110_bm25_topk" -> ((s, dir) => {
-      val terms = Seq("join", "stream", "window")
-      val base = T(s, dir, "documents")
-        .select(col("doc_id") +: size(TextOps.tokens(col("text"))).as("dl") +:
-          terms.map(t => size(filter(TextOps.tokens(col("text")),
-            x => x === lit(t))).as(s"tf_$t")): _*)
-      val statAggs =
-        count(lit(1)).as("n") +: sum(col("dl").cast(LongType)).as("sumdl") +:
-          terms.map(t =>
-            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-      val stats = base.agg(statAggs.head, statAggs.tail: _*)
-      val nD = col("n").cast(DoubleType)
-      val avgdl = col("sumdl").cast(DoubleType) / nD
-      def termScore(t: String) = {
-        val tfd = col(s"tf_$t").cast(DoubleType)
-        val dfd = col(s"df_$t").cast(DoubleType)
-        val idf = (nD - dfd + lit(0.5)) / (dfd + lit(0.5))
-        idf * (tfd * lit(2.2)) /
-          (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl))
-      }
-      base.crossJoin(broadcast(stats))
-        .withColumn("score",
-          terms.map(termScore).reduceLeft(_ + _)) // fixed addition order
+    "q110_bm25_topk" -> ((s, dir) =>
+      bm25Scored(s, dir, Seq("join", "stream", "window"))
         .filter(col("score") > 0)
         .select(col("doc_id"), col("score"),
           col("tf_join").cast(LongType), col("tf_stream").cast(LongType),
           col("tf_window").cast(LongType))
-        .orderBy(col("score").desc, col("doc_id")).limit(20)
-    }),
+        .orderBy(col("score").desc, col("doc_id")).limit(20)),
 
     // ── [ext] snapshot diff: keyed reconciliation of two table versions
     // (the "what changed since yesterday" audit every sync pipeline
@@ -1557,6 +1566,75 @@ object SparkEntry {
           .as("v_filled"),
         col("value").isNotNull.as("observed"))
         .orderBy("user_id", "d")
+    }),
+
+    // ── [north star] hybrid retrieval: reciprocal-rank fusion (Cormack
+    // et al., SIGIR'09) of the BM25 lexical ranking (q110) and the
+    // embedding-cosine ranking (q30) — the standard RAG retrieval stack.
+    // Each modality contributes its top-100 CANDIDATES (TakeOrdered, a
+    // plan parameter); ranks are assigned by a window over those ≤100
+    // rows — bounded-k, NOT a corpus-wide single-reducer sort — and
+    // rrf = Σ 1/(60+rank) adds the two modality terms in fixed order, so
+    // the fused scores are exact-rounded doubles on any engine. A doc
+    // ranked by only one modality keeps the other term at 0 (full outer
+    // join), standard RRF semantics. ───────────────────────────────────
+    "q113_hybrid_rrf" -> ((s, dir) => {
+      val bmTop = bm25Scored(s, dir, Seq("join", "stream", "window"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+      val bmR = bmTop.withColumn("r_bm", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+        .select(col("doc_id").as("id"), col("r_bm"))
+      val e = T(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cosTop = e.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0)
+        .withColumn("sim", VectorOps.cosine(col("embedding"), col("qv")))
+        .orderBy(col("sim").desc, col("vec_id")).limit(100)
+      val cosR = cosTop.withColumn("r_cos", row_number()
+          .over(Window.orderBy(col("sim").desc, col("vec_id"))).cast(LongType))
+        .select(col("vec_id").as("id"), col("r_cos"))
+      bmR.join(cosR, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("r_bm").cast(DoubleType)), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("r_cos").cast(DoubleType)), lit(0.0)))
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+        .select(col("id"), col("rrf"), col("r_bm"), col("r_cos"))
+    }),
+
+    // ── [north star] weighted systematic sampling: pick ~k documents
+    // with probability proportional to length by walking the cumulative
+    // weight axis in strides of total/k — the classic PPS design for
+    // corpus subsampling. The cumulative weights come from the two-phase
+    // Ranking.withPrefixSum (range partition → local running sums →
+    // broadcast offsets; no single-reducer window), and selection is
+    // pure INTEGER arithmetic (div), so the chosen set is bit-exact on
+    // any engine and any partitioning — a reproducible sample manifest
+    // at 100 TB. ───────────────────────────────────────────────────────
+    "q116_weighted_sample" -> ((s, dir) => {
+      val k = 100L
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast(LongType).as("w"))
+      Ranking.withPrefixSum(docs, "cum", "__T", col("w"), col("doc_id").asc)
+        .filter(expr(s"(cum div (__T div $k)) > ((cum - w) div (__T div $k))"))
+        .select(col("doc_id"), col("w"), col("cum"))
+        .orderBy("doc_id")
+    }),
+
+    // ── [ext] heavy hitters: top tokens via the SpaceSaving bounded-
+    // state sketch (functions/SpaceSaving.scala) — O(m) aggregation
+    // state instead of shuffling the full vocabulary. m=64 exceeds the
+    // fixture vocabulary, so the sketch is provably exact here and a
+    // plain GROUP BY oracle verifies it (the KMV q59 pattern); the
+    // evicting regime's error bound is covered by SpaceSavingSpec. ─────
+    "q117_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.SpaceSaving
+      T(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .agg(SpaceSaving(col("tok"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token").as("token"), col("e.cnt").as("n"),
+          col("e.err").as("err_bound"))
+        .orderBy(col("n").desc, col("token")).limit(10)
     })
   )
 
@@ -2705,7 +2783,57 @@ object SparkEntry {
           |       ELSE pv + (nv - pv) * (CAST(d - pdte AS DOUBLE)
           |                              / CAST(ndte - pdte AS DOUBLE)) END AS v_filled,
           |  value IS NOT NULL AS observed
-          |FROM f ORDER BY user_id, d""".stripMargin
+          |FROM f ORDER BY user_id, d""".stripMargin,
+      "q113_hybrid_rrf" -> {
+        val bmTerm = (t: String) =>
+          s"(CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE))\n" +
+            s"    * (CAST(tf_$t AS DOUBLE) * CAST(2.2 AS DOUBLE))\n" +
+            s"    / (CAST(tf_$t AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+        s"""WITH b AS (SELECT doc_id, len($toks) AS dl,
+           |  len(list_filter($toks, x -> x = 'join')) AS tf_join,
+           |  len(list_filter($toks, x -> x = 'stream')) AS tf_stream,
+           |  len(list_filter($toks, x -> x = 'window')) AS tf_window
+           |  FROM documents),
+           |g AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+           |        sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+           |        sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream,
+           |        sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+           |      FROM b),
+           |sc AS (SELECT doc_id,
+           |  ${bmTerm("join")}
+           |  + ${bmTerm("stream")}
+           |  + ${bmTerm("window")} AS score
+           |  FROM b, g),
+           |bm AS (SELECT doc_id, score FROM sc WHERE score > 0
+           |       ORDER BY score DESC, doc_id LIMIT 100),
+           |bmr AS (SELECT doc_id AS id, CAST(row_number() OVER
+           |          (ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm FROM bm),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |cs AS (SELECT vec_id, ${cosine("embedding", "qv")} AS sim
+           |       FROM embeddings, q WHERE vec_id <> 0
+           |       ORDER BY sim DESC, vec_id LIMIT 100),
+           |csr AS (SELECT vec_id AS id, CAST(row_number() OVER
+           |          (ORDER BY sim DESC, vec_id) AS BIGINT) AS r_cos FROM cs),
+           |f AS (SELECT coalesce(bmr.id, csr.id) AS id, r_bm, r_cos,
+           |  coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r_bm AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           |  + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r_cos AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+           |  FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id)
+           |SELECT id, rrf, r_bm, r_cos FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+      },
+      "q116_weighted_sample" ->
+        """WITH c AS (SELECT doc_id, n_chars AS w,
+          |  CAST(sum(n_chars) OVER (ORDER BY doc_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |  CAST(sum(n_chars) OVER () AS BIGINT) AS t
+          |  FROM documents)
+          |SELECT doc_id, w, cum FROM c
+          |WHERE cum // (t // 100) > (cum - w) // (t // 100)
+          |ORDER BY doc_id""".stripMargin,
+      "q117_heavy_hitters" ->
+        s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
+           |c AS (SELECT token, count(*) AS n,
+           |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
+           |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin
     )
   }
 }

@@ -83,6 +83,37 @@ object Ranking {
       .drop(Pid, LocalRank, Off, "__graft_n")
   }
 
+  /** Adds `cumCol` = running total of `weight` under `order` (inclusive of
+    * the current row) and `totalCol` = the grand total, without a
+    * single-partition exchange — the prefix-sum sibling of
+    * [[withGlobalRank]], same two-phase shape: per-range local cumulative
+    * sums in parallel, plus broadcast per-range weight offsets. `weight`
+    * must be integral (LongType) so the running totals are exact and
+    * independent of partitioning; the same `localCheckpoint` boundary-
+    * pinning argument as withGlobalRank applies. */
+  def withPrefixSum(df: DataFrame, cumCol: String, totalCol: String,
+                    weight: Column, order: Column*): DataFrame = {
+    val W = "__graft_w"
+    val ranged = df.withColumn(W, weight.cast(LongType))
+      .repartitionByRange(order: _*)
+      .withColumn(Pid, spark_partition_id())
+      .localCheckpoint(true)
+    val local = ranged.withColumn(LocalRank,
+      sum(col(W)).over(Window.partitionBy(Pid).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sums = ranged.groupBy(col(Pid)).agg(sum(col(W)).as("__graft_n"))
+    val offsets = sums
+      .crossJoin(broadcast(
+        sums.select(col(Pid).as(PidB), col("__graft_n").as(NB))))
+      .groupBy(col(Pid))
+      .agg(
+        coalesce(sum(when(col(PidB) < col(Pid), col(NB))), lit(0L)).as(Off),
+        sum(col(NB)).as(totalCol))
+    local.join(broadcast(offsets), Seq(Pid))
+      .withColumn(cumCol, (col(Off) + col(LocalRank)).cast(LongType))
+      .drop(Pid, LocalRank, Off, "__graft_n", W)
+  }
+
   /** SQL-standard `ntile(buckets)` from a total-order 1-based rank and the
     * row count: the first `N mod buckets` tiles get `ceil(N/buckets)` rows,
     * the rest `floor(N/buckets)` — identical to Spark's and DuckDB's

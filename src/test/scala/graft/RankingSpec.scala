@@ -41,4 +41,30 @@ class RankingSpec extends SparkSpec {
     val df = spark.range(0).toDF("id")
     assert(Ranking.withGlobalRank(df, "rk", "N", col("id").asc).count() === 0)
   }
+
+  test("withPrefixSum matches the global-window running sum") {
+    val df = spark.range(500L).toDF("id")
+      .withColumn("w", pmod(col("id") * 2654435761L, lit(50L)) + 1L)
+      .repartition(4)
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.select(col("id"), sum(col("w")).over(w).as("cum"))
+    val actual = Ranking.withPrefixSum(df, "cum", "T", col("w"), col("id").asc)
+    assert(rowsOf(actual.select("id", "cum").orderBy("id"))
+      === rowsOf(expected.orderBy("id")))
+    // the grand total is stamped on every row
+    val t = actual.select("T").distinct().collect()
+    assert(t.length === 1)
+    assert(t.head.getLong(0) ===
+      expected.agg(max(col("cum"))).head().getLong(0))
+  }
+
+  test("withPrefixSum plans without a single-partition exchange") {
+    val df = spark.range(200L).toDF("id").withColumn("w", lit(3L))
+      .repartition(4)
+    val plan = Ranking.withPrefixSum(df, "cum", "T", col("w"), col("id").asc)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"prefix sum must not funnel through one task:\n$plan")
+  }
 }

@@ -367,4 +367,47 @@ class SketchSpec extends SparkSpec {
       .orderBy("k").collect()
     assert(got.toSeq === want.toSeq)
   }
+
+  test("SpaceSaving is exact when capacity covers the distinct set") {
+    import graft.functions.SpaceSaving
+    // zipfish frequencies over 20 tokens, shuffled across 7 partitions
+    val df = spark.range(0, 5000).repartition(7)
+      .select(concat(lit("t"), (pmod(col("id") * col("id"), lit(400L)) % 20)
+        .cast("string")).as("tok"))
+    val got = df.agg(SpaceSaving(col("tok"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = df.groupBy("tok").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.forall(_._3 === 0L), "exact regime must report zero error")
+    assert(got.map(t => t._1 -> t._2).toMap === want)
+    // output ordering is (cnt desc, token asc) — deterministic
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq === got.toSeq)
+  }
+
+  test("SpaceSaving error bounds hold in the evicting regime") {
+    import graft.functions.SpaceSaving
+    // 2000 distinct tokens but capacity 32: heavy hitters (freq 200)
+    // versus a long tail of singletons
+    val heavy = (0 until 5).flatMap(i => Seq.fill(200)(s"hh$i"))
+    val tail = (0 until 1000).map(i => s"tail$i")
+    val df = spark.sparkContext.parallelize(heavy ++ tail, 4).toDF("tok")
+    val trueCounts = (heavy ++ tail).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = df.agg(SpaceSaving(col("tok"), 32).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 32)
+    got.foreach { case (tok, cnt, err) =>
+      val truth = trueCounts(tok)
+      assert(truth <= cnt, s"$tok: sketch count $cnt under true $truth")
+      assert(cnt - err <= truth, s"$tok: lower bound ${cnt - err} over true $truth")
+    }
+    // every item with frequency > N/m must survive (SpaceSaving guarantee)
+    val n = heavy.size + tail.size
+    val surviving = got.map(_._1).toSet
+    trueCounts.filter(_._2 > n / 32).keys.foreach(k =>
+      assert(surviving.contains(k), s"frequent item $k evicted"))
+  }
 }
