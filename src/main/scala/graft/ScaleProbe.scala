@@ -68,6 +68,12 @@ object ScaleProbe {
         Corpus.packSequences(d, "doc_id", "text", "lang", 512).count())
       time("chunking", mult)(d =>
         Corpus.chunk(d, "doc_id", "text", 200, 150).count())
+      // prefix-sum over doc_id: key count grows 100× with the corpus —
+      // the two-phase running total (q116's core) must stay ~linear
+      time("prefix_sum", mult)(d =>
+        graft.operators.Ranking.withPrefixSum(
+          d.select(col("doc_id"), col("n_chars")), "cum", "T",
+          col("n_chars"), col("doc_id").asc).count())
     }
 
     // ── shuffle-bearing event ops: same probe over a replicated events
@@ -120,6 +126,15 @@ object ScaleProbe {
         val per = e.groupBy("user_id").agg(sum("value").as("total"))
         graft.operators.Ranking.withGlobalRank(per, "rk", "n",
           col("total").desc, col("user_id").asc).count()
+      })
+      // q120's shape: three conditional-min windows on one exchange;
+      // per-user state fixed, user count grows with mult
+      etime("funnel_stages", mult)(e => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        e.withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2", min(when(col("event_type") === "click" &&
+            col("ts") > col("t1"), col("ts"))).over(w))
+          .filter(col("t2").isNotNull).count()
       })
     }
     spark.stop()

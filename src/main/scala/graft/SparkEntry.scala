@@ -1635,6 +1635,77 @@ object SparkEntry {
         .select(col("e.token").as("token"), col("e.cnt").as("n"),
           col("e.err").as("err_bound"))
         .orderBy(col("n").desc, col("token")).limit(10)
+    }),
+
+    // ── [ext] funnel analysis: view → click-after-view →
+    // purchase-after-click per user, in ONE user_id exchange — the
+    // stage thresholds are windowed conditional mins over the same
+    // partitioning (no join chain, no second shuffle), and the final
+    // stage counts are a 3-row stack over one global aggregate.
+    // Ordered-sequence semantics: each stage's timestamp must strictly
+    // follow the previous stage's. ─────────────────────────────────────
+    "q120_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val staged = T(s, dir, "events")
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t2"), col("ts"))).over(w))
+      staged.agg(
+        count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n1"),
+        count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n2"),
+        count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n3"))
+        .selectExpr("stack(3, 'view', n1, 'view>click', n2, " +
+          "'view>click>purchase', n3) AS (stage, n_users)")
+        .orderBy("stage")
+    }),
+
+    // ── [ext] cohort retention: users grouped by first-seen date, and
+    // for offsets 0..7 the count still active N days later — the
+    // product-analytics staple. Cohort assignment is one user_id agg;
+    // the activity join shuffles (user, date) pairs already distinct-
+    // compressed (days-per-user, not events-per-user); output is
+    // |cohorts| × 8 rows. Integer counts → exact. ──────────────────────
+    "q121_retention" -> ((s, dir) => {
+      val byDay = T(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohort = byDay.groupBy("user_id").agg(min(col("d")).as("c0"))
+      byDay.join(cohort, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("d"), col("c0")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("c0").as("cohort_date"), col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    }),
+
+    // ── [ext] grouped Pearson correlation from DECIMAL-exact moment
+    // sums: r = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)).
+    // All five sums are exact decimals (2-dp inputs → 4-dp products), so
+    // the only floating-point steps are the final casts and arithmetic —
+    // identical IEEE shape on both engines (sqrt IS exact-rounded,
+    // unlike log/pow), hence bit-exact r per group from ONE map-side-
+    // combined groupBy. The built-in corr() aggregates doubles in
+    // shuffle order and is NOT reproducible across engines — that's the
+    // point of the decimal-moments form. ───────────────────────────────
+    "q122_grouped_corr" -> ((s, dir) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      val g = T(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast(DecimalType(38, 4))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 4))).as("syy"),
+        sum((x * y).cast(DecimalType(38, 4))).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      val (sx, sy) = (col("sx").cast(DoubleType), col("sy").cast(DoubleType))
+      val (sxx, syy, sxy) = (col("sxx").cast(DoubleType),
+        col("syy").cast(DoubleType), col("sxy").cast(DoubleType))
+      g.select(col("l_returnflag"), col("n"),
+        ((nD * sxy - sx * sy) /
+          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)))
+          .as("corr_qty_price"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2833,7 +2904,50 @@ object SparkEntry {
         s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
-           |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin
+           |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      "q120_funnel" ->
+        """WITH s1 AS (SELECT user_id, ts, event_type,
+          |  min(CASE WHEN event_type = 'view' THEN ts END)
+          |    OVER (PARTITION BY user_id) AS t1 FROM events),
+          |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+          |         OVER (PARTITION BY user_id) AS t2 FROM s1),
+          |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+          |         OVER (PARTITION BY user_id) AS t3 FROM s2),
+          |g AS (SELECT
+          |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n1,
+          |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n2,
+          |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n3 FROM s3)
+          |SELECT 'view' AS stage, n1 AS n_users FROM g
+          |UNION ALL SELECT 'view>click', n2 FROM g
+          |UNION ALL SELECT 'view>click>purchase', n3 FROM g
+          |ORDER BY stage""".stripMargin,
+      "q121_retention" ->
+        """WITH byday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+          |c AS (SELECT user_id, min(d) AS c0 FROM byday GROUP BY user_id)
+          |SELECT c0 AS cohort_date, CAST(b.d - c.c0 AS INT) AS day_offset,
+          |  count(DISTINCT b.user_id) AS n_users
+          |FROM byday b JOIN c ON b.user_id = c.user_id
+          |WHERE b.d - c.c0 <= 7
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q122_grouped_corr" ->
+        """WITH g AS (SELECT l_returnflag, count(*) AS n,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+          |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+          |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+          |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+          |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, n,
+          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+          |FROM g ORDER BY l_returnflag""".stripMargin
     )
   }
 }

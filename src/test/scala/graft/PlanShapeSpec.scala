@@ -205,4 +205,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "Exchange hashpartitioning") <= 4,
       s"curate grew extra shuffles:\n$plan")
   }
+
+  test("q115 outliers: all moment windows share one user_id exchange") {
+    val plan = planOf("q115_outliers")
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"decimal moment windows must share a single exchange:\n$plan")
+  }
+
+  test("q120 funnel: stage windows and the stack share one exchange") {
+    val plan = planOf("q120_funnel")
+    // three conditional-min window passes over the same user_id
+    // partitioning plus the final count-distinct — the count-distinct's
+    // Expand adds its own exchange pair, but the windows must not
+    assert(countOf(plan, "Exchange hashpartitioning") <= 3,
+      s"funnel stages must reuse the user_id exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"single-pass funnel must not plan stage joins:\n$plan")
+  }
+
+  test("q118 triangles: every graph join is equi-shaped (no cross product)") {
+    val plan = planOf("q118_triangles")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must all be equi-joins:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q113 RRF: corpus sides are top-k operators, fusion joins k-row sets") {
+    val plan = planOf("q113_hybrid_rrf")
+    // both modality candidate lists come from TakeOrderedAndProject;
+    // the only sorts after that operate on ≤100-row relations
+    assert(countOf(plan, "TakeOrderedAndProject") >= 2,
+      s"candidate generation must be map-side top-k:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"BM25 side must not explode token arrays:\n$plan")
+  }
+
+  test("q116 weighted sample: no single-partition exchange in the plan") {
+    val plan = planOf("q116_weighted_sample")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"prefix-sum sampling must not funnel through one task:\n$plan")
+  }
 }
