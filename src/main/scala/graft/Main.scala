@@ -16,10 +16,19 @@ object Main {
       |  smoke <query>...               show rows + physical plan per query
       |  explain <query>...             formatted plan per query (sf0.1)
       |  scale-probe                    1x/10x/100x linearity probe
+      |  entry                          run the flagship query (sf0.001), print row count
       |""".stripMargin
 
   def main(args: Array[String]): Unit = args.toList match {
     case "bench" :: rest        => Bench.main(rest.toArray)
+    case "entry" :: Nil =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      try println(s"ENTRY_ROWS=${SparkEntry.entry(spark).count()}")
+      finally spark.stop()
     case "verify" :: sf :: out :: Nil => Verify.main(Array(sf, out))
     case "smoke" :: rest if rest.nonEmpty => Smoke.main(rest.toArray)
     case "explain" :: rest if rest.nonEmpty => ExplainOne.main(rest.toArray)

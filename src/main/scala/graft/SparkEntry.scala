@@ -1706,6 +1706,46 @@ object SparkEntry {
           (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)))
           .as("corr_qty_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // ── [ext] streaming hopping windows (see EventStream.hoppingTotals):
+    // overlapping 2-day/1-day-slide totals, stream ≡ batch ─────────────
+    "q123_stream_hopping" -> ((s, dir) =>
+      graft.streaming.EventStream.hoppingTotals(s, dir)),
+
+    // ── [ext] equi-width histogram: per-type value distribution in ONE
+    // conditional-aggregation pass — bin = floor(value/50), integer bin
+    // ids from exact-rounded division so the binning replays identically
+    // on any engine. The shuffle carries (type, bin) partial counts, not
+    // rows: the standard distribution-drift monitor at any scale. ──────
+    "q124_histogram" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / lit(50.0)).cast(IntegerType).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("value")).as("bin_value"))
+        .withColumn("bin_lo", (col("bin") * 50).cast(DoubleType))
+        .orderBy("event_type", "bin")),
+
+    // ── [ext] sequence gap detection (data-quality: lost records in an
+    // id-keyed extract): gaps-and-islands over the surviving ids with
+    // BOTH global orderings done by the two-phase Ranking — no
+    // single-reducer window at either step — and consecutive islands
+    // paired by an equi-join on island rank. Every 97th id is dropped to
+    // simulate loss; output = the missing ranges. ──────────────────────
+    "q125_gap_detect" -> ((s, dir) => {
+      val ids = T(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(97L)) =!= 0)
+        .select("event_id").distinct()
+      val islands = Ranking.withGlobalRank(ids, "rn", "__N", col("event_id").asc)
+        .withColumn("grp", col("event_id") - col("rn"))
+        .groupBy("grp")
+        .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      val ranked = Ranking.withGlobalRank(islands, "irn", "__M", col("lo").asc)
+      ranked.alias("a")
+        .join(ranked.alias("b"), col("b.irn") === col("a.irn") + 1)
+        .select((col("a.hi") + 1).as("gap_start"), (col("b.lo") - 1).as("gap_end"))
+        .orderBy("gap_start")
     })
   )
 
@@ -2947,7 +2987,33 @@ object SparkEntry {
           |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
           |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
-          |FROM g ORDER BY l_returnflag""".stripMargin
+          |FROM g ORDER BY l_returnflag""".stripMargin,
+      // batch replay of the hopping-window assignment: every event joins
+      // the two epoch-aligned 2-day windows starting at day(ts)-1 and
+      // day(ts); decimal sums make the totals split-invariant
+      "q123_stream_hopping" ->
+        s"""WITH x AS (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),
+           |w AS (SELECT d - off AS w_start, event_type, value
+           |      FROM x, unnest([0, 1]) AS t(off))
+           |SELECT w_start, w_start + 2 AS w_end, event_type,
+           |  count(*) AS n, $moneyV AS total_value
+           |FROM w GROUP BY w_start, event_type
+           |ORDER BY w_start, event_type""".stripMargin,
+      "q124_histogram" ->
+        s"""WITH b AS (SELECT event_type,
+           |  CAST(floor(value / 50.0) AS INT) AS bin, value FROM events)
+           |SELECT event_type, bin, count(*) AS n, $moneyV AS bin_value,
+           |  CAST(bin * 50 AS DOUBLE) AS bin_lo
+           |FROM b GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin,
+      "q125_gap_detect" ->
+        """WITH ids AS (SELECT DISTINCT event_id FROM events WHERE event_id % 97 <> 0),
+          |r AS (SELECT event_id, event_id - row_number()
+          |        OVER (ORDER BY event_id) AS grp FROM ids),
+          |i AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM r GROUP BY grp),
+          |k AS (SELECT lo, hi, row_number() OVER (ORDER BY lo) AS irn FROM i)
+          |SELECT a.hi + 1 AS gap_start, b.lo - 1 AS gap_end
+          |FROM k a JOIN k b ON b.irn = a.irn + 1
+          |ORDER BY gap_start""".stripMargin
     )
   }
 }

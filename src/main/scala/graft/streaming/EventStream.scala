@@ -412,4 +412,28 @@ object EventStream {
         .orderBy("event_date", "event_type")
     }
   }
+
+  /** Hopping (sliding) windows: 2-day windows advancing by 1 day, so
+    * every event lands in exactly TWO windows — the overlapping-window
+    * semantics tumbling (q35) can't express (trailing 48h totals
+    * refreshed daily). Spark's `window(ts, size, slide)` assigns the
+    * ⌈size/slide⌉ epoch-aligned windows per row inside the scan (a
+    * Generate, input ×2 before partial aggregation — the row-local
+    * expansion IS the operator); state stays bounded at
+    * (#windows × #types). The batch oracle replays the same assignment
+    * as an unnest over day offsets {0, 1}, and decimal sums make
+    * stream ≡ batch for any micro-batch split. */
+  def hoppingTotals(spark: SparkSession, dir: String): DataFrame = {
+    val (src, landing) = eventsStream(spark, dir)
+    val agg = src
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Exact.Money)).as("tv"))
+    runToResult(spark, agg, "complete",
+      statePartitioned = true, Some(landing)) { t =>
+      t.select(to_date(col("w.start")).as("w_start"),
+        to_date(col("w.end")).as("w_end"), col("event_type"),
+        col("n"), col("tv").cast(DoubleType).as("total_value"))
+        .orderBy("w_start", "event_type")
+    }
+  }
 }
