@@ -1746,9 +1746,114 @@ object SparkEntry {
         .join(ranked.alias("b"), col("b.irn") === col("a.irn") + 1)
         .select((col("a.hi") + 1).as("gap_start"), (col("b.lo") - 1).as("gap_end"))
         .orderBy("gap_start")
+    }),
+
+    // ── [ext] Markov transition matrix: event_type → next-event_type
+    // counts and probabilities per user sequence. One exchange on
+    // user_id for the lead(); the (prev, next) aggregate carries
+    // map-side-combined counts (≤ |types|² rows), and the per-prev
+    // probability window runs over that aggregate, not the events. p is
+    // one bigint/bigint division — identical IEEE double both engines. ──
+    "q126_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("prev_type"))
+        .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val counts = pairs.groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("p", col("n").cast(DoubleType) /
+          sum(col("n")).over(Window.partitionBy("prev_type")).cast(DoubleType))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // ── [ext] journey mining: the ordered event_type path per
+    // (user, day), then the top-20 most common paths. The ordered
+    // concat is array_sort(collect_list(struct(ts, event_id, type))) —
+    // tie-broken, so the path string is deterministic under any
+    // partitioning; the path aggregate shuffles one string per
+    // user-day (map-side combined), never raw events twice. ────────────
+    "q127_journey_paths" -> ((s, dir) => {
+      val paths = T(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_journeys"))
+        .orderBy(col("n_journeys").desc, col("path"))
+        .limit(20)
+    }),
+
+    // ── [north star] PQ-coded ANN (IVFADC scan stage): base vectors
+    // stored as 8 centroid codes (8 bytes vs 256 — what a 100 TB index
+    // scans); per-query asymmetric distances are literal-table lookups
+    // on the code column. See Similarity.pqAdcTopK for the scale shape;
+    // queries = vec_id<3 collected as plan parameters (q81 pattern). ───
+    "q128_pq_adc" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      Similarity.pqAdcTopK(e.filter(col("vec_id") >= 3), "vec_id",
+          "embedding", qs, k = 5)
+        .select("q_id", "vec_id", "adc", "rk")
+        .orderBy("q_id", "rk")
     })
   )
 
+
+  /** q128 oracle: the PQ encode + ADC pipeline replayed stage by stage in
+    * DuckDB — codebook as a 128-row VALUES CTE of exact-rational lists,
+    * code assignment as (score, c)-ordered row_number (= PqEncode's
+    * strict-< lowest-index argmin), ADC as the same
+    * `(⟨q,q⟩ − 2⟨q,C⟩) + ‖C‖²` terms pivoted to columns and summed in
+    * the identical left-to-right order. */
+  private def pqOracleSql: String = {
+    val nSub = 8; val nCents = 16; val subDim = 8
+    val cbRows = (for (s <- 0 until nSub; c <- 0 until nCents) yield {
+      val lst = (0 until subDim)
+        .map(i => s"${Similarity.pqLatticeInt(s, c, i)}/1000.0")
+        .mkString("[", ", ", "]")
+      s"($s, $c, $lst)"
+    }).mkString(",\n  ")
+    val adcChain = (0 until nSub).map(s => s"t$s")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val pivots = (0 until nSub)
+      .map(s => s"max(CASE WHEN s = $s THEN t END) AS t$s").mkString(", ")
+    s"""WITH cb(s, c, cent) AS (VALUES
+       |  $cbRows),
+       |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE vec_id >= 3),
+       |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE vec_id < 3),
+       |sc AS (SELECT b.vec_id, cb.s, cb.c,
+       |         (list_inner_product(cb.cent, cb.cent)
+       |          - 2.0 * list_inner_product(
+       |              list_slice(b.v, 8*cb.s + 1, 8*cb.s + 8), cb.cent)) AS sc
+       |       FROM b CROSS JOIN cb),
+       |cd AS (SELECT vec_id, s, c AS code FROM
+       |        (SELECT vec_id, s, c, row_number() OVER
+       |           (PARTITION BY vec_id, s ORDER BY sc, c) AS rn FROM sc)
+       |       WHERE rn = 1),
+       |tm AS (SELECT q.q_id, cd.vec_id, cd.s,
+       |         ((list_inner_product(list_slice(q.v, 8*cd.s + 1, 8*cd.s + 8),
+       |                              list_slice(q.v, 8*cd.s + 1, 8*cd.s + 8))
+       |           - 2.0 * list_inner_product(
+       |               list_slice(q.v, 8*cd.s + 1, 8*cd.s + 8), cb.cent))
+       |          + list_inner_product(cb.cent, cb.cent)) AS t
+       |       FROM cd JOIN cb ON cb.s = cd.s AND cb.c = cd.code CROSS JOIN q),
+       |a AS (SELECT q_id, vec_id, $pivots FROM tm GROUP BY q_id, vec_id),
+       |r AS (SELECT q_id, vec_id, $adcChain AS adc,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY $adcChain, vec_id) AS rk
+       |       FROM a)
+       |SELECT q_id, vec_id, adc, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val toks = "list_filter(string_split(text,' '), x -> x <> '')"
@@ -3013,7 +3118,25 @@ object SparkEntry {
           |k AS (SELECT lo, hi, row_number() OVER (ORDER BY lo) AS irn FROM i)
           |SELECT a.hi + 1 AS gap_start, b.lo - 1 AS gap_end
           |FROM k a JOIN k b ON b.irn = a.irn + 1
-          |ORDER BY gap_start""".stripMargin
+          |ORDER BY gap_start""".stripMargin,
+      "q126_transition_matrix" ->
+        """WITH p AS (SELECT event_type AS prev_type,
+          |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |    AS next_type FROM events),
+          |c AS (SELECT prev_type, next_type, count(*) AS n FROM p
+          |      WHERE next_type IS NOT NULL GROUP BY prev_type, next_type)
+          |SELECT prev_type, next_type, n,
+          |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type)
+          |    AS DOUBLE) AS p
+          |FROM c ORDER BY prev_type, next_type""".stripMargin,
+      "q127_journey_paths" ->
+        """WITH j AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+          |SELECT path, count(*) AS n_journeys
+          |FROM j GROUP BY path
+          |ORDER BY n_journeys DESC, path LIMIT 20""".stripMargin,
+      "q128_pq_adc" -> pqOracleSql
     )
   }
 }

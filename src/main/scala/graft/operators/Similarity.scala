@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
@@ -190,5 +190,69 @@ object Similarity {
       .select(col(idCol), col("bucket"), col("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Deterministic PQ codebook lattice: component (s, c, i) is an exact
+    * small-integer/1000 division — same rational-literal trick as
+    * [[ivfLatticeInt]], so a SQL oracle reproduces identical IEEE
+    * doubles from the integers. */
+  def pqLatticeInt(s: Int, c: Int, i: Int): Long =
+    ((s * 3049L + c * 2017L + i * 7351L + 523L) * 2654435761L) % 2001L - 1000L
+
+  def pqLattice(nSub: Int, nCents: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(nSub, nCents, subDim)((s, c, i) => pqLatticeInt(s, c, i) / 1000.0)
+
+  /** ANN via product quantization with asymmetric distance computation
+    * (IVFADC scan stage; Jégou et al., TPAMI 2011): vectors are stored as
+    * `nSub` centroid indices ([[graft.functions.PqEncode]], here 8 bytes
+    * in place of 256 — the representation a 100 TB index actually scans),
+    * and each query's distance to a coded vector is the sum over
+    * subspaces of ‖q_s − C[code_s]‖², looked up from per-query tables of
+    * nSub × nCents precomputed doubles.
+    *
+    * Scale shape: encoding is a narrow scan-pipelined map (no shuffle);
+    * the ADC scan reads ONLY the code column — 32× less I/O than raw
+    * float vectors before any pruning — with the query tables as
+    * plan-time literals (`element_at` on a literal array, whole-stage
+    * codegen'd); top-k is a per-query row_number bounded by k. Distances
+    * use the oracle-replayable float shape
+    * `(⟨q_s,q_s⟩ − 2·⟨q_s,C⟩) + ‖C‖²` summed left-to-right over
+    * subspaces, so results hash-match ANSI SQL replaying the same
+    * lookups. Queries are bounded plan parameters (collected like q81's
+    * broadcast query set). */
+  def pqAdcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                queries: Seq[(Long, Array[Double])], k: Int,
+                nSub: Int = 8, nCents: Int = 16, subDim: Int = 8): DataFrame = {
+    val books = pqLattice(nSub, nCents, subDim)
+    val kTerm = books.map(_.map(c => c.map(x => x * x).sum))
+    val codes = embeddings.select(col(idCol),
+      graft.functions.PqEncode(col(vecCol), books).as("codes"))
+    def adcFor(q: Array[Double]): Column = {
+      val terms = (0 until nSub).map { s =>
+        val off = s * subDim
+        var qq = 0.0
+        var i = 0
+        while (i < subDim) { qq += q(off + i) * q(off + i); i += 1 }
+        val dq = books(s).map { cent =>
+          var d = 0.0; var j = 0
+          while (j < subDim) { d += q(off + j) * cent(j); j += 1 }
+          d
+        }
+        val code = element_at(col("codes"), s + 1)
+        (lit(qq) - lit(2.0) * element_at(typedLit(dq.toSeq), code + 1)) +
+          element_at(typedLit(kTerm(s).toSeq), code + 1)
+      }
+      terms.reduceLeft(_ + _)
+    }
+    val perQuery = queries.map { case (qid, q) =>
+      struct(lit(qid).as("q_id"), adcFor(q).as("adc"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col(idCol))
+    codes
+      .select(col(idCol), explode(array(perQuery: _*)).as("qa"))
+      .select(col("qa.q_id").as("q_id"), col(idCol), col("qa.adc").as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
   }
 }
