@@ -1802,7 +1802,53 @@ object SparkEntry {
           "embedding", qs, k = 5)
         .select("q_id", "vec_id", "adc", "rk")
         .orderBy("q_id", "rk")
-    })
+    }),
+
+    // ── [ext] rolling 7-day active users: activity compressed to
+    // distinct (user, day) FIRST (the shuffle carries user-days, never
+    // events), then each user-day is assigned to the 7 window-end days
+    // it supports — a row-local sequence explode — and the per-day
+    // distinct count runs over that. Window-end days clipped to days
+    // that actually occur (broadcast day list). The scalable form of a
+    // sliding countDistinct, which no window frame can express. ────────
+    "q129_rolling_active" -> ((s, dir) => {
+      val ud = T(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val days = ud.select(col("d").as("day")).distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+        .join(broadcast(days), Seq("day"))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy("day")
+    }),
+
+    // ── [ext] per-user EWMA (α = 0.2) over daily spend: the ordered
+    // fold runs inside ONE map-side-combinable aggregate per user —
+    // array_sort(collect_list(struct)) makes the sequence deterministic
+    // under any partitioning, and the fold shape ((acc·0.8) + (x·0.2))
+    // replays identically through DuckDB's list_reduce. State per user
+    // = days, not events (daily totals pre-aggregated exactly). ────────
+    "q130_ewma" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(Exact.moneySum(col("value")).as("v"))
+      daily.groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("day"), col("v")))),
+              x => x.getField("v")),
+            lit(0.0),
+            (acc, x) => (acc * lit(0.8)) + (x * lit(0.2))).as("ewma"))
+        .orderBy("user_id")
+    }),
+
+    // ── [ext] LEFT OUTER stream-stream join (see
+    // EventStream.leftOuterJoined): clicks with their next-hour
+    // purchases or watermark-proven NULLs — outer emission requires the
+    // end-of-stream sentinel flush the operator documents. ─────────────
+    "q131_stream_left_join" -> ((s, dir) =>
+      graft.streaming.EventStream.leftOuterJoined(s, dir))
   )
 
 
@@ -3136,7 +3182,30 @@ object SparkEntry {
           |SELECT path, count(*) AS n_journeys
           |FROM j GROUP BY path
           |ORDER BY n_journeys DESC, path LIMIT 20""".stripMargin,
-      "q128_pq_adc" -> pqOracleSql
+      "q128_pq_adc" -> pqOracleSql,
+      "q129_rolling_active" ->
+        """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+          |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+          |SELECT day, count(DISTINCT user_id) AS active_7d
+          |FROM days JOIN ud ON ud.d BETWEEN day - 6 AND day
+          |GROUP BY day ORDER BY day""".stripMargin,
+      "q130_ewma" ->
+        s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           |  $moneyV AS v FROM events GROUP BY user_id, CAST(ts AS DATE))
+           |SELECT user_id, count(*) AS n_days,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY day)),
+           |    (acc, x) -> (acc * CAST(0.8 AS DOUBLE)) + (x * CAST(0.2 AS DOUBLE)))
+           |    AS ewma
+           |FROM daily GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q131_stream_left_join" ->
+        """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+          |           FROM events WHERE event_type = 'click'),
+          |b AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS bus
+          |      FROM events WHERE event_type = 'purchase')
+          |SELECT click_id, buy_id, bus - cus AS gap_us
+          |FROM c LEFT JOIN b ON b.user_id = c.user_id
+          |  AND bus >= cus AND bus <= cus + 3600000000
+          |ORDER BY click_id, buy_id""".stripMargin
     )
   }
 }

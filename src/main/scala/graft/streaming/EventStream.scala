@@ -240,6 +240,114 @@ object EventStream {
     }
   }
 
+  /** LEFT OUTER stream-stream join: every click, with the same user's
+    * purchases in the following hour or NULL if none arrived — the
+    * attribution shape where the "no conversion" rows matter as much as
+    * the matches. Outer results can only emit once the watermark proves
+    * no future match exists, so the landing dir carries far-future
+    * sentinel rows as their own micro-batches, whose sole job is to
+    * advance the watermark past every real click so the unmatched rows
+    * evict as null-padded results. Without the sentinels the tail of the
+    * stream would sit in state forever — the standard end-of-stream
+    * flush for finite replays of an always-on query. State stays bounded
+    * by watermark delay + interval width per side. */
+  def leftOuterJoined(spark: SparkSession, dir: String): DataFrame = {
+    val (src, landing) = eventsStreamWithSentinel(spark, dir)
+    // the flush sentinels must survive BOTH branch filters: Catalyst
+    // pushes these filters below the EventTimeWatermark node, so a
+    // sentinel excluded by them would never reach the watermark
+    // statistics and the tail state would never flush. The two sentinel
+    // rows (user −1) pair up with each other inside the join window and
+    // are dropped by the click_id ≥ 0 output filter.
+    val wsrc = src.withWatermark("ts", "1 hour")
+    val clicks = wsrc.filter(col("event_type").isin("click", "flush"))
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = wsrc.filter(col("event_type").isin("purchase", "flush"))
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val joined = clicks.join(buys,
+      col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    runToResult(spark, joined, "append",
+      statePartitioned = true, Some(landing)) { t =>
+      t.filter(col("click_id") >= 0)
+        .select(col("click_id"), col("buy_id"),
+          (unix_micros(col("buy_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("click_id"), col("buy_id").asc_nulls_last)
+    }
+  }
+
+  /** [[eventsStream]] plus one far-future sentinel row landed as its own
+    * final micro-batch (see [[leftOuterJoined]]): the fixture file first,
+    * then a single-row parquet 30 days past the fixture's max ts, mtimes
+    * staggered so the file source orders them deterministically. */
+  private def eventsStreamWithSentinel(spark: SparkSession, dir: String)
+      : (DataFrame, java.nio.file.Path) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val schema = raw.schema
+    val tsIsTimestamp =
+      schema("ts").dataType == org.apache.spark.sql.types.TimestampType
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_in_")
+    val eventsFile = landing.resolve("events_1.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
+    // TWO sentinel files (+30 d and +60 d), each its own micro-batch: a
+    // batch's watermark is computed from the PREVIOUS batch's max event
+    // time, and AvailableNow stops at the last data batch — so the first
+    // sentinel alone would advance the watermark without a batch left to
+    // evict state into. Sentinel 2's batch runs WITH sentinel 1's
+    // watermark (+30 d − delay), which is already past every real click.
+    // One stats-only max scan + one two-file write stages both.
+    val dayNs = 24L * 3600 * 1000000000L
+    val sentTsCol =
+      if (tsIsTimestamp) {
+        val maxTs = raw.agg(max(col("ts"))).head().getTimestamp(0)
+        (i: Int) => lit(maxTs) + expr(s"INTERVAL ${30 * i} DAYS")
+      } else {
+        val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+        (i: Int) => lit(maxNs + 30L * i * dayNs)
+      }
+    val sentinel = spark.range(1, 3).toDF("i").select(
+      lit(-1L).as("event_id"),
+      when(col("i") === 1, sentTsCol(1)).otherwise(sentTsCol(2)).as("ts"),
+      lit(-1L).as("user_id"), lit("flush").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
+    sentinel.repartitionByRange(2, col("ts"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = {
+      val st = java.nio.file.Files.list(tmp)
+      try st.filter(_.toString.endsWith(".parquet"))
+        .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+      finally st.close()
+    }
+    require(parts.length == 2, s"expected 2 sentinel part files, got ${parts.length}")
+    val sent1 = landing.resolve("events_2_sentinel.parquet")
+    val sent2 = landing.resolve("events_3_sentinel.parquet")
+    java.nio.file.Files.copy(parts(0), sent1)
+    java.nio.file.Files.copy(parts(1), sent2)
+    deleteRecursively(tmp)
+    // the file source processes files oldest-mtime-first: pin the order
+    val base = System.currentTimeMillis()
+    java.nio.file.Files.setLastModifiedTime(eventsFile,
+      java.nio.file.attribute.FileTime.fromMillis(base - 120000))
+    java.nio.file.Files.setLastModifiedTime(sent1,
+      java.nio.file.attribute.FileTime.fromMillis(base - 60000))
+    java.nio.file.Files.setLastModifiedTime(sent2,
+      java.nio.file.attribute.FileTime.fromMillis(base))
+    val df = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+      .withColumn("ts",
+        if (tsIsTimestamp) col("ts")
+        else timestamp_micros(expr("ts div 1000")))
+    (df, landing)
+  }
+
   /** Tumbling 1-day totals per event_type over the events fixture,
     * executed as a real streaming query into a memory sink, returned as a
     * batch DataFrame for the verify/oracle harness. */
