@@ -1848,7 +1848,68 @@ object SparkEntry {
     // purchases or watermark-proven NULLs — outer emission requires the
     // end-of-stream sentinel flush the operator documents. ─────────────
     "q131_stream_left_join" -> ((s, dir) =>
-      graft.streaming.EventStream.leftOuterJoined(s, dir))
+      graft.streaming.EventStream.leftOuterJoined(s, dir)),
+
+    // ── [ext] per-group top-k as a bounded-state aggregate
+    // (functions.TopKByScore): map-side partials keep ≤ k pairs per
+    // group per task, so the exchange carries k·tasks rows, not the
+    // groups' full contents — the scale twin of the q15/q68 window form
+    // exactly as q59 (KMV) is to q18 (HLL). ────────────────────────────
+    "q132_topk_agg" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(graft.functions.TopKByScore(col("value"), col("event_id"), 3)
+          .as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast(IntegerType).as("rk"),
+          col("col.score").as("value"), col("col.id").as("event_id"))
+        .orderBy("event_type", "rk")),
+
+    // ── [ext] PageRank in fixed-point integer arithmetic (see
+    // Graph.pageRankFixedPoint) over the urgent-order co-purchase graph
+    // (q118's edge set, bidirected): 3 iterations of join + bigint sum,
+    // bit-reproducible on any engine because no float ever accumulates.
+    "q133_pagerank" -> ((s, dir) => {
+      val urgent = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        urgent, "l_orderkey", "l_partkey")
+      graft.operators.Graph.pageRankFixedPoint(edges, iters = 3)
+        .orderBy(col("rank").desc, col("v"))
+        .limit(20)
+        .select(col("v").as("part"), col("rank").as("rank_fp"))
+    }),
+
+    // ── [ext] Welch's t-test: each event_type's value distribution vs
+    // the 'view' baseline — the A/B-test primitive. Means/variances come
+    // from the same DECIMAL-exact moment sums as q122 (n, Σx, Σx²) in
+    // ONE map-side-combined pass over events; the t statistic is then
+    // fixed-shape double arithmetic over the 5-row aggregate, identical
+    // on any engine (built-in var_samp is shuffle-order-dependent). ────
+    "q134_welch_ttest" -> ((s, dir) => {
+      val x = col("value").cast(DecimalType(18, 2))
+      val agg = T(s, dir, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(x).as("s"),
+        sum((x * x).cast(DecimalType(38, 4))).as("ss"))
+      val a = agg.filter(col("event_type") =!= "view")
+        .select(col("event_type").as("grp"), col("n").as("n1"),
+          col("s").as("s1"), col("ss").as("ss1"))
+      val b = agg.filter(col("event_type") === "view")
+        .select(col("n").as("n2"), col("s").as("s2"), col("ss").as("ss2"))
+      val (n1, n2) = (col("n1").cast(DoubleType), col("n2").cast(DoubleType))
+      val (s1, s2) = (col("s1").cast(DoubleType), col("s2").cast(DoubleType))
+      val (ss1, ss2) = (col("ss1").cast(DoubleType), col("ss2").cast(DoubleType))
+      val m1 = s1 / n1
+      val m2 = s2 / n2
+      val v1 = (ss1 - ((s1 * s1) / n1)) / (n1 - lit(1.0))
+      val v2 = (ss2 - ((s2 * s2) / n2)) / (n2 - lit(1.0))
+      a.crossJoin(b)
+        .select(col("grp"), col("n1"), col("n2"),
+          ((m1 - m2) / sqrt((v1 / n1) + (v2 / n2))).as("t_welch"))
+        .orderBy("grp")
+    })
   )
 
 
@@ -1899,6 +1960,35 @@ object SparkEntry {
        |       FROM a)
        |SELECT q_id, vec_id, adc, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** q133 oracle: fixed-point PageRank replayed as chained CTEs — all
+    * bigint floor-division arithmetic, so the replay is exact. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (SELECT d.dst, CAST(sum(r${i - 1}.rank // d.deg) AS BIGINT) AS s
+         |      FROM d JOIN r${i - 1} ON r${i - 1}.v = d.src GROUP BY d.dst),
+         |r$i AS (SELECT v.v, tp.t + (85 * coalesce(c$i.s, 0)) // 100 AS rank
+         |      FROM v CROSS JOIN tp LEFT JOIN c$i ON c$i.dst = v.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |      WHERE o_orderpriority = '1-URGENT'),
+       |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+       |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |d0 AS (SELECT a AS src, b AS dst FROM e0
+       |       UNION ALL SELECT b, a FROM e0),
+       |dg AS (SELECT src, count(*) AS deg FROM d0 GROUP BY src),
+       |d AS (SELECT d0.src, d0.dst, dg.deg FROM d0 JOIN dg ON dg.src = d0.src),
+       |v AS (SELECT DISTINCT src AS v FROM d0),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |tp AS (SELECT (15 * 1000000000000) // (100 * n) AS t,
+       |              1000000000000 // n AS r0v FROM nn),
+       |r0 AS (SELECT v.v, tp.r0v AS rank FROM v CROSS JOIN tp),
+       |$its
+       |SELECT r$iters.v AS part, r$iters.rank AS rank_fp FROM r$iters
+       |ORDER BY rank DESC, v LIMIT 20""".stripMargin
   }
 
   def oracleSql: Map[String, String] = {
@@ -3205,7 +3295,35 @@ object SparkEntry {
           |SELECT click_id, buy_id, bus - cus AS gap_us
           |FROM c LEFT JOIN b ON b.user_id = c.user_id
           |  AND bus >= cus AND bus <= cus + 3600000000
-          |ORDER BY click_id, buy_id""".stripMargin
+          |ORDER BY click_id, buy_id""".stripMargin,
+      "q132_topk_agg" ->
+        """SELECT event_type, CAST(rn AS INT) AS rk, value, event_id FROM (
+          |  SELECT event_type, value, event_id, row_number() OVER
+          |    (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+          |  FROM events) t
+          |WHERE rn <= 3 ORDER BY event_type, rk""".stripMargin,
+      "q133_pagerank" -> pagerankOracleSql(3),
+      "q134_welch_ttest" ->
+        """WITH g AS (SELECT event_type, count(*) AS n,
+          |    sum(CAST(value AS DECIMAL(18,2))) AS s,
+          |    sum(CAST(CAST(value AS DECIMAL(18,2))
+          |        * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss
+          |  FROM events GROUP BY event_type),
+          |a AS (SELECT event_type AS grp, n AS n1, s AS s1, ss AS ss1
+          |      FROM g WHERE event_type <> 'view'),
+          |b AS (SELECT n AS n2, s AS s2, ss AS ss2
+          |      FROM g WHERE event_type = 'view'),
+          |j AS (SELECT grp, n1, n2,
+          |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+          |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+          |    CAST(ss1 AS DOUBLE) AS ss1d, CAST(ss2 AS DOUBLE) AS ss2d
+          |  FROM a CROSS JOIN b)
+          |SELECT grp, n1, n2,
+          |  ((s1d / n1d) - (s2d / n2d)) /
+          |  sqrt((((ss1d - ((s1d * s1d) / n1d)) / (n1d - 1.0)) / n1d)
+          |     + (((ss2d - ((s2d * s2d) / n2d)) / (n2d - 1.0)) / n2d))
+          |    AS t_welch
+          |FROM j ORDER BY grp""".stripMargin
     )
   }
 }

@@ -75,4 +75,41 @@ object Graph {
       .unionAll(tri.select(col("tc").as("vertex")))
       .groupBy("vertex").agg(count(lit(1)).cast(LongType).as("n_tri"))
   }
+
+  /** PageRank over undirected edges (treated as bidirected), in
+    * FIXED-POINT integer arithmetic so every iteration is exactly
+    * reproducible on any engine and under any shuffle layout: ranks are
+    * bigints scaled by 10^12, contributions are floor-divided by degree,
+    * damping is (85·Σ) div 100 — no floating-point accumulation
+    * anywhere, so sum order can't perturb results (the same reason the
+    * exact aggregates go through DECIMAL). Iteration k+1 is one
+    * rank⋈edges equi-join plus one dst-grouped bigint sum — the standard
+    * distributed PageRank shape (shuffle per iteration on vertex id,
+    * degree attached once before the loop); per-round localCheckpoint
+    * truncates the growing lineage exactly like [[Components]].
+    * The vertex count enters as a plan parameter (one count() — a
+    * bounded scalar, same class as q43's codebook). */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int,
+                         scale: Long = 1000000000000L): DataFrame = {
+    val dir0 = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val dir = dir0.join(deg, "src").localCheckpoint(true)
+    val verts = dir.select(col("src").as("v")).distinct().localCheckpoint(true)
+    val n = verts.count()
+    require(n > 0, "empty graph")
+    val teleport = (15L * scale) / (100L * n)
+    var ranks = verts.withColumn("rank", lit(scale / n))
+    (1 to iters).foreach { _ =>
+      val sums = dir.join(ranks, col("src") === col("v"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = verts.join(sums, col("v") === col("dst"), "left")
+        .select(col("v"),
+          (lit(teleport) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

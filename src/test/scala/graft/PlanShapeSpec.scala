@@ -247,4 +247,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"prefix-sum sampling must not funnel through one task:\n$plan")
   }
+
+  test("q132 top-k aggregate: partial aggregation, no window operator") {
+    val plan = planOf("q132_topk_agg")
+    assert(!plan.contains("Window"),
+      s"bounded-state top-k must not plan a window sort:\n$plan")
+    // two ObjectHashAggregate phases = map-side partial top-k heaps
+    assert(countOf(plan, "ObjectHashAggregate") === 2,
+      s"expected partial+final ObjectHashAggregate phases:\n$plan")
+  }
+
+  test("q128 PQ ADC: encode and distance are scan-pipelined (one exchange before the window)") {
+    val plan = planOf("q128_pq_adc")
+    // the only hash exchange is the per-query window's q_id partitioning;
+    // encode + explode + adc lookups all pipeline inside the scan stage
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"PQ encode/ADC must not shuffle the base table:\n$plan")
+  }
+
+  test("q126 transitions: one event exchange feeds the lead window") {
+    val plan = planOf("q126_transition_matrix")
+    // user_id hash exchange for lead(), (prev,next) agg exchange, and the
+    // tiny probability window's exchange — nothing over raw events twice
+    assert(countOf(plan, "Exchange hashpartitioning") <= 3,
+      s"transition matrix grew an extra shuffle:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"probability window must stay partitioned by prev_type:\n$plan")
+  }
 }
