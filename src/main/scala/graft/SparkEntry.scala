@@ -1909,6 +1909,86 @@ object SparkEntry {
         .select(col("grp"), col("n1"), col("n2"),
           ((m1 - m2) / sqrt((v1 / n1) + (v2 / n2))).as("t_welch"))
         .orderBy("grp")
+    }),
+
+    // ── [ext] incremental aggregate maintenance: a delta batch folded
+    // into an existing aggregate by MERGING PARTIALS (full-outer on the
+    // group key, counts added, DECIMAL totals added exactly) — the
+    // materialized-view refresh that never rescans the base fact table.
+    // Exact because count and decimal-sum are associative; the oracle
+    // recomputes from scratch and must agree bit-for-bit. ──────────────
+    "q135_incremental_agg" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      def aggOf(df: DataFrame) = df
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Exact.Money)).as("tv"))
+      val base = aggOf(ev.filter(pmod(col("event_id"), lit(10L)) =!= 0))
+      val delta = aggOf(ev.filter(pmod(col("event_id"), lit(10L)) === 0))
+      base.select(col("user_id"), col("day"), col("n").as("n_b"), col("tv").as("tv_b"))
+        .join(delta.select(col("user_id"), col("day"), col("n").as("n_d"),
+          col("tv").as("tv_d")), Seq("user_id", "day"), "full_outer")
+        .select(col("user_id"), col("day"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+          (coalesce(col("tv_b"), lit(0).cast(Exact.Money)) +
+            coalesce(col("tv_d"), lit(0).cast(Exact.Money)))
+            .cast(DoubleType).as("total_value"))
+        .orderBy("user_id", "day")
+    }),
+
+    // ── [ext] multi-source BFS (bounded hops): minimum hop count from a
+    // seed set over the urgent co-purchase graph — per hop one frontier
+    // ⋈ edges equi-join plus an anti join against the reached set; all
+    // integer state, replayed as chained CTEs by the oracle. The
+    // iterative-traversal primitive Components/PageRank don't cover
+    // (hop DISTANCE, not membership or mass). ──────────────────────────
+    "q136_bfs_hops" -> ((s, dir) => {
+      val urgent = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        urgent, "l_orderkey", "l_partkey")
+      val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      val verts = dirE.select(col("src").as("v")).distinct()
+      var reached = verts.filter(col("v") < 10)
+        .select(col("v"), lit(0).as("hop")).localCheckpoint(true)
+      (1 to 3).foreach { h =>
+        val next = reached.filter(col("hop") === h - 1)
+          .join(dirE, col("v") === col("src"))
+          .select(col("dst").as("v")).distinct()
+          .join(reached.select("v"), Seq("v"), "left_anti")
+          .select(col("v"), lit(h).as("hop"))
+        reached = reached.unionAll(next).localCheckpoint(true)
+      }
+      reached.orderBy("hop", "v")
+    }),
+
+    // ── [ext] grouped linear regression: slope/intercept/R² per group
+    // from the same DECIMAL-exact moment sums as q122 — one pass, one
+    // shuffle of six partials per group, fixed-shape double finish. ────
+    "q137_group_regression" -> ((s, dir) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      val g = T(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast(DecimalType(38, 4))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 4))).as("syy"),
+        sum((x * y).cast(DecimalType(38, 4))).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      val (sx, sy) = (col("sx").cast(DoubleType), col("sy").cast(DoubleType))
+      val (sxx, syy, sxy) = (col("sxx").cast(DoubleType),
+        col("syy").cast(DoubleType), col("sxy").cast(DoubleType))
+      val slope = ((nD * sxy) - (sx * sy)) / ((nD * sxx) - (sx * sx))
+      val icept = (sy - (slope * sx)) / nD
+      val r = ((nD * sxy) - (sx * sy)) /
+        (sqrt((nD * sxx) - (sx * sx)) * sqrt((nD * syy) - (sy * sy)))
+      g.select(col("l_returnflag"), col("n"), slope.as("slope"),
+          icept.as("intercept"), (r * r).as("r2"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -3323,7 +3403,58 @@ object SparkEntry {
           |  sqrt((((ss1d - ((s1d * s1d) / n1d)) / (n1d - 1.0)) / n1d)
           |     + (((ss2d - ((s2d * s2d) / n2d)) / (n2d - 1.0)) / n2d))
           |    AS t_welch
-          |FROM j ORDER BY grp""".stripMargin
+          |FROM j ORDER BY grp""".stripMargin,
+      "q135_incremental_agg" ->
+        s"""SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+           |  $moneyV AS total_value
+           |FROM events GROUP BY user_id, CAST(ts AS DATE)
+           |ORDER BY user_id, day""".stripMargin,
+      "q136_bfs_hops" ->
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |      WHERE o_orderpriority = '1-URGENT'),
+          |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+          |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+          |d AS (SELECT a AS src, b AS dst FROM e0
+          |      UNION ALL SELECT b, a FROM e0),
+          |v AS (SELECT DISTINCT src AS v FROM d),
+          |h0 AS (SELECT v, 0 AS hop FROM v WHERE v < 10),
+          |n1 AS (SELECT DISTINCT d.dst AS v FROM h0 JOIN d ON d.src = h0.v),
+          |h1 AS (SELECT * FROM h0 UNION ALL
+          |       SELECT v, 1 FROM n1 ANTI JOIN h0 USING (v)),
+          |n2 AS (SELECT DISTINCT d.dst AS v
+          |       FROM h1 JOIN d ON d.src = h1.v AND h1.hop = 1),
+          |h2 AS (SELECT * FROM h1 UNION ALL
+          |       SELECT v, 2 FROM n2 ANTI JOIN h1 USING (v)),
+          |n3 AS (SELECT DISTINCT d.dst AS v
+          |       FROM h2 JOIN d ON d.src = h2.v AND h2.hop = 2),
+          |h3 AS (SELECT * FROM h2 UNION ALL
+          |       SELECT v, 3 FROM n3 ANTI JOIN h2 USING (v))
+          |SELECT v, hop FROM h3 ORDER BY hop, v""".stripMargin,
+      "q137_group_regression" ->
+        """WITH g AS (SELECT l_returnflag, count(*) AS n,
+          |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+          |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+          |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |        * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+          |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+          |        * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+          |  FROM lineitem GROUP BY l_returnflag),
+          |j AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+          |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+          |    CAST(sxy AS DOUBLE) AS sxyd FROM g),
+          |k AS (SELECT l_returnflag, n, nd, sxd, syd, syyd, sxxd, sxyd,
+          |    ((nd * sxyd) - (sxd * syd)) / ((nd * sxxd) - (sxd * sxd)) AS slope,
+          |    ((nd * sxyd) - (sxd * syd)) /
+          |      (sqrt((nd * sxxd) - (sxd * sxd)) * sqrt((nd * syyd) - (syd * syd)))
+          |      AS r
+          |  FROM j)
+          |SELECT l_returnflag, n, slope,
+          |  (syd - (slope * sxd)) / nd AS intercept, r * r AS r2
+          |FROM k ORDER BY l_returnflag""".stripMargin
     )
   }
 }
