@@ -1961,7 +1961,10 @@ object SparkEntry {
           .select(col("dst").as("v")).distinct()
           .join(reached.select("v"), Seq("v"), "left_anti")
           .select(col("v"), lit(h).as("hop"))
-        reached = reached.unionAll(next).localCheckpoint(true)
+        // lazy checkpoint: reached is read twice next hop (frontier +
+        // anti join) so lineage must truncate, but an eager barrier per
+        // hop serializes the loop — materialize on first use instead
+        reached = reached.unionAll(next).localCheckpoint(false)
       }
       reached.orderBy("hop", "v")
     }),
@@ -1989,6 +1992,47 @@ object SparkEntry {
       g.select(col("l_returnflag"), col("n"), slope.as("slope"),
           icept.as("intercept"), (r * r).as("r2"))
         .orderBy("l_returnflag")
+    }),
+
+    // ── [ext] CUSUM drift detection in closed form: S_i = P_i −
+    // min(0, min_{j≤i} P_j) where P is the running sum of (daily_total −
+    // k) — algebraically identical to the recursive
+    // max(0, S_{i−1} + x − k) but expressible as two running windows
+    // over ONE event_type exchange, with every accumulation in DECIMAL
+    // (exact, order-free) and a single double cast at the end. No
+    // per-group list materialization, no recursion: the per-key state a
+    // streaming engine would carry, recovered with plain windows. ──────
+    "q138_cusum" -> ((s, dir) => {
+      val k = lit(2500).cast(Exact.Money)
+      val w = Window.partitionBy("event_type").orderBy("day")
+      T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(Exact.Money)).as("tv"))
+        .withColumn("p", sum(col("tv") - k).over(w))
+        .withColumn("cusum",
+          (col("p") - least(lit(0).cast(DecimalType(38, 2)),
+            min(col("p")).over(w))).cast(DoubleType))
+        .select(col("event_type"), col("day"), col("cusum"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ── [north star] entity resolution end-to-end: q80's recall-exact
+    // fuzzy candidates (PassJoin-blocked bounded levenshtein) fed into
+    // connected components, every document mapped to the smallest id of
+    // its match cluster (itself when unmatched) — the canonicalization
+    // step of record linkage, composed entirely from library operators
+    // (Similarity blocking ∘ Components), each keeping its standalone
+    // shuffle shape. ───────────────────────────────────────────────────
+    "q139_entity_resolution" -> ((s, dir) => {
+      val pairs = queries("q80_fuzzy_block_join")(s, dir)
+        .select("id_a", "id_b")
+      val comp = graft.operators.Components
+        .connectedComponents(pairs, "id_a", "id_b")
+      T(s, dir, "documents").select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canon_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3454,7 +3498,38 @@ object SparkEntry {
           |  FROM j)
           |SELECT l_returnflag, n, slope,
           |  (syd - (slope * sxd)) / nd AS intercept, r * r AS r2
-          |FROM k ORDER BY l_returnflag""".stripMargin
+          |FROM k ORDER BY l_returnflag""".stripMargin,
+      "q138_cusum" ->
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    sum(CAST(value AS DECIMAL(18,2))) AS tv
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |p AS (SELECT event_type, day,
+          |    sum(tv - CAST(2500 AS DECIMAL(18,2))) OVER
+          |      (PARTITION BY event_type ORDER BY day) AS p
+          |  FROM daily)
+          |SELECT event_type, day,
+          |  CAST(p - least(CAST(0 AS DECIMAL(38,2)),
+          |    min(p) OVER (PARTITION BY event_type ORDER BY day)) AS DOUBLE)
+          |    AS cusum
+          |FROM p ORDER BY event_type, day""".stripMargin,
+      "q139_entity_resolution" ->
+        """WITH RECURSIVE d AS (SELECT doc_id, lang, substr(text, 1, 24) AS pfx,
+          |                  n_chars // 40 AS bkt FROM documents),
+          |pe AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |       FROM d a JOIN d b ON a.lang = b.lang AND a.bkt = b.bkt
+          |         AND a.doc_id < b.doc_id
+          |       WHERE levenshtein(a.pfx, b.pfx) <= 6),
+          |ed AS (SELECT id_a AS src, id_b AS dst FROM pe
+          |       UNION ALL SELECT id_b, id_a FROM pe),
+          |nodes AS (SELECT DISTINCT src AS id FROM ed),
+          |reach(id, lbl) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM reach r JOIN ed e ON e.src = r.id),
+          |comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+          |SELECT doc_id, coalesce(comp.cluster_id, doc_id) AS canon_id
+          |FROM documents LEFT JOIN comp ON comp.id = doc_id
+          |ORDER BY doc_id""".stripMargin
     )
   }
 }

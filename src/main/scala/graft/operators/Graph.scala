@@ -85,12 +85,17 @@ object Graph {
     * exact aggregates go through DECIMAL). Iteration k+1 is one
     * rank⋈edges equi-join plus one dst-grouped bigint sum — the standard
     * distributed PageRank shape (shuffle per iteration on vertex id,
-    * degree attached once before the loop); per-round localCheckpoint
-    * truncates the growing lineage exactly like [[Components]].
+    * degree attached once before the loop). Lineage is truncated every
+    * `checkpointEvery` iterations (the [[Components]] discipline); the
+    * default of 5 means short demo runs pay zero mid-loop
+    * materialization barriers while long runs stay bounded — each
+    * un-checkpointed iteration adds one join+agg layer to the plan,
+    * which is fine for a handful and fatal for fifty.
     * The vertex count enters as a plan parameter (one count() — a
     * bounded scalar, same class as q43's codebook). */
   def pageRankFixedPoint(edges: DataFrame, iters: Int,
-                         scale: Long = 1000000000000L): DataFrame = {
+                         scale: Long = 1000000000000L,
+                         checkpointEvery: Int = 5): DataFrame = {
     val dir0 = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir0.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -100,7 +105,7 @@ object Graph {
     require(n > 0, "empty graph")
     val teleport = (15L * scale) / (100L * n)
     var ranks = verts.withColumn("rank", lit(scale / n))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val sums = dir.join(ranks, col("src") === col("v"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
@@ -108,7 +113,8 @@ object Graph {
         .select(col("v"),
           (lit(teleport) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
