@@ -74,6 +74,16 @@ object ScaleProbe {
         graft.operators.Ranking.withPrefixSum(
           d.select(col("doc_id"), col("n_chars")), "cum", "T",
           col("n_chars"), col("doc_id").asc).count())
+      // PQ encoding: synthesize a deterministic 64-dim vector per doc
+      // row-locally, encode to 8 codes — the whole pipeline must stay
+      // scan-pipelined (zero shuffle), so time/row is flat in corpus size
+      time("pq_encode", mult) { d =>
+        val vec = transform(sequence(lit(1), lit(64)),
+          i => pmod(col("doc_id") * i, lit(1000)).cast("double") / lit(1000.0))
+        val books = graft.operators.Similarity.pqLattice(8, 16, 8)
+        d.select(graft.functions.PqEncode(vec, books).as("c"))
+          .agg(sum(element_at(col("c"), 1))).collect().head.getLong(0) + 0L
+      }
     }
 
     // ── shuffle-bearing event ops: same probe over a replicated events
@@ -135,6 +145,23 @@ object ScaleProbe {
           .withColumn("t2", min(when(col("event_type") === "click" &&
             col("ts") > col("t1"), col("ts"))).over(w))
           .filter(col("t2").isNotNull).count()
+      })
+      // bounded-state top-k (q132's core): 5 groups regardless of scale,
+      // so the window form would funnel everything into 5 reducers while
+      // the aggregate's exchange carries ≤ k·tasks rows per group
+      etime("topk_agg", mult)(e =>
+        e.groupBy("event_type")
+          .agg(graft.functions.TopKByScore(col("value"), col("event_id"), 5)
+            .as("top")).count())
+      // q126's shape: one user_id exchange for lead(), pair-count agg
+      etime("transitions", mult)(e => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        e.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("prev"))
+          .withColumn("next", lead(col("prev"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .groupBy("prev", "next").count().count()
       })
     }
     spark.stop()

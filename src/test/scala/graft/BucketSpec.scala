@@ -30,7 +30,7 @@ class BucketSpec extends SparkSpec {
       .select("l_orderkey", "l_extendedprice")
     val o = Tables.load(spark, sf0001, "orders")
       .select("o_orderkey", "o_totalprice")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bktspec_").toString
+    val tmp = TempWork.fresh("bktspec")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
     li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")

@@ -17,7 +17,7 @@ class OverwriteSpec extends SparkSpec {
   }
 
   test("dynamic partition overwrite rewrites only the updated partitions") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dpospec_").toString
+    val tmp = TempWork.fresh("dpospec")
     val e = Tables.load(spark, sf0001, "events")
       .withColumn("event_date", to_date(col("ts")))
       .select("event_id", "user_id", "value", "event_date")

@@ -78,7 +78,7 @@ class PipelineSpec extends SparkSpec {
     val fetched = Seq(("JFC", 1.0)).toDF("symbol", "close")
     assert(graft.ops.Merge.upsert(missing, fetched, Seq("symbol")).count() === 1)
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_init_").toString + "/t"
+    val dir = TempWork.fresh("init_spec") + "/t"
     fetched.write.parquet(dir)
     assert(Sync.loadOrInit(spark, dir, fetched.schema).count() === 1)
   }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class PruneSpec extends SparkSpec {
 
   test("date-partitioned write + date filter prunes partitions at the scan") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val tmp = TempWork.fresh("part_spec")
     Tables.load(spark, sf0001, "events")
       .withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date").parquet(tmp)

@@ -341,7 +341,7 @@ class SketchSpec extends SparkSpec {
   }
 
   test("compact merges small files and preserves the data exactly") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val tmp = TempWork.fresh("compact_spec")
     // simulate incremental appends: 20 tiny files
     spark.range(0, 2000).select(col("id"), (col("id") % 7).as("v"))
       .repartition(20)

@@ -200,12 +200,12 @@ class StreamSpec extends SparkSpec {
     // up to date -> skip", postgres_sync.py:205): source progress lives
     // in the checkpoint, so a restarted job pays only for NEW data
     import scala.collection.mutable.ArrayBuffer
-    val landing = java.nio.file.Files.createTempDirectory("graft_ckpt_land_")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val landing = java.nio.file.Paths.get(TempWork.fresh("ckpt_land_spec"))
+    val ckpt = TempWork.fresh("ckpt_spec")
     val events = Tables.load(spark, sf0001, "events").select("event_id", "user_id", "value")
     def land(tag: String, lo: Long, hi: Long): Long = {
       val slice = events.filter(col("event_id") >= lo && col("event_id") < hi)
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$tag")
+      val tmp = java.nio.file.Paths.get(TempWork.fresh(s"ckpt_stage_$tag"))
       slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val listing = java.nio.file.Files.list(tmp)
       val part = try listing.filter(_.toString.endsWith(".parquet"))

@@ -59,7 +59,7 @@ class ZOrderSpec extends SparkSpec {
       .select(col("user_id"), col("value"), day.as("day_idx"))
       .withColumn("z", ZValue(col("day_idx"), col("user_id").cast(LongType), 11))
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val tmp = TempWork.fresh("zorder_spec")
     e.repartitionByRange(8, col("z"))
       .sortWithinPartitions("z")
       .write.mode("overwrite").parquet(s"$tmp/by_z")
