@@ -2033,6 +2033,46 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("canon_id"))
         .orderBy("doc_id")
+    }),
+
+    // ── [north star] tokenize → vocab-encode → pack: the full
+    // training-batch production line in one plan. Docs tokenize and
+    // encode row-locally (top-16 vocab + UNK as a plan-parameter map,
+    // q92's scheme); the per-lang token stream gets global positions
+    // from ONE prefix-sum window; block assignment (p div 128) is then
+    // row-local and the per-block aggregate carries block stats, not
+    // token rows, out of the shuffle. Two exchanges total for the whole
+    // pipeline — tokenization cost scales in the scan, never the wire.
+    "q140_tokenize_pack" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val vocabRows = docs
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(16)
+        .select("tok").collect().map(_.getString(0))
+      val vocabMap = map(vocabRows.zipWithIndex.flatMap {
+        case (tok, i) => Seq(lit(tok), lit(i + 1))
+      }.toIndexedSeq: _*)
+      val idOf = (t: Column) =>
+        coalesce(try_element_at(vocabMap, t), lit(0)).cast(LongType)
+      val wBefore = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val toks = docs
+        .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+        .withColumn("before", coalesce(sum(col("n_tokens")).over(wBefore), lit(0L)))
+      toks.select(col("doc_id"), col("lang"), col("before"),
+          posexplode(col("toks")))
+        .select(col("doc_id"), col("lang"),
+          (col("before") + col("pos")).as("p"), idOf(col("col")).as("id"))
+        .withColumn("block_id", expr("p div 128"))
+        .withColumn("off", pmod(col("p"), lit(128L)))
+        .groupBy("lang", "block_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum((col("off") + 1) * col("id")).as("ids_fingerprint"),
+          sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_unk"))
+        .orderBy("lang", "block_id")
     })
   )
 
@@ -3529,7 +3569,29 @@ object SparkEntry {
           |comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
           |SELECT doc_id, coalesce(comp.cluster_id, doc_id) AS canon_id
           |FROM documents LEFT JOIN comp ON comp.id = doc_id
-          |ORDER BY doc_id""".stripMargin
+          |ORDER BY doc_id""".stripMargin,
+      "q140_tokenize_pack" ->
+        s"""WITH vocab AS (
+           |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER) AS id
+           |  FROM (SELECT tok, count(*) AS n
+           |        FROM (SELECT unnest($toks) AS tok FROM documents)
+           |        GROUP BY tok ORDER BY n DESC, tok LIMIT 16)),
+           |d0 AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+           |pre AS (SELECT doc_id, coalesce(CAST(sum(len(toks)) OVER
+           |          (PARTITION BY lang ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |          AS BIGINT), 0) AS before FROM d0),
+           |tk AS (SELECT doc_id, lang, unnest(range(len(toks))) AS pos,
+           |              unnest(toks) AS tok FROM d0),
+           |st AS (SELECT tk.doc_id, tk.lang, pre.before + tk.pos AS p,
+           |              coalesce(v.id, 0) AS id
+           |       FROM tk LEFT JOIN vocab v ON v.tok = tk.tok
+           |       JOIN pre ON pre.doc_id = tk.doc_id)
+           |SELECT lang, p // 128 AS block_id, count(*) AS n_tokens,
+           |  count(DISTINCT doc_id) AS n_docs,
+           |  CAST(sum(((p % 128) + 1) * id) AS BIGINT) AS ids_fingerprint,
+           |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+           |FROM st GROUP BY lang, p // 128 ORDER BY lang, block_id""".stripMargin
     )
   }
 }
