@@ -2073,7 +2073,14 @@ object SparkEntry {
           sum((col("off") + 1) * col("id")).as("ids_fingerprint"),
           sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_unk"))
         .orderBy("lang", "block_id")
-    })
+    }),
+
+    // ── [ext] transformWithState (Spark 4 arbitrary-state API, RocksDB
+    // store): per-user record-breaking events via a ValueState high-water
+    // mark crossing two time-split micro-batches — see
+    // EventStream.recordBreakers. ──────────────────────────────────────
+    "q141_stream_records" -> ((s, dir) =>
+      graft.streaming.EventStream.recordBreakers(s, dir))
   )
 
 
@@ -3591,7 +3598,15 @@ object SparkEntry {
            |  count(DISTINCT doc_id) AS n_docs,
            |  CAST(sum(((p % 128) + 1) * id) AS BIGINT) AS ids_fingerprint,
            |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
-           |FROM st GROUP BY lang, p // 128 ORDER BY lang, block_id""".stripMargin
+           |FROM st GROUP BY lang, p // 128 ORDER BY lang, block_id""".stripMargin,
+      "q141_stream_records" ->
+        """WITH r AS (SELECT user_id, event_id, value,
+          |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          |  FROM events)
+          |SELECT user_id, event_id, value FROM r
+          |WHERE prev_max IS NULL OR value > prev_max
+          |ORDER BY user_id, event_id""".stripMargin
     )
   }
 }

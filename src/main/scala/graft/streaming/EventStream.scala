@@ -102,6 +102,83 @@ object EventStream {
       }
   }
 
+  final case class RecordOut(user_id: Long, event_id: Long, value: Double)
+
+  /** Per-user record-breaker detector on the `transformWithState` API
+    * (Spark 4's arbitrary-state processor, RocksDB state store): a
+    * ValueState[Double] high-water mark per user; an event emits iff its
+    * value strictly exceeds everything the user produced before it.
+    * Within a batch rows arrive unordered, so the processor sorts its
+    * per-key iterator by (ts, event_id) — cross-batch order comes from
+    * the time-split landing (early half, then late half), so the emitted
+    * sequence equals the batch running-max scan regardless of batching.
+    * State is one double per user, forever-bounded; TTLConfig carries
+    * the production eviction story. */
+  private class HighWaterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, RecordOut] {
+    @transient private var mx: org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      mx = getHandle.getValueState[Double]("mx",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RecordOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      var cur = if (mx.exists()) mx.get() else Double.NegativeInfinity
+      val out = scala.collection.mutable.ArrayBuffer.empty[RecordOut]
+      sorted.foreach { e =>
+        if (e.value > cur) { cur = e.value; out += RecordOut(key, e.event_id, e.value) }
+      }
+      mx.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Streaming record-breakers via [[HighWaterProcessor]]: the fixture
+    * lands as two time-halves (their own micro-batches, early first), so
+    * the ValueState genuinely crosses batches. transformWithState
+    * requires the RocksDB state store — swapped in for this query and
+    * restored after. */
+  def recordBreakers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsIsTs =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampType
+    val tsNorm = if (tsIsTs) col("ts") else timestamp_micros(expr("ts div 1000"))
+    val Array(loUs, hiUs) = raw
+      .agg(unix_micros(min(tsNorm)), unix_micros(max(tsNorm)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val midC = timestamp_micros(lit(loUs + (hiUs - loUs) / 2))
+    val (stream, landing) = splitStream(spark, dir, "hiwater_", Seq(
+      "a_early" -> (tsNorm < midC),
+      "b_late" -> (tsNorm >= midC)))
+    val ds = stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[EventRow]
+    val out = ds.groupByKey(_.user_id)
+      .transformWithState(new HighWaterProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runToResult(spark, out.toDF(), "append",
+        statePartitioned = true, Some(landing)) { t =>
+        t.select(col("user_id"), col("event_id"), col("value"))
+          .orderBy("user_id", "event_id")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Shared stream source over the events fixture (nanos→micros ts, see
     * Tables.load). `copies` > 1 lands the same file several times — the
     * arriving-duplicate-batch shape that exercises cross-batch dedup.
