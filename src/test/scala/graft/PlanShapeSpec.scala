@@ -274,4 +274,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"probability window must stay partitioned by prev_type:\n$plan")
   }
+
+  test("q140 tokenize→pack: ONE hash exchange for the whole pipeline") {
+    val plan = planOf("q140_tokenize_pack")
+    // the per-lang prefix-sum window exchange is the only data shuffle:
+    // hash(lang) is a prefix of the (lang, block) aggregate's required
+    // clustering, so the agg — distinct phases included — reuses it;
+    // tokenization, encoding, and block assignment pipeline in the scan
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"tokenize→pack must shuffle data exactly once:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no single-reducer stage in the packing pipeline:\n$plan")
+  }
+
+  test("q138 CUSUM: both running windows share one event_type exchange") {
+    val plan = planOf("q138_cusum")
+    // daily agg exchange + the shared window exchange + final range sort
+    assert(countOf(plan, "Exchange hashpartitioning") <= 2,
+      s"CUSUM windows must share the event_type exchange:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"closed-form CUSUM must not funnel through one task:\n$plan")
+  }
 }
