@@ -2080,7 +2080,38 @@ object SparkEntry {
     // mark crossing two time-split micro-batches — see
     // EventStream.recordBreakers. ──────────────────────────────────────
     "q141_stream_records" -> ((s, dir) =>
-      graft.streaming.EventStream.recordBreakers(s, dir))
+      graft.streaming.EventStream.recordBreakers(s, dir)),
+
+    // ── [ext] typed Aggregator API: weighted mean via
+    // Dataset[T].groupByKey + a case-class Aggregator — the typed twin
+    // of the untyped TypedImperativeAggregates (KMV/SpaceSaving/TopK).
+    // The lossy double→cents conversion happens in SQL-land BEFORE the
+    // aggregator (one DECIMAL(18,2) cast, the engine-portable rounding);
+    // the aggregator itself folds exact longs, so any partial/merge
+    // order yields the same pair of integers and ONE final division. ───
+    "q142_typed_wmean" -> ((s, dir) => {
+      import s.implicits._
+      val rows = T(s, dir, "events")
+        .select(col("event_type"),
+          (col("value").cast(Exact.Money) * 100).cast(LongType).as("cents"),
+          (pmod(col("event_id"), lit(3L)) + 1).as("w"))
+        .as[(String, Long, Long)]
+      val wm = new org.apache.spark.sql.expressions.Aggregator[
+          (String, Long, Long), (Long, Long), Double] {
+        def zero: (Long, Long) = (0L, 0L)
+        def reduce(b: (Long, Long), r: (String, Long, Long)): (Long, Long) =
+          (b._1 + r._2 * r._3, b._2 + r._3)
+        def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+          (a._1 + b._1, a._2 + b._2)
+        def finish(b: (Long, Long)): Double =
+          b._1.toDouble / (b._2.toDouble * 100.0)
+        def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[(Long, Long)]]
+        def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Double]]
+      }
+      rows.groupByKey(_._1).agg(wm.toColumn.name("wmean"))
+        .toDF("event_type", "wmean")
+        .orderBy("event_type")
+    })
   )
 
 
@@ -3606,7 +3637,16 @@ object SparkEntry {
           |  FROM events)
           |SELECT user_id, event_id, value FROM r
           |WHERE prev_max IS NULL OR value > prev_max
-          |ORDER BY user_id, event_id""".stripMargin
+          |ORDER BY user_id, event_id""".stripMargin,
+      "q142_typed_wmean" ->
+        """WITH c AS (SELECT event_type,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+          |    (event_id % 3) + 1 AS w
+          |  FROM events)
+          |SELECT event_type,
+          |  CAST(sum(cents * w) AS DOUBLE) /
+          |    (CAST(sum(w) AS DOUBLE) * 100.0) AS wmean
+          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
     )
   }
 }
