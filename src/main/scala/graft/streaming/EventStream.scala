@@ -455,13 +455,23 @@ object EventStream {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.read.parquet(s"$dir/events.parquet")
     val landing = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
-    splits.foreach { case (name, pred) =>
+    val mtimeBase = System.currentTimeMillis()
+    splits.zipWithIndex.foreach { case ((name, pred), i) =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_${tag}_$name")
       src.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val listing = java.nio.file.Files.list(tmp)
       val part = try listing.filter(_.toString.endsWith(".parquet"))
         .findFirst().get() finally listing.close()
-      java.nio.file.Files.copy(part, landing.resolve(s"$name.parquet"))
+      val landed = landing.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(part, landed)
+      // pin mtimes a minute apart in declaration order: the file source
+      // batches oldest-first, and back-to-back copies can otherwise land
+      // in the same filesystem timestamp tick, leaving batch order to
+      // listing luck — fatal for order-SENSITIVE consumers (q141's
+      // cross-batch high-water mark), harmless for the rest
+      java.nio.file.Files.setLastModifiedTime(landed,
+        java.nio.file.attribute.FileTime.fromMillis(
+          mtimeBase - (splits.length - i).toLong * 60000L))
       deleteRecursively(tmp) // staging copy no longer needed once landed
     }
     val stream = spark.readStream.schema(schema)
