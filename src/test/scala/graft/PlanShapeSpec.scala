@@ -295,4 +295,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"closed-form CUSUM must not funnel through one task:\n$plan")
   }
+
+  test("join strategy hints steer the physical join operator") {
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    val li = Tables.load(spark0, sf0001, "lineitem")
+    val or = Tables.load(spark0, sf0001, "orders")
+    def joined(hint: String) = li.join(or.hint(hint),
+      col("l_orderkey") === col("o_orderkey"))
+    val sh = joined("shuffle_hash").queryExecution.executedPlan.toString
+    assert(sh.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint ignored:\n${sh.take(2000)}")
+    val mj = joined("merge").queryExecution.executedPlan.toString
+    assert(mj.contains("SortMergeJoin"),
+      s"merge hint ignored:\n${mj.take(2000)}")
+    val bc = joined("broadcast").queryExecution.executedPlan.toString
+    assert(bc.contains("BroadcastHashJoin"),
+      s"broadcast hint ignored:\n${bc.take(2000)}")
+  }
 }
