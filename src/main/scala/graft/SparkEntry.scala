@@ -2111,6 +2111,30 @@ object SparkEntry {
       rows.groupByKey(_._1).agg(wm.toColumn.name("wmean"))
         .toDF("event_type", "wmean")
         .orderBy("event_type")
+    }),
+
+    // ── [ext] sketch re-aggregation (the sketch-table pattern): daily
+    // per-type KMV sketches — what a production pipeline PERSISTS — are
+    // rolled up to per-type sketches by re-aggregating the partials
+    // (explode + KMV again), never touching raw rows. Sound because KMV
+    // is a lattice: every global k-minimum is a k-minimum of its own
+    // day, and the TreeSet dedups values shared across days, so
+    // KMV(∪ daily KMVs) = KMV(raw). The monthly-rollup-from-daily-
+    // sketches shape: rollup input is days × k longs, not events. ──────
+    "q143_sketch_rollup" -> ((s, dir) => {
+      val k = 16
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(graft.functions.KMinValues(
+          graft.ops.Sampling.shaHash60(col("user_id")), k).as("kmv"))
+      daily.select(col("event_type"), explode(col("kmv")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.KMinValues(col("h"), k).as("kmv"))
+        .select(col("event_type"),
+          size(col("kmv")).cast(LongType).as("k_size"),
+          element_at(col("kmv"), least(size(col("kmv")), lit(k))).as("kth_min"),
+          aggregate(col("kmv"), lit(0L), (acc, x) => acc + x).as("mins_sum"))
+        .orderBy("event_type")
     })
   )
 
@@ -3646,7 +3670,18 @@ object SparkEntry {
           |SELECT event_type,
           |  CAST(sum(cents * w) AS DOUBLE) /
           |    (CAST(sum(w) AS DOUBLE) * 100.0) AS wmean
-          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q143_sketch_rollup" ->
+        """WITH h AS (SELECT DISTINCT event_type,
+          |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |r AS (SELECT event_type, h,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          |      FROM h)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS k_size,
+          |  max(h) AS kth_min, CAST(sum(h) AS BIGINT) AS mins_sum
+          |FROM r WHERE rn <= 16
+          |GROUP BY event_type ORDER BY event_type""".stripMargin
     )
   }
 }
