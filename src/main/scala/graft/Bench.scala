@@ -67,13 +67,32 @@ object Bench {
             s"[bench] ignoring unparseable SPARK_GRAFT_ONE_SHOT_CUTOFF='$s'")
         parsed
       }.getOrElse(Double.MaxValue)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
       val (first, ok1) = timeOnce(fn)
       val best = if (!ok1 || first >= oneShotCutoff) first else {
         val (second, ok2) = timeOnce(fn)
         if (ok2) math.min(first, second) else first
       }
       name -> best
+    }
+    // Late outlier retry: min-of-two runs its passes BACK-TO-BACK, so a
+    // sustained host-load spike (round 5: a ~35s disturbance covered five
+    // consecutive queries — q24/q91/q55/q88/q41 — and both of each one's
+    // passes, inflating q24 23.1s vs 2.35s measured minutes later) defeats
+    // it. The defense is temporal separation: after the whole suite has
+    // run, re-time every query whose best still exceeds the retry
+    // threshold and keep the min — the spike that hit the main loop has
+    // passed by the time the tail retry runs. Cost is bounded: only the
+    // slow tail re-runs, once, and a genuinely-slow query just reproduces
+    // its time.
+    val retryThreshold = sys.env.get("SPARK_GRAFT_RETRY_THRESHOLD")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.5)
+    val results = firstPass.map { case (name, best) =>
+      if (best < retryThreshold) name -> best
+      else {
+        val (again, ok) = timeOnce(SparkEntry.queries(name))
+        name -> (if (ok) math.min(best, again) else best)
+      }
     }
     // Keep the JSON line SHORT: the harness retains only the last ~2000
     // chars of process output, so per-query keys are the qNN prefix (the

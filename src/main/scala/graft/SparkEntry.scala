@@ -304,10 +304,20 @@ object SparkEntry {
         threshold = 0.5, shingleLen = 3)
         .orderBy("id_a", "id_b")),
 
-    // ── [north star] bucketed exact n-gram Jaccard near-dup ───────────
-    // (vocabulary-bitmap plan: per-pair work is bit_count over longs, not
-    // string-array intersection — same values as the array-intersect form)
+    // ── [north star] content-blocked n-gram Jaccard near-dup ──────────
+    // (count band ∧ minhash band blocking — candidates ∝ matches, not
+    // band size²; exact token-set Jaccard verify; the oracle replays the
+    // sha-derived minhash band keys bit-for-bit)
     "q24_jaccard_pairs" -> ((s, dir) =>
+      TextDedup.jaccardNearDupsBlocked(T(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, bandWidth = 8)
+        .orderBy("id_a", "id_b")),
+
+    // ── [north star] exact-mode bucketed Jaccard (bounded-mask bitset) ─
+    // (exhaustive within count bands — the small-corpus exact mode; the
+    // 16 KiB hashed-slot bitmask is a lossless prefilter, so results are
+    // identical to the plain array-intersect formulation)
+    "q144_jaccard_bitset_exact" -> ((s, dir) =>
       TextDedup.jaccardNearDupsBitset(T(s, dir, "documents"), "doc_id", "text",
         threshold = 0.6, bandWidth = 8)
         .orderBy("id_a", "id_b")),
@@ -2482,6 +2492,30 @@ object SparkEntry {
            |  FROM cand)
            |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
       "q24_jaccard_pairs" ->
+        s"""WITH w AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))  AS ws
+           |  FROM documents),
+           |b AS (SELECT doc_id, ws, CAST(floor(len(ws) / 8) AS BIGINT) AS bucket,
+           |             list_transform(ws, t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT) AS sh
+           |      FROM w WHERE len(ws) > 0),
+           |sigs AS (SELECT doc_id, ws, bucket,
+           |  ${(0 until 8).map(j => s"${minhashTerm(j)} AS m$j").mkString(", ")} FROM b),
+           |keys AS (SELECT doc_id, ws, bucket,
+           |  ${(0 until 4).map(bd => (0 until 2).map(j => s"CAST(m${2 * bd + j} AS VARCHAR)")
+                 .mkString(" || '_' || ") + s" AS b$bd").mkString(", ")} FROM sigs),
+           |cand AS (
+           |  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.ws AS ws_a, c.ws AS ws_b
+           |  FROM keys a JOIN keys c ON a.doc_id < c.doc_id AND a.bucket = c.bucket
+           |   AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3))
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT id_a, id_b,
+           |    CAST(len(list_intersect(ws_a, ws_b)) AS DOUBLE) /
+           |      (CAST(len(ws_a) + len(ws_b) AS DOUBLE) -
+           |       CAST(len(list_intersect(ws_a, ws_b)) AS DOUBLE)) AS jaccard
+           |  FROM cand)
+           |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+      "q144_jaccard_bitset_exact" ->
         """WITH w AS (
           |  SELECT doc_id,
           |         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))  AS ws

@@ -268,77 +268,153 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact Jaccard pairs via a vocabulary bitmap: identical semantics to
-    * [[jaccardNearDups]], different physical plan. Each document's
-    * distinct word set becomes a fixed-width bitmask over a dense
-    * vocabulary id space, so the per-pair intersection is
-    * `Σ bit_count(a & b)` over a handful of longs instead of a string
-    * array intersect — an order of magnitude cheaper when millions of
-    * candidate pairs share a small vocabulary.
+  /** Exact Jaccard pairs via a FIXED-WIDTH hashed-slot bitmap: identical
+    * semantics to [[jaccardNearDups]], different physical plan. Each
+    * document's distinct tokens hash into `maskBits` slots (xxhash64 mod
+    * maskBits — engine-internal, never crosses to an oracle) and the
+    * per-pair popcount `c = Σ bit_count(a & b)` drives a LOSSLESS
+    * upper-bound prefilter; survivors are verified with the exact
+    * string-array intersect, so collisions can only admit extra
+    * candidates, never change a result.
     *
-    * Scale notes: dense vocab ids come from two-phase range-partitioned
-    * ranking ([[Ranking.withGlobalRank]]) — no single-partition window
-    * anywhere in this plan; the bounds are the broadcast word→id map
-    * (fine to ~10^7 vocab — beyond that drop the broadcast hint and let
-    * the map-side join shuffle) and the nSlots mask width (10^7 vocab →
-    * ~1.2 MB masks). Candidate generation stays banded ALL-PAIRS by
-    * design: on near-dup-dense corpora like the fixtures, ~80% of
-    * within-band pairs pass the t=0.6 verify, so candidates ≈ output and
-    * no candidate filter can win — a rarest-first prefix filter
-    * (Bayardo WWW'07) was measured here at 9× candidate-row duplication
-    * with <1% candidate reduction, because template corpora share their
-    * "rare" tokens across whole clusters. For SPARSE corpora (real webtext
-    * at scale, where qualifying pairs ≪ band pairs) route to
-    * [[minhashNearDups]]: its band-bucket equi-join generates candidates
-    * proportional to true matches, needs no global ids, and its verify is
-    * the same exact-Jaccard predicate. */
+    * Upper-bound math (why the prune is exact): with n = |tokens|,
+    * p = popcount(mask) = |occupied slots|, every common token lands in a
+    * common slot, and a doc's slots outside the common set hold ≥1 token
+    * each, so |A∩B| ≤ n_A − p_A + c (and symmetrically for B), giving
+    *   Iub = min(c + min(n_A−p_A, n_B−p_B), n_A, n_B)
+    *   Jub = Iub / (n_A + n_B − Iub) ≥ J.
+    * Pairs with Jub < t are pruned without computing the exact intersect.
+    * At maskBits = 16384 a 1000-token doc has ~n²/2S ≈ 30 collisions, so
+    * Iub tracks I within ~3% and the prefilter keeps its teeth.
+    *
+    * Scale notes vs the previous vocabulary-bitmap formulation: the mask
+    * is 16 KiB-bounded REGARDLESS of corpus vocabulary (a 10^8-word web
+    * vocab previously meant ~1.5M-long masks), and the plan needs no
+    * global vocab ranking, no broadcast word→id map, and no driver-side
+    * count() — mask building is pure per-row map work. What remains
+    * quadratic is the within-band candidate enumeration itself: this is
+    * the EXACT mode, correct for corpora where a count band holds up to
+    * ~10^4–10^5 docs (≲10^10 cheap popcount probes per band). Beyond
+    * that, route to [[jaccardNearDupsBlocked]] (content-derived blocking,
+    * candidates ∝ matches) or [[minhashNearDups]]. */
   def jaccardNearDupsBitset(docs: DataFrame, idCol: String, textCol: String,
-                            threshold: Double, bandWidth: Int = 8): DataFrame = {
+                            threshold: Double, bandWidth: Int = 8,
+                            maskBits: Int = 16384): DataFrame = {
     // filter matches jaccardNearDups: zero-token docs are excluded there,
     // and would otherwise silently vanish here anyway (explode emits no
     // rows) — make the exclusion explicit and identical in both forms.
     val words = widen(docs).select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("ws"))
       .filter(size(col("ws")) > 0)
-    val tok = words.select(col("id"), explode(col("ws")).as("w"))
-    val byWord = tok.select("w").distinct()
-    // ordered ids are not semantically required (any bijection works) —
-    // ranking just keeps the mask layout deterministic for the spec tests
-    val vocab = Ranking.withGlobalRank(byWord, "__rk", "__V", col("w").asc)
-      .select(col("w"), (col("__rk") - 1).cast(IntegerType).as("wid"))
-    val vocabSize = byWord.count().toInt // plan parameter: mask width
-    val nSlots = (vocabSize + 63) / 64
-    // doc → wid list → bitmask array<long> of width nSlots: one native
-    // pass (O(nSlots + |wids|)); the HOF form re-walked the wid list per
-    // slot — see BitsetOf (equivalence asserted in tests)
-    val masks = tok.join(broadcast(vocab), Seq("w"))
-      .groupBy("id").agg(collect_set(col("wid")).as("wids"))
-      .select(col("id"), size(col("wids")).as("n"),
-        graft.functions.BitsetOf(col("wids"), nSlots).as("mask"))
+      // verify side re-reads ws per surviving candidate; persist so the
+      // tokenize tree runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSlots = (maskBits + 63) / 64
+    val slots = array_distinct(transform(col("ws"),
+      t => pmod(xxhash64(t), lit(maskBits.toLong)).cast(IntegerType)))
+    // doc → slot list → bitmask array<long>: one native pass
+    // (O(nSlots + |slots|)); the HOF form re-walked the list per slot —
+    // see BitsetOf (equivalence asserted in tests)
+    val masks = words
+      .withColumn("slots", slots)
+      .select(col("id"), size(col("ws")).as("n"), size(col("slots")).as("p"),
+        graft.functions.BitsetOf(col("slots"), nSlots).as("mask"))
       .withColumn("bucket", floor(col("n") / bandWidth))
       // both sides of the self-join read these masks; persist so the
-      // explode+join+bitmask build runs (and compiles) once
+      // bitmask build runs (and compiles) once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = masks.select(col("id").as("id_a"), col("n").as("n_a"),
-      col("mask").as("m_a"), col("bucket"))
+      col("p").as("p_a"), col("mask").as("m_a"), col("bucket"))
     val b = masks.select(col("id").as("id_b"), col("n").as("n_b"),
-      col("mask").as("m_b"), col("bucket"))
+      col("p").as("p_b"), col("mask").as("m_b"), col("bucket"))
     // native fused popcount loop — the HOF form
     // aggregate(zip_with(..., bit_count(x & y))) is value-identical but
     // allocates lambda frames per slot per candidate pair (see BitAndCount).
-    val inter = graft.functions.BitAndCount(col("m_a"), col("m_b"))
-      .cast(DoubleType)
-    val pairs = a.join(b, Seq("bucket"))
+    val c = graft.functions.BitAndCount(col("m_a"), col("m_b"))
+    val iub = least(
+      c + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")),
+      least(col("n_a"), col("n_b"))).cast(DoubleType)
+    val candidates = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("__i", inter)
-      .withColumn("jaccard",
-        col("__i") / ((col("n_a") + col("n_b")).cast(DoubleType) - col("__i")))
+      .filter(iub / ((col("n_a") + col("n_b")).cast(DoubleType) - iub)
+        >= threshold)
+      .select("id_a", "id_b")
+    val pairs = candidates
+      .join(words.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+      .join(words.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardExpr(col("ws_a"), col("ws_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     // same cache discipline as minhashNearDups: materialize survivors,
-    // release the mask cache.
+    // release the caches.
     val out = pairs.localCheckpoint(true)
     masks.unpersist()
+    words.unpersist()
+    out
+  }
+
+  /** Near-dup pairs blocked by count band AND a content-derived MinHash
+    * band, verified with the exact token-set Jaccard — the scale path for
+    * word-level near-dup mining. Candidates must (a) sit in the same
+    * floor(|tokens|/bandWidth) bucket and (b) agree on at least one of
+    * `bands` MinHash band keys over sha-derived 60-bit token hashes (the
+    * cross-engine hash family of [[shingleSetsSha]], so an ANSI-SQL
+    * oracle replays the full pipeline bit-for-bit).
+    *
+    * Block cardinality: a count band alone holds O(corpus/band-count)
+    * docs and its self-join is quadratic — at 10^9 docs a single band of
+    * 10^6 docs means 5·10^11 probes. The MinHash band key subdivides
+    * each count band by content: docs land together only when a length-
+    * `rowsPerBand` minhash slice collides, which for an unrelated pair
+    * happens with probability ≈ J^rowsPerBand per band (J = true token
+    * Jaccard). Expected candidates are Σ_pairs [1−(1−J^r)^bands] ≈
+    * bands · E[J^r] · pairs — proportional to the near-dup mass, not to
+    * band size². A true pair at J = t = 0.6 survives blocking with
+    * p = 1−(1−0.36)^4 ≈ 83% (r = 2, 4 bands); at J = 0.8, 98.3%; the
+    * exact verify then removes every false positive, so emitted pairs
+    * are a high-recall, zero-false-positive subset of the exact
+    * count-band result. For guaranteed-exhaustive output on small
+    * corpora use [[jaccardNearDupsBitset]]. */
+  def jaccardNearDupsBlocked(docs: DataFrame, idCol: String, textCol: String,
+                             threshold: Double, bandWidth: Int = 8,
+                             bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val words = widen(docs).select(col(idCol).as("id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("bucket", floor(size(col("ws")) / bandWidth))
+      // three plan branches read this (banding + both verify sides)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = bands * rowsPerBand
+    // sha-60 token hashes (set semantics: min over distinct = min over
+    // multiset); sha2+conv stay codegen'd built-ins
+    val th = transform(col("ws"),
+      t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast(LongType))
+    val sig = words.select(col("id"), col("bucket"),
+      graft.functions.MinHashSig(th, k).as("sig"))
+    // raw-value band keys (same move as minhashNearDupsVerifiable: no
+    // engine-private band hash, so the oracle joins on identical keys)
+    val bandRows = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", transform(
+          slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string"))).as("bval"))
+    }
+    val bb = sig.select(col("id"), col("bucket"),
+      explode(array(bandRows: _*)).as("bb"))
+      .select(col("id"), col("bucket"), col("bb.band"), col("bb.bval"))
+    val l = bb.select(col("id").as("id_a"), col("bucket"), col("band"), col("bval"))
+    val r = bb.select(col("id").as("id_b"), col("bucket"), col("band"), col("bval"))
+    val candidates = l.join(r, Seq("bucket", "band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = candidates
+      .join(words.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+      .join(words.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardExpr(col("ws_a"), col("ws_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val out = pairs.localCheckpoint(true)
+    words.unpersist()
     out
   }
 

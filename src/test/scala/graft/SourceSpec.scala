@@ -73,6 +73,26 @@ class SourceSpec extends SparkSpec {
     assert(out.head.getDouble(2) === 0.6)
   }
 
+  test("blocked jaccard is an exactly-verified high-recall subset of the exact form") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val exact = TextDedup.jaccardNearDups(docs, "doc_id", "text", 0.6, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blocked = TextDedup.jaccardNearDupsBlocked(docs, "doc_id", "text", 0.6, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    // zero false positives: every emitted pair is in the exact result with
+    // the bit-identical jaccard (the verify predicate is the same expression)
+    blocked.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"false positive pair $pair")
+      assert(java.lang.Double.doubleToLongBits(j) ===
+        java.lang.Double.doubleToLongBits(exact(pair)))
+    }
+    // high recall on the near-dup-dense fixture (analysis in the scaladoc
+    // puts per-pair survival ≥83% at J=0.6, higher above; the fixture's
+    // near-dup mass sits well above threshold)
+    assert(blocked.length >= (0.9 * exact.size).toInt,
+      s"recall ${blocked.length}/${exact.size}")
+  }
+
   test("bitset jaccard plan produces identical pairs to the array-intersect plan") {
     val docs = Tables.load(spark, sf0001, "documents")
     val a = TextDedup.jaccardNearDups(docs, "doc_id", "text", 0.6, 8)
