@@ -57,6 +57,19 @@ case class SpaceSaving(
   override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
     new java.util.HashMap[String, Array[Long]]()
 
+  // Minimum counter VALUE of a sketch, as the bound on any absent item's
+  // true count: a full sketch can only have evicted items whose count was
+  // ≤ its current minimum, while a non-full sketch has seen every item it
+  // was fed — absent there means exactly zero.
+  private def absentBound(buf: java.util.HashMap[String, Array[Long]]): Long =
+    if (buf.size < m) 0L
+    else {
+      var minCnt = Long.MaxValue
+      val it = buf.values().iterator()
+      while (it.hasNext) { val c = it.next()(0); if (c < minCnt) minCnt = c }
+      minCnt
+    }
+
   private def minEntry(buf: java.util.HashMap[String, Array[Long]]): String = {
     var minKey: String = null
     var minCnt = Long.MaxValue
@@ -89,14 +102,42 @@ case class SpaceSaving(
     buf
   }
 
+  // Mergeable-summaries rule (Berinde et al. PODS'09, Agarwal et al.
+  // PODS'12): an item absent from one FULL input may still have occurred
+  // up to that input's minimum counter times (it could have been evicted
+  // at exactly that count), so charge that minimum to both cnt and err of
+  // every item the other side contributes alone. Keeps the per-item
+  // invariant true_count <= cnt <= true_count + err across distributed
+  // partial aggregation — the naive union (sum common, keep singletons)
+  // violates the lower bound whenever an item was evicted from one
+  // partial but survives in another. When neither side ever evicted
+  // (both bounds 0) this degrades to the exact union, preserving the
+  // m > vocabulary oracle-exactness property.
   override def merge(buf: java.util.HashMap[String, Array[Long]],
                      other: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
+    val bufBound = absentBound(buf)
+    val otherBound = absentBound(other)
+    // items only in buf first: charge `other`'s absent bound
+    if (otherBound > 0L) {
+      val bit = buf.entrySet().iterator()
+      while (bit.hasNext) {
+        val e = bit.next()
+        if (!other.containsKey(e.getKey)) {
+          e.getValue()(0) += otherBound
+          e.getValue()(1) += otherBound
+        }
+      }
+    }
     val it = other.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val cur = buf.get(e.getKey)
       if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
-      else buf.put(e.getKey, e.getValue().clone())
+      else {
+        val v = e.getValue().clone()
+        v(0) += bufBound; v(1) += bufBound
+        buf.put(e.getKey, v)
+      }
     }
     if (buf.size > m) {
       val keep = sorted(buf).take(m).map(_._1).toSet

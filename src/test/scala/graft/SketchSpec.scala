@@ -410,4 +410,35 @@ class SketchSpec extends SparkSpec {
     trueCounts.filter(_._2 > n / 32).keys.foreach(k =>
       assert(surviving.contains(k), s"frequent item $k evicted"))
   }
+
+  test("SpaceSaving merge bounds hold when an item straddles evicting partitions") {
+    import graft.functions.SpaceSaving
+    // partition 0: "straddler"×3 lands first, then five tokens ×10 each
+    // evict it (capacity 4); its mass lives only in that partial's min
+    // counter. partition 1: "straddler"×5 survives (partial never fills).
+    // The naive union-merge reports cnt=5 for a true count of 8 — the
+    // mergeable rule must charge partition 0's min counter to cnt and err
+    // of every item absent from it (Berinde PODS'09 / Agarwal PODS'12).
+    val p0 = Seq.fill(3)("straddler") ++
+      Seq("a", "b", "c", "d", "e").flatMap(t => Seq.fill(10)(t))
+    val p1 = Seq.fill(5)("straddler") ++ Seq("x", "y")
+    val df = spark.sparkContext.parallelize(p0, 1)
+      .union(spark.sparkContext.parallelize(p1, 1)).toDF("tok")
+    val got = df.agg(SpaceSaving(col("tok"), 4).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val trueCounts = (p0 ++ p1).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(got.length === 4)
+    got.foreach { case (tok, cnt, err) =>
+      val truth = trueCounts(tok)
+      assert(truth <= cnt,
+        s"$tok: merged count $cnt under true $truth — evicted mass lost")
+      assert(cnt - err <= truth,
+        s"$tok: lower bound ${cnt - err} over true $truth")
+    }
+    // straddler's frequency (8 of 65 rows) clears N/m, so it must survive
+    assert(got.exists(_._1 === "straddler"), "straddling heavy item evicted")
+  }
 }
