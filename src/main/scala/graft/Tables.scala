@@ -22,21 +22,46 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    // rejects outright; read it as nanos-since-epoch LONG and truncate to
-    // micros. `div` (integer division) — a double roundtrip at 1.7e18 loses
-    // sub-µs precision. Scale caveat: predicates on the converted column
-    // cannot push into the parquet scan (the conversion hides the raw
-    // column) — a property of this nanos fixture, not the engine; a
-    // production events table in TIMESTAMP(MICROS), or one partitioned by
-    // date, gets full predicate/partition pruning with the same code.
+  /** Pin the fixture-reader confs before any parquet scan. Two fixture
+    * generations exist: generation 1 wrote `events.ts` as
+    * TIMESTAMP(NANOS), which Spark's reader rejects outright unless it is
+    * surfaced as a nanos-since-epoch LONG; generation 2 (driver refresh of
+    * 2026-08-13) writes TIMESTAMP(MICROS) with isAdjustedToUTC=false,
+    * which Spark ≥3.4 infers as TIMESTAMP_NTZ by default. Disabling NTZ
+    * inference reads that column as a plain session-tz TIMESTAMP straight
+    * out of the scan — the session time zone is pinned to UTC at every
+    * entry point, so values are the same instants — and, critically, keeps
+    * predicate pushdown on the raw column (an NTZ→LTZ cast wrapper would
+    * block it). */
+  def fixtureConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  /** Normalize an `events.ts` column to TIMESTAMP whatever dtype the scan
+    * surfaced: LONG = generation-1 nanos fixture (truncate to micros with
+    * integer `div` — a double roundtrip at 1.7e18 loses sub-µs precision);
+    * TIMESTAMP_NTZ = generation-2 fixture read without [[fixtureConf]]
+    * (cast is exact under the pinned UTC session zone); TIMESTAMP = no-op.
+    * Scale caveat: only the LONG branch hides the raw column from parquet
+    * predicate pushdown ([[graft.plans.NanosPredicatePushdown]] restores
+    * it); the TIMESTAMP path out of [[fixtureConf]] pushes down natively. */
+  def tsCol(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    fixtureConf(spark)
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
-        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        raw.schema("ts").dataType != org.apache.spark.sql.types.TimestampType)
+      raw.withColumn("ts", tsCol(raw.schema("ts").dataType))
     else raw
   }
 

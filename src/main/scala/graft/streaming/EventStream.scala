@@ -142,11 +142,9 @@ object EventStream {
     * restored after. */
   def recordBreakers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.fixtureConf(spark)
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val tsIsTs =
-      raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampType
-    val tsNorm = if (tsIsTs) col("ts") else timestamp_micros(expr("ts div 1000"))
+    val tsNorm = graft.Tables.tsCol(raw.schema("ts").dataType)
     val Array(loUs, hiUs) = raw
       .agg(unix_micros(min(tsNorm)), unix_micros(max(tsNorm)))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
@@ -186,7 +184,7 @@ object EventStream {
     * which deletes it once the sink is materialized. */
   private def eventsStream(spark: SparkSession, dir: String,
                            copies: Int = 1): (DataFrame, java.nio.file.Path) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.fixtureConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val landing = java.nio.file.Files.createTempDirectory("graft_stream_in_")
     (1 to copies).foreach { i =>
@@ -197,9 +195,7 @@ object EventStream {
     val df = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one file per micro-batch
       .parquet(landing.toString)
-      .withColumn("ts",
-        if (schema("ts").dataType == org.apache.spark.sql.types.TimestampType) col("ts")
-        else timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.tsCol(schema("ts").dataType))
     (df, landing)
   }
 
@@ -363,7 +359,7 @@ object EventStream {
     * staggered so the file source orders them deterministically. */
   private def eventsStreamWithSentinel(spark: SparkSession, dir: String)
       : (DataFrame, java.nio.file.Path) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.fixtureConf(spark)
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val schema = raw.schema
     val tsIsTimestamp =
@@ -419,9 +415,7 @@ object EventStream {
     val df = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing.toString)
-      .withColumn("ts",
-        if (tsIsTimestamp) col("ts")
-        else timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.tsCol(schema("ts").dataType))
     (df, landing)
   }
 
@@ -451,7 +445,7 @@ object EventStream {
   private def splitStream(spark: SparkSession, dir: String, tag: String,
                           splits: Seq[(String, org.apache.spark.sql.Column)])
       : (DataFrame, java.nio.file.Path) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.fixtureConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.read.parquet(s"$dir/events.parquet")
     val landing = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
@@ -477,9 +471,7 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing.toString)
-      .withColumn("ts",
-        if (schema("ts").dataType == org.apache.spark.sql.types.TimestampType) col("ts")
-        else timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.tsCol(schema("ts").dataType))
     (stream, landing)
   }
 
