@@ -27,11 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * map-side buffers send at most m (token, cnt, err) triples per task.
   *
   * Exactness property (the oracle hook, same pattern as [[KMinValues]]):
-  * when every per-partition distinct count stays ≤ m, no counter is ever
-  * evicted, merges never trim, and all errs are 0 — the sketch IS the
-  * exact count. Queries that pick m above the vocabulary size are
-  * therefore verifiable against a plain GROUP BY oracle; SpaceSavingSpec
-  * covers the approximate (evicting) regime's error bound.
+  * when every per-partition distinct count stays strictly BELOW m, no
+  * partial ever fills, absentBound is 0 on every merge input, and all
+  * errs are 0 — the sketch IS the exact count. (`= m` is not enough: a
+  * full-but-never-evicted partial carries absentBound = its min counter,
+  * so merging it charges that bound to the other side's singletons and
+  * inflates cnt/err — bounds stay valid, exactness is lost.) Queries that
+  * pick m strictly above the vocabulary size are therefore verifiable
+  * against a plain GROUP BY oracle; SpaceSavingSpec covers the
+  * approximate (evicting) regime's error bound.
   */
 case class SpaceSaving(
     child: Expression,
@@ -110,9 +114,10 @@ case class SpaceSaving(
   // invariant true_count <= cnt <= true_count + err across distributed
   // partial aggregation — the naive union (sum common, keep singletons)
   // violates the lower bound whenever an item was evicted from one
-  // partial but survives in another. When neither side ever evicted
-  // (both bounds 0) this degrades to the exact union, preserving the
-  // m > vocabulary oracle-exactness property.
+  // partial but survives in another. When neither side ever FILLED
+  // (size < m ⇒ absentBound 0 — a full-but-never-evicted side still
+  // charges its min counter) this degrades to the exact union,
+  // preserving the m > vocabulary oracle-exactness property.
   override def merge(buf: java.util.HashMap[String, Array[Long]],
                      other: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
     val bufBound = absentBound(buf)

@@ -438,7 +438,11 @@ class SketchSpec extends SparkSpec {
       assert(cnt - err <= truth,
         s"$tok: lower bound ${cnt - err} over true $truth")
     }
-    // straddler's frequency (8 of 65 rows) clears N/m, so it must survive
+    // Survival here is NOT the heavy-hitter guarantee (straddler's true
+    // frequency 8 is under N/m = 60/4 = 15): it follows from the
+    // absent-bound charge — the merge adds partition 0's min counter (10)
+    // to straddler's p1 count (5), and 15 outranks the 10/11-count items,
+    // keeping it in the merged top-4 deterministically.
     assert(got.exists(_._1 === "straddler"), "straddling heavy item evicted")
   }
 }
