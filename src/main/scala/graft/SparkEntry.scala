@@ -2491,28 +2491,37 @@ object SparkEntry {
            |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) AS jaccard
            |  FROM cand)
            |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      // q24/q144: the whole pipeline — set sizes, count bands, minhash
+      // band keys, the exact intersect — is defined over the sha-60
+      // token-hash SETS, so the oracle replays it bit-for-bit (Jaccard
+      // over hashed sets ≡ string-set Jaccard absent 60-bit collisions,
+      // and both engines hash identically either way).
       "q24_jaccard_pairs" ->
         s"""WITH w AS (
            |  SELECT doc_id,
            |         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))  AS ws
            |  FROM documents),
-           |b AS (SELECT doc_id, ws, CAST(floor(len(ws) / 8) AS BIGINT) AS bucket,
-           |             list_transform(ws, t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT) AS sh
-           |      FROM w WHERE len(ws) > 0),
-           |sigs AS (SELECT doc_id, ws, bucket,
-           |  ${(0 until 8).map(j => s"${minhashTerm(j)} AS m$j").mkString(", ")} FROM b),
-           |keys AS (SELECT doc_id, ws, bucket,
+           |b AS (SELECT doc_id,
+           |             list_distinct(list_transform(ws, t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT)) AS sh
+           |      FROM w),
+           |s AS (SELECT doc_id, sh, len(sh) AS n,
+           |             CAST(floor(len(sh) / 8) AS BIGINT) AS bucket
+           |      FROM b WHERE len(sh) > 0),
+           |sigs AS (SELECT doc_id, sh, n, bucket,
+           |  ${(0 until 8).map(j => s"${minhashTerm(j)} AS m$j").mkString(", ")} FROM s),
+           |keys AS (SELECT doc_id, sh, n, bucket,
            |  ${(0 until 4).map(bd => (0 until 2).map(j => s"CAST(m${2 * bd + j} AS VARCHAR)")
                  .mkString(" || '_' || ") + s" AS b$bd").mkString(", ")} FROM sigs),
            |cand AS (
-           |  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.ws AS ws_a, c.ws AS ws_b
+           |  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.sh AS sh_a, c.sh AS sh_b,
+           |         a.n + c.n AS nn
            |  FROM keys a JOIN keys c ON a.doc_id < c.doc_id AND a.bucket = c.bucket
            |   AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3))
            |SELECT id_a, id_b, jaccard FROM (
            |  SELECT id_a, id_b,
-           |    CAST(len(list_intersect(ws_a, ws_b)) AS DOUBLE) /
-           |      (CAST(len(ws_a) + len(ws_b) AS DOUBLE) -
-           |       CAST(len(list_intersect(ws_a, ws_b)) AS DOUBLE)) AS jaccard
+           |    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+           |      (CAST(nn AS DOUBLE) -
+           |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) AS jaccard
            |  FROM cand)
            |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
       "q144_jaccard_bitset_exact" ->
@@ -2520,14 +2529,18 @@ object SparkEntry {
           |  SELECT doc_id,
           |         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))  AS ws
           |  FROM documents),
-          |b AS (SELECT doc_id, ws, CAST(floor(len(ws) / 8) AS BIGINT) AS bucket
-          |      FROM w WHERE len(ws) > 0)
+          |b AS (SELECT doc_id,
+          |             list_distinct(list_transform(ws, t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT)) AS sh
+          |      FROM w),
+          |s AS (SELECT doc_id, sh, len(sh) AS n,
+          |             CAST(floor(len(sh) / 8) AS BIGINT) AS bucket
+          |      FROM b WHERE len(sh) > 0)
           |SELECT id_a, id_b, jaccard FROM (
           |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-          |    CAST(len(list_intersect(a.ws, b2.ws)) AS DOUBLE) /
-          |      (CAST(len(a.ws) + len(b2.ws) AS DOUBLE) -
-          |       CAST(len(list_intersect(a.ws, b2.ws)) AS DOUBLE)) AS jaccard
-          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+          |    CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) /
+          |      (CAST(a.n + b2.n AS DOUBLE) -
+          |       CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)) AS jaccard
+          |  FROM s a JOIN s b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
           |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
       "q26_text_quality" ->
         s"""WITH tk AS (

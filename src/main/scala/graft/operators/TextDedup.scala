@@ -268,65 +268,99 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact Jaccard pairs via a FIXED-WIDTH hashed-slot bitmap: identical
-    * semantics to [[jaccardNearDups]], different physical plan. Each
-    * document's distinct tokens hash into `maskBits` slots (xxhash64 mod
-    * maskBits — engine-internal, never crosses to an oracle) and the
-    * per-pair popcount `c = Σ bit_count(a & b)` drives a LOSSLESS
-    * upper-bound prefilter; survivors are verified with the exact
-    * string-array intersect, so collisions can only admit extra
-    * candidates, never change a result.
+  /** Per-document SORTED distinct sha-60 token-hash sets:
+    * `(id, hs, n, bucket)` — the shared prep of both exact-Jaccard paths.
     *
-    * Upper-bound math (why the prune is exact): with n = |tokens|,
+    * The 60-bit sha-prefix family (same as [[shingleSetsSha]]) keeps every
+    * downstream quantity — set sizes, count bands, minhash signatures, the
+    * exact intersect — reproducible bit-for-bit by an ANSI-SQL oracle.
+    * Jaccard is computed over the HASHED sets: it equals the string-set
+    * Jaccard unless two distinct tokens of one pair collide in 60 bits
+    * (p ≈ n²/2^61 — immaterial), and the oracle replays the same hashes,
+    * so verification is exact regardless. Sorting once per document turns
+    * every pairwise verify into a linear merge over primitive longs
+    * ([[graft.functions.SortedIntersectCount]]) instead of a per-pair
+    * hash set over strings — the verify runs once per candidate pair, so
+    * this constant dominates the whole operator.
+    *
+    * Callers pass the input through [[widen]] FIRST: the self-joins
+    * downstream hash- or broadcast-join on a HANDFUL of distinct band
+    * keys (the fixture corpus spans 4 count bands), so the probe side's
+    * parallelism is whatever the scan had (small corpus = one file = ONE
+    * task doing every sha round and pairwise probe). Widening before the
+    * hashing parallelizes both, with no second exchange after it. */
+  private def hashedWordSets(docs: DataFrame, idCol: String,
+                             textCol: String, bandWidth: Int): DataFrame = {
+    val th = transform(array_distinct(TextOps.tokens(col(textCol))),
+      t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast(LongType))
+    docs.select(col(idCol).as("id"), array_sort(array_distinct(th)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("n", size(col("hs")))
+      .withColumn("bucket", floor(col("n") / bandWidth))
+  }
+
+  /** Exact Jaccard pairs via a bounded hashed-slot bitmap prefilter:
+    * same pair set as [[jaccardNearDups]] (over hashed token sets),
+    * different physical plan. Each document's token hashes map into
+    * `maskBits` slots and the per-pair popcount `c = Σ bit_count(a & b)`
+    * drives a LOSSLESS upper-bound prune; survivors are verified with the
+    * exact sorted-merge intersect, so slot collisions can only admit
+    * extra candidates, never change a result.
+    *
+    * Upper-bound math (why the prune is exact): with n = |token hashes|,
     * p = popcount(mask) = |occupied slots|, every common token lands in a
     * common slot, and a doc's slots outside the common set hold ≥1 token
     * each, so |A∩B| ≤ n_A − p_A + c (and symmetrically for B), giving
     *   Iub = min(c + min(n_A−p_A, n_B−p_B), n_A, n_B)
     *   Jub = Iub / (n_A + n_B − Iub) ≥ J.
     * Pairs with Jub < t are pruned without computing the exact intersect.
-    * At maskBits = 16384 a 1000-token doc has ~n²/2S ≈ 30 collisions, so
-    * Iub tracks I within ~3% and the prefilter keeps its teeth.
     *
-    * Scale notes vs the previous vocabulary-bitmap formulation: the mask
-    * is 16 KiB-bounded REGARDLESS of corpus vocabulary (a 10^8-word web
-    * vocab previously meant ~1.5M-long masks), and the plan needs no
-    * global vocab ranking, no broadcast word→id map, and no driver-side
-    * count() — mask building is pure per-row map work. What remains
-    * quadratic is the within-band candidate enumeration itself: this is
-    * the EXACT mode, correct for corpora where a count band holds up to
-    * ~10^4–10^5 docs (≲10^10 cheap popcount probes per band). Beyond
-    * that, route to [[jaccardNearDupsBlocked]] (content-derived blocking,
-    * candidates ∝ matches) or [[minhashNearDups]]. */
+    * Mask width adapts to the corpus: 16·maxN slots (power of two, capped
+    * at `maskBits` = 16 KiB) keeps expected per-doc collisions under
+    * n/32 — the prefilter stays tight — while the per-pair popcount loop
+    * shrinks to ceil(width/64) longs (a 31-token fixture corpus scans 8
+    * longs per pair, not a fixed 256). maxN is a bounded plan parameter
+    * (one tiny aggregate over the persisted prep — the same discipline as
+    * the IVF codebook / vocab-K collects).
+    *
+    * This is the EXACT mode: within-band enumeration is quadratic, and
+    * the build side of the self-join is broadcast DELIBERATELY — correct
+    * for corpora where a count band holds up to ~10^4–10^5 docs (≲10^10
+    * popcount probes, masks ≪ broadcast limits), with every core probing
+    * its slice of the stream side. Beyond that, route to
+    * [[jaccardNearDupsBlocked]] (content-derived blocking, candidates ∝
+    * matches, no broadcast) or [[minhashNearDups]]. */
   def jaccardNearDupsBitset(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, bandWidth: Int = 8,
                             maskBits: Int = 16384): DataFrame = {
-    // filter matches jaccardNearDups: zero-token docs are excluded there,
-    // and would otherwise silently vanish here anyway (explode emits no
-    // rows) — make the exclusion explicit and identical in both forms.
-    val words = widen(docs).select(col(idCol).as("id"),
-      array_distinct(TextOps.tokens(col(textCol))).as("ws"))
-      .filter(size(col("ws")) > 0)
-      // verify side re-reads ws per surviving candidate; persist so the
-      // tokenize tree runs once
+    // zero-token docs excluded exactly as in jaccardNearDups: an empty
+    // set has Jaccard 0 to everything, never a near-dup pair member
+    val words = hashedWordSets(widen(docs), idCol, textCol, bandWidth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSlots = (maskBits + 63) / 64
-    val slots = array_distinct(transform(col("ws"),
-      t => pmod(xxhash64(t), lit(maskBits.toLong)).cast(IntegerType)))
+    val maxN = Option(words.agg(max(col("n"))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(1)
+    val bits = {
+      var b = 512
+      while (b < 16 * maxN && b < maskBits) b <<= 1
+      math.min(b, maskBits)
+    }
+    val nSlots = (bits + 63) / 64
+    val slots = array_distinct(transform(col("hs"),
+      h => pmod(h, lit(bits.toLong)).cast(IntegerType)))
     // doc → slot list → bitmask array<long>: one native pass
     // (O(nSlots + |slots|)); the HOF form re-walked the list per slot —
     // see BitsetOf (equivalence asserted in tests)
     val masks = words
       .withColumn("slots", slots)
-      .select(col("id"), size(col("ws")).as("n"), size(col("slots")).as("p"),
+      .select(col("id"), col("n"), col("bucket"), col("hs"),
+        size(col("slots")).as("p"),
         graft.functions.BitsetOf(col("slots"), nSlots).as("mask"))
-      .withColumn("bucket", floor(col("n") / bandWidth))
-      // both sides of the self-join read these masks; persist so the
-      // bitmask build runs (and compiles) once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = masks.select(col("id").as("id_a"), col("n").as("n_a"),
-      col("p").as("p_a"), col("mask").as("m_a"), col("bucket"))
+      col("p").as("p_a"), col("mask").as("m_a"), col("hs").as("hs_a"),
+      col("bucket"))
     val b = masks.select(col("id").as("id_b"), col("n").as("n_b"),
-      col("p").as("p_b"), col("mask").as("m_b"), col("bucket"))
+      col("p").as("p_b"), col("mask").as("m_b"), col("hs").as("hs_b"),
+      col("bucket"))
     // native fused popcount loop — the HOF form
     // aggregate(zip_with(..., bit_count(x & y))) is value-identical but
     // allocates lambda frames per slot per candidate pair (see BitAndCount).
@@ -334,21 +368,22 @@ object TextDedup {
     val iub = least(
       c + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")),
       least(col("n_a"), col("n_b"))).cast(DoubleType)
-    val candidates = a.join(b, Seq("bucket"))
+    // verify INLINE on the joined row (hs rides along both sides): no
+    // candidate materialization, no re-join back to the docs — the whole
+    // prefilter+verify chain is one codegen stage over the broadcast join
+    val ic = graft.functions.SortedIntersectCount(
+      col("hs_a"), col("hs_b")).cast(DoubleType)
+    val pairs = a.join(broadcast(b), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(iub / ((col("n_a") + col("n_b")).cast(DoubleType) - iub)
         >= threshold)
-      .select("id_a", "id_b")
-    val pairs = candidates
-      .join(words.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
-      .join(words.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardExpr(col("ws_a"), col("ws_b")))
+      .withColumn("jaccard",
+        ic / ((col("n_a") + col("n_b")).cast(DoubleType) - ic))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     // same cache discipline as minhashNearDups: materialize survivors,
-    // release the caches.
+    // release the cache.
     val out = pairs.localCheckpoint(true)
-    masks.unpersist()
     words.unpersist()
     out
   }
@@ -378,39 +413,55 @@ object TextDedup {
   def jaccardNearDupsBlocked(docs: DataFrame, idCol: String, textCol: String,
                              threshold: Double, bandWidth: Int = 8,
                              bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val words = widen(docs).select(col(idCol).as("id"),
-      array_distinct(TextOps.tokens(col(textCol))).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .withColumn("bucket", floor(size(col("ws")) / bandWidth))
-      // three plan branches read this (banding + both verify sides)
+    val words = hashedWordSets(widen(docs), idCol, textCol, bandWidth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = bands * rowsPerBand
-    // sha-60 token hashes (set semantics: min over distinct = min over
-    // multiset); sha2+conv stay codegen'd built-ins
-    val th = transform(col("ws"),
-      t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast(LongType))
-    val sig = words.select(col("id"), col("bucket"),
-      graft.functions.MinHashSig(th, k).as("sig"))
+    // minhash over the distinct hash set (min over distinct = min over
+    // multiset, so feeding the deduped sorted array changes nothing)
+    val sig = words.select(col("id"), col("bucket"), col("n"), col("hs"),
+      graft.functions.MinHashSig(col("hs"), k).as("sig"))
     // raw-value band keys (same move as minhashNearDupsVerifiable: no
-    // engine-private band hash, so the oracle joins on identical keys)
-    val bandRows = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws("_", transform(
-          slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
-          x => x.cast("string"))).as("bval"))
+    // engine-private band hash, so the oracle joins on identical keys);
+    // every row carries ALL band values so the join can emit each pair
+    // from its FIRST matching band only — "some band matches" and "a
+    // first matching band exists" select the same pair set, but the
+    // latter emits each pair exactly once: no distinct() shuffle over
+    // the (candidate × bands) blow-up.
+    val bv = (0 until bands).map { bnd =>
+      concat_ws("_", transform(
+        slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
+        x => x.cast("string")))
     }
-    val bb = sig.select(col("id"), col("bucket"),
-      explode(array(bandRows: _*)).as("bb"))
-      .select(col("id"), col("bucket"), col("bb.band"), col("bb.bval"))
-    val l = bb.select(col("id").as("id_a"), col("bucket"), col("band"), col("bval"))
-    val r = bb.select(col("id").as("id_b"), col("bucket"), col("band"), col("bval"))
-    val candidates = l.join(r, Seq("bucket", "band", "bval"))
+    val ex = sig.withColumn("bvals", array(bv: _*))
+      .select(col("id"), col("bucket"), col("n"), col("hs"), col("bvals"),
+        posexplode(col("bvals")).as(Seq("band", "bval")))
+    val l = ex.select(col("id").as("id_a"), col("bucket"), col("band"),
+      col("bval"), col("n").as("n_a"), col("hs").as("hs_a"),
+      col("bvals").as("bvals_a"))
+    val r = ex.select(col("id").as("id_b"), col("bucket"), col("band"),
+      col("bval"), col("n").as("n_b"), col("hs").as("hs_b"),
+      col("bvals").as("bvals_b"))
+    // matched on band m, emit only if no band j < m also matched —
+    // unrolled to scalar conjunctions (bands is a small constant), so the
+    // whole thing stays inside the join's codegen stage
+    val firstMatch = (0 until bands).map { m =>
+      (0 until m).foldLeft(col("band") === m) { (acc, j) =>
+        acc && (col("bvals_a")(j) =!= col("bvals_b")(j))
+      }
+    }.reduce(_ || _)
+    // verify INLINE on the joined row: no candidate materialization, no
+    // re-join to fetch token sets. Join strategy is left to Catalyst/AQE:
+    // at fixture scale the build side auto-broadcasts; at corpus scale
+    // the (bucket, band, bval) keys are high-cardinality content hashes
+    // and the shuffle equi-join partitions evenly (AQE skew-split covers
+    // template-heavy clusters) — candidates stay ∝ near-dup mass.
+    val ic = graft.functions.SortedIntersectCount(
+      col("hs_a"), col("hs_b")).cast(DoubleType)
+    val pairs = l.join(r, Seq("bucket", "band", "bval"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val pairs = candidates
-      .join(words.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
-      .join(words.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardExpr(col("ws_a"), col("ws_b")))
+      .filter(firstMatch)
+      .withColumn("jaccard",
+        ic / ((col("n_a") + col("n_b")).cast(DoubleType) - ic))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     val out = pairs.localCheckpoint(true)
