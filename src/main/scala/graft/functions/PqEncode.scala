@@ -45,6 +45,14 @@ case class PqEncode(child: Expression,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // Returns null for vectors shorter than nSub*subDim EVEN when the child
+  // is non-nullable — without this override codegen receives a literal
+  // `false` for ev.isNull, emits `false = true;`, fails Janino, and every
+  // projection over a non-nullable input silently drops to the
+  // interpreter (exactly the per-row cost this native expression exists
+  // to avoid). CODEGEN_ONLY test in SketchSpec pins it.
+  override def nullable: Boolean = true
+
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

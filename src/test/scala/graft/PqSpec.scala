@@ -49,6 +49,27 @@ class PqSpec extends SparkSpec {
     assert(df.select(PqEncode(col("v"), books)).head().isNullAt(0))
   }
 
+  test("PqEncode compiles under CODEGEN_ONLY over a NON-nullable child") {
+    // Regression pin: the expression returns null for short vectors, so
+    // nullable must be true even when the child is non-nullable —
+    // otherwise codegen receives literal-false isNull, emits invalid
+    // Java, and silently falls back to the interpreter (observed as 64
+    // UnsafeProjection warnings per ScaleProbe pq_encode pass).
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      // transform over sequence yields a non-nullable array<double>
+      val vec = transform(sequence(lit(1), lit(nSub * subDim)),
+        i => pmod(col("id") * i, lit(1000)).cast("double") / lit(1000.0))
+      val out = spark.range(0, 8).toDF("id")
+        .select(PqEncode(vec, books).as("codes"))
+        .collect()
+      assert(out.length === 8)
+      assert(out.forall(!_.isNullAt(0)))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("pqAdcTopK matches driver-side brute force over decoded centroids") {
     val e = Tables.load(spark, sf0001, "embeddings")
     val all = e.select(col("vec_id"), col("embedding").cast("array<double>"))
