@@ -241,6 +241,34 @@ object ScaleProbe {
         graft.operators.Components.connectedComponents(e, "a", "b",
           driverThreshold = 0L).count())
     }
+
+    // ── q24 blocking selectivity: candidate-pair counts under growth
+    // that keeps true near-dup mass LINEAR. Each copy's tokens are
+    // prefixed with the copy index, so cross-copy Jaccard is exactly 0
+    // while within-copy near-dup structure repeats unchanged; every copy
+    // still lands in the SAME count bands, so count-band-only blocking
+    // would enumerate all cross-copy pairs (quadratic in copies) — the
+    // minhash band key is what keeps candidates ∝ near-dup mass.
+    // threshold=0 turns the verified output into the candidate set
+    // itself (every blocked pair has Jaccard ≥ 0), so the emitted count
+    // IS the post-blocking candidate count. sf0.01 base: its 500 docs
+    // already carry ~46k true near-dup pairs per copy.
+    val dbase = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    val dbaseRows = dbase.count()
+    for (mult <- Seq(1, 10, 100)) {
+      val docs = spark.range(0, mult).crossJoin(dbase)
+        .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("c"), col("id"), lit("_$1"))).as("text"))
+      val run = () => graft.operators.TextDedup.jaccardNearDupsBlocked(
+        docs, "doc_id", "text", threshold = 0.0).count()
+      run() // warm
+      val t0 = System.nanoTime()
+      val cands = run()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE q24_candidates   x$mult%-4d ${s}%7.3f s  ($cands candidates, ${dbaseRows * mult} docs)")
+    }
     spark.stop()
   }
 }
