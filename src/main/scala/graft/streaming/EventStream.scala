@@ -40,7 +40,7 @@ object EventStream {
     spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
   }
-  private val StatePartitions = 8
+  private val StatePartitions = 4
 
   /** Best-effort recursive delete of a staging temp dir (every streaming
     * query stages fixture copies into a landing dir; [[runToResult]]
@@ -385,24 +385,28 @@ object EventStream {
         (i: Int) => lit(maxNs + 30L * i * dayNs)
       }
     val sentinel = spark.range(1, 3).toDF("i").select(
+      col("i"),
       lit(-1L).as("event_id"),
       when(col("i") === 1, sentTsCol(1)).otherwise(sentTsCol(2)).as("ts"),
       lit(-1L).as("user_id"), lit("flush").as("event_type"),
       lit(0.0).as("value"), lit(null).cast("string").as("props"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
-    sentinel.repartitionByRange(2, col("ts"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val parts = {
-      val st = java.nio.file.Files.list(tmp)
-      try st.filter(_.toString.endsWith(".parquet"))
-        .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+    // ONE write job into two deterministic directories (i=1 early, i=2
+    // late) — the partition column rides the directory name, so each
+    // file holds exactly the events schema; the previous
+    // repartitionByRange(2, ts) paid an extra range-sampling job for a
+    // 2-row dataset and left file→sentinel order to part-name sorting
+    sentinel.write.partitionBy("i").mode("overwrite").parquet(tmp.toString)
+    def sentinelPart(i: Int): java.nio.file.Path = {
+      val st = java.nio.file.Files.list(tmp.resolve(s"i=$i"))
+      try st.filter(_.toString.endsWith(".parquet")).findFirst()
+        .orElseThrow(() => new IllegalStateException(s"no sentinel part for i=$i"))
       finally st.close()
     }
-    require(parts.length == 2, s"expected 2 sentinel part files, got ${parts.length}")
     val sent1 = landing.resolve("events_2_sentinel.parquet")
     val sent2 = landing.resolve("events_3_sentinel.parquet")
-    java.nio.file.Files.copy(parts(0), sent1)
-    java.nio.file.Files.copy(parts(1), sent2)
+    java.nio.file.Files.copy(sentinelPart(1), sent1)
+    java.nio.file.Files.copy(sentinelPart(2), sent2)
     deleteRecursively(tmp)
     // the file source processes files oldest-mtime-first: pin the order
     val base = System.currentTimeMillis()
