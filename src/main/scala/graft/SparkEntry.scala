@@ -519,6 +519,25 @@ object SparkEntry {
         col("value"), nSalts = 16)
         .orderBy("event_type")),
 
+    // ── [ext] skew-salted replicate join ───────────────────────────────
+    // (the join-side twin of q42: the whole fact table joins a per-type
+    // dim on a 5-value key — unsalted, each key's volume lands on one
+    // reducer of the shuffled join; salting the fact key and replicating
+    // the dim ×16 spreads it. Dim midpoint = (min+max)/2: one add + one
+    // halving, IEEE-exact cross-engine, unlike an avg over doubles)
+    "q145_skew_salted_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val dim = ev.groupBy("event_type")
+        .agg(((min(col("value")) + max(col("value"))) / 2).as("mid_v"))
+      graft.ops.Skew.saltedReplicateJoin(
+        ev.select("event_id", "event_type", "value"), dim, "event_type",
+        saltCols = Seq(col("event_type"), col("event_id")), nSalts = 16)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > col("mid_v"), 1L).otherwise(0L)).as("n_above"))
+        .orderBy("event_type")
+    }),
+
     // ── J4 composite: TPC-H Q3-shaped shipping-priority top-k ──────────
     // (selective dim filters pushed to both scans; broadcast of the
     // filtered small sides; top-10 via TakeOrderedAndProject)
@@ -2829,6 +2848,13 @@ object SparkEntry {
       "q42_salted_agg" ->
         s"""SELECT event_type, count(*) AS n, $moneyV AS total_value
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q145_skew_salted_join" ->
+        """WITH d AS (SELECT event_type, (min(value) + max(value)) / 2 AS mid_v
+          |           FROM events GROUP BY event_type)
+          |SELECT e.event_type, count(*) AS n,
+          |  CAST(sum(CASE WHEN e.value > d.mid_v THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+          |FROM events e JOIN d USING (event_type)
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
       "q56_ivf_verifiable" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
            |d AS (SELECT vec_id, embedding, $cellDots FROM embeddings WHERE vec_id <> 0),

@@ -313,4 +313,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(bc.contains("BroadcastHashJoin"),
       s"broadcast hint ignored:\n${bc.take(2000)}")
   }
+
+  test("q145 salted join: shuffled hash join on (key, salt), no broadcast") {
+    val plan = planOf("q145_skew_salted_join")
+    // the skew-mitigation plan under test is the shuffled one a 100 TB
+    // fact ⋈ non-broadcastable dim gets; a broadcast join would have no
+    // key-partitioned shuffle and thus nothing for the salt to spread
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must be a shuffled hash join:\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") === 0,
+      s"dim side must not broadcast in the skew demo:\n$plan")
+    // join keys carry the salt: the hash exchange partitions on both
+    // event_type and __salt
+    assert(plan.contains("__salt"),
+      s"join-side exchanges must partition on the salt column:\n$plan")
+  }
 }

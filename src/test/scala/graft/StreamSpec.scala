@@ -264,4 +264,31 @@ class StreamSpec extends SparkSpec {
       .orderBy("event_type")
     assert(rowsOf(salted) === rowsOf(plain))
   }
+
+  test("salted replicate join is row-identical to the plain join") {
+    val e = Tables.load(spark, sf0001, "events")
+      .select("event_id", "event_type", "value")
+    val dim = e.groupBy("event_type")
+      .agg(((min(col("value")) + max(col("value"))) / 2).as("mid_v"))
+    val salted = graft.ops.Skew.saltedReplicateJoin(e, dim, "event_type",
+      saltCols = Seq(col("event_type"), col("event_id")), nSalts = 16)
+      .orderBy("event_id")
+    val plain = e.join(dim, "event_type")
+      .select("event_type", "event_id", "value", "mid_v")
+      .orderBy("event_id")
+    assert(rowsOf(salted) === rowsOf(plain))
+  }
+
+  test("fact-side salt spreads every hot key across many sub-groups") {
+    val e = Tables.load(spark, sf0001, "events")
+    val spread = e.select(col("event_type"),
+      pmod(xxhash64(col("event_type"), col("event_id")), lit(16L)).as("s"))
+      .groupBy("event_type").agg(countDistinct(col("s")).as("n_salts"))
+      .collect()
+    assert(spread.nonEmpty)
+    // every key's rows must land in all (or nearly all) 16 salt buckets —
+    // the property that divides a hot key across reducers
+    spread.foreach(r => assert(r.getLong(1) >= 12,
+      s"key ${r.getString(0)} only hit ${r.getLong(1)}/16 salts"))
+  }
 }
