@@ -1,8 +1,8 @@
 package graft
 
-import graft.functions.{BitAndCount, BitsetOf, CosineSim, HyperplaneSig,
-  KMinValues, MinHashSig, ShingleHash, ShingleHashSha, SimHash64,
-  SimHashOf, SimHashSha, SpaceSaving, ZValue}
+import graft.functions.{BitAndCount, BitsetOf, CosineSim, CountMin,
+  HyperplaneSig, KMinValues, MinHashSig, ShingleHash, ShingleHashSha,
+  SimHash64, SimHashOf, SimHashSha, SpaceSaving, ZValue}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -80,6 +80,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SpaceSaving].getName, "space_saving"),
       // bare AggregateFunction for the same analyzer-wrapping reason
       (args: Seq[Expression]) => SpaceSaving(args(0), intArg(args(1), "m"))),
+    ("count_min_grid",
+      new ExpressionInfo(classOf[CountMin].getName, "count_min_grid"),
+      // bare AggregateFunction for the same analyzer-wrapping reason
+      (args: Seq[Expression]) => CountMin(args(0),
+        intArg(args(1), "depth"), intArg(args(2), "width"))),
     ("z_value",
       new ExpressionInfo(classOf[ZValue].getName, "z_value"),
       // SQL integer literals arrive as INT — widen like a built-in would

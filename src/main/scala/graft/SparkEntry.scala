@@ -1666,6 +1666,28 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token")).limit(10)
     }),
 
+    // ── [ext] Count-Min frequency sketch: per-lang 4×256 counter grid
+    // over token sha-60 hashes — bounded point-query frequency state
+    // (8 KiB/group at ANY key cardinality); cells replay in SQL as
+    // grouped counts of the permuted hash mod width. Output = the
+    // nonzero cells, i.e. the sketch a pipeline would persist. ─────────
+    "q146_countmin" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val d = 4; val w = 256
+      T(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextDedup.shaTokenHashes(col("text"))).as("h"))
+        .groupBy("lang")
+        .agg(CountMin(col("h"), d, w).as("grid"))
+        .select(col("lang"), posexplode(col("grid")).as(Seq("pos", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("lang"),
+          (col("pos") / w).cast("long").as("i"),
+          pmod(col("pos"), lit(w)).cast("long").as("j"),
+          col("cnt"))
+        .orderBy("lang", "i", "j")
+    }),
+
     // ── [ext] funnel analysis: view → click-after-view →
     // purchase-after-click per user, in ONE user_id exchange — the
     // stage thresholds are windowed conditional mins over the same
@@ -3485,6 +3507,21 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q146: each cell of the Count-Min grid is, by construction, the
+      // count of token occurrences whose permuted sha-60 hash lands
+      // there — so the oracle builds the identical grid as a GROUP BY
+      // over (lang, row, permuted-hash mod width)
+      "q146_countmin" ->
+        s"""WITH t AS (SELECT lang,
+           |    ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS h
+           |  FROM (SELECT lang, unnest($toks) AS tok FROM documents)),
+           |cells AS (SELECT lang, i,
+           |    (((h % 2147483647) * (2*i + 1) + 7919*(i + 1)) % 2147483647) % 256 AS j,
+           |    count(*) AS cnt
+           |  FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r
+           |  GROUP BY lang, i, j)
+           |SELECT lang, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, cnt
+           |FROM cells ORDER BY lang, i, j""".stripMargin,
       "q120_funnel" ->
         """WITH s1 AS (SELECT user_id, ts, event_type,
           |  min(CASE WHEN event_type = 'view' THEN ts END)

@@ -268,6 +268,11 @@ class SketchSpec extends SparkSpec {
       "SELECT bit_and_count(bitset_of(array(1, 64, 130), 3), bitset_of(array(1, 64, 7), 3))")
       .head().getInt(0)
     assert(cnt === 2)
+    // Count-Min grid from SQL: 2×8 grid over 100 hashes, rows sum to N
+    val grid = spark.sql("SELECT count_min_grid(h, 2, 8) FROM sql_hashes")
+      .head().getSeq[Long](0)
+    assert(grid.length === 16)
+    assert(grid.slice(0, 8).sum === 100L && grid.slice(8, 16).sum === 100L)
   }
 
   test("property: sessionize and sessionWindows agree on random event sets") {
@@ -444,5 +449,43 @@ class SketchSpec extends SparkSpec {
     // to straddler's p1 count (5), and 15 outranks the 10/11-count items,
     // keeping it in the merged top-4 deterministically.
     assert(got.exists(_._1 === "straddler"), "straddling heavy item evicted")
+  }
+
+  test("CountMin grid: row sums equal N, estimates bound every true count") {
+    import graft.functions.CountMin
+    val d = 4; val w = 64
+    val docs = Tables.load(spark, sf0001, "documents").limit(200)
+    val toks = docs.select(
+      explode(TextDedup.shaTokenHashes(col("text"))).as("h"))
+    val grid = toks.agg(CountMin(col("h"), d, w).as("g"))
+      .select(col("g"), lit(1).as("k"))
+    val cells = grid.select(explode(col("g")).as("c")).collect().map(_.getLong(0))
+    val n = toks.count()
+    // every row of the grid partitions the full input: d identical sums
+    (0 until d).foreach { i =>
+      assert(cells.slice(i * w, (i + 1) * w).sum === n, s"row $i sum != N")
+    }
+    // point estimates: min over the key's d cells is always >= true count
+    val trueCounts = toks.groupBy("h").agg(count(lit(1)).as("n_true"))
+    val est = trueCounts.crossJoin(broadcast(grid))
+      .select(col("h"), col("n_true"),
+        CountMin.estimate(col("g"), col("h"), d, w).as("n_est"))
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"hash ${r.getLong(0)}: estimate ${r.getLong(2)} under true ${r.getLong(1)}")
+    }
+  }
+
+  test("CountMin merge is partition-order-free (grids add element-wise)") {
+    import graft.functions.CountMin
+    val d = 2; val w = 32
+    val vals = (1L to 500L).map(v => v * v * 2654435761L % (1L << 60))
+    val one = spark.createDataFrame(vals.map(Tuple1(_))).toDF("h").coalesce(1)
+    val many = spark.createDataFrame(vals.map(Tuple1(_))).toDF("h").repartition(7)
+    val g1 = one.agg(CountMin(col("h"), d, w)).collect()(0).getSeq[Long](0)
+    val g7 = many.agg(CountMin(col("h"), d, w)).collect()(0).getSeq[Long](0)
+    assert(g1 === g7)
   }
 }
