@@ -1,8 +1,8 @@
 package graft
 
-import graft.functions.{BitAndCount, BitsetOf, CosineSim, CountMin,
-  HyperplaneSig, KMinValues, MinHashSig, ShingleHash, ShingleHashSha,
-  SimHash64, SimHashOf, SimHashSha, SpaceSaving, ZValue}
+import graft.functions.{BitAndCount, BitsetOf, BottomKSample, CosineSim,
+  CountMin, HyperplaneSig, KMinValues, MinHashSig, ShingleHash,
+  ShingleHashSha, SimHash64, SimHashOf, SimHashSha, SpaceSaving, ZValue}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -85,6 +85,11 @@ object GraftExtensions {
       // bare AggregateFunction for the same analyzer-wrapping reason
       (args: Seq[Expression]) => CountMin(args(0),
         intArg(args(1), "depth"), intArg(args(2), "width"))),
+    ("bottom_k_sample",
+      new ExpressionInfo(classOf[BottomKSample].getName, "bottom_k_sample"),
+      // bare AggregateFunction for the same analyzer-wrapping reason
+      (args: Seq[Expression]) => BottomKSample(args(0), args(1),
+        intArg(args(2), "k"))),
     ("z_value",
       new ExpressionInfo(classOf[ZValue].getName, "z_value"),
       // SQL integer literals arrive as INT — widen like a built-in would

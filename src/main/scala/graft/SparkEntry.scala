@@ -1666,6 +1666,31 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token")).limit(10)
     }),
 
+    // ── [ext] bottom-k sample quantiles: per-type uniform row sample
+    // (k smallest by sha-60 of the unique event id — the deterministic,
+    // mergeable, partition-independent stand-in for df.sample(seed),
+    // whose output depends on partition layout) → lower-interpolation
+    // quartiles of the sampled values. State ≤ k pairs per group; the
+    // sample — and thus every estimate — replays in SQL as a
+    // row_number-over-hash prefix. ─────────────────────────────────────
+    "q147_sample_quantiles" -> ((s, dir) => {
+      import graft.functions.BottomKSample
+      val n1 = col("n_sample") - 1
+      T(s, dir, "events")
+        .select(col("event_type"), col("value").cast("double").as("value"),
+          graft.ops.Sampling.shaHash60(col("event_id")).as("h"))
+        .groupBy("event_type")
+        .agg(BottomKSample(col("h"), col("value"), 256).as("smp"))
+        .select(col("event_type"),
+          size(col("smp")).cast("long").as("n_sample"),
+          array_sort(transform(col("smp"), x => x.getField("v"))).as("vs"))
+        .select(col("event_type"), col("n_sample"),
+          element_at(col("vs"), (floor(n1 / 4.0) + 1).cast("int")).as("q25"),
+          element_at(col("vs"), (floor(n1 / 2.0) + 1).cast("int")).as("q50"),
+          element_at(col("vs"), (floor(n1 * 3 / 4.0) + 1).cast("int")).as("q75"))
+        .orderBy("event_type")
+    }),
+
     // ── [ext] Count-Min frequency sketch: per-lang 4×256 counter grid
     // over token sha-60 hashes — bounded point-query frequency state
     // (8 KiB/group at ANY key cardinality); cells replay in SQL as
@@ -3507,6 +3532,24 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q147: the bottom-k sample is the rn <= k prefix of the
+      // (hash, value) ordering; quartile indices use integer division so
+      // both engines pick the identical sample element
+      "q147_sample_quantiles" ->
+        """WITH h AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+          |    ('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |s AS (SELECT event_type, value,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY h, value) AS rn FROM h),
+          |smp AS (SELECT event_type, value FROM s WHERE rn <= 256),
+          |st AS (SELECT event_type, value,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+          |    count(*) OVER (PARTITION BY event_type) AS n FROM smp)
+          |SELECT event_type, max(n) AS n_sample,
+          |  max(CASE WHEN vr = (n-1) // 4 + 1 THEN value END) AS q25,
+          |  max(CASE WHEN vr = (n-1) // 2 + 1 THEN value END) AS q50,
+          |  max(CASE WHEN vr = ((n-1) * 3) // 4 + 1 THEN value END) AS q75
+          |FROM st GROUP BY event_type ORDER BY event_type""".stripMargin,
       // q146: each cell of the Count-Min grid is, by construction, the
       // count of token occurrences whose permuted sha-60 hash lands
       // there — so the oracle builds the identical grid as a GROUP BY

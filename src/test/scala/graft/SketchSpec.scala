@@ -478,6 +478,45 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  // splitmix64 finalizer masked to 60 bits: a genuine mixing hash —
+  // `i * const mod 2^60` is monotonic for small i and samples a prefix,
+  // not a uniform subset
+  private def mix60(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) & ((1L << 60) - 1)
+  }
+
+  test("BottomKSample is partition-order-free and equals the sorted prefix") {
+    import graft.functions.BottomKSample
+    val rows = (1L to 1000L).map(i => (mix60(i), (i % 97).toDouble))
+    val one = spark.createDataFrame(rows).toDF("h", "v").coalesce(1)
+    val many = spark.createDataFrame(rows).toDF("h", "v").repartition(9)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      df.agg(BottomKSample(col("h"), col("v"), 50).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.h"), col("e.v")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val s1 = sample(one)
+    val s9 = sample(many)
+    assert(s1 === s9, "sample depends on partitioning")
+    val expect = rows.sortBy(identity).take(50)
+    assert(s1 === expect, "sample is not the 50 smallest (h, v) pairs")
+  }
+
+  test("sample quantiles track the true distribution within sampling error") {
+    import graft.functions.BottomKSample
+    // values 0..999 uniformly; a k=256 uniform sample's median must land
+    // well inside the central band
+    val rows = (1L to 1000L).map(i => (mix60(i), (i % 1000).toDouble))
+    val df = spark.createDataFrame(rows).toDF("h", "v")
+    val med = df.agg(BottomKSample(col("h"), col("v"), 256).as("s"))
+      .select(element_at(array_sort(transform(col("s"), x => x.getField("v"))), 128))
+      .head().getDouble(0)
+    assert(med > 350 && med < 650, s"sample median $med far from true 499.5")
+  }
+
   test("CountMin merge is partition-order-free (grids add element-wise)") {
     import graft.functions.CountMin
     val d = 2; val w = 32
