@@ -1666,6 +1666,44 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token")).limit(10)
     }),
 
+    // ── [ext] integer-exact Lloyd k-means over embeddings (SemDeDup's
+    // clustering stage): vectors quantize to floor(v·1024) bigints once,
+    // assignment is row-local codegen'd expression work against a k×dim
+    // centroid plan parameter (zero joins/shuffles), each iteration pays
+    // one ≤ k·dim-row centroid aggregate; every step — quantize, bigint
+    // Σ(x−c)², floor(Σ/n) update, smallest-cid ties — replays in SQL ──
+    "q148_kmeans" -> ((s, dir) => {
+      val q = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.operators.Clustering.quantize(col("embedding")).as("qv"))
+      graft.operators.Clustering.kmeansAssign(q, "vec_id", k = 4, iters = 2)
+        .orderBy("vec_id")
+    }),
+
+    // ── [ext] BPE merge learning: the tokenizer-training step q92/q140
+    // take as given — per round ONE weighted pair-count aggregate whose
+    // argmax returns to the driver as the next plan parameter; merge
+    // application is a row-local fold (no join/shuffle/explode at rest);
+    // corpus size enters only through the initial word-count ───────────
+    "q150_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.learnMerges(T(s, dir, "documents"), "text", nMerges = 3)
+        .orderBy("step")),
+
+    // ── [ext] SemDeDup end-to-end: the q148 learned clusters become
+    // the near-dup blocking (Σ cluster² pairs ≪ N², and clusters are
+    // semantically coherent so near-dup recall survives the blocking),
+    // then exact cosine verifies within each block ──────────────────────
+    "q149_semdedup_pairs" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.select(col("vec_id"),
+        graft.operators.Clustering.quantize(col("embedding")).as("qv"))
+      val cids = graft.operators.Clustering.kmeansAssign(q, "vec_id", k = 4, iters = 2)
+      Similarity.blockedNearDups(emb.join(cids, "vec_id"), "vec_id",
+        "embedding", "cid", threshold = 0.35)
+        .withColumnRenamed("block", "cid")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ── [ext] bottom-k sample quantiles: per-type uniform row sample
     // (k smallest by sha-60 of the unique event id — the deterministic,
     // mergeable, partition-independent stand-in for df.sample(seed),
@@ -2312,6 +2350,31 @@ object SparkEntry {
       s"(CASE WHEN list_inner_product(CAST($v AS DOUBLE[]), ${planeList(p)}) >= 0" +
         s" THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+    // q148/q149: the integer-exact two-round Lloyd chain (quantize →
+    // seed assign → centroid update → reassign); shared so the SemDeDup
+    // pair query replays the identical clustering
+    val kmeansCtes =
+      """q AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |                   x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, unnest(qv) AS x, unnest(range(len(qv))) AS d FROM q),
+        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, d, x AS c FROM e WHERE vec_id < 4),
+        |a1 AS (SELECT e.vec_id, c0.cid, sum((e.x - c0.c) * (e.x - c0.c)) AS dist
+        |       FROM e JOIN c0 ON e.d = c0.d GROUP BY e.vec_id, c0.cid),
+        |s1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |         FROM a1) WHERE rn = 1),
+        |c1 AS (SELECT s1.cid, e.d,
+        |         CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |       FROM e JOIN s1 ON e.vec_id = s1.vec_id GROUP BY s1.cid, e.d),
+        |a2 AS (SELECT e.vec_id, c1.cid, sum((e.x - c1.c) * (e.x - c1.c)) AS dist
+        |       FROM e JOIN c1 ON e.d = c1.d GROUP BY e.vec_id, c1.cid),
+        |s2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |         FROM a2) WHERE rn = 1)""".stripMargin
     // q27: language-ID scores generated from the same profile table the
     // Spark expression uses (TextOps.LangProfiles); tie-break = greatest
     // language code, matching Spark's greatest() over (score, lang) structs.
@@ -3532,6 +3595,61 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q150: three BPE rounds as chained CTEs — same positional pair
+      // counts, same (cnt DESC, pair) argmax, same left-to-right fuse
+      // fold (list_reduce with a prepended empty accumulator)
+      "q150_bpe_merges" -> {
+        def round(i: Int): String = {
+          val prev = s"s${i - 1}"
+          s"""p$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |  SELECT freq, unnest(list_transform(range(1, len(seq)),
+             |    j -> seq[j] || '|' || seq[j+1])) AS pair FROM $prev)
+             |  GROUP BY pair),
+             |m$i AS (SELECT $i AS step, pair, cnt,
+             |    string_split(pair, '|')[1] AS a, string_split(pair, '|')[2] AS b
+             |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+             |s$i AS (SELECT freq,
+             |    list_reduce(
+             |      list_prepend(CAST([] AS VARCHAR[]), list_transform(seq, c -> [c])),
+             |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+             |                  THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+             |                  ELSE list_concat(acc, x) END) AS seq
+             |  FROM ${if (i == 1) "s0" else prev} CROSS JOIN m$i m)""".stripMargin
+        }
+        s"""WITH w AS (
+           |  SELECT tok AS word, count(*) AS freq
+           |  FROM (SELECT unnest($toks) AS tok FROM documents) t
+           |  WHERE regexp_matches(tok, '^[a-z]+$$') AND strlen(tok) >= 2
+           |  GROUP BY tok),
+           |s0 AS (SELECT freq,
+           |  list_transform(range(1, strlen(word) + 1), i -> word[i]) AS seq FROM w),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT step, pair, cnt FROM m1
+           |UNION ALL SELECT step, pair, cnt FROM m2
+           |UNION ALL SELECT step, pair, cnt FROM m3
+           |ORDER BY step""".stripMargin
+      },
+      // q148/q149: both Lloyd rounds replayed relationally — explode to
+      // (vec_id, dim, x), join the centroid long-form, bigint distance
+      // sums, argmin via row_number with the same (dist, cid) tie order,
+      // centroid update as the same exact floor(sum/count)
+      "q148_kmeans" ->
+        s"""WITH $kmeansCtes
+           |SELECT vec_id, cid FROM s2 ORDER BY vec_id""".stripMargin,
+      // q149: SemDeDup end-to-end — the q148 clusters become the
+      // similarity blocking, so the pair search replays the identical
+      // learned partition before the exact cosine verify
+      "q149_semdedup_pairs" ->
+        s"""WITH $kmeansCtes,
+           |emb2 AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s2.cid
+           |         FROM embeddings e JOIN s2 ON e.vec_id = s2.vec_id)
+           |SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+           |  ${cosine("a.v", "b.v")} AS sim
+           |FROM emb2 a JOIN emb2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |WHERE ${cosine("a.v", "b.v")} >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin,
       // q147: the bottom-k sample is the rn <= k prefix of the
       // (hash, value) ordering; quartile indices use integer division so
       // both engines pick the identical sample element

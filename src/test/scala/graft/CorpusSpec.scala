@@ -194,4 +194,33 @@ class CorpusSpec extends SparkSpec {
       Corpus.dedupAgainstCorpus(corpus, batch, "doc_id", "text"))
     assert(Corpus.dedupAgainstCorpus(merged, batch, "doc_id", "text").isEmpty)
   }
+
+  test("BPE learns the hand-computed merges on a golden corpus") {
+    import graft.operators.Bpe
+    // vocab: "low" x5, "lower" x2, "newest" x6, "widest" x3  (the
+    // classic Sennrich example). Round 1: (e,s)=6+3=9 ties (s,t)=9 →
+    // smallest pair string "e|s" wins. Round 2: newest n,e,w,es,t /
+    // widest w,i,d,es,t → (es,t)=9 max. Round 3: after "est" forms,
+    // (w,e) survives only in lower (=2); max is the (l,o)/(o,w) tie at
+    // 5+2=7 → "l|o".
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Bpe.learnMerges(docs, "text", nMerges = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got === Seq((1, "e|s", 9L), (2, "es|t", 9L), (3, "l|o", 7L)))
+  }
+
+  test("BPE merge learning is partition-independent") {
+    import graft.operators.Bpe
+    val docs = Tables.load(spark, sf0001, "documents")
+    val a = Bpe.learnMerges(docs, "text", nMerges = 2).orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val b = Bpe.learnMerges(docs.repartition(13), "text", nMerges = 2)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(a === b)
+  }
 }

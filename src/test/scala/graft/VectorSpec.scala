@@ -132,4 +132,31 @@ class VectorSpec extends SparkSpec {
     assert(f.feat0 === (97 + 98) / 2.0) // byte-sum / n
     assert(f.feat1 === (97 - 98) / 2.0) // alternating sum / n
   }
+
+  test("kmeans assignment is partition-independent and a true argmin") {
+    import graft.operators.Clustering
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.select(col("vec_id"), Clustering.quantize(col("embedding")).as("qv"))
+    val a1 = Clustering.kmeansAssign(q, "vec_id", k = 4, iters = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val a2 = Clustering.kmeansAssign(q.repartition(7), "vec_id", k = 4, iters = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(a1 === a2, "assignment depends on partitioning")
+    assert(a1.map(_._2).distinct.length > 1, "degenerate single cluster")
+
+    // brute-force check of the FIRST round: round-1 assignment against
+    // the seed centroids must be the exact integer argmin
+    val qv = q.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val seeds = qv.take(4).map(_._2)
+    val firstRound = Clustering.kmeansAssign(q, "vec_id", k = 4, iters = 1)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    qv.zip(firstRound).foreach { case ((id, v), (id2, cid)) =>
+      assert(id === id2)
+      val dists = seeds.map(c => v.zip(c).map { case (x, y) =>
+        (x - y) * (x - y) }.sum)
+      val want = dists.zipWithIndex.min._2
+      assert(cid === want, s"vec $id: got cluster $cid, argmin is $want")
+    }
+  }
 }
