@@ -242,6 +242,50 @@ object ScaleProbe {
           driverThreshold = 0L).count())
     }
 
+    // ── iterative ML ops (q148/q150 cores). kmeans: disjoint vec_id
+    // copies grow the vector count while k and dims stay fixed —
+    // assignment is row-local expression work (must scale ~linearly in
+    // vectors) and each round's centroid aggregate carries ≤ k·dim rows,
+    // so per-vector time must stay ~flat. BPE: replicated corpora keep
+    // the word-frequency VOCABULARY constant, so only the initial
+    // word-count scan grows with the corpus — per-round pair counting is
+    // vocab-bound, the property that makes tokenizer training viable at
+    // 100 TB (the rounds never touch the corpus again). ────────────────
+    val vbase = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    def vecsAt(mult: Int): DataFrame = {
+      val path = s"/tmp/graft_scale_vecs_$mult.parquet"
+      if (!complete(path)) {
+        val n = vbase.count()
+        spark.range(0, mult).crossJoin(vbase)
+          .withColumn("vec_id", col("vec_id") + col("id") * n)
+          .drop("id").repartition(32)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+    val vbaseRows = vbase.count()
+    for (mult <- Seq(1, 10, 100)) {
+      val q = vecsAt(mult).select(col("vec_id"),
+        graft.operators.Clustering.quantize(col("embedding")).as("qv"))
+      val run = () =>
+        graft.operators.Clustering.kmeansAssign(q, "vec_id", k = 4, iters = 2).count()
+      run() // warm plan + JIT
+      val t0 = System.nanoTime()
+      val out = run()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE kmeans_2it       x$mult%-4d ${s}%7.3f s  ${vbaseRows * mult / s / 1000}%9.1f kvec/s  ($out assigned)")
+    }
+    for (mult <- Seq(1, 10, 100)) {
+      val docs = corpusAt(mult)
+      val run = () =>
+        graft.operators.Bpe.learnMerges(docs, "text", nMerges = 2).count()
+      run() // warm
+      val t0 = System.nanoTime()
+      val out = run()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE bpe_2rounds      x$mult%-4d ${s}%7.3f s  ${baseRows * mult / s / 1000}%9.1f kdocs/s  ($out merges)")
+    }
+
     // ── q24 blocking selectivity: candidate-pair counts under growth
     // that keeps true near-dup mass LINEAR. Each copy's tokens are
     // prefixed with the copy index, so cross-copy Jaccard is exactly 0

@@ -1677,6 +1677,7 @@ object SparkEntry {
         .select(col("vec_id"),
           graft.operators.Clustering.quantize(col("embedding")).as("qv"))
       graft.operators.Clustering.kmeansAssign(q, "vec_id", k = 4, iters = 2)
+        .select("vec_id", "cid")
         .orderBy("vec_id")
     }),
 
@@ -1694,11 +1695,13 @@ object SparkEntry {
     // semantically coherent so near-dup recall survives the blocking),
     // then exact cosine verifies within each block ──────────────────────
     "q149_semdedup_pairs" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val q = emb.select(col("vec_id"),
+      // embedding rides through kmeansAssign so cid lands as a scan-level
+      // expression column — no assignments-back self-join on vec_id
+      val q = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
         graft.operators.Clustering.quantize(col("embedding")).as("qv"))
-      val cids = graft.operators.Clustering.kmeansAssign(q, "vec_id", k = 4, iters = 2)
-      Similarity.blockedNearDups(emb.join(cids, "vec_id"), "vec_id",
+      val assigned = graft.operators.Clustering
+        .kmeansAssign(q, "vec_id", k = 4, iters = 2).drop("qv")
+      Similarity.blockedNearDups(assigned, "vec_id",
         "embedding", "cid", threshold = 0.35)
         .withColumnRenamed("block", "cid")
         .orderBy("id_a", "id_b")

@@ -55,7 +55,12 @@ object Clustering {
   }
 
   /** Runs `iters` assignment rounds with a centroid update between each
-    * pair; returns (idCol, cid) — the final assignment of every vector.
+    * pair; returns the input columns plus `cid` — the final assignment of
+    * every vector. The assignment is a pure expression column (centroids
+    * are literals), NOT a join: callers that need cid next to other
+    * vector columns (q149's cluster-blocked pair search) pass them in
+    * here instead of joining assignments back on the id, which would pay
+    * a full-table shuffle join for a column the scan can compute.
     * `quantized` must carry `idCol` and a bigint-array column `qv`. */
   def kmeansAssign(quantized: DataFrame, idCol: String,
                    k: Int, iters: Int): DataFrame = {
@@ -82,6 +87,6 @@ object Clustering {
       }.toSeq.sortBy(_._1)
       assigned = quantized.withColumn("cid", assignTo(centroids))
     }
-    assigned.select(col(idCol), col("cid"))
+    assigned
   }
 }

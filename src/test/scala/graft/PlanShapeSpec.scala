@@ -314,6 +314,12 @@ class PlanShapeSpec extends SparkSpec {
       s"broadcast hint ignored:\n${bc.take(2000)}")
   }
 
+  test("q149 semdedup: the only join is the pair self-join (assignment is an expression)") {
+    val plan = planOf("q149_semdedup_pairs")
+    assert(countOf(plan, "Join") === 1,
+      s"expected exactly one join (cluster-blocked pairs); assignment must not join back on vec_id:\n$plan")
+  }
+
   test("q145 salted join: shuffled hash join on (key, salt), no broadcast") {
     val plan = planOf("q145_skew_salted_join")
     // the skew-mitigation plan under test is the shuffled one a 100 TB

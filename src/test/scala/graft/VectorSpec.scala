@@ -138,8 +138,10 @@ class VectorSpec extends SparkSpec {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val q = emb.select(col("vec_id"), Clustering.quantize(col("embedding")).as("qv"))
     val a1 = Clustering.kmeansAssign(q, "vec_id", k = 4, iters = 2)
+      .select("vec_id", "cid")
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
     val a2 = Clustering.kmeansAssign(q.repartition(7), "vec_id", k = 4, iters = 2)
+      .select("vec_id", "cid")
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(a1 === a2, "assignment depends on partitioning")
     assert(a1.map(_._2).distinct.length > 1, "degenerate single cluster")
@@ -150,6 +152,7 @@ class VectorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val seeds = qv.take(4).map(_._2)
     val firstRound = Clustering.kmeansAssign(q, "vec_id", k = 4, iters = 1)
+      .select("vec_id", "cid")
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
     qv.zip(firstRound).foreach { case ((id, v), (id2, cid)) =>
       assert(id === id2)
