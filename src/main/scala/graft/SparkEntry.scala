@@ -1690,6 +1690,13 @@ object SparkEntry {
       graft.operators.Bpe.learnMerges(T(s, dir, "documents"), "text", nMerges = 3)
         .orderBy("step")),
 
+    // ── [ext] streaming Count-Min: the q146 sketch inside a micro-batch
+    // pipeline (parity-split stream, grid partials merged in the state
+    // store); element-wise-add merge is order-free, so stream ≡ batch
+    // bit-for-bit and the batch oracle checks a streaming pipeline ─────
+    "q151_stream_countmin" -> ((s, dir) =>
+      graft.streaming.EventStream.sketchTotals(s, dir)),
+
     // ── [ext] SemDeDup end-to-end: the q148 learned clusters become
     // the near-dup blocking (Σ cluster² pairs ≪ N², and clusters are
     // semantically coherent so near-dup recall survives the blocking),
@@ -3598,6 +3605,20 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q151: the streamed grid equals the batch grid cell-for-cell
+      // (order-free merge), so the oracle is the q146 shape over
+      // events/user_id — no streaming machinery to replay
+      "q151_stream_countmin" ->
+        """WITH t AS (SELECT event_type,
+          |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |cells AS (SELECT event_type, i,
+          |    (((h % 2147483647) * (2*i + 1) + 7919*(i + 1)) % 2147483647) % 64 AS j,
+          |    count(*) AS cnt
+          |  FROM t CROSS JOIN (SELECT unnest(range(0, 2)) AS i) r
+          |  GROUP BY event_type, i, j)
+          |SELECT event_type, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, cnt
+          |FROM cells ORDER BY event_type, i, j""".stripMargin,
       // q150: three BPE rounds as chained CTEs — same positional pair
       // counts, same (cnt DESC, pair) argmax, same left-to-right fuse
       // fold (list_reduce with a prepended empty accumulator)

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.ops.Exact
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.jdk.CollectionConverters._
@@ -614,6 +614,34 @@ object EventStream {
     * (#windows × #types). The batch oracle replays the same assignment
     * as an unnest over day offsets {0, 1}, and decimal sums make
     * stream ≡ batch for any micro-batch split. */
+  /** Streaming Count-Min: the q146 sketch aggregate running INSIDE a
+    * micro-batch pipeline — the stream split by event-id parity, so every
+    * type's grid is genuinely built across two batches and merged in the
+    * state store (TypedImperativeAggregate partials serialize into it).
+    * Because the merge is element-wise addition — order-free, split-free
+    * — the streamed grid is BIT-IDENTICAL to the batch q146 shape for any
+    * micro-batch arrangement, which is exactly what lets a plain batch
+    * oracle check a streaming pipeline: the sketch-table production
+    * pattern (q143's KMV rollup) in its streaming form. */
+  def sketchTotals(spark: SparkSession, dir: String): DataFrame = {
+    val (stream, landing) = parityStream(spark, dir, "cm_")
+    val d = 2; val w = 64
+    val agg = stream
+      .withColumn("h", graft.ops.Sampling.shaHash60(col("user_id")))
+      .groupBy("event_type")
+      .agg(graft.functions.CountMin(col("h"), d, w).as("grid"))
+    runToResult(spark, agg, "complete",
+      statePartitioned = true, Some(landing)) { t =>
+      t.select(col("event_type"), posexplode(col("grid")).as(Seq("pos", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("event_type"),
+          (col("pos") / w).cast(LongType).as("i"),
+          pmod(col("pos"), lit(w)).cast(LongType).as("j"),
+          col("cnt"))
+        .orderBy("event_type", "i", "j")
+    }
+  }
+
   def hoppingTotals(spark: SparkSession, dir: String): DataFrame = {
     val (src, landing) = eventsStream(spark, dir)
     val agg = src

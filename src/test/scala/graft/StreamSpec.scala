@@ -254,6 +254,26 @@ class StreamSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("streamed Count-Min grid is bit-identical to the batch grid") {
+    // the parity split puts every type's rows in BOTH micro-batches, so
+    // this passes only if the grid partials merge exactly in the state
+    // store — the order-free-merge property that lets the batch oracle
+    // check the streaming pipeline
+    val streamed = rowsOf(EventStream.sketchTotals(spark, sf0001))
+    val batch = rowsOf(Tables.load(spark, sf0001, "events")
+      .withColumn("h", graft.ops.Sampling.shaHash60(col("user_id")))
+      .groupBy("event_type")
+      .agg(graft.functions.CountMin(col("h"), 2, 64).as("grid"))
+      .select(col("event_type"), posexplode(col("grid")).as(Seq("pos", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("event_type"),
+        (col("pos") / 64).cast("long").as("i"),
+        pmod(col("pos"), lit(64)).cast("long").as("j"), col("cnt"))
+      .orderBy("event_type", "i", "j"))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("salted aggregation equals the plain groupBy on fixtures") {
     val e = Tables.load(spark, sf0001, "events")
     val salted = graft.ops.Skew.saltedSumCount(e, Seq("event_type"), col("value"), 16)
