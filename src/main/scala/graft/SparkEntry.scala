@@ -1690,6 +1690,34 @@ object SparkEntry {
       graft.operators.Bpe.learnMerges(T(s, dir, "documents"), "text", nMerges = 3)
         .orderBy("step")),
 
+    // ── [ext] KMV set algebra: pairwise audience overlap between event
+    // types estimated from the 64-hash sketches ALONE (KMV is a lattice:
+    // the k smallest of a union are drawn from the operands' k smallest,
+    // so U_k comes from merging sketches, never raw data). Estimator:
+    // Ĵ = |U_k ∩ A ∩ B| / |U_k| (Beyer et al., SIGMOD'07). The raw table
+    // enters once — one groupBy for the 5 sketches; the pair join is
+    // 5×5 sketch rows. Every step is deterministic set arithmetic, so
+    // the estimate replays bit-for-bit. ────────────────────────────────
+    "q152_kmv_jaccard" -> ((s, dir) => {
+      val k = 64
+      val sk = T(s, dir, "events").groupBy("event_type")
+        .agg(graft.functions.KMinValues(
+          graft.ops.Sampling.shaHash60(col("user_id")), k).as("kmv"))
+      val a = sk.select(col("event_type").as("type_a"), col("kmv").as("sa"))
+      val b = sk.select(col("event_type").as("type_b"), col("kmv").as("sb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .withColumn("uk", slice(array_sort(array_union(col("sa"), col("sb"))),
+          1, k))
+        .select(col("type_a"), col("type_b"),
+          size(col("uk")).cast("long").as("n_union_k"),
+          size(array_intersect(col("uk"),
+            array_intersect(col("sa"), col("sb")))).cast("long").as("n_both"),
+          (size(array_intersect(col("uk"),
+            array_intersect(col("sa"), col("sb")))).cast(DoubleType) /
+            size(col("uk")).cast(DoubleType)).as("j_est"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ── [ext] streaming Count-Min: the q146 sketch inside a micro-batch
     // pipeline (parity-split stream, grid partials merged in the state
     // store); element-wise-add merge is order-free, so stream ≡ batch
@@ -3605,6 +3633,28 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q152: sketch set-algebra replay — per-type 64-smallest distinct
+      // hashes, pair union re-sliced to 64, membership counts; the
+      // single double division is exact IEEE in both engines
+      "q152_kmv_jaccard" ->
+        """WITH h AS (SELECT DISTINCT event_type,
+          |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |r AS (SELECT event_type, h,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+          |s AS (SELECT event_type, list(h ORDER BY h) AS kmv
+          |      FROM r WHERE rn <= 64 GROUP BY event_type),
+          |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |        a.kmv AS sa, b.kmv AS sb
+          |      FROM s a JOIN s b ON a.event_type < b.event_type),
+          |u AS (SELECT type_a, type_b, sa, sb,
+          |        list_sort(list_distinct(list_concat(sa, sb)))[1:64] AS uk FROM p)
+          |SELECT type_a, type_b,
+          |  CAST(len(uk) AS BIGINT) AS n_union_k,
+          |  CAST(len(list_filter(uk, x -> list_contains(sa, x) AND list_contains(sb, x))) AS BIGINT) AS n_both,
+          |  CAST(len(list_filter(uk, x -> list_contains(sa, x) AND list_contains(sb, x))) AS DOUBLE)
+          |    / CAST(len(uk) AS DOUBLE) AS j_est
+          |FROM u ORDER BY type_a, type_b""".stripMargin,
       // q151: the streamed grid equals the batch grid cell-for-cell
       // (order-free merge), so the oracle is the q146 shape over
       // events/user_id — no streaming machinery to replay

@@ -451,6 +451,24 @@ class SketchSpec extends SparkSpec {
     assert(got.exists(_._1 === "straddler"), "straddling heavy item evicted")
   }
 
+  test("KMV Jaccard estimates track true overlap within sampling error") {
+    val k = 64
+    val ev = Tables.load(spark, sf0001, "events")
+    val est = SparkEntry.queries("q152_kmv_jaccard")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    val sets = ev.select(col("event_type"), col("user_id")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    for (((a, b), j) <- est) {
+      val truth = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      // k=64 → standard error ≈ J(1−J)/√k; 0.2 is a ~3σ band here
+      assert(math.abs(j - truth) < 0.2,
+        s"($a,$b): estimate $j vs true $truth")
+    }
+    assert(est.size === 10, "expected all 5-choose-2 type pairs")
+  }
+
   test("CountMin grid: row sums equal N, estimates bound every true count") {
     import graft.functions.CountMin
     val d = 4; val w = 64
