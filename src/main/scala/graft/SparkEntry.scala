@@ -1725,6 +1725,17 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [north star] window-level exact-substring dedup (Lee et al.
+    // 2021): 10-token spans appearing verbatim in ≥2 docs, rolled up to
+    // per-doc shared-span fractions — the span-level companion to q21's
+    // whole-doc exact dedup. Distributed form of the paper's suffix
+    // array: distinct sha-60 window hashes in the scan, one 16-byte-row
+    // exchange on the hash, one on the doc key; text never shuffles ────
+    "q153_substring_dedup" -> ((s, dir) =>
+      TextDedup.substringDupStats(T(s, dir, "documents"), "doc_id", "text",
+        window = 10)
+        .orderBy("doc_id")),
+
     // ── [ext] SemDeDup end-to-end: the q148 learned clusters become
     // the near-dup blocking (Σ cluster² pairs ≪ N², and clusters are
     // semantically coherent so near-dup recall survives the blocking),
@@ -3633,6 +3644,28 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q153: the oracle replays ShingleHashSha's window semantics
+      // exactly — nWindows = max(len-(W-1), 1), end-clamped slices, the
+      // degenerate whole-text window for short docs, per-doc distinct —
+      // then the same occurrence-count/roll-up; the one double division
+      // is IEEE-exact in both engines
+      "q153_substring_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |wd AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, greatest(len(tk) - 9, 1) + 1),
+           |    i -> ('0x' || substr(sha256(array_to_string(tk[i:i+9], ' ')), 1, 15))::BIGINT)) AS ws
+           |  FROM t),
+           |wins AS (SELECT doc_id, unnest(ws) AS w FROM wd),
+           |cnt AS (SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS ndocs FROM wins),
+           |perdoc AS (
+           |  SELECT doc_id, count(*) AS n_windows,
+           |         CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+           |  FROM cnt GROUP BY doc_id)
+           |SELECT doc_id, n_windows, n_dup_windows,
+           |       CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE) AS dup_frac
+           |FROM perdoc WHERE n_dup_windows > 0 ORDER BY doc_id""".stripMargin,
+
       // q152: sketch set-algebra replay — per-type 64-smallest distinct
       // hashes, pair union re-sliced to 64, membership counts; the
       // single double division is exact IEEE in both engines

@@ -563,4 +563,36 @@ object TextDedup {
     }.reduce(_ + _)
     votes.select(col(idCol), sim.as("simhash"))
   }
+
+  /** Window-level exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): a `window`-token span
+    * whose exact text appears in ≥2 distinct documents is a duplicated
+    * substring; per document report how many of its distinct spans are
+    * shared and the shared fraction. Lee et al. build a single-node
+    * suffix array — the distributed form is this hash-window shape:
+    * per-doc distinct sha-60 window hashes ([[graft.functions.ShingleHashSha]],
+    * a scan-local fused loop), explode to (doc_id, 8-byte hash) pairs,
+    * ONE exchange on the hash for the cross-doc occurrence count (a
+    * window partition is the docs sharing that span — tiny), one more on
+    * the doc key for the roll-up. Text never moves past the scan, and
+    * both exchanges carry 16-byte rows, so the plan is shuffle-bound on
+    * ~n_tokens·16B per doc at any corpus size. Distinct-per-doc hashing
+    * makes the occurrence count a distinct-document count with no
+    * count_distinct expand. */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = widen(docs).select(col(idCol),
+      explode(graft.functions.ShingleHashSha(col(textCol), window)).as("w"))
+    val counted = wins.withColumn("ndocs",
+      count(lit(1)).over(Window.partitionBy("w")))
+    counted.groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast(DoubleType) /
+          col("n_windows").cast(DoubleType))
+      .filter(col("n_dup_windows") > 0)
+  }
 }

@@ -201,4 +201,26 @@ class TextSpec extends SparkSpec {
     // the 16-entry vocab cannot cover the corpus' 31-token vocabulary
     assert(rows.map(_._3).sum > 0L)
   }
+
+  test("q153 substring dedup: shared spans counted, unique docs dropped") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro $span tail one"),       // shares the 10-token span with 2
+      (2L, s"other lead $span closing"),
+      (3L, "completely different words with no ten token overlap at all here")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.substringDupStats(docs, "doc_id", "text", window = 10)
+      .orderBy("doc_id").collect()
+    // doc 3 has no shared window → filtered out
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    out.foreach { r =>
+      val (nW, nDup) = (r.getLong(1), r.getLong(2))
+      // both docs have 13 tokens → 4 windows; exactly one window (the
+      // span itself) is shared
+      assert(nDup === 1L)
+      assert(r.getDouble(3) === nDup.toDouble / nW)
+    }
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 4L))
+  }
 }
