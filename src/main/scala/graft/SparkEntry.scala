@@ -1725,6 +1725,29 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [north star] JL random-projection ANN: Achlioptas ±1 sign
+    // projection (sha-60-derived, `functions.JlProject`, fused codegen
+    // loop) reduces 64-dim floats to 16 doubles row-locally; the top-50
+    // shortlist by PROJECTED cosine is then re-ranked by exact cosine —
+    // the reduce-then-verify ANN shape where the 100 TB scan reads and
+    // multiplies 4× less, and exact similarity touches only candidates ─
+    "q154_jl_ann" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val projected = e.select(col("vec_id"), col("embedding"),
+        graft.functions.JlProject(col("embedding"), 16).as("p"))
+      val q = projected.filter(col("vec_id") === 0)
+        .select(col("p").as("pq"), col("embedding").as("qv"))
+      val cand = projected.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("psim", VectorOps.cosine(col("p"), col("pq")))
+        .orderBy(col("psim").desc, col("vec_id"))
+        .limit(50)
+      cand.withColumn("sim", VectorOps.cosine(col("embedding"), col("qv")))
+        .select(col("vec_id"), col("psim"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // ── [north star] window-level exact-substring dedup (Lee et al.
     // 2021): 10-token spans appearing verbatim in ≥2 docs, rolled up to
     // per-doc shared-span fractions — the span-level companion to q21's
@@ -3644,6 +3667,32 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q154: the oracle re-derives the sign matrix from sha256 (bit k of
+      // sha60('rp:j')), replays the projection as an ordered list_reduce
+      // fold (the expression's left-to-right sum), then the same
+      // shortlist → exact-re-rank chain; cosine arithmetic is the shared
+      // fixed-shape double form
+      "q154_jl_ann" ->
+        s"""WITH masks AS (SELECT list_transform(range(64), j ->
+           |    ('0x' || substr(sha256('rp:' || CAST(j AS VARCHAR)), 1, 15))::BIGINT) AS m),
+           |proj AS (
+           |  SELECT vec_id, embedding,
+           |    list_transform(range(16), k ->
+           |      list_reduce(list_transform(range(len(embedding)), j ->
+           |        CASE WHEN ((m[j+1] >> k) & 1) = 1
+           |             THEN CAST(embedding[j+1] AS DOUBLE)
+           |             ELSE -CAST(embedding[j+1] AS DOUBLE) END),
+           |        (a, b) -> a + b)) AS p
+           |  FROM embeddings, masks),
+           |q AS (SELECT p AS pq, embedding AS qv FROM proj WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT vec_id, embedding, ${cosine("p", "pq")} AS psim
+           |  FROM proj, q WHERE vec_id <> 0
+           |  ORDER BY psim DESC, vec_id LIMIT 50)
+           |SELECT vec_id, psim, ${cosine("embedding", "qv")} AS sim
+           |FROM cand, q
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
       // q153: the oracle replays ShingleHashSha's window semantics
       // exactly — nWindows = max(len-(W-1), 1), end-clamped slices, the
       // degenerate whole-text window for short docs, per-doc distinct —

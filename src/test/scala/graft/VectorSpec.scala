@@ -162,4 +162,35 @@ class VectorSpec extends SparkSpec {
       assert(cid === want, s"vec $id: got cluster $cid, argmin is $want")
     }
   }
+
+  test("JlProject: sign-fold semantics and q154 shortlist recall") {
+    import graft.functions.{JlProject, Sha60}
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val got = e.select(col("vec_id"),
+        col("embedding"), JlProject(col("embedding"), 16).as("p"))
+      .orderBy("vec_id").limit(20).collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val p = r.getSeq[Double](2).toArray
+      assert(p.length === 16)
+      val masks = v.indices.map(j => Sha60.hash(s"rp:$j"))
+      (0 until 16).foreach { k =>
+        var acc = 0.0
+        v.indices.foreach { j =>
+          val x = v(j).toDouble
+          acc += (if (((masks(j) >>> k) & 1L) == 1L) x else -x)
+        }
+        assert(p(k) === acc, s"vec ${r.getLong(0)} dim $k")
+      }
+    }
+    // the projected-cosine shortlist must recover most of the exact
+    // top-10 (JL preserves angles; fixture is deterministic so this is
+    // a fixed number, not a flaky bound)
+    val exact = SparkEntry.queries("q30_cosine_topk")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val viaJl = SparkEntry.queries("q154_jl_ann")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & viaJl).size >= 6,
+      s"JL shortlist recalled only ${(exact & viaJl).size}/10 exact neighbors")
+  }
 }
