@@ -1725,6 +1725,16 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [ext] two-pass exact quantiles: histogram-locate then in-bin
+    // refine — the no-global-sort exact median/p90 (`operators.Quantiles`;
+    // the bounded (group × bin) histogram is a plan parameter, pass 2
+    // sorts only candidate-bin rows per (group, p) partition) ──────────
+    "q155_twopass_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.twoPassExact(
+        T(s, dir, "events"), "event_type", "value", "event_id",
+        ps = Seq(0.5, 0.9), binWidth = 50.0)
+        .orderBy("event_type")),
+
     // ── [north star] JL random-projection ANN: Achlioptas ±1 sign
     // projection (sha-60-derived, `functions.JlProject`, fused codegen
     // loop) reduces 64-dim floats to 16 doubles row-locally; the top-50
@@ -3667,6 +3677,22 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q155: the oracle is the direct rank definition — value at 1-based
+      // rank ⌈p·n⌉ under the (value, event_id) total order; ⌈p·n⌉ is the
+      // same IEEE double → ceil in both engines, and the result is an
+      // actual data value, so no interpolation semantics to align
+      "q155_twopass_quantiles" ->
+        """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+          |r AS (SELECT event_type, value,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+          |      FROM events),
+          |sel AS (SELECT r.event_type,
+          |         max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n.n) AS BIGINT), 1) THEN value END) AS p50,
+          |         max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n.n) AS BIGINT), 1) THEN value END) AS p90
+          |        FROM r JOIN n USING (event_type) GROUP BY r.event_type)
+          |SELECT sel.event_type, n.n AS n, p50, p90
+          |FROM sel JOIN n USING (event_type) ORDER BY event_type""".stripMargin,
+
       // q154: the oracle re-derives the sign matrix from sha256 (bit k of
       // sha60('rp:j')), replays the projection as an ordered list_reduce
       // fold (the expression's left-to-right sum), then the same

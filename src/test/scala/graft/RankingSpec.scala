@@ -67,4 +67,26 @@ class RankingSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"prefix sum must not funnel through one task:\n$plan")
   }
+
+  test("q155 two-pass quantiles equal the brute-force rank definition") {
+    val events = Tables.load(spark, sf0001, "events")
+    val got = graft.operators.Quantiles.twoPassExact(
+        events, "event_type", "value", "event_id",
+        ps = Seq(0.5, 0.9), binWidth = 50.0)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // brute force: full sort per group, pick rank ⌈p·n⌉
+    val byType = events.select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.length === byType.size)
+    got.foreach { case (t, n, p50, p90) =>
+      val sorted = byType(t).sortBy(r => (r._2, r._3))
+      assert(n === sorted.length.toLong)
+      def q(p: Double) = sorted(
+        (math.ceil(p * sorted.length).toLong.max(1L) - 1).toInt)._2
+      assert(p50 === q(0.5), s"$t p50")
+      assert(p90 === q(0.9), s"$t p90")
+    }
+  }
 }
