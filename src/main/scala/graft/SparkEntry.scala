@@ -1725,6 +1725,15 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [ext] streaming MapState milestones: per-user per-type counters
+    // in transformWithState's MapState (the keyed-dictionary state shape;
+    // q141 covers ValueState) emitting each power-of-2 count threshold in
+    // the micro-batch where it's first crossed — thresholds cross exactly
+    // once and counts are order-free, so the emitted set is identical
+    // under any batch split and the batch oracle checks it ─────────────
+    "q156_stream_milestones" -> ((s, dir) =>
+      graft.streaming.EventStream.typeMilestones(s, dir)),
+
     // ── [ext] two-pass exact quantiles: histogram-locate then in-bin
     // refine — the no-global-sort exact median/p90 (`operators.Quantiles`;
     // the bounded (group × bin) histogram is a plan parameter, pass 2
@@ -3677,6 +3686,19 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q156: the emitted milestone set ≡ {powers of two ≤ final count}
+      // per (user, type) under any micro-batch split — replayed as a
+      // plain count + power-list filter
+      "q156_stream_milestones" ->
+        """WITH c AS (SELECT user_id, event_type, count(*) AS n
+          |           FROM events GROUP BY user_id, event_type)
+          |SELECT user_id, event_type,
+          |       unnest(list_filter(
+          |         [1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,
+          |          32768,65536,131072,262144,524288,1048576]::BIGINT[],
+          |         p -> p <= n)) AS milestone
+          |FROM c ORDER BY user_id, event_type, milestone""".stripMargin,
+
       // q155: the oracle is the direct rank definition — value at 1-based
       // rank ⌈p·n⌉ under the (value, event_id) total order; ⌈p·n⌉ is the
       // same IEEE double → ceil in both engines, and the result is an

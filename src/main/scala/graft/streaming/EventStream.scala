@@ -642,6 +642,78 @@ object EventStream {
     }
   }
 
+  final case class MilestoneOut(user_id: Long, event_type: String,
+                                milestone: Long)
+
+  /** Per-user, per-event-type counters in a `MapState[String, Long]`
+    * (transformWithState's keyed-sub-map primitive — q141 covers
+    * ValueState; this is the state shape for per-key dictionaries), with
+    * power-of-two milestone emission: a (user, type) pair emits row
+    * `milestone = 2^i` in the batch where its running count first reaches
+    * 2^i. Counts are order-free and each threshold is crossed exactly
+    * once, so the emitted SET equals {powers ≤ final count} under any
+    * micro-batch split — which is what lets the batch oracle check it.
+    * State is |types| longs per user, forever-bounded. */
+  private class TypeMilestoneProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, MilestoneOut] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[MilestoneOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[MilestoneOut]
+      rows.toArray.groupBy(_.event_type).toSeq.sortBy(_._1).foreach {
+        case (tpe, es) =>
+          val old = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+          val nw = old + es.length
+          counts.updateValue(tpe, nw)
+          var p = 1L
+          while (p <= nw) {
+            if (p > old) out += MilestoneOut(key, tpe, p)
+            p <<= 1
+          }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming milestone counter via [[TypeMilestoneProcessor]]: the
+    * fixture lands as two parity halves so nearly every (user, type)
+    * count genuinely accumulates across micro-batches (RocksDB store,
+    * as transformWithState requires). */
+  def typeMilestones(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (stream, landing) = parityStream(spark, dir, "milestone_")
+    val ds = stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[EventRow]
+    val out = ds.groupByKey(_.user_id)
+      .transformWithState(new TypeMilestoneProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runToResult(spark, out.toDF(), "append",
+        statePartitioned = true, Some(landing)) { t =>
+        t.select(col("user_id"), col("event_type"), col("milestone"))
+          .orderBy("user_id", "event_type", "milestone")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   def hoppingTotals(spark: SparkSession, dir: String): DataFrame = {
     val (src, landing) = eventsStream(spark, dir)
     val agg = src

@@ -311,4 +311,29 @@ class StreamSpec extends SparkSpec {
     spread.foreach(r => assert(r.getLong(1) >= 12,
       s"key ${r.getString(0)} only hit ${r.getLong(1)}/16 salts"))
   }
+
+  test("MapState milestones across batches equal {powers of two <= count}") {
+    val got = graft.streaming.EventStream.typeMilestones(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id", "event_type").count().collect()
+      .flatMap { r =>
+        Iterator.iterate(1L)(_ << 1).takeWhile(_ <= r.getLong(2))
+          .map(p => (r.getLong(0), r.getString(1), p))
+      }
+    assert(got.toSet === want.toSet)
+    assert(got.length === want.length) // emitted exactly once per threshold
+    // the parity split makes some count accumulate across batches: at
+    // least one pair must reach a milestone only with BOTH halves' rows
+    val crossBatch = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(when(pmod(col("event_id"), lit(2)) === 0, 1)).as("even"),
+        count(lit(1)).as("all"))
+      .collect().exists { r =>
+        val (even, all) = (r.getLong(2), r.getLong(3))
+        val hi = java.lang.Long.highestOneBit(all)
+        even < hi && hi <= all // final milestone needs the second batch
+      }
+    assert(crossBatch, "fixture never exercises cross-batch accumulation")
+  }
 }
