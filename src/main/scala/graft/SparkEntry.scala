@@ -1725,6 +1725,16 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [north star] prefix-filtered set-similarity join (PPJoin family):
+    // the RECALL-EXACT Jaccard self-join — df-ordered token prefixes as
+    // block keys (any pair at J ≥ t provably shares a prefix token),
+    // length filter, exact sorted-merge verify; block sizes track token
+    // rarity, so candidates ∝ near-dup mass at any corpus size ─────────
+    "q157_prefix_filter_join" -> ((s, dir) =>
+      TextDedup.prefixFilterNearDups(T(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
     // ── [ext] streaming MapState milestones: per-user per-type counters
     // in transformWithState's MapState (the keyed-dictionary state shape;
     // q141 covers ValueState) emitting each power-of-2 count threshold in
@@ -3686,6 +3696,38 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q157: the oracle replays the whole prefix-filter chain — df
+      // ranks from the identical (df, h) total order, the n−⌈t·n⌉+1
+      // prefix, the two-sided length filter, rank-set Jaccard — so the
+      // blocking itself is verified, not just the survivors
+      "q157_prefix_filter_join" ->
+        """WITH w AS (SELECT doc_id,
+          |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ws
+          |       FROM documents),
+          |s AS (SELECT doc_id,
+          |        list_distinct(list_transform(ws, t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT)) AS hs
+          |      FROM w),
+          |f AS (SELECT doc_id, hs FROM s WHERE len(hs) > 0),
+          |tok AS (SELECT doc_id, unnest(hs) AS h FROM f),
+          |dfc AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+          |rk AS (SELECT h, row_number() OVER (ORDER BY df, h) AS r FROM dfc),
+          |sets AS (SELECT doc_id, list_sort(list(rk.r)) AS rs, count(*) AS n
+          |         FROM tok JOIN rk USING (h) GROUP BY doc_id),
+          |pre AS (SELECT doc_id, rs, n,
+          |          unnest(list_slice(rs, 1, CAST(n - ceil(0.6 * n) + 1 AS BIGINT))) AS p
+          |        FROM sets),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |           a.rs AS rs_a, b.rs AS rs_b, a.n AS n_a, b.n AS n_b
+          |         FROM pre a JOIN pre b ON a.p = b.p AND a.doc_id < b.doc_id
+          |          AND b.n >= ceil(0.6 * a.n) AND a.n >= ceil(0.6 * b.n))
+          |SELECT id_a, id_b, jaccard FROM (
+          |  SELECT id_a, id_b,
+          |    CAST(len(list_intersect(rs_a, rs_b)) AS DOUBLE) /
+          |      (CAST(n_a + n_b AS DOUBLE) -
+          |       CAST(len(list_intersect(rs_a, rs_b)) AS DOUBLE)) AS jaccard
+          |  FROM cand)
+          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
       // q156: the emitted milestone set ≡ {powers of two ≤ final count}
       // per (user, type) under any micro-batch split — replayed as a
       // plain count + power-list filter

@@ -564,6 +564,57 @@ object TextDedup {
     votes.select(col(idCol), sim.as("simhash"))
   }
 
+  /** Prefix-filtered set-similarity self-join (the PPJoin blocking family,
+    * Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) — the RECALL-EXACT
+    * scalable Jaccard join: order every document's token-hash set by
+    * ascending global document frequency (rarest first; rank from the
+    * two-phase [[Ranking.withGlobalRank]], no single-reducer window) and
+    * explode only the first `n − ⌈t·n⌉ + 1` tokens as block keys. The
+    * prefix-filter theorem guarantees any pair with Jaccard ≥ t shares at
+    * least one prefix token, so — unlike minhash banding (q55, probabilistic)
+    * or count∧minhash bands (q24, misses possible in principle) — no
+    * qualifying pair can be lost; the length filter t·n_a ≤ n_b (both ways)
+    * prunes further, and survivors are verified with the exact sorted-merge
+    * intersect. Because prefixes are the RAREST tokens, block sizes track
+    * token df, not corpus size — candidates ∝ near-dup mass. Shuffles:
+    * token df aggregate, rank join, doc roll-up, prefix self-join — all
+    * equi-key, none quadratic outside true candidates. Jaccard over ranks
+    * equals Jaccard over hashes (the rank map is a bijection). */
+  def prefixFilterNearDups(docs: DataFrame, idCol: String, textCol: String,
+                           threshold: Double): DataFrame = {
+    val ws = hashedWordSets(widen(docs), idCol, textCol, bandWidth = 8)
+    val tok = ws.select(col("id"), explode(col("hs")).as("h"))
+    val ranked = Ranking.withGlobalRank(
+        tok.groupBy("h").agg(count(lit(1)).as("df")),
+        "r", "__n_tokens", col("df").asc, col("h").asc)
+      .select(col("h"), col("r"))
+    val sets = tok.join(ranked, Seq("h"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(col("r"))).as("rs"))
+      .withColumn("n", size(col("rs")).cast(LongType))
+      .withColumn("len",
+        (col("n") - ceil(lit(threshold) * col("n")) + lit(1L)).cast(IntegerType))
+    val pre = sets.select(col("id"), col("rs"), col("n"),
+      explode(slice(col("rs"), lit(1), col("len"))).as("p"))
+    val a = pre.select(col("p"), col("id").as("id_a"),
+      col("rs").as("rs_a"), col("n").as("n_a"))
+    val b = pre.select(col("p"), col("id").as("id_b"),
+      col("rs").as("rs_b"), col("n").as("n_b"))
+    val cand = a.join(b, Seq("p"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("n_b") >= ceil(lit(threshold) * col("n_a")) &&
+        col("n_a") >= ceil(lit(threshold) * col("n_b")))
+      .select("id_a", "id_b", "rs_a", "rs_b", "n_a", "n_b")
+      .distinct()
+    cand
+      .withColumn("inter", graft.functions.SortedIntersectCount(
+        col("rs_a"), col("rs_b")).cast(DoubleType))
+      .withColumn("jaccard", col("inter") /
+        ((col("n_a") + col("n_b")).cast(DoubleType) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Window-level exact-substring dedup (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better"): a `window`-token span
     * whose exact text appears in ≥2 distinct documents is a duplicated

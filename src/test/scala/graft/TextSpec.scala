@@ -202,6 +202,26 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0L)
   }
 
+  test("q157 prefix filter is recall-exact vs the unblocked all-pairs join") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val viaPrefix = TextDedup.prefixFilterNearDups(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: every pair, no blocking at all (500 docs → 125k pairs)
+    val words = docs.select(col("doc_id"),
+        array_distinct(graft.functions.TextOps.tokens(col("text"))).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val aw = words.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
+    val bw = words.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
+    val naive = aw.crossJoin(bw).filter(col("id_a") < col("id_b"))
+      .withColumn("j", TextDedup.jaccardExpr(col("ws_a"), col("ws_b")))
+      .filter(col("j") >= 0.6)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefix === naive,
+      s"missed ${(naive -- viaPrefix).size}, extra ${(viaPrefix -- naive).size}")
+    assert(naive.nonEmpty)
+  }
+
   test("q153 substring dedup: shared spans counted, unique docs dropped") {
     import spark.implicits._
     val span = (1 to 10).map(i => s"w$i").mkString(" ")
