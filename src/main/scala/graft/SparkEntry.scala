@@ -1725,6 +1725,16 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [north star] temperature-scaled source mixing: sample ∝ n^(1/2)
+    // (rare sources upsampled, head capped — the α-sampling rule of
+    // multi-source LM training) via deterministic hash thresholds; the
+    // count table is a bounded plan parameter, the apply pass ONE
+    // conditional-aggregation scan ──────────────────────────────────────
+    "q158_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(T(s, dir, "documents"),
+        "source", "doc_id", budgetFrac = 0.5)
+        .orderBy("source")),
+
     // ── [north star] prefix-filtered set-similarity join (PPJoin family):
     // the RECALL-EXACT Jaccard self-join — df-ordered token prefixes as
     // block keys (any pair at J ≥ t provably shares a prefix token),
@@ -3696,6 +3706,27 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q158: thresholds re-derived from scratch — Σ√n as an ordered
+      // list_reduce matching the driver's source-name fold, the same
+      // ((√n/Σ√n)·⌊0.5·N⌋)/n → cap → ⌊·10⁶⌋ double chain, keep = sha-60
+      // mod 10⁶ under threshold
+      "q158_temperature_mix" ->
+        """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+          |sw AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
+          |                          (a, b) -> a + b) AS sumw FROM c),
+          |th AS (SELECT source, n,
+          |        CAST(floor(least(1.0,
+          |          sqrt(CAST(n AS DOUBLE)) / sumw * floor(0.5 * nt) / CAST(n AS DOUBLE))
+          |          * 1000000.0) AS BIGINT) AS thresh
+          |       FROM c, tot, sw)
+          |SELECT d.source, count(*) AS n_docs, any_value(th.thresh) AS thresh,
+          |       CAST(sum(CASE WHEN ('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |                          % 1000000 < th.thresh
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |FROM documents d JOIN th ON d.source = th.source
+          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
       // q157: the oracle replays the whole prefix-filter chain — df
       // ranks from the identical (df, h) total order, the n−⌈t·n⌉+1
       // prefix, the two-sided length filter, rank-set Jaccard — so the

@@ -195,4 +195,26 @@ class OpsSpec extends SparkSpec {
     // x > 0: NULL x is not proven positive → failure, like the -1 row
     assert(rep === Array(("s_not_null", 2L, 1L), ("x_pos", 1L, 2L)))
   }
+
+  test("temperature mixing upsamples rare sources and caps the head") {
+    val out = graft.ops.Sampling.temperatureMix(
+        Tables.load(spark, sf0001, "documents"), "source", "doc_id", 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length > 1)
+    out.foreach { case (_, n, thresh, kept) =>
+      assert(thresh >= 0L && thresh <= 1000000L)
+      assert(kept <= n)
+    }
+    // sampling rate ∝ n^(-1/2): strictly larger sources get strictly
+    // smaller (or equal at the p=1 cap) thresholds
+    out.sortBy(_._2).sliding(2).foreach {
+      case Array((_, n1, t1, _), (_, n2, t2, _)) if n1 < n2 =>
+        assert(t1 >= t2, s"rate must not rise with size ($n1→$t1, $n2→$t2)")
+      case _ =>
+    }
+    // achieved totals land near the 50% budget (hash-threshold noise only)
+    val (kept, all) = (out.map(_._4).sum.toDouble, out.map(_._2).sum.toDouble)
+    assert(kept / all > 0.3 && kept / all < 0.7, s"kept ${kept / all}")
+  }
 }
