@@ -1725,6 +1725,23 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [north star] incremental near-dup maintenance: today's batch
+    // against the PERSISTED minhash signature table (written at "ingest",
+    // read back from parquet) — corpus text is never re-read, the stored
+    // 8-byte shingle hashes serve the exact verify, candidates ∝ the
+    // batch's near-dup mass ─────────────────────────────────────────────
+    "q159_incremental_minhash" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val tmp = TempWork.fresh("sigtab")
+      TextDedup.minhashSigTable(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(tmp)
+      TextDedup.minhashIncremental(s.read.parquet(tmp), batch,
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ── [north star] temperature-scaled source mixing: sample ∝ n^(1/2)
     // (rare sources upsampled, head capped — the α-sampling rule of
     // multi-source LM training) via deterministic hash thresholds; the
@@ -3706,6 +3723,33 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q159: the q55 pipeline replayed from raw text (the oracle can't
+      // see the engine's sketch table — it doesn't need to: signatures
+      // are deterministic, so recompute ≡ read-back), with candidates
+      // restricted to pairs touching the doc_id%10=0 batch
+      "q159_incremental_minhash" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS tk FROM documents),
+           |sh0 AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, greatest(len(tk) - 2, 1) + 1),
+           |    i -> ('0x' || substr(sha256(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT)) AS sh
+           |  FROM toks),
+           |sigs AS (SELECT doc_id, sh, $minhashSigs FROM sh0),
+           |keys AS (SELECT doc_id, sh, $minhashKeys FROM sigs),
+           |cand AS (
+           |  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.sh AS sh_a, c.sh AS sh_b
+           |  FROM keys a JOIN keys c ON a.doc_id < c.doc_id
+           |   AND (a.doc_id % 10 = 0 OR c.doc_id % 10 = 0)
+           |   AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3))
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT id_a, id_b,
+           |    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+           |      (CAST(len(sh_a) + len(sh_b) AS DOUBLE) -
+           |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)) AS jaccard
+           |  FROM cand)
+           |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
       // q158: thresholds re-derived from scratch — Σ√n as an ordered
       // list_reduce matching the driver's source-name fold, the same
       // ((√n/Σ√n)·⌊0.5·N⌋)/n → cap → ⌊·10⁶⌋ double chain, keep = sha-60

@@ -564,6 +564,71 @@ object TextDedup {
     votes.select(col(idCol), sim.as("simhash"))
   }
 
+  /** Per-document signature-table rows for [[minhashIncremental]]:
+    * `(id, sh, sig)` — the hashed shingle set (8 bytes/shingle, what exact
+    * verification needs; far smaller than text) plus the k-minhash
+    * signature. This is what an ingest job PERSISTS so that tomorrow's
+    * batch never touches today's text again. */
+  def minhashSigTable(docs: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int = 3, k: Int = 16): DataFrame =
+    shingleSetsSha(widen(docs), idCol, textCol, shingleLen)
+      .select(col(idCol), col("sh"),
+        graft.functions.MinHashSig(col("sh"), k).as("sig"))
+
+  private def bandsOfSig(df: DataFrame, idCol: String,
+                         bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", transform(
+          slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string"))).as("bucket"))
+    }
+    df.select(col(idCol), explode(array(bandRows: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Incremental near-dup maintenance — the daily production form of
+    * [[minhashNearDupsVerifiable]]: the standing corpus enters ONLY
+    * through its persisted signature table ([[minhashSigTable]], written
+    * once at ingest); the new batch re-shingles only its own text. Batch
+    * bands join against (stored ∪ batch) bands, so the work per day is
+    * batch-bands × colliding-corpus-bands — candidates ∝ the batch's
+    * near-dup mass, never corpus², and corpus TEXT is never read at all
+    * (the stored 8-byte shingle hashes serve the exact-Jaccard verify).
+    * Pairs are oriented (least, greatest); both-batch pairs arrive from
+    * both directions and dedup in the distinct. Values are identical to
+    * running the full verifiable pipeline and keeping pairs with a batch
+    * member (spec'd) — the sketch-table refresh pattern of q143, applied
+    * to dedup. */
+  def minhashIncremental(sigTable: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String, threshold: Double,
+                         shingleLen: Int = 3, bands: Int = 4,
+                         rowsPerBand: Int = 4): DataFrame = {
+    val batchSig = minhashSigTable(batch, idCol, textCol, shingleLen,
+        bands * rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = sigTable.select(col(idCol), col("sh"), col("sig"))
+      .unionByName(batchSig)
+    val cand = bandsOfSig(batchSig, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("id_x"), col("band"), col("bucket"))
+      .join(bandsOfSig(all, idCol, bands, rowsPerBand)
+        .select(col(idCol).as("id_y"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(all.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(all.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardExpr(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val out = pairs.localCheckpoint(true)
+    batchSig.unpersist()
+    out
+  }
+
   /** Prefix-filtered set-similarity self-join (the PPJoin blocking family,
     * Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) — the RECALL-EXACT
     * scalable Jaccard join: order every document's token-hash set by

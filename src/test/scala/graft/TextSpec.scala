@@ -202,6 +202,24 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0L)
   }
 
+  test("q159 incremental minhash equals the full pipeline's batch pairs") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val sigTable = TextDedup.minhashSigTable(corpus, "doc_id", "text")
+    val inc = TextDedup.minhashIncremental(sigTable, batch,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the full from-scratch pipeline, batch-involving pairs
+    val full = TextDedup.minhashNearDupsVerifiable(docs, "doc_id", "text",
+        threshold = 0.5)
+      .filter(pmod(col("id_a"), lit(10)) === 0 ||
+        pmod(col("id_b"), lit(10)) === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("q157 prefix filter is recall-exact vs the unblocked all-pairs join") {
     val docs = Tables.load(spark, sf0001, "documents")
     val viaPrefix = TextDedup.prefixFilterNearDups(docs, "doc_id", "text", 0.6)
