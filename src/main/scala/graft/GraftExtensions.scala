@@ -90,6 +90,12 @@ object GraftExtensions {
       // bare AggregateFunction for the same analyzer-wrapping reason
       (args: Seq[Expression]) => BottomKSample(args(0), args(1),
         intArg(args(2), "k"))),
+    ("token_stats",
+      new ExpressionInfo(classOf[graft.functions.TokenStats].getName,
+        "token_stats"),
+      // a Generator registers like any expression; the analyzer wraps it
+      // in Generate when it appears in a SELECT (same path as explode)
+      (args: Seq[Expression]) => graft.functions.TokenStats(args(0))),
     ("z_value",
       new ExpressionInfo(classOf[ZValue].getName, "z_value"),
       // SQL integer literals arrive as INT — widen like a built-in would

@@ -1725,6 +1725,18 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [ext] custom native UDTF (Catalyst Generator): per-doc distinct
+    // token profile (token, first_pos, n) computed with per-row local
+    // state inside the scan — ZERO shuffle, vs the explode+groupBy form
+    // that shuffles every token occurrence; SQL-registered `token_stats`,
+    // invoked through the same analyzer path as explode ────────────────
+    "q160_token_stats_udtf" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      T(s, dir, "documents")
+        .selectExpr("doc_id", "token_stats(text) AS (token, first_pos, n)")
+        .orderBy("doc_id", "first_pos")
+    }),
+
     // ── [north star] incremental near-dup maintenance: today's batch
     // against the PERSISTED minhash signature table (written at "ingest",
     // read back from parquet) — corpus text is never re-read, the stored
@@ -3723,6 +3735,16 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q160: the UDTF's fold replayed relationally — parallel unnest of
+      // (token, position), then min(pos)/count per (doc, token)
+      "q160_token_stats_udtf" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |p AS (SELECT doc_id, unnest(tk) AS token,
+           |             unnest(range(len(tk))) AS pos FROM t)
+           |SELECT doc_id, token, min(pos) AS first_pos, count(*) AS n
+           |FROM p GROUP BY doc_id, token
+           |ORDER BY doc_id, first_pos""".stripMargin,
+
       // q159: the q55 pipeline replayed from raw text (the oracle can't
       // see the engine's sketch table — it doesn't need to: signatures
       // are deterministic, so recompute ≡ read-back), with candidates

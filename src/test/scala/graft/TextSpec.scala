@@ -202,6 +202,19 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0L)
   }
 
+  test("token_stats generator: first positions, counts, null and empty rows") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq((1L, Some("b a b  c a b")), (2L, Some("")), (3L, None))
+      .toDF("id", "text")
+    val rows = df.selectExpr("id", "token_stats(text) AS (token, first_pos, n)")
+      .orderBy("id", "first_pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 1 only: empty text → zero tokens → zero rows; NULL → zero rows
+    assert(rows.toSeq === Seq(
+      (1L, "b", 0L, 3L), (1L, "a", 1L, 2L), (1L, "c", 3L, 1L)))
+  }
+
   test("q159 incremental minhash equals the full pipeline's batch pairs") {
     val docs = Tables.load(spark, sf0001, "documents")
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
