@@ -1767,11 +1767,16 @@ object SparkEntry {
     // ── [north star] prefix-filtered set-similarity join (PPJoin family):
     // the RECALL-EXACT Jaccard self-join — df-ordered token prefixes as
     // block keys (any pair at J ≥ t provably shares a prefix token),
-    // length filter, exact sorted-merge verify; block sizes track token
-    // rarity, so candidates ∝ near-dup mass at any corpus size ─────────
+    // length + positional filters, exact sorted-merge verify. On Zipfian
+    // vocabulary (real corpora) prefix blocks track token rarity and
+    // candidates ∝ near-dup mass; THIS fixture is the documented worst
+    // case — a ~31-token template vocabulary makes every "rare" token
+    // common, blocks go dense, and the Σ|block|² enumeration costs ~12 s
+    // at sf0.1 (the price of guaranteed recall here; q24/q55's banded
+    // paths are the dense-corpus production route) ─────────────────────
     "q157_prefix_filter_join" -> ((s, dir) =>
       TextDedup.prefixFilterNearDups(T(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.6)
+        threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     // ── [ext] streaming MapState milestones: per-user per-type counters
@@ -3810,20 +3815,22 @@ object SparkEntry {
           |rk AS (SELECT h, row_number() OVER (ORDER BY df, h) AS r FROM dfc),
           |sets AS (SELECT doc_id, list_sort(list(rk.r)) AS rs, count(*) AS n
           |         FROM tok JOIN rk USING (h) GROUP BY doc_id),
-          |pre AS (SELECT doc_id, rs, n,
-          |          unnest(list_slice(rs, 1, CAST(n - ceil(0.6 * n) + 1 AS BIGINT))) AS p
+          |pre AS (SELECT doc_id, n,
+          |          unnest(list_slice(rs, 1, CAST(n - ceil(0.8 * n) + 1 AS BIGINT))) AS p,
+          |          unnest(range(CAST(n - ceil(0.8 * n) + 1 AS BIGINT))) AS i
           |        FROM sets),
-          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-          |           a.rs AS rs_a, b.rs AS rs_b, a.n AS n_a, b.n AS n_b
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           |         FROM pre a JOIN pre b ON a.p = b.p AND a.doc_id < b.doc_id
-          |          AND b.n >= ceil(0.6 * a.n) AND a.n >= ceil(0.6 * b.n))
+          |          AND b.n >= ceil(0.8 * a.n) AND a.n >= ceil(0.8 * b.n)
+          |          AND least(a.n - a.i, b.n - b.i) >= ceil(0.8 / (1 + 0.8) * (a.n + b.n)))
           |SELECT id_a, id_b, jaccard FROM (
           |  SELECT id_a, id_b,
-          |    CAST(len(list_intersect(rs_a, rs_b)) AS DOUBLE) /
-          |      (CAST(n_a + n_b AS DOUBLE) -
-          |       CAST(len(list_intersect(rs_a, rs_b)) AS DOUBLE)) AS jaccard
-          |  FROM cand)
-          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+          |    CAST(len(list_intersect(sa.rs, sb.rs)) AS DOUBLE) /
+          |      (CAST(sa.n + sb.n AS DOUBLE) -
+          |       CAST(len(list_intersect(sa.rs, sb.rs)) AS DOUBLE)) AS jaccard
+          |  FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+          |            JOIN sets sb ON cand.id_b = sb.doc_id)
+          |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
       // q156: the emitted milestone set ≡ {powers of two ≤ final count}
       // per (user, type) under any micro-batch split — replayed as a

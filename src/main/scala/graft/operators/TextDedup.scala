@@ -653,31 +653,57 @@ object TextDedup {
         tok.groupBy("h").agg(count(lit(1)).as("df")),
         "r", "__n_tokens", col("df").asc, col("h").asc)
       .select(col("h"), col("r"))
+    // Feeds the prefix explode AND both sides of candidate verification —
+    // persist so the rank join isn't re-run three times (the
+    // minhashNearDups discipline).
     val sets = tok.join(ranked, Seq("h"))
       .groupBy("id")
       .agg(array_sort(collect_list(col("r"))).as("rs"))
       .withColumn("n", size(col("rs")).cast(LongType))
       .withColumn("len",
         (col("n") - ceil(lit(threshold) * col("n")) + lit(1L)).cast(IntegerType))
-    val pre = sets.select(col("id"), col("rs"), col("n"),
-      explode(slice(col("rs"), lit(1), col("len"))).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The candidate join carries ONLY (prefix-token, id, size, position) —
+    // 32-byte rows. Carrying the rank arrays through the exploded join
+    // instead multiplies the shuffle by the document length and is what
+    // turns a dense-vocabulary corpus (big prefix blocks) into a
+    // wall-clock cliff; arrays are fetched per DISTINCT surviving pair
+    // below, exactly like the minhash/q24 verify stage.
+    val pre = sets.select(col("id"), col("n"),
+      posexplode(slice(col("rs"), lit(1), col("len"))).as(Seq("i", "p")))
     val a = pre.select(col("p"), col("id").as("id_a"),
-      col("rs").as("rs_a"), col("n").as("n_a"))
+      col("n").as("n_a"), col("i").as("i_a"))
     val b = pre.select(col("p"), col("id").as("id_b"),
-      col("rs").as("rs_b"), col("n").as("n_b"))
-    val cand = a.join(b, Seq("p"))
+      col("n").as("n_b"), col("i").as("i_b"))
+    // PPJoin's positional filter: a qualifying pair needs overlap
+    // I ≥ α = ⌈t/(1+t)·(n_a+n_b)⌉; at the pair's FIRST shared prefix
+    // token no common token precedes position i on either side, so
+    // I ≤ min(n_a−i_a, n_b−i_b) — rows failing the bound are pruned,
+    // the first-shared row of any qualifying pair always survives
+    // (recall stays exact).
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("n_a") + col("n_b")))
+    val candIds = a.join(b, Seq("p"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("n_b") >= ceil(lit(threshold) * col("n_a")) &&
         col("n_a") >= ceil(lit(threshold) * col("n_b")))
-      .select("id_a", "id_b", "rs_a", "rs_b", "n_a", "n_b")
+      .filter(least(col("n_a") - col("i_a"), col("n_b") - col("i_b")) >= alpha)
+      .select("id_a", "id_b")
       .distinct()
-    cand
+    val pairs = candIds
+      .join(sets.select(col("id").as("id_a"), col("rs").as("rs_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("rs").as("rs_b"),
+        col("n").as("n_b")), Seq("id_b"))
       .withColumn("inter", graft.functions.SortedIntersectCount(
         col("rs_a"), col("rs_b")).cast(DoubleType))
       .withColumn("jaccard", col("inter") /
         ((col("n_a") + col("n_b")).cast(DoubleType) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    val out = pairs.localCheckpoint(true)
+    sets.unpersist()
+    out
   }
 
   /** Window-level exact-substring dedup (Lee et al. 2021, "Deduplicating

@@ -235,7 +235,7 @@ class TextSpec extends SparkSpec {
 
   test("q157 prefix filter is recall-exact vs the unblocked all-pairs join") {
     val docs = Tables.load(spark, sf0001, "documents")
-    val viaPrefix = TextDedup.prefixFilterNearDups(docs, "doc_id", "text", 0.6)
+    val viaPrefix = TextDedup.prefixFilterNearDups(docs, "doc_id", "text", 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // ground truth: every pair, no blocking at all (500 docs → 125k pairs)
     val words = docs.select(col("doc_id"),
@@ -245,7 +245,7 @@ class TextSpec extends SparkSpec {
     val bw = words.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
     val naive = aw.crossJoin(bw).filter(col("id_a") < col("id_b"))
       .withColumn("j", TextDedup.jaccardExpr(col("ws_a"), col("ws_b")))
-      .filter(col("j") >= 0.6)
+      .filter(col("j") >= 0.8)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaPrefix === naive,
