@@ -1725,6 +1725,18 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [north star] hashing-trick classifier gate: fastText-shape
+    // linear quality scorer — tokens hash into 64 weight slots (no
+    // vocabulary, no OOV), score = ordered Σ w[slot(token)] in ONE fused
+    // codegen loop at the scan; zero shuffle, the model-scored
+    // quality-gate scan a 100 TB curation pass runs ─────────────────────
+    "q161_feature_hash_gate" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.FeatureHashScore(col("text")).as("score"),
+        (graft.functions.FeatureHashScore(col("text")) > 0.0).as("keep"))
+        .orderBy("doc_id")),
+
     // ── [ext] custom native UDTF (Catalyst Generator): per-doc distinct
     // token profile (token, first_pos, n) computed with per-row local
     // state inside the scan — ZERO shuffle, vs the explode+groupBy form
@@ -3740,6 +3752,24 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q161: weights re-materialized as the identical exact rationals
+      // (<int>/1000.0), the score as an ordered list_reduce over the
+      // token stream — bit-for-bit the expression's left-to-right fold
+      "q161_feature_hash_gate" -> {
+        val w = (0 until graft.functions.FeatureHashScore.Slots)
+          .map(i => s"${graft.functions.FeatureHashScore.weightInt(i)}/1000.0")
+          .mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |s AS (SELECT doc_id,
+           |        CASE WHEN len(tk) = 0 THEN 0.0
+           |             ELSE list_reduce(list_transform(tk,
+           |               tok -> ($w)[CAST(('0x' || substr(sha256(tok), 1, 15))::BIGINT % 64 AS INTEGER) + 1]),
+           |               (a, b) -> a + b) END AS score
+           |      FROM t)
+           |SELECT doc_id, score, score > 0.0 AS keep
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
+
       // q160: the UDTF's fold replayed relationally — parallel unnest of
       // (token, position), then min(pos)/count per (doc, token)
       "q160_token_stats_udtf" ->

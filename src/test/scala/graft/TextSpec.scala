@@ -215,6 +215,22 @@ class TextSpec extends SparkSpec {
       (1L, "b", 0L, 3L), (1L, "a", 1L, 2L), (1L, "c", 3L, 1L)))
   }
 
+  test("feature-hash score: ordered slot-weight fold, both classes occur") {
+    import spark.implicits._
+    import graft.functions.{FeatureHashScore, Sha60}
+    val df = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("id", "text")
+    val got = df.select(col("id"), FeatureHashScore(col("text")).as("s"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    def w(tok: String) = FeatureHashScore.weightInt(
+      (Sha60.hash(tok) % 64).toInt) / 1000.0
+    assert(got(0) === 0.0 + w("alpha") + w("beta") + w("alpha"))
+    assert(got(1) === 0.0)
+    // the fixture corpus must exercise both sides of the gate
+    val keeps = SparkEntry.queries("q161_feature_hash_gate")(spark, sf0001)
+      .collect().map(_.getBoolean(2)).toSet
+    assert(keeps === Set(true, false))
+  }
+
   test("q159 incremental minhash equals the full pipeline's batch pairs") {
     val docs = Tables.load(spark, sf0001, "documents")
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
