@@ -1725,6 +1725,24 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [ext] tick→bar OHLC resampling: the reference's
+    // daily_stock_price grain (open/high/low/close per key per day,
+    // src/db/postgres/daily_stock_price.sql:5-18) recomputed from the
+    // raw tick stream — first/last by (ts, event_id) via min_by/max_by
+    // over a struct key, so ONE map-side-combinable aggregate builds the
+    // whole bar (no first/last window pass over the day's ticks) ───────
+    "q162_ohlc_bars" -> ((s, dir) =>
+      T(s, dir, "events").groupBy(col("user_id"),
+          to_date(col("ts")).as("day"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_ticks"),
+          Exact.moneySum(col("value")).as("volume"))
+        .orderBy("user_id", "day")),
+
     // ── [north star] hashing-trick classifier gate: fastText-shape
     // linear quality scorer — tokens hash into 64 weight slots (no
     // vocabulary, no OOV), score = ordered Σ w[slot(token)] in ONE fused
@@ -3752,6 +3770,24 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q162: open/close replayed as rank-1 rows under the (ts, event_id)
+      // total order (min_by/max_by over a struct key ≡ argmin/argmax on
+      // that order); high/low/count/decimal-volume are plain aggregates
+      "q162_ohlc_bars" ->
+        s"""WITH r AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+           |  row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+           |                     ORDER BY ts, event_id) AS rn_a,
+           |  row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+           |                     ORDER BY ts DESC, event_id DESC) AS rn_d
+           | FROM events)
+           |SELECT user_id, day,
+           |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           |  max(value) AS high, min(value) AS low,
+           |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           |  count(*) AS n_ticks,
+           |  $moneyV AS volume
+           |FROM r GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
+
       // q161: weights re-materialized as the identical exact rationals
       // (<int>/1000.0), the score as an ordered list_reduce over the
       // token stream — bit-for-bit the expression's left-to-right fold

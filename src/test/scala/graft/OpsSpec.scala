@@ -196,6 +196,31 @@ class OpsSpec extends SparkSpec {
     assert(rep === Array(("s_not_null", 2L, 1L), ("x_pos", 1L, 2L)))
   }
 
+  test("OHLC bars: open/close follow (ts, event_id) order, not input order") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // deliberately out of order; two ticks share a timestamp (tie →
+    // event_id decides open)
+    val df = Seq(
+      (3L, ts("2024-01-01 12:00:00"), 7L, 30.0),
+      (1L, ts("2024-01-01 09:00:00"), 7L, 10.0),
+      (2L, ts("2024-01-01 09:00:00"), 7L, 20.0),
+      (4L, ts("2024-01-02 10:00:00"), 7L, 5.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val bars = df.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+      .orderBy("day").collect()
+    assert(bars.length === 2)
+    val d1 = bars(0)
+    assert((d1.getDouble(2), d1.getDouble(3), d1.getDouble(4), d1.getDouble(5))
+      === ((10.0, 30.0, 10.0, 30.0))) // open=event 1 (tie-break), close=event 3
+    val d2 = bars(1)
+    assert((d2.getDouble(2), d2.getDouble(5)) === ((5.0, 5.0)))
+  }
+
   test("temperature mixing upsamples rare sources and caps the head") {
     val out = graft.ops.Sampling.temperatureMix(
         Tables.load(spark, sf0001, "documents"), "source", "doc_id", 0.5)
