@@ -74,6 +74,18 @@ object ScaleProbe {
         graft.operators.Ranking.withPrefixSum(
           d.select(col("doc_id"), col("n_chars")), "cum", "T",
           col("n_chars"), col("doc_id").asc).count())
+      // q153 substring dedup: windows/doc fixed, so exploded rows and
+      // both 16-byte-row exchanges grow linearly; window-hash partition
+      // sizes grow only with duplication mass (here: the copy count),
+      // never with corpus size — time/row must stay ~flat
+      time("substring_dedup", mult)(d =>
+        graft.operators.TextDedup.substringDupStats(d, "doc_id", "text", 10)
+          .count())
+      // q161 classifier gate: pure scan expression — the probe pins the
+      // zero-shuffle claim (flat time/row, no exchange at any mult)
+      time("feature_gate", mult)(d =>
+        d.select(graft.functions.FeatureHashScore(col("text")).as("s"))
+          .filter(col("s") > 0.0).count())
       // PQ encoding: synthesize a deterministic 64-dim vector per doc
       // row-locally, encode to 8 codes — the whole pipeline must stay
       // scan-pipelined (zero shuffle), so time/row is flat in corpus size

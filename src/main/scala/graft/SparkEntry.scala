@@ -1725,6 +1725,20 @@ object SparkEntry {
     "q151_stream_countmin" -> ((s, dir) =>
       graft.streaming.EventStream.sketchTotals(s, dir)),
 
+    // ── [north star] bloom-prefiltered decontamination: q65's semantics
+    // on the huge-eval-set scale path — the bench shingle set folds into
+    // a constant bloom sketch (KBs at any set size) instead of an exact
+    // broadcast, might_contain drops clean shingles at the scan, exact
+    // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    "q163_decontaminate_bloom" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextDedup.decontaminateBloom(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", shingleLen = 4)
+        .orderBy("doc_id")
+    }),
+
     // ── [ext] tick→bar OHLC resampling: the reference's
     // daily_stock_price grain (open/high/low/close per key per day,
     // src/db/postgres/daily_stock_price.sql:5-18) recomputed from the
@@ -3770,6 +3784,22 @@ object SparkEntry {
            |c AS (SELECT token, count(*) AS n,
            |        CAST(0 AS BIGINT) AS err_bound FROM t GROUP BY token)
            |SELECT token, n, err_bound FROM c ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      // q163: the bloom is a pure prefilter (no false negatives, FPs
+      // removed by the exact confirm), so the oracle is q65's exact
+      // replay verbatim — identical results on a different physical path
+      "q163_decontaminate_bloom" ->
+        s"""WITH tk AS (SELECT doc_id, source, $toks AS tk FROM documents
+           |            WHERE len($toks) > 0),
+           |sh0 AS (SELECT doc_id, source, list_distinct(list_transform(
+           |    range(1, greatest(len(tk) - 3, 1) + 1),
+           |    i -> ('0x' || substr(sha256(array_to_string(tk[i:i+3], ' ')), 1, 15))::BIGINT)) AS sh
+           |  FROM tk),
+           |t AS (SELECT doc_id, unnest(sh) AS h FROM sh0 WHERE source <> 'src0'),
+           |b AS (SELECT DISTINCT unnest(sh) AS h FROM sh0 WHERE source = 'src0')
+           |SELECT doc_id, count(DISTINCT t.h) AS n_hits
+           |FROM t JOIN b ON t.h = b.h
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
       // q162: open/close replayed as rank-1 rows under the (ts, event_id)
       // total order (min_by/max_by over a struct key ≡ argmin/argmax on
       // that order); high/low/count/decimal-volume are plain aggregates

@@ -237,6 +237,34 @@ object TextDedup {
       .groupBy(idCol).agg(countDistinct(col("h")).as("n_hits"))
   }
 
+  /** [[decontaminate]]'s scale path for eval sets too big to broadcast
+    * EXACTLY: the bench shingle set folds into one bloom filter (a few
+    * hundred KB regardless of set size, materialized at the driver and
+    * shipped as a constant — the same mechanism as
+    * [[graft.ops.RuntimeFilter.bloomSemiJoin]]), `might_contain` drops
+    * the non-contaminated bulk of the training shingles AT THE SCAN, and
+    * the exact semi join confirms survivors (bloom has no false
+    * negatives, so the confirm sees a superset and the result is
+    * IDENTICAL to [[decontaminate]] — which is what lets the same exact
+    * oracle check it). At 100 TB the contaminated fraction is tiny, so
+    * the exact join shuffles ~nothing; the broadcast exact set is
+    * replaced by a constant sketch. */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, shingleLen: Int = 5,
+                         expectedItems: Long = 1000000L): DataFrame = {
+    def shingles(df: DataFrame) = widen(df.filter(length(trim(col(textCol))) > 0))
+      .select(col(idCol),
+        graft.functions.ShingleHashSha(col(textCol), shingleLen).as("sh"))
+    val b = shingles(bench).select(explode(col("sh")).as("h")).distinct()
+    val bloomBytes = b
+      .agg(graft.ops.RuntimeFilter.bloomAgg(col("h"), expectedItems).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    shingles(train).select(col(idCol), explode(col("sh")).as("h"))
+      .filter(graft.ops.RuntimeFilter.mightContain(lit(bloomBytes), col("h")))
+      .join(b, Seq("h"), "left_semi")
+      .groupBy(idCol).agg(countDistinct(col("h")).as("n_hits"))
+  }
+
   /** |A ∩ B| / |A ∪ B| over distinct-element arrays, as exact integer
     * counts divided in double (cross-engine bit-stable). Two empty sets
     * yield 0.0, not 0/0 = NaN — NaN compares greatest under Spark/DuckDB

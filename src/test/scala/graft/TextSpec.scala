@@ -215,6 +215,18 @@ class TextSpec extends SparkSpec {
       (1L, "b", 0L, 3L), (1L, "a", 1L, 2L), (1L, "c", 3L, 1L)))
   }
 
+  test("bloom decontamination equals the exact broadcast form") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val train = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val exact = TextDedup.decontaminate(train, bench, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = TextDedup.decontaminateBloom(train, bench, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("feature-hash score: ordered slot-weight fold, both classes occur") {
     import spark.implicits._
     import graft.functions.{FeatureHashScore, Sha60}
