@@ -1730,6 +1730,25 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] deterministic random walks: the DeepWalk/node2vec corpus
+    // generator (Perozzi KDD'14) over the urgent co-purchase graph —
+    // the "random" draw is a sha-60 hash argmin, so the walk corpus is a
+    // bit-reproducible function of the graph on any engine/partitioning;
+    // per step: one frontier⋈edges equi-join + one walk-keyed min_by ───
+    "q164_random_walks" -> ((s, dir) => {
+      val urgent = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        urgent, "l_orderkey", "l_partkey")
+      val seeds = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v"))).distinct()
+        .filter(col("v") < 10).select(col("v").as("walk_id"), col("v"))
+      graft.operators.Graph.deterministicWalks(edges, seeds, steps = 4)
+        .orderBy("walk_id", "step")
+    }),
+
     "q163_decontaminate_bloom" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       TextDedup.decontaminateBloom(
@@ -3787,6 +3806,37 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q164: each hop replayed as a rank-1 row under the (h, dst) order —
+      // row_number ≡ the engine's min_by(dst, struct(h, dst)); the hash is
+      // the repo-wide sha-60 over the identical "walk:step:dst" string
+      "q164_random_walks" -> {
+        def hop(i: Int): String =
+          s"""s$i AS (SELECT walk_id,
+             |  ('0x' || substr(sha256(CAST(walk_id AS VARCHAR) || ':$i:' ||
+             |     CAST(dst AS VARCHAR)), 1, 15))::BIGINT AS h, dst
+             |  FROM w${i - 1} JOIN d ON d.src = w${i - 1}.v),
+             |w$i AS (SELECT walk_id, dst AS v FROM (
+             |  SELECT walk_id, dst,
+             |    row_number() OVER (PARTITION BY walk_id ORDER BY h, dst) AS rn
+             |  FROM s$i) WHERE rn = 1)""".stripMargin
+        s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           |      WHERE o_orderpriority = '1-URGENT'),
+           |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+           |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+           |d AS (SELECT a AS src, b AS dst FROM e0
+           |      UNION ALL SELECT b, a FROM e0),
+           |w0 AS (SELECT v AS walk_id, v FROM
+           |       (SELECT DISTINCT src AS v FROM d) WHERE v < 10),
+           |${(1 to 4).map(hop).mkString(",\n")}
+           |SELECT walk_id, 0 AS step, v FROM w0
+           |UNION ALL SELECT walk_id, 1 AS step, v FROM w1
+           |UNION ALL SELECT walk_id, 2 AS step, v FROM w2
+           |UNION ALL SELECT walk_id, 3 AS step, v FROM w3
+           |UNION ALL SELECT walk_id, 4 AS step, v FROM w4
+           |ORDER BY walk_id, step""".stripMargin
+      },
+
       "q163_decontaminate_bloom" ->
         s"""WITH tk AS (SELECT doc_id, source, $toks AS tk FROM documents
            |            WHERE len($toks) > 0),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Distributed triangle counting on an undirected graph.
   *
@@ -93,6 +93,50 @@ object Graph {
     * which is fine for a handful and fatal for fifty.
     * The vertex count enters as a plan parameter (one count() — a
     * bounded scalar, same class as q43's codebook). */
+  /** Deterministic random walks over undirected edges (columns `a`, `b`)
+    * — the corpus-generation step of DeepWalk/node2vec (Perozzi KDD'14):
+    * each walk emits a node sequence that downstream embedding training
+    * consumes as a "sentence". The "random" next-step choice is replaced
+    * by a cross-engine-replayable hash draw: from node u at step i, walk w
+    * moves to the neighbor v minimizing sha60("w:i:v") — distributionally
+    * uniform over neighbors (sha256 avalanche), yet bit-reproducible on
+    * any engine and any partitioning, so the walk corpus (like the q104
+    * shuffle and q105/q158 sampling) is a deterministic function of the
+    * graph. Ties (astronomically unlikely 60-bit collisions) break by
+    * smallest v via the (h, v) struct order.
+    *
+    * Per step the plan is ONE frontier ⋈ edges equi-join (shuffle keyed
+    * on the current node) plus ONE walk-keyed min_by aggregate — the
+    * frontier never exceeds |walks| rows, the join fan-out is bounded by
+    * the frontier nodes' degrees, and nothing depends on a global order:
+    * the BFS/PageRank iteration shape, so 10⁹ concurrent walks on a
+    * 1000-executor cluster is the same plan with more partitions. Lineage
+    * is lazily checkpointed per step ([[Components]] discipline).
+    *
+    * Returns (walk_id, step, v) rows, step 0 = the seed. A walk halts
+    * early only at a sink (impossible here: edges are symmetrized). */
+  def deterministicWalks(edges: DataFrame, seeds: DataFrame,
+                         steps: Int): DataFrame = {
+    val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var cur = seeds.select(col("walk_id"), col("v"))
+    var out = cur.withColumn("step", lit(0))
+    (1 to steps).foreach { i =>
+      cur = cur.join(dirE, col("v") === col("src"))
+        .withColumn("h",
+          conv(substring(sha2(concat_ws(":",
+            col("walk_id").cast(StringType), lit(i),
+            col("dst").cast(StringType)), 256), 1, 15), 16, 10)
+            .cast(LongType))
+        .groupBy("walk_id")
+        .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("v"))
+        .localCheckpoint(false)
+      out = out.unionAll(cur.withColumn("step", lit(i)))
+    }
+    out.select(col("walk_id"), col("step"), col("v"))
+  }
+
   def pageRankFixedPoint(edges: DataFrame, iters: Int,
                          scale: Long = 1000000000000L,
                          checkpointEvery: Int = 5): DataFrame = {

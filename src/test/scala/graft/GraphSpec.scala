@@ -39,4 +39,38 @@ class GraphSpec extends SparkSpec {
       .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 2L)))
   }
+
+  test("deterministicWalks follows the sha-60 argmin at every step") {
+    // Star + path: 1-{2,3,4}, 2-3. Replaying the hash draw by hand from
+    // graft.functions.Sha60 must give the exact walk the operator emits.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L))
+    val seeds = Seq((1L, 1L), (4L, 4L)).toDF("walk_id", "v")
+    val got = Graph.deterministicWalks(edges, seeds, steps = 3)
+      .orderBy("walk_id", "step").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val want = Seq(1L, 4L).flatMap { w =>
+      var cur = w
+      (0 to 3).map { i =>
+        if (i > 0)
+          cur = adj(cur).minBy(v =>
+            (graft.functions.Sha60.hash(s"$w:$i:$v"), v))
+        (w, i, cur)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+  }
+
+  test("deterministicWalks is partitioning-invariant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val seeds = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("walk_id", "v")
+    val once = Graph.deterministicWalks(edges, seeds, 4)
+      .orderBy("walk_id", "step").collect().toSeq
+    val again = Graph.deterministicWalks(
+        edges.repartition(7), seeds.repartition(3), 4)
+      .orderBy("walk_id", "step").collect().toSeq
+    assert(once === again)
+  }
 }
