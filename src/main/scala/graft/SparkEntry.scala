@@ -1730,6 +1730,15 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] streaming ListState sequence detection: per-user
+    // view→click→purchase funnel completion with the trailing event-type
+    // buffer in transformWithState's ListState (the ordered-buffer state
+    // primitive; ValueState = q141, MapState = q156) — time-split landing
+    // makes sequences genuinely span micro-batches; ≡ the batch lag()
+    // window scan under any event-time-respecting batching ──────────────
+    "q165_liststate_pattern" -> ((s, dir) =>
+      graft.streaming.EventStream.seqPatternMatches(s, dir)),
+
     // ── [ext] deterministic random walks: the DeepWalk/node2vec corpus
     // generator (Perozzi KDD'14) over the urgent co-purchase graph —
     // the "random" draw is a sha-60 hash argmin, so the walk corpus is a
@@ -3806,6 +3815,20 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q165: the ListState buffer replayed as lag() windows over the
+      // (ts, event_id) per-user total order — the streaming emitted set
+      // equals this batch scan because state crosses batches in time order
+      "q165_liststate_pattern" ->
+        """WITH o AS (SELECT user_id, event_id, event_type,
+          |    lag(event_type, 1) OVER
+          |      (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+          |    lag(event_type, 2) OVER
+          |      (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+          |  FROM events)
+          |SELECT user_id, event_id FROM o
+          |WHERE p2 = 'view' AND p1 = 'click' AND event_type = 'purchase'
+          |ORDER BY user_id, event_id""".stripMargin,
+
       // q164: each hop replayed as a rank-1 row under the (h, dst) order —
       // row_number ≡ the engine's min_by(dst, struct(h, dst)); the hash is
       // the repo-wide sha-60 over the identical "walk:step:dst" string

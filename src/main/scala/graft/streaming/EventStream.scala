@@ -714,6 +714,88 @@ object EventStream {
     }
   }
 
+  final case class SeqOut(user_id: Long, event_id: Long)
+
+  /** Per-user funnel-sequence detector in a `ListState[String]`
+    * (transformWithState's ordered-buffer primitive — the state shape
+    * q141's ValueState and q156's MapState don't cover): the state holds
+    * the trailing `pattern.size - 1` event types, and an event emits iff
+    * the buffer + the event spell the pattern exactly, in (ts, event_id)
+    * order. Within a batch the per-key iterator is sorted; cross-batch
+    * order comes from the time-split landing (the q141 discipline), so
+    * the emitted set equals the batch lag()-window scan for any batching
+    * that respects event time. State is ≤ pattern.size-1 strings per
+    * user, forever-bounded. */
+  private class SeqPatternProcessor(pattern: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SeqOut] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[String] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[String]("recent",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SeqOut] = {
+      val keep = pattern.size - 1
+      var buf = if (recent.exists()) recent.get().toVector else Vector.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[SeqOut]
+      rows.toArray.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .foreach { e =>
+          if (buf.size >= keep && buf.takeRight(keep) :+ e.event_type == pattern)
+            out += SeqOut(key, e.event_id)
+          buf = (buf :+ e.event_type).takeRight(keep)
+        }
+      // put() replaces the whole list — fine here because the trailing
+      // buffer is tiny and fixed-size; an unbounded-accumulation state
+      // would use appendValue/appendList instead.
+      recent.put(buf.toArray)
+      out.iterator
+    }
+  }
+
+  /** Streaming view→click→purchase funnel completion via
+    * [[SeqPatternProcessor]]: fixture lands as two time-halves so the
+    * ListState buffer genuinely spans micro-batches (a sequence whose
+    * prefix is in batch 1 and completion in batch 2 still matches). */
+  def seqPatternMatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.fixtureConf(spark)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsNorm = graft.Tables.tsCol(raw.schema("ts").dataType)
+    val Array(loUs, hiUs) = raw
+      .agg(unix_micros(min(tsNorm)), unix_micros(max(tsNorm)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val midC = timestamp_micros(lit(loUs + (hiUs - loUs) / 2))
+    val (stream, landing) = splitStream(spark, dir, "seqpat_", Seq(
+      "a_early" -> (tsNorm < midC),
+      "b_late" -> (tsNorm >= midC)))
+    val ds = stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[EventRow]
+    val out = ds.groupByKey(_.user_id)
+      .transformWithState(
+        new SeqPatternProcessor(Seq("view", "click", "purchase")),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runToResult(spark, out.toDF(), "append",
+        statePartitioned = true, Some(landing)) { t =>
+        t.select(col("user_id"), col("event_id"))
+          .orderBy("user_id", "event_id")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   def hoppingTotals(spark: SparkSession, dir: String): DataFrame = {
     val (src, landing) = eventsStream(spark, dir)
     val agg = src

@@ -336,4 +336,34 @@ class StreamSpec extends SparkSpec {
       }
     assert(crossBatch, "fixture never exercises cross-batch accumulation")
   }
+
+  test("ListState pattern matches equal the batch lag-window scan") {
+    val got = graft.streaming.EventStream.seqPatternMatches(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.load(spark, sf0001, "events")
+    val want = e.select(col("user_id"), col("event_id"), col("event_type"),
+        lag("event_type", 1).over(w).as("p1"),
+        lag("event_type", 2).over(w).as("p2"))
+      .filter(col("p2") === "view" && col("p1") === "click" &&
+        col("event_type") === "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === want.toSet)
+    assert(got.length === want.length)
+    // the time-halved landing must make the ListState buffer genuinely
+    // cross batches: some user's late-half event reads trailing types
+    // written in the early half (i.e., the user has events in BOTH
+    // halves — their first late event consumes batch-1 state). A full
+    // 3-event match straddling the exact midpoint is fixture luck at
+    // sf0.001; buffer handoff is the property the state store must honor.
+    val Array(lo, hi) = e.agg(unix_micros(min(col("ts"))),
+      unix_micros(max(col("ts")))).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    val bothHalves = e.groupBy("user_id")
+      .agg(count(when(unix_micros(col("ts")) < mid, 1)).as("early"),
+        count(when(unix_micros(col("ts")) >= mid, 1)).as("late"))
+      .filter(col("early") > 0 && col("late") > 0).count()
+    assert(bothHalves > 0, "fixture never exercises cross-batch state handoff")
+  }
 }
