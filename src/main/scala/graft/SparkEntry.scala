@@ -1730,6 +1730,40 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [north star] bigram LM quality score: the CCNet model-based
+    // quality gate with a corpus-learned bigram MLE — mean conditional
+    // probability per doc (exact int/int divisions, position-ordered
+    // fold) so the model AND the scoring replay bit-for-bit; count
+    // exchange + model join + one doc-key fold exchange ─────────────────
+    "q166_bigram_lm_score" -> ((s, dir) =>
+      graft.operators.Corpus.bigramLmScore(
+        T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── [ext] per-dimension feature standardization: the embedding
+    // whitening/scaling pass before ANN or training — moments over
+    // floor(v·1024) bigints (q148's quantization) so Σ/Σ² are exact and
+    // order-free; 64 stat rows broadcast back onto the exploded scan,
+    // z = (q − mean)/std in identical IEEE shape on both engines ────────
+    "q167_embed_standardize" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(expr(
+          "transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+            " x -> CAST(floor(x * 1024) AS BIGINT))")))
+        .select(col("vec_id"), col("pos").cast(LongType).as("d"),
+          col("col").as("q"))
+      val mean = col("sq").cast(DoubleType) / col("n").cast(DoubleType)
+      val stats = e.groupBy("d").agg(count(lit(1)).as("n"),
+          sum("q").as("sq"), sum(col("q") * col("q")).as("sqq"))
+        .select(col("d"), mean.as("mean"),
+          sqrt(col("sqq").cast(DoubleType) / col("n").cast(DoubleType) -
+            mean * mean).as("std"))
+      e.join(broadcast(stats), "d")
+        .select(col("vec_id"), col("d"),
+          ((col("q").cast(DoubleType) - col("mean")) / col("std")).as("z"))
+        .orderBy("vec_id", "d")
+    }),
+
     // ── [ext] streaming ListState sequence detection: per-user
     // view→click→purchase funnel completion with the trailing event-type
     // buffer in transformWithState's ListState (the ordered-buffer state
@@ -3815,6 +3849,49 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q166: model counts, the int/int probability divisions, and the
+      // position-ordered fold all replayed relationally; list_reduce's
+      // no-init fold (p1 as seed) ≡ the engine's 0.0+p1 seed exactly
+      "q166_bigram_lm_score" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents
+           |           WHERE len($toks) >= 2),
+           |i AS (SELECT doc_id, unnest(range(1, len(tk))) AS i, tk FROM t),
+           |b AS (SELECT doc_id, i - 1 AS pos, tk[i] AS w1, tk[i + 1] AS w2
+           |      FROM i),
+           |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2),
+           |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+           |m AS (SELECT c2.w1, c2.w2,
+           |        CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
+           |      FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+           |j AS (SELECT b.doc_id, b.pos, m.p
+           |      FROM b JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2),
+           |s AS (SELECT doc_id, count(*) AS n_bigrams,
+           |        list_reduce(list_transform(
+           |          list_sort(list(struct_pack(pos := pos, p := p))),
+           |          x -> x.p), (a, c) -> a + c) AS psum
+           |      FROM j GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams,
+           |  psum / CAST(n_bigrams AS DOUBLE) AS score
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+      // q167: identical moment shapes — bigint Σ/Σ² per dimension, then
+      // the one fixed IEEE expression (q − sq/n) / sqrt(sqq/n − mean²)
+      "q167_embed_standardize" ->
+        """WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+          |             x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
+          |           FROM embeddings),
+          |e AS (SELECT vec_id, unnest(qv) AS q, unnest(range(len(qv))) AS d
+          |      FROM q),
+          |st AS (SELECT d, count(*) AS n, sum(q) AS sq, sum(q * q) AS sqq
+          |       FROM e GROUP BY d),
+          |m AS (SELECT d, CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          |        sqrt(CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE) -
+          |          (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |          (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))) AS std
+          |      FROM st)
+          |SELECT e.vec_id, e.d AS d, (CAST(e.q AS DOUBLE) - m.mean) / m.std AS z
+          |FROM e JOIN m ON e.d = m.d ORDER BY e.vec_id, e.d""".stripMargin,
+
       // q165: the ListState buffer replayed as lag() windows over the
       // (ts, event_id) per-user total order — the streaming emitted set
       // equals this batch scan because state crosses batches in time order

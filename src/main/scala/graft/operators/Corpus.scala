@@ -210,4 +210,48 @@ object Corpus {
       .join(corpusKeys, Seq("content_key"), "left_anti")
       .drop("content_key")
   }
+
+  /** Bigram language-model plausibility score per document — the
+    * model-based quality gate of CCNet/Wenzek LREC'20 (there: a KenLM
+    * 5-gram; here: a bigram MLE learned from the corpus itself, the same
+    * count machinery at n=2). p(w₂|w₁) = c(w₁w₂)/c(w₁·) from two
+    * aggregates over the corpus bigram stream; a document's score is the
+    * MEAN conditional probability of its bigrams (the arithmetic-mean
+    * surrogate for per-token perplexity: every p is an exact int/int
+    * double division and the sum folds in position order, so the score —
+    * unlike a log-prob sum, whose `ln` is not exact-rounded — replays
+    * bit-for-bit on any ANSI engine).
+    *
+    * Shuffle shape: bigram-count exchange on (w₁,w₂), prefix-count
+    * re-aggregate on w₁ (model-sized, ≪ corpus), doc-bigrams ⋈ model on
+    * (w₁,w₂), one doc-key exchange for the ordered fold. At web scale the
+    * model table is Zipf-headed — AQE skew-splits the join, and a
+    * min-count prune (drop c₂ = 1 hapax bigrams) bounds it the way real
+    * LM quality filters do; the fixture keeps every bigram so the oracle
+    * replays the full model. */
+  def bigramLmScore(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val withTk = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = withTk
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")))
+      .select(col("doc_id"), col("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val model = c2
+      .join(c2.groupBy("w1").agg(sum("c2").as("c1")), "w1")
+      .select(col("w1"), col("w2"),
+        (col("c2").cast(DoubleType) / col("c1").cast(DoubleType)).as("p"))
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("psum") / col("n_bigrams").cast(DoubleType)).as("score"))
+  }
 }

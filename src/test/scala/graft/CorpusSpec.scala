@@ -223,4 +223,30 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     assert(a === b)
   }
+
+  test("bigramLmScore: hand-computed MLE probabilities, ordered fold") {
+    import spark.implicits._
+    // c2(a,b)=2 c2(b,a)=1 c2(a,c)=1 → c1(a)=3 c1(b)=1
+    // doc1 fold: ((0 + 2/3) + 1/1) + 1/3, /3 ; doc2: 2/3 ; doc3 dropped
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = Corpus.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val p_ab = 2.0 / 3.0; val p_ba = 1.0 / 1.0; val p_ac = 1.0 / 3.0
+    val want = Seq(
+      (1L, 3L, (0.0 + p_ab + p_ba + p_ac) / 3.0),
+      (2L, 1L, (0.0 + p_ab) / 1.0))
+    assert(got.toSeq === want)
+  }
+
+  test("bigramLmScore is partitioning-invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b"), (2L, "b c a"), (3L, "c a b c"))
+      .toDF("doc_id", "text")
+    val once = Corpus.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val again = Corpus.bigramLmScore(docs.repartition(11), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(once === again)
+  }
 }
