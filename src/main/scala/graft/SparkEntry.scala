@@ -1730,6 +1730,46 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] JSONL staged interchange: the dominant LLM-corpus wire
+    // format (one JSON object per line) as a source/sink pair — per-source
+    // partitioned write, declared-schema glob re-read (no inference on
+    // the fact path, the S4 discipline); the xor-of-sha60 content
+    // fingerprint proves the text round-trips byte-for-byte through JSON
+    // escaping, not just that counts survive ────────────────────────────
+    "q168_jsonl_stage" -> ((s, dir) => {
+      val tmp = TempWork.fresh("jsonl")
+      T(s, dir, "documents").select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").partitionBy("source").json(tmp)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType)))
+      s.read.schema(schema).json(tmp)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          expr("bit_xor(CAST(conv(substring(sha2(text, 256), 1, 15), 16, 10)" +
+            " AS BIGINT))").as("fp"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy("lang")
+    }),
+
+    // ── [ext] ORC columnar round-trip: the second columnar lake format
+    // next to parquet (K3/S6 in ORC dress) — written sorted by the filter
+    // column so ORC's stripe min/max indexes can skip, re-read with a
+    // pushed-down predicate (PushedFilters visible in the scan), same
+    // aggregate contract as the parquet-native oracle ───────────────────
+    "q169_orc_roundtrip" -> ((s, dir) => {
+      val tmp = TempWork.fresh("orc")
+      T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .sortWithinPartitions("event_type")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("event_type") === "purchase" && col("value") > 100.0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total"))
+        .orderBy("user_id")
+    }),
+
     // ── [north star] bigram LM quality score: the CCNet model-based
     // quality gate with a corpus-learned bigram MLE — mean conditional
     // probability per doc (exact int/int divisions, position-ordered
@@ -3849,6 +3889,20 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q168: the oracle never sees the staged JSONL — it doesn't need
+      // to: a lossless round-trip means the parquet-native aggregate is
+      // the same relation; bit_xor is the order-free exact fingerprint
+      "q168_jsonl_stage" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  bit_xor(('0x' || substr(sha256(text), 1, 15))::BIGINT) AS fp,
+          |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q169_orc_roundtrip" ->
+        s"""SELECT user_id, count(*) AS n, $moneyV AS total
+           |FROM events WHERE event_type = 'purchase' AND value > 100.0
+           |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
       // q166: model counts, the int/int probability divisions, and the
       // position-ordered fold all replayed relationally; list_reduce's
       // no-init fold (p1 as seed) ≡ the engine's 0.0+p1 seed exactly

@@ -58,6 +58,13 @@ class PlanShapeSpec extends SparkSpec {
       s"shipdate filter must push into the scan:\n$plan")
   }
 
+  test("q169 ORC re-read pushes type and value predicates into the scan") {
+    val plan = planOf("q169_orc_roundtrip")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), " +
+      "EqualTo(event_type,purchase), GreaterThan(value,100.0)"),
+      s"both predicates must reach the ORC scan:\n$plan")
+  }
+
   test("q68 per-group cap: a single shuffle feeds the ranking window") {
     val plan = planOf("q68_per_group_cap")
     assert(countOf(plan, "Exchange hashpartitioning") === 1,
