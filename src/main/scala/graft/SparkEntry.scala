@@ -1730,6 +1730,93 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [north star] length-bucketed batch assembly: the dynamic-padding
+    // efficiency step of training-batch production — docs land in
+    // power-of-two padding buckets, a content-stable sha-60 order packs
+    // each bucket into fixed-size batches, and the per-batch padding
+    // waste (Σ bucket − n_tokens) is the metric the bucketing exists to
+    // minimize. Per-bucket positions come from ONE two-phase global rank
+    // ordered by (bucket, hash) re-based by a broadcast of ≤ 7 bucket
+    // minima — no per-bucket single-reducer window at any corpus size ───
+    "q170_length_batching" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        size(graft.functions.TextOps.tokens(col("text"))).cast(LongType).as("n"))
+      val bucket = when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+        .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+        .when(col("n") <= 256, 256L).when(col("n") <= 512, 512L)
+        .otherwise(1024L)
+      val h = conv(substring(sha2(
+        concat(lit("batch:"), col("doc_id").cast(StringType)), 256),
+        1, 15), 16, 10).cast(LongType)
+      val withB = d.withColumn("bucket", bucket).withColumn("h", h)
+      val ranked = graft.operators.Ranking.withGlobalRank(
+        withB, "rk", "n_total", col("bucket"), col("h"), col("doc_id"))
+      val starts = ranked.groupBy("bucket").agg(min(col("rk")).as("start"))
+      ranked.join(broadcast(starts), "bucket")
+        .withColumn("batch_id", expr("(rk - start) div 8"))
+        .groupBy("bucket", "batch_id")
+        .agg(count(lit(1)).as("n_seqs"), sum("n").as("sum_tokens"),
+          sum(col("bucket") - col("n")).as("padding_waste"),
+          expr("bit_xor(doc_id)").as("fp"))
+        .orderBy("bucket", "batch_id")
+    }),
+
+    // ── [north star] weak-supervision agreement audit: three labeling
+    // functions (Snorkel-style programmatic labeling) evaluated in ONE
+    // scan, pairwise observed agreement + Cohen's κ from the count
+    // moments in fixed IEEE shape — the diagnostic that tells you which
+    // labelers disagree before you train on their votes ─────────────────
+    "q171_weak_labels" -> ((s, dir) => {
+      val tk = graft.functions.TextOps.tokens(col("text"))
+      val stopC = size(filter(tk, t =>
+        graft.functions.TextOps.StopWords.map(lit(_) === t).reduce(_ || _)))
+      val d = T(s, dir, "documents").select(
+        (size(filter(tk, t => t === lit("the"))) > 0).cast("int").as("v1"),
+        (size(tk) > 50).cast("int").as("v2"),
+        ((stopC * 5) > size(tk)).cast("int").as("v3"))
+      val a = d.agg(count(lit(1)).as("n"),
+        sum("v1").as("s1"), sum("v2").as("s2"), sum("v3").as("s3"),
+        sum((col("v1") === col("v2")).cast("long")).as("a12"),
+        sum((col("v1") === col("v3")).cast("long")).as("a13"),
+        sum((col("v2") === col("v3")).cast("long")).as("a23"))
+      def po(axy: String) = col(axy).cast(DoubleType) / col("n").cast(DoubleType)
+      def rate(sx: String) = col(sx).cast(DoubleType) / col("n").cast(DoubleType)
+      def kap(axy: String, sx: String, sy: String) = {
+        val pe = rate(sx) * rate(sy) +
+          (lit(1.0) - rate(sx)) * (lit(1.0) - rate(sy))
+        (po(axy) - pe) / (lit(1.0) - pe)
+      }
+      a.select(col("n"), po("a12").as("po12"), kap("a12", "s1", "s2").as("k12"),
+          po("a13").as("po13"), kap("a13", "s1", "s3").as("k13"),
+          po("a23").as("po23"), kap("a23", "s2", "s3").as("k23"))
+        .selectExpr("stack(3, 'lf1~lf2', n, po12, k12," +
+          " 'lf1~lf3', n, po13, k13, 'lf2~lf3', n, po23, k23)" +
+          " AS (pair, n, p_o, kappa)")
+        .orderBy("pair")
+    }),
+
+    // ── [ext] SFT chat-format assembly: documents → alternating
+    // user/assistant turns as an array<struct<role, content>> built
+    // row-locally (the chat-template step of instruction-tuning data),
+    // then flattened back and audited per (lang, role) with an
+    // order-free xor content fingerprint — nested construction, explode,
+    // and byte-exact flattening in one pipeline ─────────────────────────
+    "q172_chat_assembly" -> ((s, dir) => {
+      val turns = T(s, dir, "documents").select(col("lang"), posexplode(expr(
+        "filter(transform(sequence(0, 2), i -> struct(" +
+          "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role," +
+          " substring(text, 1 + i * 160, 160) AS content))," +
+          " t -> length(t.content) > 0)")))
+      turns.select(col("lang"), col("col.role").as("role"),
+          col("col.content").as("content"))
+        .groupBy("lang", "role")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(length(col("content"))).as("total_chars"),
+          expr("bit_xor(CAST(conv(substring(sha2(content, 256), 1, 15)," +
+            " 16, 10) AS BIGINT))").as("fp"))
+        .orderBy("lang", "role")
+    }),
+
     // ── [ext] JSONL staged interchange: the dominant LLM-corpus wire
     // format (one JSON object per line) as a source/sink pair — per-source
     // partitioned write, declared-schema glob re-read (no inference on
@@ -3889,6 +3976,74 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q170: per-bucket 0-based rank under (h, doc_id) ≡ the engine's
+      // global (bucket, h, doc_id) rank re-based by the bucket minimum
+      "q170_length_batching" ->
+        s"""WITH d AS (SELECT doc_id, len($toks) AS n FROM documents),
+           |b AS (SELECT doc_id, n,
+           |        CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+           |          WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+           |          WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+           |          ELSE 1024 END AS BIGINT) AS bucket,
+           |        ('0x' || substr(sha256('batch:' || CAST(doc_id AS VARCHAR)),
+           |          1, 15))::BIGINT AS h
+           |      FROM d),
+           |r AS (SELECT doc_id, n, bucket,
+           |        row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+           |          - 1 AS lr
+           |      FROM b)
+           |SELECT bucket, lr // 8 AS batch_id, count(*) AS n_seqs,
+           |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+           |  CAST(sum(bucket - n) AS BIGINT) AS padding_waste,
+           |  bit_xor(doc_id) AS fp
+           |FROM r GROUP BY bucket, lr // 8
+           |ORDER BY bucket, batch_id""".stripMargin,
+
+      // q171: κ replayed in the identical fixed shape — every operand an
+      // exact bigint/bigint double division, products and subtractions
+      // in the same order as the engine's Column expression tree
+      "q171_weak_labels" -> {
+        def r(s: String) = s"(CAST($s AS DOUBLE) / CAST(n AS DOUBLE))"
+        def kap(a: String, sx: String, sy: String) =
+          s"(${r(a)} - (${r(sx)} * ${r(sy)} + (1.0 - ${r(sx)}) * (1.0 - ${r(sy)})))" +
+            s" / (1.0 - (${r(sx)} * ${r(sy)} + (1.0 - ${r(sx)}) * (1.0 - ${r(sy)})))"
+        s"""WITH v AS (SELECT
+           |    CASE WHEN len(list_filter($toks, x -> x = 'the')) > 0
+           |      THEN 1 ELSE 0 END AS v1,
+           |    CASE WHEN len($toks) > 50 THEN 1 ELSE 0 END AS v2,
+           |    CASE WHEN len($stop) * 5 > len($toks) THEN 1 ELSE 0 END AS v3
+           |  FROM documents),
+           |a AS (SELECT count(*) AS n,
+           |        sum(v1) AS s1, sum(v2) AS s2, sum(v3) AS s3,
+           |        sum(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS a12,
+           |        sum(CASE WHEN v1 = v3 THEN 1 ELSE 0 END) AS a13,
+           |        sum(CASE WHEN v2 = v3 THEN 1 ELSE 0 END) AS a23
+           |      FROM v)
+           |SELECT * FROM (
+           |  SELECT 'lf1~lf2' AS pair, n, ${r("a12")} AS p_o,
+           |    ${kap("a12", "s1", "s2")} AS kappa FROM a
+           |  UNION ALL SELECT 'lf1~lf3', n, ${r("a13")},
+           |    ${kap("a13", "s1", "s3")} FROM a
+           |  UNION ALL SELECT 'lf2~lf3', n, ${r("a23")},
+           |    ${kap("a23", "s2", "s3")} FROM a)
+           |ORDER BY pair""".stripMargin
+      },
+
+      // q172: the turn assembly replayed as the identical substring
+      // windows + role parity; xor fingerprints are order-free so the
+      // flatten needs no ordering anywhere
+      "q172_chat_assembly" ->
+        """WITH t AS (SELECT lang, unnest(list_filter(list_transform(
+          |    range(0, 3), i -> struct_pack(
+          |      role := CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+          |      content := substr(text, CAST(1 + i * 160 AS INTEGER), 160))),
+          |    s -> length(s.content) > 0)) AS turn
+          |  FROM documents)
+          |SELECT lang, turn.role AS role, count(*) AS n_turns,
+          |  CAST(sum(length(turn.content)) AS BIGINT) AS total_chars,
+          |  bit_xor(('0x' || substr(sha256(turn.content), 1, 15))::BIGINT) AS fp
+          |FROM t GROUP BY lang, turn.role ORDER BY lang, role""".stripMargin,
+
       // q168: the oracle never sees the staged JSONL — it doesn't need
       // to: a lossless round-trip means the parquet-native aggregate is
       // the same relation; bit_xor is the order-free exact fingerprint
