@@ -1730,6 +1730,54 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] recursive CTE (Spark 4's WITH RECURSIVE executor): per-
+    // order lineitem chains walked linenumber → linenumber+1 — LINEAR
+    // recursion (each row ≤ 1 successor, depth ≤ max lines/order), so no
+    // path explosion; path string and DECIMAL-exact running quantity
+    // accumulate along the chain; the declarative twin of the q136-style
+    // iterative driver loop, executed by UnionLoop instead ──────────────
+    "q173_recursive_chain" -> ((s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("li_rec")
+      // the fixture's l_linenumber is neither unique nor contiguous per
+      // order — the chain key is a row_number under a total order (ties
+      // only between fully identical rows, which are interchangeable)
+      s.sql(
+        """WITH RECURSIVE b AS (
+          |  SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey
+          |      ORDER BY l_linenumber, l_partkey, l_quantity) AS rn,
+          |    l_partkey, l_quantity FROM li_rec),
+          |chain AS (
+          |  SELECT l_orderkey, rn AS depth,
+          |         CAST(l_partkey AS STRING) AS path,
+          |         CAST(l_quantity AS DECIMAL(18,2)) AS qty
+          |  FROM b WHERE rn = 1
+          |  UNION ALL
+          |  SELECT b.l_orderkey, b.rn,
+          |         concat(c.path, '>', CAST(b.l_partkey AS STRING)),
+          |         CAST(c.qty + CAST(b.l_quantity AS DECIMAL(18,2))
+          |           AS DECIMAL(18,2))
+          |  FROM chain c JOIN b ON b.l_orderkey = c.l_orderkey
+          |   AND b.rn = c.depth + 1)
+          |SELECT l_orderkey, CAST(depth AS BIGINT) AS depth, path,
+          |  CAST(qty AS DOUBLE) AS qty
+          |FROM chain ORDER BY l_orderkey, depth""".stripMargin)
+    }),
+
+    // ── [ext] LATERAL correlated subquery: per-customer top-2 orders by
+    // totalprice as a declarative LATERAL ... ORDER BY ... LIMIT — the
+    // SQL surface for correlated top-k; Catalyst decorrelates it into
+    // the same windowed-rank join the DataFrame form plans ──────────────
+    "q174_lateral_topk" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("ord_lat")
+      s.sql(
+        """SELECT c.o_custkey AS o_custkey, t.o_orderkey, t.o_totalprice
+          |FROM (SELECT DISTINCT o_custkey FROM ord_lat) c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM ord_lat
+          |         WHERE ord_lat.o_custkey = c.o_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
     // ── [north star] length-bucketed batch assembly: the dynamic-padding
     // efficiency step of training-batch production — docs land in
     // power-of-two padding buckets, a content-stable sha-60 order packs
@@ -3976,6 +4024,36 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q173: the identical linear recursion — DECIMAL additions along a
+      // fixed chain order are engine-independent
+      "q173_recursive_chain" ->
+        """WITH RECURSIVE b AS (
+          |  SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey
+          |      ORDER BY l_linenumber, l_partkey, l_quantity) AS rn,
+          |    l_partkey, l_quantity FROM lineitem),
+          |chain AS (
+          |  SELECT l_orderkey, rn AS depth,
+          |         CAST(l_partkey AS VARCHAR) AS path,
+          |         CAST(l_quantity AS DECIMAL(18,2)) AS qty
+          |  FROM b WHERE rn = 1
+          |  UNION ALL
+          |  SELECT b.l_orderkey, b.rn,
+          |         c.path || '>' || CAST(b.l_partkey AS VARCHAR),
+          |         CAST(c.qty + CAST(b.l_quantity AS DECIMAL(18,2))
+          |           AS DECIMAL(18,2))
+          |  FROM chain c JOIN b ON b.l_orderkey = c.l_orderkey
+          |   AND b.rn = c.depth + 1)
+          |SELECT l_orderkey, depth, path, CAST(qty AS DOUBLE) AS qty
+          |FROM chain ORDER BY l_orderkey, depth""".stripMargin,
+
+      "q174_lateral_topk" ->
+        """SELECT c.o_custkey AS o_custkey, t.o_orderkey, t.o_totalprice
+          |FROM (SELECT DISTINCT o_custkey FROM orders) c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |         WHERE orders.o_custkey = c.o_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
       // q170: per-bucket 0-based rank under (h, doc_id) ≡ the engine's
       // global (bucket, h, doc_id) rank re-based by the bucket minimum
       "q170_length_batching" ->
