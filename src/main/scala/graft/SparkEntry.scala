@@ -1730,6 +1730,41 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] VARIANT semi-structured extraction (Spark 4's open JSON
+    // type): props parses ONCE into a binary variant, typed paths come
+    // out with variant_get — the schema-on-read path for heterogeneous
+    // event payloads (from_json q51 is the declared-schema twin) ────────
+    "q175_variant_extract" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // ── [ext] binned range join: same-day purchase pairs within ±0.5 in
+    // value — NO equi key beyond the day, so the naive plan is a per-day
+    // nested loop; binning by floor(value·2) and replicating one side to
+    // its ±1 neighbor bins turns the inequality into an equi join on
+    // (day, bin) that shuffles and AQE-balances like any other
+    // (bin width = predicate radius ⟹ qualifying pairs differ by ≤ 1
+    // bin, so the 3-way replicate loses nothing; exact |Δ| ≤ 0.5 verify
+    // on the survivors) ─────────────────────────────────────────────────
+    "q176_range_bin_join" -> ((s, dir) => {
+      val p = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), to_date(col("ts")).as("day"), col("value"),
+          floor(col("value") * lit(2.0)).as("bin"))
+      val probe = p.select(col("event_id").as("id_a"), col("day"),
+          col("value").as("va"),
+          explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
+      probe.join(p.select(col("event_id").as("id_b"), col("day"),
+          col("value").as("vb"), col("bin")), Seq("day", "bin"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("va") - col("vb")) <= lit(0.5))
+        .select(col("id_a"), col("id_b"), col("day"), col("va"), col("vb"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ── [ext] recursive CTE (Spark 4's WITH RECURSIVE executor): per-
     // order lineitem chains walked linenumber → linenumber+1 — LINEAR
     // recursion (each row ≤ 1 successor, depth ≤ max lines/order), so no
@@ -4024,6 +4059,28 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q175: the variant path replayed as a JSON extract; both sides
+      // produce the same BIGINT per row so the aggregates agree exactly
+      "q175_variant_extract" ->
+        """WITH x AS (SELECT event_type,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events)
+          |SELECT event_type, count(*) AS n,
+          |  CAST(sum(k) AS BIGINT) AS sum_k,
+          |  min(k) AS min_k, max(k) AS max_k
+          |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // q176: the oracle runs the plain inequality join — the binned
+      // equi-join + exact verify must reproduce it pair-for-pair
+      "q176_range_bin_join" ->
+        """WITH p AS (SELECT event_id, CAST(ts AS DATE) AS day, value
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT a.event_id AS id_a, b.event_id AS id_b, a.day AS day,
+          |  a.value AS va, b.value AS vb
+          |FROM p a JOIN p b ON a.day = b.day AND a.event_id < b.event_id
+          |  AND abs(a.value - b.value) <= 0.5
+          |ORDER BY id_a, id_b""".stripMargin,
+
       // q173: the identical linear recursion — DECIMAL additions along a
       // fixed chain order are engine-independent
       "q173_recursive_chain" ->

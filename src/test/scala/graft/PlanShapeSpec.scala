@@ -58,6 +58,15 @@ class PlanShapeSpec extends SparkSpec {
       s"shipdate filter must push into the scan:\n$plan")
   }
 
+  test("q176 binned range join plans as an equi join, never a nested loop") {
+    val plan = planOf("q176_range_bin_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the bin trick must make the range predicate equi-joinable:\n$plan")
+    assert(plan.contains("Join") || plan.contains("HashJoin") ||
+      plan.contains("SortMergeJoin"), s"expected a join in:\n$plan")
+  }
+
   test("q169 ORC re-read pushes type and value predicates into the scan") {
     val plan = planOf("q169_orc_roundtrip")
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), " +
