@@ -1730,6 +1730,60 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] bitmap-exact distinct rollup: per-(type, day, bucket)
+    // user bitmaps (bitmap_construct_agg over 32768-bit buckets), OR-
+    // merged per type and counted — EXACT distinct users from partials
+    // that re-aggregate without ever revisiting raw rows (the exact twin
+    // of q143's KMV lattice rollup; the daily bitmap table is what a
+    // pipeline persists, |users|/8 bytes per group bounded) ─────────────
+    "q177_bitmap_distinct" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("bitp"))
+        .groupBy("event_type", "day", "bkt")
+        .agg(expr("bitmap_construct_agg(bitp)").as("bm"))
+      val perDay = daily.groupBy("event_type", "day")
+        .agg(sum(expr("bitmap_count(bm)")).as("du"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("du").as("sum_daily_distinct"))
+      val total = daily.groupBy("event_type", "bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("distinct_users"))
+      perDay.join(total, "event_type")
+        .select(col("event_type"), col("n_days"), col("sum_daily_distinct"),
+          col("distinct_users"))
+        .orderBy("event_type")
+    }),
+
+    // ── [ext] seasonal baseline decomposition: daily revenue per type
+    // split into trend (per-type mean) + day-of-week seasonal offset +
+    // residual — the seasonality-adjusted anomaly baseline; every mean
+    // is a DECIMAL-exact sum over one double division, the decomposition
+    // a fixed IEEE expression, so it replays bit-for-bit; two broadcast-
+    // sized stat tables join back onto the daily aggregate ──────────────
+    "q178_seasonal_decompose" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(Exact.Money)).as("tvd"))
+        .withColumn("dow", weekday(col("day")))
+      val trend = daily.groupBy("event_type")
+        .agg((sum("tvd").cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("m"))
+      val seasonal = daily.groupBy("event_type", "dow")
+        .agg((sum("tvd").cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("m_dow"))
+      daily.join(broadcast(trend), "event_type")
+        .join(broadcast(seasonal), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"),
+          col("tvd").cast(DoubleType).as("tv"), col("m").as("trend"),
+          (col("m_dow") - col("m")).as("seasonal"),
+          (col("tvd").cast(DoubleType) - col("m") -
+            (col("m_dow") - col("m"))).as("residual"))
+        .orderBy("event_type", "day")
+    }),
+
     // ── [ext] VARIANT semi-structured extraction (Spark 4's open JSON
     // type): props parses ONCE into a binary variant, typed paths come
     // out with variant_get — the schema-on-read path for heterogeneous
@@ -4059,6 +4113,44 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q177: bitmap partials are engine-internal — exact distinct counts
+      // are what the oracle checks, straight from count(DISTINCT)
+      "q177_bitmap_distinct" ->
+        """WITH pd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |        count(DISTINCT user_id) AS du
+          |      FROM events GROUP BY 1, 2),
+          |a AS (SELECT event_type, count(*) AS n_days,
+          |        CAST(sum(du) AS BIGINT) AS sum_daily_distinct
+          |      FROM pd GROUP BY 1),
+          |t AS (SELECT event_type, count(DISTINCT user_id) AS distinct_users
+          |      FROM events GROUP BY 1)
+          |SELECT a.event_type AS event_type, n_days, sum_daily_distinct,
+          |  distinct_users
+          |FROM a JOIN t ON a.event_type = t.event_type
+          |ORDER BY event_type""".stripMargin,
+
+      // q178: identical DECIMAL sums, one double division per mean, the
+      // same fixed-shape decomposition arithmetic (isodow−1 ≡ weekday)
+      "q178_seasonal_decompose" ->
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    sum(CAST(value AS DECIMAL(18,2))) AS tvd,
+          |    isodow(CAST(ts AS DATE)) - 1 AS dow
+          |  FROM events GROUP BY 1, 2, 4),
+          |tr AS (SELECT event_type,
+          |    CAST(sum(tvd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+          |  FROM daily GROUP BY 1),
+          |se AS (SELECT event_type, dow,
+          |    CAST(sum(tvd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_dow
+          |  FROM daily GROUP BY 1, 2)
+          |SELECT daily.event_type AS event_type, day,
+          |  CAST(tvd AS DOUBLE) AS tv, m AS trend,
+          |  m_dow - m AS seasonal,
+          |  CAST(tvd AS DOUBLE) - m - (m_dow - m) AS residual
+          |FROM daily
+          |JOIN tr ON daily.event_type = tr.event_type
+          |JOIN se ON daily.event_type = se.event_type AND daily.dow = se.dow
+          |ORDER BY event_type, day""".stripMargin,
+
       // q175: the variant path replayed as a JSON extract; both sides
       // produce the same BIGINT per row so the aggregates agree exactly
       "q175_variant_extract" ->
