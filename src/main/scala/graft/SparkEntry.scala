@@ -1730,6 +1730,78 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [north star] k-anonymity audit: group sizes over the quasi-
+    // identifier tuple (lang, source, length bucket) — the re-
+    // identification risk gate a training-data release runs after PII
+    // redaction (q98): groups smaller than k are risk rows; ONE groupBy
+    // + one tiny rollup, integer-exact shares ───────────────────────────
+    "q179_k_anonymity" -> ((s, dir) => {
+      val k = 5L
+      val g = T(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bkt"))
+        .agg(count(lit(1)).as("grp_n"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(when(col("grp_n") < k, 1L).otherwise(0L)).as("risk_groups"),
+          sum(when(col("grp_n") < k, col("grp_n")).otherwise(0L))
+            .as("risk_rows"),
+          min("grp_n").as("min_group"), sum("grp_n").as("n_rows"))
+        .select(col("n_groups"), col("risk_groups"), col("risk_rows"),
+          col("min_group"), col("n_rows"))
+    }),
+
+    // ── [ext] out-of-order rate: event-time quality diagnostics for
+    // watermark tuning — inversions against the per-user running max ts
+    // under arrival order (event_id), max lateness in micros; one user
+    // exchange, integer-exact everywhere ────────────────────────────────
+    "q180_out_of_order" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      T(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prior_max", max("tus").over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("tus") < col("prior_max"), 1L).otherwise(0L))
+            .as("n_late"),
+          max(when(col("tus") < col("prior_max"),
+            col("prior_max") - col("tus"))).as("max_lateness_us"))
+        .orderBy("event_type")
+    }),
+
+    // ── [ext] multi-touch attribution, integer-exact: each purchase
+    // spreads its cents over the same user's clicks in the prior 24h by
+    // floor division (credit = cents div n, remainder stays unattributed
+    // — no float credit summation anywhere); equi-key (user) bounded-
+    // range join + two aggregates, the q62 interval-join shape ──────────
+    "q181_multi_touch" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_tus"),
+          (col("value").cast(Exact.Money) * 100).cast(LongType).as("cents"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("c_tus"))
+      val touched = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_tus") < col("p_tus") &&
+          col("c_tus") >= col("p_tus") - lit(86400000000L))
+      val credits = touched.groupBy("p_id", "cents")
+        .agg(count(lit(1)).as("n_touch"))
+        .select(col("p_id"), col("n_touch"),
+          expr("cents div n_touch").as("credit_per_click"),
+          (col("cents") - expr("(cents div n_touch) * n_touch"))
+            .as("residual_cents"))
+      credits.agg(count(lit(1)).as("n_attributed"),
+          sum(col("credit_per_click") * col("n_touch")).as("attributed_cents"),
+          sum("residual_cents").as("residual_cents"),
+          sum("n_touch").as("n_touches"))
+        .select(col("n_attributed"), col("attributed_cents"),
+          col("residual_cents"), col("n_touches"))
+    }),
+
     // ── [ext] bitmap-exact distinct rollup: per-(type, day, bucket)
     // user bitmaps (bitmap_construct_agg over 32768-bit buckets), OR-
     // merged per type and counted — EXACT distinct users from partials
@@ -4113,6 +4185,51 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      "q179_k_anonymity" ->
+        """WITH g AS (SELECT lang, source, n_chars // 100 AS len_bkt,
+          |    count(*) AS grp_n
+          |  FROM documents GROUP BY 1, 2, 3)
+          |SELECT count(*) AS n_groups,
+          |  CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS risk_groups,
+          |  CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+          |    AS risk_rows,
+          |  min(grp_n) AS min_group,
+          |  CAST(sum(grp_n) AS BIGINT) AS n_rows
+          |FROM g""".stripMargin,
+
+      "q180_out_of_order" ->
+        """WITH x AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS tus,
+          |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+          |  FROM events)
+          |SELECT event_type, count(*) AS n,
+          |  CAST(sum(CASE WHEN tus < prior_max THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_late,
+          |  max(CASE WHEN tus < prior_max THEN prior_max - tus END)
+          |    AS max_lateness_us
+          |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // q181: floor-division credits are pure bigint arithmetic — no
+      // float credit ever summed, so attribution replays exactly
+      "q181_multi_touch" ->
+        """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_tus,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_tus
+          |  FROM events WHERE event_type = 'click'),
+          |t AS (SELECT p_id, cents, count(*) AS n_touch
+          |  FROM p JOIN c ON p.user_id = c.user_id
+          |   AND c.c_tus < p.p_tus AND c.c_tus >= p.p_tus - 86400000000
+          |  GROUP BY 1, 2),
+          |cr AS (SELECT p_id, n_touch, cents // n_touch AS cpc,
+          |         cents - (cents // n_touch) * n_touch AS resid FROM t)
+          |SELECT count(*) AS n_attributed,
+          |  CAST(sum(cpc * n_touch) AS BIGINT) AS attributed_cents,
+          |  CAST(sum(resid) AS BIGINT) AS residual_cents,
+          |  CAST(sum(n_touch) AS BIGINT) AS n_touches
+          |FROM cr""".stripMargin,
+
       // q177: bitmap partials are engine-internal — exact distinct counts
       // are what the oracle checks, straight from count(DISTINCT)
       "q177_bitmap_distinct" ->
