@@ -1730,6 +1730,68 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] forget-cascade (right-to-be-forgotten): one user cohort
+    // deleted across the referential chain customer → orders → lineitem
+    // by anti/semi joins, with a per-table before/deleted/after audit —
+    // the K6 full-delete generalized to FK cascades; each table is ONE
+    // anti join on its own key, the work-list broadcasts ────────────────
+    "q182_forget_cascade" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val ords = T(s, dir, "orders")
+      val li = T(s, dir, "lineitem")
+      val forget = cust.filter(pmod(col("c_custkey"), lit(50)) === 0)
+        .select(col("c_custkey"))
+      val ordsDel = ords.join(broadcast(forget),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      def audit(tbl: String, before: DataFrame, deleted: DataFrame) =
+        before.agg(count(lit(1)).as("n_before")).crossJoin(
+          deleted.agg(count(lit(1)).as("n_deleted")))
+          .select(lit(tbl).as("tbl"), col("n_before"), col("n_deleted"),
+            (col("n_before") - col("n_deleted")).as("n_after"))
+      audit("customer", cust,
+          cust.join(broadcast(forget), Seq("c_custkey"), "left_semi"))
+        .unionByName(audit("orders", ords, ordsDel))
+        .unionByName(audit("lineitem", li,
+          li.join(ordsDel.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")))
+        .orderBy("tbl")
+    }),
+
+    // ── [north star] containment detection: Broder's asymmetric
+    // |A∩B|/|A| ≥ 4/5 — the quote/subset near-dup that resemblance-
+    // Jaccard (and hence minhash banding) structurally misses when sizes
+    // differ; recall-exact rarest-shingle prefix blocking (q157's
+    // principle adapted: contained side's prefix vs every doc's FULL
+    // list), integer-rational gates, both directions verified ───────────
+    "q183_containment" -> ((s, dir) =>
+      TextDedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    // ── [ext] Pareto frontier (skyline): per type, the events not
+    // dominated on (value, recency) — computed as a running-max window
+    // under (value desc, ts desc, id) with a LOCAL per-salt frontier
+    // pass first: dominance is transitive, so local survivors ⊇ the
+    // global frontier and the exact global pass touches only them (the
+    // scalable skyline shape; a plain global window would funnel each
+    // type into one reducer) ────────────────────────────────────────────
+    "q184_pareto_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = T(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("tus"))
+      def frontier(df: DataFrame, parts: Column*): DataFrame = {
+        val w = Window.partitionBy(parts: _*)
+          .orderBy(col("value").desc, col("tus").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("pm", max("tus").over(w))
+          .filter(col("pm").isNull || col("pm") < col("tus")).drop("pm")
+      }
+      val local = frontier(e, col("event_type"),
+        pmod(col("event_id"), lit(16)))
+      frontier(local, col("event_type"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // ── [north star] k-anonymity audit: group sizes over the quasi-
     // identifier tuple (lang, source, length bucket) — the re-
     // identification risk gate a training-data release runs after PII
@@ -4185,6 +4247,73 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      "q182_forget_cascade" ->
+        """WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
+          |od AS (SELECT o_orderkey FROM orders
+          |       WHERE o_custkey IN (SELECT c_custkey FROM f)),
+          |u AS (
+          |  SELECT 'customer' AS tbl,
+          |    (SELECT count(*) FROM customer) AS n_before,
+          |    (SELECT count(*) FROM f) AS n_deleted
+          |  UNION ALL SELECT 'orders',
+          |    (SELECT count(*) FROM orders), (SELECT count(*) FROM od)
+          |  UNION ALL SELECT 'lineitem',
+          |    (SELECT count(*) FROM lineitem),
+          |    (SELECT count(*) FROM lineitem
+          |     WHERE l_orderkey IN (SELECT o_orderkey FROM od)))
+          |SELECT tbl, n_before, n_deleted, n_before - n_deleted AS n_after
+          |FROM u ORDER BY tbl""".stripMargin,
+
+      // q183: the prefix blocking, integer gates, and both containment
+      // directions replayed relationally — df-rank order (df, h) and the
+      // (p·n + q−1) // q prefix length match the engine exactly
+      "q183_containment" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS tk FROM documents),
+           |sh0 AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, greatest(len(tk) - 2, 1) + 1),
+           |    i -> ('0x' || substr(sha256(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT)) AS sh
+           |  FROM toks),
+           |tok AS (SELECT doc_id AS id, unnest(sh) AS h FROM sh0),
+           |df AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+           |rk AS (SELECT h, row_number() OVER (ORDER BY df, h) AS r FROM df),
+           |fl AS (SELECT tok.id, rk.r FROM tok JOIN rk USING (h)),
+           |st AS (SELECT id, list_sort(list(r)) AS rs FROM fl GROUP BY id),
+           |sz AS (SELECT id, rs, len(rs) AS n,
+           |         len(rs) - ((4 * len(rs) + 4) // 5) + 1 AS plen FROM st),
+           |pre AS (SELECT id AS id_a, unnest(list_slice(rs, 1, plen)) AS p
+           |        FROM sz),
+           |cand AS (SELECT DISTINCT least(a.id_a, b.id) AS id_a,
+           |           greatest(a.id_a, b.id) AS id_b
+           |         FROM pre a JOIN fl b ON a.p = b.r AND a.id_a <> b.id),
+           |v AS (SELECT cand.id_a, cand.id_b,
+           |        CAST(len(list_intersect(x.rs, y.rs)) AS BIGINT) AS inter,
+           |        x.n AS n_a, y.n AS n_b
+           |      FROM cand JOIN sz x ON x.id = cand.id_a
+           |                JOIN sz y ON y.id = cand.id_b)
+           |SELECT id_a, id_b,
+           |  CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS c_ab,
+           |  CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS c_ba,
+           |  CASE WHEN CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) >=
+           |            CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)
+           |       THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+           |FROM v WHERE 5 * inter >= 4 * least(n_a, n_b)
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // q184: the oracle computes the DIRECT single-window skyline — the
+      // engine's local-then-global pass must reproduce it row-for-row
+      "q184_pareto_frontier" ->
+        """WITH e AS (SELECT event_type, event_id, value, epoch_us(ts) AS tus
+          |  FROM events),
+          |f AS (SELECT *, max(tus) OVER (PARTITION BY event_type
+          |        ORDER BY value DESC, tus DESC, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |      FROM e)
+          |SELECT event_type, event_id, value, tus FROM f
+          |WHERE pm IS NULL OR pm < tus
+          |ORDER BY event_type, event_id""".stripMargin,
+
       "q179_k_anonymity" ->
         """WITH g AS (SELECT lang, source, n_chars // 100 AS len_bkt,
           |    count(*) AS grp_n

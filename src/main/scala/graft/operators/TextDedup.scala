@@ -210,6 +210,73 @@ object TextDedup {
     out
   }
 
+  /** Asymmetric near-dup CONTAINMENT (Broder 1997's second resemblance
+    * measure): c(A→B) = |A∩B|/|A| — the quote/subset detector that
+    * resemblance-Jaccard misses when sizes differ (a doc fully quoted
+    * inside a much larger one has high containment but low Jaccard, so
+    * minhash banding — which estimates resemblance — structurally cannot
+    * block for it; TextSpec proves the miss).
+    *
+    * Blocking is the prefix-filter principle adapted to containment:
+    * if ≥ p/q of X's shingles are shared, at most n − ⌈p·n/q⌉ are NOT,
+    * so among X's n − ⌈p·n/q⌉ + 1 globally-RAREST shingles (df-ascending
+    * rank, q157's ordering) at least one is shared — X's prefix joined
+    * against every doc's FULL shingle list (the container side has no
+    * size constraint) finds every qualifying pair in either direction.
+    * The threshold is a RATIONAL p/q and every gate is integer
+    * arithmetic (⌈p·n/q⌉ = (p·n + q − 1) div q; keep iff q·|∩| ≥
+    * p·min(n_a, n_b)) — no IEEE ceil-overshoot can shave the prefix at
+    * exact-boundary sizes. Verify: native sorted-merge intersect over
+    * rank arrays fetched only for surviving pairs; both directions
+    * reported, contained side flagged. Candidates ∝ shared-content mass
+    * (rare-shingle blocks), the q157 scale story. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       thrNum: Int = 4, thrDen: Int = 5,
+                       shingleLen: Int = 3): DataFrame = {
+    val tok = shingleSetsSha(widen(docs), idCol, textCol, shingleLen)
+      .select(col(idCol).as("id"), explode(col("sh")).as("h"))
+    val ranked = Ranking.withGlobalRank(
+        tok.groupBy("h").agg(count(lit(1)).as("df")),
+        "r", "__n_sh", col("df").asc, col("h").asc)
+      .select(col("h"), col("r"))
+    val full = tok.join(ranked, Seq("h")).select(col("id"), col("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = full.groupBy("id")
+      .agg(array_sort(collect_list(col("r"))).as("rs"))
+      .withColumn("n", size(col("rs")).cast(LongType))
+      .withColumn("plen", expr(
+        s"CAST(n - (($thrNum * n + ${thrDen - 1}) div $thrDen) + 1 AS INT)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = sets.select(col("id").as("id_a"),
+      explode(slice(col("rs"), lit(1), col("plen"))).as("p"))
+    val candidates = pre
+      .join(full.select(col("id").as("id_b"), col("r")),
+        col("p") === col("r"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val pairs = candidates
+      .join(sets.select(col("id").as("id_a"), col("rs").as("rs_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("rs").as("rs_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", graft.functions.SortedIntersectCount(
+        col("rs_a"), col("rs_b")).cast(LongType))
+      .filter(lit(thrDen.toLong) * col("inter") >=
+        lit(thrNum.toLong) * least(col("n_a"), col("n_b")))
+      .withColumn("c_ab",
+        col("inter").cast(DoubleType) / col("n_a").cast(DoubleType))
+      .withColumn("c_ba",
+        col("inter").cast(DoubleType) / col("n_b").cast(DoubleType))
+      .select(col("id_a"), col("id_b"), col("c_ab"), col("c_ba"),
+        when(col("c_ab") >= col("c_ba"), lit("a_in_b"))
+          .otherwise(lit("b_in_a")).as("direction"))
+    val out = pairs.localCheckpoint(true)
+    full.unpersist(); sets.unpersist()
+    out
+  }
+
   /** Benchmark decontamination (north-star): flag training documents that
     * share any `shingleLen`-word shingle with an evaluation/benchmark set
     * — the standard n-gram-overlap test-set-contamination check run

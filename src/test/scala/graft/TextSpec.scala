@@ -302,4 +302,22 @@ class TextSpec extends SparkSpec {
     }
     assert(out.map(_.getLong(1)).toSeq === Seq(4L, 4L))
   }
+
+  test("containment finds a quoted doc that resemblance-Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = doc 1 verbatim + a long unrelated tail: containment(1→2)=1,
+    // Jaccard well under the 0.8 bar. doc 3 unrelated.
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val tail = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, s"$quote $tail"),
+      (3L, "totally different content here")).toDF("doc_id", "text")
+    val got = graft.operators.TextDedup.containmentPairs(
+      docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    assert(got.toSeq === Seq((1L, 2L, "a_in_b")))
+    val jac = graft.operators.TextDedup.minhashNearDupsVerifiable(
+      docs, "doc_id", "text", threshold = 0.8)
+      .collect()
+    assert(jac.isEmpty, "Jaccard at 0.8 should NOT pair the quote")
+  }
 }
