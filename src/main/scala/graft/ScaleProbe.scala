@@ -86,6 +86,21 @@ object ScaleProbe {
       time("feature_gate", mult)(d =>
         d.select(graft.functions.FeatureHashScore(col("text")).as("s"))
           .filter(col("s") > 0.0).count())
+      // q166 bigram LM: model exchanges grow with distinct bigrams (which
+      // saturate on a replicated corpus), the doc-side join + fold grow
+      // linearly — time/row must flatten as the model stops growing
+      time("bigram_lm", mult)(d =>
+        Corpus.bigramLmScore(d, "doc_id", "text").count())
+      // q183 containment: candidates ∝ shared-shingle mass. Replication
+      // is the WORST case for this probe (every doc gains `mult` exact
+      // copies, so true near-dup pairs — and hence the output itself —
+      // grow ∝ mult² per doc); x1/x10 pins that candidates track that
+      // mass rather than corpus², x100's 495k true pairs/doc would just
+      // measure result materialization
+      if (mult <= 10)
+        time("containment", mult)(d =>
+          graft.operators.TextDedup.containmentPairs(d, "doc_id", "text")
+            .count())
       // PQ encoding: synthesize a deterministic 64-dim vector per doc
       // row-locally, encode to 8 codes — the whole pipeline must stay
       // scan-pipelined (zero shuffle), so time/row is flat in corpus size
@@ -245,6 +260,16 @@ object ScaleProbe {
           reached = reached.unionAll(next).localCheckpoint(false)
         }
         reached.count()
+      }
+      // q164 walks: seeds constant per copy (same trick as bfs), so the
+      // frontier is a fixed |walks| rows every step and per-step cost is
+      // join fan-out against a 10/100× edge table — s/iter must stay flat
+      gtime("random_walks", mult, iters = 4) { e =>
+        val seeds = e.select(col("a").as("v"))
+          .unionAll(e.select(col("b").as("v"))).distinct()
+          .filter(col("v") % vOff < 10)
+          .select(col("v").as("walk_id"), col("v"))
+        graft.operators.Graph.deterministicWalks(e, seeds, steps = 4).count()
       }
       // driverThreshold=0 forces the DISTRIBUTED min-label loop — the
       // 100 TB path the probe is meant to exercise (the driver union-find

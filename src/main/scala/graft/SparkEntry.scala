@@ -1730,6 +1730,75 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] diversity-constrained top-k: best 20 documents by quality
+    // with AT MOST 3 per source (the curation/recommendation diversity
+    // rule): per-source rank window caps each source, then one
+    // TakeOrderedAndProject takes the global k over the ≤ 3·|sources|
+    // survivors — no global sort of the corpus anywhere ─────────────────
+    "q185_diversified_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = graft.functions.TextOps.qualityScore(col("text"))
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), q.as("quality"))
+      val perSrc = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("src_rank", row_number().over(perSrc))
+        .filter(col("src_rank") <= 3)
+        .orderBy(col("quality").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("src_rank").cast(LongType).as("src_rank"))
+    }),
+
+    // ── [ext] quantile normalization: each doc's quality score mapped to
+    // its within-source rank percentile (rank−1)/(n−1) — scores become
+    // comparable ACROSS sources with different scales (the cross-source
+    // calibration step before a global quality cut); integer rank
+    // arithmetic, one source exchange shared by rank and count ──────────
+    "q186_quantile_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = graft.functions.TextOps.qualityScore(col("text"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality"), col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), q.as("quality"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .select(col("doc_id"), col("source"), col("quality"),
+          ((col("rk") - 1).cast(DoubleType) /
+            (col("n") - 1).cast(DoubleType)).as("pct"))
+        .orderBy("doc_id")
+    }),
+
+    // ── [ext] association rules (market-basket): part-pair support from
+    // the urgent co-purchase relation, confidence c(ab)/c(a) and lift
+    // N·c(ab)/(c(a)·c(b)) as exact integer ratios (no log-PMI — ln isn't
+    // exact-rounded; lift carries the same signal), min-support pruned,
+    // top rules by lift — Agrawal VLDB'94 reduced to two aggregates and
+    // a broadcast item-count join ───────────────────────────────────────
+    "q187_association_rules" -> ((s, dir) => {
+      val urgent = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nBaskets = urgent.select("o").distinct().count()
+      val item = urgent.groupBy("p").agg(count(lit(1)).as("c1"))
+      val pair = urgent.alias("l").join(urgent.alias("r"), col("l.o") === col("r.o"))
+        .filter(col("l.p") < col("r.p"))
+        .groupBy(col("l.p").as("pa"), col("r.p").as("pb"))
+        .agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 2)
+      pair
+        .join(broadcast(item.select(col("p").as("pa"), col("c1").as("ca"))), Seq("pa"))
+        .join(broadcast(item.select(col("p").as("pb"), col("c1").as("cb"))), Seq("pb"))
+        .select(col("pa"), col("pb"), col("c2").as("support"),
+          (col("c2").cast(DoubleType) / col("ca").cast(DoubleType))
+            .as("confidence"),
+          ((lit(nBaskets) * col("c2")).cast(DoubleType) /
+            (col("ca") * col("cb")).cast(DoubleType)).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb")).limit(25)
+    }),
+
     // ── [ext] forget-cascade (right-to-be-forgotten): one user cohort
     // deleted across the referential chain customer → orders → lineitem
     // by anti/semi joins, with a per-table before/deleted/after audit —
@@ -4247,6 +4316,51 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      "q185_diversified_topk" ->
+        s"""WITH sc AS (SELECT doc_id, source,
+           |  CAST(len($stop) AS DOUBLE) / CAST(len($toks) AS DOUBLE) * 2.0
+           |    + (CASE WHEN len($toks) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END)
+           |    - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |      / CAST(length(replace(text, ' ', '')) AS DOUBLE) AS quality
+           |  FROM documents),
+           |r AS (SELECT doc_id, source, quality, row_number() OVER
+           |        (PARTITION BY source ORDER BY quality DESC, doc_id)
+           |        AS src_rank
+           |      FROM sc)
+           |SELECT doc_id, source, quality, CAST(src_rank AS BIGINT) AS src_rank
+           |FROM r WHERE src_rank <= 3
+           |ORDER BY quality DESC, doc_id LIMIT 20""".stripMargin,
+
+      "q186_quantile_normalize" ->
+        s"""WITH sc AS (SELECT doc_id, source,
+           |  CAST(len($stop) AS DOUBLE) / CAST(len($toks) AS DOUBLE) * 2.0
+           |    + (CASE WHEN len($toks) BETWEEN 20 AND 400 THEN 1.0 ELSE 0.0 END)
+           |    - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |      / CAST(length(replace(text, ' ', '')) AS DOUBLE) AS quality
+           |  FROM documents),
+           |r AS (SELECT doc_id, source, quality,
+           |        row_number() OVER (PARTITION BY source
+           |          ORDER BY quality, doc_id) AS rk,
+           |        count(*) OVER (PARTITION BY source) AS n FROM sc)
+           |SELECT doc_id, source, quality,
+           |  CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+      "q187_association_rules" ->
+        """WITH u AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |    WHERE o_orderpriority = '1-URGENT'),
+          |nb AS (SELECT count(DISTINCT o) AS n FROM u),
+          |it AS (SELECT p, count(*) AS c1 FROM u GROUP BY p),
+          |pr AS (SELECT a.p AS pa, b.p AS pb, count(*) AS c2
+          |       FROM u a JOIN u b ON a.o = b.o AND a.p < b.p
+          |       GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT pa, pb, c2 AS support,
+          |  CAST(c2 AS DOUBLE) / CAST(ca.c1 AS DOUBLE) AS confidence,
+          |  CAST(nb.n * c2 AS DOUBLE) / CAST(ca.c1 * cb.c1 AS DOUBLE) AS lift
+          |FROM pr JOIN it ca ON ca.p = pr.pa JOIN it cb ON cb.p = pr.pb, nb
+          |ORDER BY lift DESC, pa, pb LIMIT 25""".stripMargin,
+
       "q182_forget_cascade" ->
         """WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
           |od AS (SELECT o_orderkey FROM orders

@@ -145,7 +145,8 @@ class PlanShapeSpec extends SparkSpec {
     // every query built on Ranking.withGlobalRank inherits q77's
     // guarantee — guard each consumer so a future rewrite of one query
     // can't quietly fall back to the global-window form
-    for (q <- Seq("q104_corpus_shuffle", "q106_quality_gate")) {
+    for (q <- Seq("q104_corpus_shuffle", "q106_quality_gate",
+        "q170_length_batching")) {
       val plan = planOf(q)
       assert(!plan.contains("Exchange SinglePartition"),
         s"$q regressed to a single-reducer plan:\n$plan")
