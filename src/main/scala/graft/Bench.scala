@@ -12,7 +12,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.NanosPredicatePushdown
+      spark.experimental.extraOptimizations :+
+        graft.plans.NanosPredicatePushdown :+ graft.plans.EagerMinMaxAggregation
     // Untimed warmup: pay the one-time session costs (Hadoop FS init,
     // Janino/JIT compiler warmup, broadcast/shuffle thread pools, parquet
     // footer cache) before the first measured query — they belong to the

@@ -12,7 +12,8 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("PROBE_NANOS_RULE"))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.NanosPredicatePushdown
+        spark.experimental.extraOptimizations :+
+        graft.plans.NanosPredicatePushdown :+ graft.plans.EagerMinMaxAggregation
     val dir = "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f

@@ -20,7 +20,8 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.NanosPredicatePushdown
+      spark.experimental.extraOptimizations :+
+        graft.plans.NanosPredicatePushdown :+ graft.plans.EagerMinMaxAggregation
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

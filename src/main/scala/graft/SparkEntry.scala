@@ -1730,6 +1730,28 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] eager aggregation (custom optimizer Rule): per-order
+    // min/max over lineitem ⋈ urgent orders — plans.EagerMinMaxAggregation
+    // (Yan & Larson VLDB'95, restricted to duplication-insensitive
+    // MIN/MAX where it is unconditionally sound) pushes the aggregate
+    // BELOW the join, so the join input shrinks from |lineitem| to
+    // |orderkeys| rows; PlanRuleSpec pins the rewrite + equivalence ─────
+    "q188_eager_agg" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(graft.plans.EagerMinMaxAggregation))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            graft.plans.EagerMinMaxAggregation
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(min("l_extendedprice").as("min_price"),
+          max("l_shipdate").as("max_ship"))
+        .orderBy("l_orderkey")
+    }),
+
     // ── [ext] diversity-constrained top-k: best 20 documents by quality
     // with AT MOST 3 per source (the curation/recommendation diversity
     // rule): per-source rank window caps each source, then one
@@ -4316,6 +4338,13 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      "q188_eager_agg" ->
+        """SELECT l_orderkey, min(l_extendedprice) AS min_price,
+          |  max(l_shipdate) AS max_ship
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
       "q185_diversified_topk" ->
         s"""WITH sc AS (SELECT doc_id, source,
            |  CAST(len($stop) AS DOUBLE) / CAST(len($toks) AS DOUBLE) * 2.0

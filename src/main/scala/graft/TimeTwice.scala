@@ -10,7 +10,8 @@ object TimeTwice {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.NanosPredicatePushdown
+      spark.experimental.extraOptimizations :+
+        graft.plans.NanosPredicatePushdown :+ graft.plans.EagerMinMaxAggregation
     val names = args.toSeq
     for (n <- names) {
       val fn = SparkEntry.queries(n)

@@ -15,7 +15,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.NanosPredicatePushdown
+      spark.experimental.extraOptimizations :+
+        graft.plans.NanosPredicatePushdown :+ graft.plans.EagerMinMaxAggregation
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q103,q38 → dump just those queries (local
     // iteration; the driver sets nothing and gets the full dump)

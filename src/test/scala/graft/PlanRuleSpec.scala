@@ -54,4 +54,66 @@ class PlanRuleSpec extends SparkSpec {
     // truncation: baseNs-500 lands on the microsecond BEFORE midnight
     assert(plain === Array(baseNs, baseNs + 500, baseNs + 1500))
   }
+
+  private def withEager[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.EagerMinMaxAggregation
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def eagerQuery() = {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val ords = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(min("l_extendedprice").as("min_price"),
+        max("l_shipdate").as("max_ship"))
+  }
+
+  test("eager min/max aggregation pushes the aggregate below the join") {
+    val (plan, ruled) = withEager {
+      val q = eagerQuery()
+      (q.queryExecution.optimizedPlan.toString,
+        q.orderBy("l_orderkey").collect().toSeq)
+    }
+    // optimized logical plan: Aggregate over Join over Aggregate — the
+    // partial grouping sits on the join's left input
+    val aggIdx = plan.indexOf("Aggregate")
+    val joinIdx = plan.indexOf("Join", aggIdx + 1)
+    val partialIdx = plan.indexOf("Aggregate", joinIdx + 1)
+    assert(aggIdx >= 0 && joinIdx > aggIdx && partialIdx > joinIdx,
+      s"expected Aggregate → Join → Aggregate, got:\n$plan")
+    val plain = eagerQuery().orderBy("l_orderkey").collect().toSeq
+    assert(ruled === plain, "rewrite changed results")
+  }
+
+  test("eager aggregation leaves SUM (multiplicity-sensitive) untouched") {
+    val plan = withEager {
+      val li = Tables.load(spark, sf0001, "lineitem")
+      val ords = Tables.load(spark, sf0001, "orders").select("o_orderkey")
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("s"))
+        .queryExecution.optimizedPlan.toString
+    }
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && !plan.substring(joinIdx).contains("Aggregate"),
+      s"SUM must not be pushed below the join:\n$plan")
+  }
+
+  test("eager aggregation skips non-equi join conditions") {
+    val plan = withEager {
+      val li = Tables.load(spark, sf0001, "lineitem")
+      val ords = Tables.load(spark, sf0001, "orders")
+        .select("o_orderkey", "o_orderdate")
+      li.join(ords, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+        .groupBy("l_orderkey").agg(min("l_extendedprice").as("m"))
+        .queryExecution.optimizedPlan.toString
+    }
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && !plan.substring(joinIdx).contains("Aggregate"),
+      s"range conjunct must disable the rewrite:\n$plan")
+  }
 }

@@ -58,6 +58,16 @@ class PlanShapeSpec extends SparkSpec {
       s"shipdate filter must push into the scan:\n$plan")
   }
 
+  test("q188 eager aggregation: the partial aggregate feeds the join") {
+    val plan = planOf("q188_eager_agg")
+    // physical shape: a HashAggregate pair (partial+final over orderkey)
+    // BELOW the join — the join's left input carries one row per key
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, s"expected a join:\n$plan")
+    assert(plan.substring(joinIdx).contains("HashAggregate"),
+      s"pre-join aggregate missing — EagerMinMaxAggregation didn't fire:\n$plan")
+  }
+
   test("q176 binned range join plans as an equi join, never a nested loop") {
     val plan = planOf("q176_range_bin_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
