@@ -1730,6 +1730,80 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] ratio-to-report: each (type, day) cell's share of its
+    // type's total and of the grand total — the BI contribution
+    // primitive; DECIMAL-exact cell/total sums, shares as one double
+    // division each, the grand total a broadcast one-row aggregate ──────
+    "q189_ratio_to_report" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(Exact.Money)).as("tvd"))
+      val byType = daily.groupBy("event_type")
+        .agg(sum("tvd").as("type_total"))
+      val grand = daily.agg(sum("tvd").as("grand_total"))
+      daily.join(broadcast(byType), "event_type").crossJoin(broadcast(grand))
+        .select(col("event_type"), col("day"),
+          col("tvd").cast(DoubleType).as("tv"),
+          (col("tvd").cast(DoubleType) / col("type_total").cast(DoubleType))
+            .as("share_of_type"),
+          (col("tvd").cast(DoubleType) / col("grand_total").cast(DoubleType))
+            .as("share_of_total"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ── [ext] regex sequence matching (MATCH_RECOGNIZE-lite): per
+    // (user, day) journeys reduced to an initials string under the
+    // (ts, event_id) total order, then classified by pattern regexes —
+    // "one or more views, then a click, ending in purchase" as
+    // `^v+c.*p$` — the CEP-style declarative sequence query; one
+    // user-day exchange, row-local regex ────────────────────────────────
+    "q190_pattern_regex" -> ((s, dir) => {
+      val paths = T(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => substring(x.getField("event_type"), 1, 1)), "").as("sig"))
+      paths.agg(count(lit(1)).as("n_journeys"),
+          sum(when(col("sig").rlike("^v+c.*p$"), 1L).otherwise(0L))
+            .as("view_click_purchase"),
+          sum(when(col("sig").rlike("^s"), 1L).otherwise(0L))
+            .as("signup_first"),
+          sum(when(col("sig").rlike("p.*p"), 1L).otherwise(0L))
+            .as("repeat_purchase"))
+    }),
+
+    // ── [ext] bucket-checksum diff (Merkle/rsync pattern for table
+    // repair): both table versions fold into 64 order-free bucket
+    // fingerprints (xor of row hashes, keyed by hash(event_id) mod 64);
+    // only buckets whose checksums differ need re-sync — the diff COST
+    // is 2×64 rows however large the table, and the rows-to-resync
+    // count is the repair bill a 100 TB incremental sync would pay ──────
+    "q191_bucket_checksum" -> ((s, dir) => {
+      // rows hash over (event_id, value-in-cents) — integer rendering
+      // only, so the fingerprint string is byte-identical cross-engine
+      val v1 = T(s, dir, "events").select(col("event_id"),
+        (col("value").cast(Exact.Money) * 100).cast(LongType).as("cents"))
+      // v2: one user's values re-extracted (changed rows)
+      val v2 = T(s, dir, "events").select(col("event_id"),
+        (col("value").cast(Exact.Money) * 100).cast(LongType).as("cents"),
+        col("user_id"))
+        .withColumn("cents", when(col("user_id") === 7,
+          col("cents") + 100L).otherwise(col("cents")))
+        .drop("user_id")
+      def sums(df: DataFrame, tag: String) = df
+        .select(pmod(col("event_id"), lit(64)).as("bkt"),
+          expr("CAST(conv(substring(sha2(concat_ws('|'," +
+            " CAST(event_id AS STRING), CAST(cents AS STRING)), 256)," +
+            " 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .groupBy("bkt").agg(expr("bit_xor(h)").as(s"fp_$tag"),
+          count(lit(1)).as(s"n_$tag"))
+      sums(v1, "a").join(sums(v2, "b"), "bkt")
+        .filter(col("fp_a") =!= col("fp_b"))
+        .select(col("bkt"), col("n_a").as("rows_to_resync"))
+        .orderBy("bkt")
+    }),
+
     // ── [ext] eager aggregation (custom optimizer Rule): per-order
     // min/max over lineitem ⋈ urgent orders — plans.EagerMinMaxAggregation
     // (Yan & Larson VLDB'95, restricted to duplication-insensitive
@@ -4338,6 +4412,56 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      "q189_ratio_to_report" ->
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    sum(CAST(value AS DECIMAL(18,2))) AS tvd
+          |  FROM events GROUP BY 1, 2),
+          |bt AS (SELECT event_type, sum(tvd) AS type_total
+          |       FROM daily GROUP BY 1),
+          |g AS (SELECT sum(tvd) AS grand_total FROM daily)
+          |SELECT daily.event_type AS event_type, day,
+          |  CAST(tvd AS DOUBLE) AS tv,
+          |  CAST(tvd AS DOUBLE) / CAST(type_total AS DOUBLE) AS share_of_type,
+          |  CAST(tvd AS DOUBLE) / CAST(grand_total AS DOUBLE) AS share_of_total
+          |FROM daily JOIN bt ON daily.event_type = bt.event_type, g
+          |ORDER BY event_type, day""".stripMargin,
+
+      // q190: the initials string rebuilt with an ORDER BY inside
+      // string_agg ≡ the engine's array_sort(collect_list(struct)) fold
+      "q190_pattern_regex" ->
+        """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          |    string_agg(substr(event_type, 1, 1), ''
+          |      ORDER BY ts, event_id) AS sig
+          |  FROM events GROUP BY 1, 2)
+          |SELECT count(*) AS n_journeys,
+          |  CAST(sum(CASE WHEN regexp_matches(sig, '^v+c.*p$')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS view_click_purchase,
+          |  CAST(sum(CASE WHEN regexp_matches(sig, '^s')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS signup_first,
+          |  CAST(sum(CASE WHEN regexp_matches(sig, 'p.*p')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS repeat_purchase
+          |FROM p""".stripMargin,
+
+      "q191_bucket_checksum" ->
+        """WITH c AS (SELECT event_id, user_id,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          |  FROM events),
+          |a AS (SELECT event_id % 64 AS bkt,
+          |        bit_xor(('0x' || substr(sha256(CAST(event_id AS VARCHAR)
+          |          || '|' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT) AS fp,
+          |        count(*) AS n
+          |      FROM c GROUP BY 1),
+          |c2 AS (SELECT event_id,
+          |         CASE WHEN user_id = 7 THEN cents + 100 ELSE cents END
+          |           AS cents FROM c),
+          |b AS (SELECT event_id % 64 AS bkt,
+          |        bit_xor(('0x' || substr(sha256(CAST(event_id AS VARCHAR)
+          |          || '|' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT) AS fp
+          |      FROM c2 GROUP BY 1)
+          |SELECT a.bkt AS bkt, a.n AS rows_to_resync
+          |FROM a JOIN b ON a.bkt = b.bkt
+          |WHERE a.fp <> b.fp ORDER BY bkt""".stripMargin,
+
       "q188_eager_agg" ->
         """SELECT l_orderkey, min(l_extendedprice) AS min_price,
           |  max(l_shipdate) AS max_ship
