@@ -1730,6 +1730,33 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] FULL OUTER stream-stream join: completes the inner (q84) /
+    // left-outer (q131) matrix — matched pairs plus watermark-proven
+    // unmatched rows from BOTH sides; sentinel batches flush both tails ─
+    "q192_stream_full_outer" -> ((s, dir) =>
+      graft.streaming.EventStream.fullOuterJoined(s, dir)),
+
+    // ── [ext] time-decayed scoring, EXACT: per-user half-life-decayed
+    // value total — ages bucket into k = (max_day − day) div 7, per-(user,
+    // k) DECIMAL-exact sums, weight 1/2^k an exact power-of-two double,
+    // and the ≤ 41-element fold runs in k order — the leaderboard /
+    // freshness-weighted aggregate with no order-dependent float sums ───
+    "q193_decayed_score" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val maxDay = e.agg(max(to_date(col("ts")))).head().getDate(0)
+      val buckets = e.groupBy(col("user_id"),
+          least(expr(s"datediff(DATE'$maxDay', to_date(ts)) div 7"),
+            lit(40L)).as("k"))
+        .agg(sum(col("value").cast(Exact.Money)).as("p"))
+      buckets
+        .withColumn("w", col("p").cast(DoubleType) /
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)"))
+        .groupBy("user_id")
+        .agg(aggregate(array_sort(collect_list(struct(col("k"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("decayed_score"))
+        .orderBy("user_id")
+    }),
+
     // ── [ext] ratio-to-report: each (type, day) cell's share of its
     // type's total and of the grand total — the BI contribution
     // primitive; DECIMAL-exact cell/total sums, shares as one double
@@ -4427,6 +4454,38 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q192: the streamed full-outer ≡ this batch time-range full outer
+      // once the sentinel watermark passes every real event
+      "q192_stream_full_outer" ->
+        """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          |  FROM events WHERE event_type = 'click'),
+          |b AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT click_id, buy_id,
+          |  epoch_us(buy_ts) - epoch_us(click_ts) AS gap_us
+          |FROM c FULL OUTER JOIN b ON c.user_id = b.user_id
+          |  AND b.buy_ts >= c.click_ts
+          |  AND b.buy_ts <= c.click_ts + INTERVAL 1 HOUR
+          |ORDER BY click_id ASC NULLS LAST, buy_id ASC NULLS LAST""".stripMargin,
+
+      // q193: bucket sums, the exact power-of-two weights, and the
+      // k-ordered fold replayed verbatim; list_reduce's first-element
+      // seed ≡ the engine's 0.0 + w₁
+      "q193_decayed_score" ->
+        """WITH md AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+          |bk AS (SELECT user_id,
+          |    least((maxd - CAST(ts AS DATE)) // 7, 40) AS k,
+          |    sum(CAST(value AS DECIMAL(18,2))) AS p
+          |  FROM events, md GROUP BY 1, 2),
+          |w AS (SELECT user_id, k,
+          |    CAST(p AS DOUBLE) / CAST(1::BIGINT << k AS DOUBLE) AS w
+          |  FROM bk)
+          |SELECT user_id,
+          |  list_reduce(list_transform(
+          |    list_sort(list(struct_pack(k := k, w := w))), x -> x.w),
+          |    (a, c) -> a + c) AS decayed_score
+          |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
       "q189_ratio_to_report" ->
         """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
           |    sum(CAST(value AS DECIMAL(18,2))) AS tvd

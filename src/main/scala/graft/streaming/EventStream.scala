@@ -353,6 +353,42 @@ object EventStream {
     }
   }
 
+  /** FULL OUTER stream-stream join — completes the inner (q84) /
+    * left-outer (q131) matrix: matched click→purchase pairs PLUS
+    * watermark-proven unmatched rows from BOTH sides (clicks that never
+    * converted and purchases with no prior click in the hour). Same
+    * sentinel-flush discipline as [[leftOuterJoined]], but both sides'
+    * tail state needs eviction, which is exactly what the two sentinel
+    * batches provide; state bounded by watermark delay + interval per
+    * side. The emitted relation ≡ the batch full-outer time-range join
+    * under any batching once the watermark passes every real event. */
+  def fullOuterJoined(spark: SparkSession, dir: String): DataFrame = {
+    val (src, landing) = eventsStreamWithSentinel(spark, dir)
+    val wsrc = src.withWatermark("ts", "1 hour")
+    val clicks = wsrc.filter(col("event_type").isin("click", "flush"))
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = wsrc.filter(col("event_type").isin("purchase", "flush"))
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val joined = clicks.join(buys,
+      col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+    runToResult(spark, joined, "append",
+      statePartitioned = true, Some(landing)) { t =>
+      // sentinels pair with each other (user −1 both sides) — one test
+      // on either id removes them while keeping genuine null sides
+      t.filter((col("click_id").isNull || col("click_id") >= 0) &&
+          (col("buy_id").isNull || col("buy_id") >= 0))
+        .select(col("click_id"), col("buy_id"),
+          (unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .orderBy(col("click_id").asc_nulls_last, col("buy_id").asc_nulls_last)
+    }
+  }
+
   /** [[eventsStream]] plus one far-future sentinel row landed as its own
     * final micro-batch (see [[leftOuterJoined]]): the fixture file first,
     * then a single-row parquet 30 days past the fixture's max ts, mtimes
