@@ -1730,6 +1730,64 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] Mann-Whitney U (nonparametric two-sample test): purchase
+    // vs view value distributions — the rank-sum complement to q134's
+    // t-test. Ranks come tie-corrected from the VALUE-COMPRESSED
+    // relation (one row per distinct value with per-side counts), rank
+    // positions from the two-phase prefix sum (no single-reducer
+    // window), and every quantity stays integer: average ranks are
+    // half-integers, so Σ 2·na·rank folds as bigints and U divides by
+    // 2.0 exactly once at the end ───────────────────────────────────────
+    "q194_mann_whitney" -> ((s, dir) => {
+      val v = T(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy("value").agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nb"))
+      val cnt = col("na") + col("nb")
+      val ps = graft.operators.Ranking.withPrefixSum(
+        v, "cum_t", "T", cnt, col("value").asc)
+      // 2·R1 contribution per value group: 2·na·start + na·(cnt+1)
+      val h = ps.select(col("na"), col("nb"),
+        (lit(2L) * col("na") * (col("cum_t") - cnt) +
+          col("na") * (cnt + 1)).as("hterm"))
+      val a = h.agg(sum("na").as("n1"), sum("nb").as("n2"),
+        sum("hterm").as("hsum"))
+      val u2x = col("hsum") - col("n1") * (col("n1") + 1)
+      a.select(col("n1"), col("n2"),
+        (u2x.cast(DoubleType) / lit(2.0)).as("u"),
+        (lit(1.0) - u2x.cast(DoubleType) /
+          (col("n1") * col("n2")).cast(DoubleType)).as("rank_biserial"))
+    }),
+
+    // ── [ext] two-sample Kolmogorov–Smirnov drift statistic: max
+    // |F̂_a − F̂_b| between purchase and view value distributions — the
+    // distribution-drift gate a data pipeline runs between corpus
+    // versions. Evaluated at value-group boundaries (tie-clean), CDFs as
+    // integer cumulative counts from two prefix-sum passes, D's
+    // numerator maximized in bigint cross-multiplied form — one double
+    // division at the end ───────────────────────────────────────────────
+    "q195_ks_drift" -> ((s, dir) => {
+      val v = T(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy("value").agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nb"))
+      val p1 = graft.operators.Ranking.withPrefixSum(
+        v, "cum_a", "Ta", col("na"), col("value").asc)
+      val p2 = graft.operators.Ranking.withPrefixSum(
+        p1, "cum_t", "T", col("na") + col("nb"), col("value").asc)
+      val n1 = col("Ta")
+      val n2 = col("T") - col("Ta")
+      val dnum = abs(col("cum_a") * n2 - (col("cum_t") - col("cum_a")) * n1)
+      p2.agg(max(n1).as("n1"), max(n2).as("n2"), max(dnum).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast(DoubleType) /
+            (col("n1") * col("n2")).cast(DoubleType)).as("d"))
+    }),
+
     // ── [ext] FULL OUTER stream-stream join: completes the inner (q84) /
     // left-outer (q131) matrix — matched pairs plus watermark-proven
     // unmatched rows from BOTH sides; sentinel batches flush both tails ─
@@ -4454,6 +4512,42 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      "q194_mann_whitney" ->
+        """WITH v AS (SELECT value,
+          |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+          |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
+          |  FROM events WHERE event_type IN ('purchase', 'view')
+          |  GROUP BY value),
+          |p AS (SELECT na, nb, sum(na + nb) OVER (ORDER BY value) AS cum_t
+          |      FROM v),
+          |h AS (SELECT na, nb,
+          |        2 * na * (cum_t - (na + nb)) + na * (na + nb + 1) AS hterm
+          |      FROM p),
+          |a AS (SELECT sum(na) AS n1, sum(nb) AS n2, sum(hterm) AS hsum
+          |      FROM h)
+          |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |  CAST(hsum - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
+          |  1.0 - CAST(hsum - n1 * (n1 + 1) AS DOUBLE) /
+          |    CAST(n1 * n2 AS DOUBLE) AS rank_biserial
+          |FROM a""".stripMargin,
+
+      "q195_ks_drift" ->
+        """WITH v AS (SELECT value,
+          |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+          |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
+          |  FROM events WHERE event_type IN ('purchase', 'view')
+          |  GROUP BY value),
+          |p AS (SELECT na, nb,
+          |    sum(na) OVER (ORDER BY value) AS cum_a,
+          |    sum(na + nb) OVER (ORDER BY value) AS cum_t FROM v),
+          |t AS (SELECT sum(na) AS n1, sum(nb) AS n2 FROM v)
+          |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |  CAST(max(abs(cum_a * n2 - (cum_t - cum_a) * n1)) AS BIGINT)
+          |    AS d_num,
+          |  CAST(max(abs(cum_a * n2 - (cum_t - cum_a) * n1)) AS DOUBLE) /
+          |    CAST(n1 * n2 AS DOUBLE) AS d
+          |FROM p, t GROUP BY n1, n2""".stripMargin,
+
       // q192: the streamed full-outer ≡ this batch time-range full outer
       // once the sentinel watermark passes every real event
       "q192_stream_full_outer" ->
