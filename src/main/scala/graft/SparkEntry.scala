@@ -1730,6 +1730,64 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [north star] corpus report ("dataset nutrition label"): the
+    // one-stop release summary a corpus ships with — volume, token
+    // mass, mean length, exact-duplicate mass, repetition-gate failures,
+    // language/source spread — as labeled metric rows; two scans (one
+    // content-keyed dedup aggregate, one everything-else pass) ──────────
+    "q196_corpus_report" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val tk = graft.functions.TextOps.tokens(col("text"))
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tk).cast(LongType)).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val rep = graft.operators.Corpus.repetitionStats(d, "doc_id", "text")
+        .agg(sum(when(col("keep"), 0L).otherwise(1L)).as("n_rep_flagged"))
+      val dup = d.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_groups"))
+      base.crossJoin(rep).crossJoin(dup)
+        .selectExpr("stack(8," +
+          " 'n_docs', CAST(n_docs AS DOUBLE)," +
+          " 'n_tokens', CAST(n_tokens AS DOUBLE)," +
+          " 'mean_chars', CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)," +
+          " 'n_langs', CAST(n_langs AS DOUBLE)," +
+          " 'n_sources', CAST(n_sources AS DOUBLE)," +
+          " 'rep_flagged', CAST(n_rep_flagged AS DOUBLE)," +
+          " 'dup_docs', CAST(dup_docs AS DOUBLE)," +
+          " 'dup_groups', CAST(dup_groups AS DOUBLE))" +
+          " AS (metric, value)")
+        .orderBy("metric")
+    }),
+
+    // ── [north star] cross-source duplication matrix: WHICH sources
+    // share content — documents keyed by their 10-token head fingerprint
+    // (boilerplate/template openings; full-text exact dups are q21's
+    // key), groups expanded to ordered source pairs with shared-group
+    // and doc-pair counts; the provenance diagnostic behind mixing
+    // weights and dedup policy ──────────────────────────────────────────
+    "q197_source_dup_matrix" -> ((s, dir) => {
+      val head10 = sha2(concat_ws(" ",
+        slice(graft.functions.TextOps.tokens(col("text")), 1, 10)), 256)
+      val g = T(s, dir, "documents")
+        .groupBy(head10.as("h"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      g.alias("a").join(g.alias("b"), Seq("h"))
+        .filter(col("a.source") <= col("b.source") &&
+          (col("a.source") < col("b.source") || col("a.c") > 1))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_groups"),
+          // cross cell: a.c·b.c doc pairs; diagonal: C(c,2) true pairs
+          sum(when(col("a.source") < col("b.source"),
+            col("a.c") * col("b.c"))
+            .otherwise(expr("(a.c * (a.c - 1)) div 2"))).as("dup_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // ── [ext] Mann-Whitney U (nonparametric two-sample test): purchase
     // vs view value distributions — the rank-sum complement to q134's
     // t-test. Ranks come tie-corrected from the VALUE-COMPRESSED
@@ -4512,6 +4570,58 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q196: repetition-gate replay reuses q99's dup-word/dup-bigram
+      // fractions (same thresholds); everything else is plain counting
+      "q196_corpus_report" ->
+        s"""WITH tkc AS (SELECT doc_id, n_chars, lang, source,
+           |    len($toks) AS nt, $toks AS tk FROM documents),
+           |rep AS (SELECT count(*) AS n_rep_flagged FROM (
+           |  SELECT CASE WHEN len(tk) > 0
+           |    THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) /
+           |         CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS dw,
+           |    CASE WHEN len(tk) >= 2
+           |    THEN 1.0 - CAST(len(list_distinct(list_transform(
+           |        range(1, len(tk)),
+           |        i -> tk[i] || ' ' || tk[i + 1]))) AS DOUBLE) /
+           |      CAST(len(tk) - 1 AS DOUBLE) ELSE 0.0 END AS db
+           |  FROM tkc) WHERE NOT (dw <= 0.4 AND db <= 0.25)),
+           |dup AS (SELECT
+           |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           |      AS dup_docs,
+           |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS dup_groups
+           |  FROM (SELECT sha256(text) AS h, count(*) AS c
+           |        FROM documents GROUP BY 1)),
+           |base AS (SELECT count(*) AS n_docs, sum(nt) AS n_tokens,
+           |    sum(n_chars) AS n_chars, count(DISTINCT lang) AS n_langs,
+           |    count(DISTINCT source) AS n_sources FROM tkc)
+           |SELECT metric, value FROM (
+           |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+           |    FROM base
+           |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+           |  UNION ALL SELECT 'mean_chars',
+           |    CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM base
+           |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+           |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+           |  UNION ALL SELECT 'rep_flagged', CAST(n_rep_flagged AS DOUBLE)
+           |    FROM rep
+           |  UNION ALL SELECT 'dup_docs', CAST(dup_docs AS DOUBLE) FROM dup
+           |  UNION ALL SELECT 'dup_groups', CAST(dup_groups AS DOUBLE)
+           |    FROM dup)
+           |ORDER BY metric""".stripMargin,
+
+      "q197_source_dup_matrix" ->
+        s"""WITH g AS (SELECT sha256(array_to_string(($toks)[1:10], ' ')) AS h,
+           |    source, count(*) AS c
+           |  FROM documents GROUP BY 1, 2)
+          |SELECT a.source AS src_a, b.source AS src_b,
+          |  count(*) AS shared_groups,
+          |  CAST(sum(CASE WHEN a.source < b.source THEN a.c * b.c
+          |    ELSE (a.c * (a.c - 1)) // 2 END) AS BIGINT) AS dup_pairs
+          |FROM g a JOIN g b ON a.h = b.h AND a.source <= b.source
+          |  AND (a.source < b.source OR a.c > 1)
+          |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
+
       "q194_mann_whitney" ->
         """WITH v AS (SELECT value,
           |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
