@@ -1730,6 +1730,34 @@ object SparkEntry {
     // a constant bloom sketch (KBs at any set size) instead of an exact
     // broadcast, might_contain drops clean shingles at the scan, exact
     // semi join confirms; result IDENTICAL to q65 (same oracle) ────────
+    // ── [ext] grouped MAD robust outliers: median absolute deviation
+    // per type via TWO passes of the exact two-phase quantile operator
+    // (median, then median of |v − median|), robust z-cut at
+    // 3·1.4826·MAD — the outlier gate that, unlike q115's 3σ, a few
+    // extreme points cannot drag; rank-based medians are actual data
+    // values, so the whole chain replays exactly ────────────────────────
+    "q198_grouped_mad" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val med = graft.operators.Quantiles.twoPassExact(
+        e, "event_type", "value", "event_id", Seq(0.5), 50.0)
+        .select(col("event_type"), col("n"), col("p50").as("median"))
+      val dev = e.join(broadcast(med.drop("n")), "event_type")
+        .withColumn("adev", abs(col("value") - col("median")))
+      val mad = graft.operators.Quantiles.twoPassExact(
+        dev, "event_type", "adev", "event_id", Seq(0.5), 25.0)
+        .select(col("event_type"), col("p50").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(max("median").as("median"), max("mad").as("mad"),
+          sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .join(broadcast(med.select(col("event_type"), col("n"))),
+          "event_type")
+        .select(col("event_type"), col("n"), col("median"), col("mad"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // ── [north star] corpus report ("dataset nutrition label"): the
     // one-stop release summary a corpus ships with — volume, token
     // mass, mean length, exact-duplicate mass, repetition-gate failures,
@@ -4570,6 +4598,38 @@ object SparkEntry {
       // q163: the bloom is a pure prefilter (no false negatives, FPs
       // removed by the exact confirm), so the oracle is q65's exact
       // replay verbatim — identical results on a different physical path
+      // q198: both medians replayed by the direct rank definition (the
+      // q155 hook); adev and the 3·1.4826·MAD cut in identical double
+      // shape
+      "q198_grouped_mad" ->
+        """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+          |r AS (SELECT event_type, value, event_id,
+          |        row_number() OVER (PARTITION BY event_type
+          |          ORDER BY value, event_id) AS rn FROM events),
+          |med AS (SELECT r.event_type, max(CASE WHEN rn =
+          |          greatest(CAST(ceil(0.5 * n.n) AS BIGINT), 1)
+          |          THEN value END) AS m
+          |        FROM r JOIN n USING (event_type) GROUP BY 1),
+          |d AS (SELECT e.event_type, abs(e.value - med.m) AS adev,
+          |        e.event_id, med.m
+          |      FROM events e JOIN med USING (event_type)),
+          |r2 AS (SELECT event_type, adev, m,
+          |        row_number() OVER (PARTITION BY event_type
+          |          ORDER BY adev, event_id) AS rn FROM d),
+          |mad AS (SELECT r2.event_type, max(m) AS m,
+          |          max(CASE WHEN rn =
+          |            greatest(CAST(ceil(0.5 * n.n) AS BIGINT), 1)
+          |            THEN adev END) AS mad
+          |        FROM r2 JOIN n USING (event_type) GROUP BY 1),
+          |o AS (SELECT d.event_type,
+          |        sum(CASE WHEN d.adev > 3.0 * 1.4826 * mad.mad
+          |          THEN 1 ELSE 0 END) AS n_outliers
+          |      FROM d JOIN mad USING (event_type) GROUP BY 1)
+          |SELECT mad.event_type AS event_type, n.n AS n, mad.m AS median,
+          |  mad.mad AS mad, CAST(o.n_outliers AS BIGINT) AS n_outliers
+          |FROM mad JOIN n USING (event_type) JOIN o USING (event_type)
+          |ORDER BY event_type""".stripMargin,
+
       // q196: repetition-gate replay reuses q99's dup-word/dup-bigram
       // fractions (same thresholds); everything else is plain counting
       "q196_corpus_report" ->
