@@ -3249,7 +3249,98 @@ object SparkEntry {
           element_at(col("kmv"), least(size(col("kmv")), lit(k))).as("kth_min"),
           aggregate(col("kmv"), lit(0L), (acc, x) => acc + x).as("mins_sum"))
         .orderBy("event_type")
-    })
+    }),
+
+    // ── [north star] TF-IDF document similarity: sparse cosine over
+    // 3-token shingle vectors, the retrieval-grade near-dup/similarity
+    // score one notch finer than q24's Jaccard (it weighs RARE shared
+    // content, not raw overlap). Integer-exact throughout: tf is a
+    // count, idf is the quantized integer surrogate (n_docs·1000) DIV df
+    // (no transcendental log — bit-identical on any engine), weights/
+    // norms/dots are exact BIGINT sums; the only doubles are one
+    // sqrt·sqrt product and one division per surviving pair. Scale
+    // shape: the pair join is blocked on the shingle itself with a df
+    // cap (df·5 < corpus) that bounds per-shingle fan-out — candidate
+    // mass is Σ df² over rare shingles, the same selectivity argument as
+    // q24's banded blocking; df=1 shingles still count toward norms but
+    // are skipped by the join (they cannot produce a pair). ───────────
+    "q199_tfidf_docsim" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val ts = graft.functions.TextOps.tokens(col("text"))
+      val sh = d.select(col("doc_id"), ts.as("ts"))
+        .where(size(col("ts")) >= 3)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("ts")) - 2), i =>
+            concat_ws(" ", element_at(col("ts"), i),
+              element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+          .as("sh"))
+      val tf = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+      val nd = d.agg(count(lit(1)).as("n_docs"))
+      val w = tf.join(dfc, "sh").crossJoin(broadcast(nd))
+        .where(col("df") * 5 < col("n_docs"))
+        .select(col("doc_id"), col("sh"), col("df"),
+          (col("tf") * expr("(n_docs * 1000) DIV df")).as("w"))
+      val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+      val p = w.where(col("df") >= 2)
+      val dot = p.select(col("doc_id").as("doc_a"), col("sh"),
+          col("w").as("wa"))
+        .join(p.select(col("doc_id").as("doc_b"), col("sh"),
+          col("w").as("wb")), "sh")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      dot
+        .join(norm.select(col("doc_id").as("doc_a"), col("n2").as("na2")),
+          "doc_a")
+        .join(norm.select(col("doc_id").as("doc_b"), col("n2").as("nb2")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("dot").cast(DoubleType) /
+            (sqrt(col("na2").cast(DoubleType)) *
+              sqrt(col("nb2").cast(DoubleType)))).as("sim"))
+        .orderBy(col("sim").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
+    // ── [ext] label-propagation communities on the urgent co-purchase
+    // part graph (q133's edge set): 3 synchronous min-tiebreak rounds
+    // (operators/Graph.labelPropagation), then community sizes. The
+    // per-round cost is one |E| equi-join + two aggregates — the same
+    // linear iterative shape the README's graph probes show scaling
+    // 12–16× in per-edge throughput from 1× to 100× edges. ────────────
+    "q200_label_propagation" -> ((s, dir) => {
+      val urgent = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        urgent, "l_orderkey", "l_partkey")
+      graft.operators.Graph.labelPropagation(edges, rounds = 3)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("sz"))
+        .orderBy(col("sz").desc, col("community"))
+        .limit(20)
+    }),
+
+    // ── [ext] linear-interpolation gap fill: dense hourly grid per
+    // event_type, empty hours filled between their nearest known
+    // anchors (operators/Series.interpolateGaps) — the time-series
+    // repair step before any resample/ACF runs; emits the gap rows with
+    // both anchors so the fill is auditable. ──────────────────────────
+    "q201_linear_interp" -> ((s, dir) =>
+      graft.operators.Series.interpolateGaps(
+        graft.operators.Series.hourlySeries(T(s, dir, "events")))
+        .orderBy("event_type", "h")),
+
+    // ── [ext] autocorrelation (lags 1–5) of the zero-filled hourly
+    // event-count series per type: the seasonality detector behind
+    // q178's day-of-week decomposition. Integer-exact raw moments →
+    // fixed-shape Pearson r (operators/Series.autocorrelation). ───────
+    "q202_acf" -> ((s, dir) =>
+      graft.operators.Series.autocorrelation(s,
+        graft.operators.Series.hourlySeries(T(s, dir, "events")),
+        maxLag = 5))
   )
 
 
@@ -5837,7 +5928,128 @@ object SparkEntry {
           |SELECT event_type, CAST(count(*) AS BIGINT) AS k_size,
           |  max(h) AS kth_min, CAST(sum(h) AS BIGINT) AS mins_sum
           |FROM r WHERE rn <= 16
-          |GROUP BY event_type ORDER BY event_type""".stripMargin
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // q199: every stage exact integers until the final sqrt·sqrt
+      // division; idf surrogate (n_docs·1000)//df avoids transcendental
+      // log so the replay is bit-identical
+      "q199_tfidf_docsim" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS ts FROM documents),
+           |sh AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+           |       FROM tk, unnest(range(1, len(ts) - 1)) AS r(i)
+           |       WHERE len(ts) >= 3),
+           |tf AS (SELECT doc_id, sh, count(*) AS tf FROM sh GROUP BY 1, 2),
+           |dfc AS (SELECT sh, count(*) AS df FROM tf GROUP BY 1),
+           |nd AS (SELECT count(*) AS n_docs FROM documents),
+           |w AS (SELECT tf.doc_id, tf.sh, dfc.df,
+           |        tf.tf * ((nd.n_docs * 1000) // dfc.df) AS w
+           |      FROM tf JOIN dfc USING (sh) CROSS JOIN nd
+           |      WHERE dfc.df * 5 < nd.n_docs),
+           |nm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+           |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         sum(a.w * b.w) AS dot
+           |       FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |       WHERE a.df >= 2 GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  CAST(dt.dot AS DOUBLE) /
+           |  (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+           |FROM dt JOIN nm na ON na.doc_id = dt.doc_a
+           |        JOIN nm nb ON nb.doc_id = dt.doc_b
+           |ORDER BY sim DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+      "q200_label_propagation" -> lpaOracleSql(3),
+
+      // q201/q202: same dense-grid CTEs; interpolation/ACF are
+      // fixed-shape double arithmetic over exact BIGINT anchors
+      "q201_linear_interp" ->
+        s"""WITH $hourGridCtes,
+           |nb AS (SELECT event_type, h, eh, c,
+           |    last_value(c IGNORE NULLS) OVER wp AS pv,
+           |    last_value(CASE WHEN c IS NOT NULL THEN eh END IGNORE NULLS)
+           |      OVER wp AS ph,
+           |    first_value(c IGNORE NULLS) OVER wn AS nv,
+           |    first_value(CASE WHEN c IS NOT NULL THEN eh END IGNORE NULLS)
+           |      OVER wn AS nh
+           |  FROM ser
+           |  WINDOW wp AS (PARTITION BY event_type ORDER BY h
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  wn AS (PARTITION BY event_type ORDER BY h
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT event_type, h, pv, nv, ph, nh,
+           |  CASE WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+           |       WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+           |       ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+           |         (CAST(eh - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+           |  END AS filled
+           |FROM nb WHERE c IS NULL ORDER BY event_type, h""".stripMargin,
+
+      "q202_acf" ->
+        s"""WITH $hourGridCtes,
+           |s2 AS (SELECT event_type, eh, CAST(coalesce(c, 0) AS BIGINT) AS c
+           |       FROM ser),
+           |lg AS (SELECT unnest(range(1, 6)) AS lag_h),
+           |p AS (SELECT a.event_type, lg.lag_h, a.c AS x, b.c AS y
+           |      FROM s2 a CROSS JOIN lg
+           |      JOIN s2 b ON b.event_type = a.event_type
+           |                AND b.eh = a.eh - lg.lag_h),
+           |m AS (SELECT event_type, lag_h, count(*) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |        CAST(sum(x * y) AS BIGINT) AS sxy,
+           |        CAST(sum(x * x) AS BIGINT) AS sxx,
+           |        CAST(sum(y * y) AS BIGINT) AS syy
+           |      FROM p GROUP BY 1, 2)
+           |SELECT event_type, lag_h, n,
+           |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+           |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+           |FROM m ORDER BY event_type, lag_h""".stripMargin
     )
+  }
+
+  /** Shared dense hourly-grid CTEs for q201/q202: (event_type × hour)
+    * grid over the events span, per-hour counts left-joined (NULL =
+    * gap), exact epoch-hour index. Mirrors operators/Series. */
+  private def hourGridCtes: String =
+    """g0 AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |              date_trunc('hour', max(ts)) AS h1 FROM events),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |grid AS (SELECT ty.event_type,
+      |           unnest(generate_series(g0.h0, g0.h1, INTERVAL 1 HOUR)) AS h
+      |         FROM ty CROSS JOIN g0),
+      |hc AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      |       FROM events GROUP BY 1, 2),
+      |ser AS (SELECT grid.event_type, grid.h,
+      |          CAST(epoch(grid.h) AS BIGINT) // 3600 AS eh, hc.c
+      |        FROM grid LEFT JOIN hc ON hc.event_type = grid.event_type
+      |                              AND hc.h = grid.h)""".stripMargin
+
+  /** q200 oracle: synchronous min-tiebreak label propagation unrolled as
+    * chained CTEs over the same urgent co-purchase edge set as q133 —
+    * argmax per vertex is a (count DESC, label ASC) row_number, exactly
+    * Graph.labelPropagation's max(struct(c, -lbl)). */
+  private def lpaOracleSql(rounds: Int): String = {
+    val its = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT d0.dst, l${i - 1}.lbl, count(*) AS c
+         |      FROM d0 JOIN l${i - 1} ON l${i - 1}.v = d0.src GROUP BY 1, 2),
+         |l$i AS (SELECT dst AS v, lbl FROM (
+         |        SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+         |          ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |      WHERE o_orderpriority = '1-URGENT'),
+       |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+       |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |d0 AS (SELECT a AS src, b AS dst FROM e0
+       |       UNION ALL SELECT b, a FROM e0),
+       |v AS (SELECT DISTINCT src AS v FROM d0),
+       |l0 AS (SELECT v, v AS lbl FROM v),
+       |$its
+       |SELECT lbl AS community, count(*) AS sz FROM l$rounds
+       |GROUP BY 1 ORDER BY sz DESC, community LIMIT 20""".stripMargin
   }
 }

@@ -137,6 +137,38 @@ object Graph {
     out.select(col("walk_id"), col("step"), col("v"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.,
+    * Phys. Rev. E 76, 2007) made deterministic: every round each vertex
+    * adopts the most frequent label among its neighbors' previous-round
+    * labels, ties broken by the SMALLEST label (the async random-order
+    * variant is not reproducible; the synchronous min-tiebreak one is).
+    * Initial label = vertex id. Per round: one equi-join of the directed
+    * edge list against the |V|-row label table, a (dst, lbl) count, and a
+    * per-dst argmax via a single max(struct) aggregate — no windows, no
+    * SinglePartition. State after every round is one row per vertex, and
+    * the join fan-out is |E| per round, the same linear shape as
+    * [[pageRankFixedPoint]]; localCheckpoint every other round keeps the
+    * unrolled plan from growing exponentially.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = dir.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    (1 to rounds).foreach { i =>
+      val cnt = dir.join(labels, col("src") === col("v"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax over (count DESC, label ASC) = max of (c, -lbl)
+      labels = cnt
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c").as("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("v"), (-col("m.nl")).as("lbl"))
+      if (i % 2 == 0 && i < rounds) labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
   def pageRankFixedPoint(edges: DataFrame, iters: Int,
                          scale: Long = 1000000000000L,
                          checkpointEvery: Int = 5): DataFrame = {
