@@ -3340,7 +3340,98 @@ object SparkEntry {
     "q202_acf" -> ((s, dir) =>
       graft.operators.Series.autocorrelation(s,
         graft.operators.Series.hourlySeries(T(s, dir, "events")),
-        maxLag = 5))
+        maxLag = 5)),
+
+    // ── [ext] ordered-set aggregates per group: exact median (rank
+    // ceil(n/2), the q155/q198 two-phase quantile operator — no global
+    // sort) and MODE with deterministic smallest-value tie-break (one
+    // (group, value) count + a max(struct) argmax — two map-side-
+    // combined aggregates, never a per-group value sort). ─────────────
+    "q203_mode_median" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val med = graft.operators.Quantiles.twoPassExact(
+        li, "l_returnflag", "l_quantity", "l_orderkey", Seq(0.5), 10.0)
+        .select(col("l_returnflag"), col("n"), col("p50").as("median_qty"))
+      val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("c").as("c"), (-col("l_quantity")).as("nv")))
+          .as("m"))
+        .select(col("l_returnflag"), (-col("m.nv")).as("mode_qty"),
+          col("m.c").as("mode_n"))
+      med.join(mode, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("median_qty"),
+          col("mode_qty"), col("mode_n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ── [ext] deterministic LISTAGG: per market segment, the top-5
+    // customers by (acctbal DESC, name) joined into one string. The
+    // per-group order is pinned by sorting (−acctbal, name) structs
+    // INSIDE the aggregate (array_sort over collect_list) — a k-row
+    // map-side-combinable list per group, not a global sort; string_agg
+    // without an ORDER BY is shuffle-order garbage at scale. ──────────
+    "q204_listagg" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      c.groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          slice(array_sort(collect_list(struct(
+            (-col("c_acctbal")).as("na"), col("c_name").as("nm")))),
+            1, 5).as("t"))
+        .select(col("segment"), col("n_cust"),
+          concat_ws(",", transform(col("t"), x => x("nm"))).as("top_names"))
+        .orderBy("segment")
+    }),
+
+    // ── [ext] Benford first-digit audit: observed leading-digit counts
+    // of order totals vs the Benford expectation log10(1+1/d) — the
+    // classic fabricated-data screen. Digit extraction is integer/string
+    // (no transcendental log at query time: the nine Benford constants
+    // are compile-time doubles embedded identically in both engines);
+    // one groupBy(digit) + a broadcast of the 9-row expectation table.
+    // Per-digit rows only — no cross-digit double sum, so exact. ──────
+    "q205_benford" -> ((s, dir) => {
+      val s2 = s; import s2.implicits._
+      val exp9 = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+        .toDF("digit", "p_exp")
+      val o = T(s, dir, "orders")
+        .select(substring(col("o_totalprice").cast(LongType)
+          .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      val tot = o.agg(count(lit(1)).as("n_total"))
+      o.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(tot))
+        .join(broadcast(exp9), "digit")
+        .select(col("digit"), col("n_obs"), col("n_total"),
+          (col("n_total").cast(DoubleType) * col("p_exp")).as("n_exp"),
+          (col("n_obs").cast(DoubleType) /
+            (col("n_total").cast(DoubleType) * col("p_exp"))).as("excess"))
+        .orderBy("digit")
+    }),
+
+    // ── [ext] chi-square contingency cells: market segment × order
+    // priority independence audit. Expected counts from exact BIGINT
+    // marginal products (rt·ct as int before the one double division);
+    // per-cell (obs−exp)²/exp contributions emitted as rows — summing
+    // 25 doubles in shuffle order would not replay, the cells do. ─────
+    "q206_chi2_cells" -> ((s, dir) => {
+      val j = T(s, dir, "orders").join(T(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+      val obs = j.groupBy("segment", "priority").agg(count(lit(1)).as("n_obs"))
+      val rt = j.groupBy("segment").agg(count(lit(1)).as("rt"))
+      val ct = j.groupBy("priority").agg(count(lit(1)).as("ct"))
+      val tot = j.agg(count(lit(1)).as("n"))
+      val e = obs.join(broadcast(rt), "segment")
+        .join(broadcast(ct), "priority").crossJoin(broadcast(tot))
+        .withColumn("n_exp", (col("rt") * col("ct")).cast(DoubleType) /
+          col("n").cast(DoubleType))
+      e.select(col("segment"), col("priority"), col("n_obs"), col("n_exp"),
+        (((col("n_obs").cast(DoubleType) - col("n_exp")) *
+          (col("n_obs").cast(DoubleType) - col("n_exp"))) / col("n_exp"))
+          .as("chi2_cell"))
+        .orderBy("segment", "priority")
+    })
   )
 
 
@@ -6005,7 +6096,88 @@ object SparkEntry {
            |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
            |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
            |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
-           |FROM m ORDER BY event_type, lag_h""".stripMargin
+           |FROM m ORDER BY event_type, lag_h""".stripMargin,
+
+      // q203: median replayed by the direct rank definition (the q155/
+      // q198 hook); mode as (count DESC, value ASC) row_number — exactly
+      // the engine's max(struct(c, −value)) argmax
+      "q203_mode_median" ->
+        """WITH n AS (SELECT l_returnflag, count(*) AS n
+          |           FROM lineitem GROUP BY 1),
+          |r AS (SELECT l_returnflag, l_quantity, row_number() OVER (
+          |        PARTITION BY l_returnflag
+          |        ORDER BY l_quantity, l_orderkey) AS rn FROM lineitem),
+          |med AS (SELECT r.l_returnflag, max(CASE WHEN rn =
+          |          greatest(CAST(ceil(0.5 * n.n) AS BIGINT), 1)
+          |          THEN l_quantity END) AS median_qty
+          |        FROM r JOIN n USING (l_returnflag) GROUP BY 1),
+          |m0 AS (SELECT l_returnflag, l_quantity, count(*) AS c
+          |       FROM lineitem GROUP BY 1, 2),
+          |md AS (SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n
+          |       FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          |               ORDER BY c DESC, l_quantity) AS rn FROM m0)
+          |       WHERE rn = 1)
+          |SELECT n.l_returnflag, n.n, med.median_qty, md.mode_qty, md.mode_n
+          |FROM n JOIN med USING (l_returnflag) JOIN md USING (l_returnflag)
+          |ORDER BY l_returnflag""".stripMargin,
+
+      "q204_listagg" ->
+        """WITH r AS (SELECT c_mktsegment, c_name, row_number() OVER (
+          |        PARTITION BY c_mktsegment
+          |        ORDER BY c_acctbal DESC, c_name) AS rn FROM customer),
+          |t AS (SELECT c_mktsegment,
+          |        string_agg(c_name, ',' ORDER BY rn) AS top_names
+          |      FROM r WHERE rn <= 5 GROUP BY 1),
+          |n AS (SELECT c_mktsegment, count(*) AS n_cust
+          |      FROM customer GROUP BY 1)
+          |SELECT n.c_mktsegment AS segment, n.n_cust, t.top_names
+          |FROM n JOIN t ON t.c_mktsegment = n.c_mktsegment
+          |ORDER BY segment""".stripMargin,
+
+      // q205: the nine Benford constants must be the SAME doubles on
+      // both sides — but DuckDB parses a decimal literal through
+      // DECIMAL(w,s) and its decimal→double conversion is off by 1 ulp
+      // for log10(4/3), so each constant ships as mantissa/2^57: both
+      // operands are exactly representable and the power-of-two division
+      // is exact, reproducing Java's double bit-for-bit. floor()
+      // mirrors Spark's truncating double→long cast.
+      "q205_benford" ->
+        s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+           |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |    FROM orders),
+           |e(digit, p_exp) AS (VALUES ${(1 to 9).map { d =>
+             val p = math.log10(1.0 + 1.0 / d)
+             val num = new java.math.BigDecimal(p)
+               .multiply(new java.math.BigDecimal(
+                 java.math.BigInteger.TWO.pow(57))).toBigIntegerExact
+             s"($d, CAST($num AS DOUBLE) / CAST(144115188075855872 AS DOUBLE))"
+           }.mkString(", ")}),
+           |o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+           |t AS (SELECT count(*) AS n_total FROM orders)
+           |SELECT o.digit, o.n_obs, t.n_total,
+           |  CAST(t.n_total AS DOUBLE) * e.p_exp AS n_exp,
+           |  CAST(o.n_obs AS DOUBLE) /
+           |    (CAST(t.n_total AS DOUBLE) * e.p_exp) AS excess
+           |FROM o CROSS JOIN t JOIN e ON e.digit = o.digit
+           |ORDER BY o.digit""".stripMargin,
+
+      "q206_chi2_cells" ->
+        """WITH j AS (SELECT c_mktsegment AS segment,
+          |        o_orderpriority AS priority
+          |      FROM orders JOIN customer ON o_custkey = c_custkey),
+          |obs AS (SELECT segment, priority, count(*) AS n_obs
+          |        FROM j GROUP BY 1, 2),
+          |rt AS (SELECT segment, count(*) AS rt FROM j GROUP BY 1),
+          |ct AS (SELECT priority, count(*) AS ct FROM j GROUP BY 1),
+          |t AS (SELECT count(*) AS n FROM j),
+          |e AS (SELECT obs.segment, obs.priority, obs.n_obs,
+          |        CAST(rt.rt * ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE) AS n_exp
+          |      FROM obs JOIN rt USING (segment) JOIN ct USING (priority)
+          |      CROSS JOIN t)
+          |SELECT segment, priority, n_obs, n_exp,
+          |  ((CAST(n_obs AS DOUBLE) - n_exp) *
+          |   (CAST(n_obs AS DOUBLE) - n_exp)) / n_exp AS chi2_cell
+          |FROM e ORDER BY segment, priority""".stripMargin
     )
   }
 
