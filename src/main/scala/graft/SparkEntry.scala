@@ -3431,6 +3431,116 @@ object SparkEntry {
           (col("n_obs").cast(DoubleType) - col("n_exp"))) / col("n_exp"))
           .as("chi2_cell"))
         .orderBy("segment", "priority")
+    }),
+
+    // ── [ext] robust means: 10% two-sided trimmed and winsorized mean
+    // per group. Cut values come from the q155 two-phase exact-quantile
+    // operator (NO per-group global sort — two bounded scans), then one
+    // broadcast join applies the value-based trim/clamp and DECIMAL-
+    // exact sums make the means replay bit-for-bit (a double sum would
+    // be shuffle-order-dependent). ────────────────────────────────────
+    "q207_trimmed_stats" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val cuts = graft.operators.Quantiles.twoPassExact(
+        li, "l_returnflag", "l_extendedprice", "l_orderkey",
+        Seq(0.1, 0.9), 1000.0)
+      val x = col("l_extendedprice").cast(DecimalType(18, 2))
+      val j = li.join(broadcast(cuts), "l_returnflag")
+      val trimmed = j
+        .where(col("l_extendedprice") >= col("p10") &&
+          col("l_extendedprice") <= col("p90"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"), sum(x).as("ts"))
+      val winsor = j.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(least(greatest(col("l_extendedprice"), col("p10")),
+            col("p90")).cast(DecimalType(18, 2))).as("ws"))
+      trimmed.join(winsor, "l_returnflag")
+        .join(broadcast(cuts.select("l_returnflag", "p10", "p90")),
+          "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("n_kept"),
+          col("p10"), col("p90"),
+          (col("ts").cast(DoubleType) / col("n_kept").cast(DoubleType))
+            .as("trimmed_mean"),
+          (col("ws").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("winsor_mean"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ── [ext] sliding-window distinct count: trailing-7-day active
+    // users per (event_type, day). COUNT(DISTINCT) is not a window
+    // function in any engine; the scalable shape is the day-expansion
+    // join — each event contributes to the ≤7 window-end days it covers
+    // (a 7× row fan-out, constant, embarrassingly parallel) and one
+    // exact distinct aggregate per (type, day). ───────────────────────
+    "q208_sliding_distinct" -> ((s, dir) => {
+      val e = T(s, dir, "events").select(col("event_type"),
+        to_date(col("ts")).as("d"), col("user_id"))
+      val span = e.agg(max(col("d")).as("dmax"))
+      val off = s.range(0, 7).select(col("id").cast(IntegerType).as("o"))
+      e.crossJoin(broadcast(off))
+        .select(col("event_type"), col("user_id"),
+          date_add(col("d"), col("o")).as("day"))
+        .crossJoin(broadcast(span))
+        .where(col("day") <= col("dmax"))
+        .groupBy("event_type", "day")
+        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ── [ext] sorted-neighborhood blocking (Hernández/Stolfo SIGMOD'95):
+    // the third ER blocking family next to q80's PassJoin bands and
+    // q139's key blocking — global sort on the blocking key, candidate
+    // pairs = records within w=3 positions. The global rank is the
+    // two-phase range-partitioned Ranking operator (no SinglePartition
+    // exchange), and the neighbor pairing is an EQUI-join on rank+offset
+    // (3 offsets broadcast) — no window over the whole table. ─────────
+    "q209_sorted_neighborhood" -> ((s, dir) => {
+      val ranked = graft.operators.Ranking.withGlobalRank(
+        T(s, dir, "part").select("p_partkey", "p_name", "p_type"),
+        "rk", "n_total", col("p_name"), col("p_partkey"))
+      val a = ranked.select(col("rk"), col("p_name").as("name_a"),
+        col("p_type").as("type_a"))
+      val b = ranked.select(col("rk").as("rk_b"),
+        col("p_name").as("name_b"), col("p_type").as("type_b"))
+      val off = s.range(1, 4).select(col("id").as("off"))
+      a.crossJoin(broadcast(off))
+        .join(b, col("rk_b") === col("rk") + col("off"))
+        .where(col("type_a") === col("type_b"))
+        .groupBy(col("type_a").as("p_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("name_a") === col("name_b"), 1L).otherwise(0L))
+            .as("n_same_name"))
+        .orderBy("p_type")
+    }),
+
+    // ── [north star] n-gram novelty per source: of each doc's distinct
+    // 5-gram shingles, the fraction this doc introduces to the corpus
+    // (min-doc_id ownership) — low novelty = a source that mostly
+    // repeats already-seen content, the aggregate complement of q197's
+    // pairwise duplication matrix. One groupBy(gram) min + one join;
+    // novelty is a single division of exact counts. ───────────────────
+    "q210_ngram_novelty" -> ((s, dir) => {
+      val ts = graft.functions.TextOps.tokens(col("text"))
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), ts.as("ts"))
+        .where(size(col("ts")) >= 5)
+        .select(col("doc_id"), col("source"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("ts")) - 4), i =>
+            concat_ws(" ", element_at(col("ts"), i),
+              element_at(col("ts"), i + 1), element_at(col("ts"), i + 2),
+              element_at(col("ts"), i + 3), element_at(col("ts"), i + 4)))))
+          .as("g"))
+      val first = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "g")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_first_seen"))
+        .select(col("source"), col("n_grams"), col("n_first_seen"),
+          (col("n_first_seen").cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).as("novelty"))
+        .orderBy("source")
     })
   )
 
@@ -6177,7 +6287,77 @@ object SparkEntry {
           |SELECT segment, priority, n_obs, n_exp,
           |  ((CAST(n_obs AS DOUBLE) - n_exp) *
           |   (CAST(n_obs AS DOUBLE) - n_exp)) / n_exp AS chi2_cell
-          |FROM e ORDER BY segment, priority""".stripMargin
+          |FROM e ORDER BY segment, priority""".stripMargin,
+
+      // q207: p10/p90 replayed by the rank definition (ceil(p·n), max 1,
+      // ordered by (value, orderkey)) — the twoPassExact hook — then the
+      // same value-based trim/clamp with DECIMAL-exact sums
+      "q207_trimmed_stats" ->
+        """WITH n AS (SELECT l_returnflag, count(*) AS n
+          |           FROM lineitem GROUP BY 1),
+          |r AS (SELECT l_returnflag, l_extendedprice, row_number() OVER (
+          |        PARTITION BY l_returnflag
+          |        ORDER BY l_extendedprice, l_orderkey) AS rn FROM lineitem),
+          |c AS (SELECT r.l_returnflag,
+          |        max(CASE WHEN rn = greatest(CAST(ceil(0.1 * n.n) AS BIGINT),
+          |          1) THEN l_extendedprice END) AS p10,
+          |        max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n.n) AS BIGINT),
+          |          1) THEN l_extendedprice END) AS p90
+          |      FROM r JOIN n USING (l_returnflag) GROUP BY 1),
+          |t AS (SELECT li.l_returnflag, count(*) AS n_kept,
+          |        sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ts
+          |      FROM lineitem li JOIN c USING (l_returnflag)
+          |      WHERE l_extendedprice >= c.p10 AND l_extendedprice <= c.p90
+          |      GROUP BY 1),
+          |w AS (SELECT li.l_returnflag, count(*) AS n,
+          |        sum(CAST(least(greatest(l_extendedprice, c.p10), c.p90)
+          |          AS DECIMAL(18,2))) AS ws
+          |      FROM lineitem li JOIN c USING (l_returnflag) GROUP BY 1)
+          |SELECT c.l_returnflag, w.n, t.n_kept, c.p10, c.p90,
+          |  CAST(t.ts AS DOUBLE) / CAST(t.n_kept AS DOUBLE) AS trimmed_mean,
+          |  CAST(w.ws AS DOUBLE) / CAST(w.n AS DOUBLE) AS winsor_mean
+          |FROM c JOIN t USING (l_returnflag) JOIN w USING (l_returnflag)
+          |ORDER BY l_returnflag""".stripMargin,
+
+      "q208_sliding_distinct" ->
+        """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, user_id
+          |           FROM events),
+          |mx AS (SELECT max(d) AS dmax FROM e),
+          |o AS (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS o),
+          |x AS (SELECT event_type, user_id, d + o.o AS day
+          |      FROM e CROSS JOIN o)
+          |SELECT event_type, day, count(DISTINCT user_id) AS n_users_7d
+          |FROM x CROSS JOIN mx WHERE day <= mx.dmax
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q209_sorted_neighborhood" ->
+        """WITH r AS (SELECT p_partkey, p_name, p_type, row_number() OVER (
+          |        ORDER BY p_name, p_partkey) AS rk FROM part),
+          |o AS (SELECT unnest(range(1, 4)) AS off),
+          |p AS (SELECT a.p_type AS p_type, a.p_name AS name_a,
+          |        b.p_name AS name_b
+          |      FROM r a CROSS JOIN o
+          |      JOIN r b ON b.rk = a.rk + o.off AND b.p_type = a.p_type)
+          |SELECT p_type, count(*) AS n_pairs,
+          |  CAST(sum(CASE WHEN name_a = name_b THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_same_name
+          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q210_ngram_novelty" ->
+        s"""WITH tk AS (SELECT doc_id, source, $toks AS ts FROM documents),
+           |sh0 AS (SELECT doc_id, source,
+           |          ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+           |          ts[i+3] || ' ' || ts[i+4] AS g
+           |        FROM tk, unnest(range(1, len(ts) - 3)) AS r(i)
+           |        WHERE len(ts) >= 5),
+           |sh AS (SELECT DISTINCT doc_id, source, g FROM sh0),
+           |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+           |SELECT source, count(*) AS n_grams,
+           |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_first_seen,
+           |  CAST(CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+           |FROM sh JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 
