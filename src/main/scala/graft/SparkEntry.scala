@@ -3541,6 +3541,130 @@ object SparkEntry {
           (col("n_first_seen").cast(DoubleType) /
             col("n_grams").cast(DoubleType)).as("novelty"))
         .orderBy("source")
+    }),
+
+    // ── [north star] token burstiness (Church & Gale 1995): Fano factor
+    // (variance/mean) of per-doc term frequency over the docs containing
+    // each token — bursty tokens (content words) cluster, function words
+    // don't; the classic keyword-vs-stopword separator that needs no
+    // stopword list. Integer-exact moment sums per token, one double
+    // division: fano = (df·Σtf² − (Σtf)²) / (df·Σtf). ─────────────────
+    "q211_token_burstiness" -> ((s, dir) => {
+      val tf = T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      tf.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("stf"),
+          sum(col("tf") * col("tf")).as("stf2"))
+        .where(col("df") >= 20)
+        .select(col("token"), col("df"), col("stf").as("tf_total"),
+          ((col("df") * col("stf2") - col("stf") * col("stf"))
+            .cast(DoubleType) /
+            (col("df") * col("stf")).cast(DoubleType)).as("fano"))
+        .orderBy(col("fano").desc, col("token"))
+    }),
+
+    // ── [ext] l-diversity audit: the sensitive-attribute complement of
+    // q179's k-anonymity — per quasi-identifier group (nation, acctbal
+    // k$-bucket), how many DISTINCT values of the sensitive attribute
+    // (market segment) appear; groups with l < 3 let an attacker infer
+    // the segment from the QI alone. Emits the l histogram. ───────────
+    "q212_l_diversity" -> ((s, dir) => {
+      val g = T(s, dir, "customer")
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).as("bal_bkt"))
+        .agg(countDistinct(col("c_mktsegment")).as("l_div"),
+          count(lit(1)).as("grp_n"))
+      g.groupBy("l_div")
+        .agg(count(lit(1)).as("n_groups"), sum(col("grp_n")).as("n_rows"),
+          max(when(col("l_div") < 3, 1L).otherwise(0L)).as("at_risk"))
+        .orderBy("l_div")
+    }),
+
+    // ── [ext] link prediction by common-neighbor Jaccard: for each
+    // non-adjacent vertex pair of the urgent co-purchase graph sharing
+    // ≥1 neighbor, |N(a)∩N(b)| / |N(a)∪N(b)|. Wedge generation joins
+    // the directed edge list with itself on the MIDDLE vertex (cost
+    // Σ deg(m)² — the same budget the README's triangle probe tracks);
+    // existing edges leave via one anti-join; degrees arrive by
+    // broadcast. The standard recommender prior at any graph scale. ───
+    "q213_link_prediction" -> ((s, dir) => {
+      val urgent = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        urgent, "l_orderkey", "l_partkey")
+      val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      val deg = dirE.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val cn = dirE.select(col("src").as("m"), col("dst").as("u"))
+        .join(dirE.select(col("src").as("m"), col("dst").as("v2")), "m")
+        .where(col("u") < col("v2"))
+        .groupBy(col("u"), col("v2")).agg(count(lit(1)).as("c"))
+      val nonEdge = cn.join(edges,
+        cn("u") === edges("a") && cn("v2") === edges("b"), "left_anti")
+      nonEdge
+        .join(broadcast(deg.select(col("v").as("u"), col("deg").as("du"))),
+          "u")
+        .join(broadcast(deg.select(col("v").as("v2"), col("deg").as("dv"))),
+          "v2")
+        .select(col("u").as("part_a"), col("v2").as("part_b"), col("c"),
+          (col("c").cast(DoubleType) /
+            (col("du") + col("dv") - col("c")).cast(DoubleType)).as("jac"))
+        .orderBy(col("jac").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
+    // ── [ext] keyed pseudonymization with referential integrity: stable
+    // surrogate ids via salted SHA-256 (the 60-bit prefix — the same
+    // cross-engine hash as q143's KMV), applied consistently to the
+    // customer AND orders sides so joins still work on pseudonyms; the
+    // per-segment XOR checksum (order-free, exact) and distinct counts
+    // prove the mapping is total and 1:1 — the GDPR-grade export gate. ─
+    "q214_pseudonymize" -> ((s, dir) => {
+      val pid = graft.ops.Sampling.shaHash60(
+        concat(lit("pid:"), col("c_custkey").cast(StringType)))
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), pid.as("pid"))
+      T(s, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("pid")).as("n_pseudonyms"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          expr("bit_xor(pid)").as("pid_checksum"))
+        .orderBy("segment")
+    }),
+
+    // ── [ext] two-proportion z-test: purchase share of each arm's
+    // events under the user_id-parity A/B split. Exact integer counts
+    // (events, purchases per arm) → the pooled-variance z statistic as
+    // fixed-shape double arithmetic; the one-row decision record of
+    // every experiment readout. (Event-level, not user-level: per-user
+    // conversion saturates to 1.0 on this fixture, zeroing the pooled
+    // variance.) ──────────────────────────────────────────────────────
+    "q215_two_proportion" -> ((s, dir) => {
+      val a = T(s, dir, "events")
+        .groupBy(pmod(col("user_id"), lit(2L)).as("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"))
+      val w = a.select(
+        sum(when(col("arm") === 0, col("n"))).as("n0"),
+        sum(when(col("arm") === 0, col("x"))).as("x0"),
+        sum(when(col("arm") === 1, col("n"))).as("n1"),
+        sum(when(col("arm") === 1, col("x"))).as("x1"))
+      val (n0, x0) = (col("n0").cast(DoubleType), col("x0").cast(DoubleType))
+      val (n1, x1) = (col("n1").cast(DoubleType), col("x1").cast(DoubleType))
+      val pp = (x0 + x1) / (n0 + n1)
+      w.select(col("n0"), col("x0"), col("n1"), col("x1"),
+        (x0 / n0).as("p0"), (x1 / n1).as("p1"),
+        (((x0 / n0) - (x1 / n1)) /
+          sqrt((pp * (lit(1.0) - pp)) * ((lit(1.0) / n0) + (lit(1.0) / n1))))
+          .as("z"))
     })
   )
 
@@ -6357,7 +6481,83 @@ object SparkEntry {
            |    AS BIGINT) AS n_first_seen,
            |  CAST(CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
            |    AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
-           |FROM sh JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin
+           |FROM sh JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q211_token_burstiness" ->
+        s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+           |m AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS stf,
+           |        CAST(sum(tf * tf) AS BIGINT) AS stf2 FROM tf GROUP BY 1)
+           |SELECT token, df, stf AS tf_total,
+           |  CAST(df * stf2 - stf * stf AS DOUBLE) /
+           |    CAST(df * stf AS DOUBLE) AS fano
+           |FROM m WHERE df >= 20 ORDER BY fano DESC, token""".stripMargin,
+
+      "q212_l_diversity" ->
+        """WITH g AS (SELECT c_nationkey,
+          |        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bkt,
+          |        count(DISTINCT c_mktsegment) AS l_div, count(*) AS grp_n
+          |      FROM customer GROUP BY 1, 2)
+          |SELECT l_div, count(*) AS n_groups,
+          |  CAST(sum(grp_n) AS BIGINT) AS n_rows,
+          |  CAST(max(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS at_risk
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q213_link_prediction" ->
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |      WHERE o_orderpriority = '1-URGENT'),
+          |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+          |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+          |d0 AS (SELECT a AS src, b AS dst FROM e0
+          |       UNION ALL SELECT b, a FROM e0),
+          |dg AS (SELECT src, count(*) AS deg FROM d0 GROUP BY 1),
+          |cn AS (SELECT a.dst AS u, b.dst AS v2, count(*) AS c
+          |       FROM d0 a JOIN d0 b ON a.src = b.src AND a.dst < b.dst
+          |       GROUP BY 1, 2),
+          |ne AS (SELECT cn.u, cn.v2, cn.c FROM cn
+          |       ANTI JOIN e0 ON cn.u = e0.a AND cn.v2 = e0.b)
+          |SELECT ne.u AS part_a, ne.v2 AS part_b, ne.c,
+          |  CAST(ne.c AS DOUBLE) /
+          |    CAST(da.deg + db.deg - ne.c AS DOUBLE) AS jac
+          |FROM ne JOIN dg da ON da.src = ne.u JOIN dg db ON db.src = ne.v2
+          |ORDER BY jac DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+      "q214_pseudonymize" ->
+        """WITH cu AS (SELECT c_custkey, c_mktsegment,
+          |        ('0x' || substr(sha256('pid:' || CAST(c_custkey AS VARCHAR)),
+          |          1, 15))::BIGINT AS pid
+          |      FROM customer)
+          |SELECT c_mktsegment AS segment, count(*) AS n_orders,
+          |  count(DISTINCT pid) AS n_pseudonyms,
+          |  count(DISTINCT c_custkey) AS n_customers,
+          |  bit_xor(pid) AS pid_checksum
+          |FROM orders JOIN cu ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q215_two_proportion" ->
+        """WITH a AS (SELECT user_id % 2 AS arm, count(*) AS n,
+          |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+          |          END) AS BIGINT) AS x
+          |      FROM events GROUP BY 1),
+          |w AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+          |        CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x0,
+          |        CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+          |        CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x1
+          |      FROM a)
+          |SELECT n0, x0, n1, x1,
+          |  CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+          |  CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+          |  (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          |     - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+          |  sqrt((((CAST(x0 AS DOUBLE) + CAST(x1 AS DOUBLE)) /
+          |          (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))) *
+          |        (1.0 - ((CAST(x0 AS DOUBLE) + CAST(x1 AS DOUBLE)) /
+          |          (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))))) *
+          |       ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE))))
+          |    AS z
+          |FROM w""".stripMargin
     )
   }
 
