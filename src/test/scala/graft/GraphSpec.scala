@@ -40,6 +40,27 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("labelPropagation: disjoint triangles converge to min vertex id") {
+    // Round 1 per triangle {a,b,c}: each vertex sees two distinct labels
+    // → min tie-break; round 2 floods the minimum. Two rounds suffice.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L)))
+  }
+
+  test("labelPropagation path oscillation is deterministic") {
+    // Path 1-2-3 under SYNCHRONOUS updates oscillates (bipartite), and
+    // the min tie-break pins the exact state after each round:
+    // r1: (2,1,2)  r2: (1,2,1)  r3: (2,1,2)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
   test("deterministicWalks follows the sha-60 argmin at every step") {
     // Star + path: 1-{2,3,4}, 2-3. Replaying the hash draw by hand from
     // graft.functions.Sha60 must give the exact walk the operator emits.
