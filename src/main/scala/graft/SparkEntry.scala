@@ -3665,8 +3665,111 @@ object SparkEntry {
         (((x0 / n0) - (x1 / n1)) /
           sqrt((pp * (lit(1.0) - pp)) * ((lit(1.0) / n0) + (lit(1.0) / n1))))
           .as("z"))
+    }),
+
+    // ── [north star] per-source token-distribution drift: chi-square
+    // cells of the source×token contingency vs the corpus-wide token
+    // mix — the mix-shift monitor run before retraining on a refreshed
+    // corpus (q195's KS covers numeric drift; this covers the
+    // categorical token space). Exact BIGINT marginals; the BIGINT
+    // product src_tot·tok_tot is exact well past this workload's scale
+    // (switch the product to DOUBLE first at ≥2^63 token-instances). ──
+    "q216_token_drift_cells" -> ((s, dir) => {
+      val t = T(s, dir, "documents").select(col("source"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+      val obs = t.groupBy("source", "token").agg(count(lit(1)).as("n_obs"))
+      val st = t.groupBy("source").agg(count(lit(1)).as("src_tot"))
+      val tt = t.groupBy("token").agg(count(lit(1)).as("tok_tot"))
+      val g = t.agg(count(lit(1)).as("grand"))
+      val e = obs.join(broadcast(st), "source").join(broadcast(tt), "token")
+        .crossJoin(broadcast(g))
+        .withColumn("n_exp",
+          (col("src_tot") * col("tok_tot")).cast(DoubleType) /
+            col("grand").cast(DoubleType))
+      e.select(col("source"), col("token"), col("n_obs"), col("n_exp"),
+        (((col("n_obs").cast(DoubleType) - col("n_exp")) *
+          (col("n_obs").cast(DoubleType) - col("n_exp"))) / col("n_exp"))
+          .as("chi2_cell"))
+        .orderBy("source", "token")
+    }),
+
+    // ── [ext] equi-depth histogram: exact octile boundaries per
+    // event_type from the q155 two-phase quantile operator (bounded
+    // two-scan, no per-group sort). Octiles (eighths) are chosen
+    // deliberately: 0.125 is exactly representable in binary, so
+    // ceil(p·n) replays identically from a SQL decimal literal and a
+    // Scala double — deciles (0.1, 0.3…) are NOT exactly representable
+    // and can straddle an integer rank across engines. ────────────────
+    "q217_equidepth_hist" -> ((s, dir) =>
+      graft.operators.Quantiles.twoPassExact(
+        T(s, dir, "events"), "event_type", "value", "event_id",
+        octiles, 50.0)
+        .orderBy("event_type")),
+
+    // ── [ext] weighted median: per source, the token-count value at
+    // which half the CHARACTER mass of the corpus lies below — the
+    // size-weighted centre a plain median misses when long docs carry
+    // the budget. Exact: integer cumulative weights over a per-source
+    // ordered window, answer = min (value, doc) with 2·cum ≥ W.
+    // Parallelism is per source here; for few-group/huge-group shapes
+    // the q219 pattern (ONE global range-ranking with per-group offset
+    // subtraction) applies identically. ───────────────────────────────
+    "q218_weighted_median" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("source"), col("doc_id"),
+        graft.functions.TextOps.tokenCount(col("text")).as("nt"),
+        col("n_chars").as("w"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("nt", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val tot = d.groupBy("source").agg(sum(col("w")).as("w_total"))
+      d.withColumn("cum", sum(col("w")).over(win))
+        .join(broadcast(tot), "source")
+        .where(col("cum") * 2 >= col("w_total"))
+        .groupBy("source")
+        .agg(max(col("w_total")).as("w_total"),
+          min(struct(col("nt").as("nt"), col("doc_id").as("d"))).as("m"))
+        .select(col("source"), col("w_total"), col("m.nt").as("wmedian_nt"))
+        .orderBy("source")
+    }),
+
+    // ── [ext] Gini concentration of customer spend per market segment:
+    // the inequality audit (is 1% of customers 90% of revenue?). The
+    // rank-sum identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) needs
+    // within-segment ranks of a TOTAL sort — computed with ONE global
+    // range-partitioned Ranking over (segment, spend, custkey) and a
+    // broadcast per-segment min-rank subtraction, so no per-segment
+    // SinglePartition window exists even when one segment holds most
+    // customers. DECIMAL-exact rank-weighted sums; one double divide. ─
+    "q219_gini" -> ((s, dir) => {
+      val spend = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+      val cust = T(s, dir, "customer")
+        .join(spend, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          col("x"))
+      val ranked = graft.operators.Ranking.withGlobalRank(
+        cust, "rk", "nt", col("segment"), col("x"), col("c_custkey"))
+      val offs = ranked.groupBy("segment").agg(min(col("rk")).as("rk0"))
+      val a = ranked.join(broadcast(offs), "segment")
+        .withColumn("i", col("rk") - col("rk0") + 1L)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("sixi"))
+      a.select(col("segment"), col("n"),
+        col("sx").cast(DoubleType).as("total_spend"),
+        ((lit(2L) * col("sixi") - (col("n") + lit(1L)) * col("sx"))
+          .cast(DoubleType) /
+          (col("n") * col("sx")).cast(DoubleType)).as("gini"))
+        .orderBy("segment")
     })
   )
+
+  /** Exactly-representable octile probabilities shared by q217's engine
+    * and oracle sides (eighths are dyadic rationals — identical rank
+    * arithmetic as double or SQL decimal). */
+  private val octiles: Seq[Double] = (1 to 7).map(_ / 8.0)
 
 
   /** q128 oracle: the PQ encode + ADC pipeline replayed stage by stage in
@@ -6557,7 +6660,73 @@ object SparkEntry {
           |          (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))))) *
           |       ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE))))
           |    AS z
-          |FROM w""".stripMargin
+          |FROM w""".stripMargin,
+
+      "q216_token_drift_cells" ->
+        s"""WITH t AS (SELECT source, unnest($toks) AS token FROM documents),
+           |obs AS (SELECT source, token, count(*) AS n_obs
+           |        FROM t GROUP BY 1, 2),
+           |st AS (SELECT source, count(*) AS src_tot FROM t GROUP BY 1),
+           |tt AS (SELECT token, count(*) AS tok_tot FROM t GROUP BY 1),
+           |g AS (SELECT count(*) AS grand FROM t),
+           |e AS (SELECT obs.source, obs.token, obs.n_obs,
+           |        CAST(st.src_tot * tt.tok_tot AS DOUBLE) /
+           |          CAST(g.grand AS DOUBLE) AS n_exp
+           |      FROM obs JOIN st USING (source) JOIN tt USING (token)
+           |      CROSS JOIN g)
+           |SELECT source, token, n_obs, n_exp,
+           |  ((CAST(n_obs AS DOUBLE) - n_exp) *
+           |   (CAST(n_obs AS DOUBLE) - n_exp)) / n_exp AS chi2_cell
+           |FROM e ORDER BY source, token""".stripMargin,
+
+      "q217_equidepth_hist" -> {
+        val cases = octiles.map { p =>
+          val name = "p" + math.round(p * 100)
+          s"max(CASE WHEN rn = greatest(CAST(ceil($p * n.n) AS BIGINT), 1)" +
+            s" THEN value END) AS $name"
+        }.mkString(",\n          |        ").stripMargin
+        s"""WITH n AS (SELECT event_type, count(*) AS n
+           |           FROM events GROUP BY 1),
+           |r AS (SELECT event_type, value, row_number() OVER (
+           |        PARTITION BY event_type
+           |        ORDER BY value, event_id) AS rn FROM events),
+           |q AS (SELECT r.event_type, max(n.n) AS n,
+           |        $cases
+           |      FROM r JOIN n USING (event_type) GROUP BY 1)
+           |SELECT * FROM q ORDER BY event_type""".stripMargin
+      },
+
+      "q218_weighted_median" ->
+        s"""WITH d AS (SELECT source, doc_id,
+           |        len($toks) AS nt, n_chars AS w FROM documents),
+           |c AS (SELECT source, doc_id, nt, w,
+           |        CAST(sum(w) OVER (PARTITION BY source ORDER BY nt, doc_id
+           |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |      FROM d),
+           |t AS (SELECT source, CAST(sum(w) AS BIGINT) AS w_total
+           |      FROM d GROUP BY 1),
+           |q AS (SELECT c.source, c.nt, row_number() OVER (
+           |        PARTITION BY c.source ORDER BY c.nt, c.doc_id) AS rn
+           |      FROM c JOIN t USING (source)
+           |      WHERE c.cum * 2 >= t.w_total)
+           |SELECT q.source, t.w_total, q.nt AS wmedian_nt
+           |FROM q JOIN t USING (source) WHERE q.rn = 1
+           |ORDER BY source""".stripMargin,
+
+      "q219_gini" ->
+        """WITH sp AS (SELECT o_custkey,
+          |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+          |      FROM orders GROUP BY 1),
+          |cu AS (SELECT c_mktsegment AS segment, c_custkey, x
+          |       FROM customer JOIN sp ON o_custkey = c_custkey),
+          |r AS (SELECT segment, x, row_number() OVER (PARTITION BY segment
+          |        ORDER BY x, c_custkey) AS i FROM cu),
+          |a AS (SELECT segment, count(*) AS n, sum(x) AS sx,
+          |        sum(i * x) AS sixi FROM r GROUP BY 1)
+          |SELECT segment, n, CAST(sx AS DOUBLE) AS total_spend,
+          |  CAST(2 * sixi - (n + 1) * sx AS DOUBLE) /
+          |    CAST(n * sx AS DOUBLE) AS gini
+          |FROM a ORDER BY segment""".stripMargin
     )
   }
 
