@@ -3763,6 +3763,99 @@ object SparkEntry {
           .cast(DoubleType) /
           (col("n") * col("sx")).cast(DoubleType)).as("gini"))
         .orderBy("segment")
+    }),
+
+    // ── [ext] streaming SpaceSaving heavy hitters (see EventStream
+    // .spaceSavingTotals): bounded top-m state merged across micro-
+    // batches by the mergeable-summaries rule; token domain < m keeps
+    // every partial exact, so the batch GROUP BY oracle checks the
+    // streamed merge path bit-for-bit. ────────────────────────────────
+    "q220_stream_spacesaving" -> ((s, dir) =>
+      graft.streaming.EventStream.spaceSavingTotals(s, dir)),
+
+    // ── [north star] T5-style span-corruption statistics: deterministic
+    // 15% token masking keyed on sha60(doc:pos) — the reproducible
+    // mask every denoising-objective pipeline needs (re-running the job
+    // yields the same spans, so targets match across shards/retries).
+    // Span boundaries via one per-doc lag window; per-source aggregate
+    // of exact counts. ────────────────────────────────────────────────
+    "q221_span_corruption" -> ((s, dir) => {
+      val tk = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(graft.functions.TextOps.tokens(col("text")))
+            .as(Seq("pos", "tok")))
+      val masked = tk.withColumn("m",
+        when(pmod(graft.ops.Sampling.shaHash60(
+          concat(col("doc_id").cast(StringType), lit(":"),
+            col("pos").cast(StringType))), lit(100L)) < 15, 1L)
+          .otherwise(0L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val spans = masked.withColumn("pm",
+          coalesce(lag(col("m"), 1).over(w), lit(0L)))
+        .withColumn("start",
+          when(col("m") === 1 && col("pm") === 0, 1L).otherwise(0L))
+      spans.groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("m")).as("n_masked"),
+          sum(col("start")).as("n_spans"))
+        .select(col("source"), col("n_tokens"), col("n_masked"),
+          col("n_spans"),
+          (col("n_masked").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("mask_rate"),
+          when(col("n_spans") > 0,
+            col("n_masked").cast(DoubleType) /
+              col("n_spans").cast(DoubleType)).as("mean_span_len"))
+        .orderBy("source")
+    }),
+
+    // ── [north star] source-mix rebalance weights: per-source sampling
+    // weight to reach a uniform target mix (weight = N/(S·n_s)) plus
+    // the natural share — the importance-weighting companion to q158's
+    // temperature mixing (that one materializes the sample; this one
+    // emits the weights a trainer feeds to its sampler). ──────────────
+    "q222_mix_rebalance" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val per = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = d.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("source")).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("natural_share"),
+          (col("n_total").cast(DoubleType) /
+            (col("n_sources") * col("n_docs")).cast(DoubleType))
+            .as("weight"),
+          when(col("n_docs") * col("n_sources") < col("n_total"), 1L)
+            .otherwise(0L).as("upsampled"))
+        .orderBy("source")
+    }),
+
+    // ── [north star] deterministic contrastive negative sampling: each
+    // embedding takes up to 3 different-label negatives from its hash
+    // ring successors — reproducible negatives without a shuffle-order
+    // dependence (the ring is sha60-keyed), and NO cross join: one
+    // global range Ranking + a 5-offset broadcast equi-join, the
+    // scalable shape for billions of anchors. ─────────────────────────
+    "q223_negative_sampling" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        graft.ops.Sampling.shaHash60(
+          concat(lit("ring:"), col("vec_id").cast(StringType))).as("h"))
+      val ranked = graft.operators.Ranking.withGlobalRank(
+        emb, "rk", "n_all", col("h"), col("vec_id"))
+      val cands = ranked.select(col("rk").as("crk"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"))
+      val off = s.range(1, 6).select(col("id").as("off"))
+      val j = ranked.crossJoin(broadcast(off))
+        .withColumn("crk",
+          pmod(col("rk") + col("off") - 1, col("n_all")) + 1)
+        .join(cands, "crk")
+        .where(col("neg_label") =!= col("label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy("off")
+      j.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("vec_id"), col("off"), col("neg_id"))
+        .orderBy("vec_id", "off")
     })
   )
 
@@ -6726,7 +6819,71 @@ object SparkEntry {
           |SELECT segment, n, CAST(sx AS DOUBLE) AS total_spend,
           |  CAST(2 * sixi - (n + 1) * sx AS DOUBLE) /
           |    CAST(n * sx AS DOUBLE) AS gini
-          |FROM a ORDER BY segment""".stripMargin
+          |FROM a ORDER BY segment""".stripMargin,
+
+      // q220: the SpaceSaving exactness hook — domain (64) < m (128)
+      // means the streamed sketch IS the exact count with err 0
+      "q220_stream_spacesaving" ->
+        """SELECT event_type, CAST(user_id % 64 AS VARCHAR) AS token,
+          |  count(*) AS cnt, CAST(0 AS BIGINT) AS err
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, token""".stripMargin,
+
+      "q221_span_corruption" ->
+        s"""WITH tk AS (SELECT doc_id, source, $toks AS ts FROM documents),
+           |p AS (SELECT doc_id, source, i - 1 AS pos
+           |      FROM tk, unnest(range(1, len(ts) + 1)) AS r(i)),
+           |m AS (SELECT doc_id, source, pos,
+           |        CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+           |          || ':' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT
+           |          % 100 < 15 THEN 1 ELSE 0 END AS m
+           |      FROM p),
+           |sp AS (SELECT source, m, CASE WHEN m = 1 AND
+           |         coalesce(lag(m) OVER (PARTITION BY doc_id
+           |           ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS start
+           |       FROM m)
+           |SELECT source, count(*) AS n_tokens,
+           |  CAST(sum(m) AS BIGINT) AS n_masked,
+           |  CAST(sum(start) AS BIGINT) AS n_spans,
+           |  CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE) AS mask_rate,
+           |  CASE WHEN CAST(sum(start) AS BIGINT) > 0 THEN
+           |    CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) /
+           |      CAST(CAST(sum(start) AS BIGINT) AS DOUBLE) END
+           |    AS mean_span_len
+           |FROM sp GROUP BY 1 ORDER BY source""".stripMargin,
+
+      "q222_mix_rebalance" ->
+        """WITH per AS (SELECT source, count(*) AS n_docs
+          |             FROM documents GROUP BY 1),
+          |t AS (SELECT count(*) AS n_total,
+          |        count(DISTINCT source) AS n_sources FROM documents)
+          |SELECT source, n_docs,
+          |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+          |    AS natural_share,
+          |  CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)
+          |    AS weight,
+          |  CAST(CASE WHEN n_docs * n_sources < n_total THEN 1 ELSE 0 END
+          |    AS BIGINT) AS upsampled
+          |FROM per CROSS JOIN t ORDER BY source""".stripMargin,
+
+      "q223_negative_sampling" ->
+        """WITH e AS (SELECT vec_id, label,
+          |        ('0x' || substr(sha256('ring:' || CAST(vec_id AS VARCHAR)),
+          |          1, 15))::BIGINT AS h
+          |      FROM embeddings),
+          |r AS (SELECT vec_id, label,
+          |        row_number() OVER (ORDER BY h, vec_id) AS rk,
+          |        count(*) OVER () AS n_all FROM e),
+          |o AS (SELECT unnest(range(1, 6)) AS off),
+          |c AS (SELECT a.vec_id, a.label, o.off,
+          |        ((a.rk + o.off - 1) % a.n_all) + 1 AS crk
+          |      FROM r a CROSS JOIN o),
+          |j AS (SELECT c.vec_id, c.off, b.vec_id AS neg_id,
+          |        row_number() OVER (PARTITION BY c.vec_id
+          |          ORDER BY c.off) AS rn
+          |      FROM c JOIN r b ON b.rk = c.crk WHERE b.label <> c.label)
+          |SELECT vec_id, off, neg_id FROM j WHERE rn <= 3
+          |ORDER BY vec_id, off""".stripMargin
     )
   }
 

@@ -678,6 +678,31 @@ object EventStream {
     }
   }
 
+  /** Streaming SpaceSaving heavy hitters: q117's bounded-state top-m
+    * sketch inside a micro-batch pipeline — partial sketches from each
+    * batch merge into the state store via the mergeable-summaries rule
+    * (order-free), so per-batch arrival order cannot change the result.
+    * The oracle hook is SpaceSaving's exactness property: the token
+    * domain here (user_id mod 64) stays strictly below m = 128 in every
+    * partial, so no partial ever fills, every merge is the exact union,
+    * and the streamed sketch equals a plain GROUP BY count with err 0 —
+    * a full batch-vs-stream equivalence check for the approximate
+    * operator's merge path. */
+  def spaceSavingTotals(spark: SparkSession, dir: String): DataFrame = {
+    val (stream, landing) = parityStream(spark, dir, "ss_")
+    val agg = stream
+      .withColumn("tok", pmod(col("user_id"), lit(64L)).cast("string"))
+      .groupBy("event_type")
+      .agg(graft.functions.SpaceSaving(col("tok"), 128).as("hh"))
+    runToResult(spark, agg, "complete",
+      statePartitioned = true, Some(landing)) { t =>
+      t.select(col("event_type"), explode(col("hh")).as("e"))
+        .select(col("event_type"), col("e.token"), col("e.cnt"),
+          col("e.err"))
+        .orderBy("event_type", "token")
+    }
+  }
+
   final case class MilestoneOut(user_id: Long, event_type: String,
                                 milestone: Long)
 
