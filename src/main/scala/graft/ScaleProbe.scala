@@ -101,6 +101,15 @@ object ScaleProbe {
         time("containment", mult)(d =>
           graft.operators.TextDedup.containmentPairs(d, "doc_id", "text")
             .count())
+      // q199 TF-IDF pair join: candidates ∝ Σ df² over RARE shingles.
+      // Same replication caveat as containment (each doc gains `mult`
+      // exact copies → true pair mass grows ∝ mult² per doc), so x1/x10
+      // pins that the df cap keeps candidates tracking near-dup mass —
+      // note the cap also tightens as replication pushes shared
+      // shingles over the 20%-of-corpus line
+      if (mult <= 10)
+        time("tfidf_pairs", mult)(d =>
+          graft.operators.TfIdf.pairSims(d).count())
       // PQ encoding: synthesize a deterministic 64-dim vector per doc
       // row-locally, encode to 8 codes — the whole pipeline must stay
       // scan-pipelined (zero shuffle), so time/row is flat in corpus size
@@ -242,6 +251,24 @@ object ScaleProbe {
     for (mult <- Seq(1, 10, 100)) {
       gtime("pagerank", mult, iters = 3)(e =>
         graft.operators.Graph.pageRankFixedPoint(e, iters = 3).count())
+      // q200: same join-per-round shape as pagerank (|E| equi-join +
+      // two aggregates per round) — per-iteration time must track it
+      gtime("label_prop", mult, iters = 3)(e =>
+        graft.operators.Graph.labelPropagation(e, rounds = 3).count())
+      // q213: wedge join — candidates = Σ deg(m)² stay ∝ edges under
+      // disjoint replication (per-copy degree fixed); the out count IS
+      // the candidate-pair count the README selectivity table cites
+      gtime("link_pred", mult, iters = 1) { e =>
+        val dirE = e.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
+        val cn = dirE.select(col("src").as("m"), col("dst").as("u"))
+          .join(dirE.select(col("src").as("m"), col("dst").as("v2")), "m")
+          .where(col("u") < col("v2"))
+          .groupBy(col("u"), col("v2")).agg(count(lit(1)).as("c"))
+        cn.join(e, cn("u") === e("a") && cn("v2") === e("b"), "left_anti")
+          .count()
+      }
       gtime("bfs_hops", mult, iters = 3) { e =>
         val dirE = e.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e.select(col("b").as("src"), col("a").as("dst")))

@@ -3264,43 +3264,10 @@ object SparkEntry {
     // mass is Σ df² over rare shingles, the same selectivity argument as
     // q24's banded blocking; df=1 shingles still count toward norms but
     // are skipped by the join (they cannot produce a pair). ───────────
-    "q199_tfidf_docsim" -> ((s, dir) => {
-      val d = T(s, dir, "documents")
-      val ts = graft.functions.TextOps.tokens(col("text"))
-      val sh = d.select(col("doc_id"), ts.as("ts"))
-        .where(size(col("ts")) >= 3)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("ts")) - 2), i =>
-            concat_ws(" ", element_at(col("ts"), i),
-              element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
-          .as("sh"))
-      val tf = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy("sh").agg(count(lit(1)).as("df"))
-      val nd = d.agg(count(lit(1)).as("n_docs"))
-      val w = tf.join(dfc, "sh").crossJoin(broadcast(nd))
-        .where(col("df") * 5 < col("n_docs"))
-        .select(col("doc_id"), col("sh"), col("df"),
-          (col("tf") * expr("(n_docs * 1000) DIV df")).as("w"))
-      val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-      val p = w.where(col("df") >= 2)
-      val dot = p.select(col("doc_id").as("doc_a"), col("sh"),
-          col("w").as("wa"))
-        .join(p.select(col("doc_id").as("doc_b"), col("sh"),
-          col("w").as("wb")), "sh")
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
-      dot
-        .join(norm.select(col("doc_id").as("doc_a"), col("n2").as("na2")),
-          "doc_a")
-        .join(norm.select(col("doc_id").as("doc_b"), col("n2").as("nb2")),
-          "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("dot").cast(DoubleType) /
-            (sqrt(col("na2").cast(DoubleType)) *
-              sqrt(col("nb2").cast(DoubleType)))).as("sim"))
+    "q199_tfidf_docsim" -> ((s, dir) =>
+      graft.operators.TfIdf.pairSims(T(s, dir, "documents"))
         .orderBy(col("sim").desc, col("doc_a"), col("doc_b"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // ── [ext] label-propagation communities on the urgent co-purchase
     // part graph (q133's edge set): 3 synchronous min-tiebreak rounds

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Sparse TF-IDF document similarity over 3-token shingles (q199's
+  * core, factored for the ScaleProbe).
+  *
+  * Integer-exact by construction: tf is a count, idf is the quantized
+  * surrogate (n_docs·1000) DIV df (no transcendental log — replays on
+  * any engine), weights/norms/dot products are exact BIGINT sums, and
+  * the only floating-point ops are one sqrt·sqrt product and one
+  * division per surviving pair.
+  *
+  * Scale shape: the pair join is blocked on the shingle itself. The df
+  * cap (df·5 < n_docs) bounds per-shingle fan-out, so candidate mass is
+  * Σ df² over RARE shingles — shared boilerplate (high df) never joins,
+  * and df=1 shingles (most of any real corpus) still count toward norms
+  * but produce no pairs. The probe tracks that candidate count against
+  * corpus replication.
+  */
+object TfIdf {
+
+  /** (doc_id, doc_id, sim) for every doc pair sharing ≥1 rare shingle,
+    * doc_a < doc_b, sim = exact-integer cosine in [0, 1]. */
+  def pairSims(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val ts = graft.functions.TextOps.tokens(col(textCol))
+    val sh = docs.select(col(idCol).as("doc_id"), ts.as("ts"))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ts")) - 2), i =>
+          concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+        .as("sh"))
+    val tf = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfc, "sh").crossJoin(broadcast(nd))
+      .where(col("df") * 5 < col("n_docs"))
+      .select(col("doc_id"), col("sh"), col("df"),
+        (col("tf") * expr("(n_docs * 1000) DIV df")).as("w"))
+    val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val p = w.where(col("df") >= 2)
+    val dot = p.select(col("doc_id").as("doc_a"), col("sh"),
+        col("w").as("wa"))
+      .join(p.select(col("doc_id").as("doc_b"), col("sh"),
+        col("w").as("wb")), "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(norm.select(col("doc_id").as("doc_a"), col("n2").as("na2")),
+        "doc_a")
+      .join(norm.select(col("doc_id").as("doc_b"), col("n2").as("nb2")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("na2").cast(DoubleType)) *
+            sqrt(col("nb2").cast(DoubleType)))).as("sim"))
+  }
+}
