@@ -3823,6 +3823,141 @@ object SparkEntry {
         .where(col("rn") <= 3)
         .select(col("vec_id"), col("off"), col("neg_id"))
         .orderBy("vec_id", "off")
+    }),
+
+    // ── [north star] train/eval n-gram overlap curve: for n = 1..5, the
+    // fraction of the eval set's (src0, q65's convention) distinct
+    // n-grams that also appear in the training split — the contamination
+    // DEPTH profile behind q65/q163's binary gate (unigram overlap is
+    // expected; 5-gram overlap is leakage). One distinct-shingle semi
+    // join per n, all exact counts. ───────────────────────────────────
+    "q224_overlap_curve" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val ts = graft.functions.TextOps.tokens(col("text"))
+      def grams(df: DataFrame, n: Int): DataFrame =
+        df.select(ts.as("ts")).where(size(col("ts")) >= n)
+          .select(explode(transform(
+            sequence(lit(1), size(col("ts")) - (n - 1)), i =>
+              concat_ws(" ", (0 until n).map(k =>
+                element_at(col("ts"), i + k)): _*))).as("g"))
+          .distinct()
+      val curves = (1 to 5).map { n =>
+        val ev = grams(d.filter(col("source") === "src0"), n)
+        val tr = grams(d.filter(col("source") =!= "src0"), n)
+        val shared = ev.join(tr, "g", "left_semi")
+          .agg(count(lit(1)).as("n_shared"))
+        ev.agg(count(lit(1)).as("n_eval")).crossJoin(shared)
+          .select(lit(n.toLong).as("n"), col("n_eval"), col("n_shared"),
+            (col("n_shared").cast(DoubleType) /
+              col("n_eval").cast(DoubleType)).as("overlap"))
+      }
+      curves.reduce(_.unionAll(_)).orderBy("n")
+    }),
+
+    // ── [north star] tokenizer fertility per language: subword tokens
+    // (the BPE-ish regex segmentation) per whitespace word — the
+    // standard multilingual-tokenizer health metric (fertility ≫ 1 for
+    // a language means its text costs that many times more sequence
+    // positions). Exact integer sums, one division. ───────────────────
+    "q225_tokenizer_fertility" -> ((s, dir) => {
+      val t = graft.functions.TextOps
+      T(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(t.tokenCount(col("text"))).as("n_words"),
+          sum(size(t.regexTokens(col("text"))).cast(LongType))
+            .as("n_subwords"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          (col("n_subwords").cast(DoubleType) /
+            col("n_words").cast(DoubleType)).as("fertility"))
+        .orderBy("lang")
+    }),
+
+    // ── [ext] shard-assignment balance audit: docs hashed to 32 output
+    // shards (the write-path layout of every distributed export);
+    // per-shard doc and char mass plus the share of total — the skew
+    // report that predicts straggler write tasks. ─────────────────────
+    "q226_shard_balance" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val shard = pmod(graft.ops.Sampling.shaHash60(
+        concat(lit("shard:"), col("doc_id").cast(StringType))), lit(32L))
+      val per = d.groupBy(shard.as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      per.crossJoin(broadcast(d.agg(count(lit(1)).as("n_total"))))
+        .select(col("shard"), col("n_docs"), col("n_chars"),
+          (col("n_docs").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("share"))
+        .orderBy("shard")
+    }),
+
+    // ── [ext] bag-semantic set operations: INTERSECT ALL / EXCEPT ALL
+    // between the click and view user multisets (q19/q20 cover the
+    // DISTINCT forms; the ALL forms preserve multiplicity — the
+    // difference between "users who did both" and "how many repeat
+    // visits survive"). ───────────────────────────────────────────────
+    "q227_bag_setops" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click").select("user_id")
+      val views = e.filter(col("event_type") === "view").select("user_id")
+      clicks.agg(count(lit(1)).as("n_clicks"))
+        .crossJoin(views.agg(count(lit(1)).as("n_views")))
+        .crossJoin(clicks.intersectAll(views)
+          .agg(count(lit(1)).as("n_intersect_all")))
+        .crossJoin(clicks.exceptAll(views)
+          .agg(count(lit(1)).as("n_except_all")))
+    }),
+
+    // ── [north star] ANN recall report: recall@10 of the q56 IVF index
+    // (nprobe=2 of 8 cells) against the exact cosine top-10, per query —
+    // the evaluation harness every approximate index ships with. Both
+    // arms run DISTRIBUTED over one shared (query × candidate) cosine
+    // relation: exact = rank ≤ 10, IVF = rank ≤ 10 within probed cells;
+    // probes come from a per-query top-2 over the 8 plan-time centroid
+    // dots. The whole report is one plan — no per-query driver loop. ──
+    "q228_ann_recall" -> ((s, dir) => {
+      val cents = graft.operators.Similarity.ivfLattice(8, 64)
+      val e = T(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cands = e.filter(col("vec_id") >= 10)
+        .withColumn("cell",
+          graft.functions.NearestCentroid(col("embedding"), cents)
+            .cast("long"))
+      val sims = cands.crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), col("cell"),
+          graft.functions.VectorOps.cosine(col("embedding"), col("qv"))
+            .as("sim"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val ex = sims.withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= 10).select("qid", "vec_id")
+      val dots = cents.zipWithIndex.map { case (c, p) =>
+        struct(lit(p.toLong).as("cid"),
+          aggregate(zip_with(col("qv").cast("array<double>"),
+            array(c.map(lit): _*), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x).as("dq"))
+      }
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dq").desc, col("cid"))
+      val probes = qs
+        .select(col("qid"), explode(array(dots: _*)).as("s"))
+        .select(col("qid"), col("s.cid").as("cid"), col("s.dq").as("dq"))
+        .withColumn("rn", row_number().over(wp)).where(col("rn") <= 2)
+        .select(col("qid").as("pqid"), col("cid"))
+      val iv = sims.join(probes,
+          col("qid") === col("pqid") && col("cell") === col("cid"))
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= 10)
+        .select(col("qid").as("iqid"), col("vec_id").as("ivid"))
+      val hits = ex.join(iv,
+          col("qid") === col("iqid") && col("vec_id") === col("ivid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      qs.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(10.0))
+            .as("recall_at_10"))
+        .orderBy("qid")
     })
   )
 
@@ -6850,7 +6985,106 @@ object SparkEntry {
           |          ORDER BY c.off) AS rn
           |      FROM c JOIN r b ON b.rk = c.crk WHERE b.label <> c.label)
           |SELECT vec_id, off, neg_id FROM j WHERE rn <= 3
-          |ORDER BY vec_id, off""".stripMargin
+          |ORDER BY vec_id, off""".stripMargin,
+
+      "q224_overlap_curve" -> {
+        val blocks = (1 to 5).map { n =>
+          val g = (0 until n).map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+          val rng = s"unnest(range(1, len(ts) + ${2 - n})) AS r(i)"
+          s"""ev$n AS (SELECT DISTINCT $g AS g FROM tke, $rng
+             |         WHERE len(ts) >= $n),
+             |tr$n AS (SELECT DISTINCT $g AS g FROM tkt, $rng
+             |         WHERE len(ts) >= $n)""".stripMargin
+        }.mkString(",\n")
+        val rows = (1 to 5).map { n =>
+          s"""SELECT CAST($n AS BIGINT) AS n,
+             |  (SELECT count(*) FROM ev$n) AS n_eval,
+             |  (SELECT count(*) FROM
+             |    (SELECT g FROM ev$n INTERSECT SELECT g FROM tr$n))
+             |    AS n_shared""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH tke AS (SELECT $toks AS ts FROM documents
+           |             WHERE source = 'src0'),
+           |tkt AS (SELECT $toks AS ts FROM documents WHERE source <> 'src0'),
+           |$blocks,
+           |u AS ($rows)
+           |SELECT n, n_eval, n_shared,
+           |  CAST(n_shared AS DOUBLE) / CAST(n_eval AS DOUBLE) AS overlap
+           |FROM u ORDER BY n""".stripMargin
+      },
+
+      "q225_tokenizer_fertility" -> {
+        val sub = "list_filter(string_split_regex(lower(text), " +
+          "'[^a-z0-9]+'), x -> x <> '')"
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(len($toks)) AS BIGINT) AS n_words,
+           |  CAST(sum(len($sub)) AS BIGINT) AS n_subwords,
+           |  CAST(CAST(sum(len($sub)) AS BIGINT) AS DOUBLE) /
+           |    CAST(CAST(sum(len($toks)) AS BIGINT) AS DOUBLE) AS fertility
+           |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+      },
+
+      "q226_shard_balance" ->
+        """WITH per AS (SELECT
+          |        ('0x' || substr(sha256('shard:' || CAST(doc_id AS VARCHAR)),
+          |          1, 15))::BIGINT % 32 AS shard,
+          |        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+          |      FROM documents GROUP BY 1),
+          |t AS (SELECT count(*) AS n_total FROM documents)
+          |SELECT shard, n_docs, n_chars,
+          |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+          |FROM per CROSS JOIN t ORDER BY shard""".stripMargin,
+
+      "q227_bag_setops" ->
+        """SELECT
+          |  (SELECT count(*) FROM events WHERE event_type = 'click')
+          |    AS n_clicks,
+          |  (SELECT count(*) FROM events WHERE event_type = 'view')
+          |    AS n_views,
+          |  (SELECT count(*) FROM (
+          |     SELECT user_id FROM events WHERE event_type = 'click'
+          |     INTERSECT ALL
+          |     SELECT user_id FROM events WHERE event_type = 'view'))
+          |    AS n_intersect_all,
+          |  (SELECT count(*) FROM (
+          |     SELECT user_id FROM events WHERE event_type = 'click'
+          |     EXCEPT ALL
+          |     SELECT user_id FROM events WHERE event_type = 'view'))
+          |    AS n_except_all""".stripMargin,
+
+      // q228: the q56 IVF lattice replay extended to 10 queries — cells,
+      // probes, and both top-10 arms from ONE shared cosine relation
+      "q228_ann_recall" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+           |           FROM embeddings WHERE vec_id < 10),
+           |d AS (SELECT vec_id, embedding, $cellDots
+           |      FROM embeddings WHERE vec_id >= 10),
+           |a AS (SELECT vec_id, embedding, CAST($cellCase AS BIGINT) AS cell
+           |      FROM (SELECT *, greatest(${(0 until 8).map("d" + _)
+                  .mkString(", ")}) AS m FROM d)),
+           |cq AS (${(0 until 8).map(p =>
+                  s"SELECT qid, $p AS cid, ${centDot("qv", p)} AS dq FROM q")
+                  .mkString(" UNION ALL ")}),
+           |probe AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY dq DESC, cid) AS rn FROM cq) WHERE rn <= 2),
+           |sims AS (SELECT q.qid, a.vec_id, a.cell,
+           |           ${cosine("embedding", "qv")} AS sim
+           |         FROM a CROSS JOIN q),
+           |ex AS (SELECT qid, vec_id FROM (
+           |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+           |    ORDER BY sim DESC, vec_id) AS rn FROM sims) WHERE rn <= 10),
+           |iv AS (SELECT qid, vec_id FROM (
+           |  SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+           |    ORDER BY s.sim DESC, s.vec_id) AS rn
+           |  FROM sims s JOIN probe p ON p.qid = s.qid AND p.cid = s.cell)
+           |  WHERE rn <= 10),
+           |h AS (SELECT ex.qid, count(*) AS n_hits FROM ex
+           |      JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+           |      GROUP BY 1)
+           |SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+           |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin
     )
   }
 
