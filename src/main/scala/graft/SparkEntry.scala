@@ -3958,6 +3958,110 @@ object SparkEntry {
           (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(10.0))
             .as("recall_at_10"))
         .orderBy("qid")
+    }),
+
+    // ── [ext] one-way ANOVA F: does mean event value differ across the
+    // five event types? Per-group DECIMAL-exact moments (n, Σx, Σx²) in
+    // one conditional-aggregation pass, pivoted to a single row; the
+    // cross-group reduction Σ S_g²/n_g is a FIXED-ORDER fold over the
+    // known factor levels (a groupBy over doubles would re-associate in
+    // shuffle order and not replay). Complements q134's pairwise Welch. ─
+    "q229_anova_f" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val x = col("value").cast(DecimalType(18, 2))
+      val xx = (x * x).cast(DecimalType(38, 4))
+      val aggs = types.flatMap { t =>
+        val is = col("event_type") === t
+        Seq(sum(when(is, 1L).otherwise(0L)).as(s"n_$t"),
+          sum(when(is, x)).as(s"s_$t"))
+      } ++ Seq(count(lit(1)).as("n_tot"), sum(x).as("s_tot"),
+        sum(xx).as("ss_tot"))
+      val w = T(s, dir, "events").agg(aggs.head, aggs.tail: _*)
+      val sumB = types.map { t =>
+        (col(s"s_$t").cast(DoubleType) * col(s"s_$t").cast(DoubleType)) /
+          col(s"n_$t").cast(DoubleType)
+      }.reduce(_ + _)
+      val nD = col("n_tot").cast(DoubleType)
+      val sD = col("s_tot").cast(DoubleType)
+      val ssD = col("ss_tot").cast(DoubleType)
+      val k = lit(types.length.toDouble)
+      val ssb = sumB - ((sD * sD) / nD)
+      val ssw = ssD - sumB
+      w.select(lit(types.length.toLong).as("k"), col("n_tot"),
+        ssb.as("ss_between"), ssw.as("ss_within"),
+        ((ssb / (k - lit(1.0))) / (ssw / (nD - k))).as("f_stat"))
+    }),
+
+    // ── [ext] Poisson bootstrap (the distributed bootstrap — per-row
+    // independent weights instead of n-with-replacement draws, Chamandy
+    // et al., Google 2012): 32 deterministic hash-keyed resamples of the
+    // purchase-value mean in ONE pass (32× row fan-out against a
+    // broadcast replicate index, map-side combined). Weights follow the
+    // integer-quantized Poisson(1) pmf (37/37/18/6/2%), DECIMAL-exact
+    // weighted sums; the resample spread IS the standard error. ───────
+    "q230_poisson_bootstrap" -> ((s, dir) => {
+      val reps = s.range(0, 32).select(col("id").as("r"))
+      val h = pmod(graft.ops.Sampling.shaHash60(
+        concat(lit("boot:"), col("r").cast(StringType), lit(":"),
+          col("event_id").cast(StringType))), lit(100L))
+      val wgt = when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L)
+        .when(h < 98, 3L).otherwise(4L)
+      T(s, dir, "events").filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(reps))
+        .withColumn("w", wgt)
+        .groupBy("r")
+        .agg(sum(col("w")).as("n_eff"),
+          sum((col("w") * col("value").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2))).as("tv"))
+        .select(col("r"), col("n_eff"),
+          (col("tv").cast(DoubleType) / col("n_eff").cast(DoubleType))
+            .as("boot_mean"))
+        .orderBy("r")
+    }),
+
+    // ── [ext] month-over-month growth: revenue per calendar month with
+    // the growth rate vs the previous month. The scalable part is the
+    // month aggregate (one exchange, DECIMAL-exact); the lag window then
+    // runs over ~80 post-aggregate rows — a SinglePartition over the
+    // AGGREGATE is the correct plan when the window input is bounded by
+    // the calendar, not the data. ─────────────────────────────────────
+    "q231_mom_growth" -> ((s, dir) => {
+      val m = T(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+      m.withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("month"), col("n_orders"),
+          col("rev").cast(DoubleType).as("revenue"),
+          ((col("rev").cast(DoubleType) - col("prev").cast(DoubleType)) /
+            col("prev").cast(DoubleType)).as("mom_growth"))
+        .orderBy("month")
+    }),
+
+    // ── [ext] top movers: parts whose revenue grew most from the
+    // second-latest to the latest ship year. Year pivot by conditional
+    // aggregation (no join between the two periods), growth from exact
+    // DECIMAL revenue, top-20 under a total order. ────────────────────
+    "q232_top_movers" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val rev = col("l_extendedprice").cast(graft.ops.Exact.Money) *
+        (lit(BigDecimal("1.00")).cast(graft.ops.Exact.Rate) -
+          col("l_discount").cast(graft.ops.Exact.Rate))
+      val y1 = li.agg(max(year(col("l_shipdate"))).as("y1"))
+      val per = li.crossJoin(broadcast(y1))
+        .groupBy(col("l_partkey"))
+        .agg(sum(when(year(col("l_shipdate")) === col("y1") - 1, rev))
+          .as("rev0"),
+          sum(when(year(col("l_shipdate")) === col("y1"), rev)).as("rev1"))
+        .where(col("rev0").isNotNull && col("rev1").isNotNull &&
+          col("rev0") > 0)
+      per.select(col("l_partkey"), col("rev0").cast(DoubleType).as("rev_y0"),
+          col("rev1").cast(DoubleType).as("rev_y1"),
+          ((col("rev1").cast(DoubleType) - col("rev0").cast(DoubleType)) /
+            col("rev0").cast(DoubleType)).as("growth"))
+        .orderBy(col("growth").desc, col("l_partkey"))
+        .limit(20)
     })
   )
 
@@ -7084,7 +7188,85 @@ object SparkEntry {
            |      GROUP BY 1)
            |SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
            |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
-           |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin
+           |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin,
+
+      // q229: the Σ S_g²/n_g fold is written in the SAME fixed level
+      // order as the engine's reduce — cross-engine doubles only survive
+      // a deterministic association
+      "q229_anova_f" -> {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val moments = types.map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,\n" +
+            s"        sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS s_$t")
+          .mkString(",\n        ")
+        val sumB = types.map(t =>
+          s"((CAST(s_$t AS DOUBLE) * CAST(s_$t AS DOUBLE)) / CAST(n_$t AS DOUBLE))")
+          .mkString(" + ")
+        s"""WITH w AS (SELECT
+           |        $moments,
+           |        count(*) AS n_tot,
+           |        sum(CAST(value AS DECIMAL(18,2))) AS s_tot,
+           |        sum(CAST(CAST(value AS DECIMAL(18,2)) *
+           |          CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_tot
+           |      FROM events),
+           |t AS (SELECT n_tot, $sumB AS sum_b,
+           |        CAST(s_tot AS DOUBLE) AS sd, CAST(ss_tot AS DOUBLE) AS ssd
+           |      FROM w)
+           |SELECT CAST(5 AS BIGINT) AS k, n_tot,
+           |  sum_b - ((sd * sd) / CAST(n_tot AS DOUBLE)) AS ss_between,
+           |  ssd - sum_b AS ss_within,
+           |  ((sum_b - ((sd * sd) / CAST(n_tot AS DOUBLE))) / 4.0) /
+           |    ((ssd - sum_b) / (CAST(n_tot AS DOUBLE) - 5.0)) AS f_stat
+           |FROM t""".stripMargin
+      },
+
+      "q230_poisson_bootstrap" ->
+        """WITH rr AS (SELECT unnest(range(0, 32)) AS r),
+          |e AS (SELECT rr.r,
+          |        ('0x' || substr(sha256('boot:' || CAST(rr.r AS VARCHAR)
+          |          || ':' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+          |          % 100 AS h,
+          |        CAST(value AS DECIMAL(18,2)) AS x
+          |      FROM events CROSS JOIN rr WHERE event_type = 'purchase'),
+          |w AS (SELECT r, CASE WHEN h < 37 THEN 0 WHEN h < 74 THEN 1
+          |        WHEN h < 92 THEN 2 WHEN h < 98 THEN 3 ELSE 4 END AS w, x
+          |      FROM e),
+          |a AS (SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+          |        sum(CAST(w * x AS DECIMAL(38,2))) AS tv
+          |      FROM w GROUP BY 1)
+          |SELECT r, n_eff, CAST(tv AS DOUBLE) / CAST(n_eff AS DOUBLE)
+          |  AS boot_mean
+          |FROM a ORDER BY r""".stripMargin,
+
+      "q231_mom_growth" ->
+        """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+          |        count(*) AS n_orders,
+          |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          |      FROM orders GROUP BY 1)
+          |SELECT month, n_orders, CAST(rev AS DOUBLE) AS revenue,
+          |  (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY month)
+          |     AS DOUBLE)) /
+          |    CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_growth
+          |FROM m ORDER BY month""".stripMargin,
+
+      "q232_top_movers" ->
+        """WITH y AS (SELECT max(year(l_shipdate)) AS y1 FROM lineitem),
+          |per AS (SELECT l_partkey,
+          |    sum(CASE WHEN year(l_shipdate) = y.y1 - 1 THEN
+          |      CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+          |      END) AS rev0,
+          |    sum(CASE WHEN year(l_shipdate) = y.y1 THEN
+          |      CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+          |      END) AS rev1
+          |  FROM lineitem CROSS JOIN y GROUP BY 1)
+          |SELECT l_partkey, CAST(rev0 AS DOUBLE) AS rev_y0,
+          |  CAST(rev1 AS DOUBLE) AS rev_y1,
+          |  (CAST(rev1 AS DOUBLE) - CAST(rev0 AS DOUBLE)) /
+          |    CAST(rev0 AS DOUBLE) AS growth
+          |FROM per WHERE rev0 IS NOT NULL AND rev1 IS NOT NULL AND rev0 > 0
+          |ORDER BY growth DESC, l_partkey LIMIT 20""".stripMargin
     )
   }
 
