@@ -4062,6 +4062,94 @@ object SparkEntry {
             col("rev0").cast(DoubleType)).as("growth"))
         .orderBy(col("growth").desc, col("l_partkey"))
         .limit(20)
+    }),
+
+    // ── [ext] HyperLogLog register table: the 64-bucket rank-of-first-
+    // one registers (Flajolet 2007) materialized EXACTLY — bucket = top
+    // 6 bits of the sha-60 hash, rho = leading-zero rank of the low 54
+    // via minimal-width bin() string length (identical in both engines;
+    // no float log2). Registers are max-mergeable: the '__all' rows
+    // re-max the per-type rows, proving the rollup never revisits raw
+    // data — the replayable register-level twin of q18's opaque HLL
+    // binary (estimate = α·m²/Σ2^-M is one driver-side fold away). ────
+    "q233_hll_registers" -> ((s, dir) => {
+      val h = graft.ops.Sampling.shaHash60(col("user_id"))
+      val b = T(s, dir, "events")
+        .select(col("event_type"), h.as("h"))
+        .select(col("event_type"), shiftright(col("h"), 54).as("bucket"),
+          col("h").bitwiseAND(lit((1L << 54) - 1)).as("low"))
+        .select(col("event_type"), col("bucket"),
+          when(col("low") === 0, 55L)
+            .otherwise(lit(55L) - length(bin(col("low"))).cast(LongType))
+            .as("rho"))
+      val per = b.groupBy("event_type", "bucket")
+        .agg(max(col("rho")).as("register"))
+      val all = per.groupBy("bucket")
+        .agg(max(col("register")).as("register"))
+        .select(lit("__all").as("event_type"), col("bucket"),
+          col("register"))
+      per.unionByName(all).orderBy("event_type", "bucket")
+    }),
+
+    // ── [north star] stratified k-fold assignment: deterministic
+    // hash-keyed fold ids with the per-(label, fold) census — the
+    // reproducible cross-validation split whose class balance is
+    // auditable (share = fold's slice of its label). ──────────────────
+    "q234_stratified_folds" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("label"), pmod(graft.ops.Sampling.shaHash60(
+          concat(lit("fold:"), col("vec_id").cast(StringType))), lit(5L))
+          .as("fold"))
+      val per = e.groupBy("label", "fold").agg(count(lit(1)).as("n"))
+      val tot = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+      per.join(broadcast(tot), "label")
+        .select(col("label"), col("fold"), col("n"),
+          (col("n").cast(DoubleType) / col("n_label").cast(DoubleType))
+            .as("share"))
+        .orderBy("label", "fold")
+    }),
+
+    // ── [ext] eventually-follows matrix: for each ordered event-type
+    // pair, how many users did A (first) strictly before B (first) —
+    // the process-mining relation q126's ADJACENT transitions cannot
+    // see. First occurrences collapse the stream to ≤ |types| rows per
+    // user before the pair self-join, so the join input is bounded by
+    // users × 5, not events. ──────────────────────────────────────────
+    "q235_eventually_follows" -> ((s, dir) => {
+      val f = T(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("t0"))
+      val tot = f.select("user_id").distinct().count()
+      f.select(col("user_id"), col("event_type").as("t_from"),
+          col("t0").as("ta"))
+        .join(f.select(col("user_id"), col("event_type").as("t_to"),
+          col("t0").as("tb")), "user_id")
+        .where(col("t_from") =!= col("t_to") && col("ta") < col("tb"))
+        .groupBy("t_from", "t_to").agg(count(lit(1)).as("n_users"))
+        .select(col("t_from"), col("t_to"), col("n_users"),
+          (col("n_users").cast(DoubleType) / lit(tot.toDouble))
+            .as("share"))
+        .orderBy("t_from", "t_to")
+    }),
+
+    // ── [north star] corpus diversity indices per source: language
+    // richness, Simpson index 1 − Σ(nᵢ/N)² (as the exact rational
+    // (N²−Σnᵢ²)/N²), and Berger-Parker dominance max(nᵢ)/N — the
+    // monoculture alarms of a corpus mix, all from one (source, lang)
+    // count (Shannon entropy avoided: ln is not exactly rounded). ─────
+    "q236_diversity_index" -> ((s, dir) => {
+      val per = T(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      per.groupBy("source")
+        .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("richness"),
+          sum(col("n") * col("n")).as("s2"), max(col("n")).as("nmax"))
+        .select(col("source"), col("n_docs"), col("richness"),
+          ((col("n_docs") * col("n_docs") - col("s2")).cast(DoubleType) /
+            (col("n_docs") * col("n_docs")).cast(DoubleType))
+            .as("simpson"),
+          (col("nmax").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("berger_parker"))
+        .orderBy("source")
     })
   )
 
@@ -7266,7 +7354,63 @@ object SparkEntry {
           |  (CAST(rev1 AS DOUBLE) - CAST(rev0 AS DOUBLE)) /
           |    CAST(rev0 AS DOUBLE) AS growth
           |FROM per WHERE rev0 IS NOT NULL AND rev1 IS NOT NULL AND rev0 > 0
-          |ORDER BY growth DESC, l_partkey LIMIT 20""".stripMargin
+          |ORDER BY growth DESC, l_partkey LIMIT 20""".stripMargin,
+
+      // q233: rho via minimal-width bin() length — identical string
+      // semantics in both engines, no float log2 anywhere
+      "q233_hll_registers" ->
+        """WITH h AS (SELECT event_type,
+          |        ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))
+          |          ::BIGINT AS h
+          |      FROM events),
+          |b AS (SELECT event_type, h >> 54 AS bucket,
+          |        h & ((1::BIGINT << 54) - 1) AS low FROM h),
+          |r AS (SELECT event_type, bucket, CASE WHEN low = 0 THEN 55
+          |        ELSE 55 - length(bin(low)) END AS rho FROM b),
+          |p AS (SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+          |        CAST(max(rho) AS BIGINT) AS register FROM r GROUP BY 1, 2),
+          |a AS (SELECT '__all' AS event_type, bucket,
+          |        CAST(max(register) AS BIGINT) AS register
+          |      FROM p GROUP BY 2)
+          |SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM a)
+          |ORDER BY event_type, bucket""".stripMargin,
+
+      "q234_stratified_folds" ->
+        """WITH e AS (SELECT label,
+          |        ('0x' || substr(sha256('fold:' || CAST(vec_id AS VARCHAR)),
+          |          1, 15))::BIGINT % 5 AS fold
+          |      FROM embeddings),
+          |per AS (SELECT label, fold, count(*) AS n FROM e GROUP BY 1, 2),
+          |t AS (SELECT label, count(*) AS n_label FROM e GROUP BY 1)
+          |SELECT per.label, per.fold, per.n,
+          |  CAST(per.n AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS share
+          |FROM per JOIN t USING (label) ORDER BY label, fold""".stripMargin,
+
+      "q235_eventually_follows" ->
+        """WITH f AS (SELECT user_id, event_type, min(ts) AS t0
+          |           FROM events GROUP BY 1, 2),
+          |t AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+          |p AS (SELECT a.event_type AS t_from, b.event_type AS t_to,
+          |        count(*) AS n_users
+          |      FROM f a JOIN f b ON a.user_id = b.user_id
+          |        AND a.event_type <> b.event_type AND a.t0 < b.t0
+          |      GROUP BY 1, 2)
+          |SELECT p.t_from, p.t_to, p.n_users,
+          |  CAST(p.n_users AS DOUBLE) / CAST(t.n_users AS DOUBLE) AS share
+          |FROM p CROSS JOIN t ORDER BY t_from, t_to""".stripMargin,
+
+      "q236_diversity_index" ->
+        """WITH per AS (SELECT source, lang, count(*) AS n
+          |             FROM documents GROUP BY 1, 2),
+          |a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+          |        count(*) AS richness, CAST(sum(n * n) AS BIGINT) AS s2,
+          |        max(n) AS nmax
+          |      FROM per GROUP BY 1)
+          |SELECT source, n_docs, richness,
+          |  CAST(n_docs * n_docs - s2 AS DOUBLE) /
+          |    CAST(n_docs * n_docs AS DOUBLE) AS simpson,
+          |  CAST(nmax AS DOUBLE) / CAST(n_docs AS DOUBLE) AS berger_parker
+          |FROM a ORDER BY source""".stripMargin
     )
   }
 
