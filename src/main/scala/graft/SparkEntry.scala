@@ -4150,6 +4150,108 @@ object SparkEntry {
           (col("nmax").cast(DoubleType) / col("n_docs").cast(DoubleType))
             .as("berger_parker"))
         .orderBy("source")
+    }),
+
+    // ── [ext] typed cogroup: per-user activity diff between the first
+    // and second half-month via `KeyValueGroupedDataset.cogroup` — the
+    // typed two-sided custom-merge surface (groupByKey q142 covers the
+    // one-sided Aggregator). Each side arrives grouped once; the merge
+    // closure sees both iterators per key, including keys present on
+    // only one side — the typed twin of a full-outer join + agg. ──────
+    "q237_typed_cogroup" -> ((s, dir) => {
+      val s2 = s; import s2.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), (dayofmonth(col("ts")) <= 15).as("h1"))
+        .as[(Long, Boolean)]
+      val a = ev.filter(_._2).groupByKey(_._1)
+      val b = ev.filter(!_._2).groupByKey(_._1)
+      a.cogroup(b) { (k, i1, i2) =>
+        val n1 = i1.size.toLong; val n2 = i2.size.toLong
+        Iterator((k, n1, n2, n2 - n1))
+      }.toDF("user_id", "n_first", "n_second", "delta")
+        .orderBy("user_id")
+    }),
+
+    // ── [ext] hierarchical percent-of-parent: region → nation revenue
+    // with each nation's share of its region and of the total — the
+    // drill-down contribution report over the two so-far-cold dimension
+    // tables. DECIMAL-exact revenue; dims and the ≤|regions| totals
+    // travel by broadcast. ────────────────────────────────────────────
+    "q238_hierarchy_shares" -> ((s, dir) => {
+      val rev = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val dims = T(s, dir, "nation")
+        .join(broadcast(T(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      val n = rev.join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          col("rev"))
+      val regTot = n.groupBy("region").agg(sum(col("rev")).as("reg_rev"))
+      val tot = n.agg(sum(col("rev")).as("tot_rev"))
+      n.join(broadcast(regTot), "region").crossJoin(broadcast(tot))
+        .select(col("region"), col("nation"),
+          col("rev").cast(DoubleType).as("revenue"),
+          (col("rev").cast(DoubleType) / col("reg_rev").cast(DoubleType))
+            .as("share_of_region"),
+          (col("rev").cast(DoubleType) / col("tot_rev").cast(DoubleType))
+            .as("share_of_total"))
+        .orderBy("region", "nation")
+    }),
+
+    // ── [ext] conversion-latency quantiles: first view → first
+    // subsequent purchase per user, exact p50/p90 of the latency in
+    // micros via the two-phase quantile operator (hour-wide bins bound
+    // pass 1; pass 2 sorts only candidate-bin rows). ──────────────────
+    "q239_conversion_latency" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val lat = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .where(col("ts") > col("tv"))
+        .groupBy(col("user_id"), col("tv")).agg(min(col("ts")).as("tp"))
+        .select(col("user_id"),
+          (unix_micros(col("tp")) - unix_micros(col("tv"))).as("lat_us"))
+        .withColumn("g", lit("all"))
+      graft.operators.Quantiles.twoPassExact(
+        lat, "g", "lat_us", "user_id", Seq(0.5, 0.9), 3600000000.0)
+        .select(col("n").as("n_converters"), col("p50").as("p50_us"),
+          col("p90").as("p90_us"))
+    }),
+
+    // ── [ext] longest repeated-token run per doc (gaps-and-islands over
+    // token positions): run boundaries from one per-doc lag window,
+    // run_id = running sum of boundaries, lengths per (doc, run) — the
+    // span-level repetition diagnostic under q99's ratio gates. Per-
+    // source rollup with exact integer means. ─────────────────────────
+    "q240_longest_run" -> ((s, dir) => {
+      val tk = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(graft.functions.TextOps.tokens(col("text")))
+            .as(Seq("pos", "tok")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val runs = tk
+        .withColumn("chg",
+          when(lag(col("tok"), 1).over(w).isNull ||
+            lag(col("tok"), 1).over(w) =!= col("tok"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("source"), col("run_id"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(max(col("len")).as("max_run"))
+      runs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), max(col("max_run")).as("max_run"),
+          sum(col("max_run")).as("sum_max_run"),
+          sum(when(col("max_run") >= 3, 1L).otherwise(0L)).as("n_run3"))
+        .select(col("source"), col("n_docs"), col("max_run"), col("n_run3"),
+          (col("sum_max_run").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("mean_max_run"))
+        .orderBy("source")
     })
   )
 
@@ -7410,7 +7512,80 @@ object SparkEntry {
           |  CAST(n_docs * n_docs - s2 AS DOUBLE) /
           |    CAST(n_docs * n_docs AS DOUBLE) AS simpson,
           |  CAST(nmax AS DOUBLE) / CAST(n_docs AS DOUBLE) AS berger_parker
-          |FROM a ORDER BY source""".stripMargin
+          |FROM a ORDER BY source""".stripMargin,
+
+      "q237_typed_cogroup" ->
+        """SELECT user_id,
+          |  CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_first,
+          |  CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_second,
+          |  CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) -
+          |  CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS delta
+          |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      "q238_hierarchy_shares" ->
+        """WITH rev AS (SELECT c_nationkey,
+          |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          |      FROM orders JOIN customer ON o_custkey = c_custkey
+          |      GROUP BY 1),
+          |n AS (SELECT r_name AS region, n_name AS nation, rev.rev
+          |      FROM rev JOIN nation ON c_nationkey = n_nationkey
+          |      JOIN region ON n_regionkey = r_regionkey),
+          |rt AS (SELECT region, sum(rev) AS reg_rev FROM n GROUP BY 1),
+          |t AS (SELECT sum(rev) AS tot_rev FROM n)
+          |SELECT n.region, n.nation, CAST(n.rev AS DOUBLE) AS revenue,
+          |  CAST(n.rev AS DOUBLE) / CAST(rt.reg_rev AS DOUBLE)
+          |    AS share_of_region,
+          |  CAST(n.rev AS DOUBLE) / CAST(t.tot_rev AS DOUBLE)
+          |    AS share_of_total
+          |FROM n JOIN rt USING (region) CROSS JOIN t
+          |ORDER BY region, nation""".stripMargin,
+
+      // q239: the two-phase quantile rank replay over first-view →
+      // first-later-purchase latencies
+      "q239_conversion_latency" ->
+        """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+          |           WHERE event_type = 'view' GROUP BY 1),
+          |l AS (SELECT e.user_id,
+          |        epoch_us(min(e.ts)) - epoch_us(v.tv) AS lat_us
+          |      FROM events e JOIN v USING (user_id)
+          |      WHERE e.event_type = 'purchase' AND e.ts > v.tv
+          |      GROUP BY e.user_id, v.tv),
+          |n AS (SELECT count(*) AS n FROM l),
+          |r AS (SELECT lat_us, user_id, row_number() OVER (
+          |        ORDER BY lat_us, user_id) AS rn FROM l)
+          |SELECT n.n AS n_converters,
+          |  (SELECT max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n.n)
+          |     AS BIGINT), 1) THEN lat_us END) FROM r) AS p50_us,
+          |  (SELECT max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n.n)
+          |     AS BIGINT), 1) THEN lat_us END) FROM r) AS p90_us
+          |FROM n""".stripMargin,
+
+      "q240_longest_run" ->
+        s"""WITH tk AS (SELECT doc_id, source, ts[i] AS tok, i
+           |       FROM (SELECT doc_id, source, $toks AS ts FROM documents),
+           |            unnest(range(1, len(ts) + 1)) AS r(i)),
+           |c AS (SELECT doc_id, source, i,
+           |        CASE WHEN lag(tok) OVER w IS NULL
+           |               OR lag(tok) OVER w <> tok THEN 1 ELSE 0 END AS chg
+           |      FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+           |ri AS (SELECT doc_id, source,
+           |         sum(chg) OVER (PARTITION BY doc_id ORDER BY i
+           |           ROWS UNBOUNDED PRECEDING) AS run_id
+           |       FROM c),
+           |rl AS (SELECT doc_id, source, run_id, count(*) AS len
+           |       FROM ri GROUP BY 1, 2, 3),
+           |mx AS (SELECT doc_id, source, max(len) AS max_run
+           |       FROM rl GROUP BY 1, 2)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(max(max_run) AS BIGINT) AS max_run,
+           |  CAST(sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_run3,
+           |  CAST(CAST(sum(max_run) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE) AS mean_max_run
+           |FROM mx GROUP BY 1 ORDER BY source""".stripMargin
     )
   }
 
