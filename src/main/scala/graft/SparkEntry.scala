@@ -4252,6 +4252,113 @@ object SparkEntry {
           (col("sum_max_run").cast(DoubleType) /
             col("n_docs").cast(DoubleType)).as("mean_max_run"))
         .orderBy("source")
+    }),
+
+    // ── [ext] empirical-Bayes shrinkage: per-part mean discount shrunk
+    // toward the global mean with prior weight w=50 — the CTR/rate
+    // smoothing that stops low-volume groups from topping rankings on
+    // noise. smoothed = (Σx + w·μ)/(n + w), DECIMAL-exact sums, the μ
+    // term in one fixed IEEE shape; top-20 smoothed vs raw exposes the
+    // rank inversions the prior causes. ───────────────────────────────
+    "q241_bayes_shrinkage" -> ((s, dir) => {
+      val x = col("l_discount").cast(DecimalType(18, 2))
+      val per = T(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"))
+      val g = per.agg(sum(col("n")).as("ng"), sum(col("sx")).as("sg"))
+      val mu = col("sg").cast(DoubleType) / col("ng").cast(DoubleType)
+      val w = lit(50.0)
+      per.crossJoin(broadcast(g))
+        .select(col("l_partkey"), col("n"),
+          (col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("raw_mean"),
+          ((col("sx").cast(DoubleType) + w * mu) /
+            (col("n").cast(DoubleType) + w)).as("smoothed"))
+        .orderBy(col("smoothed").desc, col("l_partkey"))
+        .limit(20)
+    }),
+
+    // ── [ext] FK integrity audit: orphan counts for every foreign-key
+    // edge of the star schema in one report — each edge is one LEFT
+    // ANTI join against (broadcast-sized or shuffled) parent keys; the
+    // referential health check run before any join-dependent pipeline. ─
+    "q242_fk_integrity" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String): DataFrame = {
+        val n = child.agg(count(lit(1)).as("n_rows"))
+        val orph = child.join(parent.select(col(pkey)),
+            col(key) === col(pkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        n.crossJoin(orph).select(lit(name).as("fk_edge"), col("n_rows"),
+          col("n_orphans"))
+      }
+      val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
+      val li = T(s, dir, "lineitem"); val p = T(s, dir, "part")
+      val su = T(s, dir, "supplier"); val na = T(s, dir, "nation")
+      val re = T(s, dir, "region")
+      Seq(
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+        edge("customer->nation", c, "c_nationkey", na, "n_nationkey"),
+        edge("nation->region", na, "n_regionkey", re, "r_regionkey"))
+        .reduce(_.unionAll(_))
+        .orderBy("fk_edge")
+    }),
+
+    // ── [ext] data-contract audit: declarative expectations (non-null,
+    // range, domain, positivity) evaluated as ONE conditional-
+    // aggregation scan per table, emitted as (check, n_rows, n_violations)
+    // rows — the schema-contract gate between pipeline stages. ────────
+    "q243_data_contract" -> ((s, dir) => {
+      def checks(df: DataFrame, rows: Seq[(String, Column)]): DataFrame = {
+        val aggs = count(lit(1)).as("n_rows") +:
+          rows.zipWithIndex.map { case ((_, bad), i) =>
+            sum(when(bad, 1L).otherwise(0L)).as(s"v$i") }
+        val a = df.agg(aggs.head, aggs.tail: _*)
+        a.selectExpr(s"stack(${rows.length}, " + rows.zipWithIndex.map {
+          case ((nm, _), i) => s"'$nm', n_rows, v$i" }.mkString(", ") +
+          ") AS (check_name, n_rows, n_violations)")
+      }
+      val ev = checks(T(s, dir, "events"), Seq(
+        ("events.user_id_nonnull", col("user_id").isNull),
+        ("events.value_nonnegative", col("value") < 0),
+        ("events.type_in_domain", !col("event_type").isin(
+          "click", "error", "purchase", "signup", "view")),
+        ("events.ts_in_2024", year(col("ts")) =!= 2024)))
+      val or = checks(T(s, dir, "orders"), Seq(
+        ("orders.totalprice_positive", col("o_totalprice") <= 0),
+        ("orders.status_in_domain", !col("o_orderstatus").isin(
+          "F", "O", "P"))))
+      val li = checks(T(s, dir, "lineitem"), Seq(
+        ("lineitem.qty_range_1_50",
+          col("l_quantity") < 1 || col("l_quantity") > 50),
+        ("lineitem.discount_rate",
+          col("l_discount") < 0 || col("l_discount") > 1)))
+      ev.unionAll(or).unionAll(li).orderBy("check_name")
+    }),
+
+    // ── [ext] primary-key uniqueness audit: per table, row count vs
+    // distinct key count and the duplicated-key mass — the PK health
+    // companion of q242's FK edges (one exact distinct per table). ────
+    "q244_pk_audit" -> ((s, dir) => {
+      def pk(name: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+        val k = concat_ws("", cols.map(col): _*)
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(k).as("n_distinct"))
+          .select(lit(name).as("pk"), col("n_rows"), col("n_distinct"),
+            (col("n_rows") - col("n_distinct")).as("n_dup_rows"))
+      }
+      Seq(
+        pk("customer.c_custkey", T(s, dir, "customer"), Seq("c_custkey")),
+        pk("orders.o_orderkey", T(s, dir, "orders"), Seq("o_orderkey")),
+        pk("lineitem.(okey,line)", T(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber")),
+        pk("part.p_partkey", T(s, dir, "part"), Seq("p_partkey")),
+        pk("events.event_id", T(s, dir, "events"), Seq("event_id")),
+        pk("documents.doc_id", T(s, dir, "documents"), Seq("doc_id")))
+        .reduce(_.unionAll(_))
+        .orderBy("pk")
     })
   )
 
@@ -7585,7 +7692,107 @@ object SparkEntry {
            |    AS n_run3,
            |  CAST(CAST(sum(max_run) AS BIGINT) AS DOUBLE) /
            |    CAST(count(*) AS DOUBLE) AS mean_max_run
-           |FROM mx GROUP BY 1 ORDER BY source""".stripMargin
+           |FROM mx GROUP BY 1 ORDER BY source""".stripMargin,
+
+      "q241_bayes_shrinkage" ->
+        """WITH per AS (SELECT l_partkey, count(*) AS n,
+          |        sum(CAST(l_discount AS DECIMAL(18,2))) AS sx
+          |      FROM lineitem GROUP BY 1),
+          |g AS (SELECT CAST(sum(n) AS BIGINT) AS ng, sum(sx) AS sg FROM per)
+          |SELECT l_partkey, n,
+          |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean,
+          |  (CAST(sx AS DOUBLE) +
+          |     50.0 * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))) /
+          |    (CAST(n AS DOUBLE) + 50.0) AS smoothed
+          |FROM per CROSS JOIN g
+          |ORDER BY smoothed DESC, l_partkey LIMIT 20""".stripMargin,
+
+      "q242_fk_integrity" ->
+        """SELECT * FROM (
+          |  SELECT 'orders->customer' AS fk_edge,
+          |    (SELECT count(*) FROM orders) AS n_rows,
+          |    (SELECT count(*) FROM orders ANTI JOIN customer
+          |       ON o_custkey = c_custkey) AS n_orphans
+          |  UNION ALL SELECT 'lineitem->orders',
+          |    (SELECT count(*) FROM lineitem),
+          |    (SELECT count(*) FROM lineitem ANTI JOIN orders
+          |       ON l_orderkey = o_orderkey)
+          |  UNION ALL SELECT 'lineitem->part',
+          |    (SELECT count(*) FROM lineitem),
+          |    (SELECT count(*) FROM lineitem ANTI JOIN part
+          |       ON l_partkey = p_partkey)
+          |  UNION ALL SELECT 'lineitem->supplier',
+          |    (SELECT count(*) FROM lineitem),
+          |    (SELECT count(*) FROM lineitem ANTI JOIN supplier
+          |       ON l_suppkey = s_suppkey)
+          |  UNION ALL SELECT 'customer->nation',
+          |    (SELECT count(*) FROM customer),
+          |    (SELECT count(*) FROM customer ANTI JOIN nation
+          |       ON c_nationkey = n_nationkey)
+          |  UNION ALL SELECT 'nation->region',
+          |    (SELECT count(*) FROM nation),
+          |    (SELECT count(*) FROM nation ANTI JOIN region
+          |       ON n_regionkey = r_regionkey))
+          |ORDER BY fk_edge""".stripMargin,
+
+      "q243_data_contract" ->
+        """SELECT * FROM (
+          |  SELECT 'events.user_id_nonnull' AS check_name,
+          |    count(*) AS n_rows,
+          |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_violations FROM events
+          |  UNION ALL SELECT 'events.value_nonnegative', count(*),
+          |    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    FROM events
+          |  UNION ALL SELECT 'events.type_in_domain', count(*),
+          |    CAST(sum(CASE WHEN event_type NOT IN
+          |      ('click','error','purchase','signup','view')
+          |      THEN 1 ELSE 0 END) AS BIGINT) FROM events
+          |  UNION ALL SELECT 'events.ts_in_2024', count(*),
+          |    CAST(sum(CASE WHEN year(ts) <> 2024 THEN 1 ELSE 0 END)
+          |      AS BIGINT) FROM events
+          |  UNION ALL SELECT 'orders.totalprice_positive', count(*),
+          |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) FROM orders
+          |  UNION ALL SELECT 'orders.status_in_domain', count(*),
+          |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+          |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+          |  UNION ALL SELECT 'lineitem.qty_range_1_50', count(*),
+          |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+          |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+          |  UNION ALL SELECT 'lineitem.discount_rate', count(*),
+          |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+          |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+          |ORDER BY check_name""".stripMargin,
+
+      "q244_pk_audit" ->
+        """SELECT * FROM (
+          |  SELECT 'customer.c_custkey' AS pk, count(*) AS n_rows,
+          |    count(DISTINCT CAST(c_custkey AS VARCHAR)) AS n_distinct,
+          |    count(*) - count(DISTINCT CAST(c_custkey AS VARCHAR))
+          |      AS n_dup_rows FROM customer
+          |  UNION ALL SELECT 'orders.o_orderkey', count(*),
+          |    count(DISTINCT CAST(o_orderkey AS VARCHAR)),
+          |    count(*) - count(DISTINCT CAST(o_orderkey AS VARCHAR))
+          |    FROM orders
+          |  UNION ALL SELECT 'lineitem.(okey,line)', count(*),
+          |    count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':' ||
+          |      CAST(l_linenumber AS VARCHAR)),
+          |    count(*) - count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':' ||
+          |      CAST(l_linenumber AS VARCHAR)) FROM lineitem
+          |  UNION ALL SELECT 'part.p_partkey', count(*),
+          |    count(DISTINCT CAST(p_partkey AS VARCHAR)),
+          |    count(*) - count(DISTINCT CAST(p_partkey AS VARCHAR))
+          |    FROM part
+          |  UNION ALL SELECT 'events.event_id', count(*),
+          |    count(DISTINCT CAST(event_id AS VARCHAR)),
+          |    count(*) - count(DISTINCT CAST(event_id AS VARCHAR))
+          |    FROM events
+          |  UNION ALL SELECT 'documents.doc_id', count(*),
+          |    count(DISTINCT CAST(doc_id AS VARCHAR)),
+          |    count(*) - count(DISTINCT CAST(doc_id AS VARCHAR))
+          |    FROM documents)
+          |ORDER BY pk""".stripMargin
     )
   }
 
