@@ -37,6 +37,28 @@ object Probe {
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       time("window-cumsum")(tc.withColumn("b", coalesce(sum(col("n")).over(w), lit(0L))).count())
+      // q199 stage anatomy: where do the 2.5s go?
+      val ts3 = TextOps.tokens(col("text"))
+      val sh = d.select(col("doc_id"), ts3.as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ts")) - 2), i =>
+            concat_ws(" ", element_at(col("ts"), i),
+              element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+          .as("sh"))
+      time("tfidf-shingles")(sh.count())
+      val tf = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+      time("tfidf-tf")(tf.count())
+      val dfc = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+      time("tfidf-df")(dfc.count())
+      val wgt = tf.join(dfc, "sh").filter(col("df") >= 2)
+      time("tfidf-pairs-input")(wgt.count())
+      val pairs = wgt.select(col("doc_id").as("a"), col("sh"))
+        .join(wgt.select(col("doc_id").as("b"), col("sh")), "sh")
+        .filter(col("a") < col("b"))
+      time("tfidf-cand-pairs")(pairs.count())
+      time("tfidf-dot-agg")(pairs.groupBy("a", "b").count().count())
+      time("q199-full")(SparkEntry.queries("q199_tfidf_docsim")(spark, dir).count())
     }
     spark.stop()
   }

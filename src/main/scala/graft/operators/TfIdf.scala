@@ -37,10 +37,17 @@ object TfIdf {
     val tf = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("sh").agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("n_docs"))
+    // The weight relation feeds FOUR consumers (both sides of the pair
+    // join and both norm joins); without materialization each one
+    // re-executes the whole shingle→tf→df chain. One executor-local
+    // checkpoint of the narrow (doc, sh, df, w) projection collapses
+    // the plan to a single upstream pass — the same boundary-pinning
+    // move Ranking.withGlobalRank documents.
     val w = tf.join(dfc, "sh").crossJoin(broadcast(nd))
       .where(col("df") * 5 < col("n_docs"))
       .select(col("doc_id"), col("sh"), col("df"),
         (col("tf") * expr("(n_docs * 1000) DIV df")).as("w"))
+      .localCheckpoint(true)
     val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
     val p = w.where(col("df") >= 2)
     val dot = p.select(col("doc_id").as("doc_a"), col("sh"),
