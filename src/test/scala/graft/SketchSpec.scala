@@ -535,6 +535,41 @@ class SketchSpec extends SparkSpec {
     assert(med > 350 && med < 650, s"sample median $med far from true 499.5")
   }
 
+  test("q233 HLL registers estimate distinct users within the m=64 band") {
+    // estimate = α₆₄·m²/Σ2^(−M_j) over all 64 buckets (absent bucket ⇒
+    // register 0 ⇒ term 1). Standard error at m=64 is 1.04/√64 ≈ 13%;
+    // assert a generous 3σ band against the exact distinct count.
+    val regs = SparkEntry.queries("q233_hll_registers")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = Tables.load(spark, sf0001, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val m = 64
+    val alpha = 0.709
+    for ((t, n) <- exact) {
+      val byBucket = regs.filter(_._1 == t).map(r => r._2 -> r._3).toMap
+      val z = (0 until m).map(b =>
+        math.pow(2.0, -byBucket.getOrElse(b.toLong, 0L).toDouble)).sum
+      val raw = alpha * m * m / z
+      // Flajolet's small-range correction: below 2.5m with empty
+      // buckets, linear counting E* = m·ln(m/V) replaces the raw
+      // estimate (the raw form overshoots badly at n ≪ m)
+      val v = (0 until m).count(b => !byBucket.contains(b.toLong))
+      val est = if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v)
+                else raw
+      assert(math.abs(est - n) / n < 0.39,
+        s"$t: HLL est $est vs exact $n (>3σ off)")
+    }
+    // merge soundness: the '__all' registers are the max over types
+    val all = regs.filter(_._1 == "__all").map(r => r._2 -> r._3).toMap
+    for (b <- all.keys) {
+      val mx = regs.filter(r => r._1 != "__all" && r._2 == b).map(_._3).max
+      assert(all(b) === mx, s"bucket $b: __all register is not the max")
+    }
+  }
+
   test("CountMin merge is partition-order-free (grids add element-wise)") {
     import graft.functions.CountMin
     val d = 2; val w = 32
