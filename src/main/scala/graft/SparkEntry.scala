@@ -4359,6 +4359,135 @@ object SparkEntry {
         pk("documents.doc_id", T(s, dir, "documents"), Seq("doc_id")))
         .reduce(_.unionAll(_))
         .orderBy("pk")
+    }),
+
+    // ── [ext] FORWARD as-of join: each purchase matched to the NEXT
+    // click at-or-after it — the q85 custom AsOfJoinExec reused on a
+    // NEGATED micro timestamp (backward-on-(−t) ≡ forward-on-t), so one
+    // physical operator serves both directions; the follow-up/reaction
+    // lookup of attribution pipelines. ────────────────────────────────
+    "q245_asof_forward" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (-unix_micros(col("ts"))).as("nts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          (-unix_micros(col("ts"))).as("c_nts"))
+      graft.operators.AsOf.asofBackward(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "nts", "c_nts")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("next_click_s"))
+        .orderBy("event_id")
+    }),
+
+    // ── [ext] cumulative-uniques growth curve: first-seen day per user
+    // collapses the stream to one row per user, daily new-user counts
+    // roll up with a prefix sum over the ≤|days| aggregate — the
+    // classic user-growth accounting without a giant distinct window. ─
+    "q246_cumulative_uniques" -> ((s, dir) => {
+      val first = T(s, dir, "events")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+      val daily = first.groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val tot = first.agg(count(lit(1)).as("n_total"))
+      daily.withColumn("cum_users", sum(col("n_new")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("day"), col("n_new"), col("cum_users"),
+          (col("cum_users").cast(DoubleType) /
+            col("n_total").cast(DoubleType)).as("frac_of_total"))
+        .orderBy("day")
+    }),
+
+    // ── [ext] revenue bridge / growth accounting: the last two order
+    // months per customer pivoted by conditional aggregation, each
+    // customer classified new / churned / expanded / contracted / flat,
+    // per-category customer counts and DECIMAL-exact revenue deltas —
+    // the waterfall behind every "why did revenue move" review. ───────
+    "q247_revenue_bridge" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val m1 = o.agg(max(date_trunc("month", col("o_orderdate"))).as("m1"))
+      val mm = date_trunc("month", col("o_orderdate"))
+      val x = col("o_totalprice").cast(DecimalType(18, 2))
+      val per = o.crossJoin(broadcast(m1))
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(mm === add_months(col("m1"), -1), x)).as("r0"),
+          sum(when(mm === col("m1"), x)).as("r1"))
+        .where(col("r0").isNotNull || col("r1").isNotNull)
+      val cat = when(col("r0").isNull, "new")
+        .when(col("r1").isNull, "churned")
+        .when(col("r1") > col("r0"), "expanded")
+        .when(col("r1") < col("r0"), "contracted")
+        .otherwise("flat")
+      per.groupBy(cat.as("category"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(coalesce(col("r0"), lit(BigDecimal(0)))).as("rev0"),
+          sum(coalesce(col("r1"), lit(BigDecimal(0)))).as("rev1"))
+        .select(col("category"), col("n_customers"),
+          col("rev0").cast(DoubleType).as("rev_prev"),
+          col("rev1").cast(DoubleType).as("rev_cur"),
+          (col("rev1") - col("rev0")).cast(DoubleType).as("delta"))
+        .orderBy("category")
+    }),
+
+    // ── [ext] cohort LTV matrix: customers grouped by first-order
+    // month, revenue at each month age (integer year·12+month
+    // arithmetic — replay-safe on any engine), cumulative via a
+    // DECIMAL-exact window over the ≤|cohorts|·|ages| aggregate. ──────
+    "q248_cohort_ltv" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val mi = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType)
+      val first = o.groupBy(col("o_custkey")).agg(min(mi).as("cohort"))
+      val x = col("o_totalprice").cast(DecimalType(18, 2))
+      val rev = o.join(first, "o_custkey")
+        .groupBy(col("cohort"), (mi - col("cohort")).as("age"))
+        .agg(count(lit(1)).as("n_orders"), sum(x).as("rev"))
+        .where(col("age") <= 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort").orderBy("age")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      rev.withColumn("cum", sum(col("rev")).over(w))
+        .select(col("cohort"), col("age"), col("n_orders"),
+          col("rev").cast(DoubleType).as("revenue"),
+          col("cum").cast(DoubleType).as("cum_revenue"))
+        .orderBy("cohort", "age")
+    }),
+
+    // ── [ext] RFM segmentation: recency/frequency/monetary quintiles
+    // per customer — each quintile from the two-phase global Ranking +
+    // the arithmetic ntileOf (NO ntile() window over all customers),
+    // rolled up to segment counts. The classic CRM cube, built scale-
+    // safe three ranks at a time. ─────────────────────────────────────
+    "q249_rfm" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val mx = o.agg(max(col("o_orderdate")).as("dmax"))
+      val per = o.crossJoin(broadcast(mx))
+        .groupBy(col("o_custkey"))
+        .agg(min(datediff(col("dmax"), col("o_orderdate"))).as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
+      val R = graft.operators.Ranking
+      def score(df: DataFrame, c: String, asc: Boolean, out: String) = {
+        val ord = if (asc) col(c).asc else col(c).desc
+        val ranked = R.withGlobalRank(df, "__rk", "__n", ord,
+          col("o_custkey").asc)
+        ranked.withColumn(out,
+          R.ntileOf(5, col("__rk"), col("__n")).cast(LongType))
+          .drop("__rk", "__n")
+      }
+      val scored = score(score(score(per, "recency", asc = true, "r_score"),
+        "frequency", asc = false, "f_score"),
+        "monetary", asc = false, "m_score")
+      scored.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary")).cast(DoubleType).as("total_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
     })
   )
 
@@ -7792,7 +7921,89 @@ object SparkEntry {
           |    count(DISTINCT CAST(doc_id AS VARCHAR)),
           |    count(*) - count(DISTINCT CAST(doc_id AS VARCHAR))
           |    FROM documents)
-          |ORDER BY pk""".stripMargin
+          |ORDER BY pk""".stripMargin,
+
+      "q245_asof_forward" ->
+        """SELECT user_id, event_id,
+          |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+          |  strftime(next_click_ts, '%Y-%m-%d %H:%M:%S') AS next_click_s
+          |FROM (
+          |  SELECT b.user_id, b.event_id, b.ts,
+          |         (SELECT min(c.ts) FROM events c
+          |          WHERE c.user_id = b.user_id AND c.event_type = 'click'
+          |            AND c.ts >= b.ts) AS next_click_ts
+          |  FROM events b WHERE b.event_type = 'purchase')
+          |ORDER BY event_id""".stripMargin,
+
+      "q246_cumulative_uniques" ->
+        """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+          |           FROM events GROUP BY 1),
+          |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1),
+          |t AS (SELECT count(*) AS n_total FROM f)
+          |SELECT day, n_new,
+          |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+          |    AS BIGINT) AS cum_users,
+          |  CAST(CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED
+          |    PRECEDING) AS BIGINT) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+          |    AS frac_of_total
+          |FROM d CROSS JOIN t ORDER BY day""".stripMargin,
+
+      "q247_revenue_bridge" ->
+        """WITH m AS (SELECT max(date_trunc('month', o_orderdate)) AS m1
+          |           FROM orders),
+          |per AS (SELECT o_custkey,
+          |    sum(CASE WHEN date_trunc('month', o_orderdate) =
+          |      m.m1 - INTERVAL 1 MONTH
+          |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS r0,
+          |    sum(CASE WHEN date_trunc('month', o_orderdate) = m.m1
+          |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS r1
+          |  FROM orders CROSS JOIN m GROUP BY 1),
+          |c AS (SELECT CASE WHEN r0 IS NULL THEN 'new'
+          |        WHEN r1 IS NULL THEN 'churned'
+          |        WHEN r1 > r0 THEN 'expanded'
+          |        WHEN r1 < r0 THEN 'contracted'
+          |        ELSE 'flat' END AS category, r0, r1
+          |      FROM per WHERE r0 IS NOT NULL OR r1 IS NOT NULL)
+          |SELECT category, count(*) AS n_customers,
+          |  CAST(sum(coalesce(r0, 0)) AS DOUBLE) AS rev_prev,
+          |  CAST(sum(coalesce(r1, 0)) AS DOUBLE) AS rev_cur,
+          |  CAST(sum(coalesce(r1, 0)) - sum(coalesce(r0, 0)) AS DOUBLE)
+          |    AS delta
+          |FROM c GROUP BY 1 ORDER BY category""".stripMargin,
+
+      "q248_cohort_ltv" ->
+        """WITH mo AS (SELECT o_custkey, o_totalprice,
+          |        CAST(year(o_orderdate) * 12 + month(o_orderdate)
+          |          AS BIGINT) AS mi
+          |      FROM orders),
+          |f AS (SELECT o_custkey, min(mi) AS cohort FROM mo GROUP BY 1),
+          |r AS (SELECT f.cohort, mo.mi - f.cohort AS age,
+          |        count(*) AS n_orders,
+          |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          |      FROM mo JOIN f USING (o_custkey) GROUP BY 1, 2)
+          |SELECT cohort, age, n_orders, CAST(rev AS DOUBLE) AS revenue,
+          |  CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+          |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+          |FROM r WHERE age <= 6 ORDER BY cohort, age""".stripMargin,
+
+      "q249_rfm" ->
+        """WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+          |per AS (SELECT o_custkey,
+          |    min(datediff('day', o_orderdate, mx.dmax)) AS recency,
+          |    count(*) AS frequency,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+          |  FROM orders CROSS JOIN mx GROUP BY 1),
+          |sc AS (SELECT o_custkey, monetary,
+          |    ntile(5) OVER (ORDER BY recency, o_custkey) AS r_score,
+          |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+          |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+          |  FROM per)
+          |SELECT CAST(r_score AS BIGINT) AS r_score,
+          |  CAST(f_score AS BIGINT) AS f_score,
+          |  CAST(m_score AS BIGINT) AS m_score,
+          |  count(*) AS n_customers,
+          |  CAST(sum(monetary) AS DOUBLE) AS total_monetary
+          |FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
     )
   }
 
