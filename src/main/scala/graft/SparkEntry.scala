@@ -4488,6 +4488,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("monetary")).cast(DoubleType).as("total_monetary"))
         .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    // ── [ext] Hilbert-curve layout cells: q91's two-dimensional
+    // clustering with the strictly-better-locality curve (adjacent curve
+    // steps are adjacent grid cells — tighter per-file bounding boxes
+    // than Z-order's quadrant jumps). functions.HilbertIndex is a native
+    // codegen'd Expression; the oracle replays the rotate-and-accumulate
+    // walk as 8 chained integer CTE steps. ────────────────────────────
+    "q250_hilbert_cells" -> ((s, dir) => {
+      val day = greatest(
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))), lit(0))
+        .cast(LongType)
+      T(s, dir, "events")
+        .withColumn("h", graft.functions.HilbertIndex(
+          day, pmod(col("user_id"), lit(256L)), 8))
+        .withColumn("cell", shiftright(col("h"), 8))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("cell")
+    }),
+
+    // ── [ext] volume bars: event-count-free bars that close when the
+    // per-type cumulative DECIMAL value crosses 500 — the activity-
+    // uniform resampling finance uses next to q162's time bars. The
+    // running total comes from the two-phase range-partitioned prefix
+    // sum (cents-exact, no SinglePartition window); bar id is a floor
+    // division of it, the per-bar aggregate is one exchange. ──────────
+    "q251_volume_bars" -> ((s, dir) => {
+      val e = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"),
+          (col("value").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("cents"))
+      val c = graft.operators.Ranking.withPrefixSum(
+        e, "cum", "__T", col("cents"), col("ts").asc, col("event_id").asc)
+      c.withColumn("bar", expr("(cum - 1) DIV 50000"))
+        .groupBy("bar")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_open"), max(col("ts")).as("t_close"),
+          Exact.moneySum(col("value")).as("bar_value"))
+        .orderBy("bar")
     })
   )
 
@@ -8003,7 +8044,26 @@ object SparkEntry {
           |  CAST(m_score AS BIGINT) AS m_score,
           |  count(*) AS n_customers,
           |  CAST(sum(monetary) AS DOUBLE) AS total_monetary
-          |FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+          |FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
+
+      "q250_hilbert_cells" ->
+        s"""WITH base AS (SELECT greatest(date_diff('day', DATE '2024-01-01',
+           |        CAST(ts AS DATE)), 0) AS dx, user_id % 256 AS uy, value
+           |      FROM events),
+           |${graft.functions.HilbertIndex.oracleCtes("base", "dx", "uy", 8)}
+           |SELECT (hd >> 8) AS cell, count(*) AS n, $moneyV AS total_value
+           |FROM hf GROUP BY 1 ORDER BY cell""".stripMargin,
+
+      "q251_volume_bars" ->
+        s"""WITH e AS (SELECT event_id, ts, value,
+           |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |          AS cents
+           |      FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT *, CAST(sum(cents) OVER (ORDER BY ts, event_id
+           |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM e)
+           |SELECT (cum - 1) // 50000 AS bar, count(*) AS n_events,
+           |  min(ts) AS t_open, max(ts) AS t_close, $moneyV AS bar_value
+           |FROM c GROUP BY 1 ORDER BY bar""".stripMargin
     )
   }
 
