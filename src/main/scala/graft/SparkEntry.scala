@@ -4529,7 +4529,14 @@ object SparkEntry {
           min(col("ts")).as("t_open"), max(col("ts")).as("t_close"),
           Exact.moneySum(col("value")).as("bar_value"))
         .orderBy("bar")
-    })
+    }),
+
+    // ── [ext] chained stateful streaming: interval join → tumbling-day
+    // aggregate in one query (EventStream.joinedDailyTotals) — join
+    // state and window state evicted independently under one propagated
+    // watermark; append-mode result ≡ the batch join+group. ───────────
+    "q252_stream_join_agg" -> ((s, dir) =>
+      graft.streaming.EventStream.joinedDailyTotals(s, dir))
   )
 
   /** Exactly-representable octile probabilities shared by q217's engine
@@ -8063,7 +8070,21 @@ object SparkEntry {
            |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM e)
            |SELECT (cum - 1) // 50000 AS bar, count(*) AS n_events,
            |  min(ts) AS t_open, max(ts) AS t_close, $moneyV AS bar_value
-           |FROM c GROUP BY 1 ORDER BY bar""".stripMargin
+           |FROM c GROUP BY 1 ORDER BY bar""".stripMargin,
+
+      "q252_stream_join_agg" ->
+        """WITH c AS (SELECT user_id, ts AS click_ts FROM events
+          |           WHERE event_type = 'click'),
+          |b AS (SELECT user_id, event_id, ts AS buy_ts FROM events
+          |      WHERE event_type = 'purchase'),
+          |j AS (SELECT b.buy_ts,
+          |        epoch_us(b.buy_ts) - epoch_us(c.click_ts) AS gap
+          |      FROM b JOIN c ON b.user_id = c.user_id
+          |        AND c.click_ts <= b.buy_ts
+          |        AND c.click_ts >= b.buy_ts - INTERVAL 1 HOUR)
+          |SELECT date_trunc('day', buy_ts) AS day, count(*) AS n_pairs,
+          |  CAST(sum(gap) AS BIGINT) AS gap_us_total
+          |FROM j GROUP BY 1 ORDER BY day""".stripMargin
     )
   }
 

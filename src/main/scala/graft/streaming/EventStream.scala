@@ -353,6 +353,40 @@ object EventStream {
     }
   }
 
+  /** CHAINED stateful operators: the q84 interval join feeding a
+    * downstream tumbling-day aggregate in ONE streaming query — the
+    * multi-stateful pipeline shape (join state + window state, each
+    * with its own eviction) Spark supports via watermark propagation
+    * through the join. Append mode: a day's row emits only when the
+    * watermark proves the day complete, so the result ≡ the batch
+    * join+group under any batching; the sentinel batches flush both the
+    * join tail AND the final day window. The sentinel self-pair lands
+    * in a far-future day and is filtered out BEFORE the aggregate. */
+  def joinedDailyTotals(spark: SparkSession, dir: String): DataFrame = {
+    val (src, landing) = eventsStreamWithSentinel(spark, dir)
+    val wsrc = src.withWatermark("ts", "1 hour")
+    val clicks = wsrc.filter(col("event_type").isin("click", "flush"))
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val buys = wsrc.filter(col("event_type").isin("purchase", "flush"))
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val joined = buys.join(clicks,
+        col("b_user") === col("c_user") &&
+          col("click_ts") <= col("buy_ts") &&
+          col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+      .filter(col("buy_id") >= 0)
+    val agg = joined
+      .groupBy(window(col("buy_ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us_total"))
+    runToResult(spark, agg, "append",
+      statePartitioned = true, Some(landing)) { t =>
+      t.select(col("w.start").as("day"), col("n_pairs"),
+        col("gap_us_total")).orderBy("day")
+    }
+  }
+
   /** FULL OUTER stream-stream join — completes the inner (q84) /
     * left-outer (q131) matrix: matched click→purchase pairs PLUS
     * watermark-proven unmatched rows from BOTH sides (clicks that never
