@@ -156,7 +156,8 @@ class PlanShapeSpec extends SparkSpec {
     // guarantee — guard each consumer so a future rewrite of one query
     // can't quietly fall back to the global-window form
     for (q <- Seq("q104_corpus_shuffle", "q106_quality_gate",
-        "q170_length_batching", "q209_sorted_neighborhood")) {
+        "q170_length_batching", "q209_sorted_neighborhood",
+        "q219_gini", "q249_rfm")) {
       val plan = planOf(q)
       assert(!plan.contains("Exchange SinglePartition"),
         s"$q regressed to a single-reducer plan:\n$plan")
