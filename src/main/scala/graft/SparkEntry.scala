@@ -4536,7 +4536,43 @@ object SparkEntry {
     // state and window state evicted independently under one propagated
     // watermark; append-mode result ≡ the batch join+group. ───────────
     "q252_stream_join_agg" -> ((s, dir) =>
-      graft.streaming.EventStream.joinedDailyTotals(s, dir))
+      graft.streaming.EventStream.joinedDailyTotals(s, dir)),
+
+    // ── [north star] k-NN classifier eval: leave-one-out accuracy of a
+    // 5-NN cosine majority vote on a 100-vector probe set — the label-
+    // quality / embedding-space health check (q228 evaluates the INDEX;
+    // this evaluates the SPACE). Probes broadcast against one candidate
+    // scan; votes resolve by (count DESC, label ASC) argmax; per-label
+    // accuracy from exact counts. ─────────────────────────────────────
+    "q253_knn_eval" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val sims = e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          graft.functions.VectorOps.cosine(col("embedding"), col("qv"))
+            .as("sim"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val top = sims.withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= 5)
+      val pred = top.groupBy("qid", "qlabel", "label")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("qid", "qlabel")
+        .agg(max(struct(col("c").as("c"), (-col("label")).as("nl")))
+          .as("m"))
+        .select(col("qid"), col("qlabel"), (-col("m.nl")).as("pred"))
+      pred.groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("pred") === col("qlabel"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n_probes"), col("n_correct"),
+          (col("n_correct").cast(DoubleType) /
+            col("n_probes").cast(DoubleType)).as("accuracy"))
+        .orderBy("label")
+    })
   )
 
   /** Exactly-representable octile probabilities shared by q217's engine
@@ -8084,7 +8120,31 @@ object SparkEntry {
           |        AND c.click_ts >= b.buy_ts - INTERVAL 1 HOUR)
           |SELECT date_trunc('day', buy_ts) AS day, count(*) AS n_pairs,
           |  CAST(sum(gap) AS BIGINT) AS gap_us_total
-          |FROM j GROUP BY 1 ORDER BY day""".stripMargin
+          |FROM j GROUP BY 1 ORDER BY day""".stripMargin,
+
+      "q253_knn_eval" ->
+        s"""WITH p AS (SELECT vec_id AS qid, embedding AS qv,
+           |        label AS qlabel FROM embeddings WHERE vec_id < 100),
+           |sims AS (SELECT p.qid, p.qlabel, e.vec_id, e.label,
+           |           ${cosine("e.embedding", "p.qv")} AS sim
+           |         FROM embeddings e CROSS JOIN p
+           |         WHERE e.vec_id <> p.qid),
+           |top AS (SELECT qid, qlabel, label FROM (
+           |  SELECT qid, qlabel, label, row_number() OVER (
+           |    PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           |  FROM sims) WHERE rn <= 5),
+           |v AS (SELECT qid, qlabel, label, count(*) AS c
+           |      FROM top GROUP BY 1, 2, 3),
+           |pr AS (SELECT qid, qlabel, label AS pred FROM (
+           |  SELECT qid, qlabel, label, row_number() OVER (
+           |    PARTITION BY qid ORDER BY c DESC, label) AS rn
+           |  FROM v) WHERE rn = 1)
+           |SELECT qlabel AS label, count(*) AS n_probes,
+           |  CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_correct,
+           |  CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS accuracy
+           |FROM pr GROUP BY 1 ORDER BY label""".stripMargin
     )
   }
 
