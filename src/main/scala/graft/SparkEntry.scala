@@ -4572,6 +4572,96 @@ object SparkEntry {
           (col("n_correct").cast(DoubleType) /
             col("n_probes").cast(DoubleType)).as("accuracy"))
         .orderBy("label")
+    }),
+
+    // ── [ext] variance-ratio F test: each event type's value variance
+    // vs the 'view' baseline — the equal-variance check run BEFORE
+    // choosing q134's Welch vs pooled t. Same DECIMAL-exact moment
+    // sums; sample variance and the F ratio in fixed IEEE shape. ──────
+    "q254_var_f_test" -> ((s, dir) => {
+      val x = col("value").cast(DecimalType(18, 2))
+      val agg = T(s, dir, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(x).as("sx"),
+        sum((x * x).cast(DecimalType(38, 4))).as("sxx"))
+      def varOf(n: Column, sx: Column, sxx: Column): Column = {
+        val nD = n.cast(DoubleType)
+        (sxx.cast(DoubleType) -
+          ((sx.cast(DoubleType) * sx.cast(DoubleType)) / nD)) /
+          (nD - lit(1.0))
+      }
+      val a = agg.filter(col("event_type") =!= "view")
+        .select(col("event_type").as("grp"), col("n").as("n1"),
+          col("sx").as("s1"), col("sxx").as("ss1"))
+      val b = agg.filter(col("event_type") === "view")
+        .select(col("n").as("n2"), col("sx").as("s2"),
+          col("sxx").as("ss2"))
+      a.crossJoin(broadcast(b))
+        .select(col("grp"), col("n1"), col("n2"),
+          varOf(col("n1"), col("s1"), col("ss1")).as("var1"),
+          varOf(col("n2"), col("s2"), col("ss2")).as("var2"),
+          (varOf(col("n1"), col("s1"), col("ss1")) /
+            varOf(col("n2"), col("s2"), col("ss2"))).as("f_ratio"))
+        .orderBy("grp")
+    }),
+
+    // ── [ext] Pareto 80/20 concentration: the minimum number of
+    // customers whose (spend-descending) cumulative revenue reaches 80%
+    // of the total — integer-cents prefix sum from the two-phase
+    // range-partitioned operator, the cut found by one filtered min;
+    // the single-number companion to q219's Gini. ─────────────────────
+    "q255_pareto_8020" -> ((s, dir) => {
+      val spend = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("cents"))
+      val c = graft.operators.Ranking.withPrefixSum(
+        spend, "cum", "total_cents", col("cents"),
+        col("cents").desc, col("o_custkey").asc)
+      val n = spend.agg(count(lit(1)).as("n_cust"))
+      // cum is nondecreasing along the spend-DESC order, so every row
+      // from the 80% crossing onward satisfies the predicate: the
+      // crossing rank k = n − hits + 1 — one filtered count, no sort
+      // of the result
+      c.where(col("cum") * 5 >= col("total_cents") * 4)
+        .agg(count(lit(1)).as("__hits"),
+          min(col("total_cents")).as("total_cents"))
+        .crossJoin(broadcast(n))
+        .select(col("n_cust"),
+          (col("n_cust") - col("__hits") + 1L).as("n_top_customers"),
+          ((col("n_cust") - col("__hits") + 1L).cast(DoubleType) /
+            col("n_cust").cast(DoubleType)).as("top_frac"),
+          col("total_cents"))
+    }),
+
+    // ── [ext] corrupt-record tolerant ingestion: a staged JSONL batch
+    // with an injected malformed line read back in PERMISSIVE mode with
+    // an explicit `_corrupt_record` column — the poison-pill discipline
+    // of any at-scale ingest (one bad row must cost one row, not the
+    // job). Oracle-checkable because the good rows are the documents
+    // table and exactly one line is broken by construction. ───────────
+    "q256_corrupt_records" -> ((s, dir) => {
+      val work = graft.TempWork.fresh("corrupt_jsonl")
+      val path = s"$work/docs.jsonl"
+      val d = T(s, dir, "documents")
+      val good = d.select(to_json(struct(col("doc_id"), col("lang"),
+        col("n_chars"))).as("line"))
+      val bad = s.range(1).select(
+        lit("{\"doc_id\": 99999999, \"lang\": \"xx\", ").as("line"))
+      good.unionAll(bad).coalesce(1)
+        .write.mode("overwrite").text(path)
+      val schema = "doc_id BIGINT, lang STRING, n_chars BIGINT, " +
+        "_corrupt_record STRING"
+      val back = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+      back.agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_bad"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars")))
+          .as("n_chars_total"))
     })
   )
 
@@ -8144,7 +8234,49 @@ object SparkEntry {
            |    AS n_correct,
            |  CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
            |    / CAST(count(*) AS DOUBLE) AS accuracy
-           |FROM pr GROUP BY 1 ORDER BY label""".stripMargin
+           |FROM pr GROUP BY 1 ORDER BY label""".stripMargin,
+
+      "q254_var_f_test" ->
+        """WITH m AS (SELECT event_type, count(*) AS n,
+          |        sum(CAST(value AS DECIMAL(18,2))) AS sx,
+          |        sum(CAST(CAST(value AS DECIMAL(18,2)) *
+          |          CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx
+          |      FROM events GROUP BY 1),
+          |v AS (SELECT event_type, n,
+          |        (CAST(sxx AS DOUBLE) - ((CAST(sx AS DOUBLE) *
+          |           CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))) /
+          |          (CAST(n AS DOUBLE) - 1.0) AS s2
+          |      FROM m)
+          |SELECT a.event_type AS grp, a.n AS n1, b.n AS n2,
+          |  a.s2 AS var1, b.s2 AS var2, a.s2 / b.s2 AS f_ratio
+          |FROM v a CROSS JOIN (SELECT * FROM v
+          |  WHERE event_type = 'view') b
+          |WHERE a.event_type <> 'view' ORDER BY grp""".stripMargin,
+
+      "q255_pareto_8020" ->
+        """WITH sp AS (SELECT o_custkey,
+          |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+          |          AS BIGINT) AS cents
+          |      FROM orders GROUP BY 1),
+          |c AS (SELECT cents, CAST(sum(cents) OVER (ORDER BY cents DESC,
+          |        o_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |        CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+          |      FROM sp),
+          |n AS (SELECT count(*) AS n_cust FROM sp),
+          |h AS (SELECT count(*) AS hits, min(total_cents) AS total_cents
+          |      FROM c WHERE cum * 5 >= total_cents * 4)
+          |SELECT n.n_cust, n.n_cust - h.hits + 1 AS n_top_customers,
+          |  CAST(n.n_cust - h.hits + 1 AS DOUBLE) /
+          |    CAST(n.n_cust AS DOUBLE) AS top_frac,
+          |  h.total_cents
+          |FROM n CROSS JOIN h""".stripMargin,
+
+      // q256: the staged file is documents + exactly one malformed line
+      // by construction, so the oracle is a plain count/sum
+      "q256_corrupt_records" ->
+        """SELECT count(*) AS n_good, CAST(1 AS BIGINT) AS n_bad,
+          |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+          |FROM documents""".stripMargin
     )
   }
 
