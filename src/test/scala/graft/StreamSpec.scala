@@ -254,6 +254,34 @@ class StreamSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("chained join→agg (q252) equals the batch join+group and reruns identically") {
+    // two stateful operators in one query: both the join-tail and the
+    // final-day-window evictions ride the sentinel batches, so the
+    // emitted day rows must equal the batch interval-join + daily group
+    // AND be identical across independent standups
+    import org.apache.spark.sql.functions._
+    val r1 = rowsOf(EventStream.joinedDailyTotals(spark, sf0001))
+    val r2 = rowsOf(EventStream.joinedDailyTotals(spark, sf0001))
+    assert(r1.nonEmpty)
+    assert(r1 === r2)
+    val e = Tables.load(spark, sf0001, "events")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("bu"), col("ts").as("bts"))
+    val batch = b.join(c, col("bu") === col("cu") &&
+        col("cts") <= col("bts") &&
+        col("cts") >= col("bts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(window(col("bts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(unix_micros(col("bts")) - unix_micros(col("cts")))
+          .as("gap_us_total"))
+      .select(col("w.start").as("day"), col("n_pairs"),
+        col("gap_us_total"))
+      .orderBy("day")
+    assert(r1 === rowsOf(batch))
+  }
+
   test("streamed Count-Min grid is bit-identical to the batch grid") {
     // the parity split puts every type's rows in BOTH micro-batches, so
     // this passes only if the grid partials merge exactly in the state
