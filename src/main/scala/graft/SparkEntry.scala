@@ -4662,6 +4662,49 @@ object SparkEntry {
           .as("n_bad"),
         sum(when(col("_corrupt_record").isNull, col("n_chars")))
           .as("n_chars_total"))
+    }),
+
+    // ── [ext] Spearman rank correlation: are frequent tokens also the
+    // bursty ones? ρ = 1 − 6Σd²/(n(n²−1)) over the df-rank vs
+    // Fano-rank of the vocabulary (q211's metrics) — the rank-
+    // correlation primitive (monotone association, outlier-immune)
+    // computed entirely from exact integer ranks; ranks are total
+    // orders (tie-break on token), so the statistic replays exactly.
+    // Vocabulary-sized input: the windows run on the model, not the
+    // corpus. ─────────────────────────────────────────────────────────
+    "q257_spearman" -> ((s, dir) => {
+      val tf = T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val m = tf.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("stf"),
+          sum(col("tf") * col("tf")).as("stf2"))
+        .withColumn("fano_num",
+          col("df") * col("stf2") - col("stf") * col("stf"))
+      // fano = fano_num / (df·stf): rank by the exact rational via
+      // cross-multiplied comparison-free trick — order by the double is
+      // fine HERE because both engines order the same doubles; use the
+      // same fixed-shape double as q211 for the rank key
+      val withF = m.withColumn("fano",
+        col("fano_num").cast(DoubleType) /
+          (col("df") * col("stf")).cast(DoubleType))
+      val wd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("token"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .orderBy(col("fano").desc, col("token"))
+      val ranked = withF
+        .withColumn("r_df", row_number().over(wd).cast(LongType))
+        .withColumn("r_fano", row_number().over(wf).cast(LongType))
+      ranked
+        .select(col("token"),
+          ((col("r_df") - col("r_fano")) * (col("r_df") - col("r_fano")))
+            .as("d2"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+        .select(col("n"), col("sd2"),
+          (lit(1.0) - (lit(6.0) * col("sd2").cast(DoubleType)) /
+            (col("n") * (col("n") * col("n") - 1L)).cast(DoubleType))
+            .as("spearman_rho"))
     })
   )
 
@@ -8276,7 +8319,31 @@ object SparkEntry {
       "q256_corrupt_records" ->
         """SELECT count(*) AS n_good, CAST(1 AS BIGINT) AS n_bad,
           |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+
+      "q257_spearman" ->
+        s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+           |m AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS stf,
+           |        CAST(sum(tf * tf) AS BIGINT) AS stf2 FROM tf GROUP BY 1),
+           |f AS (SELECT token, df,
+           |        CAST(df * stf2 - stf * stf AS DOUBLE) /
+           |          CAST(df * stf AS DOUBLE) AS fano
+           |      FROM m),
+           |r AS (SELECT token,
+           |        CAST(row_number() OVER (ORDER BY df DESC, token)
+           |          AS BIGINT) AS r_df,
+           |        CAST(row_number() OVER (ORDER BY fano DESC, token)
+           |          AS BIGINT) AS r_fano
+           |      FROM f),
+           |a AS (SELECT count(*) AS n,
+           |        CAST(sum((r_df - r_fano) * (r_df - r_fano)) AS BIGINT)
+           |          AS sd2
+           |      FROM r)
+           |SELECT n, sd2,
+           |  1.0 - (6.0 * CAST(sd2 AS DOUBLE)) /
+           |    CAST(n * (n * n - 1) AS DOUBLE) AS spearman_rho
+           |FROM a""".stripMargin
     )
   }
 
