@@ -3257,7 +3257,9 @@ object SparkEntry {
     // content, not raw overlap). Integer-exact throughout: tf is a
     // count, idf is the quantized integer surrogate (n_docs·1000) DIV df
     // (no transcendental log — bit-identical on any engine), weights/
-    // norms/dots are exact BIGINT sums; the only doubles are one
+    // norms/dots are exact DECIMAL(38,0) sums (matching DuckDB's exact
+    // HUGEINT accumulation — BIGINT would wrap at ~900 rare shingles
+    // per doc at 100k-doc corpora); the only doubles are one
     // sqrt·sqrt product and one division per surviving pair. Scale
     // shape: the pair join is blocked on the shingle itself with a df
     // cap (df·5 < corpus) that bounds per-shingle fan-out — candidate
@@ -4119,16 +4121,20 @@ object SparkEntry {
       val f = T(s, dir, "events")
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("ts")).as("t0"))
-      val tot = f.select("user_id").distinct().count()
+      // User total stays INSIDE the lazy plan (one-row aggregate
+      // broadcast-crossJoined, as q205/q208/q246 do) — no eager Spark
+      // job at construction time, no stale literal (advice r8).
+      val tot = f.agg(countDistinct(col("user_id")).as("n_total_users"))
       f.select(col("user_id"), col("event_type").as("t_from"),
           col("t0").as("ta"))
         .join(f.select(col("user_id"), col("event_type").as("t_to"),
           col("t0").as("tb")), "user_id")
         .where(col("t_from") =!= col("t_to") && col("ta") < col("tb"))
         .groupBy("t_from", "t_to").agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot))
         .select(col("t_from"), col("t_to"), col("n_users"),
-          (col("n_users").cast(DoubleType) / lit(tot.toDouble))
-            .as("share"))
+          (col("n_users").cast(DoubleType) /
+            col("n_total_users").cast(DoubleType)).as("share"))
         .orderBy("t_from", "t_to")
     }),
 
@@ -4343,7 +4349,9 @@ object SparkEntry {
     // companion of q242's FK edges (one exact distinct per table). ────
     "q244_pk_audit" -> ((s, dir) => {
       def pk(name: String, df: DataFrame, cols: Seq[String]): DataFrame = {
-        val k = concat_ws("", cols.map(col): _*)
+        // ':' separator keeps the composite key injective and matches
+        // the oracle's delimiter exactly (advice r8).
+        val k = concat_ws(":", cols.map(col): _*)
         df.agg(count(lit(1)).as("n_rows"),
             countDistinct(k).as("n_distinct"))
           .select(lit(name).as("pk"), col("n_rows"), col("n_distinct"),
@@ -4497,9 +4505,12 @@ object SparkEntry {
     // codegen'd Expression; the oracle replays the rotate-and-accumulate
     // walk as 8 chained integer CTE steps. ────────────────────────────
     "q250_hilbert_cells" -> ((s, dir) => {
-      val day = greatest(
-        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))), lit(0))
-        .cast(LongType)
+      // Clamp BOTH sides to the 2^8 grid: days past 255 (mid-September
+      // on) would otherwise silently alias onto early-year cells via the
+      // 8-bit mask inside HilbertIndex (advice r8).
+      val day = least(greatest(
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))), lit(0)),
+        lit(255)).cast(LongType)
       T(s, dir, "events")
         .withColumn("h", graft.functions.HilbertIndex(
           day, pmod(col("user_id"), lit(256L)), 8))
@@ -8223,8 +8234,9 @@ object SparkEntry {
           |FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
 
       "q250_hilbert_cells" ->
-        s"""WITH base AS (SELECT greatest(date_diff('day', DATE '2024-01-01',
-           |        CAST(ts AS DATE)), 0) AS dx, user_id % 256 AS uy, value
+        s"""WITH base AS (SELECT least(greatest(date_diff('day',
+           |        DATE '2024-01-01', CAST(ts AS DATE)), 0), 255) AS dx,
+           |        user_id % 256 AS uy, value
            |      FROM events),
            |${graft.functions.HilbertIndex.oracleCtes("base", "dx", "uy", 8)}
            |SELECT (hd >> 8) AS cell, count(*) AS n, $moneyV AS total_value

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Sparse TF-IDF document similarity over 3-token shingles (q199's
   * core, factored for the ScaleProbe).
@@ -48,14 +48,27 @@ object TfIdf {
       .select(col("doc_id"), col("sh"), col("df"),
         (col("tf") * expr("(n_docs * 1000) DIV df")).as("w"))
       .localCheckpoint(true)
-    val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    // Norms and dots accumulate in DECIMAL(38,0), not BIGINT: a df=1
+    // shingle at 100k docs weighs ~1e8, so w² ≈ 1e16 per term and a doc
+    // with ~900+ unique rare shingles would wrap past 2^63 under Spark's
+    // non-ANSI BIGINT sum (silent negative n2 → NaN sim), while DuckDB's
+    // HUGEINT sum stays exact — breaking parity. DECIMAL(38,0) matches
+    // the oracle's exactness up to 1e38 (≫ any realistic corpus: w² ≤
+    // 8e37 per term requires w ≤ 9e18, i.e. n_docs·1000·tf at the BIGINT
+    // edge; Σ over a doc's shingles has 21 orders of headroom).
+    val wd = col("w").cast(DecimalType(19, 0))
+    val norm = w.groupBy("doc_id")
+      .agg(sum(wd * wd).cast(DecimalType(38, 0)).as("n2"))
     val p = w.where(col("df") >= 2)
     val dot = p.select(col("doc_id").as("doc_a"), col("sh"),
         col("w").as("wa"))
       .join(p.select(col("doc_id").as("doc_b"), col("sh"),
         col("w").as("wb")), "sh")
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa").cast(DecimalType(19, 0)) *
+        col("wb").cast(DecimalType(19, 0)))
+        .cast(DecimalType(38, 0)).as("dot"))
     dot
       .join(norm.select(col("doc_id").as("doc_a"), col("n2").as("na2")),
         "doc_a")
