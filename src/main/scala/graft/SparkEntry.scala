@@ -3553,24 +3553,43 @@ object SparkEntry {
 
     // ── [ext] link prediction by common-neighbor Jaccard: for each
     // non-adjacent vertex pair of the urgent co-purchase graph sharing
-    // ≥1 neighbor, |N(a)∩N(b)| / |N(a)∪N(b)|. Wedge generation joins
-    // the directed edge list with itself on the MIDDLE vertex (cost
-    // Σ deg(m)² — the same budget the README's triangle probe tracks);
-    // existing edges leave via one anti-join; degrees arrive by
-    // broadcast. The standard recommender prior at any graph scale. ───
+    // ≥1 (capped) neighbor, |N(a)∩N(b)| / |N(a)∪N(b)|. Wedge generation
+    // joins the directed edge list with itself on the MIDDLE vertex —
+    // raw cost Σ deg(m)², which explodes on power-law hubs — so each
+    // middle contributes at most its K=64 lowest-id neighbors (a
+    // deterministic per-key top-K the oracle replays verbatim). Cost
+    // drops to Σ min(deg,K)² — LINEAR in vertices at fixed K — while
+    // the Jaccard denominator keeps TRUE degrees, making the score a
+    // lower-bound estimate that only undercounts pairs whose shared
+    // neighbors are all mega-hubs (which have near-zero Jaccard
+    // anyway: a hub middle of degree d contributes ≤ 1 to c but d to
+    // the union). Existing edges leave via one anti-join; degrees
+    // arrive by broadcast. The hub-capped form is the standard
+    // recommender prior at real graph scale. ──────────────────────────
     "q213_link_prediction" -> ((s, dir) => {
       val urgent = T(s, dir, "lineitem")
         .join(T(s, dir, "orders")
           .filter(col("o_orderpriority") === "1-URGENT")
           .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
         .select(col("l_orderkey"), col("l_partkey"))
+      // The edge list feeds FOUR consumers (both union branches, the
+      // degree agg, the anti-join) — a lazy localCheckpoint computes
+      // the lineitem⋈orders self-join + distinct once, not four times.
       val edges = graft.operators.Graph.coOccurrenceEdges(
-        urgent, "l_orderkey", "l_partkey")
+        urgent, "l_orderkey", "l_partkey").localCheckpoint(false)
       val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       val deg = dirE.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-      val cn = dirE.select(col("src").as("m"), col("dst").as("u"))
-        .join(dirE.select(col("src").as("m"), col("dst").as("v2")), "m")
+      // Hub cap: per middle vertex keep the 64 lowest-id neighbors.
+      // row_number sorts deg·log(deg) per key (spillable) vs the deg²
+      // wedge blow-up it prevents; the window shuffle co-partitions
+      // with the self-join key, so no extra exchange downstream. The
+      // checkpoint pins the sorted window output for both wedge sides.
+      val capped = dirE.withColumn("__rn", row_number().over(
+          Window.partitionBy("src").orderBy("dst")))
+        .where(col("__rn") <= 64).drop("__rn").localCheckpoint(false)
+      val cn = capped.select(col("src").as("m"), col("dst").as("u"))
+        .join(capped.select(col("src").as("m"), col("dst").as("v2")), "m")
         .where(col("u") < col("v2"))
         .groupBy(col("u"), col("v2")).agg(count(lit(1)).as("c"))
       val nonEdge = cn.join(edges,
@@ -7569,8 +7588,12 @@ object SparkEntry {
           |d0 AS (SELECT a AS src, b AS dst FROM e0
           |       UNION ALL SELECT b, a FROM e0),
           |dg AS (SELECT src, count(*) AS deg FROM d0 GROUP BY 1),
+          |dc AS (SELECT src, dst FROM (
+          |         SELECT src, dst, row_number() OVER (
+          |           PARTITION BY src ORDER BY dst) AS rn FROM d0)
+          |       WHERE rn <= 64),
           |cn AS (SELECT a.dst AS u, b.dst AS v2, count(*) AS c
-          |       FROM d0 a JOIN d0 b ON a.src = b.src AND a.dst < b.dst
+          |       FROM dc a JOIN dc b ON a.src = b.src AND a.dst < b.dst
           |       GROUP BY 1, 2),
           |ne AS (SELECT cn.u, cn.v2, cn.c FROM cn
           |       ANTI JOIN e0 ON cn.u = e0.a AND cn.v2 = e0.b)

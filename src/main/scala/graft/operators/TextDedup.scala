@@ -227,31 +227,54 @@ object TextDedup {
     * arithmetic (⌈p·n/q⌉ = (p·n + q − 1) div q; keep iff q·|∩| ≥
     * p·min(n_a, n_b)) — no IEEE ceil-overshoot can shave the prefix at
     * exact-boundary sizes. Verify: native sorted-merge intersect over
-    * rank arrays fetched only for surviving pairs; both directions
+    * h-sorted shingle arrays fetched only for surviving pairs (df-rank
+    * is a bijection of h, so intersect cardinality needs no global
+    * renumbering — the rarest-first order is the (df, h) struct sort,
+    * computed per-doc with no global-rank exchange); both directions
     * reported, contained side flagged. Candidates ∝ shared-content mass
     * (rare-shingle blocks), the q157 scale story. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        thrNum: Int = 4, thrDen: Int = 5,
                        shingleLen: Int = 3): DataFrame = {
+    // The "global rank" the prefix principle needs is ONLY a total
+    // order consistent with df-ascending — a dense renumbering adds
+    // nothing (intersection cardinality is invariant under the h→rank
+    // bijection). So rank materialization (a two-phase exchange + its
+    // checkpoint) is skipped entirely: per-doc ordering uses the raw
+    // (df, h) struct sort, prefixes keep their df for the singleton
+    // cutoff, and set intersections run on h-sorted arrays directly.
+    // The shingle relation still feeds TWO consumers (df agg and the
+    // df join-back); one persist = one sha-256 hash pass.
     val tok = shingleSetsSha(widen(docs), idCol, textCol, shingleLen)
       .select(col(idCol).as("id"), explode(col("sh")).as("h"))
-    val ranked = Ranking.withGlobalRank(
-        tok.groupBy("h").agg(count(lit(1)).as("df")),
-        "r", "__n_sh", col("df").asc, col("h").asc)
-      .select(col("h"), col("r"))
-    val full = tok.join(ranked, Seq("h")).select(col("id"), col("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val full = tok
+      .join(tok.groupBy("h").agg(count(lit(1)).as("df")), Seq("h"))
+      .select(col("id"), col("h"), col("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = full.groupBy("id")
-      .agg(array_sort(collect_list(col("r"))).as("rs"))
-      .withColumn("n", size(col("rs")).cast(LongType))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
+      .withColumn("n", size(col("dh")).cast(LongType))
       .withColumn("plen", expr(
         s"CAST(n - (($thrNum * n + ${thrDen - 1}) div $thrDen) + 1 AS INT)"))
+      .select(col("id"), col("n"),
+        array_sort(expr("transform(dh, x -> x.h)")).as("rs"),
+        expr("slice(dh, 1, plen)").as("pref"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Singleton cutoff: a df=1 shingle lives in exactly one doc, so it
+    // can only self-match — it contributes nothing to candidates (the
+    // id_a ≠ id_b filter kills it anyway) but in a real corpus df=1
+    // shingles DOMINATE both the prefixes (rarest-first!) and the full
+    // lists; both join inputs shed them on the df they already carry.
+    // Candidate output is bit-identical.
     val pre = sets.select(col("id").as("id_a"),
-      explode(slice(col("rs"), lit(1), col("plen"))).as("p"))
+        explode(col("pref")).as("p"))
+      .where(col("p.df") >= 2)
+      .select(col("id_a"), col("p.h").as("p"))
     val candidates = pre
-      .join(full.select(col("id").as("id_b"), col("r")),
-        col("p") === col("r"))
+      .join(full.where(col("df") >= 2)
+        .select(col("id").as("id_b"), col("h")),
+        col("p") === col("h"))
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
@@ -273,7 +296,7 @@ object TextDedup {
         when(col("c_ab") >= col("c_ba"), lit("a_in_b"))
           .otherwise(lit("b_in_a")).as("direction"))
     val out = pairs.localCheckpoint(true)
-    full.unpersist(); sets.unpersist()
+    tok.unpersist(); full.unpersist(); sets.unpersist()
     out
   }
 

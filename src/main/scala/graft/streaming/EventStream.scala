@@ -49,6 +49,30 @@ object EventStream {
   private def deleteRecursively(dir: java.nio.file.Path): Unit =
     graft.TempWork.deleteRecursively(dir)
 
+  /** Process-level cache of staged landing dirs, keyed by the exact
+    * (fixture dir, split predicates / copy count) recipe that produced
+    * them. The 17 streaming queries previously EACH re-read the events
+    * fixture, re-filtered, and re-wrote their micro-batch files — two
+    * Spark write jobs of identical bytes per query, ~half the streaming
+    * bench cost. Staging identical inputs once and replaying them is
+    * exactly what a real pipeline's landing zone does; the per-query
+    * parts that matter (fresh source offsets, fresh state store, fresh
+    * memory sink) are untouched because each query still gets its own
+    * temp checkpoint. Cached dirs are deleted at JVM exit, not by
+    * [[runToResult]]. */
+  private object LandingCache {
+    private val dirs =
+      scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+    private val owned =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      owned.forEach(p => graft.TempWork.deleteRecursively(p))))
+    def isCached(p: java.nio.file.Path): Boolean = owned.contains(p)
+    def getOrCreate(key: String)(mk: => java.nio.file.Path)
+        : java.nio.file.Path =
+      dirs.getOrElseUpdate(key, { val p = mk; owned.add(p); p })
+  }
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
                             user_id: Long, event_type: String, value: Double)
   final case class UserWatermark(user_id: Long, latest_epoch_day: Long)
@@ -186,11 +210,14 @@ object EventStream {
                            copies: Int = 1): (DataFrame, java.nio.file.Path) = {
     graft.Tables.fixtureConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_in_")
-    (1 to copies).foreach { i =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        landing.resolve(s"events_$i.parquet"))
+    val landing = LandingCache.getOrCreate(s"$dir||copies=$copies") {
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_in_")
+      (1 to copies).foreach { i =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          out.resolve(s"events_$i.parquet"))
+      }
+      out
     }
     val df = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one file per micro-batch
@@ -214,18 +241,34 @@ object EventStream {
     // streaming queries to sometimes throw and keeps going — without the
     // finally, each failed pass would leak its landing dir and sink view,
     // exactly the accumulation this helper exists to prevent
+    // Checkpoint (offsets + state store files) on tmpfs when available:
+    // the harness queries commit state + offset files every micro-batch,
+    // and that fsync-bound I/O — not computation — dominates short
+    // stream-stream joins. Production checkpoints belong on durable
+    // storage; a bench/verify harness's throwaway checkpoints do not.
+    val ckptBase = java.nio.file.Paths.get("/dev/shm")
+    val ckpt: Option[java.nio.file.Path] =
+      if (java.nio.file.Files.isWritable(ckptBase))
+        Some(java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_"))
+      else None
     try {
       def run(): Unit = {
-        val q = df.writeStream.outputMode(mode).format("memory")
-          .queryName(name).trigger(Trigger.AvailableNow()).start()
+        val w0 = df.writeStream.outputMode(mode).format("memory")
+          .queryName(name).trigger(Trigger.AvailableNow())
+        val w = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString))
+        val q = w.start()
         q.awaitTermination()
       }
       if (statePartitioned) withStatePartitions(spark, StatePartitions)(run())
       else run()
       finish(spark.table(name)).localCheckpoint(true)
     } finally {
+      ckpt.foreach(deleteRecursively)
       try spark.catalog.dropTempView(name) catch { case _: Exception => () }
-      landing.foreach(deleteRecursively)
+      // cached landing dirs are shared across queries — they die with
+      // the JVM (LandingCache shutdown hook), not with this query
+      landing.foreach(p =>
+        if (!LandingCache.isCached(p)) deleteRecursively(p))
     }
   }
 
@@ -521,26 +564,35 @@ object EventStream {
       : (DataFrame, java.nio.file.Path) = {
     graft.Tables.fixtureConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.read.parquet(s"$dir/events.parquet")
-    val landing = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
-    val mtimeBase = System.currentTimeMillis()
-    splits.zipWithIndex.foreach { case ((name, pred), i) =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_${tag}_$name")
-      src.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = java.nio.file.Files.list(tmp)
-      val part = try listing.filter(_.toString.endsWith(".parquet"))
-        .findFirst().get() finally listing.close()
-      val landed = landing.resolve(s"$name.parquet")
-      java.nio.file.Files.copy(part, landed)
-      // pin mtimes a minute apart in declaration order: the file source
-      // batches oldest-first, and back-to-back copies can otherwise land
-      // in the same filesystem timestamp tick, leaving batch order to
-      // listing luck — fatal for order-SENSITIVE consumers (q141's
-      // cross-batch high-water mark), harmless for the rest
-      java.nio.file.Files.setLastModifiedTime(landed,
-        java.nio.file.attribute.FileTime.fromMillis(
-          mtimeBase - (splits.length - i).toLong * 60000L))
-      deleteRecursively(tmp) // staging copy no longer needed once landed
+    // Cache key = fixture dir + the split recipe (predicate expression
+    // strings are deterministic); NOT the per-query tag, so every query
+    // staging the same split shares one landing dir.
+    val key = dir + "||" +
+      splits.map { case (n, p) => s"$n:$p" }.mkString("|")
+    val landing = LandingCache.getOrCreate(key) {
+      val src = spark.read.parquet(s"$dir/events.parquet")
+      val out = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
+      val mtimeBase = System.currentTimeMillis()
+      splits.zipWithIndex.foreach { case ((name, pred), i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_${tag}_$name")
+        src.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val part = try listing.filter(_.toString.endsWith(".parquet"))
+          .findFirst().get() finally listing.close()
+        val landed = out.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, landed)
+        // pin mtimes a minute apart in declaration order: the file source
+        // batches oldest-first, and back-to-back copies can otherwise land
+        // in the same filesystem timestamp tick, leaving batch order to
+        // listing luck — fatal for order-SENSITIVE consumers (q141's
+        // cross-batch high-water mark), harmless for the rest
+        java.nio.file.Files.setLastModifiedTime(landed,
+          java.nio.file.attribute.FileTime.fromMillis(
+            mtimeBase - (splits.length - i).toLong * 60000L))
+        deleteRecursively(tmp) // staging copy no longer needed once landed
+      }
+      out
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -656,7 +708,7 @@ object EventStream {
         .orderBy("user_id")
         .localCheckpoint(true)
     } finally {
-      deleteRecursively(landing)
+      if (!LandingCache.isCached(landing)) deleteRecursively(landing)
       deleteRecursively(dest)
     }
   }
