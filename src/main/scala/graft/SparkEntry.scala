@@ -4735,6 +4735,64 @@ object SparkEntry {
           (lit(1.0) - (lit(6.0) * col("sd2").cast(DoubleType)) /
             (col("n") * (col("n") * col("n") - 1L)).cast(DoubleType))
             .as("spearman_rho"))
+    }),
+
+    // ── [ext] transaction-log time travel: orders lands in a REAL
+    // graft.sources.TxnLog table in two commits (pre-1995 create, rest
+    // appended), then version-1 and current snapshots are read back and
+    // diffed per status — the Delta-style versioned-table story the
+    // reference's spark_deltalake_sync relies on (snapshot isolation,
+    // addressable history). Readers plan from the commit log's file
+    // list, never a directory listing; the oracle replays both
+    // snapshots as date predicates over the same rows. ────────────────
+    "q258_time_travel" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q258_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val cut = to_date(lit("1995-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < cut))
+      graft.sources.TxnLog.append(s, tbl, o.filter(col("o_orderdate") >= cut))
+      val v1 = graft.sources.TxnLog.snapshot(s, tbl, Some(1L))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_v1"))
+      val v2 = graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_v2"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+      // append-only history: v2's statuses ⊇ v1's, so a left join +
+      // coalesce gives the exact per-status version diff
+      v2.join(v1, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"), col("n_v2"),
+          (col("n_v2") - coalesce(col("n_v1"), lit(0L))).as("n_added"),
+          col("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── [ext] JDBC warehouse round-trip: the nation dimension is bulk-
+    // loaded into an embedded Derby database via executor-side
+    // df.write.jdbc, read BACK as a 4-slice partitioned parallel JDBC
+    // scan (one range predicate per task — the distributed-pull shape
+    // of a production warehouse read), and joined against the parquet
+    // customer fact — the reference's Postgres destination
+    // (postgres_sync.py:36-86) with the driver-side tuple loops
+    // replaced by set-based parallel I/O. The oracle never sees Derby:
+    // a lossless round-trip is exactly what makes the plain-SQL replay
+    // match. ──────────────────────────────────────────────────────────
+    "q259_jdbc_roundtrip" -> ((s, dir) => {
+      val url = s"jdbc:derby:${TempWork.fresh("q259_derby")}/db;create=true"
+      graft.ops.JdbcSync.overwrite(
+        T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        url, "nation", varcharCols = Map("n_name" -> 64))
+      val dim = graft.ops.JdbcSync.read(s, url, "nation",
+        "n_nationkey", 0L, 25L, 4)
+      T(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.moneySum(col("c_acctbal")).as("total_acctbal"))
+        .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_customers"),
+          col("total_acctbal"))
+        .orderBy("nation")
     })
   )
 
@@ -8378,7 +8436,30 @@ object SparkEntry {
            |SELECT n, sd2,
            |  1.0 - (6.0 * CAST(sd2 AS DOUBLE)) /
            |    CAST(n * (n * n - 1) AS DOUBLE) AS spearman_rho
-           |FROM a""".stripMargin
+           |FROM a""".stripMargin,
+
+      // q258: both snapshots replayed as date predicates over the same
+      // rows the engine committed to the TxnLog table (v1 = pre-1995
+      // create, current = v1 + appended rest — append-only history)
+      "q258_time_travel" ->
+        """SELECT o_orderstatus,
+          |  CAST(sum(CASE WHEN o_orderdate < DATE '1995-01-01'
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+          |  count(*) AS n_v2,
+          |  CAST(sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q259: the Derby hop is lossless, so the oracle is the plain
+      // dim-fact join over the fixture tables
+      "q259_jdbc_roundtrip" ->
+        """SELECT n_name AS nation, count(*) AS n_customers,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_acctbal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY 1 ORDER BY nation""".stripMargin
     )
   }
 
