@@ -255,15 +255,22 @@ object ScaleProbe {
       // two aggregates per round) — per-iteration time must track it
       gtime("label_prop", mult, iters = 3)(e =>
         graft.operators.Graph.labelPropagation(e, rounds = 3).count())
-      // q213: wedge join — candidates = Σ deg(m)² stay ∝ edges under
-      // disjoint replication (per-copy degree fixed); the out count IS
-      // the candidate-pair count the README selectivity table cites
+      // q213: HUB-CAPPED wedge join (the shipped form) — per middle
+      // vertex only the 64 lowest-id neighbors generate wedges, so
+      // candidates = Σ min(deg,64)² stay ∝ edges under disjoint
+      // replication AND stay bounded on power-law hubs (see hub_cap
+      // below); the out count IS the candidate-pair count the README
+      // selectivity table cites
       gtime("link_pred", mult, iters = 1) { e =>
+        import org.apache.spark.sql.expressions.Window
         val dirE = e.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
           .localCheckpoint(true)
-        val cn = dirE.select(col("src").as("m"), col("dst").as("u"))
-          .join(dirE.select(col("src").as("m"), col("dst").as("v2")), "m")
+        val capped = dirE.withColumn("__rn", row_number().over(
+            Window.partitionBy("src").orderBy("dst")))
+          .where(col("__rn") <= 64).drop("__rn").localCheckpoint(true)
+        val cn = capped.select(col("src").as("m"), col("dst").as("u"))
+          .join(capped.select(col("src").as("m"), col("dst").as("v2")), "m")
           .where(col("u") < col("v2"))
           .groupBy(col("u"), col("v2")).agg(count(lit(1)).as("c"))
         cn.join(e, cn("u") === e("a") && cn("v2") === e("b"), "left_anti")
@@ -304,6 +311,39 @@ object ScaleProbe {
       gtime("components", mult, iters = 1)(e =>
         graft.operators.Components.connectedComponents(e, "a", "b",
           driverThreshold = 0L).count())
+    }
+
+    // ── q213 hub mitigation: a single star vertex of degree D buried in
+    // 100k background edges. UNCAPPED wedge generation owes the hub
+    // C(D,2) candidate pairs (quadratic: 10× hub → 100× pairs — 5·10⁹
+    // at D=100k, the power-law death); the shipped cap owes C(64,2) ≈
+    // 2k regardless of D, so probe time must stay ~FLAT as the hub
+    // grows 10×, 100×. ────────────────────────────────────────────────
+    for (hubDeg <- Seq(1000, 10000, 100000)) {
+      import org.apache.spark.sql.expressions.Window
+      val hub = spark.range(1, hubDeg + 1)
+        .select(lit(0L).as("a"), (col("id") + 1000000L).as("b"))
+      val bg = spark.range(0, 100000)
+        .select((col("id") * 7919L % 999983L + 1L).as("a"),
+          (col("id") * 104729L % 999983L + 1L).as("b"))
+        .where(col("a") =!= col("b"))
+      val e = hub.unionAll(bg).localCheckpoint(true)
+      val dirE = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      def wedges(adj: DataFrame): Long =
+        adj.select(col("src").as("m"), col("dst").as("u"))
+          .join(adj.select(col("src").as("m"), col("dst").as("v2")), "m")
+          .where(col("u") < col("v2")).count()
+      val capped = dirE.withColumn("__rn", row_number().over(
+          Window.partitionBy("src").orderBy("dst")))
+        .where(col("__rn") <= 64).drop("__rn").localCheckpoint(true)
+      wedges(capped) // warm
+      val t0 = System.nanoTime()
+      val out = wedges(capped)
+      val s = (System.nanoTime() - t0) / 1e9
+      val uncapped = hubDeg.toLong * (hubDeg - 1) / 2
+      println(f"SCALE hub_cap          hubDeg=$hubDeg%-7d ${s}%7.3f s  " +
+        f"($out capped wedges vs ≥$uncapped%,d uncapped from the hub alone)")
     }
 
     // ── iterative ML ops (q148/q150 cores). kmeans: disjoint vec_id

@@ -4793,6 +4793,24 @@ object SparkEntry {
         .select(col("n_name").as("nation"), col("n_customers"),
           col("total_acctbal"))
         .orderBy("nation")
+    }),
+
+    // ── S1 oracle-checked: the DSv2 paginated-directory source (one
+    // input partition per page — the reference's serial page loop,
+    // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
+    // the correctness gate: scan 4×50 pages, per-page shape stats. The
+    // page payload is deterministic, so DuckDB replays it from
+    // generate_series — proving the source's rows, not just its plan
+    // shape (SourceSpec), match a declared contract. ──────────────────
+    "q260_paged_scan" -> ((s, dir) => {
+      s.read.format("graft.sources.PagedSource")
+        .option("pages", "4").option("pagesize", "50").load()
+        .groupBy("page")
+        .agg(count(lit(1)).as("n"),
+          min(col("symbol")).as("sym_first"),
+          max(col("symbol")).as("sym_last"),
+          sum(length(col("company_name")).cast(LongType)).as("name_chars"))
+        .orderBy("page")
     })
   )
 
@@ -8459,7 +8477,21 @@ object SparkEntry {
           |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_acctbal
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
-          |GROUP BY 1 ORDER BY nation""".stripMargin
+          |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+      // q260: the paged source's deterministic payload replayed from
+      // generate_series — page p holds ids p*50 .. p*50+49, symbol
+      // 'SYM%04d', name 'Company <id> Inc.'
+      "q260_paged_scan" ->
+        """WITH rows_ AS (
+          |  SELECT CAST(i // 50 AS INTEGER) AS page,
+          |    printf('SYM%04d', i) AS symbol,
+          |    'Company ' || i || ' Inc.' AS company_name
+          |  FROM generate_series(50, 249) t(i))
+          |SELECT page, count(*) AS n, min(symbol) AS sym_first,
+          |  max(symbol) AS sym_last,
+          |  CAST(sum(length(company_name)) AS BIGINT) AS name_chars
+          |FROM rows_ GROUP BY 1 ORDER BY page""".stripMargin
     )
   }
 

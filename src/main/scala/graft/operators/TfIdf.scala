@@ -26,15 +26,28 @@ object TfIdf {
     * doc_a < doc_b, sim = exact-integer cosine in [0, 1]. */
   def pairSims(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
+    // Spread the sha-256 shingle hashing across all cores: a small
+    // fixture arrives as 1-2 parquet splits and would hash serially
+    // (at real scale the scan already has ≫ parallelism splits and
+    // this is a no-op — same rationale as TextDedup.widen).
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val wideDocs =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
     val ts = graft.functions.TextOps.tokens(col(textCol))
-    val sh = docs.select(col(idCol).as("doc_id"), ts.as("ts"))
+    val sh = wideDocs.select(col(idCol).as("doc_id"), ts.as("ts"))
       .where(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("ts")) - 2), i =>
           concat_ws(" ", element_at(col("ts"), i),
             element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
         .as("sh"))
+    // tf feeds TWO consumers (the df aggregate and the weight join);
+    // unpinned, each re-runs the shingle explode + sha hashing — the
+    // most expensive scalar work in the plan (same boundary-pinning
+    // rationale as containmentPairs' tok persist).
     val tf = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = tf.groupBy("sh").agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     // The weight relation feeds FOUR consumers (both sides of the pair
@@ -48,6 +61,7 @@ object TfIdf {
       .select(col("doc_id"), col("sh"), col("df"),
         (col("tf") * expr("(n_docs * 1000) DIV df")).as("w"))
       .localCheckpoint(true)
+    tf.unpersist() // w is materialized; the hash pass is paid exactly once
     // Norms and dots accumulate in DECIMAL(38,0), not BIGINT: a df=1
     // shingle at 100k docs weighs ~1e8, so w² ≈ 1e16 per term and a doc
     // with ~900+ unique rare shingles would wrap past 2^63 under Spark's
@@ -59,7 +73,12 @@ object TfIdf {
     val wd = col("w").cast(DecimalType(19, 0))
     val norm = w.groupBy("doc_id")
       .agg(sum(wd * wd).cast(DecimalType(38, 0)).as("n2"))
-    val p = w.where(col("df") >= 2)
+    // Explicit-width repartition on the join key: the pair join is
+    // CPU-quadratic per shingle block but small in BYTES, so AQE's
+    // size-based coalescing squeezes it onto a few cores; a
+    // user-specified width is preserved, and both aliases of the same
+    // partitioned child make the self-join exchange-free.
+    val p = w.where(col("df") >= 2).repartition(target, col("sh"))
     val dot = p.select(col("doc_id").as("doc_a"), col("sh"),
         col("w").as("wa"))
       .join(p.select(col("doc_id").as("doc_b"), col("sh"),
