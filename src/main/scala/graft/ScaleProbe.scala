@@ -262,13 +262,10 @@ object ScaleProbe {
       // below); the out count IS the candidate-pair count the README
       // selectivity table cites
       gtime("link_pred", mult, iters = 1) { e =>
-        import org.apache.spark.sql.expressions.Window
         val dirE = e.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
           .localCheckpoint(true)
-        val capped = dirE.withColumn("__rn", row_number().over(
-            Window.partitionBy("src").orderBy("dst")))
-          .where(col("__rn") <= 64).drop("__rn").localCheckpoint(true)
+        val capped = graft.operators.Graph.cappedAdjacency(dirE, 64)
         val cn = capped.select(col("src").as("m"), col("dst").as("u"))
           .join(capped.select(col("src").as("m"), col("dst").as("v2")), "m")
           .where(col("u") < col("v2"))
@@ -334,16 +331,15 @@ object ScaleProbe {
         adj.select(col("src").as("m"), col("dst").as("u"))
           .join(adj.select(col("src").as("m"), col("dst").as("v2")), "m")
           .where(col("u") < col("v2")).count()
-      val capped = dirE.withColumn("__rn", row_number().over(
-          Window.partitionBy("src").orderBy("dst")))
-        .where(col("__rn") <= 64).drop("__rn").localCheckpoint(true)
+      val capped = graft.operators.Graph.cappedAdjacency(dirE, 64)
+        .localCheckpoint(true)
       wedges(capped) // warm
       val t0 = System.nanoTime()
       val out = wedges(capped)
       val s = (System.nanoTime() - t0) / 1e9
       val uncapped = hubDeg.toLong * (hubDeg - 1) / 2
       println(f"SCALE hub_cap          hubDeg=$hubDeg%-7d ${s}%7.3f s  " +
-        f"($out capped wedges vs ≥$uncapped%,d uncapped from the hub alone)")
+        f"($out capped wedges vs >= $uncapped%,d uncapped from the hub alone)")
     }
 
     // ── iterative ML ops (q148/q150 cores). kmeans: disjoint vec_id

@@ -3580,14 +3580,14 @@ object SparkEntry {
       val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       val deg = dirE.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-      // Hub cap: per middle vertex keep the 64 lowest-id neighbors.
-      // row_number sorts deg·log(deg) per key (spillable) vs the deg²
-      // wedge blow-up it prevents; the window shuffle co-partitions
-      // with the self-join key, so no extra exchange downstream. The
-      // checkpoint pins the sorted window output for both wedge sides.
-      val capped = dirE.withColumn("__rn", row_number().over(
-          Window.partitionBy("src").orderBy("dst")))
-        .where(col("__rn") <= 64).drop("__rn").localCheckpoint(false)
+      // Hub cap (adaptive): per middle vertex at most the 64 lowest-id
+      // neighbors generate wedges — Σ min(deg,64)² instead of Σ deg².
+      // Graph.cappedAdjacency skips the |E| window sort entirely when a
+      // max-degree statistic shows no hub exceeds the cap (same rows
+      // either way, so the always-capped oracle still matches). The
+      // checkpoint pins the adjacency for both wedge sides.
+      val capped = graft.operators.Graph.cappedAdjacency(dirE, 64)
+        .localCheckpoint(false)
       val cn = capped.select(col("src").as("m"), col("dst").as("u"))
         .join(capped.select(col("src").as("m"), col("dst").as("v2")), "m")
         .where(col("u") < col("v2"))

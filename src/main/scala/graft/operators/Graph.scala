@@ -39,6 +39,31 @@ object Graph {
       .distinct()
   }
 
+  /** Hub-capped adjacency for wedge generation: per `src`, keep only
+    * the `k` lowest-`dst` neighbors (a deterministic per-key top-k any
+    * SQL engine replays with row_number). Wedge joins on the capped
+    * adjacency cost Σ min(deg,k)² — linear in vertices at fixed k —
+    * instead of Σ deg², which explodes on power-law hubs (a degree-1M
+    * hub owes C(1M,2) ≈ 5·10¹¹ pairs uncapped, C(k,2) ≈ 2k capped).
+    *
+    * ADAPTIVE: one tiny max over the degree aggregate decides the plan
+    * (CBO-style statistics, not semantics) — when no vertex exceeds k
+    * the cap is the identity and the per-key sort the window would
+    * spend on |E| rows is skipped entirely. Either branch produces the
+    * same rows, so an oracle that always applies the row_number cap
+    * still matches. ScaleProbe's hub_cap rows pin the flat-under-hub-
+    * growth property; its link_pred rows pin the no-hub overhead-free
+    * path. */
+  def cappedAdjacency(dirE: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxDeg = dirE.groupBy("src").agg(count(lit(1)).as("__deg"))
+      .agg(max(col("__deg"))).head().getLong(0)
+    if (maxDeg <= k) dirE
+    else dirE.withColumn("__rn", row_number().over(
+        Window.partitionBy("src").orderBy("dst")))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
   /** Per-vertex triangle participation counts over undirected edges
     * (columns `a`, `b`, already deduplicated, a < b). Returns
     * (vertex, n_tri) — every triangle credits all three corners. */
