@@ -96,6 +96,7 @@ object TxnLog {
         line.split('\t') match {
           case Array("add", f) => live += f
           case Array("remove", f) => live -= f
+          case Array("txn", _, _) => () // writer-txn marker, no file action
           case _ => sys.error(s"corrupt log line in v$v: $line")
         }
       }
@@ -174,6 +175,50 @@ object TxnLog {
     val actions = named.map("add\t" + _)
     var v = versions(table).last + 1
     while (!publish(table, v, actions)) v += 1
+    v
+  }
+
+  /** Highest committed writer-transaction version for `appId` (replayed
+    * from `txn` marker lines), or -1 if none. */
+  def lastTxnVersion(table: String, appId: String): Long =
+    versions(table).foldLeft(-1L) { (acc, v) =>
+      Files.readAllLines(logFile(table, v)).asScala.foldLeft(acc) {
+        (a, line) => line.split('\t') match {
+          case Array("txn", id, tv) if id == appId => math.max(a, tv.toLong)
+          case _ => a
+        }
+      }
+    }
+
+  /** Exactly-once streaming sink append: the commit carries a
+    * `txn appId/txnVersion` marker (Delta's `txnAppId`/`txnVersion`
+    * idempotent-writer protocol), and a re-delivered batch — Structured
+    * Streaming's foreachBatch is at-least-once, so after a crash
+    * between sink write and checkpoint commit the SAME (appId, batchId)
+    * arrives again — sees its marker already in the log and skips
+    * without staging a byte. Returns the version that holds the batch
+    * (existing on re-delivery, new on first delivery).
+    *
+    * The dedup check re-runs after every lost commit race, so two
+    * workers replaying the same batch cannot both land it: the loser's
+    * re-check finds the winner's marker. */
+  def idempotentAppend(spark: SparkSession, table: String, df: DataFrame,
+                       appId: String, txnVersion: Long): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    if (lastTxnVersion(table, appId) >= txnVersion)
+      return versions(table).last // already committed; no staging, no I/O
+    val named = stage(spark, table, df)
+    val actions = s"txn\t$appId\t$txnVersion" +: named.map("add\t" + _)
+    var v = versions(table).last + 1
+    while (!publish(table, v, actions)) {
+      if (lastTxnVersion(table, appId) >= txnVersion) {
+        // a concurrent replayer of the SAME batch won: abandon our
+        // staged files (log-invisible; next vacuum sweeps them)
+        named.foreach(n => Files.deleteIfExists(Paths.get(table, n)))
+        return versions(table).last
+      }
+      v = versions(table).last + 1
+    }
     v
   }
 

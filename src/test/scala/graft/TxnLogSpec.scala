@@ -113,6 +113,61 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("idempotent append: re-delivered (appId, version) is a no-op") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") === 0))
+    val batch = nation.filter(col("n_regionkey") === 1)
+    val v = TxnLog.idempotentAppend(spark, t, batch, "sync-app", 0L)
+    val n = TxnLog.snapshot(spark, t).count()
+    // at-least-once re-delivery: same appId + version arrives again
+    val v2 = TxnLog.idempotentAppend(spark, t, batch, "sync-app", 0L)
+    assert(v2 == v && TxnLog.snapshot(spark, t).count() == n,
+      "a replayed batch must not duplicate rows")
+    // the NEXT batch still lands
+    TxnLog.idempotentAppend(spark, t,
+      nation.filter(col("n_regionkey") === 2), "sync-app", 1L)
+    assert(TxnLog.snapshot(spark, t).count() ==
+      nation.filter(col("n_regionkey") <= 2).count())
+    assert(TxnLog.lastTxnVersion(t, "sync-app") == 1L)
+    assert(TxnLog.lastTxnVersion(t, "other-app") == -1L)
+  }
+
+  test("foreachBatch streaming sink into TxnLog is exactly-once under replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = freshTable()
+    val src = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "value")
+    TxnLog.create(spark, t, src.limit(0)) // empty-schema init commit
+    val landing = java.nio.file.Files.createTempDirectory("graft_txn_stream_")
+    // two files → two micro-batches under maxFilesPerTrigger=1
+    src.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/a")
+    src.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/b")
+    val schema = src.schema
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$landing/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          TxnLog.idempotentAppend(spark, t, batch, "stream-app", id): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runStream()
+    val afterFirst = TxnLog.snapshot(spark, t).count()
+    assert(afterFirst == src.count(), "both micro-batches must land")
+    // a FRESH query (new temp checkpoint) re-delivers every batch with
+    // the same batch ids — the crash-replay shape; the txn markers must
+    // absorb all of it
+    runStream()
+    assert(TxnLog.snapshot(spark, t).count() == afterFirst,
+      "full replay must be absorbed by the txn markers")
+    TempWork.deleteRecursively(landing)
+  }
+
   test("uncommitted staging orphans are invisible and vacuumed") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
