@@ -4795,6 +4795,68 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // ── [ext] expected calibration error: reliability diagram + ECE of
+    // a declared probability model (p̂ = min(value,999)/1000 predicting
+    // 'purchase') — the quality gate every learned data-filter
+    // classifier (q106/q161's gates at scale) must pass before its
+    // scores prune a corpus. Integer-exact per bin: counts and Σcents
+    // accumulate as BIGINT/DECIMAL in one map-side-combined pass; the
+    // |acc − conf| gaps and the ECE Σ(n_b/N)·gap are fixed-shape
+    // doubles over the 10-row aggregate. ──────────────────────────────
+    "q261_ece_calibration" -> ((s, dir) => {
+      val cents = least(col("value").cast(DecimalType(18, 2)) * 100,
+        lit(999L)).cast(LongType)
+      val e = T(s, dir, "events").select(
+        cents.as("p_mil"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      val bins = e.groupBy((col("p_mil") * 10 / 1000).cast(LongType)
+          .as("bin"))
+        .agg(count(lit(1)).as("n"), sum("p_mil").as("sum_mil"),
+          sum("y").as("n_pos"))
+      val tot = e.agg(count(lit(1)).as("n_total"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"),
+          (col("sum_mil").cast(DoubleType) /
+            (col("n") * 1000L).cast(DoubleType)).as("conf"),
+          (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("acc"),
+          (abs(col("sum_mil").cast(DoubleType) /
+              (col("n") * 1000L).cast(DoubleType) -
+            col("n_pos").cast(DoubleType) / col("n").cast(DoubleType)) *
+            (col("n").cast(DoubleType) / col("n_total").cast(DoubleType)))
+            .as("ece_term"))
+        .orderBy("bin")
+    }),
+
+    // ── [ext] TextRank keywords: q133's fixed-point PageRank COMPOSED
+    // over the token co-occurrence graph (adjacent-token bigram edges,
+    // deduplicated, min-endpoint canonical) — Mihalcea & Tarau 2004's
+    // unsupervised keyphrase extractor as two existing library
+    // operators snapped together. Bit-reproducible: the bigram edges
+    // and every rank update are integer arithmetic, so DuckDB replays
+    // the identical 3-round chain over the identical graph. Scale: the
+    // graph is VOCABULARY-sized (like q150's BPE — corpus growth stops
+    // adding vertices once the token set saturates), so the rank
+    // rounds never touch the corpus after the one edge-extraction
+    // scan. ───────────────────────────────────────────────────────────
+    "q262_textrank" -> ((s, dir) => {
+      val pairs = T(s, dir, "documents")
+        .select(graft.functions.TextOps.tokens(col("text")).as("ts"))
+        .where(size(col("ts")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("x"),
+            element_at(col("ts"), i + 1).as("y")))).as("p"))
+        .where(col("p.x") =!= col("p.y"))
+      val edges = pairs.select(
+          least(col("p.x"), col("p.y")).as("a"),
+          greatest(col("p.x"), col("p.y")).as("b"))
+        .distinct()
+      graft.operators.Graph.pageRankFixedPoint(edges, iters = 3)
+        .orderBy(col("rank").desc, col("v"))
+        .limit(20)
+        .select(col("v").as("token"), col("rank").as("rank_fp"))
+    }),
+
     // ── S1 oracle-checked: the DSv2 paginated-directory source (one
     // input partition per page — the reference's serial page loop,
     // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
@@ -4869,9 +4931,13 @@ object SparkEntry {
        |ORDER BY q_id, rk""".stripMargin
   }
 
-  /** q133 oracle: fixed-point PageRank replayed as chained CTEs — all
-    * bigint floor-division arithmetic, so the replay is exact. */
-  private def pagerankOracleSql(iters: Int): String = {
+  /** Fixed-point PageRank replayed as chained CTEs over ANY undirected
+    * edge CTE named `e0` (columns a, b; a < b, distinct) — all bigint
+    * floor-division arithmetic, so the replay is exact. `edgeCtes` is the
+    * WITH-prefix that defines e0; `outCol` names the vertex column of the
+    * (vertex, rank_fp) result. */
+  private def pagerankChainSql(edgeCtes: String, iters: Int,
+                               outCol: String): String = {
     val its = (1 to iters).map { i =>
       s"""c$i AS (SELECT d.dst, CAST(sum(r${i - 1}.rank // d.deg) AS BIGINT) AS s
          |      FROM d JOIN r${i - 1} ON r${i - 1}.v = d.src GROUP BY d.dst),
@@ -4879,11 +4945,7 @@ object SparkEntry {
          |      FROM v CROSS JOIN tp LEFT JOIN c$i ON c$i.dst = v.v)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-       |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-       |      WHERE o_orderpriority = '1-URGENT'),
-       |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
-       |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    s"""WITH $edgeCtes,
        |d0 AS (SELECT a AS src, b AS dst FROM e0
        |       UNION ALL SELECT b, a FROM e0),
        |dg AS (SELECT src, count(*) AS deg FROM d0 GROUP BY src),
@@ -4894,9 +4956,19 @@ object SparkEntry {
        |              1000000000000 // n AS r0v FROM nn),
        |r0 AS (SELECT v.v, tp.r0v AS rank FROM v CROSS JOIN tp),
        |$its
-       |SELECT r$iters.v AS part, r$iters.rank AS rank_fp FROM r$iters
+       |SELECT r$iters.v AS $outCol, r$iters.rank AS rank_fp FROM r$iters
        |ORDER BY rank DESC, v LIMIT 20""".stripMargin
   }
+
+  /** q133 oracle: the PageRank chain over the urgent co-purchase graph. */
+  private def pagerankOracleSql(iters: Int): String =
+    pagerankChainSql(
+      """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |      WHERE o_orderpriority = '1-URGENT'),
+        |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)""".stripMargin,
+      iters, "part")
 
   def oracleSql: Map[String, String] = {
     val toks = "list_filter(string_split(text,' '), x -> x <> '')"
@@ -8478,6 +8550,36 @@ object SparkEntry {
           |    AS total_acctbal
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+      // q261: same integer-cents binning, BIGINT/exact sums per bin,
+      // fixed-shape double gaps
+      "q261_ece_calibration" ->
+        """WITH e AS (SELECT least(CAST(CAST(value AS DECIMAL(18,2)) * 100
+          |        AS BIGINT), 999) AS p_mil,
+          |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          |      FROM events),
+          |b AS (SELECT (p_mil * 10) // 1000 AS bin, count(*) AS n,
+          |        CAST(sum(p_mil) AS BIGINT) AS sum_mil,
+          |        CAST(sum(y) AS BIGINT) AS n_pos
+          |      FROM e GROUP BY 1),
+          |t AS (SELECT count(*) AS n_total FROM e)
+          |SELECT bin, n,
+          |  CAST(sum_mil AS DOUBLE) / CAST(n * 1000 AS DOUBLE) AS conf,
+          |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+          |  abs(CAST(sum_mil AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+          |      - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) AS ece_term
+          |FROM b CROSS JOIN t ORDER BY bin""".stripMargin,
+
+      // q262: the generic PageRank chain over the token bigram graph
+      "q262_textrank" -> pagerankChainSql(
+        s"""tk AS (SELECT $toks AS ts FROM documents),
+           |bg AS (SELECT ts[i] AS x, ts[i+1] AS y
+           |       FROM tk, unnest(range(1, len(ts))) AS r(i)
+           |       WHERE len(ts) >= 2),
+           |e0 AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+           |       FROM bg WHERE x <> y)""".stripMargin,
+        3, "token"),
 
       // q260: the paged source's deterministic payload replayed from
       // generate_series — page p holds ids p*50 .. p*50+49, symbol
