@@ -168,6 +168,24 @@ class TxnLogSpec extends SparkSpec {
     TempWork.deleteRecursively(landing)
   }
 
+  test("snapshot scans keep predicate pushdown and column pruning") {
+    // the 100 TB contract: a log-planned snapshot is an ordinary
+    // multi-file parquet scan — filters reach the reader, untouched
+    // columns never leave it
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    TxnLog.append(spark, t, nation.limit(0)) // multi-version, multi-file
+    val q = TxnLog.snapshot(spark, t)
+      .filter(col("n_regionkey") === 1).select("n_name")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(n_regionkey,1)"),
+      s"filter must reach the parquet scan:\n${plan.take(2000)}")
+    assert(plan.contains("ReadSchema") && !plan.contains("n_nationkey:"),
+      s"pruned column must not be read:\n${plan.take(2000)}")
+  }
+
   test("uncommitted staging orphans are invisible and vacuumed") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
