@@ -317,7 +317,6 @@ object ScaleProbe {
     // 2k regardless of D, so probe time must stay ~FLAT as the hub
     // grows 10×, 100×. ────────────────────────────────────────────────
     for (hubDeg <- Seq(1000, 10000, 100000)) {
-      import org.apache.spark.sql.expressions.Window
       val hub = spark.range(1, hubDeg + 1)
         .select(lit(0L).as("a"), (col("id") + 1000000L).as("b"))
       val bg = spark.range(0, 100000)

@@ -24,7 +24,11 @@ object StageProbe {
     fn(spark, sfDir).count() // warm-up (JIT + codegen)
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-    var stages = List.empty[(Int, String, Long, Int)]
+    // listener callbacks fire on the listener-bus thread; a concurrent
+    // queue + a drain AFTER waitUntilEmpty gives the main thread a
+    // happens-before edge and loses no straggler stages
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.put(js.jobId, js.time)
@@ -35,14 +39,17 @@ object StageProbe {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val d = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        stages = (si.stageId, si.name.take(60), d, si.numTasks) :: stages
+        stages.add((si.stageId, si.name.take(60), d, si.numTasks))
       }
     })
     val t0 = System.nanoTime()
     fn(spark, sfDir).count()
     println(f"WARM TOTAL ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-    Thread.sleep(500)
-    stages.reverse.foreach { case (id, n, d, t) =>
+    // listenerBus.waitUntilEmpty is private[spark]; for a dev tool a
+    // generous drain pause + the queue's safe publication suffices
+    Thread.sleep(1500)
+    import scala.jdk.CollectionConverters._
+    stages.asScala.toSeq.sortBy(_._1).foreach { case (id, n, d, t) =>
       println(f"STAGE $id%4d ${d}%6d ms tasks=$t%3d  $n")
     }
     spark.stop()

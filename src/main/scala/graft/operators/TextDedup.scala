@@ -40,7 +40,7 @@ object TextDedup {
     * repartitioning a few thousand raw rows is free next to the hashing it
     * parallelizes. At real scale the scan already has ≫ parallelism
     * splits and this is a no-op (no shuffle inserted). */
-  private def widen(df: DataFrame): DataFrame = {
+  private[operators] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -26,14 +26,12 @@ object TfIdf {
     * doc_a < doc_b, sim = exact-integer cosine in [0, 1]. */
   def pairSims(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    // Spread the sha-256 shingle hashing across all cores: a small
-    // fixture arrives as 1-2 parquet splits and would hash serially
-    // (at real scale the scan already has ≫ parallelism splits and
-    // this is a no-op — same rationale as TextDedup.widen).
+    // Spread the shingle hashing across all cores (TextDedup.widen: a
+    // small fixture arrives as 1-2 parquet splits and would hash
+    // serially; at real scale the scan already has >> parallelism
+    // splits and this is a no-op).
     val target = docs.sparkSession.sparkContext.defaultParallelism
-    val wideDocs =
-      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
-      else docs
+    val wideDocs = TextDedup.widen(docs)
     val ts = graft.functions.TextOps.tokens(col(textCol))
     val sh = wideDocs.select(col(idCol).as("doc_id"), ts.as("ts"))
       .where(size(col("ts")) >= 3)

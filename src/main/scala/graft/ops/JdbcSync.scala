@@ -96,10 +96,15 @@ object JdbcSync {
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      try {
-        st.executeUpdate(merge)
-        st.executeUpdate(s"DROP TABLE $staging")
-      } finally st.close()
+      try st.executeUpdate(merge)
+      finally {
+        // drop staging even when the MERGE throws — a leftover staging
+        // table would silently absorb the next run's overwrite and hide
+        // schema drift between runs
+        try st.executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => () }
+        st.close()
+      }
     } finally conn.close()
   }
 }

@@ -190,14 +190,31 @@ object TxnLog {
       }
     }
 
+  /** The LOG version whose commit carries `appId`'s marker for exactly
+    * `txnVersion` — i.e. the snapshot that first contains the batch —
+    * or None if that batch was never committed. */
+  def txnCommitVersion(table: String, appId: String,
+                       txnVersion: Long): Option[Long] =
+    versions(table).find { v =>
+      Files.readAllLines(logFile(table, v)).asScala.exists { line =>
+        line.split('\t') match {
+          case Array("txn", id, tv) => id == appId && tv.toLong == txnVersion
+          case _ => false
+        }
+      }
+    }
+
   /** Exactly-once streaming sink append: the commit carries a
     * `txn appId/txnVersion` marker (Delta's `txnAppId`/`txnVersion`
     * idempotent-writer protocol), and a re-delivered batch — Structured
     * Streaming's foreachBatch is at-least-once, so after a crash
     * between sink write and checkpoint commit the SAME (appId, batchId)
     * arrives again — sees its marker already in the log and skips
-    * without staging a byte. Returns the version that holds the batch
-    * (existing on re-delivery, new on first delivery).
+    * without staging a byte. Returns the LOG version that holds the
+    * batch — on re-delivery the version its marker was found in (via
+    * [[txnCommitVersion]]), on first delivery the new commit — so a
+    * caller can time-travel to exactly the snapshot that first
+    * contains the batch.
     *
     * The dedup check re-runs after every lost commit race, so two
     * workers replaying the same batch cannot both land it: the loser's
@@ -206,7 +223,8 @@ object TxnLog {
                        appId: String, txnVersion: Long): Long = {
     require(exists(table), s"not a TxnLog table: $table")
     if (lastTxnVersion(table, appId) >= txnVersion)
-      return versions(table).last // already committed; no staging, no I/O
+      return txnCommitVersion(table, appId, txnVersion)
+        .getOrElse(versions(table).last) // batch skipped upstream: latest
     val named = stage(spark, table, df)
     val actions = s"txn\t$appId\t$txnVersion" +: named.map("add\t" + _)
     var v = versions(table).last + 1
@@ -215,7 +233,8 @@ object TxnLog {
         // a concurrent replayer of the SAME batch won: abandon our
         // staged files (log-invisible; next vacuum sweeps them)
         named.foreach(n => Files.deleteIfExists(Paths.get(table, n)))
-        return versions(table).last
+        return txnCommitVersion(table, appId, txnVersion)
+          .getOrElse(versions(table).last)
       }
       v = versions(table).last + 1
     }
@@ -257,23 +276,51 @@ object TxnLog {
   }
 
   /** K7's retention lifecycle: delete data files not referenced by any
-    * of the newest `retainVersions` snapshots (and any never-committed
-    * staging orphans). Time travel OLDER than the retention horizon
-    * stops working — exactly Delta VACUUM's contract. Returns the
-    * deleted file names. */
-  def vacuum(table: String, retainVersions: Int = 1): Seq[String] = {
+    * of the newest `retainVersions` snapshots, plus crash debris — dead
+    * `_staging_*` write dirs and `_txn_log/_tmp_*.inprogress` files.
+    * Time travel OLDER than the retention horizon stops working —
+    * exactly Delta VACUUM's contract. Returns the deleted file names.
+    *
+    * `minAgeMs` is the in-flight grace window (Delta's retention-hours
+    * analogue): a concurrent writer stages files BEFORE its log entry
+    * exists, so an unreferenced file younger than the window may be a
+    * commit in progress, not an orphan — deleting it would corrupt the
+    * commit the moment it publishes. The default spares anything
+    * younger than 15 minutes; tests pass 0 to vacuum deterministically
+    * in a single-writer world. */
+  def vacuum(table: String, retainVersions: Int = 1,
+             minAgeMs: Long = 15L * 60 * 1000): Seq[String] = {
     val vs = versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val retained = vs.takeRight(math.max(1, retainVersions))
     val keep = retained.flatMap(v => files(table, Some(v))).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false }
     val s = Files.list(Paths.get(table))
-    val victims = try s.iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !keep.contains(n))
-      .toSeq
-    finally s.close()
-    victims.foreach(n => Files.deleteIfExists(Paths.get(table, n)))
-    victims
+    val (victimFiles, deadStaging) = try {
+      val all = s.iterator().asScala.toSeq
+      (all.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !keep.contains(p.getFileName.toString) && oldEnough(p)),
+        all.filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("_staging_") && oldEnough(p)))
+    } finally s.close()
+    victimFiles.foreach(p => Files.deleteIfExists(p))
+    deadStaging.foreach(graft.TempWork.deleteRecursively)
+    // a publisher that crashed between temp-write and hard-link leaves
+    // an .inprogress file the link never consumed
+    val ld = logDir(table)
+    if (Files.isDirectory(ld)) {
+      val ls = Files.list(ld)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".inprogress") &&
+          oldEnough(p))
+        .foreach(p => Files.deleteIfExists(p))
+      finally ls.close()
+    }
+    victimFiles.map(_.getFileName.toString) ++
+      deadStaging.map(_.getFileName.toString)
   }
 }

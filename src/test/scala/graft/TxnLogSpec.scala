@@ -101,7 +101,7 @@ class TxnLogSpec extends SparkSpec {
       finally s.close()
     }
     val before = parquetCount()
-    val deleted = TxnLog.vacuum(t, retainVersions = 1)
+    val deleted = TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
     assert(deleted.nonEmpty)
     assert(parquetCount() == before - deleted.size)
     // current snapshot unaffected
@@ -130,6 +130,10 @@ class TxnLogSpec extends SparkSpec {
       nation.filter(col("n_regionkey") <= 2).count())
     assert(TxnLog.lastTxnVersion(t, "sync-app") == 1L)
     assert(TxnLog.lastTxnVersion(t, "other-app") == -1L)
+    // re-delivery AFTER later commits still returns the version that
+    // holds the batch, not the table head
+    assert(TxnLog.idempotentAppend(spark, t, batch, "sync-app", 0L) == v,
+      "dedup path must return the batch's own commit version")
   }
 
   test("foreachBatch streaming sink into TxnLog is exactly-once under replay") {
@@ -189,11 +193,22 @@ class TxnLogSpec extends SparkSpec {
   test("uncommitted staging orphans are invisible and vacuumed") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
-    // a crashed writer's staged-but-never-published file
+    // a crashed writer's staged-but-never-published file, its dead
+    // staging dir, and a publisher's abandoned temp log entry
     Files.write(Paths.get(t, "part-orphan.parquet"), Array[Byte](1, 2, 3))
+    val deadDir = Files.createDirectory(Paths.get(t, "_staging_dead"))
+    Files.write(deadDir.resolve("part-x.parquet"), Array[Byte](1))
+    Files.write(Paths.get(t, "_txn_log", "_tmp_dead.inprogress"),
+      Array[Byte](1))
     assert(TxnLog.snapshot(spark, t).count() == nation.count(),
       "readers replay the log; orphans must be invisible")
-    val deleted = TxnLog.vacuum(t)
+    // inside the grace window, NOTHING unreferenced is touched — it may
+    // be a concurrent writer's in-flight stage
+    assert(TxnLog.vacuum(t).isEmpty,
+      "grace window must spare possibly-in-flight files")
+    val deleted = TxnLog.vacuum(t, minAgeMs = 0)
     assert(deleted.contains("part-orphan.parquet"))
+    assert(deleted.contains("_staging_dead"))
+    assert(!Files.exists(Paths.get(t, "_txn_log", "_tmp_dead.inprogress")))
   }
 }
