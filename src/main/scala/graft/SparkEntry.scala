@@ -4857,6 +4857,36 @@ object SparkEntry {
         .select(col("v").as("token"), col("rank").as("rank_fp"))
     }),
 
+    // ── [ext] golden-record survivorship: q67's near-dup clusters
+    // (simhash pairs → connected components) carried one step further
+    // to the record-linkage endgame — per cluster, elect the canonical
+    // document by a declared survivorship rule (longest text, ties to
+    // the smallest id; the usual "most complete record wins"). One
+    // components run + one dim join + one per-cluster window over
+    // member-sized groups; the oracle replays the closure as q67's
+    // recursive CTE and ranks identically. ────────────────────────────
+    "q263_golden_record" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = TextDedup.simhashNearDupsVerifiable(
+        docs, "doc_id", "text", maxHamming = 3)
+      val comp = graft.operators.Components
+        .connectedComponents(pairs, "id_a", "id_b")
+      val members = comp.join(docs, comp("id") === docs("doc_id"))
+        .select(col("cluster_id"), col("doc_id"),
+          length(col("text")).cast(LongType).as("len"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("len").desc, col("doc_id"))
+      members
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .where(col("rk") === 1)
+        .select(col("cluster_id"), col("n_members"),
+          col("doc_id").as("canonical_doc_id"),
+          col("len").as("canonical_len"))
+        .orderBy("cluster_id")
+    }),
+
     // ── S1 oracle-checked: the DSv2 paginated-directory source (one
     // input partition per page — the reference's serial page loop,
     // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
@@ -8580,6 +8610,38 @@ object SparkEntry {
            |e0 AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
            |       FROM bg WHERE x <> y)""".stripMargin,
         3, "token"),
+
+      // q263: q67's recursive-CTE closure + the survivorship rank
+      "q263_golden_record" ->
+        s"""WITH RECURSIVE $simhashFp,
+           |banded AS (SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bits
+           |           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           |                a.simhash AS sh_a, c.simhash AS sh_b
+           |         FROM banded a JOIN banded c
+           |           ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id),
+           |pe AS (SELECT id_a, id_b FROM (
+           |    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM cand)
+           |  WHERE hamming <= 3),
+           |ed AS (SELECT id_a AS src, id_b AS dst FROM pe
+           |       UNION ALL SELECT id_b, id_a FROM pe),
+           |nodes AS (SELECT DISTINCT src AS id FROM ed),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN ed e ON e.src = r.id),
+           |comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           |m AS (SELECT c.cluster_id, d.doc_id,
+           |        CAST(strlen(d.text) AS BIGINT) AS len
+           |      FROM comp c JOIN documents d ON d.doc_id = c.id),
+           |r AS (SELECT cluster_id, doc_id, len,
+           |        row_number() OVER (PARTITION BY cluster_id
+           |          ORDER BY len DESC, doc_id) AS rk,
+           |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+           |      FROM m)
+           |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           |  doc_id AS canonical_doc_id, len AS canonical_len
+           |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
       // q260: the paged source's deterministic payload replayed from
       // generate_series — page p holds ids p*50 .. p*50+49, symbol
