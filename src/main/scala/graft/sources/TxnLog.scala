@@ -47,13 +47,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale notes: readers plan scans from the log's file LIST — no
   * directory listing (the object-store killer at 100 TB), and the
   * snapshot read is an ordinary multi-file parquet scan with full
-  * pushdown/pruning. The log grows one tiny file per commit; real
-  * deployments periodically checkpoint it (not implemented — the log
-  * replay here is O(versions), fine for the demo scale and orthogonal
-  * to the protocol). Copy-on-write upsert rewrites the whole table —
-  * the right demo shape here; a partitioned 100 TB table would rewrite
-  * only the partitions the updates touch (see q93's dynamic partition
-  * overwrite for that half of the story).
+  * pushdown/pruning. The log grows one tiny file per commit and is
+  * CHECKPOINTED every [[CheckpointInterval]] commits (full replay state
+  * next to the log, Delta's `_last_checkpoint` mechanism), so read
+  * planning is O(commits since checkpoint) no matter how long the table
+  * lives. Copy-on-write upsert rewrites the whole table — the right
+  * demo shape here; a partitioned 100 TB table would rewrite only the
+  * partitions the updates touch (see q93's dynamic partition overwrite
+  * for that half of the story).
   */
 object TxnLog {
 
@@ -65,6 +66,18 @@ object TxnLog {
   private def logDir(table: String): Path = Paths.get(table, "_txn_log")
   private def logFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%020d.log")
+  private def checkpointFile(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%020d.checkpoint")
+
+  /** Every N commits the committer also writes a CHECKPOINT — the full
+    * live-file set and per-app txn high-water marks as of that version
+    * — so replay cost is O(commits since last checkpoint), not
+    * O(all versions) (Delta's `_last_checkpoint` mechanism; without it
+    * a long-lived table's every read degrades linearly in its commit
+    * history). Checkpoints are DERIVED data: written best-effort after
+    * the commit, recomputed from the log if absent, and a deleted or
+    * never-written checkpoint only costs speed, never correctness. */
+  val CheckpointInterval = 10L
 
   /** Committed versions, ascending (empty = not a table). */
   def versions(table: String): Seq[Long] = {
@@ -83,25 +96,78 @@ object TxnLog {
     * (staged-but-uncommitted files do NOT make a table). */
   def exists(table: String): Boolean = versions(table).nonEmpty
 
+  /** Latest checkpoint version ≤ `upTo`, if any. */
+  private def latestCheckpoint(table: String, upTo: Long): Option[Long] = {
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) return None
+    val s = Files.list(d)
+    try {
+      val cps = s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toLong)
+        .filter(_ <= upTo).toSeq
+      if (cps.isEmpty) None else Some(cps.max)
+    } finally s.close()
+  }
+
+  /** Replay state at `upTo`: (live files in add order, per-app txn
+    * high-water marks). Starts from the newest checkpoint ≤ upTo when
+    * one exists, else from the log's beginning. */
+  private def replayState(table: String, upTo: Long)
+      : (Seq[String], Map[String, Long]) = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val txn = scala.collection.mutable.Map.empty[String, Long]
+    val start = latestCheckpoint(table, upTo) match {
+      case Some(cv) =>
+        Files.readAllLines(checkpointFile(table, cv)).asScala.foreach {
+          line => line.split('\t') match {
+            case Array("file", f) => live += f
+            case Array("txn", id, v) => txn(id) = v.toLong
+            case _ => sys.error(s"corrupt checkpoint $cv: $line")
+          }
+        }
+        cv
+      case None => 0L
+    }
+    versions(table).filter(v => v > start && v <= upTo).foreach { v =>
+      Files.readAllLines(logFile(table, v)).asScala.foreach { line =>
+        line.split('\t') match {
+          case Array("add", f) => live += f
+          case Array("remove", f) => live -= f
+          case Array("txn", id, tv) =>
+            txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
+          case _ => sys.error(s"corrupt log line in v$v: $line")
+        }
+      }
+    }
+    (live.toSeq, txn.toMap)
+  }
+
+  /** Best-effort checkpoint after commit `v` (every
+    * [[CheckpointInterval]]-th version): full replay state serialized
+    * next to the log, written temp-then-atomic-move. Failure is
+    * swallowed — readers recompute from the log. */
+  private def maybeCheckpoint(table: String, v: Long): Unit =
+    if (v % CheckpointInterval == 0) try {
+      val (live, txn) = replayState(table, v)
+      val lines = live.map("file\t" + _) ++
+        txn.toSeq.sortBy(_._1).map { case (id, tv) => s"txn\t$id\t$tv" }
+      val tmp = Files.createTempFile(logDir(table), "_cp_", ".inprogress")
+      Files.write(tmp, lines.asJava)
+      Files.move(tmp, checkpointFile(table, v),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: java.io.IOException => () }
+
   /** The file set a reader at `asOf` (default: latest) scans: replay
-    * adds minus removes over the log prefix. */
+    * adds minus removes from the newest checkpoint ≤ asOf (or the log
+    * start), so planning cost is O(commits since checkpoint). */
   def files(table: String, asOf: Option[Long] = None): Seq[String] = {
     val vs = versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val upTo = asOf.getOrElse(vs.last)
     require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    vs.filter(_ <= upTo).foreach { v =>
-      Files.readAllLines(logFile(table, v)).asScala.foreach { line =>
-        line.split('\t') match {
-          case Array("add", f) => live += f
-          case Array("remove", f) => live -= f
-          case Array("txn", _, _) => () // writer-txn marker, no file action
-          case _ => sys.error(s"corrupt log line in v$v: $line")
-        }
-      }
-    }
-    live.toSeq
+    replayState(table, upTo)._1
   }
 
   /** Snapshot read, optionally time-traveled to an older version. */
@@ -175,24 +241,24 @@ object TxnLog {
     val actions = named.map("add\t" + _)
     var v = versions(table).last + 1
     while (!publish(table, v, actions)) v += 1
+    maybeCheckpoint(table, v)
     v
   }
 
-  /** Highest committed writer-transaction version for `appId` (replayed
-    * from `txn` marker lines), or -1 if none. */
-  def lastTxnVersion(table: String, appId: String): Long =
-    versions(table).foldLeft(-1L) { (acc, v) =>
-      Files.readAllLines(logFile(table, v)).asScala.foldLeft(acc) {
-        (a, line) => line.split('\t') match {
-          case Array("txn", id, tv) if id == appId => math.max(a, tv.toLong)
-          case _ => a
-        }
-      }
-    }
+  /** Highest committed writer-transaction version for `appId`
+    * (checkpoint-accelerated like [[files]]), or -1 if none. */
+  def lastTxnVersion(table: String, appId: String): Long = {
+    val vs = versions(table)
+    if (vs.isEmpty) -1L
+    else replayState(table, vs.last)._2.getOrElse(appId, -1L)
+  }
 
   /** The LOG version whose commit carries `appId`'s marker for exactly
     * `txnVersion` — i.e. the snapshot that first contains the batch —
-    * or None if that batch was never committed. */
+    * or None if that batch was never committed. Scans raw log entries
+    * (checkpoints collapse markers to high-water marks and lose WHICH
+    * version carried them); this is a rare recovery-path lookup, not a
+    * hot read. */
   def txnCommitVersion(table: String, appId: String,
                        txnVersion: Long): Option[Long] =
     versions(table).find { v =>
@@ -238,6 +304,7 @@ object TxnLog {
       }
       v = versions(table).last + 1
     }
+    maybeCheckpoint(table, v)
     v
   }
 
@@ -258,6 +325,7 @@ object TxnLog {
     val v = base + 1
     if (!publish(table, v, old.map("remove\t" + _) ++ named.map("add\t" + _)))
       throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
     v
   }
 

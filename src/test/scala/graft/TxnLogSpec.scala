@@ -172,6 +172,33 @@ class TxnLogSpec extends SparkSpec {
     TempWork.deleteRecursively(landing)
   }
 
+  test("log checkpoints: written on schedule, purely an optimization") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") === 0))
+    (1L to 11L).foreach { i =>
+      TxnLog.idempotentAppend(spark, t,
+        nation.filter(col("n_nationkey") === i), "cp-app", i)
+    }
+    def cps() = {
+      val s = Files.list(Paths.get(t, "_txn_log"))
+      try s.filter(p => p.toString.endsWith(".checkpoint")).count()
+      finally s.close()
+    }
+    assert(cps() == 1, "12 commits must have checkpointed at v10")
+    val full = TxnLog.snapshot(spark, t).count()
+    assert(full == 12, "all 12 single-nation commits visible")
+    assert(TxnLog.lastTxnVersion(t, "cp-app") == 11L)
+    // time travel BEHIND the checkpoint still replays from the start
+    assert(TxnLog.snapshot(spark, t, Some(5L)).count() == 5)
+    // a checkpoint is derived data: deleting it changes nothing
+    val s = Files.list(Paths.get(t, "_txn_log"))
+    try s.filter(p => p.toString.endsWith(".checkpoint"))
+      .forEach(p => Files.delete(p))
+    finally s.close()
+    assert(TxnLog.snapshot(spark, t).count() == full)
+    assert(TxnLog.lastTxnVersion(t, "cp-app") == 11L)
+  }
+
   test("snapshot scans keep predicate pushdown and column pruning") {
     // the 100 TB contract: a log-planned snapshot is an ordinary
     // multi-file parquet scan — filters reach the reader, untouched
