@@ -4887,6 +4887,17 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // ── [ext] exactly-once streaming ingestion into the ACID table:
+    // the events stream foreachBatch-lands in a TxnLog table via
+    // idempotentAppend, then a SECOND stream with a fresh checkpoint
+    // replays every batch (the crash-recovery shape) against the same
+    // table. The oracle is the plain batch aggregate — it matches IFF
+    // the txn markers absorbed the full replay (a double-landing would
+    // double every count and hash-fail). q107 hand-rolls this per
+    // destination; here it is one table-format property. ──────────────
+    "q264_stream_txnlog_sink" -> ((s, dir) =>
+      graft.streaming.EventStream.txnLogSinkTotals(s, dir)),
+
     // ── S1 oracle-checked: the DSv2 paginated-directory source (one
     // input partition per page — the reference's serial page loop,
     // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
@@ -8642,6 +8653,12 @@ object SparkEntry {
            |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
            |  doc_id AS canonical_doc_id, len AS canonical_len
            |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+      // q264: exactly-once makes the streaming+replay pipeline equal
+      // the plain batch aggregate
+      "q264_stream_txnlog_sink" ->
+        s"""SELECT event_type, count(*) AS n_events, $moneyV AS total_value
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
       // q260: the paged source's deterministic payload replayed from
       // generate_series — page p holds ids p*50 .. p*50+49, symbol

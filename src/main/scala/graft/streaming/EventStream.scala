@@ -713,6 +713,52 @@ object EventStream {
     }
   }
 
+  /** Exactly-once streaming ingestion into the ACID table format
+    * ([[graft.sources.TxnLog.idempotentAppend]] — Delta's txnAppId/
+    * txnVersion protocol), VERIFIED BY REPLAY inside the query itself:
+    * the micro-batched events stream lands in a TxnLog table, then a
+    * SECOND stream over the same source with a FRESH checkpoint — the
+    * crash-recovery shape, every batch re-delivered with the same ids —
+    * runs against the same table. Only if the txn markers absorb the
+    * full replay does the final aggregate equal the batch oracle; any
+    * double-landing doubles the counts and hash-fails the gate. The
+    * q107 commit-marker sink hand-rolls this protocol per destination;
+    * this is the same guarantee as ONE table-format property. */
+  def txnLogSinkTotals(spark: SparkSession, dir: String): DataFrame = {
+    val (stream0, landing) = parityStream(spark, dir, "txnsink_")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txn_sink_").resolve("t").toString
+    val src = stream0.select(col("event_id"), col("event_type"),
+      col("value"))
+    graft.sources.TxnLog.create(spark, table,
+      graft.Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .limit(0)) // schema-only init commit (D4's empty-table create)
+    def runOnce(): Unit = {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.sources.TxnLog.idempotentAppend(
+            spark, table, batch, "etl-sync", id): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // fresh checkpoint = full crash replay; markers absorb it
+    try {
+      graft.sources.TxnLog.snapshot(spark, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(Exact.Money)).cast(DoubleType)
+            .as("total_value"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+    } finally {
+      if (!LandingCache.isCached(landing)) deleteRecursively(landing)
+      deleteRecursively(java.nio.file.Paths.get(table).getParent)
+    }
+  }
+
   def dailyTotals(spark: SparkSession, dir: String): DataFrame = {
     val (src, landing) = eventsStream(spark, dir)
     val agg = src
