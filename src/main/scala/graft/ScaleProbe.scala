@@ -412,6 +412,38 @@ object ScaleProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"SCALE q24_candidates   x$mult%-4d ${s}%7.3f s  ($cands candidates, ${dbaseRows * mult} docs)")
     }
+
+    // ── TxnLog read planning: checkpoints make snapshot planning
+    // O(commits since checkpoint) instead of O(all versions). 60
+    // single-commit appends, then time files() (pure log replay, no
+    // Spark job) with checkpoints present vs deleted. The absolute
+    // times are microseconds here — the SHAPE (flat vs linear in
+    // version count) is what carries to a table with 100k commits on
+    // an object store where every log read is a GET. ──────────────────
+    {
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_txn_probe_").resolve("t").toString
+      val one = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+        .select("n_nationkey").limit(1)
+      graft.sources.TxnLog.create(spark, tdir, one)
+      (1 to 59).foreach(_ => graft.sources.TxnLog.append(spark, tdir, one))
+      def timePlanning(tag: String): Unit = {
+        graft.sources.TxnLog.files(tdir) // warm fs cache
+        val t0 = System.nanoTime()
+        (1 to 50).foreach(_ => graft.sources.TxnLog.files(tdir))
+        val us = (System.nanoTime() - t0) / 50 / 1e3
+        println(f"SCALE txn_planning     $tag%-14s ${us}%8.1f us/plan  (60 versions)")
+      }
+      timePlanning("checkpointed")
+      val ld = java.nio.file.Paths.get(tdir, "_txn_log")
+      val ls = java.nio.file.Files.list(ld)
+      try ls.filter(p => p.toString.endsWith(".checkpoint"))
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally ls.close()
+      timePlanning("no_checkpoint")
+      graft.TempWork.deleteRecursively(
+        java.nio.file.Paths.get(tdir).getParent)
+    }
     spark.stop()
   }
 }

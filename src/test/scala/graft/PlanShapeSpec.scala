@@ -362,4 +362,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("__salt"),
       s"join-side exchanges must partition on the salt column:\n$plan")
   }
+
+  test("q259 JDBC round-trip: dim broadcasts, scan is a 4-slice JDBC relation") {
+    val df = SparkEntry.queries("q259_jdbc_roundtrip")(spark, sf0001)
+    val plan = df.queryExecution.explainString(SimpleMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 25-row warehouse dim must broadcast onto the fact:\n$plan")
+    assert(plan.contains("JDBCRelation"),
+      s"the dim side must be a real JDBC scan:\n$plan")
+    assert(plan.contains("numPartitions=4"),
+      s"the JDBC read must plan 4 range slices:\n$plan")
+  }
+
+  test("q261 ECE: one map-side-combined pass + a broadcast total") {
+    val plan = planOf("q261_ece_calibration")
+    // partial/final HashAggregate pairs over ONE events scan each for
+    // bins and total; the one-row total arrives via broadcast, never a
+    // shuffle of the bins
+    assert(countOf(plan, "BroadcastNestedLoopJoin|BroadcastExchange") >= 1,
+      s"the scalar total must broadcast:\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") <= 1,
+      s"at most the bin aggregate's exchange expected:\n$plan")
+  }
+
 }
