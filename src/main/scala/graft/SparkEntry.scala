@@ -4898,6 +4898,65 @@ object SparkEntry {
     "q264_stream_txnlog_sink" -> ((s, dir) =>
       graft.streaming.EventStream.txnLogSinkTotals(s, dir)),
 
+    // ── [ext] approximate-quantile sanity gate: Spark's native
+    // percentile_approx (Greenwald-Khanna-style mergeable sketch — the
+    // O(1)-state quantile any 100 TB profile actually runs) checked
+    // against EXACT rank windows, q18's HLL pattern for quantiles. The
+    // emitted quantiles are exact (oracle-replayable); the sketch only
+    // feeds the within_bound flag, whose ±5% rank window is 50× the
+    // sketch's configured 0.1% error — loose enough to absorb
+    // partition-merge-order wiggle, tight enough that a broken sketch
+    // fails the hash gate. ────────────────────────────────────────────
+    "q265_approx_quantile_gate" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val exact = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, 0.45)").as("__lo50"),
+        expr("percentile(value, 0.55)").as("__hi50"),
+        expr("percentile(value, 0.90)").as("__lo95"),
+        expr("percentile(value, 0.99)").as("__hi95"))
+      val approx = e.groupBy("event_type").agg(
+        expr("percentile_approx(value, array(0.5D, 0.95D), 1000)")
+          .as("__ap"))
+      exact.join(approx, "event_type")
+        .select(col("event_type"), col("n"), col("p50"), col("p95"),
+          (element_at(col("__ap"), 1)
+            .between(col("__lo50"), col("__hi50")) &&
+           element_at(col("__ap"), 2)
+            .between(col("__lo95"), col("__hi95"))).as("within_bound"))
+        .orderBy("event_type")
+    }),
+
+    // ── [ext] observed metrics: the A5 count/shape gate collected in
+    // the SAME pass as the working aggregate via df.observe (Spark's
+    // Observation API — accumulator-backed, zero extra scans; the
+    // production form of "audit while you aggregate" at 100 TB, where
+    // a second counting scan is a second pass over 100 TB). The main
+    // aggregate executes once; its collected size and the observed
+    // metrics come back as ONE audit row the oracle replays as plain
+    // aggregates. ─────────────────────────────────────────────────────
+    "q266_observed_metrics" -> ((s, dir) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val e = T(s, dir, "events").observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast(Exact.Money)).as("tv"),
+        sum(when(col("value") <= 0, 1L).otherwise(0L)).as("n_nonpos"))
+      // bounded driver data: the per-type aggregate (≤5 rows) is the
+      // working result; collecting it COMPLETES the action that makes
+      // the ride-along metrics available
+      val perType = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n")).collect()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("tv").asInstanceOf[java.math.BigDecimal].doubleValue(),
+          m("n_nonpos").asInstanceOf[Long],
+          perType.length.toLong))
+        .toDF("n_rows", "total_value", "n_nonpositive", "n_event_types")
+    }),
+
     // ── S1 oracle-checked: the DSv2 paginated-directory source (one
     // input partition per page — the reference's serial page loop,
     // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
@@ -8653,6 +8712,23 @@ object SparkEntry {
            |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
            |  doc_id AS canonical_doc_id, len AS canonical_len
            |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+      // q265: exact quantiles replayed; the sketch-health flag is TRUE
+      // by the sketch's own error contract
+      "q265_approx_quantile_gate" ->
+        """SELECT event_type, count(*) AS n,
+          |  quantile_cont(value, 0.5) AS p50,
+          |  quantile_cont(value, 0.95) AS p95,
+          |  true AS within_bound
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // q266: the observed single-pass metrics as plain aggregates
+      "q266_observed_metrics" ->
+        s"""SELECT count(*) AS n_rows, $moneyV AS total_value,
+           |  CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nonpositive,
+           |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+           |FROM events""".stripMargin,
 
       // q264: exactly-once makes the streaming+replay pipeline equal
       // the plain batch aggregate
