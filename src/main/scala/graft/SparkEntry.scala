@@ -4957,6 +4957,32 @@ object SparkEntry {
         .toDF("n_rows", "total_value", "n_nonpositive", "n_event_types")
     }),
 
+    // ── [ext] stats-based file skipping on the gate: orders lands in a
+    // TxnLog table range-laid on o_orderdate with per-file min/max
+    // stats in the commit; the 1994 read then plans ONLY the files
+    // whose committed stats intersect the year — pruning decided from
+    // the log before any parquet footer opens (Delta data skipping) —
+    // with the residual filter as the correctness boundary, so the
+    // plain-SQL oracle must match exactly regardless of what was
+    // skipped. TxnLogSpec separately asserts the scan really shrinks. ──
+    "q267_txn_data_skipping" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q267_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        .repartitionByRange(8, col("o_orderdate"))
+      graft.sources.TxnLog.create(s, tbl, o, statsCols = Seq("o_orderdate"))
+      val loDays = java.time.LocalDate.parse("1994-01-01").toEpochDay
+      val hiDays = java.time.LocalDate.parse("1994-12-31").toEpochDay
+      graft.sources.TxnLog
+        .snapshotWhere(s, tbl, "o_orderdate", loDays, hiDays)
+        .where(col("o_orderdate").between(
+          to_date(lit("1994-01-01")), to_date(lit("1994-12-31"))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── S1 oracle-checked: the DSv2 paginated-directory source (one
     // input partition per page — the reference's serial page loop,
     // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
@@ -8729,6 +8755,16 @@ object SparkEntry {
            |    AS n_nonpositive,
            |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
            |FROM events""".stripMargin,
+
+      // q267: skipping is superset + residual filter, so the oracle is
+      // the plain year aggregate
+      "q267_txn_data_skipping" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders
+          |WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q264: exactly-once makes the streaming+replay pipeline equal
       // the plain batch aggregate

@@ -110,37 +110,47 @@ object TxnLog {
     } finally s.close()
   }
 
-  /** Replay state at `upTo`: (live files in add order, per-app txn
-    * high-water marks). Starts from the newest checkpoint ≤ upTo when
-    * one exists, else from the log's beginning. */
-  private def replayState(table: String, upTo: Long)
-      : (Seq[String], Map[String, Long]) = {
+  /** Full replay state at a version: live files in add order, per-app
+    * txn high-water marks, and per-(file, column) canonical-long
+    * min/max stats for data skipping. */
+  private final case class State(live: Seq[String],
+                                 txn: Map[String, Long],
+                                 stats: Map[(String, String), (Long, Long)])
+
+  /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
+    * when one exists, else from the log's beginning. */
+  private def replayState(table: String, upTo: Long): State = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txn = scala.collection.mutable.Map.empty[String, Long]
+    val stats =
+      scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    def dropFile(f: String): Unit = {
+      live -= f
+      stats.keys.filter(_._1 == f).toSeq.foreach(stats.remove)
+    }
+    def applyLine(where: String)(line: String): Unit =
+      line.split('\t') match {
+        case Array("add", f) => live += f
+        case Array("file", f) => live += f // checkpoint spelling
+        case Array("remove", f) => dropFile(f)
+        case Array("txn", id, tv) =>
+          txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
+        case Array("stats", f, c, mn, mx) =>
+          stats((f, c)) = (mn.toLong, mx.toLong)
+        case _ => sys.error(s"corrupt log line in $where: $line")
+      }
     val start = latestCheckpoint(table, upTo) match {
       case Some(cv) =>
-        Files.readAllLines(checkpointFile(table, cv)).asScala.foreach {
-          line => line.split('\t') match {
-            case Array("file", f) => live += f
-            case Array("txn", id, v) => txn(id) = v.toLong
-            case _ => sys.error(s"corrupt checkpoint $cv: $line")
-          }
-        }
+        Files.readAllLines(checkpointFile(table, cv)).asScala
+          .foreach(applyLine(s"checkpoint $cv"))
         cv
       case None => 0L
     }
     versions(table).filter(v => v > start && v <= upTo).foreach { v =>
-      Files.readAllLines(logFile(table, v)).asScala.foreach { line =>
-        line.split('\t') match {
-          case Array("add", f) => live += f
-          case Array("remove", f) => live -= f
-          case Array("txn", id, tv) =>
-            txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
-          case _ => sys.error(s"corrupt log line in v$v: $line")
-        }
-      }
+      Files.readAllLines(logFile(table, v)).asScala
+        .foreach(applyLine(s"v$v"))
     }
-    (live.toSeq, txn.toMap)
+    State(live.toSeq, txn.toMap, stats.toMap)
   }
 
   /** Best-effort checkpoint after commit `v` (every
@@ -149,9 +159,11 @@ object TxnLog {
     * swallowed — readers recompute from the log. */
   private def maybeCheckpoint(table: String, v: Long): Unit =
     if (v % CheckpointInterval == 0) try {
-      val (live, txn) = replayState(table, v)
-      val lines = live.map("file\t" + _) ++
-        txn.toSeq.sortBy(_._1).map { case (id, tv) => s"txn\t$id\t$tv" }
+      val st = replayState(table, v)
+      val lines = st.live.map("file\t" + _) ++
+        st.txn.toSeq.sortBy(_._1).map { case (id, tv) => s"txn\t$id\t$tv" } ++
+        st.stats.toSeq.sortBy(_._1).map { case ((f, c), (mn, mx)) =>
+          s"stats\t$f\t$c\t$mn\t$mx" }
       val tmp = Files.createTempFile(logDir(table), "_cp_", ".inprogress")
       Files.write(tmp, lines.asJava)
       Files.move(tmp, checkpointFile(table, v),
@@ -167,7 +179,7 @@ object TxnLog {
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val upTo = asOf.getOrElse(vs.last)
     require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
-    replayState(table, upTo)._1
+    replayState(table, upTo).live
   }
 
   /** Snapshot read, optionally time-traveled to an older version. */
@@ -176,6 +188,37 @@ object TxnLog {
     val fs = files(table, asOf)
     if (fs.isEmpty) sys.error(s"empty snapshot of $table") // never: create requires data
     spark.read.parquet(fs.map(f => Paths.get(table, f).toString): _*)
+  }
+
+  /** Data-skipping snapshot read: only files whose committed
+    * [min, max] stats for `statsCol` intersect [lo, hi] (canonical-long
+    * space: epoch days for dates, the long value otherwise) enter the
+    * scan plan — file pruning decided at PLANNING time from the log,
+    * before any parquet footer is opened (Delta's stats-based skipping;
+    * at 100 TB this is the difference between planning over metadata
+    * and touching every file's footer). SUPERSET semantics: files
+    * without stats for the column are kept, so the caller's own filter
+    * — which must still be applied — is the correctness boundary and
+    * pruning is purely an I/O optimization. */
+  def snapshotWhere(spark: SparkSession, table: String, statsCol: String,
+                    lo: Long, hi: Long,
+                    asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val st = replayState(table, asOf.getOrElse(vs.last))
+    val keep = st.live.filter { f =>
+      st.stats.get((f, statsCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats → unprunable, never wrongly skipped
+      }
+    }
+    if (keep.isEmpty)
+      // every file provably disjoint: an empty relation with the
+      // table's schema (scan one file, read no rows)
+      spark.read.parquet(Paths.get(table, st.live.head).toString)
+        .where(org.apache.spark.sql.functions.lit(false))
+    else
+      spark.read.parquet(keep.map(f => Paths.get(table, f).toString): _*)
   }
 
   /** Stage `df` as fresh UUID-named parquet files in the table dir;
@@ -200,6 +243,40 @@ object TxnLog {
     named
   }
 
+  /** Per-file min/max stats lines for `statsCols` (data-skipping
+    * metadata, Delta's per-file stats): one Spark job over the freshly
+    * staged files, grouped by input_file_name. Values are canonicalized
+    * to LONG (dates → epoch days, numerics → long) so pruning is one
+    * integer interval test per file at PLANNING time. A file with an
+    * all-null column gets no stats line for it — unprunable, never
+    * wrongly skipped. */
+  private def statsLines(spark: SparkSession, table: String,
+                         named: Seq[String],
+                         statsCols: Seq[String]): Seq[String] = {
+    if (statsCols.isEmpty || named.isEmpty) return Nil
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DateType, LongType}
+    val df = spark.read.parquet(
+      named.map(n => Paths.get(table, n).toString): _*)
+    def canonical(c: String) = df.schema(c).dataType match {
+      case DateType => datediff(col(c), to_date(lit("1970-01-01")))
+        .cast(LongType)
+      case _ => col(c).cast(LongType)
+    }
+    val aggs = statsCols.flatMap(c => Seq(
+      min(canonical(c)).as(s"__mn_$c"), max(canonical(c)).as(s"__mx_$c")))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect() // ≤ |files| rows
+    rows.toSeq.flatMap { r =>
+      val fname = r.getAs[String]("__f").split('/').last
+      statsCols.flatMap { c =>
+        val mnI = r.fieldIndex(s"__mn_$c"); val mxI = r.fieldIndex(s"__mx_$c")
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) Nil
+        else Seq(s"stats\t$fname\t$c\t${r.getLong(mnI)}\t${r.getLong(mxI)}")
+      }
+    }
+  }
+
   /** Atomically publish `actions` as version `v`. True iff this writer
     * won; false iff `v` already exists (concurrent commit). */
   private def publish(table: String, v: Long,
@@ -214,11 +291,15 @@ object TxnLog {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Create the table from `df`; fails if it already exists. */
-  def create(spark: SparkSession, table: String, df: DataFrame): Long = {
+  /** Create the table from `df`; fails if it already exists.
+    * `statsCols` records per-file min/max for those columns in the
+    * commit — the data-skipping metadata [[snapshotWhere]] prunes on. */
+  def create(spark: SparkSession, table: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Long = {
     require(!exists(table), s"table already exists: $table")
     val named = stage(spark, table, df)
-    if (!publish(table, 1L, named.map("add\t" + _)))
+    if (!publish(table, 1L, named.map("add\t" + _) ++
+        statsLines(spark, table, named, statsCols)))
       throw new ConcurrentCommitException(1L)
     1L
   }
@@ -235,10 +316,12 @@ object TxnLog {
 
   /** Blind append: valid against ANY snapshot, so a lost commit race
     * simply retries at the next version. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Long = {
     require(exists(table), s"not a TxnLog table: $table")
     val named = stage(spark, table, df)
-    val actions = named.map("add\t" + _)
+    val actions = named.map("add\t" + _) ++
+      statsLines(spark, table, named, statsCols)
     var v = versions(table).last + 1
     while (!publish(table, v, actions)) v += 1
     maybeCheckpoint(table, v)
@@ -250,7 +333,7 @@ object TxnLog {
   def lastTxnVersion(table: String, appId: String): Long = {
     val vs = versions(table)
     if (vs.isEmpty) -1L
-    else replayState(table, vs.last)._2.getOrElse(appId, -1L)
+    else replayState(table, vs.last).txn.getOrElse(appId, -1L)
   }
 
   /** The LOG version whose commit carries `appId`'s marker for exactly

@@ -217,6 +217,35 @@ class TxnLogSpec extends SparkSpec {
       s"pruned column must not be read:\n${plan.take(2000)}")
   }
 
+  test("stats-based file skipping prunes the scan, never the answer") {
+    val t = freshTable()
+    // range-lay the data so per-file [min,max] stats are tight
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k"))
+    TxnLog.create(spark, t, df, statsCols = Seq("k"))
+    val full = TxnLog.snapshot(spark, t)
+    val pruned = TxnLog.snapshotWhere(spark, t, "k", 1000L, 1499L)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"stats must prune files: ${pruned.inputFiles.length} vs " +
+        s"${full.inputFiles.length}")
+    // superset + residual filter = exact answer
+    assert(pruned.filter(col("k").between(1000, 1499)).count() ==
+      full.filter(col("k").between(1000, 1499)).count())
+    // a provably-disjoint range reads zero rows through a typed relation
+    val none = TxnLog.snapshotWhere(spark, t, "k", 100000L, 200000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+    // a column with NO stats cannot prune (superset semantics)
+    assert(TxnLog.snapshotWhere(spark, t, "v", 0L, 0L)
+      .inputFiles.length == full.inputFiles.length)
+    // stats survive the checkpoint round-trip
+    (1L to 10L).foreach(i => TxnLog.idempotentAppend(spark, t,
+      df.limit(1), "stats-cp", i))
+    assert(TxnLog.snapshotWhere(spark, t, "k", 1000L, 1499L)
+      .inputFiles.length < TxnLog.snapshot(spark, t).inputFiles.length,
+      "post-checkpoint replay must still carry the stats")
+  }
+
   test("uncommitted staging orphans are invisible and vacuumed") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
