@@ -4983,6 +4983,30 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] append-only change feed: orders lands in THREE commits
+    // (pre-1994 / 1994 / post-1994); changesBetween(v1, v3) reads
+    // exactly the files versions 2-3 added — the log-planned
+    // incremental pull a downstream daily sync does instead of
+    // re-scanning the table (Delta CDF's insert case; the reference's
+    // watermark consumer, served by the table format itself). ─────────
+    "q268_txn_change_feed" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q268_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d94 = to_date(lit("1994-01-01"))
+      val d95 = to_date(lit("1995-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d94))
+      graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d94 && col("o_orderdate") < d95))
+      graft.sources.TxnLog.append(s, tbl, o.filter(col("o_orderdate") >= d95))
+      graft.sources.TxnLog.changesBetween(s, tbl, 1L, 3L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_changed"),
+          min(col("o_orderdate")).as("first_date"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── S1 oracle-checked: the DSv2 paginated-directory source (one
     // input partition per page — the reference's serial page loop,
     // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
@@ -8764,6 +8788,15 @@ object SparkEntry {
           |    AS total_price
           |FROM orders
           |WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q268: the change window (v1, v3] is exactly the 1994-onward rows
+      "q268_txn_change_feed" ->
+        """SELECT o_orderstatus, count(*) AS n_changed,
+          |  min(o_orderdate) AS first_date,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders WHERE o_orderdate >= DATE '1994-01-01'
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q264: exactly-once makes the streaming+replay pipeline equal

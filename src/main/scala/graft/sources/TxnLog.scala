@@ -426,6 +426,32 @@ object TxnLog {
     overwrite(spark, table, merged, Some(base))
   }
 
+  /** Change feed for append-only history (Delta CDF's insert case):
+    * the rows committed in versions (fromV, toV] — exactly the files
+    * live at toV but not at fromV, read as one parquet scan. This is
+    * what lets a DOWNSTREAM incremental consumer (the reference's daily
+    * sync reading "what changed since my watermark") pull deltas
+    * without diffing data: the log already knows. For histories with
+    * removes (overwrite/upsert), file-set difference no longer equals
+    * row-level change — a full CDF would journal per-row change types —
+    * so this requires no file was removed in the window and throws
+    * otherwise rather than returning wrong deltas. */
+  def changesBetween(spark: SparkSession, table: String,
+                     fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val before = files(table, Some(fromV)).toSet
+    val after = files(table, Some(toV))
+    require(before.subsetOf(after.toSet),
+      s"versions ($fromV, $toV] remove files — append-only change " +
+        "feed cannot represent deletes/rewrites as row inserts")
+    val added = after.filterNot(before)
+    if (added.isEmpty)
+      spark.read.parquet(Paths.get(table, after.head).toString)
+        .where(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(
+      added.map(f => Paths.get(table, f).toString): _*)
+  }
+
   /** K7's retention lifecycle: delete data files not referenced by any
     * of the newest `retainVersions` snapshots, plus crash debris — dead
     * `_staging_*` write dirs and `_txn_log/_tmp_*.inprogress` files.

@@ -246,6 +246,25 @@ class TxnLogSpec extends SparkSpec {
       "post-checkpoint replay must still carry the stats")
   }
 
+  test("change feed returns exactly the appended window; refuses removes") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") === 0))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") === 1))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") === 2))
+    val changes = TxnLog.changesBetween(spark, t, 1L, 3L)
+    assert(rowsOf(changes.orderBy("n_nationkey")) ==
+      rowsOf(nation.filter(col("n_regionkey").isin(1, 2))
+        .orderBy("n_nationkey")))
+    intercept[IllegalArgumentException] {
+      TxnLog.changesBetween(spark, t, 3L, 3L) // fromV < toV required
+    }
+    // a window containing an overwrite cannot be represented as inserts
+    TxnLog.overwrite(spark, t, nation.filter(col("n_regionkey") === 0))
+    intercept[IllegalArgumentException] {
+      TxnLog.changesBetween(spark, t, 1L, 4L)
+    }
+  }
+
   test("uncommitted staging orphans are invisible and vacuumed") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
