@@ -56,8 +56,13 @@ object Graph {
     * path. */
   def cappedAdjacency(dirE: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maxDeg = dirE.groupBy("src").agg(count(lit(1)).as("__deg"))
-      .agg(max(col("__deg"))).head().getLong(0)
+    // max over an EMPTY aggregate is a single null row — an empty edge
+    // set must take the identity branch, not NPE in getLong
+    val maxDeg = {
+      val r = dirE.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .agg(max(col("__deg"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     if (maxDeg <= k) dirE
     else dirE.withColumn("__rn", row_number().over(
         Window.partitionBy("src").orderBy("dst")))

@@ -169,7 +169,13 @@ object TxnLog {
       Files.move(tmp, checkpointFile(table, v),
         StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-    } catch { case _: java.io.IOException => () }
+      // NonFatal, not just IOException: the version is already PUBLISHED
+      // when this runs, so any failure escaping here (a NumberFormat /
+      // sys.error from replaying a corrupt historic line) would make the
+      // caller believe a committed append failed — and its retry would
+      // duplicate rows. Checkpoints are derived data; a skipped one only
+      // costs replay speed.
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The file set a reader at `asOf` (default: latest) scans: replay
     * adds minus removes from the newest checkpoint ≤ asOf (or the log
@@ -205,7 +211,11 @@ object TxnLog {
                     asOf: Option[Long] = None): DataFrame = {
     val vs = versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
-    val st = replayState(table, asOf.getOrElse(vs.last))
+    val upTo = asOf.getOrElse(vs.last)
+    // mirror files(): a typo'd time-travel version must FAIL, not
+    // silently replay the floor state and return plausible wrong data
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    val st = replayState(table, upTo)
     val keep = st.live.filter { f =>
       st.stats.get((f, statsCol)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -462,11 +472,16 @@ object TxnLog {
     * analogue): a concurrent writer stages files BEFORE its log entry
     * exists, so an unreferenced file younger than the window may be a
     * commit in progress, not an orphan — deleting it would corrupt the
-    * commit the moment it publishes. The default spares anything
-    * younger than 15 minutes; tests pass 0 to vacuum deterministically
-    * in a single-writer world. */
+    * commit the moment it publishes (the log entry would reference
+    * deleted files). The window must therefore EXCEED the longest
+    * possible stage duration — at 100 TB a single commit's
+    * `df.write.parquet` can run for hours, which is why Delta's
+    * retention default is 7 DAYS, not minutes. The default here matches
+    * Delta's; operators who know their longest commit can lower it
+    * explicitly, and tests pass 0 to vacuum deterministically in a
+    * single-writer world. */
   def vacuum(table: String, retainVersions: Int = 1,
-             minAgeMs: Long = 15L * 60 * 1000): Seq[String] = {
+             minAgeMs: Long = 7L * 24 * 60 * 60 * 1000): Seq[String] = {
     val vs = versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val retained = vs.takeRight(math.max(1, retainVersions))

@@ -246,9 +246,18 @@ object EventStream {
     // and that fsync-bound I/O — not computation — dominates short
     // stream-stream joins. Production checkpoints belong on durable
     // storage; a bench/verify harness's throwaway checkpoints do not.
+    // Writable is not enough: containers commonly mount /dev/shm at 64MB,
+    // and a stream-stream join's state store exhausting it mid-query
+    // fails a run that would have succeeded on disk. Require real
+    // headroom (512MB) before choosing tmpfs; otherwise fall through to
+    // Spark's default disk-backed checkpoint location.
     val ckptBase = java.nio.file.Paths.get("/dev/shm")
+    val shmUsable = java.nio.file.Files.isWritable(ckptBase) &&
+      (try java.nio.file.Files.getFileStore(ckptBase).getUsableSpace >=
+        512L * 1024 * 1024
+       catch { case _: java.io.IOException => false })
     val ckpt: Option[java.nio.file.Path] =
-      if (java.nio.file.Files.isWritable(ckptBase))
+      if (shmUsable)
         Some(java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_"))
       else None
     try {
