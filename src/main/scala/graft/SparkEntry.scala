@@ -4738,7 +4738,7 @@ object SparkEntry {
     }),
 
     // ── [ext] transaction-log time travel: orders lands in a REAL
-    // graft.sources.TxnLog table in two commits (pre-1995 create, rest
+    // graft.sources.TxnLog table in two commits (pre-1998 create, rest
     // appended), then version-1 and current snapshots are read back and
     // diffed per status — the Delta-style versioned-table story the
     // reference's spark_deltalake_sync relies on (snapshot isolation,
@@ -4749,7 +4749,7 @@ object SparkEntry {
       val tbl = TempWork.fresh("q258_txn")
       val o = T(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
-      val cut = to_date(lit("1995-01-01"))
+      val cut = to_date(lit("1998-01-01"))
       graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < cut))
       graft.sources.TxnLog.append(s, tbl, o.filter(col("o_orderdate") >= cut))
       val v1 = graft.sources.TxnLog.snapshot(s, tbl, Some(1L))
@@ -4959,7 +4959,7 @@ object SparkEntry {
 
     // ── [ext] stats-based file skipping on the gate: orders lands in a
     // TxnLog table range-laid on o_orderdate with per-file min/max
-    // stats in the commit; the 1994 read then plans ONLY the files
+    // stats in the commit; the 1997 read then plans ONLY the files
     // whose committed stats intersect the year — pruning decided from
     // the log before any parquet footer opens (Delta data skipping) —
     // with the residual filter as the correctness boundary, so the
@@ -4971,12 +4971,12 @@ object SparkEntry {
         .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
         .repartitionByRange(8, col("o_orderdate"))
       graft.sources.TxnLog.create(s, tbl, o, statsCols = Seq("o_orderdate"))
-      val loDays = java.time.LocalDate.parse("1994-01-01").toEpochDay
-      val hiDays = java.time.LocalDate.parse("1994-12-31").toEpochDay
+      val loDays = java.time.LocalDate.parse("1997-01-01").toEpochDay
+      val hiDays = java.time.LocalDate.parse("1997-12-31").toEpochDay
       graft.sources.TxnLog
         .snapshotWhere(s, tbl, "o_orderdate", loDays, hiDays)
         .where(col("o_orderdate").between(
-          to_date(lit("1994-01-01")), to_date(lit("1994-12-31"))))
+          to_date(lit("1997-01-01")), to_date(lit("1997-12-31"))))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
           Exact.moneySum(col("o_totalprice")).as("total_price"))
@@ -4984,7 +4984,7 @@ object SparkEntry {
     }),
 
     // ── [ext] append-only change feed: orders lands in THREE commits
-    // (pre-1994 / 1994 / post-1994); changesBetween(v1, v3) reads
+    // (pre-1997 / 1997 / post-1997); changesBetween(v1, v3) reads
     // exactly the files versions 2-3 added — the log-planned
     // incremental pull a downstream daily sync does instead of
     // re-scanning the table (Delta CDF's insert case; the reference's
@@ -4993,16 +4993,114 @@ object SparkEntry {
       val tbl = TempWork.fresh("q268_txn")
       val o = T(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
-      val d94 = to_date(lit("1994-01-01"))
-      val d95 = to_date(lit("1995-01-01"))
-      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d94))
+      val d97 = to_date(lit("1997-01-01"))
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d97))
       graft.sources.TxnLog.append(s, tbl,
-        o.filter(col("o_orderdate") >= d94 && col("o_orderdate") < d95))
-      graft.sources.TxnLog.append(s, tbl, o.filter(col("o_orderdate") >= d95))
+        o.filter(col("o_orderdate") >= d97 && col("o_orderdate") < d98))
+      graft.sources.TxnLog.append(s, tbl, o.filter(col("o_orderdate") >= d98))
       graft.sources.TxnLog.changesBetween(s, tbl, 1L, 3L)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_changed"),
           min(col("o_orderdate")).as("first_date"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── [ext] full row-level CDF across an UPSERT commit: the
+    // reference's actual daily write is a MERGE
+    // (spark_deltalake_sync.py:296-300) — here it lands as a TxnLog
+    // upsert whose commit journals Delta-CDF change rows, and the
+    // downstream consumer reads insert / update_preimage /
+    // update_postimage from changesBetween instead of diffing
+    // snapshots. Deterministic: matched keys are exactly the
+    // 1997-H2 orders (already in the v1 create), inserts the 1998-H1
+    // ones, so the oracle replays the feed from date predicates. ──────
+    "q269_txn_cdf_upsert" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q269_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d98))
+      val updates = o
+        .filter(col("o_orderdate").between(
+          to_date(lit("1997-06-01")), to_date(lit("1998-06-30"))))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val v2 = graft.sources.TxnLog.upsert(s, tbl, updates, Seq("o_orderkey"))
+      graft.sources.TxnLog.changesBetween(s, tbl, 1L, v2)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("_change_type")
+    }),
+
+    // ── [ext] partition-scoped transactional upsert: orders lands
+    // hive-partitioned by year inside the TxnLog format; the daily
+    // merge (1997 updates + 1998 inserts) rewrites ONLY the 1997
+    // partition and creates the 1998 one — every other year keeps its
+    // exact files (TxnLogSpec pins the file identity; this query pins
+    // the merged ROWS through the oracle). The shape that makes a
+    // daily merge into a 100 TB date-partitioned corpus affordable:
+    // rewrite ∝ touched partitions, never the table. ──────────────────
+    "q270_txn_partitioned_upsert" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q270_txn")
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), year(col("o_orderdate")).as("o_year"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_year") < 1998),
+        partitionBy = Seq("o_year"))
+      val updates = o.filter(col("o_year").isin(1997, 1998))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.sources.TxnLog.upsert(s, tbl, updates, Seq("o_orderkey"))
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_year")
+    }),
+
+    // ── [ext] schema evolution in the commit log: the table is
+    // created with the declared 4-column schema (the reference's
+    // explicit StructType, spark_deltalake_sync.py:115-122), then a
+    // later batch adds a quality flag via mergeSchema — the evolved
+    // schema is committed WITH the data, pre-evolution files surface
+    // the column as null, and a drifted append without the opt-in
+    // would have been rejected at write time (TxnLogSpec). ─────────────
+    "q271_txn_schema_evolution" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q271_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d98))
+      graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d98)
+          .withColumn("o_big",
+            (col("o_totalprice") > 200000).cast(IntegerType)),
+        mergeSchema = true)
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("o_big").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(coalesce(col("o_big"), lit(0)).cast(LongType)).as("n_big"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── [ext] transactional DELETE with change feed: deleteWhere
+    // rewrites the survivors in one CAS-pinned commit and journals the
+    // deleted rows as `delete` CDF entries — the GDPR/right-to-be-
+    // forgotten shape a corpus table needs, with the downstream feed
+    // (q269's consumer) seeing exactly what vanished. ─────────────────
+    "q272_txn_delete_cdf" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q272_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d98))
+      val v2 = graft.sources.TxnLog.deleteWhere(s, tbl,
+        col("o_totalprice") > 300000)
+      graft.sources.TxnLog.changesBetween(s, tbl, 1L, v2)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_deleted"),
           Exact.moneySum(col("o_totalprice")).as("total_price"))
         .orderBy("o_orderstatus")
     }),
@@ -8679,14 +8777,14 @@ object SparkEntry {
            |FROM a""".stripMargin,
 
       // q258: both snapshots replayed as date predicates over the same
-      // rows the engine committed to the TxnLog table (v1 = pre-1995
+      // rows the engine committed to the TxnLog table (v1 = pre-1998
       // create, current = v1 + appended rest — append-only history)
       "q258_time_travel" ->
         """SELECT o_orderstatus,
-          |  CAST(sum(CASE WHEN o_orderdate < DATE '1995-01-01'
+          |  CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
           |  count(*) AS n_v2,
-          |  CAST(sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+          |  CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_price
@@ -8787,16 +8885,66 @@ object SparkEntry {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_price
           |FROM orders
-          |WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+          |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
-      // q268: the change window (v1, v3] is exactly the 1994-onward rows
+      // q268: the change window (v1, v3] is exactly the 1997-onward rows
       "q268_txn_change_feed" ->
         """SELECT o_orderstatus, count(*) AS n_changed,
           |  min(o_orderdate) AS first_date,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_price
-          |FROM orders WHERE o_orderdate >= DATE '1994-01-01'
+          |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q269: the CDF rows replayed from date predicates — matched keys
+      // are the 1997-H2 orders (update pre/post pair), inserts the
+      // 1998-H1 ones; updates carry the doubled price
+      "q269_txn_cdf_upsert" ->
+        """WITH upd AS (SELECT * FROM orders
+          |  WHERE o_orderdate BETWEEN DATE '1997-06-01'
+          |    AND DATE '1998-06-30'),
+          |f AS (
+          |  SELECT 'insert' AS _change_type, o_totalprice * 2 AS p
+          |  FROM upd WHERE o_orderdate >= DATE '1998-01-01'
+          |  UNION ALL
+          |  SELECT 'update_preimage', o_totalprice
+          |  FROM upd WHERE o_orderdate < DATE '1998-01-01'
+          |  UNION ALL
+          |  SELECT 'update_postimage', o_totalprice * 2
+          |  FROM upd WHERE o_orderdate < DATE '1998-01-01')
+          |SELECT _change_type, count(*) AS n_rows,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM f GROUP BY 1 ORDER BY _change_type""".stripMargin,
+
+      // q270: merged state replayed with CASE — 1997 rows doubled in
+      // place, 1998 rows inserted doubled, everything earlier untouched
+      "q270_txn_partitioned_upsert" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(CASE WHEN year(o_orderdate) >= 1997
+          |    THEN o_totalprice * 2 ELSE o_totalprice END
+          |    AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM orders WHERE year(o_orderdate) <= 1998
+          |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+      // q271: the evolved column is null exactly on pre-evolution rows
+      "q271_txn_schema_evolution" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+          |  CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+          |    AND o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_big
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q272: the delete feed is exactly the predicate's victims
+      "q272_txn_delete_cdf" ->
+        """SELECT o_orderstatus, count(*) AS n_deleted,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders WHERE o_orderdate < DATE '1998-01-01'
+          |  AND o_totalprice > 300000
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q264: exactly-once makes the streaming+replay pipeline equal

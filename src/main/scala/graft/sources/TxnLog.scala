@@ -5,7 +5,8 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal ACID table format: a parquet directory governed by an ordered
   * commit log — the missing capability the judge flagged when porting the
@@ -14,13 +15,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The merge SEMANTICS were already covered by [[graft.ops.Merge]]; this
   * supplies the transaction story around them: versioned snapshots, time
   * travel, optimistic-concurrency commits, idempotent init (SURVEY D4's
-  * existence probe), and vacuum (SURVEY K7's retention lifecycle).
+  * existence probe), vacuum (SURVEY K7's retention lifecycle), a declared
+  * schema enforced per commit (the reference's explicit StructTypes +
+  * `overwriteSchema=True`, `spark_deltalake_sync.py:115-127`), hive-style
+  * partitioned layout with partition-scoped copy-on-write upsert, and a
+  * row-level change feed (Delta CDF).
   *
   * Layout:
   * {{{
   *   <table>/part-<uuid>.parquet          data files (immutable once landed)
+  *   <table>/<col>=<val>/part-<uuid>.parquet   partitioned data files —
+  *                                          partition values live in the
+  *                                          PATH the log records, exactly
+  *                                          like Delta's partitionValues
+  *   <table>/_change_data/part-<uuid>.parquet  change-feed files (CDF rows
+  *                                          with _change_type; never part
+  *                                          of the snapshot)
   *   <table>/_txn_log/<%020d>.log         one file per version, TSV actions:
   *                                          add\t<file>   remove\t<file>
+  *                                          cdc\t<file>   schema\t<json>
+  *                                          txn\t<app>\t<v>
+  *                                          stats\t<file>\t<col>\t<mn>\t<mx>
   * }}}
   *
   * Commit protocol (optimistic concurrency, Delta-style):
@@ -35,8 +50,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     actions are valid against any snapshot); an OVERWRITE/UPSERT
   *     computed against a stale snapshot must NOT blindly retry — it
   *     throws [[ConcurrentCommitException]] and the caller re-runs
-  *     against the new snapshot. This is exactly Delta's conflict
-  *     matrix collapsed to its two interesting rows.
+  *     against the new snapshot. A PARTITION-SCOPED upsert relaxes this
+  *     to Delta's real conflict matrix: it inspects the intervening
+  *     commits and retries iff none of them touched its partitions —
+  *     two writers on disjoint partitions both succeed.
   *
   * Crash safety: a writer dying after stage but before publish leaves
   * orphan data files no log entry references — invisible to every reader
@@ -51,17 +68,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * CHECKPOINTED every [[CheckpointInterval]] commits (full replay state
   * next to the log, Delta's `_last_checkpoint` mechanism), so read
   * planning is O(commits since checkpoint) no matter how long the table
-  * lives. Copy-on-write upsert rewrites the whole table — the right
-  * demo shape here; a partitioned 100 TB table would rewrite only the
-  * partitions the updates touch (see q93's dynamic partition overwrite
-  * for that half of the story).
-  */
+  * lives. On a partitioned table, [[upsert]] rewrites ONLY the
+  * partitions the updates touch — the shape that makes a daily merge
+  * into a 100 TB date-partitioned corpus affordable (the reference's
+  * BigQuery table is `PARTITION BY date` for exactly this reason). */
 object TxnLog {
 
   final class ConcurrentCommitException(version: Long)
     extends RuntimeException(
       s"version $version was committed concurrently; recompute against " +
         "the current snapshot and retry")
+
+  final class SchemaMismatchException(msg: String)
+    extends RuntimeException(msg)
 
   private def logDir(table: String): Path = Paths.get(table, "_txn_log")
   private def logFile(table: String, v: Long): Path =
@@ -70,13 +89,14 @@ object TxnLog {
     logDir(table).resolve(f"$v%020d.checkpoint")
 
   /** Every N commits the committer also writes a CHECKPOINT — the full
-    * live-file set and per-app txn high-water marks as of that version
-    * — so replay cost is O(commits since last checkpoint), not
-    * O(all versions) (Delta's `_last_checkpoint` mechanism; without it
-    * a long-lived table's every read degrades linearly in its commit
-    * history). Checkpoints are DERIVED data: written best-effort after
-    * the commit, recomputed from the log if absent, and a deleted or
-    * never-written checkpoint only costs speed, never correctness. */
+    * live-file set, declared schema, and per-app txn high-water marks as
+    * of that version — so replay cost is O(commits since last
+    * checkpoint), not O(all versions) (Delta's `_last_checkpoint`
+    * mechanism; without it a long-lived table's every read degrades
+    * linearly in its commit history). Checkpoints are DERIVED data:
+    * written best-effort after the commit, recomputed from the log if
+    * absent, and a deleted or never-written checkpoint only costs
+    * speed, never correctness. */
   val CheckpointInterval = 10L
 
   /** Committed versions, ascending (empty = not a table). */
@@ -110,10 +130,12 @@ object TxnLog {
     } finally s.close()
   }
 
-  /** Full replay state at a version: live files in add order, per-app
-    * txn high-water marks, and per-(file, column) canonical-long
-    * min/max stats for data skipping. */
+  /** Full replay state at a version: live files in add order, declared
+    * schema (latest `schema` action ≤ the version), per-app txn
+    * high-water marks, and per-(file, column) canonical-long min/max
+    * stats for data skipping. */
   private final case class State(live: Seq[String],
+                                 schemaJson: Option[String],
                                  txn: Map[String, Long],
                                  stats: Map[(String, String), (Long, Long)])
 
@@ -121,6 +143,7 @@ object TxnLog {
     * when one exists, else from the log's beginning. */
   private def replayState(table: String, upTo: Long): State = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    var schemaJson: Option[String] = None
     val txn = scala.collection.mutable.Map.empty[String, Long]
     val stats =
       scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
@@ -133,6 +156,8 @@ object TxnLog {
         case Array("add", f) => live += f
         case Array("file", f) => live += f // checkpoint spelling
         case Array("remove", f) => dropFile(f)
+        case Array("schema", json) => schemaJson = Some(json)
+        case Array("cdc", _) => () // change-feed file: never in the snapshot
         case Array("txn", id, tv) =>
           txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
         case Array("stats", f, c, mn, mx) =>
@@ -150,8 +175,14 @@ object TxnLog {
       Files.readAllLines(logFile(table, v)).asScala
         .foreach(applyLine(s"v$v"))
     }
-    State(live.toSeq, txn.toMap, stats.toMap)
+    State(live.toSeq, schemaJson, txn.toMap, stats.toMap)
   }
+
+  /** Raw action lines of one committed version (no checkpoint
+    * collapsing) — what [[changesBetween]] and conflict detection read. */
+  private def actionsOf(table: String, v: Long): Seq[Array[String]] =
+    Files.readAllLines(logFile(table, v)).asScala.toSeq
+      .map(_.split('\t'))
 
   /** Best-effort checkpoint after commit `v` (every
     * [[CheckpointInterval]]-th version): full replay state serialized
@@ -161,6 +192,7 @@ object TxnLog {
     if (v % CheckpointInterval == 0) try {
       val st = replayState(table, v)
       val lines = st.live.map("file\t" + _) ++
+        st.schemaJson.map("schema\t" + _).toSeq ++
         st.txn.toSeq.sortBy(_._1).map { case (id, tv) => s"txn\t$id\t$tv" } ++
         st.stats.toSeq.sortBy(_._1).map { case ((f, c), (mn, mx)) =>
           s"stats\t$f\t$c\t$mn\t$mx" }
@@ -188,17 +220,97 @@ object TxnLog {
     replayState(table, upTo).live
   }
 
+  /** The schema declared in the log as of `asOf` (latest `schema`
+    * action), None for tables created before schema tracking. Time
+    * travel returns the schema THAT version declared — an evolved
+    * column does not exist in pre-evolution snapshots. */
+  def declaredSchema(table: String,
+                     asOf: Option[Long] = None): Option[StructType] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    replayState(table, upTo).schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+  }
+
+  // ─── partitioned layout ────────────────────────────────────────────
+
+  /** Partition (col, value) pairs encoded in a relative file path
+    * (hive-style `col=val` directory segments), Nil for root files. */
+  private def partValuesOf(relPath: String): Seq[(String, String)] =
+    relPath.split('/').dropRight(1).toSeq
+      .filter(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        (seg.substring(0, i), seg.substring(i + 1))
+      }
+
+  /** The table's partition columns, derived from its live file paths
+    * (None = unpartitioned). All data files of a partitioned table
+    * carry the same partition-column sequence — enforced at write time
+    * because every writer stages through the same partitionBy. */
+  private def partitionColsOf(live: Seq[String]): Option[Seq[String]] =
+    live.headOption.map(partValuesOf(_).map(_._1)).filter(_.nonEmpty)
+
+  /** Whether a committed action line touches any of `touched`
+    * partitions — the Delta-style conflict test for partition-scoped
+    * writers. Conservative: an add/remove OUTSIDE the partition layout
+    * (root file) or a schema change conflicts with everything. */
+  private def actionTouches(acts: Seq[Array[String]],
+                            touched: Set[Seq[String]]): Boolean =
+    acts.exists {
+      case Array("add", f) =>
+        val pv = partValuesOf(f).map(_._2)
+        pv.isEmpty || touched.contains(pv)
+      case Array("remove", f) =>
+        val pv = partValuesOf(f).map(_._2)
+        pv.isEmpty || touched.contains(pv)
+      case Array("schema", _) => true
+      case _ => false
+    }
+
+  // ─── readers ───────────────────────────────────────────────────────
+
+  /** Read a set of committed relative paths as one parquet scan.
+    * Partitioned paths get `basePath` so Spark re-derives the partition
+    * columns from the hive-style directories; a declared schema is
+    * applied when present (parquet matches by NAME, so files written
+    * before a schema evolution surface the new column as null — and a
+    * time-traveled read uses the OLD declared schema). */
+  private def readFiles(spark: SparkSession, table: String,
+                        relPaths: Seq[String],
+                        schema: Option[StructType]): DataFrame = {
+    val base = Paths.get(table).toAbsolutePath
+    val paths = relPaths.map(f => base.resolve(f).toString)
+    val r0: DataFrameReader = spark.read
+    val r1 = if (relPaths.exists(_.contains('=')))
+      r0.option("basePath", base.toString) else r0
+    val r2 = schema.fold(r1)(r1.schema)
+    val df = r2.parquet(paths: _*)
+    // pin the declared column order (partition discovery appends
+    // partition columns at the end regardless of schema order)
+    schema.fold(df)(s => df.select(
+      s.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+  }
+
   /** Snapshot read, optionally time-traveled to an older version. */
   def snapshot(spark: SparkSession, table: String,
                asOf: Option[Long] = None): DataFrame = {
-    val fs = files(table, asOf)
-    if (fs.isEmpty) sys.error(s"empty snapshot of $table") // never: create requires data
-    spark.read.parquet(fs.map(f => Paths.get(table, f).toString): _*)
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    val st = replayState(table, upTo)
+    if (st.live.isEmpty) sys.error(s"empty snapshot of $table") // never: create requires data
+    readFiles(spark, table, st.live,
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]))
   }
 
   /** Data-skipping snapshot read: only files whose committed
     * [min, max] stats for `statsCol` intersect [lo, hi] (canonical-long
-    * space: epoch days for dates, the long value otherwise) enter the
+    * space: epoch days for dates/timestamps, the long value otherwise)
+    * enter the
     * scan plan — file pruning decided at PLANNING time from the log,
     * before any parquet footer is opened (Delta's stats-based skipping;
     * at 100 TB this is the difference between planning over metadata
@@ -216,6 +328,8 @@ object TxnLog {
     // silently replay the floor state and return plausible wrong data
     require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
     val st = replayState(table, upTo)
+    val schema =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     val keep = st.live.filter { f =>
       st.stats.get((f, statsCol)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -225,28 +339,44 @@ object TxnLog {
     if (keep.isEmpty)
       // every file provably disjoint: an empty relation with the
       // table's schema (scan one file, read no rows)
-      spark.read.parquet(Paths.get(table, st.live.head).toString)
+      readFiles(spark, table, Seq(st.live.head), schema)
         .where(org.apache.spark.sql.functions.lit(false))
-    else
-      spark.read.parquet(keep.map(f => Paths.get(table, f).toString): _*)
+    else readFiles(spark, table, keep, schema)
   }
 
-  /** Stage `df` as fresh UUID-named parquet files in the table dir;
-    * returns their (relative) names. Invisible until committed. */
-  private def stage(spark: SparkSession, table: String,
-                    df: DataFrame): Seq[String] = {
+  // ─── staging ───────────────────────────────────────────────────────
+
+  /** Stage `df` as fresh UUID-named parquet files, returning their
+    * table-relative names. `partitionBy` non-empty stages through
+    * Spark's hive-style layout and preserves the `col=val` directory
+    * segments in the recorded path — the partition values ARE the
+    * path, exactly what the log's partition-pruned planning and
+    * conflict detection read back. `subdir` redirects the files under
+    * a table subdirectory (the change-feed store). Staged files are
+    * invisible until committed. */
+  private def stage(spark: SparkSession, table: String, df: DataFrame,
+                    partitionBy: Seq[String] = Nil,
+                    subdir: Option[String] = None): Seq[String] = {
     Files.createDirectories(Paths.get(table))
     val tmp = Files.createTempDirectory(Paths.get(table), "_staging_")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(tmp.toString)
     val parts = {
-      val s = Files.list(tmp)
+      val s = Files.walk(tmp)
       try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq
       finally s.close()
     }
     val named = parts.map { p =>
-      val name = s"part-${UUID.randomUUID()}.parquet"
-      Files.move(p, Paths.get(table, name), StandardCopyOption.ATOMIC_MOVE)
+      val rel = tmp.relativize(p.getParent)
+      val prefix = subdir.map(_ + "/").getOrElse("") +
+        (if (rel.toString.isEmpty) "" else rel.toString + "/")
+      val name = s"${prefix}part-${UUID.randomUUID()}.parquet"
+      val dest = Paths.get(table).resolve(name)
+      Files.createDirectories(dest.getParent)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
       name
     }
     graft.TempWork.deleteRecursively(tmp)
@@ -256,7 +386,7 @@ object TxnLog {
   /** Per-file min/max stats lines for `statsCols` (data-skipping
     * metadata, Delta's per-file stats): one Spark job over the freshly
     * staged files, grouped by input_file_name. Values are canonicalized
-    * to LONG (dates → epoch days, numerics → long) so pruning is one
+    * to LONG (dates/timestamps → epoch days, numerics → long) so pruning is one
     * integer interval test per file at PLANNING time. A file with an
     * all-null column gets no stats line for it — unprunable, never
     * wrongly skipped. */
@@ -265,12 +395,17 @@ object TxnLog {
                          statsCols: Seq[String]): Seq[String] = {
     if (statsCols.isEmpty || named.isEmpty) return Nil
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{DateType, LongType}
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
+    val byLeaf = named.map(n => n.split('/').last -> n).toMap
     val df = spark.read.parquet(
       named.map(n => Paths.get(table, n).toString): _*)
+    // temporal columns canonicalize to EPOCH DAYS (a timestamp's day
+    // floor keeps pruning superset-correct: a file is skipped only when
+    // its whole day range misses the window)
     def canonical(c: String) = df.schema(c).dataType match {
-      case DateType => datediff(col(c), to_date(lit("1970-01-01")))
-        .cast(LongType)
+      case DateType | TimestampType =>
+        datediff(to_date(col(c)), to_date(lit("1970-01-01")))
+          .cast(LongType)
       case _ => col(c).cast(LongType)
     }
     val aggs = statsCols.flatMap(c => Seq(
@@ -278,7 +413,7 @@ object TxnLog {
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect() // ≤ |files| rows
     rows.toSeq.flatMap { r =>
-      val fname = r.getAs[String]("__f").split('/').last
+      val fname = byLeaf(r.getAs[String]("__f").split('/').last)
       statsCols.flatMap { c =>
         val mnI = r.fieldIndex(s"__mn_$c"); val mxI = r.fieldIndex(s"__mx_$c")
         if (r.isNullAt(mnI) || r.isNullAt(mxI)) Nil
@@ -301,15 +436,58 @@ object TxnLog {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Create the table from `df`; fails if it already exists.
-    * `statsCols` records per-file min/max for those columns in the
-    * commit — the data-skipping metadata [[snapshotWhere]] prunes on. */
+  // ─── schema enforcement ────────────────────────────────────────────
+
+  /** Canonical (name → type) view for drift checks: nullability and
+    * column order are write-time noise (parquet matches by name; the
+    * declared schema pins read order), so only names and catalog types
+    * participate in equality. */
+  private def canonCols(s: StructType): Map[String, String] =
+    s.fields.map(f => f.name -> f.dataType.catalogString).toMap
+
+  /** Validate an incoming batch against the declared schema. Returns
+    * the schema line to commit: None when the batch matches exactly,
+    * Some(evolved json) when `mergeSchema` admits genuinely new
+    * columns. Missing or type-drifted columns ALWAYS reject — a
+    * drifted append must fail at write time, not surface as silent
+    * nulls at read time (the failure mode schema-on-read has and the
+    * reference's declared StructTypes exist to prevent). */
+  private def validateAgainst(declared: StructType, incoming: StructType,
+                              mergeSchema: Boolean): Option[String] = {
+    val d = canonCols(declared); val in = canonCols(incoming)
+    val missing = d.keySet -- in.keySet
+    if (missing.nonEmpty) throw new SchemaMismatchException(
+      s"batch is missing declared columns: ${missing.toSeq.sorted.mkString(", ")}")
+    val drifted = d.keySet.intersect(in.keySet)
+      .filter(c => d(c) != in(c)).toSeq.sorted
+    if (drifted.nonEmpty) throw new SchemaMismatchException(
+      "column type drift: " + drifted.map(c =>
+        s"$c declared ${d(c)} got ${in(c)}").mkString("; "))
+    val extra = incoming.fields.filterNot(f => d.contains(f.name))
+    if (extra.isEmpty) None
+    else if (!mergeSchema) throw new SchemaMismatchException(
+      s"batch adds undeclared columns: ${extra.map(_.name).mkString(", ")} " +
+        "(pass mergeSchema = true to evolve the table schema)")
+    else Some(StructType(declared.fields ++ extra).json)
+  }
+
+  // ─── writers ───────────────────────────────────────────────────────
+
+  /** Create the table from `df`; fails if it already exists. The
+    * commit records the declared schema (every later append is
+    * validated against it — the reference's explicit StructType
+    * contract) and, when `partitionBy` is non-empty, lays the data out
+    * hive-style so upserts can rewrite single partitions. `statsCols`
+    * records per-file min/max for those columns in the commit — the
+    * data-skipping metadata [[snapshotWhere]] prunes on. */
   def create(spark: SparkSession, table: String, df: DataFrame,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             partitionBy: Seq[String] = Nil): Long = {
     require(!exists(table), s"table already exists: $table")
-    val named = stage(spark, table, df)
-    if (!publish(table, 1L, named.map("add\t" + _) ++
-        statsLines(spark, table, named, statsCols)))
+    val named = stage(spark, table, df, partitionBy)
+    val actions = s"schema\t${df.schema.json}" +:
+      (named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols))
+    if (!publish(table, 1L, actions))
       throw new ConcurrentCommitException(1L)
     1L
   }
@@ -325,14 +503,26 @@ object TxnLog {
     catch { case _: ConcurrentCommitException => false }
 
   /** Blind append: valid against ANY snapshot, so a lost commit race
-    * simply retries at the next version. */
+    * simply retries at the next version. The batch is validated
+    * against the declared schema BEFORE a byte is staged; extra
+    * columns need `mergeSchema = true`, which commits the evolved
+    * schema alongside the data (old files surface the new column as
+    * null — Delta's additive evolution). */
   def append(spark: SparkSession, table: String, df: DataFrame,
-             statsCols: Seq[String] = Nil): Long = {
-    require(exists(table), s"not a TxnLog table: $table")
-    val named = stage(spark, table, df)
-    val actions = named.map("add\t" + _) ++
+             statsCols: Seq[String] = Nil,
+             mergeSchema: Boolean = false): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val st = replayState(table, vs.last)
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val schemaLine = declared
+      .flatMap(validateAgainst(_, df.schema, mergeSchema))
+      .map("schema\t" + _)
+    val named = stage(spark, table, df, partitionColsOf(st.live).getOrElse(Nil))
+    val actions = schemaLine.toSeq ++ named.map("add\t" + _) ++
       statsLines(spark, table, named, statsCols)
-    var v = versions(table).last + 1
+    var v = vs.last + 1
     while (!publish(table, v, actions)) v += 1
     maybeCheckpoint(table, v)
     v
@@ -355,11 +545,9 @@ object TxnLog {
   def txnCommitVersion(table: String, appId: String,
                        txnVersion: Long): Option[Long] =
     versions(table).find { v =>
-      Files.readAllLines(logFile(table, v)).asScala.exists { line =>
-        line.split('\t') match {
-          case Array("txn", id, tv) => id == appId && tv.toLong == txnVersion
-          case _ => false
-        }
+      actionsOf(table, v).exists {
+        case Array("txn", id, tv) => id == appId && tv.toLong == txnVersion
+        case _ => false
       }
     }
 
@@ -408,65 +596,203 @@ object TxnLog {
     * we publish, the overwrite is stale and throws — the caller must
     * recompute against the new snapshot. A replacement is never valid
     * against a snapshot it didn't read, so unlike [[append]] there is no
-    * blind retry. */
+    * blind retry. A schema differing from the declared one requires
+    * `overwriteSchema = true` (the reference's `overwriteSchema=True`,
+    * `spark_deltalake_sync.py:127`) and re-declares it in the commit. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
-                expectedVersion: Option[Long] = None): Long = {
+                expectedVersion: Option[Long] = None,
+                overwriteSchema: Boolean = false,
+                cdcRows: Option[DataFrame] = None): Long = {
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
-    val old = files(table, Some(base))
-    val named = stage(spark, table, df)
+    val st = replayState(table, base)
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val schemaLine = declared match {
+      case Some(d) if canonCols(d) == canonCols(df.schema) => None
+      case Some(_) if !overwriteSchema =>
+        throw new SchemaMismatchException(
+          "overwrite changes the declared schema; pass overwriteSchema = true")
+      case _ => Some("schema\t" + df.schema.json)
+    }
+    val named = stage(spark, table, df, partitionColsOf(st.live).getOrElse(Nil))
+    val cdcNames = cdcRows.toSeq.flatMap(
+      stage(spark, table, _, subdir = Some("_change_data")))
     val v = base + 1
-    if (!publish(table, v, old.map("remove\t" + _) ++ named.map("add\t" + _)))
+    if (!publish(table, v, schemaLine.toSeq ++
+        st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
+        cdcNames.map("cdc\t" + _)))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
   }
 
-  /** Copy-on-write MERGE: last-writer-wins upsert of `updates` into the
-    * current snapshot ([[graft.ops.Merge.upsert]] semantics — the
-    * reference's Delta MERGE, `spark_deltalake_sync.py:296-300`), then a
-    * transactional overwrite commit CAS-pinned to the version the merge
-    * read — a concurrent commit in between fails it rather than silently
-    * dropping that commit's rows. */
-  def upsert(spark: SparkSession, table: String, updates: DataFrame,
-             keys: Seq[String]): Long = {
-    val base = versions(table).last
-    val merged = graft.ops.Merge.upsert(
-      snapshot(spark, table, Some(base)), updates, keys)
-    overwrite(spark, table, merged, Some(base))
+  /** The change-feed rows an upsert commits (Delta CDF's write path):
+    * matched keys yield an update_preimage/update_postimage pair, new
+    * keys an insert. One extra join over the same key-shuffled inputs
+    * the merge itself reads — at 100 TB the CDF cost rides the merge's
+    * shuffle, it does not add a pass over the table. */
+  private def upsertCdc(base: DataFrame, updates: DataFrame,
+                        keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val keyView = updates.select(keys.head, keys.tail: _*)
+    val pre = base.join(keyView, keys, "left_semi")
+      .withColumn("_change_type", lit("update_preimage"))
+    val baseKeys = base.select(keys.head, keys.tail: _*)
+    val post = updates.join(baseKeys, keys, "left_semi")
+      .withColumn("_change_type", lit("update_postimage"))
+    val ins = updates.join(baseKeys, keys, "left_anti")
+      .withColumn("_change_type", lit("insert"))
+    pre.unionByName(post).unionByName(ins)
   }
 
-  /** Change feed for append-only history (Delta CDF's insert case):
-    * the rows committed in versions (fromV, toV] — exactly the files
-    * live at toV but not at fromV, read as one parquet scan. This is
-    * what lets a DOWNSTREAM incremental consumer (the reference's daily
-    * sync reading "what changed since my watermark") pull deltas
-    * without diffing data: the log already knows. For histories with
-    * removes (overwrite/upsert), file-set difference no longer equals
-    * row-level change — a full CDF would journal per-row change types —
-    * so this requires no file was removed in the window and throws
-    * otherwise rather than returning wrong deltas. */
+  /** Copy-on-write MERGE: last-writer-wins upsert of `updates` into the
+    * current snapshot ([[graft.ops.Merge.upsert]] semantics — the
+    * reference's Delta MERGE, `spark_deltalake_sync.py:296-300`), as a
+    * transactional commit pinned to the version the merge read. The
+    * commit also journals the row-level change feed (insert /
+    * update_preimage / update_postimage) that [[changesBetween]] serves.
+    *
+    * On a PARTITIONED table this is partition-scoped copy-on-write: only
+    * the partitions the updates touch are read, merged, and rewritten —
+    * untouched partitions keep their exact files (and their stats) —
+    * and a lost commit race succeeds anyway when the intervening commits
+    * touched only OTHER partitions (Delta's disjoint-partition conflict
+    * rule). On an unpartitioned table any concurrent commit invalidates
+    * the merge and throws [[ConcurrentCommitException]]. */
+  def upsert(spark: SparkSession, table: String, updates: DataFrame,
+             keys: Seq[String],
+             expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val st = replayState(table, base)
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    // the TARGET schema governs a merge (Delta's updateAll/insertAll
+    // store-assignment casts): updates are projected onto the declared
+    // columns and cast to their types, so a wider-typed source (a
+    // bigint literal into an int column) cannot silently widen the
+    // table, and the commit below always passes its own schema check
+    val u = declared.fold(updates)(sch => updates.select(
+      sch.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+    partitionColsOf(st.live) match {
+      case None =>
+        val snap = readFiles(spark, table, st.live, declared)
+        val merged = graft.ops.Merge.upsert(snap, u, keys)
+        overwrite(spark, table, merged, Some(base),
+          cdcRows = Some(upsertCdc(snap, u, keys)))
+      case Some(pcols) =>
+        // touched partitions: the updates' own partition values — a
+        // bounded collect (#distinct partitions a batch touches), the
+        // same plan parameter Delta's replaceWhere derives
+        val touched: Set[Seq[String]] = u
+          .select(pcols.map(c => col(c).cast("string")): _*)
+          .distinct().collect()
+          .map(r => pcols.indices.map(r.getString)).toSet
+        val touchedFiles =
+          st.live.filter(f => touched.contains(partValuesOf(f).map(_._2)))
+        val (merged, cdc) = if (touchedFiles.isEmpty) {
+          // all-new partitions: pure insert
+          (u, u.withColumn("_change_type", lit("insert")))
+        } else {
+          val baseDf = readFiles(spark, table, touchedFiles, declared)
+          (graft.ops.Merge.upsert(baseDf, u, keys),
+            upsertCdc(baseDf, u, keys))
+        }
+        val named = stage(spark, table, merged, pcols)
+        val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
+        val actions = touchedFiles.map("remove\t" + _) ++
+          named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _)
+        // partition-conflict-aware publish: a lost race re-checks the
+        // commits that beat us; disjoint partitions → retry at the new
+        // head (our removes are still live), overlap → stale merge
+        var checkedUpTo = base
+        var v = base + 1
+        while (!publish(table, v, actions)) {
+          val head = versions(table).last
+          val conflict = (checkedUpTo + 1 to head).exists(cv =>
+            actionTouches(actionsOf(table, cv), touched))
+          if (conflict) throw new ConcurrentCommitException(v)
+          checkedUpTo = head
+          v = head + 1
+        }
+        maybeCheckpoint(table, v)
+        v
+    }
+  }
+
+  /** Copy-on-write DELETE: remove the rows matching `cond` in one
+    * transactional commit, journaling them as `delete` change-feed rows
+    * (Delta CDF's delete case). CAS-pinned like [[overwrite]] — the
+    * survivor set is only valid against the snapshot it was computed
+    * from. */
+  def deleteWhere(spark: SparkSession, table: String, cond: Column,
+                  expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.lit
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val snap = snapshot(spark, table, Some(base))
+    val survivors = snap.filter(!cond)
+    val deleted = snap.filter(cond).withColumn("_change_type", lit("delete"))
+    overwrite(spark, table, survivors, Some(base), cdcRows = Some(deleted))
+  }
+
+  /** Row-level change feed (Delta CDF): every change committed in
+    * versions (fromV, toV] as table rows plus `_change_type` ∈ {insert,
+    * update_preimage, update_postimage, delete} and `_commit_version`.
+    * Commits that journaled change files ([[upsert]], [[deleteWhere]],
+    * any [[overwrite]] given `cdcRows`) are served FROM those files;
+    * pure-add commits ([[create]]/[[append]]) synthesize their inserts
+    * from the added data files directly — no double-write for the
+    * dominant append path. This is what lets a DOWNSTREAM incremental
+    * consumer (the reference's daily sync reading "what changed since
+    * my watermark") pull deltas without diffing snapshots: the log
+    * already knows. A remove-carrying commit that journaled no change
+    * data (a raw [[overwrite]]) is unrepresentable and throws rather
+    * than returning wrong deltas. */
   def changesBetween(spark: SparkSession, table: String,
                      fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
-    val before = files(table, Some(fromV)).toSet
-    val after = files(table, Some(toV))
-    require(before.subsetOf(after.toSet),
-      s"versions ($fromV, $toV] remove files — append-only change " +
-        "feed cannot represent deletes/rewrites as row inserts")
-    val added = after.filterNot(before)
-    if (added.isEmpty)
-      spark.read.parquet(Paths.get(table, after.head).toString)
-        .where(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(
-      added.map(f => Paths.get(table, f).toString): _*)
+    val vs = versions(table)
+    require(vs.contains(toV) && (fromV == 0 || vs.contains(fromV)),
+      s"window ($fromV, $toV] not in log (have $vs)")
+    val parts = vs.filter(v => v > fromV && v <= toV).flatMap { v =>
+      val acts = actionsOf(table, v)
+      val cdcF = acts.collect { case Array("cdc", f) => f }
+      val adds = acts.collect { case Array("add", f) => f }
+      val removes = acts.collect { case Array("remove", f) => f }
+      if (cdcF.nonEmpty)
+        Some(readFiles(spark, table, cdcF, None)
+          .withColumn("_commit_version", lit(v)))
+      else if (removes.nonEmpty)
+        throw new IllegalStateException(
+          s"version $v removes files but journaled no change data " +
+            "(raw overwrite); use upsert/deleteWhere or diff snapshots")
+      else if (adds.nonEmpty)
+        Some(readFiles(spark, table, adds, None)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      else None // marker-only commit
+    }
+    if (parts.isEmpty)
+      snapshot(spark, table)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+        .where(lit(false))
+    // allowMissingColumns: a schema-evolving window's early commits
+    // lack the evolved column; they surface it as null, like Delta
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** K7's retention lifecycle: delete data files not referenced by any
-    * of the newest `retainVersions` snapshots, plus crash debris — dead
-    * `_staging_*` write dirs and `_txn_log/_tmp_*.inprogress` files.
-    * Time travel OLDER than the retention horizon stops working —
-    * exactly Delta VACUUM's contract. Returns the deleted file names.
+    * of the newest `retainVersions` snapshots (partition subdirectories
+    * included), change-feed files older than the oldest retained
+    * version, plus crash debris — dead `_staging_*` write dirs and
+    * `_txn_log/_tmp_*.inprogress` files. Time travel (and change-feed
+    * reads) OLDER than the retention horizon stop working — exactly
+    * Delta VACUUM's contract. Returns the deleted paths (table-relative).
     *
     * `minAgeMs` is the in-flight grace window (Delta's retention-hours
     * analogue): a concurrent writer stages files BEFORE its log entry
@@ -485,20 +811,33 @@ object TxnLog {
     val vs = versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val retained = vs.takeRight(math.max(1, retainVersions))
-    val keep = retained.flatMap(v => files(table, Some(v))).toSet
+    val keep = scala.collection.mutable.Set.empty[String]
+    retained.foreach(v => keep ++= files(table, Some(v)))
+    // change-feed files stay addressable back to the retention horizon
+    vs.filter(_ >= retained.head).foreach { v =>
+      keep ++= actionsOf(table, v).collect { case Array("cdc", f) => f }
+    }
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis <= cutoff
       catch { case _: java.io.IOException => false }
-    val s = Files.list(Paths.get(table))
-    val (victimFiles, deadStaging) = try {
-      val all = s.iterator().asScala.toSeq
-      (all.filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !keep.contains(p.getFileName.toString) && oldEnough(p)),
-        all.filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("_staging_") && oldEnough(p)))
-    } finally s.close()
+    val tableDir = Paths.get(table)
+    val (victimFiles, deadStaging) = {
+      val s = Files.walk(tableDir)
+      try {
+        val all = s.iterator().asScala
+          .filter(p => !p.startsWith(logDir(table)))
+          .filter(_ != tableDir).toSeq
+        (all.filter { p =>
+          Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !p.toString.contains("_staging_") &&
+            !keep.contains(tableDir.relativize(p).toString) && oldEnough(p)
+        },
+          all.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("_staging_") && oldEnough(p)))
+      } finally s.close()
+    }
     victimFiles.foreach(p => Files.deleteIfExists(p))
     deadStaging.foreach(graft.TempWork.deleteRecursively)
     // a publisher that crashed between temp-write and hard-link leaves
@@ -512,7 +851,7 @@ object TxnLog {
         .foreach(p => Files.deleteIfExists(p))
       finally ls.close()
     }
-    victimFiles.map(_.getFileName.toString) ++
-      deadStaging.map(_.getFileName.toString)
+    victimFiles.map(p => tableDir.relativize(p).toString) ++
+      deadStaging.map(p => tableDir.relativize(p).toString)
   }
 }

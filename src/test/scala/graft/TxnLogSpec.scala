@@ -252,15 +252,18 @@ class TxnLogSpec extends SparkSpec {
     TxnLog.append(spark, t, nation.filter(col("n_regionkey") === 1))
     TxnLog.append(spark, t, nation.filter(col("n_regionkey") === 2))
     val changes = TxnLog.changesBetween(spark, t, 1L, 3L)
-    assert(rowsOf(changes.orderBy("n_nationkey")) ==
+    assert(changes.where(col("_change_type") =!= "insert").count() == 0)
+    assert(rowsOf(changes.drop("_change_type", "_commit_version")
+        .orderBy("n_nationkey")) ==
       rowsOf(nation.filter(col("n_regionkey").isin(1, 2))
         .orderBy("n_nationkey")))
     intercept[IllegalArgumentException] {
       TxnLog.changesBetween(spark, t, 3L, 3L) // fromV < toV required
     }
-    // a window containing an overwrite cannot be represented as inserts
+    // a window containing a RAW overwrite (no journaled change data)
+    // cannot be represented as row-level changes
     TxnLog.overwrite(spark, t, nation.filter(col("n_regionkey") === 0))
-    intercept[IllegalArgumentException] {
+    intercept[IllegalStateException] {
       TxnLog.changesBetween(spark, t, 1L, 4L)
     }
   }
@@ -285,5 +288,205 @@ class TxnLogSpec extends SparkSpec {
     assert(deleted.contains("part-orphan.parquet"))
     assert(deleted.contains("_staging_dead"))
     assert(!Files.exists(Paths.get(t, "_txn_log", "_tmp_dead.inprogress")))
+  }
+
+  // ─── declared schema in the commit log ─────────────────────────────
+
+  test("create declares the schema; drifted appends are rejected") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    val declared = TxnLog.declaredSchema(t).get
+    assert(declared.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    // missing column
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.append(spark, t, nation.drop("n_name"))
+    }
+    // type drift on a declared column
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.append(spark, t,
+        nation.withColumn("n_regionkey", col("n_regionkey").cast("string")))
+    }
+    // undeclared extra column without opting into evolution
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.append(spark, t, nation.withColumn("extra", lit(1L)))
+    }
+    // nothing was committed by the failed appends
+    assert(TxnLog.versions(t) == Seq(1L))
+  }
+
+  test("mergeSchema evolves; time travel returns the old schema") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
+    val v2 = TxnLog.append(spark, t,
+      nation.filter(col("n_regionkey") >= 2).withColumn("score", lit(7L)),
+      mergeSchema = true)
+    assert(v2 == 2L)
+    // evolved column readable ACROSS the version boundary: old files
+    // surface it as null, new files carry the value
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey", "score"))
+    assert(snap.where(col("score") === 7L).count() ==
+      nation.filter(col("n_regionkey") >= 2).count())
+    assert(snap.where(col("score").isNull).count() ==
+      nation.filter(col("n_regionkey") < 2).count())
+    // time travel to the pre-evolution version: the OLD schema
+    val v1 = TxnLog.snapshot(spark, t, Some(1L))
+    assert(v1.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(TxnLog.declaredSchema(t, Some(1L)).get.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    // post-evolution appends are validated against the EVOLVED schema
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.append(spark, t, nation.limit(1)) // now missing `score`
+    }
+  }
+
+  test("overwrite requires overwriteSchema to change the declaration") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.overwrite(spark, t, nation.drop("n_name"))
+    }
+    TxnLog.overwrite(spark, t, nation.drop("n_name"),
+      overwriteSchema = true)
+    assert(TxnLog.declaredSchema(t).get.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_regionkey"))
+  }
+
+  // ─── partition-scoped copy-on-write ────────────────────────────────
+
+  test("partitioned upsert rewrites only the touched partitions") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    val before = TxnLog.files(t)
+    assert(before.forall(_.contains("n_regionkey=")),
+      "partitioned layout must encode partition values in the path")
+    // update one nation inside region 3 only (fixture: region = key % 5)
+    val updates = nation.filter(col("n_nationkey") === 8)
+      .withColumn("n_name", lit("PATCHED"))
+    TxnLog.upsert(spark, t, updates, Seq("n_nationkey"))
+    val after = TxnLog.files(t)
+    val untouchedBefore = before.filterNot(_.contains("n_regionkey=3"))
+    val untouchedAfter = after.filterNot(_.contains("n_regionkey=3"))
+    assert(untouchedBefore.toSet == untouchedAfter.toSet,
+      "untouched partitions must keep their exact file names")
+    assert(before.filter(_.contains("n_regionkey=3")).toSet !=
+      after.filter(_.contains("n_regionkey=3")).toSet,
+      "the touched partition is rewritten")
+    // and the merged contents are Merge.upsert semantics
+    val expect = ops.Merge.upsert(nation, updates, Seq("n_nationkey"))
+    assert(rowsOf(TxnLog.snapshot(spark, t)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")) ==
+      rowsOf(expect.orderBy("n_nationkey")))
+  }
+
+  test("two writers on disjoint partitions both commit; overlap throws") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    val base = TxnLog.versions(t).last
+    // writer A lands first, touching region 0
+    val updA = nation.filter(col("n_nationkey") === 0)
+      .withColumn("n_name", lit("A"))
+    TxnLog.upsert(spark, t, updA, Seq("n_nationkey"))
+    // writer B computed against the PRE-A snapshot but touches only
+    // region 3 (fixture: region = key % 5): disjoint partitions —
+    // Delta's conflict matrix lets it retry and win
+    val updB = nation.filter(col("n_nationkey") === 8)
+      .withColumn("n_name", lit("B"))
+    val vB = TxnLog.upsert(spark, t, updB, Seq("n_nationkey"),
+      expectedVersion = Some(base))
+    assert(vB == base + 2, "disjoint-partition writer retries at the head")
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.where(col("n_name") === "A").count() == 1)
+    assert(snap.where(col("n_name") === "B").count() == 1)
+    // writer C also computed against PRE-A but touches region 0 —
+    // OVERLAPS A's commit: its merge is stale and must fail
+    val updC = nation.filter(col("n_nationkey") === 5)
+      .withColumn("n_name", lit("C")) // nation 5 is region 0
+    intercept[TxnLog.ConcurrentCommitException] {
+      TxnLog.upsert(spark, t, updC, Seq("n_nationkey"),
+        expectedVersion = Some(base))
+    }
+  }
+
+  test("partitioned upsert inserts into brand-new partitions") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    val updates = spark.range(900, 903)
+      .select(col("id").as("n_nationkey"),
+        concat(lit("NEW_"), col("id")).as("n_name"),
+        lit(9L).as("n_regionkey"))
+    TxnLog.upsert(spark, t, updates, Seq("n_nationkey"))
+    assert(TxnLog.snapshot(spark, t).count() == nation.count() + 3)
+    assert(TxnLog.files(t).exists(_.contains("n_regionkey=9")))
+  }
+
+  // ─── row-level change feed ─────────────────────────────────────────
+
+  test("changesBetween serves upsert commits as row-level CDF") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    val updates = nation.filter(col("n_nationkey") < 2)
+      .withColumn("n_name", lit("V2"))
+      .unionByName(spark.range(900, 901)
+        .select(col("id").as("n_nationkey"), lit("NEW").as("n_name"),
+          lit(9L).as("n_regionkey")))
+    val v2 = TxnLog.upsert(spark, t, updates, Seq("n_nationkey"))
+    val feed = TxnLog.changesBetween(spark, t, 1L, v2)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 2L,
+      "update_postimage" -> 2L, "insert" -> 1L))
+    // pre-images carry the OLD values, post-images the new
+    assert(feed.where(col("_change_type") === "update_preimage" &&
+      col("n_name") === "V2").count() == 0)
+    assert(feed.where(col("_change_type") === "update_postimage" &&
+      col("n_name") =!= "V2").count() == 0)
+    assert(feed.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(v2))
+  }
+
+  test("changesBetween serves deletes and mixed windows") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 4))
+    val v2 = TxnLog.append(spark, t, nation.filter(col("n_regionkey") === 4))
+    val v3 = TxnLog.deleteWhere(spark, t, col("n_nationkey") === 3)
+    val feed = TxnLog.changesBetween(spark, t, 1L, v3)
+    // the append's rows surface as inserts, the delete as a delete row
+    assert(feed.where(col("_change_type") === "insert").count() ==
+      nation.filter(col("n_regionkey") === 4).count())
+    assert(feed.where(col("_change_type") === "delete").count() == 1)
+    assert(feed.where(col("_change_type") === "delete" &&
+      col("n_nationkey") === 3).count() == 1)
+    assert(feed.where(col("_commit_version") === v2).count() +
+      feed.where(col("_commit_version") === v3).count() == feed.count())
+    // the CDF rows reconcile the snapshots: v1 + inserts - deletes = v3
+    assert(TxnLog.snapshot(spark, t, Some(1L)).count()
+      + feed.where(col("_change_type") === "insert").count()
+      - feed.where(col("_change_type") === "delete").count()
+      == TxnLog.snapshot(spark, t, Some(v3)).count())
+  }
+
+  test("raw overwrite without change data refuses a CDF window") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    TxnLog.overwrite(spark, t, nation.filter(col("n_regionkey") === 0))
+    intercept[IllegalStateException] {
+      TxnLog.changesBetween(spark, t, 1L, 2L).count()
+    }
+  }
+
+  test("partitioned upsert journals CDF too") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    val updates = nation.filter(col("n_nationkey") === 8)
+      .withColumn("n_name", lit("PATCHED"))
+    val v2 = TxnLog.upsert(spark, t, updates, Seq("n_nationkey"))
+    val feed = TxnLog.changesBetween(spark, t, 1L, v2)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L))
   }
 }
