@@ -3066,21 +3066,27 @@ object SparkEntry {
       val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint(true)
-      val verts = dirE.select(col("src").as("v")).distinct()
-      var reached = verts.filter(col("v") < 10)
-        .select(col("v"), lit(0).as("hop")).localCheckpoint(true)
+      // level-synchronous BFS WITHOUT per-hop anti joins: frontier_h is
+      // just the (distinct) neighbor set of frontier_{h-1}, levels are
+      // unioned with their hop index, and ONE final min(hop) aggregate
+      // recovers the BFS distance (a vertex first reachable at hop h
+      // appears at every later level too — min collapses that). Per hop
+      // this is one |E| equi-join + one distinct, the same linear shape
+      // as the PageRank rounds; the anti-join variant pays a third
+      // exchange per hop to keep frontiers minimal, which only wins
+      // when the reached set is large relative to |V| — here it never
+      // is before hop 3.
+      var frontier = dirE.select(col("src").as("v")).distinct()
+        .filter(col("v") < 10).localCheckpoint(true)
+      var levels = frontier.select(col("v"), lit(0).as("hop"))
       (1 to 3).foreach { h =>
-        val next = reached.filter(col("hop") === h - 1)
-          .join(dirE, col("v") === col("src"))
+        frontier = frontier.join(dirE, col("v") === col("src"))
           .select(col("dst").as("v")).distinct()
-          .join(reached.select("v"), Seq("v"), "left_anti")
-          .select(col("v"), lit(h).as("hop"))
-        // lazy checkpoint: reached is read twice next hop (frontier +
-        // anti join) so lineage must truncate, but an eager barrier per
-        // hop serializes the loop — materialize on first use instead
-        reached = reached.unionAll(next).localCheckpoint(false)
+          .localCheckpoint(false)
+        levels = levels.unionAll(frontier.select(col("v"), lit(h).as("hop")))
       }
-      reached.orderBy("hop", "v")
+      levels.groupBy("v").agg(min(col("hop")).as("hop"))
+        .orderBy("hop", "v")
     }),
 
     // ── [ext] grouped linear regression: slope/intercept/R² per group
@@ -3855,24 +3861,38 @@ object SparkEntry {
     "q224_overlap_curve" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val ts = graft.functions.TextOps.tokens(col("text"))
-      def grams(df: DataFrame, n: Int): DataFrame =
-        df.select(ts.as("ts")).where(size(col("ts")) >= n)
-          .select(explode(transform(
-            sequence(lit(1), size(col("ts")) - (n - 1)), i =>
-              concat_ws(" ", (0 until n).map(k =>
-                element_at(col("ts"), i + k)): _*))).as("g"))
+      // ALL five gram sizes in one pass: each doc emits its (n, gram)
+      // pairs for n = 1..5 from a single tokenization, so the curve
+      // costs ONE distinct exchange per split and ONE semi join on the
+      // composite (n, g) key — the per-n formulation re-scanned and
+      // re-shuffled the corpus five times for the same rows (5 scans,
+      // 10 distincts, 5 joins → 2 scans, 2 distincts, 1 join; at 100 TB
+      // the n-loop shape is five passes over the corpus, this is one)
+      def grams(df: DataFrame): DataFrame =
+        df.select(ts.as("ts"))
+          .select(explode(flatten(transform(sequence(lit(1), lit(5)), n =>
+            when(size(col("ts")) >= n,
+              transform(sequence(lit(1), size(col("ts")) - n + 1), i =>
+                struct(n.cast(LongType).as("n"),
+                  concat_ws(" ", slice(col("ts"), i, n)).as("g"))))
+              .otherwise(
+                array().cast("array<struct<n:bigint,g:string>>")))))
+            .as("p"))
+          .select(col("p.n").as("n"), col("p.g").as("g"))
           .distinct()
-      val curves = (1 to 5).map { n =>
-        val ev = grams(d.filter(col("source") === "src0"), n)
-        val tr = grams(d.filter(col("source") =!= "src0"), n)
-        val shared = ev.join(tr, "g", "left_semi")
-          .agg(count(lit(1)).as("n_shared"))
-        ev.agg(count(lit(1)).as("n_eval")).crossJoin(shared)
-          .select(lit(n.toLong).as("n"), col("n_eval"), col("n_shared"),
-            (col("n_shared").cast(DoubleType) /
-              col("n_eval").cast(DoubleType)).as("overlap"))
-      }
-      curves.reduce(_.unionAll(_)).orderBy("n")
+      val ev = grams(d.filter(col("source") === "src0"))
+      val tr = grams(d.filter(col("source") =!= "src0"))
+      // ev appears in both branches below — identical canonical plans,
+      // so the distinct's exchange is computed once and reused
+      val shared = ev.join(tr, Seq("n", "g"), "left_semi")
+        .groupBy("n").agg(count(lit(1)).as("n_shared"))
+      ev.groupBy("n").agg(count(lit(1)).as("n_eval"))
+        .join(shared, Seq("n"), "left")
+        .select(col("n"), col("n_eval"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)).cast(DoubleType) /
+            col("n_eval").cast(DoubleType)).as("overlap"))
+        .orderBy("n")
     }),
 
     // ── [north star] tokenizer fertility per language: subword tokens

@@ -12,6 +12,10 @@ object TimeTwice {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+
         graft.plans.NanosPredicatePushdown :+ graft.plans.EagerMinMaxAggregation
+    // dev knob: SPARK_GRAFT_NO_AQE=1 times queries without adaptive
+    // execution (isolates AQE's per-exchange job barriers from the plan)
+    if (sys.env.contains("SPARK_GRAFT_NO_AQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val names = args.toSeq
     for (n <- names) {
       val fn = SparkEntry.queries(n)

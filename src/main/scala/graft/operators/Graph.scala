@@ -152,6 +152,13 @@ object Graph {
       .localCheckpoint(true)
     var cur = seeds.select(col("walk_id"), col("v"))
     var out = cur.withColumn("step", lit(0))
+    // EAGER per-step materialization: the frontier is ≤ |seeds| rows, so
+    // checkpointing it costs one tiny job and keeps every step's plan a
+    // two-leaf join (checkpointed frontier ⋈ checkpointed edges) — both
+    // the lazy-persist variant (each step's subtree re-planned inside
+    // the next step's action) and the no-persist variant (a union whose
+    // branch i carries an i-deep join chain) spend more wall in the
+    // driver's re-optimization of growing plans than in the executors.
     (1 to steps).foreach { i =>
       cur = cur.join(dirE, col("v") === col("src"))
         .withColumn("h",
@@ -161,7 +168,7 @@ object Graph {
             .cast(LongType))
         .groupBy("walk_id")
         .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("v"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       out = out.unionAll(cur.withColumn("step", lit(i)))
     }
     out.select(col("walk_id"), col("step"), col("v"))
@@ -205,20 +212,33 @@ object Graph {
     val dir0 = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir0.groupBy("src").agg(count(lit(1)).as("deg"))
+    // materialize the oriented relation ONCE; the per-round join probes
+    // it against the |V|-row rank vector, which AQE broadcasts at demo
+    // scale and shuffle-joins at cluster scale — either way the |E| side
+    // is read from checkpointed blocks, never recomputed
     val dir = dir0.join(deg, "src").localCheckpoint(true)
-    val verts = dir.select(col("src").as("v")).distinct().localCheckpoint(true)
-    val n = verts.count()
+    // |V| is the only thing the vertex set is needed for: round 1's rank
+    // vector is the CONSTANT scale/n, so it folds into the first
+    // contribution projection (no |V|-row join, no materialized verts),
+    // and every later round's vector comes out of the dst aggregate —
+    // which covers the FULL vertex set because the edge list is
+    // bidirected (every vertex appears as a dst). The dangling-vertex
+    // left join a general directed PageRank needs would be a provably-
+    // empty-coalesce here, one whole exchange per round spent on nothing.
+    val n = dir.select(countDistinct(col("src"))).head().getLong(0)
     require(n > 0, "empty graph")
     val teleport = (15L * scale) / (100L * n)
-    var ranks = verts.withColumn("rank", lit(scale / n))
+    var ranks: DataFrame = null
     (1 to iters).foreach { i =>
-      val sums = dir.join(ranks, col("src") === col("v"))
-        .select(col("dst"), expr("rank div deg").as("c"))
+      val contrib =
+        if (ranks == null)
+          dir.select(col("dst"), expr(s"${scale / n} div deg").as("c"))
+        else dir.join(ranks, col("src") === col("v"))
+          .select(col("dst"), expr("rank div deg").as("c"))
+      ranks = contrib
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      ranks = verts.join(sums, col("v") === col("dst"), "left")
-        .select(col("v"),
-          (lit(teleport) +
-            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank"))
+        .select(col("dst").as("v"),
+          (lit(teleport) + expr("(85 * s) div 100")).as("rank"))
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
     }

@@ -345,14 +345,25 @@ object TextDedup {
     def shingles(df: DataFrame) = widen(df.filter(length(trim(col(textCol))) > 0))
       .select(col(idCol),
         graft.functions.ShingleHashSha(col(textCol), shingleLen).as("sh"))
+    // the eval shingle set feeds TWO actions (bloom build, then the exact
+    // semi join) — checkpoint it once instead of re-shingling the eval
+    // split per action, and pin the partition width first: AQE coalesces
+    // the distinct's output to one partition (its bytes are tiny), which
+    // would serialize the bloom's CPU-bound partial inserts into a single
+    // task
     val b = shingles(bench).select(explode(col("sh")).as("h")).distinct()
+      .repartition(bench.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     val bloomBytes = b
       .agg(graft.ops.RuntimeFilter.bloomAgg(col("h"), expectedItems).as("bf"))
       .head().getAs[Array[Byte]](0)
+    // count, not countDistinct: ShingleHashSha emits each doc's DISTINCT
+    // shingles, so the exploded (id, h) pairs are already unique per doc
+    // and the agg can skip a whole per-key dedup phase
     shingles(train).select(col(idCol), explode(col("sh")).as("h"))
       .filter(graft.ops.RuntimeFilter.mightContain(lit(bloomBytes), col("h")))
       .join(b, Seq("h"), "left_semi")
-      .groupBy(idCol).agg(countDistinct(col("h")).as("n_hits"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
   /** |A ∩ B| / |A ∪ B| over distinct-element arrays, as exact integer
