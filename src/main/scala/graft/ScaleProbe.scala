@@ -444,6 +444,39 @@ object ScaleProbe {
       graft.TempWork.deleteRecursively(
         java.nio.file.Paths.get(tdir).getParent)
     }
+
+    // ── TxnLog partition-scoped upsert: merge cost ∝ TOUCHED partitions,
+    // not table size. The table grows 4× → 16× → 64× in partition count
+    // while the upsert always touches exactly ONE partition; wall time
+    // and files-rewritten stay flat as the table grows — the property
+    // that makes a daily merge into a 100 TB date-partitioned corpus
+    // affordable (the whole-table copy-on-write alternative grows
+    // linearly with the table). ─────────────────────────────────────────
+    {
+      val base = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+        .select("o_orderkey", "o_totalprice")
+      for (parts <- Seq(4, 16, 64)) {
+        val tdir = java.nio.file.Files
+          .createTempDirectory("graft_txn_up_").resolve("t").toString
+        val laid = base.withColumn("p", pmod(col("o_orderkey"), lit(parts)))
+        graft.sources.TxnLog.create(spark, tdir, laid,
+          partitionBy = Seq("p"))
+        val filesBefore = graft.sources.TxnLog.files(tdir).size
+        val upd = laid.filter(col("p") === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val t0 = System.nanoTime()
+        val v = graft.sources.TxnLog.upsert(spark, tdir, upd, Seq("o_orderkey"))
+        val s = (System.nanoTime() - t0) / 1e9
+        val after = graft.sources.TxnLog.files(tdir)
+        val untouched = graft.sources.TxnLog.files(tdir, Some(1L))
+          .count(after.contains)
+        println(f"SCALE txn_upsert       parts=$parts%-4d ${s}%7.3f s  " +
+          f"(${after.size - untouched} of ${after.size} live files " +
+          f"rewritten, $filesBefore before, v$v)")
+        graft.TempWork.deleteRecursively(
+          java.nio.file.Paths.get(tdir).getParent)
+      }
+    }
     spark.stop()
   }
 }

@@ -3077,12 +3077,18 @@ object SparkEntry {
       // when the reached set is large relative to |V| — here it never
       // is before hop 3.
       var frontier = dirE.select(col("src").as("v")).distinct()
-        .filter(col("v") < 10).localCheckpoint(true)
+        .filter(col("v") < 10).localCheckpoint(false)
       var levels = frontier.select(col("v"), lit(0).as("hop"))
       (1 to 3).foreach { h =>
-        frontier = frontier.join(dirE, col("v") === col("src"))
-          .select(col("dst").as("v")).distinct()
-          .localCheckpoint(false)
+        // frontier ≤ |V| (part-dimension-sized here): broadcast it
+        // explicitly so the |E| side is never shuffle-written per hop
+        // (AQE's broadcast conversion materializes both sides first).
+        // The LAST hop skips its distinct — nothing joins against it,
+        // and the closing min(hop) aggregate dedups anyway.
+        val nbrs = broadcast(frontier).join(dirE, col("v") === col("src"))
+          .select(col("dst").as("v"))
+        frontier =
+          if (h < 3) nbrs.distinct().localCheckpoint(false) else nbrs
         levels = levels.unionAll(frontier.select(col("v"), lit(h).as("hop")))
       }
       levels.groupBy("v").agg(min(col("hop")).as("hop"))

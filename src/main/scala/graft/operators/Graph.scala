@@ -28,16 +28,27 @@ object Graph {
 
   /** Canonical undirected edge set from a (group, member) co-occurrence
     * relation: an edge links two members that share a group, deduplicated
-    * across groups, with endpoints ordered a < b. */
+    * across groups, with endpoints ordered a < b.
+    *
+    * Shape: ONE group-keyed set-collect (bounded state — a group's
+    * member set, e.g. an order's line items), in-row pair expansion
+    * over the sorted array, and the cross-group distinct — two
+    * exchanges total. The equivalent distinct + self-join + distinct
+    * chain pays a third exchange and materializes the per-group join
+    * fan-out through a shuffle; the fan-out itself (Σ_g C(|g|, 2)) is
+    * identical either way, this just generates it inside the row. */
   def coOccurrenceEdges(pairs: DataFrame, groupCol: String,
-                        memberCol: String): DataFrame = {
-    val g = pairs.select(col(groupCol).as("__g"), col(memberCol).as("__m"))
+                        memberCol: String): DataFrame =
+    pairs.select(col(groupCol).as("__g"), col(memberCol).as("__m"))
+      .groupBy("__g").agg(sort_array(collect_set(col("__m"))).as("ms"))
+      .where(size(col("ms")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ms")) - 1), i =>
+          transform(sequence(i + 1, size(col("ms"))), j =>
+            struct(element_at(col("ms"), i).as("a"),
+              element_at(col("ms"), j).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    g.alias("l").join(g.alias("r"), col("l.__g") === col("r.__g"))
-      .filter(col("l.__m") < col("r.__m"))
-      .select(col("l.__m").as("a"), col("r.__m").as("b"))
-      .distinct()
-  }
 
   /** Hub-capped adjacency for wedge generation: per `src`, keep only
     * the `k` lowest-`dst` neighbors (a deterministic per-key top-k any
@@ -160,7 +171,11 @@ object Graph {
     // branch i carries an i-deep join chain) spend more wall in the
     // driver's re-optimization of growing plans than in the executors.
     (1 to steps).foreach { i =>
-      cur = cur.join(dirE, col("v") === col("src"))
+      // the frontier side is ≤ |seeds| rows by construction — broadcast
+      // it explicitly so the |E| relation is never shuffle-written for
+      // a step join (AQE's broadcast conversion only fires after both
+      // sides' shuffles materialize)
+      cur = broadcast(cur).join(dirE, col("v") === col("src"))
         .withColumn("h",
           conv(substring(sha2(concat_ws(":",
             col("walk_id").cast(StringType), lit(i),
@@ -227,13 +242,24 @@ object Graph {
     // empty-coalesce here, one whole exchange per round spent on nothing.
     val n = dir.select(countDistinct(col("src"))).head().getLong(0)
     require(n > 0, "empty graph")
+    // |V| is already on the driver — use it to pick the rank join's
+    // build side EXPLICITLY (the q213 hub-cap pattern: one statistic,
+    // two value-identical plans). Under AQE alone, a shuffle join is
+    // only converted to broadcast AFTER both children's shuffles
+    // materialize, i.e. the |E| relation is shuffle-WRITTEN every
+    // round before the planner notices the |V|-row side is tiny; the
+    // explicit hint skips that write entirely. Past the threshold
+    // (~tens of MB of vertex ids) the shuffle join is the right plan
+    // and the hint stays off.
+    val bcastRanks = n <= 4000000L
     val teleport = (15L * scale) / (100L * n)
     var ranks: DataFrame = null
     (1 to iters).foreach { i =>
       val contrib =
         if (ranks == null)
           dir.select(col("dst"), expr(s"${scale / n} div deg").as("c"))
-        else dir.join(ranks, col("src") === col("v"))
+        else dir.join(if (bcastRanks) broadcast(ranks) else ranks,
+            col("src") === col("v"))
           .select(col("dst"), expr("rank div deg").as("c"))
       ranks = contrib
         .groupBy("dst").agg(sum(col("c")).as("s"))
