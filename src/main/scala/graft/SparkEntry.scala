@@ -5131,6 +5131,33 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] transactional compaction under the change feed: the
+    // streaming-sink lifecycle — many small per-batch files folded into
+    // scan-sized ones by a `nochange` commit (Delta OPTIMIZE /
+    // dataChange=false) that the CDF consumer SKIPS instead of refusing:
+    // the feed window spans create → append → compact → append, serving
+    // exactly the two data commits. n_commits pins that the compaction
+    // contributed zero feed rows. ─────────────────────────────────────
+    "q273_txn_compaction" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q273_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d97 = to_date(lit("1997-01-01"))
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d97))
+      graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d97 && col("o_orderdate") < d98))
+      graft.sources.TxnLog.compact(s, tbl, targetFiles = 1)
+      val vLast = graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d98))
+      graft.sources.TxnLog.changesBetween(s, tbl, 1L, vLast)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_changed"),
+          countDistinct(col("_commit_version")).as("n_commits"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── S1 oracle-checked: the DSv2 paginated-directory source (one
     // input partition per page — the reference's serial page loop,
     // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
@@ -8971,6 +8998,18 @@ object SparkEntry {
           |    AS total_price
           |FROM orders WHERE o_orderdate < DATE '1998-01-01'
           |  AND o_totalprice > 300000
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q273: the compaction contributes no feed rows, so the window is
+      // the two data commits — 1997's and 1998+'s — and every status
+      // draws from exactly those two
+      "q273_txn_compaction" ->
+        """SELECT o_orderstatus, count(*) AS n_changed,
+          |  CAST(count(DISTINCT CASE WHEN o_orderdate < DATE '1998-01-01'
+          |    THEN 1 ELSE 2 END) AS BIGINT) AS n_commits,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q264: exactly-once makes the streaming+replay pipeline equal

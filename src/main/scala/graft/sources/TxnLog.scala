@@ -158,6 +158,7 @@ object TxnLog {
         case Array("remove", f) => dropFile(f)
         case Array("schema", json) => schemaJson = Some(json)
         case Array("cdc", _) => () // change-feed file: never in the snapshot
+        case Array("nochange") => () // layout-only commit marker (compaction)
         case Array("txn", id, tv) =>
           txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
         case Array("stats", f, c, mn, mx) =>
@@ -722,6 +723,37 @@ object TxnLog {
     }
   }
 
+  /** Transactional small-file compaction (Delta OPTIMIZE): rewrite the
+    * current snapshot into (at most) `targetFiles` files per partition
+    * in ONE commit whose actions carry a `nochange` marker — the rows
+    * are identical before and after, so [[changesBetween]] skips the
+    * commit entirely instead of refusing its removes (Delta's
+    * `dataChange = false`). CAS-pinned like [[overwrite]]: compacting a
+    * stale snapshot would silently undo the commits that beat it.
+    * Old small files stay addressable for time travel until [[vacuum]]
+    * reclaims them. This is the maintenance half of a streaming sink's
+    * lifecycle — [[idempotentAppend]] lands a small file per
+    * micro-batch; compaction folds them back into scan-sized files
+    * without ever blocking readers or losing the change feed. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
+              expectedVersion: Option[Long] = None): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val st = replayState(table, base)
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val snap = readFiles(spark, table, st.live, declared)
+      .repartition(math.max(1, targetFiles))
+    val named = stage(spark, table, snap,
+      partitionColsOf(st.live).getOrElse(Nil))
+    val v = base + 1
+    if (!publish(table, v, "nochange" +:
+        (st.live.map("remove\t" + _) ++ named.map("add\t" + _))))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
   /** Copy-on-write DELETE: remove the rows matching `cond` in one
     * transactional commit, journaling them as `delete` change-feed rows
     * (Delta CDF's delete case). CAS-pinned like [[overwrite]] — the
@@ -763,7 +795,9 @@ object TxnLog {
       val cdcF = acts.collect { case Array("cdc", f) => f }
       val adds = acts.collect { case Array("add", f) => f }
       val removes = acts.collect { case Array("remove", f) => f }
-      if (cdcF.nonEmpty)
+      if (acts.exists(_.sameElements(Array("nochange"))))
+        None // layout-only commit (compaction): rows unchanged by contract
+      else if (cdcF.nonEmpty)
         Some(readFiles(spark, table, cdcF, None)
           .withColumn("_commit_version", lit(v)))
       else if (removes.nonEmpty)

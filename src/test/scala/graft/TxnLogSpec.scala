@@ -478,6 +478,36 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("compaction is layout-only: fewer files, same rows, CDF skips it") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") === 0))
+    (1 to 3).foreach(r =>
+      TxnLog.append(spark, t, nation.filter(col("n_regionkey") === r)))
+    val before = TxnLog.files(t)
+    assert(before.size >= 4, "one file per commit at minimum")
+    val vC = TxnLog.compact(spark, t) // = version 5
+    assert(TxnLog.files(t).size < before.size)
+    assert(rowsOf(TxnLog.snapshot(spark, t).orderBy("n_nationkey")) ==
+      rowsOf(nation.filter(col("n_regionkey") <= 3).orderBy("n_nationkey")),
+      "compaction must not change a single row")
+    // pre-compaction versions stay addressable until vacuum
+    assert(TxnLog.snapshot(spark, t, Some(vC - 1)).count() ==
+      nation.filter(col("n_regionkey") <= 3).count())
+    // the change feed SKIPS the layout-only commit instead of refusing
+    // its removes (Delta's dataChange=false)
+    val vLast = TxnLog.append(spark, t,
+      nation.filter(col("n_regionkey") === 4))
+    val feed = TxnLog.changesBetween(spark, t, 1L, vLast)
+    assert(feed.where(col("_commit_version") === vC).count() == 0)
+    assert(feed.count() ==
+      nation.filter(col("n_regionkey").between(1, 4)).count())
+    // a compaction computed against a stale snapshot must fail, not
+    // silently revert the commits that beat it
+    intercept[TxnLog.ConcurrentCommitException] {
+      TxnLog.compact(spark, t, expectedVersion = Some(1L))
+    }
+  }
+
   test("partitioned upsert journals CDF too") {
     val t = freshTable()
     TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
