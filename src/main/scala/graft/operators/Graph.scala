@@ -209,7 +209,16 @@ object Graph {
     var labels = dir.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
     (1 to rounds).foreach { i =>
+      // one exchange per round, not two: laying the join output on dst
+      // satisfies BOTH aggregates' clustering (a subset-keyed layout
+      // serves a superset-keyed group-by, and the argmax groups by the
+      // layout key itself). The back-to-back groupBy chain would
+      // exchange on (dst, lbl) and then again on dst; early LPA rounds
+      // have near-distinct labels, so its map-side partial aggregation
+      // recovers almost nothing and the fused layout ships fewer rows.
       val cnt = dir.join(labels, col("src") === col("v"))
+        .select(col("dst"), col("lbl"))
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
       // argmax over (count DESC, label ASC) = max of (c, -lbl)
       labels = cnt
