@@ -5158,6 +5158,33 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] conjunctive multi-column file skipping: the commit
+    // carries min/max stats for BOTH o_orderdate and o_totalprice;
+    // the read prunes on the two intervals together (a file must
+    // intersect EVERY range to enter the plan) — Delta's
+    // AND-of-ranges stats evaluation, with the residual filter still
+    // the correctness boundary so the plain-SQL oracle matches
+    // regardless of what was skipped. ─────────────────────────────────
+    "q274_txn_multicol_skipping" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q274_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        .repartitionByRange(8, col("o_orderdate"))
+      graft.sources.TxnLog.create(s, tbl, o,
+        statsCols = Seq("o_orderdate", "o_totalprice"))
+      val loD = java.time.LocalDate.parse("1997-01-01").toEpochDay
+      val hiD = java.time.LocalDate.parse("1997-12-31").toEpochDay
+      graft.sources.TxnLog.snapshotWhereAll(s, tbl,
+        Seq(("o_orderdate", loD, hiD), ("o_totalprice", 250000L, 499999L)))
+        .where(col("o_orderdate").between(
+            to_date(lit("1997-01-01")), to_date(lit("1997-12-31"))) &&
+          col("o_totalprice").between(250000.0, 499999.0))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── S1 oracle-checked: the DSv2 paginated-directory source (one
     // input partition per page — the reference's serial page loop,
     // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
@@ -9010,6 +9037,17 @@ object SparkEntry {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_price
           |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q274: superset pruning + residual filters on both columns, so
+      // the oracle is the plain two-predicate aggregate
+      "q274_txn_multicol_skipping" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders
+          |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+          |  AND o_totalprice BETWEEN 250000.0 AND 499999.0
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q264: exactly-once makes the streaming+replay pipeline equal

@@ -321,7 +321,20 @@ object TxnLog {
     * pruning is purely an I/O optimization. */
   def snapshotWhere(spark: SparkSession, table: String, statsCol: String,
                     lo: Long, hi: Long,
-                    asOf: Option[Long] = None): DataFrame = {
+                    asOf: Option[Long] = None): DataFrame =
+    snapshotWhereAll(spark, table, Seq((statsCol, lo, hi)), asOf)
+
+  /** Conjunctive multi-column file skipping: a file survives only if
+    * its committed stats intersect EVERY (column, lo, hi) interval —
+    * the general form of [[snapshotWhere]] (Delta evaluates arbitrary
+    * AND-of-range predicates against per-file stats; this is that,
+    * minus expression parsing). Same superset contract: a file without
+    * stats for some column is unprunable on that column, and the
+    * caller's own residual filter remains the correctness boundary. */
+  def snapshotWhereAll(spark: SparkSession, table: String,
+                       intervals: Seq[(String, Long, Long)],
+                       asOf: Option[Long] = None): DataFrame = {
+    require(intervals.nonEmpty, "need at least one (column, lo, hi)")
     val vs = versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val upTo = asOf.getOrElse(vs.last)
@@ -332,9 +345,11 @@ object TxnLog {
     val schema =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     val keep = st.live.filter { f =>
-      st.stats.get((f, statsCol)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true // no stats → unprunable, never wrongly skipped
+      intervals.forall { case (c, lo, hi) =>
+        st.stats.get((f, c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // no stats → unprunable, never wrongly skipped
+        }
       }
     }
     if (keep.isEmpty)

@@ -478,6 +478,28 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("multi-column stats skipping prunes conjunctively, never the answer") {
+    val t = freshTable()
+    // 4 files laid out on k; v correlates with k so both columns prune
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("k"))
+    TxnLog.create(spark, t, df, statsCols = Seq("k", "v"))
+    val full = TxnLog.snapshot(spark, t)
+    // one interval prunes to a file subset; adding a CONTRADICTING
+    // second interval prunes to zero files
+    val one = TxnLog.snapshotWhereAll(spark, t, Seq(("k", 1000L, 1499L)))
+    assert(one.inputFiles.length < full.inputFiles.length)
+    assert(one.where(col("k").between(1000, 1499)).count() == 500)
+    val contradicted = TxnLog.snapshotWhereAll(spark, t,
+      Seq(("k", 1000L, 1499L), ("v", 7000L, 7500L))) // v range ⇒ k 3500+
+    assert(contradicted.inputFiles.length < one.inputFiles.length)
+    // a column with no stats cannot prune even inside a conjunction
+    val noStats = TxnLog.snapshotWhereAll(spark, t,
+      Seq(("k", 0L, 3999L), ("absent", 0L, 0L)))
+    assert(noStats.inputFiles.length == full.inputFiles.length)
+  }
+
   test("compaction is layout-only: fewer files, same rows, CDF skips it") {
     val t = freshTable()
     TxnLog.create(spark, t, nation.filter(col("n_regionkey") === 0))
