@@ -5185,6 +5185,15 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] streaming change-feed consumer: the _change_data journal
+    // is an append-only parquet feed, so a FILE STREAM over it is
+    // Delta's CDF streaming source with zero custom machinery —
+    // create → upsert → delete land deterministic changes, the stream
+    // (AvailableNow, checkpointed) delivers each row exactly once, and
+    // the oracle replays the whole feed from date/price predicates. ───
+    "q275_txn_change_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.txnChangeFeedTotals(s, dir)),
+
     // ── S1 oracle-checked: the DSv2 paginated-directory source (one
     // input partition per page — the reference's serial page loop,
     // pse_edge.py:70-118, as parallel tasks) actually DRIVEN through
@@ -9049,6 +9058,29 @@ object SparkEntry {
           |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
           |  AND o_totalprice BETWEEN 250000.0 AND 499999.0
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q275: the journaled feed replayed from predicates — matched
+      // keys pre/post (1997-H2), inserts (1998-H1), deletes (doubled
+      // price over 900k, i.e. original over 450k in the upsert window)
+      "q275_txn_change_stream" ->
+        """WITH upd AS (SELECT * FROM orders
+          |  WHERE o_orderdate BETWEEN DATE '1997-06-01'
+          |    AND DATE '1998-06-30'),
+          |f AS (
+          |  SELECT 'insert' AS _change_type, o_totalprice * 2 AS p
+          |  FROM upd WHERE o_orderdate >= DATE '1998-01-01'
+          |  UNION ALL
+          |  SELECT 'update_preimage', o_totalprice
+          |  FROM upd WHERE o_orderdate < DATE '1998-01-01'
+          |  UNION ALL
+          |  SELECT 'update_postimage', o_totalprice * 2
+          |  FROM upd WHERE o_orderdate < DATE '1998-01-01'
+          |  UNION ALL
+          |  SELECT 'delete', o_totalprice * 2
+          |  FROM upd WHERE o_totalprice * 2 > 900000)
+          |SELECT _change_type, count(*) AS n_rows,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM f GROUP BY 1 ORDER BY _change_type""".stripMargin,
 
       // q264: exactly-once makes the streaming+replay pipeline equal
       // the plain batch aggregate

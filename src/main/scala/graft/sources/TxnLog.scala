@@ -6,7 +6,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Minimal ACID table format: a parquet directory governed by an ordered
   * commit log — the missing capability the judge flagged when porting the
@@ -833,6 +833,30 @@ object TxnLog {
     // allowMissingColumns: a schema-evolving window's early commits
     // lack the evolved column; they surface it as null, like Delta
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** STREAMING change-feed consumer. The `_change_data` directory is an
+    * append-only parquet feed — every journaling commit ([[upsert]],
+    * [[deleteWhere]]) adds immutable files and nothing ever rewrites
+    * them — which is exactly the contract Spark's file stream source
+    * wants: checkpointed incremental discovery gives a downstream
+    * pipeline each change row exactly once, with no custom source
+    * machinery (the Spark-first reading of Delta's CDF streaming
+    * source). Schema is the table's declared schema plus
+    * `_change_type`. Pure-add commits are not journaled (no
+    * double-write on the append path) — an insert-heavy consumer
+    * tails those with the batch [[changesBetween]] instead; a
+    * stream wanting EVERY commit belongs on a table written through
+    * upsert/deleteWhere, the reference's actual daily pattern. */
+  def changeStream(spark: SparkSession, table: String): DataFrame = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val declared = declaredSchema(table).getOrElse(
+      sys.error(s"change stream requires a declared schema: $table"))
+    val cdfSchema = StructType(
+      declared.fields :+ StructField("_change_type", StringType))
+    val dir = Paths.get(table, "_change_data")
+    Files.createDirectories(dir)
+    spark.readStream.schema(cdfSchema).parquet(dir.toString)
   }
 
   /** K7's retention lifecycle: delete data files not referenced by any

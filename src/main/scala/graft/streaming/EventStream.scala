@@ -768,6 +768,41 @@ object EventStream {
     }
   }
 
+  /** Streaming consumer of the TxnLog CHANGE FEED: orders lands through
+    * the reference's daily pattern (create → MERGE-style upsert →
+    * delete), each journaling commit appends immutable CDF parquet
+    * under `_change_data/`, and a file-stream over that directory
+    * delivers every change row exactly once — Delta's CDF streaming
+    * source re-read as "the change journal IS an append-only file
+    * feed". The batch writes are deterministic date/price predicates,
+    * so the oracle replays the full feed without seeing the table. */
+  def txnChangeFeedTotals(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txn_cdf_").resolve("t").toString
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_totalprice"))
+    val d98 = to_date(lit("1998-01-01"))
+    TxnLog.create(spark, table, o.filter(col("o_orderdate") < d98))
+    TxnLog.upsert(spark, table,
+      o.filter(col("o_orderdate").between(
+          to_date(lit("1997-06-01")), to_date(lit("1998-06-30"))))
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"))
+    TxnLog.deleteWhere(spark, table, col("o_totalprice") > 900000)
+    val agg = TxnLog.changeStream(spark, table)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(Exact.Money)).as("tp"))
+    try runToResult(spark, agg, "complete",
+      statePartitioned = false, None) { t =>
+      t.select(col("_change_type"), col("n_rows"),
+        col("tp").cast(DoubleType).as("total_price"))
+        .orderBy("_change_type")
+    } finally deleteRecursively(java.nio.file.Paths.get(table).getParent)
+  }
+
   def dailyTotals(spark: SparkSession, dir: String): DataFrame = {
     val (src, landing) = eventsStream(spark, dir)
     val agg = src
