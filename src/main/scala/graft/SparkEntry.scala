@@ -5185,6 +5185,32 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] RESTORE — the undo button for a corrupted load: a bad
+    // overwrite (v3 drops everything but 1997) is rolled back to v2 by
+    // a METADATA-ONLY commit that re-references the old files (no data
+    // copied; the bad version stays addressable for forensics). The
+    // oracle sees only the restored state, so a restore that missed a
+    // file or resurrected the bad load hash-fails. ────────────────────
+    "q276_txn_restore" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q276_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d97 = to_date(lit("1997-01-01"))
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d97))
+      graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d97 && col("o_orderdate") < d98))
+      graft.sources.TxnLog.overwrite(s, tbl, // the botched refresh
+        o.filter(col("o_orderdate") >= d98))
+      graft.sources.TxnLog.restore(s, tbl, 2L)
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("o_orderdate")).as("last_date"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── [ext] streaming change-feed consumer: the _change_data journal
     // is an append-only parquet feed, so a FILE STREAM over it is
     // Delta's CDF streaming source with zero custom machinery —
@@ -9057,6 +9083,15 @@ object SparkEntry {
           |FROM orders
           |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
           |  AND o_totalprice BETWEEN 250000.0 AND 499999.0
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q276: the restored snapshot is exactly the pre-1998 rows
+      "q276_txn_restore" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  max(o_orderdate) AS last_date,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders WHERE o_orderdate < DATE '1998-01-01'
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q275: the journaled feed replayed from predicates — matched

@@ -835,6 +835,45 @@ object TxnLog {
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Delta RESTORE: roll the table back to the state of `toVersion` as
+    * a NEW commit — metadata only, no data copied: the commit removes
+    * the files that arrived after `toVersion` and re-adds the old
+    * snapshot's files (still on disk unless [[vacuum]] reclaimed them,
+    * in which case the restore fails at publish-read time rather than
+    * producing a hole). History stays intact: the bad load is still
+    * addressable by time travel, and the restore itself is one more
+    * version — the undo button for a corrupted daily load, which is
+    * the FIRST thing an operator reaches for when a 100 TB merge goes
+    * wrong. CAS-pinned: a concurrent commit invalidates the computed
+    * diff. The restored schema is `toVersion`'s (schema rollback
+    * included, exactly Delta's RESTORE semantics). */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+              expectedVersion: Option[Long] = None): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    require(vs.contains(toVersion), s"version $toVersion not in log")
+    val base = expectedVersion.getOrElse(vs.last)
+    val cur = replayState(table, base)
+    val tgt = replayState(table, toVersion)
+    val missing = tgt.live.filterNot(f =>
+      Files.exists(Paths.get(table).resolve(f)))
+    require(missing.isEmpty,
+      s"cannot restore to v$toVersion: vacuum reclaimed ${missing.size} " +
+        s"of its files (first: ${missing.headOption.getOrElse("")})")
+    val removes = cur.live.filterNot(tgt.live.contains)
+    val adds = tgt.live.filterNot(cur.live.contains)
+    val schemaLine = tgt.schemaJson.filter(j => !cur.schemaJson.contains(j))
+      .map("schema\t" + _)
+    val stats = adds.flatMap(f => tgt.stats.collect {
+      case ((`f`, c), (mn, mx)) => s"stats\t$f\t$c\t$mn\t$mx" })
+    val v = base + 1
+    if (!publish(table, v, schemaLine.toSeq ++
+        removes.map("remove\t" + _) ++ adds.map("add\t" + _) ++ stats))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
   /** STREAMING change-feed consumer. The `_change_data` directory is an
     * append-only parquet feed — every journaling commit ([[upsert]],
     * [[deleteWhere]]) adds immutable files and nothing ever rewrites

@@ -500,6 +500,30 @@ class TxnLogSpec extends SparkSpec {
     assert(noStats.inputFiles.length == full.inputFiles.length)
   }
 
+  test("restore rolls back metadata-only; history intact; vacuum blocks") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2)) // v1
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") === 2)) // v2
+    TxnLog.overwrite(spark, t, nation.limit(3)) // v3: the bad load
+    val v2Files = TxnLog.files(t, Some(2L))
+    val vR = TxnLog.restore(spark, t, 2L) // v4
+    assert(vR == 4L)
+    assert(TxnLog.files(t).toSet == v2Files.toSet,
+      "metadata-only: the old snapshot's files are re-referenced, not copied")
+    assert(rowsOf(TxnLog.snapshot(spark, t).orderBy("n_nationkey")) ==
+      rowsOf(nation.filter(col("n_regionkey") <= 2).orderBy("n_nationkey")))
+    // the bad load stays addressable (restore is a new version, not a
+    // history rewrite)
+    assert(TxnLog.snapshot(spark, t, Some(3L)).count() == 3)
+    // once vacuum reclaims the target snapshot's files, restore REFUSES
+    // instead of publishing a commit that references deleted data
+    TxnLog.overwrite(spark, t, nation.limit(1)) // v5
+    TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
+    intercept[IllegalArgumentException] {
+      TxnLog.restore(spark, t, 2L)
+    }
+  }
+
   test("compaction is layout-only: fewer files, same rows, CDF skips it") {
     val t = freshTable()
     TxnLog.create(spark, t, nation.filter(col("n_regionkey") === 0))
