@@ -42,6 +42,10 @@ object Graph {
     pairs.select(col(groupCol).as("__g"), col(memberCol).as("__m"))
       .groupBy("__g").agg(sort_array(collect_set(col("__m"))).as("ms"))
       .where(size(col("ms")) >= 2)
+      // pin the width before the C(|g|,2) expansion: the member-set
+      // relation is BYTE-small, so AQE coalesces it to one partition
+      // and the CPU-bound pair explosion would run single-threaded
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("ms")) - 1), i =>
           transform(sequence(i + 1, size(col("ms"))), j =>
