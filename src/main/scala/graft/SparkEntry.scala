@@ -5185,6 +5185,33 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] clustering compaction (OPTIMIZE ZORDER, range-cluster
+    // form): orders lands HASH-scattered (every file spans the whole
+    // date domain — stats exist but prune nothing), then one nochange
+    // commit range-lays the files on o_orderdate with fresh stats, and
+    // the 1997 read plans a file subset. Residual filter stays the
+    // correctness boundary, so the oracle is layout-blind; TxnLogSpec
+    // pins that the scan really shrinks only AFTER clustering. ────────
+    "q277_txn_cluster_optimize" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q277_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        .repartition(8, col("o_orderkey")) // date scattered across files
+      graft.sources.TxnLog.create(s, tbl, o, statsCols = Seq("o_orderdate"))
+      graft.sources.TxnLog.compact(s, tbl, targetFiles = 8,
+        clusterBy = Seq("o_orderdate"))
+      val loDays = java.time.LocalDate.parse("1997-01-01").toEpochDay
+      val hiDays = java.time.LocalDate.parse("1997-12-31").toEpochDay
+      graft.sources.TxnLog
+        .snapshotWhere(s, tbl, "o_orderdate", loDays, hiDays)
+        .where(col("o_orderdate").between(
+          to_date(lit("1997-01-01")), to_date(lit("1997-12-31"))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── [ext] RESTORE — the undo button for a corrupted load: a bad
     // overwrite (v3 drops everything but 1997) is rolled back to v2 by
     // a METADATA-ONLY commit that re-references the old files (no data
@@ -9083,6 +9110,16 @@ object SparkEntry {
           |FROM orders
           |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
           |  AND o_totalprice BETWEEN 250000.0 AND 499999.0
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q277: pruning is layout + superset + residual, so the oracle is
+      // the plain 1997 aggregate regardless of clustering
+      "q277_txn_cluster_optimize" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders
+          |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q276: the restored snapshot is exactly the pre-1998 rows

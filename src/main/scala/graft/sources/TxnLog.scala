@@ -751,19 +751,32 @@ object TxnLog {
     * micro-batch; compaction folds them back into scan-sized files
     * without ever blocking readers or losing the change feed. */
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
-              expectedVersion: Option[Long] = None): Long = {
+              expectedVersion: Option[Long] = None,
+              clusterBy: Seq[String] = Nil,
+              statsCols: Seq[String] = Nil): Long = {
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val snap = readFiles(spark, table, st.live, declared)
-      .repartition(math.max(1, targetFiles))
+    val snap0 = readFiles(spark, table, st.live, declared)
+    // clusterBy = Delta's OPTIMIZE ZORDER in its range-cluster form:
+    // the rewrite range-lays rows on the cluster columns, so each new
+    // file owns a narrow value interval and the fresh per-file stats
+    // (recorded below, defaulting to the cluster columns) make
+    // snapshotWhere pruning EFFECTIVE on a table whose original write
+    // order scattered the column across every file
+    val snap =
+      if (clusterBy.isEmpty) snap0.repartition(math.max(1, targetFiles))
+      else snap0.repartitionByRange(math.max(1, targetFiles),
+        clusterBy.map(org.apache.spark.sql.functions.col): _*)
     val named = stage(spark, table, snap,
       partitionColsOf(st.live).getOrElse(Nil))
+    val sc = if (statsCols.nonEmpty) statsCols else clusterBy
     val v = base + 1
     if (!publish(table, v, "nochange" +:
-        (st.live.map("remove\t" + _) ++ named.map("add\t" + _))))
+        (st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
+          statsLines(spark, table, named, sc))))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v

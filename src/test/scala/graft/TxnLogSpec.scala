@@ -524,6 +524,25 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("clustering compaction makes stats skipping effective") {
+    val t = freshTable()
+    // hash layout scatters k across every file: stats exist but every
+    // file's [min, max] spans the whole domain, so nothing prunes
+    val df = spark.range(0, 4000).select(col("id").as("k"))
+      .repartition(8, col("k"))
+    TxnLog.create(spark, t, df, statsCols = Seq("k"))
+    val before = TxnLog.snapshotWhere(spark, t, "k", 1000L, 1499L)
+    assert(before.inputFiles.length == TxnLog.snapshot(spark, t)
+      .inputFiles.length, "scattered layout: stats cannot prune")
+    // OPTIMIZE ZORDER's range-cluster form: rewrite on k, fresh stats
+    TxnLog.compact(spark, t, targetFiles = 8, clusterBy = Seq("k"))
+    val after = TxnLog.snapshotWhere(spark, t, "k", 1000L, 1499L)
+    assert(after.inputFiles.length < before.inputFiles.length,
+      "clustered layout: the range read plans a file subset")
+    assert(after.where(col("k").between(1000, 1499)).count() == 500)
+    assert(TxnLog.snapshot(spark, t).count() == 4000)
+  }
+
   test("compaction is layout-only: fewer files, same rows, CDF skips it") {
     val t = freshTable()
     TxnLog.create(spark, t, nation.filter(col("n_regionkey") === 0))
