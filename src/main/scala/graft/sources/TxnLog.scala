@@ -82,6 +82,9 @@ object TxnLog {
   final class SchemaMismatchException(msg: String)
     extends RuntimeException(msg)
 
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
   private def logDir(table: String): Path = Paths.get(table, "_txn_log")
   private def logFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%020d.log")
@@ -136,6 +139,7 @@ object TxnLog {
     * stats for data skipping. */
   private final case class State(live: Seq[String],
                                  schemaJson: Option[String],
+                                 checks: Map[String, String],
                                  txn: Map[String, Long],
                                  stats: Map[(String, String), (Long, Long)])
 
@@ -144,6 +148,7 @@ object TxnLog {
   private def replayState(table: String, upTo: Long): State = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     var schemaJson: Option[String] = None
+    val checks = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val txn = scala.collection.mutable.Map.empty[String, Long]
     val stats =
       scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
@@ -159,6 +164,7 @@ object TxnLog {
         case Array("schema", json) => schemaJson = Some(json)
         case Array("cdc", _) => () // change-feed file: never in the snapshot
         case Array("nochange") => () // layout-only commit marker (compaction)
+        case Array("check", name, exprSql) => checks(name) = exprSql
         case Array("txn", id, tv) =>
           txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
         case Array("stats", f, c, mn, mx) =>
@@ -176,7 +182,7 @@ object TxnLog {
       Files.readAllLines(logFile(table, v)).asScala
         .foreach(applyLine(s"v$v"))
     }
-    State(live.toSeq, schemaJson, txn.toMap, stats.toMap)
+    State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap)
   }
 
   /** Raw action lines of one committed version (no checkpoint
@@ -194,6 +200,7 @@ object TxnLog {
       val st = replayState(table, v)
       val lines = st.live.map("file\t" + _) ++
         st.schemaJson.map("schema\t" + _).toSeq ++
+        st.checks.toSeq.map { case (n, e) => s"check\t$n\t$e" } ++
         st.txn.toSeq.sortBy(_._1).map { case (id, tv) => s"txn\t$id\t$tv" } ++
         st.stats.toSeq.sortBy(_._1).map { case ((f, c), (mn, mx)) =>
           s"stats\t$f\t$c\t$mn\t$mx" }
@@ -399,6 +406,35 @@ object TxnLog {
     named
   }
 
+  /** Stage with CHECK-constraint enforcement fused into the write pass
+    * (Delta's constraint model; the reference's DDL declares NOT NULL +
+    * sanity predicates, `src/db/postgres/daily_stock_price.sql:6-7`).
+    * Violation counts ride the staging scan as observed metrics — ZERO
+    * extra passes over the batch — and a violated batch deletes its
+    * (never-published, hence never-visible) staged files and throws.
+    * SQL semantics: a NULL predicate passes; only FALSE violates. */
+  private def stageChecked(spark: SparkSession, table: String,
+                           df: DataFrame, checks: Map[String, String],
+                           partitionBy: Seq[String]): Seq[String] = {
+    if (checks.isEmpty) return stage(spark, table, df, partitionBy)
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation()
+    val aggs = checks.toSeq.map { case (n, e) =>
+      sum(when(expr(e).isNull || expr(e), 0L).otherwise(1L)).as(n) }
+    val named = stage(spark, table,
+      df.observe(obs, aggs.head, aggs.tail: _*), partitionBy)
+    val m = obs.get
+    val bad = checks.keys.filter(n =>
+      Option(m(n)).exists(_.asInstanceOf[Long] > 0))
+    if (bad.nonEmpty) {
+      named.foreach(n => Files.deleteIfExists(Paths.get(table).resolve(n)))
+      throw new ConstraintViolationException(
+        s"batch violates CHECK constraint(s): ${bad.toSeq.sorted.map(n =>
+          s"$n (${checks(n)})").mkString("; ")}")
+    }
+    named
+  }
+
   /** Per-file min/max stats lines for `statsCols` (data-skipping
     * metadata, Delta's per-file stats): one Spark job over the freshly
     * staged files, grouped by input_file_name. Values are canonicalized
@@ -498,11 +534,16 @@ object TxnLog {
     * data-skipping metadata [[snapshotWhere]] prunes on. */
   def create(spark: SparkSession, table: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             checks: Seq[(String, String)] = Nil): Long = {
     require(!exists(table), s"table already exists: $table")
-    val named = stage(spark, table, df, partitionBy)
+    checks.foreach { case (n, e) =>
+      require(!n.contains('\t') && !e.contains('\t'),
+        "constraint names/expressions must be tab-free") }
+    val named = stageChecked(spark, table, df, checks.toMap, partitionBy)
     val actions = s"schema\t${df.schema.json}" +:
-      (named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols))
+      (checks.map { case (n, e) => s"check\t$n\t$e" } ++
+        named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols))
     if (!publish(table, 1L, actions))
       throw new ConcurrentCommitException(1L)
     1L
@@ -535,7 +576,8 @@ object TxnLog {
     val schemaLine = declared
       .flatMap(validateAgainst(_, df.schema, mergeSchema))
       .map("schema\t" + _)
-    val named = stage(spark, table, df, partitionColsOf(st.live).getOrElse(Nil))
+    val named = stageChecked(spark, table, df, st.checks,
+      partitionColsOf(st.live).getOrElse(Nil))
     val actions = schemaLine.toSeq ++ named.map("add\t" + _) ++
       statsLines(spark, table, named, statsCols)
     var v = vs.last + 1
@@ -588,7 +630,8 @@ object TxnLog {
     if (lastTxnVersion(table, appId) >= txnVersion)
       return txnCommitVersion(table, appId, txnVersion)
         .getOrElse(versions(table).last) // batch skipped upstream: latest
-    val named = stage(spark, table, df)
+    val named = stageChecked(spark, table, df,
+      replayState(table, versions(table).last).checks, Nil)
     val actions = s"txn\t$appId\t$txnVersion" +: named.map("add\t" + _)
     var v = versions(table).last + 1
     while (!publish(table, v, actions)) {
@@ -631,7 +674,8 @@ object TxnLog {
           "overwrite changes the declared schema; pass overwriteSchema = true")
       case _ => Some("schema\t" + df.schema.json)
     }
-    val named = stage(spark, table, df, partitionColsOf(st.live).getOrElse(Nil))
+    val named = stageChecked(spark, table, df, st.checks,
+      partitionColsOf(st.live).getOrElse(Nil))
     val cdcNames = cdcRows.toSeq.flatMap(
       stage(spark, table, _, subdir = Some("_change_data")))
     val v = base + 1
@@ -716,7 +760,7 @@ object TxnLog {
           (graft.ops.Merge.upsert(baseDf, u, keys),
             upsertCdc(baseDf, u, keys))
         }
-        val named = stage(spark, table, merged, pcols)
+        val named = stageChecked(spark, table, merged, st.checks, pcols)
         val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
         val actions = touchedFiles.map("remove\t" + _) ++
           named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _)
@@ -882,6 +926,41 @@ object TxnLog {
     val v = base + 1
     if (!publish(table, v, schemaLine.toSeq ++
         removes.map("remove\t" + _) ++ adds.map("add\t" + _) ++ stats))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
+  /** The table's CHECK constraints as of `asOf` (name → SQL predicate). */
+  def checkConstraints(table: String,
+                       asOf: Option[Long] = None): Map[String, String] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    replayState(table, upTo).checks
+  }
+
+  /** Add a CHECK constraint to an existing table: the CURRENT snapshot
+    * must already satisfy it (one validating scan — a constraint that
+    * existing rows violate would make every later read a lie), then the
+    * constraint is committed and every subsequent write enforces it
+    * in-flight. CAS-pinned: rows landing between validation and publish
+    * were never validated, so a lost race refuses instead of certifying
+    * data it never saw. */
+  def addCheck(spark: SparkSession, table: String, name: String,
+               exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(!name.contains('\t') && !exprSql.contains('\t'),
+      "constraint names/expressions must be tab-free")
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = versions(table).last
+    val nBad = snapshot(spark, table, Some(base))
+      .where(coalesce(expr(exprSql), lit(true)) === false).limit(1).count()
+    if (nBad > 0) throw new ConstraintViolationException(
+      s"existing rows violate CHECK $name ($exprSql)")
+    val v = base + 1
+    if (!publish(table, v, Seq(s"check\t$name\t$exprSql")))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v

@@ -524,6 +524,45 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: violating writes reject before publish") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, checks = Seq(
+      ("key_nonneg", "n_nationkey >= 0"),
+      ("name_present", "n_name IS NOT NULL")))
+    assert(TxnLog.checkConstraints(t).keySet ==
+      Set("key_nonneg", "name_present"))
+    // compliant append passes; violating append rejects WITHOUT
+    // committing (enforcement rides the staging scan as observed
+    // metrics — no extra pass — and staged files are deleted)
+    TxnLog.append(spark, t, nation.limit(2)
+      .withColumn("n_nationkey", col("n_nationkey") + 900))
+    val vBefore = TxnLog.versions(t).last
+    intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.append(spark, t, nation.limit(2)
+        .withColumn("n_nationkey", col("n_nationkey") - 900))
+    }
+    assert(TxnLog.versions(t).last == vBefore, "violation commits nothing")
+    // upsert enforces too (the merged write carries the constraints)
+    intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.upsert(spark, t, nation.limit(1)
+        .withColumn("n_name", lit(null).cast("string")),
+        Seq("n_nationkey"))
+    }
+    // NULL predicate passes (SQL CHECK semantics): a constraint over a
+    // column that is null does not reject
+    TxnLog.addCheck(spark, t, "region_small", "n_regionkey < 100")
+    // addCheck refuses a constraint the existing data violates
+    intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.addCheck(spark, t, "impossible", "n_regionkey > 50")
+    }
+    // the added constraint is enforced on later writes
+    intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.append(spark, t, nation.limit(1)
+        .withColumn("n_regionkey",
+          lit(500).cast(nation.schema("n_regionkey").dataType)))
+    }
+  }
+
   test("clustering compaction makes stats skipping effective") {
     val t = freshTable()
     // hash layout scatters k across every file: stats exist but every
