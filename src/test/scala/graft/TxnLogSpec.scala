@@ -563,6 +563,25 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints ride partitioned writes too") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation,
+      partitionBy = Seq("n_regionkey"),
+      checks = Seq(("key_nonneg", "n_nationkey >= 0")))
+    val vBefore = TxnLog.versions(t).last
+    // the partition-scoped upsert's partitionBy staging still carries
+    // the observed violation counts
+    intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.upsert(spark, t, nation.limit(1)
+        .withColumn("n_nationkey",
+          lit(-5).cast(nation.schema("n_nationkey").dataType)),
+        Seq("n_nationkey"))
+    }
+    assert(TxnLog.versions(t).last == vBefore)
+    TxnLog.upsert(spark, t, nation.limit(1), Seq("n_nationkey")) // valid
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+  }
+
   test("clustering compaction makes stats skipping effective") {
     val t = freshTable()
     // hash layout scatters k across every file: stats exist but every
