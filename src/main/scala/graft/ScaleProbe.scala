@@ -437,7 +437,8 @@ object ScaleProbe {
       timePlanning("checkpointed")
       val ld = java.nio.file.Paths.get(tdir, "_txn_log")
       val ls = java.nio.file.Files.list(ld)
-      try ls.filter(p => p.toString.endsWith(".checkpoint"))
+      try ls.filter(p => p.toString.endsWith(".checkpoint.parquet") ||
+          p.getFileName.toString == "_last_checkpoint")
         .forEach(p => java.nio.file.Files.delete(p))
       finally ls.close()
       timePlanning("no_checkpoint")

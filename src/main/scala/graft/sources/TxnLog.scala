@@ -89,7 +89,9 @@ object TxnLog {
   private def logFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%020d.log")
   private def checkpointFile(table: String, v: Long): Path =
-    logDir(table).resolve(f"$v%020d.checkpoint")
+    logDir(table).resolve(f"$v%020d.checkpoint.parquet")
+  private def lastCheckpointPtr(table: String): Path =
+    logDir(table).resolve("_last_checkpoint")
 
   /** Every N commits the committer also writes a CHECKPOINT — the full
     * live-file set, declared schema, and per-app txn high-water marks as
@@ -119,18 +121,62 @@ object TxnLog {
     * (staged-but-uncommitted files do NOT make a table). */
   def exists(table: String): Boolean = versions(table).nonEmpty
 
-  /** Latest checkpoint version ≤ `upTo`, if any. */
+  /** Latest checkpoint version ≤ `upTo`, if any. The HOT path (reading
+    * the table head) resolves through the `_last_checkpoint` pointer —
+    * one GET of a known key, the way Delta avoids LISTing the log
+    * directory on an object store. Only a time-travel read BEHIND the
+    * latest checkpoint (or a stale/deleted pointer — checkpoints are
+    * derived data, so both must degrade, never fail) falls back to
+    * listing. */
   private def latestCheckpoint(table: String, upTo: Long): Option[Long] = {
     val d = logDir(table)
     if (!Files.isDirectory(d)) return None
-    val s = Files.list(d)
-    try {
-      val cps = s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".checkpoint"))
-        .map(_.stripSuffix(".checkpoint").toLong)
-        .filter(_ <= upTo).toSeq
-      if (cps.isEmpty) None else Some(cps.max)
-    } finally s.close()
+    val fromPtr =
+      try {
+        val txt = new String(Files.readAllBytes(lastCheckpointPtr(table)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // minimal JSON: {"version":N} — no parser dependency needed
+        val v = "\"version\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(txt).map(_.group(1).toLong)
+        v.filter(cv => cv <= upTo && Files.exists(checkpointFile(table, cv)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fromPtr.orElse {
+      val s = Files.list(d)
+      try {
+        val cps = s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".checkpoint.parquet"))
+          .map(_.stripSuffix(".checkpoint.parquet").toLong)
+          .filter(cv => cv <= upTo && Files.exists(checkpointFile(table, cv)))
+          .toSeq
+        if (cps.isEmpty) None else Some(cps.max)
+      } finally s.close()
+    }
+  }
+
+  /** Parquet encoding of one replay-state row (Delta's checkpoint is a
+    * parquet file of typed action structs; this is that, flattened):
+    * `action` discriminates, the other columns are populated per kind.
+    * Written and read with parquet-mr's Group API directly — the
+    * checkpoint path must not need a SparkSession, because read
+    * PLANNING (files/replayState) is driver-side metadata work. */
+  private val CheckpointSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_checkpoint {
+        |  required binary action (STRING);
+        |  optional binary path (STRING);
+        |  optional binary name (STRING);
+        |  optional binary detail (STRING);
+        |  optional int64 lo;
+        |  optional int64 hi;
+        |}""".stripMargin)
+
+  /** Hadoop conf pinned to the RAW local filesystem so parquet-mr
+    * writes no `.crc` sidecars into the log directory. */
+  private def rawLocalConf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.set("fs.file.impl",
+      classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    c
   }
 
   /** Full replay state at a version: live files in add order, declared
@@ -173,8 +219,7 @@ object TxnLog {
       }
     val start = latestCheckpoint(table, upTo) match {
       case Some(cv) =>
-        Files.readAllLines(checkpointFile(table, cv)).asScala
-          .foreach(applyLine(s"checkpoint $cv"))
+        readCheckpoint(table, cv).foreach(applyLine(s"checkpoint $cv"))
         cv
       case None => 0L
     }
@@ -198,15 +243,43 @@ object TxnLog {
   private def maybeCheckpoint(table: String, v: Long): Unit =
     if (v % CheckpointInterval == 0) try {
       val st = replayState(table, v)
-      val lines = st.live.map("file\t" + _) ++
-        st.schemaJson.map("schema\t" + _).toSeq ++
-        st.checks.toSeq.map { case (n, e) => s"check\t$n\t$e" } ++
-        st.txn.toSeq.sortBy(_._1).map { case (id, tv) => s"txn\t$id\t$tv" } ++
-        st.stats.toSeq.sortBy(_._1).map { case ((f, c), (mn, mx)) =>
-          s"stats\t$f\t$c\t$mn\t$mx" }
-      val tmp = Files.createTempFile(logDir(table), "_cp_", ".inprogress")
-      Files.write(tmp, lines.asJava)
+      val fac =
+        new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+          CheckpointSchema)
+      def g(action: String): org.apache.parquet.example.data.Group =
+        fac.newGroup().append("action", action)
+      val rows: Seq[org.apache.parquet.example.data.Group] =
+        st.live.map(f => g("file").append("path", f)) ++
+          st.schemaJson.map(j => g("schema").append("detail", j)).toSeq ++
+          st.checks.toSeq.map { case (n, e) =>
+            g("check").append("name", n).append("detail", e) } ++
+          st.txn.toSeq.sortBy(_._1).map { case (id, tv) =>
+            g("txn").append("name", id).append("lo", tv) } ++
+          st.stats.toSeq.sortBy(_._1).map { case ((f, c), (mn, mx)) =>
+            g("stats").append("path", f).append("name", c)
+              .append("lo", mn).append("hi", mx) }
+      // write-temp-then-atomic-rename, like the log itself: a reader
+      // can never observe a half-written checkpoint
+      val tmp = logDir(table).resolve(
+        s"_cp_${UUID.randomUUID()}.inprogress")
+      val conf = rawLocalConf
+      org.apache.parquet.hadoop.example.GroupWriteSupport
+        .setSchema(CheckpointSchema, conf)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(tmp.toString), conf))
+        .withConf(conf).withType(CheckpointSchema).build()
+      try rows.foreach(w.write) finally w.close()
       Files.move(tmp, checkpointFile(table, v),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      // publish the pointer LAST: readers that already resolved the old
+      // pointer keep working (older checkpoints are never invalidated)
+      val ptmp = Files.createTempFile(logDir(table), "_ptr_", ".inprogress")
+      Files.write(ptmp,
+        s"""{"version":$v,"size":${rows.size}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(ptmp, lastCheckpointPtr(table),
         StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       // NonFatal, not just IOException: the version is already PUBLISHED
@@ -216,6 +289,35 @@ object TxnLog {
       // duplicate rows. Checkpoints are derived data; a skipped one only
       // costs replay speed.
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Decode a parquet checkpoint back into the log's TSV action lines
+    * (the `file`/`schema`/`check`/`txn`/`stats` subset a checkpoint can
+    * contain) so replay shares one interpreter with the log proper. */
+  private def readCheckpoint(table: String, v: Long): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(checkpointFile(table, v).toString))
+      .withConf(rawLocalConf).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        def s(f: String) = g.getString(f, 0)
+        def l(f: String) = g.getLong(f, 0)
+        out += (s("action") match {
+          case "file" => s"file\t${s("path")}"
+          case "schema" => s"schema\t${s("detail")}"
+          case "check" => s"check\t${s("name")}\t${s("detail")}"
+          case "txn" => s"txn\t${s("name")}\t${l("lo")}"
+          case "stats" =>
+            s"stats\t${s("path")}\t${s("name")}\t${l("lo")}\t${l("hi")}"
+          case other => sys.error(s"unknown checkpoint action: $other")
+        })
+        g = r.read()
+      }
+    } finally r.close()
+    out.toSeq
+  }
 
   /** The file set a reader at `asOf` (default: latest) scans: replay
     * adds minus removes from the newest checkpoint ≤ asOf (or the log

@@ -181,18 +181,24 @@ class TxnLogSpec extends SparkSpec {
     }
     def cps() = {
       val s = Files.list(Paths.get(t, "_txn_log"))
-      try s.filter(p => p.toString.endsWith(".checkpoint")).count()
+      try s.filter(p => p.toString.endsWith(".checkpoint.parquet")).count()
       finally s.close()
     }
     assert(cps() == 1, "12 commits must have checkpointed at v10")
+    // Delta's pointer file: the hot read path resolves the checkpoint
+    // through ONE known key, never a directory listing
+    assert(Files.exists(Paths.get(t, "_txn_log", "_last_checkpoint")),
+      "_last_checkpoint pointer must be published with the checkpoint")
     val full = TxnLog.snapshot(spark, t).count()
     assert(full == 12, "all 12 single-nation commits visible")
     assert(TxnLog.lastTxnVersion(t, "cp-app") == 11L)
     // time travel BEHIND the checkpoint still replays from the start
     assert(TxnLog.snapshot(spark, t, Some(5L)).count() == 5)
-    // a checkpoint is derived data: deleting it changes nothing
+    // a checkpoint is derived data: deleting it changes nothing — and
+    // the now-STALE _last_checkpoint pointer (left in place, naming a
+    // deleted file) must degrade to full replay, not fail
     val s = Files.list(Paths.get(t, "_txn_log"))
-    try s.filter(p => p.toString.endsWith(".checkpoint"))
+    try s.filter(p => p.toString.endsWith(".checkpoint.parquet"))
       .forEach(p => Files.delete(p))
     finally s.close()
     assert(TxnLog.snapshot(spark, t).count() == full)
