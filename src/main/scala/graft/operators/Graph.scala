@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  StructField, StructType}
 
 /** Distributed triangle counting on an undirected graph.
   *
@@ -26,6 +27,60 @@ import org.apache.spark.sql.types.{LongType, StringType}
   */
 object Graph {
 
+  /** Subcritical local-solve threshold, in DIRECTED edge rows (~16 B a
+    * row → ~128 MB of adjacency in one task at the default). The three
+    * fixed-point operators below ([[pageRankFixedPoint]],
+    * [[labelPropagation]], [[deterministicWalks]]) are iterative: per
+    * round the DISTRIBUTED plan is one |E| equi-join plus one aggregate,
+    * which is the right shape at cluster scale but pays Spark's per-AQE-
+    * stage scheduling floor (~60-90 ms × ~5 stages × rounds) regardless
+    * of data volume. Below this threshold the whole graph fits in ONE
+    * task's memory, so the fixed point runs as a single `mapPartitions`
+    * over the edge relation coalesced to one partition — executor-side
+    * (never `collect`), one job total, and BIT-IDENTICAL output because
+    * every operator's update rule is integer/hash arithmetic with no
+    * order-sensitive accumulation. This is the q213 hub-cap pattern one
+    * level up: ONE statistic (the directed edge count, already free —
+    * the relation is checkpointed before the loop) picks between two
+    * value-identical plans, exactly like Spark's own broadcast-join
+    * threshold picks a local hash build over a distributed shuffle.
+    * Past the threshold the iterative distributed plan takes over — the
+    * README's graph probes show its per-edge throughput rising 12-16×
+    * from 1× to 100× edges, i.e. the floor amortizes exactly where the
+    * cluster-scale design point lives. GraphSpec pins both paths to the
+    * same rows on the same fixture. (Env override is for A/B timing
+    * only — 0 forces every operator distributed.) */
+  val LocalSolveMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_LOCAL_GRAPH_MAX").map(_.toLong)
+      .getOrElse(8000000L)
+
+  /** Boxed single-field extractor from an InternalRow, per supported
+    * vertex type — lets the local solvers read checkpointed blocks off
+    * the physical plan without materializing external Rows. Values are
+    * copied out immediately (primitives box, UTF8String → String), so
+    * Spark's InternalRow reuse is safe. */
+  private def anyGetter(dt: org.apache.spark.sql.types.DataType)
+      : (org.apache.spark.sql.catalyst.InternalRow, Int) => Any =
+    dt match {
+      case LongType    => (r, i) => r.getLong(i)
+      case IntegerType => (r, i) => r.getInt(i)
+      case StringType  => (r, i) => r.getUTF8String(i).toString
+      case other       => sys.error(s"unsupported vertex type: $other")
+    }
+
+  /** Total order over the vertex types the fixture graphs use (integral
+    * ids, string tokens) — the local solvers' stand-in for Spark's own
+    * struct/column ordering in min_by / max(struct) tie-breaks. */
+  private val anyOrd: Ordering[Any] = new Ordering[Any] {
+    def compare(x: Any, y: Any): Int = (x, y) match {
+      case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+      case (a: Int, b: Int)       => Integer.compare(a, b)
+      case (a: Short, b: Short)   => java.lang.Short.compare(a, b)
+      case (a: String, b: String) => a.compareTo(b)
+      case _ => sys.error(s"unsupported vertex type: ${x.getClass}")
+    }
+  }
+
   /** Canonical undirected edge set from a (group, member) co-occurrence
     * relation: an edge links two members that share a group, deduplicated
     * across groups, with endpoints ordered a < b.
@@ -38,10 +93,26 @@ object Graph {
     * fan-out through a shuffle; the fan-out itself (Σ_g C(|g|, 2)) is
     * identical either way, this just generates it inside the row. */
   def coOccurrenceEdges(pairs: DataFrame, groupCol: String,
-                        memberCol: String): DataFrame =
-    pairs.select(col(groupCol).as("__g"), col(memberCol).as("__m"))
+                        memberCol: String,
+                        localMaxPairMass: Long = LocalSolveMaxEdges)
+      : DataFrame = {
+    // the corpus-sized input is grouped ONCE either way; materializing
+    // the (small) member-set relation lets the pair-mass statistic and
+    // the expansion read blocks instead of rescanning the corpus
+    val sets = pairs.select(col(groupCol).as("__g"), col(memberCol).as("__m"))
       .groupBy("__g").agg(sort_array(collect_set(col("__m"))).as("ms"))
       .where(size(col("ms")) >= 2)
+      .localCheckpoint(true)
+    // Σ_g C(|g|,2), the exact pre-dedup pair count: when subcritical the
+    // expansion + dedup run in ONE task (no explosion shuffle, no
+    // distinct exchange) — the same statistic-picks-the-plan contract as
+    // [[LocalSolveMaxEdges]]; past it, the distributed explode+distinct
+    val mass = sets
+      .selectExpr("sum(CAST(size(ms) AS BIGINT)*(size(ms)-1) DIV 2) AS m")
+      .head()
+    if (!mass.isNullAt(0) && mass.getLong(0) <= localMaxPairMass)
+      return localCoOccurrence(sets)
+    sets
       // pin the width before the C(|g|,2) expansion: the member-set
       // relation is BYTE-small, so AQE coalesces it to one partition
       // and the CPU-bound pair explosion would run single-threaded
@@ -53,6 +124,82 @@ object Graph {
               element_at(col("ms"), j).as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+  }
+
+  /** Single-task pair expansion + dedup over a subcritical member-set
+    * relation: each set arrives value-sorted (sort_array upstream), so
+    * emitted pairs keep a < b; a packed dense-index key dedups across
+    * groups. Value-identical to the explode + distinct pipeline. */
+  private def localCoOccurrence(sets: DataFrame): DataFrame = {
+    val mType = sets.schema("ms").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val elemAt: (org.apache.spark.sql.catalyst.util.ArrayData, Int) => Any =
+      mType match {
+        case LongType    => (a, i) => a.getLong(i)
+        case IntegerType => (a, i) => a.getInt(i)
+        case StringType  => (a, i) => a.getUTF8String(i).toString
+        case other       => sys.error(s"unsupported member type: $other")
+      }
+    val rows = sets.select(col("ms")).queryExecution.toRdd
+      .coalesce(1).mapPartitions { it =>
+        val verts = scala.collection.mutable.ArrayBuffer.empty[Any]
+        val idxLong = new scala.collection.mutable.LongMap[Int](1 << 16)
+        val idxStr = new java.util.HashMap[String, Integer]()
+        def idOf(a: Any): Int = a match {
+          case l: Long => idxLong.getOrElseUpdate(l,
+            { verts += l; verts.length - 1 })
+          case i: Int => idxLong.getOrElseUpdate(i.toLong,
+            { verts += i; verts.length - 1 })
+          case s: String =>
+            val got = idxStr.get(s)
+            if (got != null) got.intValue()
+            else { val k = verts.length; idxStr.put(s, k); verts += s; k }
+          case other => sys.error(s"unsupported member: ${other.getClass}")
+        }
+        val seen = new scala.collection.mutable.LongMap[Long](1 << 20)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var ids = new Array[Int](64)
+        var vals = new Array[Any](64)
+        it.foreach { r =>
+          val arr = r.getArray(0)
+          val n = arr.numElements()
+          if (ids.length < n) {
+            ids = new Array[Int](n); vals = new Array[Any](n)
+          }
+          // densify the set ONCE — the O(n²) pair loop below then runs
+          // on ints, touching values only when a pair is first seen
+          var i = 0
+          while (i < n) {
+            val v = elemAt(arr, i); vals(i) = v; ids(i) = idOf(v); i += 1
+          }
+          i = 0
+          while (i < n - 1) {
+            val ai = ids(i).toLong << 32
+            var j = i + 1
+            while (j < n) {
+              val k = ai | (ids(j).toLong & 0xffffffffL)
+              if (!seen.contains(k)) {
+                seen.update(k, 0L); out += Row(vals(i), vals(j))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
+      }
+    sets.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("a", mType), StructField("b", mType))))
+      // restore width before materializing: consumers like the triangle
+      // wedge join are CPU-bound map-side — fed a single partition they
+      // would run one task no matter what AQE does downstream. The
+      // fixed-point solvers coalesce back to one task themselves.
+      .repartition(sets.sparkSession.sparkContext.defaultParallelism)
+      // downstream operators reference the edge relation several times
+      // (degree union, orientation joins); without an Exchange to reuse,
+      // materialize once
+      .localCheckpoint(true)
+  }
 
   /** Hub-capped adjacency for wedge generation: per `src`, keep only
     * the `k` lowest-`dst` neighbors (a deterministic per-key top-k any
@@ -161,10 +308,15 @@ object Graph {
     * Returns (walk_id, step, v) rows, step 0 = the seed. A walk halts
     * early only at a sink (impossible here: edges are symmetrized). */
   def deterministicWalks(edges: DataFrame, seeds: DataFrame,
-                         steps: Int): DataFrame = {
+                         steps: Int,
+                         localMaxEdges: Long = LocalSolveMaxEdges)
+      : DataFrame = {
     val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
+    // subcritical → one-task local fixed point (see LocalSolveMaxEdges)
+    if (dirE.count() <= localMaxEdges)
+      return localWalks(dirE, seeds, steps)
     var cur = seeds.select(col("walk_id"), col("v"))
     var out = cur.withColumn("step", lit(0))
     // EAGER per-step materialization: the frontier is ≤ |seeds| rows, so
@@ -193,6 +345,77 @@ object Graph {
     out.select(col("walk_id"), col("step"), col("v"))
   }
 
+  /** Single-task deterministic walks over a subcritical bidirected edge
+    * relation: the same sha-60 argmin draw — h = the first 15 hex chars
+    * of sha256("walk:step:neighbor") parsed base 16, next = the
+    * neighbor minimizing (h, v) — so the walk corpus is bit-equal to
+    * the distributed loop's. The seeds ride into the SAME single
+    * partition as tagged rows (an RDD union, not a collect), so nothing
+    * touches the driver. */
+  private def localWalks(dirE: DataFrame, seeds: DataFrame,
+                         steps: Int): DataFrame = {
+    val widType = seeds.schema("walk_id").dataType
+    val vType = seeds.schema("v").dataType
+    val ord = anyOrd
+    val getE = anyGetter(dirE.schema("src").dataType)
+    val getW = anyGetter(widType)
+    val getV = anyGetter(vType)
+    val tagged = dirE.queryExecution.toRdd
+      .map(r => (getE(r, 0), getE(r, 1), false))
+      .union(seeds.select(col("walk_id"), col("v")).queryExecution.toRdd
+        .map(r => (getW(r, 0), getV(r, 1), true)))
+    val rows = tagged.coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+      var frontier = mutable.ArrayBuffer.empty[(Any, Any)]
+      it.foreach { case (x, y, isSeed) =>
+        if (isSeed) frontier += ((x, y))
+        else adj.getOrElseUpdate(x, mutable.ArrayBuffer.empty) += y
+      }
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      // Long/Int/String render identically to Spark's string cast, and
+      // sha2 returns lowercase hex — so h matches conv(substring(...))
+      def h60(s: String): Long = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        val sb = new java.lang.StringBuilder(16)
+        var k = 0
+        while (k < 8) {
+          val b = d(k) & 0xff
+          if (b < 16) sb.append('0')
+          sb.append(java.lang.Integer.toHexString(b))
+          k += 1
+        }
+        java.lang.Long.parseLong(sb.substring(0, 15), 16)
+      }
+      val out = mutable.ArrayBuffer.empty[Row]
+      frontier.foreach { case (w, v) => out += Row(w, 0, v) }
+      var i = 1
+      while (i <= steps) {
+        val best = mutable.HashMap.empty[Any, (Long, Any)]
+        val order = mutable.ArrayBuffer.empty[Any] // stable emit order
+        frontier.foreach { case (w, u) =>
+          adj.getOrElse(u, mutable.ArrayBuffer.empty).foreach { v =>
+            val hv = h60(s"$w:$i:$v")
+            best.get(w) match {
+              case Some((bh, bv))
+                if bh < hv || (bh == hv && ord.compare(bv, v) <= 0) => ()
+              case prev =>
+                if (prev.isEmpty) order += w
+                best.update(w, (hv, v))
+            }
+          }
+        }
+        frontier = order.map(w => (w, best(w)._2))
+        frontier.foreach { case (w, v) => out += Row(w, i, v) }
+        i += 1
+      }
+      out.iterator
+    }
+    dirE.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("walk_id", widType), StructField("step", IntegerType),
+      StructField("v", vType))))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.,
     * Phys. Rev. E 76, 2007) made deterministic: every round each vertex
     * adopts the most frequent label among its neighbors' previous-round
@@ -206,10 +429,15 @@ object Graph {
     * [[pageRankFixedPoint]]; localCheckpoint every other round keeps the
     * unrolled plan from growing exponentially.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       localMaxEdges: Long = LocalSolveMaxEdges)
+      : DataFrame = {
     val dir = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
+    // subcritical → one-task local fixed point (see LocalSolveMaxEdges);
+    // the count is a column scan of the just-checkpointed blocks
+    if (dir.count() <= localMaxEdges) return localLabelProp(dir, rounds)
     var labels = dir.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
     (1 to rounds).foreach { i =>
@@ -234,27 +462,107 @@ object Graph {
     labels
   }
 
+  /** Single-task synchronous LPA over a subcritical bidirected edge
+    * relation: same rule as the distributed rounds — each dst adopts
+    * the (count DESC, label ASC)-max label among its in-neighbors'
+    * previous-round labels — so output rows are identical. */
+  private def localLabelProp(dir: DataFrame, rounds: Int): DataFrame = {
+    val vType = dir.schema("src").dataType
+    val ord = anyOrd
+    val rows = dir.queryExecution.toRdd.coalesce(1).mapPartitions { it =>
+      val (srcI, dstI, verts) = denseEdges(it, vType)
+      val nv = verts.length
+      val m = srcI.length
+      // labels are vertex INDICES; the min tie-break compares vertex
+      // VALUES, so precompute each index's rank in value order
+      val ordRank = new Array[Int](nv)
+      (0 until nv).sortBy(verts(_))(ord).zipWithIndex
+        .foreach { case (v, r) => ordRank(v) = r }
+      var labels = Array.tabulate(nv)(identity)
+      // CSR over in-neighbors, built once: counting sort by dst, then
+      // every round is a cache-friendly linear pass — gather each dst's
+      // neighbor labels into a scratch buffer, sort, count runs, argmax
+      // with the value-order tie-break. No hashing in the loop.
+      val start = new Array[Int](nv + 1)
+      var j = 0
+      while (j < m) { start(dstI(j) + 1) += 1; j += 1 }
+      var maxIn = 0
+      j = 0
+      while (j < nv) {
+        if (start(j + 1) > maxIn) maxIn = start(j + 1)
+        start(j + 1) += start(j); j += 1
+      }
+      val nbr = new Array[Int](m)
+      val pos = java.util.Arrays.copyOf(start, nv)
+      j = 0
+      while (j < m) { nbr(pos(dstI(j))) = srcI(j); pos(dstI(j)) += 1; j += 1 }
+      val scratch = new Array[Int](maxIn)
+      var i = 1
+      while (i <= rounds) {
+        val next = new Array[Int](nv)
+        var d = 0
+        while (d < nv) {
+          val s = start(d); val e = start(d + 1)
+          if (e == s) next(d) = labels(d) // isolated index: keep label
+          else {
+            var k = s; var t = 0
+            while (k < e) { scratch(t) = labels(nbr(k)); t += 1; k += 1 }
+            java.util.Arrays.sort(scratch, 0, t)
+            var bestL = -1; var bestC = 0
+            var r = 0
+            while (r < t) {
+              val l = scratch(r); var c = 0
+              while (r < t && scratch(r) == l) { c += 1; r += 1 }
+              if (bestL == -1 || c > bestC ||
+                (c == bestC && ordRank(l) < ordRank(bestL))) {
+                bestL = l; bestC = c
+              }
+            }
+            next(d) = bestL
+          }
+          d += 1
+        }
+        labels = next
+        i += 1
+      }
+      (0 until nv).iterator.map(k => Row(verts(k), verts(labels(k))))
+    }
+    dir.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("v", vType), StructField("lbl", vType))))
+  }
+
   def pageRankFixedPoint(edges: DataFrame, iters: Int,
                          scale: Long = 1000000000000L,
-                         checkpointEvery: Int = 5): DataFrame = {
-    val dir0 = edges.select(col("a").as("src"), col("b").as("dst"))
+                         checkpointEvery: Int = 5,
+                         localMaxEdges: Long = LocalSolveMaxEdges)
+      : DataFrame = {
+    // materialize the bidirected relation ONCE — both paths read these
+    // blocks, and the stat job below costs a column scan of them, never
+    // a recompute of the (corpus-sized) edge-extraction subtree above
+    val dirRaw = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-    val deg = dir0.groupBy("src").agg(count(lit(1)).as("deg"))
-    // materialize the oriented relation ONCE; the per-round join probes
-    // it against the |V|-row rank vector, which AQE broadcasts at demo
+      .localCheckpoint(true)
+    // ONE stat job: |V| (= distinct src — the edge list is bidirected,
+    // so every vertex appears as a src) feeds round 1's constant vector
+    // and the teleport term; |E| picks the plan ([[LocalSolveMaxEdges]]).
+    val st = dirRaw.agg(countDistinct(col("src")), count(lit(1))).head()
+    val n = st.getLong(0)
+    require(n > 0, "empty graph")
+    if (st.getLong(1) <= localMaxEdges)
+      return localPageRank(dirRaw, n, iters, scale)
+    val deg = dirRaw.groupBy("src").agg(count(lit(1)).as("deg"))
+    // re-materialize with degree attached; the per-round join probes it
+    // against the |V|-row rank vector, which AQE broadcasts at demo
     // scale and shuffle-joins at cluster scale — either way the |E| side
-    // is read from checkpointed blocks, never recomputed
-    val dir = dir0.join(deg, "src").localCheckpoint(true)
-    // |V| is the only thing the vertex set is needed for: round 1's rank
+    // is read from checkpointed blocks, never recomputed. Round 1's rank
     // vector is the CONSTANT scale/n, so it folds into the first
     // contribution projection (no |V|-row join, no materialized verts),
     // and every later round's vector comes out of the dst aggregate —
     // which covers the FULL vertex set because the edge list is
-    // bidirected (every vertex appears as a dst). The dangling-vertex
-    // left join a general directed PageRank needs would be a provably-
-    // empty-coalesce here, one whole exchange per round spent on nothing.
-    val n = dir.select(countDistinct(col("src"))).head().getLong(0)
-    require(n > 0, "empty graph")
+    // bidirected. The dangling-vertex left join a general directed
+    // PageRank needs would be a provably-empty-coalesce here, one whole
+    // exchange per round spent on nothing.
+    val dir = dirRaw.join(deg, "src").localCheckpoint(true)
     // |V| is already on the driver — use it to pick the rank join's
     // build side EXPLICITLY (the q213 hub-cap pattern: one statistic,
     // two value-identical plans). Under AQE alone, a shuffle join is
@@ -282,5 +590,87 @@ object Graph {
         ranks = ranks.localCheckpoint(true)
     }
     ranks
+  }
+
+  /** Single-task PageRank over a subcritical bidirected edge relation
+    * (columns `src`, `dst`): the identical update rule —
+    * round 1 c = (scale/n) div deg, then rank div deg, dst-sum,
+    * teleport + (85·s) div 100 — in one `mapPartitions` pass, so the
+    * output is bit-equal to the distributed loop's (all-integer
+    * arithmetic, no order-sensitive accumulation). Executor-side: the
+    * relation is coalesced, never collected. */
+  private def localPageRank(dirRaw: DataFrame, n: Long, iters: Int,
+                            scale: Long): DataFrame = {
+    val vType = dirRaw.schema("dst").dataType
+    val rows = dirRaw.queryExecution.toRdd.coalesce(1).mapPartitions { it =>
+      // densify vertex values to Int indices ONCE; every iteration then
+      // runs over primitive arrays
+      val (srcI, dstI, verts) = denseEdges(it, vType)
+      val nv = verts.length
+      val m = srcI.length
+      val deg = new Array[Long](nv)
+      var j = 0
+      while (j < m) { deg(srcI(j)) += 1L; j += 1 }
+      val teleport = (15L * scale) / (100L * n)
+      val c0 = scale / n
+      var ranks: Array[Long] = null
+      var i = 1
+      while (i <= iters) {
+        val sums = new Array[Long](nv)
+        j = 0
+        while (j < m) {
+          val s = srcI(j)
+          sums(dstI(j)) += (if (ranks == null) c0 else ranks(s)) / deg(s)
+          j += 1
+        }
+        j = 0
+        while (j < nv) { sums(j) = teleport + 85L * sums(j) / 100L; j += 1 }
+        ranks = sums
+        i += 1
+      }
+      (0 until nv).iterator.map(k => Row(verts(k), ranks(k)))
+    }
+    dirRaw.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("v", vType), StructField("rank", LongType))))
+  }
+
+  /** One pass over (src, dst) InternalRows → dense Int edge arrays plus
+    * the index→value table, specialized per vertex type so the hot loop
+    * never allocates a Row or boxes a long (the solve reads the
+    * checkpointed blocks straight off the physical plan). Every vertex
+    * of a bidirected relation appears as both src and dst, so the table
+    * covers the vertex set. */
+  private def denseEdges(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      dt: org.apache.spark.sql.types.DataType)
+      : (Array[Int], Array[Int], Array[Any]) = {
+    val srcI = new scala.collection.mutable.ArrayBuilder.ofInt
+    val dstI = new scala.collection.mutable.ArrayBuilder.ofInt
+    val verts = scala.collection.mutable.ArrayBuffer.empty[Any]
+    dt match {
+      case LongType =>
+        val idx = new scala.collection.mutable.LongMap[Int](1 << 16)
+        def id(a: Long): Int = idx.getOrElseUpdate(a,
+          { verts += a; verts.length - 1 })
+        it.foreach { r => srcI += id(r.getLong(0)); dstI += id(r.getLong(1)) }
+      case IntegerType =>
+        val idx = new scala.collection.mutable.LongMap[Int](1 << 16)
+        def id(a: Int): Int = idx.getOrElseUpdate(a.toLong,
+          { verts += a; verts.length - 1 })
+        it.foreach { r => srcI += id(r.getInt(0)); dstI += id(r.getInt(1)) }
+      case StringType =>
+        val idx = new java.util.HashMap[String, Integer]()
+        def id(a: String): Int = {
+          val got = idx.get(a)
+          if (got != null) got.intValue()
+          else { val k = verts.length; idx.put(a, k); verts += a; k }
+        }
+        it.foreach { r =>
+          srcI += id(r.getUTF8String(0).toString)
+          dstI += id(r.getUTF8String(1).toString)
+        }
+      case other => sys.error(s"unsupported vertex type: $other")
+    }
+    (srcI.result(), dstI.result(), verts.toArray)
   }
 }

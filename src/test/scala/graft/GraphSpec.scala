@@ -83,6 +83,68 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  // ── subcritical local solve ≡ distributed loop ─────────────────────
+  // The adaptive threshold (Graph.LocalSolveMaxEdges) picks between two
+  // plans that must be VALUE-IDENTICAL: localMaxEdges = 0 forces the
+  // per-round distributed path, the default takes the one-task local
+  // path on these fixtures. Same fixture, both paths, row-for-row.
+
+  private def denseFixture = {
+    // 60 vertices, ~8 groups of co-occurring members with cross links:
+    // enough structure that ranks/labels/walks are all non-trivial
+    val raw = (0L until 180L).map { i =>
+      val a = i % 60; val b = (a + 1 + (i * i) % 13) % 60
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    raw.toDF("a", "b")
+  }
+
+  test("pageRank local solve equals distributed loop (Long vertices)") {
+    val e = denseFixture
+    val local = Graph.pageRankFixedPoint(e, iters = 3)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dist = Graph.pageRankFixedPoint(e, iters = 3, localMaxEdges = 0L)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(local.toSeq === dist.toSeq)
+    assert(local.nonEmpty)
+  }
+
+  test("pageRank local solve equals distributed loop (String vertices)") {
+    // q262's shape: token vertices — string keys through both paths
+    val e = denseFixture.select(
+      concat(lit("tok"), col("a")).as("a"),
+      concat(lit("tok"), col("b")).as("b"))
+    val local = Graph.pageRankFixedPoint(e, iters = 3)
+      .orderBy("v").collect().map(r => (r.getString(0), r.getLong(1)))
+    val dist = Graph.pageRankFixedPoint(e, iters = 3, localMaxEdges = 0L)
+      .orderBy("v").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(local.toSeq === dist.toSeq)
+  }
+
+  test("labelPropagation local solve equals distributed loop") {
+    val e = denseFixture
+    val local = Graph.labelPropagation(e, rounds = 3)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dist = Graph.labelPropagation(e, rounds = 3, localMaxEdges = 0L)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(local.toSeq === dist.toSeq)
+  }
+
+  test("deterministicWalks local solve equals distributed loop") {
+    val e = denseFixture
+    val seeds = e.select(col("a").as("v")).distinct()
+      .filter(col("v") < 10).select(col("v").as("walk_id"), col("v"))
+    val local = Graph.deterministicWalks(e, seeds, steps = 4)
+      .orderBy("walk_id", "step").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val dist = Graph.deterministicWalks(e, seeds, steps = 4,
+        localMaxEdges = 0L)
+      .orderBy("walk_id", "step").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(local.toSeq === dist.toSeq)
+    assert(local.length === 50) // 10 walks × (1 seed + 4 steps)
+  }
+
   test("deterministicWalks is partitioning-invariant") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("a", "b")
