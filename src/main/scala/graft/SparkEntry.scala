@@ -5212,6 +5212,174 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] bounded weighted shortest paths (synchronous Bellman-
+    // Ford, operators/Graph.boundedSssp) over the urgent co-purchase
+    // graph with deterministic integer weights — the weighted
+    // generalization of q136's BFS. All-integer relaxation, so DuckDB
+    // replays the identical 3-round bound as a recursive CTE whose
+    // UNION-dedup state space is (vertex × distinct dist ≤ 3·7) — tiny.
+    // Subcritical graphs take the one-task local solve; at scale the
+    // same rounds are one |frontier|⋈|E| equi-join + min each. ─────────
+    "q278_sssp_weighted" -> ((s, dir) => {
+      val urgent = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+          urgent, "l_orderkey", "l_partkey")
+        .withColumn("w", (col("a") + col("b")) % 7 + lit(1L))
+      val seeds = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .distinct().filter(col("v") < 50)
+      graft.operators.Graph.boundedSssp(edges, seeds, rounds = 3)
+        .select(col("v").as("part"), col("dist"))
+        .orderBy("part")
+    }),
+
+    // ── [ext] DESCRIBE HISTORY — the commit log AS a table: every
+    // writer stamps a commitInfo-style `op` action, so the operator
+    // timeline (create → append → upsert → compact → delete → restore)
+    // is queryable without touching a data file. The oracle is the
+    // declared contract: this exact scripted sequence. ─────────────────
+    "q279_txn_history" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q279_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d97 = to_date(lit("1997-01-01"))
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d97))
+      graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d97 && col("o_orderdate") < d98))
+      graft.sources.TxnLog.upsert(s, tbl,
+        o.filter(col("o_orderdate") >= d98), Seq("o_orderkey"))
+      graft.sources.TxnLog.compact(s, tbl)
+      graft.sources.TxnLog.deleteWhere(s, tbl, col("o_totalprice") > 400000)
+      graft.sources.TxnLog.restore(s, tbl, 3L)
+      graft.sources.TxnLog.history(s, tbl)
+        .select(col("version"), col("operation"))
+        .orderBy("version")
+    }),
+
+    // ── [ext] incremental materialized-view maintenance from the
+    // change feed: the per-status aggregate is computed ONCE at v1,
+    // then advanced to v3 purely from changesBetween deltas (insert/
+    // update_postimage add, update_preimage/delete subtract — exact
+    // DECIMAL, so maintained ≡ recomputed to the bit). The oracle
+    // recomputes the final state directly: a maintenance bug that
+    // drops or double-counts a delta hash-fails. At 100 TB this is THE
+    // pattern that keeps downstream aggregates fresh without rescanning
+    // the base table after every daily merge — the MV update touches
+    // CDF rows only, never the table. ─────────────────────────────────
+    "q280_txn_incremental_mv" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q280_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      val v1 = graft.sources.TxnLog.create(s, tbl,
+        o.filter(col("o_orderdate") < d98))
+      val money = DecimalType(18, 2)
+      val wide = DecimalType(38, 2)
+      // the base MV, frozen at v1 (time-traveled read + eager
+      // materialization: later versions cannot leak in)
+      val mv0 = graft.sources.TxnLog.snapshot(s, tbl, Some(v1))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("o_totalprice").cast(money)).cast(wide).as("p0"))
+        .localCheckpoint(true)
+      val updates = o
+        .filter(col("o_orderdate").between(
+          to_date(lit("1997-06-01")), to_date(lit("1998-06-30"))))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.sources.TxnLog.upsert(s, tbl, updates, Seq("o_orderkey"))
+      val v3 = graft.sources.TxnLog.deleteWhere(s, tbl,
+        col("o_totalprice") > 900000)
+      // delta algebra over the feed: signed counts and signed money
+      val delta = graft.sources.TxnLog.changesBetween(s, tbl, v1, v3)
+        .withColumn("sgn",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("sgn")).as("dn"),
+          sum(when(col("sgn") === 1L, col("o_totalprice").cast(money))
+            .otherwise(-col("o_totalprice").cast(money))).cast(wide).as("dp"))
+      mv0.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("p0"), lit(0).cast(wide)) +
+            coalesce(col("dp"), lit(0).cast(wide)))
+            .cast(DoubleType).as("total_price"))
+        .filter(col("n_orders") > 0)
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── [ext] degree assortativity — Pearson correlation of endpoint
+    // degrees over the (symmetrized) urgent co-purchase graph, the
+    // standard one-number summary of hub-to-hub vs hub-to-leaf wiring
+    // (Newman 2002). Exact BIGINT moments (degrees are counts, every
+    // sum < 2⁵³), one double formula at the end — bit-identical on any
+    // engine, one |E| join + one aggregate, no iteration. ─────────────
+    "q281_degree_assortativity" -> ((s, dir) => {
+      val urgent = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        urgent, "l_orderkey", "l_partkey")
+      val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      val deg = dirE.groupBy("src").agg(count(lit(1)).as("d"))
+      val j = dirE
+        .join(deg.select(col("src").as("src"), col("d").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+      def dbl(c: Column) = c.cast(DoubleType)
+      j.agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("m"),
+          ((dbl(col("m")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            (sqrt(dbl(col("m")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+              sqrt(dbl(col("m")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))))
+            .as("assortativity"))
+    }),
+
+    // ── [ext] t-closeness — the privacy gate k-anonymity (q179) and
+    // l-diversity (q212) don't give: per quasi-identifier group, the
+    // earth-mover's distance between the group's distribution over an
+    // ORDERED sensitive attribute and the global one (Li et al., ICDE
+    // 2007). Integer cross-multiplied cumulative gaps (|cum_g·N −
+    // cum_G·n_g| — no fractions until the final double), buckets
+    // densified so empty cells still carry their cumulative term. ─────
+    "q282_t_closeness" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_mktsegment").as("seg"),
+        least(lit(3), greatest(lit(0),
+          floor((col("c_acctbal") + 1000) / 2750).cast(IntegerType))).as("b"))
+      val cnt = c.groupBy("seg", "b").agg(count(lit(1)).as("n"))
+      val dense = cnt.select("seg").distinct()
+        .crossJoin(s.range(0, 4).select(col("id").cast(IntegerType).as("b")))
+        .join(cnt, Seq("seg", "b"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val cumg = dense.withColumn("cumg",
+        sum(col("n")).over(Window.partitionBy("seg").orderBy("b")))
+      val cumG = dense.groupBy("b").agg(sum(col("n")).as("gn"))
+        .withColumn("cumglob", sum(col("gn")).over(Window.orderBy("b")))
+        .select("b", "cumglob") // 4 rows: the SinglePartition window is free
+      val ng = dense.groupBy("seg").agg(sum(col("n")).as("ng"))
+      val bigN = dense.agg(sum(col("n")).as("ntot"))
+      cumg.join(cumG, "b").join(ng, "seg").crossJoin(broadcast(bigN))
+        .filter(col("b") < 3) // EMD sums the k-1 interior cumulative gaps
+        .groupBy("seg", "ng", "ntot")
+        .agg(sum(abs(col("cumg") * col("ntot") - col("cumglob") * col("ng")))
+          .as("tnum"))
+        .select(col("seg"), col("ng").as("n_customers"),
+          (col("tnum").cast(DoubleType) /
+            (col("ng").cast(DoubleType) * col("ntot").cast(DoubleType) * 3.0))
+            .as("t_closeness"))
+        .orderBy("seg")
+    }),
+
     // ── [ext] RESTORE — the undo button for a corrupted load: a bad
     // overwrite (v3 drops everything but 1997) is rolled back to v2 by
     // a METADATA-ONLY commit that re-references the old files (no data
@@ -9114,6 +9282,108 @@ object SparkEntry {
 
       // q277: pruning is layout + superset + residual, so the oracle is
       // the plain 1997 aggregate regardless of clustering
+      // q278: the identical 3-round bound as a recursive CTE — UNION
+      // (not UNION ALL) dedups states, and the state space is bounded
+      // by vertex × dist ≤ 21 × hop ≤ 3, so the replay stays tiny
+      "q278_sssp_weighted" ->
+        """WITH RECURSIVE op AS (
+          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |  WHERE o_orderpriority = '1-URGENT'),
+          |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+          |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+          |e AS (SELECT a AS src, b AS dst, (a + b) % 7 + 1 AS w FROM e0
+          |      UNION ALL SELECT b, a, (a + b) % 7 + 1 FROM e0),
+          |sd AS (SELECT DISTINCT src AS v FROM e WHERE src < 50),
+          |walk(v, dist, hop) AS (
+          |  SELECT v, CAST(0 AS BIGINT), 0 FROM sd
+          |  UNION
+          |  SELECT e.dst, walk.dist + e.w, walk.hop + 1
+          |  FROM walk JOIN e ON e.src = walk.v WHERE walk.hop < 3)
+          |SELECT v AS part, min(dist) AS dist FROM walk
+          |GROUP BY v ORDER BY part""".stripMargin,
+
+      // q279: the declared contract — this exact scripted operation
+      // sequence, straight from the commit log's op actions
+      "q279_txn_history" ->
+        """SELECT CAST(v AS BIGINT) AS version, op AS operation
+          |FROM (VALUES (1, 'create'), (2, 'append'), (3, 'upsert'),
+          |             (4, 'compact'), (5, 'delete'), (6, 'restore'))
+          |  t(v, op)
+          |ORDER BY version""".stripMargin,
+
+      // q280: the maintained MV must equal the final state recomputed
+      // directly — create(<1998) ∘ upsert(97H2–98H1 doubled) ∘
+      // delete(>900k): survivors are pre-window originals plus doubled
+      // window rows at most 900k
+      "q280_txn_incremental_mv" ->
+        """WITH st AS (
+          |  SELECT o_orderstatus AS s, o_totalprice AS p FROM orders
+          |  WHERE o_orderdate < DATE '1997-06-01'
+          |  UNION ALL
+          |  SELECT o_orderstatus, o_totalprice * 2 FROM orders
+          |  WHERE o_orderdate BETWEEN DATE '1997-06-01'
+          |    AND DATE '1998-06-30')
+          |SELECT s AS o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM st WHERE p <= 900000
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // q281: exact integer moments over the bidirected degree-joined
+      // edges, then the one double Pearson formula — identical IEEE ops
+      "q281_degree_assortativity" ->
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |      WHERE o_orderpriority = '1-URGENT'),
+          |e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+          |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+          |d0 AS (SELECT a AS src, b AS dst FROM e0
+          |       UNION ALL SELECT b, a FROM e0),
+          |dg AS (SELECT src, count(*) AS d FROM d0 GROUP BY src),
+          |j AS (SELECT x.d AS dx, y.d AS dy FROM d0
+          |      JOIN dg x ON x.src = d0.src JOIN dg y ON y.src = d0.dst),
+          |ag AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+          |              sum(dx*dy) AS sxy, sum(dx*dx) AS sxx,
+          |              sum(dy*dy) AS syy FROM j)
+          |SELECT m,
+          |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          |  (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |   sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+          |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |    AS assortativity
+          |FROM ag""".stripMargin,
+
+      // q282: EMD over ordered acctbal buckets — integer cross-
+      // multiplied cumulative gaps, buckets densified so empty cells
+      // still carry their cumulative term
+      "q282_t_closeness" ->
+        """WITH c AS (SELECT c_mktsegment AS seg,
+          |  LEAST(3, GREATEST(0, CAST(floor(
+          |    (CAST(c_acctbal AS DOUBLE) + 1000) / 2750) AS INTEGER)))
+          |    AS b FROM customer),
+          |cnt AS (SELECT seg, b, count(*) AS n FROM c GROUP BY 1, 2),
+          |dense AS (SELECT s.seg, bb.b, coalesce(cnt.n, 0) AS n
+          |  FROM (SELECT DISTINCT seg FROM cnt) s
+          |  CROSS JOIN (SELECT unnest(range(4)) AS b) bb
+          |  LEFT JOIN cnt ON cnt.seg = s.seg AND cnt.b = bb.b),
+          |wc AS (SELECT seg, b, n,
+          |  sum(n) OVER (PARTITION BY seg ORDER BY b) AS cumg FROM dense),
+          |gl AS (SELECT b, sum(n) AS gn FROM dense GROUP BY b),
+          |gc AS (SELECT b, sum(gn) OVER (ORDER BY b) AS cumG FROM gl),
+          |tt AS (SELECT seg, sum(n) AS ng FROM dense GROUP BY seg),
+          |nn AS (SELECT sum(n) AS N FROM dense)
+          |SELECT wc.seg, CAST(tt.ng AS BIGINT) AS n_customers,
+          |  CAST(sum(abs(wc.cumg * nn.N - gc.cumG * tt.ng)) AS DOUBLE) /
+          |    (CAST(tt.ng AS DOUBLE) * CAST(nn.N AS DOUBLE) * 3.0)
+          |    AS t_closeness
+          |FROM wc JOIN gc ON gc.b = wc.b JOIN tt ON tt.seg = wc.seg
+          |CROSS JOIN nn
+          |WHERE wc.b < 3
+          |GROUP BY wc.seg, tt.ng, nn.N
+          |ORDER BY wc.seg""".stripMargin,
+
       "q277_txn_cluster_optimize" ->
         """SELECT o_orderstatus, count(*) AS n_orders,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -531,6 +531,93 @@ object Graph {
       StructField("v", vType), StructField("lbl", vType))))
   }
 
+  /** Bounded-hop weighted shortest paths (synchronous Bellman-Ford) over
+    * undirected edges (columns `a`, `b`, `w`: integral weight) from a
+    * seed set: after `rounds` relaxations, dist(v) is the exact minimum
+    * path weight over paths of at most `rounds` edges — the weighted
+    * generalization of the q136 BFS frontier. Per round the distributed
+    * plan is ONE dist ⋈ edges equi-join plus one min aggregate — the
+    * same linear iterative shape as [[pageRankFixedPoint]] — and the
+    * arithmetic is all-integer, so results are bit-reproducible and the
+    * subcritical one-task local solve ([[LocalSolveMaxEdges]]) is
+    * value-identical. Returns (v, dist) for vertices reachable within
+    * the bound (seeds at dist 0). */
+  def boundedSssp(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                  localMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
+    val dir = edges.select(col("a").as("src"), col("b").as("dst"),
+        col("w").cast(LongType).as("w"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst"),
+        col("w").cast(LongType).as("w")))
+      .localCheckpoint(true)
+    // subcritical → one-task local fixed point (see LocalSolveMaxEdges)
+    if (dir.count() <= localMaxEdges) return localSssp(dir, seeds, rounds)
+    var dist = seeds.select(col("v"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { i =>
+      val cand = dir.join(dist, col("src") === col("v"))
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(cand)
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+      if (i % 2 == 0 && i < rounds) dist = dist.localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Single-task Bellman-Ford over a subcritical bidirected weighted
+    * edge relation — same synchronous relaxation (next(v) = min(prev(v),
+    * min_u prev(u) + w(u,v))), so output rows are identical to the
+    * distributed loop's. Seeds ride in via an RDD union, never the
+    * driver. */
+  private def localSssp(dir: DataFrame, seeds: DataFrame,
+                        rounds: Int): DataFrame = {
+    val vType = dir.schema("src").dataType
+    val getE = anyGetter(vType)
+    val getV = anyGetter(seeds.schema("v").dataType)
+    val tagged = dir.queryExecution.toRdd
+      .map(r => (getE(r, 0), getE(r, 1), r.getLong(2), false))
+      .union(seeds.select(col("v")).queryExecution.toRdd
+        .map(r => (getV(r, 0), null: Any, 0L, true)))
+    val rows = tagged.coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      val idx = new java.util.HashMap[Any, Integer]()
+      val verts = mutable.ArrayBuffer.empty[Any]
+      def id(a: Any): Int = {
+        val got = idx.get(a)
+        if (got != null) got.intValue()
+        else { val k = verts.length; idx.put(a, k); verts += a; k }
+      }
+      val srcI = new mutable.ArrayBuilder.ofInt
+      val dstI = new mutable.ArrayBuilder.ofInt
+      val ws = new mutable.ArrayBuilder.ofLong
+      val seedI = new mutable.ArrayBuilder.ofInt
+      it.foreach { case (x, y, w, isSeed) =>
+        if (isSeed) seedI += id(x)
+        else { srcI += id(x); dstI += id(y); ws += w }
+      }
+      val (s, d, w) = (srcI.result(), dstI.result(), ws.result())
+      val nv = verts.length
+      val INF = Long.MaxValue
+      var dist = Array.fill(nv)(INF)
+      seedI.result().foreach(k => dist(k) = 0L)
+      var i = 1
+      while (i <= rounds) {
+        val next = dist.clone()
+        var j = 0
+        while (j < s.length) {
+          val ds = dist(s(j))
+          if (ds != INF && ds + w(j) < next(d(j))) next(d(j)) = ds + w(j)
+          j += 1
+        }
+        dist = next
+        i += 1
+      }
+      (0 until nv).iterator.filter(dist(_) != INF)
+        .map(k => Row(verts(k), dist(k)))
+    }
+    dir.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("v", vType), StructField("dist", LongType))))
+  }
+
   def pageRankFixedPoint(edges: DataFrame, iters: Int,
                          scale: Long = 1000000000000L,
                          checkpointEvery: Int = 5,

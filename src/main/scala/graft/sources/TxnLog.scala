@@ -5,8 +5,8 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, SparkSession}
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** Minimal ACID table format: a parquet directory governed by an ordered
   * commit log — the missing capability the judge flagged when porting the
@@ -210,6 +210,7 @@ object TxnLog {
         case Array("schema", json) => schemaJson = Some(json)
         case Array("cdc", _) => () // change-feed file: never in the snapshot
         case Array("nochange") => () // layout-only commit marker (compaction)
+        case Array("op", _) => () // commitInfo: per-commit metadata, not state
         case Array("check", name, exprSql) => checks(name) = exprSql
         case Array("txn", id, tv) =>
           txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
@@ -643,7 +644,7 @@ object TxnLog {
       require(!n.contains('\t') && !e.contains('\t'),
         "constraint names/expressions must be tab-free") }
     val named = stageChecked(spark, table, df, checks.toMap, partitionBy)
-    val actions = s"schema\t${df.schema.json}" +:
+    val actions = "op\tcreate" +: s"schema\t${df.schema.json}" +:
       (checks.map { case (n, e) => s"check\t$n\t$e" } ++
         named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols))
     if (!publish(table, 1L, actions))
@@ -680,8 +681,8 @@ object TxnLog {
       .map("schema\t" + _)
     val named = stageChecked(spark, table, df, st.checks,
       partitionColsOf(st.live).getOrElse(Nil))
-    val actions = schemaLine.toSeq ++ named.map("add\t" + _) ++
-      statsLines(spark, table, named, statsCols)
+    val actions = "op\tappend" +: (schemaLine.toSeq ++
+      named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols))
     var v = vs.last + 1
     while (!publish(table, v, actions)) v += 1
     maybeCheckpoint(table, v)
@@ -734,7 +735,8 @@ object TxnLog {
         .getOrElse(versions(table).last) // batch skipped upstream: latest
     val named = stageChecked(spark, table, df,
       replayState(table, versions(table).last).checks, Nil)
-    val actions = s"txn\t$appId\t$txnVersion" +: named.map("add\t" + _)
+    val actions = "op\tappend" +: s"txn\t$appId\t$txnVersion" +:
+      named.map("add\t" + _)
     var v = versions(table).last + 1
     while (!publish(table, v, actions)) {
       if (lastTxnVersion(table, appId) >= txnVersion) {
@@ -763,7 +765,8 @@ object TxnLog {
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
                 expectedVersion: Option[Long] = None,
                 overwriteSchema: Boolean = false,
-                cdcRows: Option[DataFrame] = None): Long = {
+                cdcRows: Option[DataFrame] = None,
+                opName: String = "overwrite"): Long = {
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
@@ -781,9 +784,9 @@ object TxnLog {
     val cdcNames = cdcRows.toSeq.flatMap(
       stage(spark, table, _, subdir = Some("_change_data")))
     val v = base + 1
-    if (!publish(table, v, schemaLine.toSeq ++
+    if (!publish(table, v, s"op\t$opName" +: (schemaLine.toSeq ++
         st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
-        cdcNames.map("cdc\t" + _)))
+        cdcNames.map("cdc\t" + _))))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -843,7 +846,7 @@ object TxnLog {
         val snap = readFiles(spark, table, st.live, declared)
         val merged = graft.ops.Merge.upsert(snap, u, keys)
         overwrite(spark, table, merged, Some(base),
-          cdcRows = Some(upsertCdc(snap, u, keys)))
+          cdcRows = Some(upsertCdc(snap, u, keys)), opName = "upsert")
       case Some(pcols) =>
         // touched partitions: the updates' own partition values — a
         // bounded collect (#distinct partitions a batch touches), the
@@ -864,8 +867,8 @@ object TxnLog {
         }
         val named = stageChecked(spark, table, merged, st.checks, pcols)
         val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
-        val actions = touchedFiles.map("remove\t" + _) ++
-          named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _)
+        val actions = "op\tupsert" +: (touchedFiles.map("remove\t" + _) ++
+          named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _))
         // partition-conflict-aware publish: a lost race re-checks the
         // commits that beat us; disjoint partitions → retry at the new
         // head (our removes are still live), overlap → stale merge
@@ -920,7 +923,7 @@ object TxnLog {
       partitionColsOf(st.live).getOrElse(Nil))
     val sc = if (statsCols.nonEmpty) statsCols else clusterBy
     val v = base + 1
-    if (!publish(table, v, "nochange" +:
+    if (!publish(table, v, "op\tcompact" +: "nochange" +:
         (st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
           statsLines(spark, table, named, sc))))
       throw new ConcurrentCommitException(v)
@@ -941,7 +944,8 @@ object TxnLog {
     val snap = snapshot(spark, table, Some(base))
     val survivors = snap.filter(!cond)
     val deleted = snap.filter(cond).withColumn("_change_type", lit("delete"))
-    overwrite(spark, table, survivors, Some(base), cdcRows = Some(deleted))
+    overwrite(spark, table, survivors, Some(base), cdcRows = Some(deleted),
+      opName = "delete")
   }
 
   /** Row-level change feed (Delta CDF): every change committed in
@@ -1026,8 +1030,8 @@ object TxnLog {
     val stats = adds.flatMap(f => tgt.stats.collect {
       case ((`f`, c), (mn, mx)) => s"stats\t$f\t$c\t$mn\t$mx" })
     val v = base + 1
-    if (!publish(table, v, schemaLine.toSeq ++
-        removes.map("remove\t" + _) ++ adds.map("add\t" + _) ++ stats))
+    if (!publish(table, v, "op\trestore" +: (schemaLine.toSeq ++
+        removes.map("remove\t" + _) ++ adds.map("add\t" + _) ++ stats)))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -1062,7 +1066,7 @@ object TxnLog {
     if (nBad > 0) throw new ConstraintViolationException(
       s"existing rows violate CHECK $name ($exprSql)")
     val v = base + 1
-    if (!publish(table, v, Seq(s"check\t$name\t$exprSql")))
+    if (!publish(table, v, Seq("op\taddCheck", s"check\t$name\t$exprSql")))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -1090,6 +1094,39 @@ object TxnLog {
     val dir = Paths.get(table, "_change_data")
     Files.createDirectories(dir)
     spark.readStream.schema(cdfSchema).parquet(dir.toString)
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version, newest last —
+    * the operation name from the commit's `op` line (Delta's commitInfo
+    * action; every writer here stamps one) plus the add/remove/cdc
+    * action counts straight off the log. Older logs without an `op`
+    * line fall back to a structural classification. Driver-side
+    * metadata only (O(versions) small log reads, no data scan) — the
+    * first thing an operator pulls up when a 100 TB table looks wrong. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val rows = vs.map { v =>
+      val acts = actionsOf(table, v)
+      val adds = acts.count(a => a.length == 2 && a(0) == "add")
+      val removes = acts.count(a => a.length == 2 && a(0) == "remove")
+      val cdc = acts.count(a => a.length == 2 && a(0) == "cdc")
+      val op = acts.collectFirst { case Array("op", name) => name }
+        .getOrElse { // structural fallback for pre-commitInfo logs
+          if (v == 1L) "create"
+          else if (acts.exists(_.sameElements(Array("nochange")))) "compact"
+          else if (cdc > 0 || removes > 0) "overwrite"
+          else "append"
+        }
+      Row(v, op, adds.toLong, removes.toLong, cdc.toLong)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("n_added", LongType, nullable = false),
+        StructField("n_removed", LongType, nullable = false),
+        StructField("n_cdc_files", LongType, nullable = false))))
   }
 
   /** K7's retention lifecycle: delete data files not referenced by any

@@ -145,6 +145,31 @@ class GraphSpec extends SparkSpec {
     assert(local.length === 50) // 10 walks × (1 seed + 4 steps)
   }
 
+  test("boundedSssp: hand-checkable weighted distances, hop-bounded") {
+    // 1 --(1)-- 2 --(1)-- 3 --(1)-- 4 ; shortcut 1 --(5)-- 4.
+    // From seed 1 with 2 rounds: dist(4) = min(5, unreachable-in-2-via-
+    // chain) = 5; with 3 rounds the chain wins: 3.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 5L))
+      .toDF("a", "b", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    def run(r: Int) = Graph.boundedSssp(edges, seeds, r)
+      .orderBy("v").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(run(2) === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 5L)))
+    assert(run(3) === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("boundedSssp local solve equals distributed loop") {
+    val e = denseFixture.withColumn("w",
+      (col("a") + col("b")) % 7 + lit(1L))
+    val seeds = e.select(col("a").as("v")).distinct().filter(col("v") < 5)
+    val local = Graph.boundedSssp(e, seeds, rounds = 3)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dist = Graph.boundedSssp(e, seeds, rounds = 3, localMaxEdges = 0L)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(local.toSeq === dist.toSeq)
+    assert(local.nonEmpty)
+  }
+
   test("deterministicWalks is partitioning-invariant") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("a", "b")

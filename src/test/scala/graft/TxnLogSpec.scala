@@ -648,4 +648,42 @@ class TxnLogSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L))
   }
+
+  test("history reports the op of every commit, oldest first") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 3))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 3))
+    TxnLog.upsert(spark, t,
+      nation.filter(col("n_nationkey") === 5)
+        .withColumn("n_name", lit("PATCHED")), Seq("n_nationkey"))
+    TxnLog.compact(spark, t)
+    TxnLog.deleteWhere(spark, t, col("n_nationkey") === 5)
+    TxnLog.restore(spark, t, 3L)
+    TxnLog.addCheck(spark, t, "key_range", "n_nationkey BETWEEN 0 AND 24")
+    val h = TxnLog.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == (1L to 7L))
+    assert(h.map(_.getString(1)).toSeq ==
+      Seq("create", "append", "upsert", "compact", "delete", "restore",
+        "addCheck"))
+    // compaction rewrote the live set down to one file
+    val compactRow = h(3)
+    assert(compactRow.getLong(2) == 1L && compactRow.getLong(3) >= 1L)
+    // the delete journaled change rows; history surfaces the cdc count
+    assert(h(4).getLong(4) >= 1L)
+  }
+
+  test("history classifies structurally when op lines are absent") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    TxnLog.append(spark, t, nation.limit(1))
+    // simulate a pre-commitInfo log: strip the op lines in place
+    Seq(1L, 2L).foreach { v =>
+      val f = Paths.get(t, "_txn_log", f"$v%020d.log")
+      val kept = Files.readAllLines(f)
+      kept.removeIf((l: String) => l.startsWith("op\t"))
+      Files.write(f, kept)
+    }
+    val h = TxnLog.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq == Seq("create", "append"))
+  }
 }
