@@ -5380,6 +5380,33 @@ object SparkEntry {
         .orderBy("seg")
     }),
 
+    // ── [ext] per-file BLOOM skipping — the point-lookup analogue of
+    // q267's min/max stats, lifted into the commit log (Iceberg/
+    // parquet bloom metadata, planned without opening a footer). The
+    // table is DATE-clustered, so every file spans ~the whole orderkey
+    // range and min/max stats prune NOTHING on a key probe; the bloom
+    // prunes to the one file that can hold it (TxnLogSpec pins the
+    // 1-of-5 file count; this query pins the rows through the oracle;
+    // the residual equality filter stays the correctness boundary). ───
+    "q283_txn_bloom_skipping" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q283_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl,
+        o.repartitionByRange(8, col("o_orderdate")),
+        bloomCols = Seq("o_orderkey"))
+      // the probe key: a bounded scalar plan parameter (q43's codebook
+      // class), deterministic from the fixture
+      val probeKey = o
+        .filter(col("o_orderdate") >= to_date(lit("1997-03-15")) &&
+          col("o_orderdate") < to_date(lit("1997-03-16")))
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      graft.sources.TxnLog.snapshotWhereEq(s, tbl, "o_orderkey", probeKey)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // ── [ext] RESTORE — the undo button for a corrupted load: a bad
     // overwrite (v3 drops everything but 1997) is rolled back to v2 by
     // a METADATA-ONLY commit that re-references the old files (no data
@@ -9282,6 +9309,17 @@ object SparkEntry {
 
       // q277: pruning is layout + superset + residual, so the oracle is
       // the plain 1997 aggregate regardless of clustering
+      // q283: the probed row replayed directly — a bloom false negative
+      // (wrongly skipped file) would drop the row and hash-fail
+      "q283_txn_bloom_skipping" ->
+        """SELECT o_orderkey, o_orderstatus,
+          |  CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+          |FROM orders WHERE o_orderkey = (
+          |  SELECT min(o_orderkey) FROM orders
+          |  WHERE o_orderdate >= DATE '1997-03-15'
+          |    AND o_orderdate < DATE '1997-03-16')
+          |ORDER BY o_orderkey""".stripMargin,
+
       // q278: the identical 3-round bound as a recursive CTE — UNION
       // (not UNION ALL) dedups states, and the state space is bounded
       // by vertex × dist ≤ 21 × hop ≤ 3, so the replay stays tiny

@@ -187,7 +187,9 @@ object TxnLog {
                                  schemaJson: Option[String],
                                  checks: Map[String, String],
                                  txn: Map[String, Long],
-                                 stats: Map[(String, String), (Long, Long)])
+                                 stats: Map[(String, String), (Long, Long)],
+                                 blooms: Map[(String, String),
+                                   (Int, Int, Array[Long])])
 
   /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
     * when one exists, else from the log's beginning. */
@@ -198,9 +200,12 @@ object TxnLog {
     val txn = scala.collection.mutable.Map.empty[String, Long]
     val stats =
       scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    val blooms = scala.collection.mutable
+      .Map.empty[(String, String), (Int, Int, Array[Long])]
     def dropFile(f: String): Unit = {
       live -= f
       stats.keys.filter(_._1 == f).toSeq.foreach(stats.remove)
+      blooms.keys.filter(_._1 == f).toSeq.foreach(blooms.remove)
     }
     def applyLine(where: String)(line: String): Unit =
       line.split('\t') match {
@@ -216,6 +221,8 @@ object TxnLog {
           txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
         case Array("stats", f, c, mn, mx) =>
           stats((f, c)) = (mn.toLong, mx.toLong)
+        case Array("bloom", f, c, m, k, b64) =>
+          blooms((f, c)) = (m.toInt, k.toInt, bitsFromB64(b64))
         case _ => sys.error(s"corrupt log line in $where: $line")
       }
     val start = latestCheckpoint(table, upTo) match {
@@ -228,7 +235,8 @@ object TxnLog {
       Files.readAllLines(logFile(table, v)).asScala
         .foreach(applyLine(s"v$v"))
     }
-    State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap)
+    State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap,
+      blooms.toMap)
   }
 
   /** Raw action lines of one committed version (no checkpoint
@@ -258,7 +266,11 @@ object TxnLog {
             g("txn").append("name", id).append("lo", tv) } ++
           st.stats.toSeq.sortBy(_._1).map { case ((f, c), (mn, mx)) =>
             g("stats").append("path", f).append("name", c)
-              .append("lo", mn).append("hi", mx) }
+              .append("lo", mn).append("hi", mx) } ++
+          st.blooms.toSeq.sortBy(_._1).map { case ((f, c), (m, k, bits)) =>
+            g("bloom").append("path", f).append("name", c)
+              .append("detail", bitsToB64(bits))
+              .append("lo", m.toLong).append("hi", k.toLong) }
       // write-temp-then-atomic-rename, like the log itself: a reader
       // can never observe a half-written checkpoint
       val tmp = logDir(table).resolve(
@@ -312,6 +324,9 @@ object TxnLog {
           case "txn" => s"txn\t${s("name")}\t${l("lo")}"
           case "stats" =>
             s"stats\t${s("path")}\t${s("name")}\t${l("lo")}\t${l("hi")}"
+          case "bloom" =>
+            s"bloom\t${s("path")}\t${s("name")}\t${l("lo")}\t${l("hi")}\t" +
+              s("detail")
           case other => sys.error(s"unknown checkpoint action: $other")
         })
         g = r.read()
@@ -468,6 +483,112 @@ object TxnLog {
       readFiles(spark, table, Seq(st.live.head), schema)
         .where(org.apache.spark.sql.functions.lit(false))
     else readFiles(spark, table, keep, schema)
+  }
+
+  // ─── per-file bloom skipping ───────────────────────────────────────
+
+  /** Per-file bloom geometry: 2¹⁸ bits (32 KB per file per column) × 5
+    * hashes ≈ 0.2% false positives at ~20k distinct values per file —
+    * the point-lookup analogue of min/max stats (Iceberg/Parquet bloom
+    * metadata, lifted into the LOG so planning never opens a footer).
+    * Min/max prunes ranges; a high-cardinality key scattered across
+    * every file (an orderkey in a date-clustered table) has min≈global
+    * min and max≈global max in EVERY file, so range stats prune
+    * nothing — the bloom is what makes an equality probe touch one
+    * file instead of all of them. */
+  val BloomBits: Int = 1 << 18
+  val BloomHashes: Int = 5
+
+  private def bitsToB64(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def bitsFromB64(b64: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+    Array.fill(bb.remaining() / 8)(bb.getLong())
+  }
+
+  /** The probe-side hash, evaluated DRIVER-side through the same
+    * catalyst XxHash64 the build side's `xxhash64(lit(i), col)` uses —
+    * one expression, two call sites, so build and probe can never
+    * drift. Values canonicalize through their Spark string cast
+    * (integral/string columns — the point-lookup types). */
+  private def bloomPos(i: Int, probe: String, m: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(i),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(probe),
+        StringType)), 42L).eval(null).asInstanceOf[Long]
+    (((h % m) + m) % m).toInt
+  }
+
+  /** Equality file skipping: scan only the files whose committed bloom
+    * might contain `value` in `colName`. Same superset contract as
+    * [[snapshotWhere]] — a file without a bloom for the column is
+    * unprunable, bloom positives are only "maybe", and the residual
+    * equality filter applied here is the correctness boundary; pruning
+    * is purely an I/O optimization decided at planning time from the
+    * log. */
+  def snapshotWhereEq(spark: SparkSession, table: String, colName: String,
+                      value: Any, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    val st = replayState(table, upTo)
+    val schema =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val probe = String.valueOf(value)
+    val keep = st.live.filter { f =>
+      st.blooms.get((f, colName)) match {
+        case Some((m, k, bits)) => (1 to k).forall { i =>
+          val p = bloomPos(i, probe, m)
+          (bits(p >>> 6) & (1L << (p & 63))) != 0L
+        }
+        case None => true // no bloom → unprunable, never wrongly skipped
+      }
+    }
+    val base =
+      if (keep.isEmpty)
+        readFiles(spark, table, Seq(st.live.head), schema).where(lit(false))
+      else readFiles(spark, table, keep, schema)
+    base.filter(col(colName) === lit(value))
+  }
+
+  /** Per-file bloom lines for `bloomCols`: ONE job over the freshly
+    * staged files (grouped by input_file_name, like [[statsLines]]) —
+    * per hash seed a collect_set of bit positions, bounded by
+    * [[BloomBits]] per file per column, OR-folded into the bitset
+    * driver-side. */
+  private def bloomLines(spark: SparkSession, table: String,
+                         named: Seq[String],
+                         bloomCols: Seq[String]): Seq[String] = {
+    if (bloomCols.isEmpty || named.isEmpty) return Nil
+    import org.apache.spark.sql.functions._
+    val m = BloomBits; val k = BloomHashes
+    val byLeaf = named.map(n => n.split('/').last -> n).toMap
+    val df = spark.read.parquet(
+      named.map(n => Paths.get(table, n).toString): _*)
+    val aggs = bloomCols.flatMap(c => (1 to k).map(i =>
+      collect_set(pmod(xxhash64(lit(i), col(c).cast(StringType)), lit(m)))
+        .as(s"__bl_${c}_$i")))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect() // ≤ |files| rows
+    rows.toSeq.flatMap { r =>
+      val fname = byLeaf(r.getAs[String]("__f").split('/').last)
+      bloomCols.map { c =>
+        val bits = new Array[Long](m / 64)
+        (1 to k).foreach { i =>
+          r.getSeq[Long](r.fieldIndex(s"__bl_${c}_$i")).foreach { p =>
+            bits((p >>> 6).toInt) |= 1L << (p & 63)
+          }
+        }
+        s"bloom\t$fname\t$c\t$m\t$k\t${bitsToB64(bits)}"
+      }
+    }
   }
 
   // ─── staging ───────────────────────────────────────────────────────
@@ -638,7 +759,8 @@ object TxnLog {
   def create(spark: SparkSession, table: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
              partitionBy: Seq[String] = Nil,
-             checks: Seq[(String, String)] = Nil): Long = {
+             checks: Seq[(String, String)] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     require(!exists(table), s"table already exists: $table")
     checks.foreach { case (n, e) =>
       require(!n.contains('\t') && !e.contains('\t'),
@@ -646,7 +768,8 @@ object TxnLog {
     val named = stageChecked(spark, table, df, checks.toMap, partitionBy)
     val actions = "op\tcreate" +: s"schema\t${df.schema.json}" +:
       (checks.map { case (n, e) => s"check\t$n\t$e" } ++
-        named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols))
+        named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols)
+        ++ bloomLines(spark, table, named, bloomCols))
     if (!publish(table, 1L, actions))
       throw new ConcurrentCommitException(1L)
     1L
@@ -670,7 +793,8 @@ object TxnLog {
     * null — Delta's additive evolution). */
   def append(spark: SparkSession, table: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
-             mergeSchema: Boolean = false): Long = {
+             mergeSchema: Boolean = false,
+             bloomCols: Seq[String] = Nil): Long = {
     val vs = versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val st = replayState(table, vs.last)
@@ -682,7 +806,8 @@ object TxnLog {
     val named = stageChecked(spark, table, df, st.checks,
       partitionColsOf(st.live).getOrElse(Nil))
     val actions = "op\tappend" +: (schemaLine.toSeq ++
-      named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols))
+      named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols)
+      ++ bloomLines(spark, table, named, bloomCols))
     var v = vs.last + 1
     while (!publish(table, v, actions)) v += 1
     maybeCheckpoint(table, v)

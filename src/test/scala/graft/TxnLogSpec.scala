@@ -672,6 +672,46 @@ class TxnLogSpec extends SparkSpec {
     assert(h(4).getLong(4) >= 1L)
   }
 
+  test("bloom skipping: equality probe scans one file, not five") {
+    val t = freshTable()
+    // five single-region appends → five files, each with its own bloom
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") === 0)
+      .coalesce(1), bloomCols = Seq("n_name"))
+    (1 to 4).foreach(r => TxnLog.append(spark, t,
+      nation.filter(col("n_regionkey") === r).coalesce(1),
+      bloomCols = Seq("n_name")))
+    assert(TxnLog.files(t).size == 5)
+    val name = nation.filter(col("n_nationkey") === 8)
+      .head().getString(1) // a value living in exactly one file
+    val got = TxnLog.snapshotWhereEq(spark, t, "n_name", name)
+    assert(got.inputFiles.length == 1,
+      s"bloom should prune to 1 file, scanned ${got.inputFiles.length}")
+    assert(rowsOf(got) == rowsOf(nation.filter(col("n_name") === name)))
+    // absent value: every bloom rejects → empty scan, empty result
+    val none = TxnLog.snapshotWhereEq(spark, t, "n_name", "NOT_A_NATION")
+    assert(none.count() == 0)
+    // a column without blooms is unprunable — superset contract, the
+    // residual filter still yields exact rows
+    val unpruned = TxnLog.snapshotWhereEq(spark, t, "n_nationkey", 8)
+    assert(unpruned.inputFiles.length == 5)
+    assert(unpruned.count() == 1)
+  }
+
+  test("bloom survives the checkpoint round-trip") {
+    val t = freshTable()
+    TxnLog.create(spark, t,
+      nation.filter(col("n_nationkey") === 0).coalesce(1),
+      bloomCols = Seq("n_name"))
+    (1L until 12L).foreach(k => TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey") === k).coalesce(1),
+      bloomCols = Seq("n_name")))
+    // 12 commits → checkpointed at v10; replay now starts from parquet
+    val name5 = nation.filter(col("n_nationkey") === 5).head().getString(1)
+    val got = TxnLog.snapshotWhereEq(spark, t, "n_name", name5)
+    assert(got.inputFiles.length == 1)
+    assert(got.count() == 1)
+  }
+
   test("history classifies structurally when op lines are absent") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
