@@ -5407,6 +5407,63 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ── [ext] schema-evolving MERGE (Delta's schema.autoMerge): the
+    // daily upsert starts carrying a column the table never declared —
+    // with mergeSchema the commit evolves the declared schema, matched
+    // and inserted rows carry the value, and every PRE-EVOLUTION row
+    // surfaces it as null (the 'pre-evolution' band below). TxnLogSpec
+    // pins the write-time reject without the opt-in and the time travel
+    // back to the old schema; this query pins the merged rows. ────────
+    "q285_txn_evolving_upsert" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q285_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d98))
+      val updates = o
+        .filter(col("o_orderdate").between(
+          to_date(lit("1997-06-01")), to_date(lit("1998-06-30"))))
+        .withColumn("o_big",
+          (col("o_totalprice") > 200000).cast(IntegerType))
+      graft.sources.TxnLog.upsert(s, tbl, updates, Seq("o_orderkey"),
+        mergeSchema = true)
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .withColumn("band",
+          when(col("o_big").isNull, lit("pre-evolution"))
+            .when(col("o_big") === 1, lit("big")).otherwise(lit("small")))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("band")
+    }),
+
+    // ── [ext] metadata-only count(*) — the log records every file's
+    // parquet-footer rowcount at commit time (Delta's numRecords), so
+    // per-partition counts come out of DRIVER ARITHMETIC over the live
+    // file set: zero data I/O, zero Spark jobs (TxnLogSpec proves it by
+    // trashing the data files and counting anyway). The delete in the
+    // middle keeps the metadata honest: rewritten files re-record their
+    // counts, so the log answer tracks the data exactly. At 100 TB this
+    // is the difference between a dashboard freshness probe costing
+    // microseconds and costing a cluster scan. ─────────────────────────
+    "q284_txn_metadata_count" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q284_txn")
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+      graft.sources.TxnLog.create(s, tbl, o, partitionBy = Seq("o_year"))
+      graft.sources.TxnLog.deleteWhere(s, tbl, col("o_totalprice") > 450000)
+      val counts = graft.sources.TxnLog.partitionRowCounts(tbl)
+        .getOrElse(sys.error("rowcounts missing"))
+      val rows = counts.toSeq.map { case (pv, n) =>
+        org.apache.spark.sql.Row(pv.head._2.toInt, n)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("o_year", IntegerType),
+            StructField("n_orders", LongType))))
+        .orderBy("o_year")
+    }),
+
     // ── [ext] RESTORE — the undo button for a corrupted load: a bad
     // overwrite (v3 drops everything but 1997) is rolled back to v2 by
     // a METADATA-ONLY commit that re-references the old files (no data
@@ -9309,6 +9366,31 @@ object SparkEntry {
 
       // q277: pruning is layout + superset + residual, so the oracle is
       // the plain 1997 aggregate regardless of clustering
+      // q285: the evolved-merge state replayed by predicates — rows the
+      // upsert never touched land in the pre-evolution (null) band
+      "q285_txn_evolving_upsert" ->
+        """WITH st AS (
+          |  SELECT o_totalprice AS p, 'pre-evolution' AS band FROM orders
+          |  WHERE o_orderdate < DATE '1997-06-01'
+          |  UNION ALL
+          |  SELECT o_totalprice,
+          |    CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END
+          |  FROM orders
+          |  WHERE o_orderdate BETWEEN DATE '1997-06-01'
+          |    AND DATE '1998-06-30')
+          |SELECT band, count(*) AS n_orders,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM st GROUP BY 1 ORDER BY band""".stripMargin,
+
+      // q284: the metadata answer must equal the real per-year counts
+      // after the delete — a stale or double-counted rowcount line
+      // hash-fails
+      "q284_txn_metadata_count" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          |  count(*) AS n_orders
+          |FROM orders WHERE o_totalprice <= 450000
+          |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
       // q283: the probed row replayed directly — a bloom false negative
       // (wrongly skipped file) would drop the row and hash-fail
       "q283_txn_bloom_skipping" ->

@@ -189,7 +189,8 @@ object TxnLog {
                                  txn: Map[String, Long],
                                  stats: Map[(String, String), (Long, Long)],
                                  blooms: Map[(String, String),
-                                   (Int, Int, Array[Long])])
+                                   (Int, Int, Array[Long])],
+                                 rowcounts: Map[String, Long])
 
   /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
     * when one exists, else from the log's beginning. */
@@ -202,10 +203,12 @@ object TxnLog {
       scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
     val blooms = scala.collection.mutable
       .Map.empty[(String, String), (Int, Int, Array[Long])]
+    val rowcounts = scala.collection.mutable.Map.empty[String, Long]
     def dropFile(f: String): Unit = {
       live -= f
       stats.keys.filter(_._1 == f).toSeq.foreach(stats.remove)
       blooms.keys.filter(_._1 == f).toSeq.foreach(blooms.remove)
+      rowcounts.remove(f)
     }
     def applyLine(where: String)(line: String): Unit =
       line.split('\t') match {
@@ -223,6 +226,7 @@ object TxnLog {
           stats((f, c)) = (mn.toLong, mx.toLong)
         case Array("bloom", f, c, m, k, b64) =>
           blooms((f, c)) = (m.toInt, k.toInt, bitsFromB64(b64))
+        case Array("rowcount", f, n) => rowcounts(f) = n.toLong
         case _ => sys.error(s"corrupt log line in $where: $line")
       }
     val start = latestCheckpoint(table, upTo) match {
@@ -236,7 +240,7 @@ object TxnLog {
         .foreach(applyLine(s"v$v"))
     }
     State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap,
-      blooms.toMap)
+      blooms.toMap, rowcounts.toMap)
   }
 
   /** Raw action lines of one committed version (no checkpoint
@@ -270,7 +274,9 @@ object TxnLog {
           st.blooms.toSeq.sortBy(_._1).map { case ((f, c), (m, k, bits)) =>
             g("bloom").append("path", f).append("name", c)
               .append("detail", bitsToB64(bits))
-              .append("lo", m.toLong).append("hi", k.toLong) }
+              .append("lo", m.toLong).append("hi", k.toLong) } ++
+          st.rowcounts.toSeq.sortBy(_._1).map { case (f, n) =>
+            g("rowcount").append("path", f).append("lo", n) }
       // write-temp-then-atomic-rename, like the log itself: a reader
       // can never observe a half-written checkpoint
       val tmp = logDir(table).resolve(
@@ -327,6 +333,7 @@ object TxnLog {
           case "bloom" =>
             s"bloom\t${s("path")}\t${s("name")}\t${l("lo")}\t${l("hi")}\t" +
               s("detail")
+          case "rowcount" => s"rowcount\t${s("path")}\t${l("lo")}"
           case other => sys.error(s"unknown checkpoint action: $other")
         })
         g = r.read()
@@ -591,6 +598,53 @@ object TxnLog {
     }
   }
 
+  /** Per-file `rowcount` lines — Delta's numRecords, read straight off
+    * each staged file's parquet FOOTER on the driver (no Spark job; the
+    * footer is already local after the stage). Every data-writing
+    * commit records them, which is what makes [[countRows]] a pure
+    * metadata operation. */
+  private def rowcountLines(table: String, named: Seq[String]): Seq[String] =
+    named.map { n =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(Paths.get(table, n).toString),
+        rawLocalConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try s"rowcount\t$n\t${r.getRecordCount}" finally r.close()
+    }
+
+  /** `count(*)` answered from the LOG alone — the sum of the live
+    * files' committed rowcounts, zero data I/O (Delta answers
+    * metadata-only counts the same way; at 100 TB this is O(files)
+    * driver arithmetic vs a full scan). None when some live file
+    * predates rowcount recording — the caller falls back to counting
+    * the snapshot; a metadata count must never guess. */
+  def countRows(table: String, asOf: Option[Long] = None): Option[Long] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    val st = replayState(table, upTo)
+    if (st.live.forall(st.rowcounts.contains))
+      Some(st.live.map(st.rowcounts).sum)
+    else None
+  }
+
+  /** Per-partition `count(*)` from the log alone: live files grouped by
+    * their hive partition values, rowcounts summed — the GROUP-BY form
+    * of [[countRows]], still zero data I/O. None under the same
+    * no-guessing contract. */
+  def partitionRowCounts(table: String, asOf: Option[Long] = None)
+      : Option[Map[Seq[(String, String)], Long]] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    val st = replayState(table, upTo)
+    if (!st.live.forall(st.rowcounts.contains)) None
+    else Some(st.live.groupBy(partValuesOf)
+      .view.mapValues(_.map(st.rowcounts).sum).toMap)
+  }
+
   // ─── staging ───────────────────────────────────────────────────────
 
   /** Stage `df` as fresh UUID-named parquet files, returning their
@@ -769,7 +823,8 @@ object TxnLog {
     val actions = "op\tcreate" +: s"schema\t${df.schema.json}" +:
       (checks.map { case (n, e) => s"check\t$n\t$e" } ++
         named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols)
-        ++ bloomLines(spark, table, named, bloomCols))
+        ++ bloomLines(spark, table, named, bloomCols)
+        ++ rowcountLines(table, named))
     if (!publish(table, 1L, actions))
       throw new ConcurrentCommitException(1L)
     1L
@@ -807,7 +862,8 @@ object TxnLog {
       partitionColsOf(st.live).getOrElse(Nil))
     val actions = "op\tappend" +: (schemaLine.toSeq ++
       named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols)
-      ++ bloomLines(spark, table, named, bloomCols))
+      ++ bloomLines(spark, table, named, bloomCols)
+      ++ rowcountLines(table, named))
     var v = vs.last + 1
     while (!publish(table, v, actions)) v += 1
     maybeCheckpoint(table, v)
@@ -861,7 +917,7 @@ object TxnLog {
     val named = stageChecked(spark, table, df,
       replayState(table, versions(table).last).checks, Nil)
     val actions = "op\tappend" +: s"txn\t$appId\t$txnVersion" +:
-      named.map("add\t" + _)
+      (named.map("add\t" + _) ++ rowcountLines(table, named))
     var v = versions(table).last + 1
     while (!publish(table, v, actions)) {
       if (lastTxnVersion(table, appId) >= txnVersion) {
@@ -911,7 +967,7 @@ object TxnLog {
     val v = base + 1
     if (!publish(table, v, s"op\t$opName" +: (schemaLine.toSeq ++
         st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
-        cdcNames.map("cdc\t" + _))))
+        cdcNames.map("cdc\t" + _) ++ rowcountLines(table, named))))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -952,25 +1008,54 @@ object TxnLog {
     * the merge and throws [[ConcurrentCommitException]]. */
   def upsert(spark: SparkSession, table: String, updates: DataFrame,
              keys: Seq[String],
-             expectedVersion: Option[Long] = None): Long = {
+             expectedVersion: Option[Long] = None,
+             mergeSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    // evolution (Delta's schema.autoMerge for MERGE): extra update
+    // columns are admitted only via mergeSchema, commit the evolved
+    // schema, and surface as null on pre-evolution rows. Unlike append,
+    // type differences on DECLARED columns are not drift here — the
+    // store-assignment projection below casts them to the target types.
+    val evolvedJson = declared.flatMap { d =>
+      val have = canonCols(d)
+      val extra = updates.schema.fields.filterNot(f => have.contains(f.name))
+      if (extra.isEmpty) None
+      else if (!mergeSchema) throw new SchemaMismatchException(
+        s"upsert adds undeclared columns: ${extra.map(_.name).mkString(", ")} " +
+          "(pass mergeSchema = true to evolve the table schema)")
+      else Some(StructType(d.fields ++ extra).json)
+    }
+    val target = evolvedJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType]).orElse(declared)
     // the TARGET schema governs a merge (Delta's updateAll/insertAll
     // store-assignment casts): updates are projected onto the declared
-    // columns and cast to their types, so a wider-typed source (a
-    // bigint literal into an int column) cannot silently widen the
-    // table, and the commit below always passes its own schema check
-    val u = declared.fold(updates)(sch => updates.select(
+    // (possibly evolved) columns and cast to their types, so a
+    // wider-typed source (a bigint literal into an int column) cannot
+    // silently widen the table, and the commit below always passes its
+    // own schema check
+    val u = target.fold(updates)(sch => updates.select(
       sch.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+    // the base side of an evolving merge carries the new columns as
+    // typed nulls, so the unmatched target rows keep their (null) value
+    def withNewCols(base0: DataFrame): DataFrame = target match {
+      case Some(sch) =>
+        val have = base0.columns.toSet
+        sch.fields.filterNot(f => have.contains(f.name))
+          .foldLeft(base0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+      case None => base0
+    }
     partitionColsOf(st.live) match {
       case None =>
-        val snap = readFiles(spark, table, st.live, declared)
+        val snap = withNewCols(readFiles(spark, table, st.live, declared))
         val merged = graft.ops.Merge.upsert(snap, u, keys)
         overwrite(spark, table, merged, Some(base),
+          overwriteSchema = evolvedJson.isDefined,
           cdcRows = Some(upsertCdc(snap, u, keys)), opName = "upsert")
       case Some(pcols) =>
         // touched partitions: the updates' own partition values — a
@@ -986,14 +1071,18 @@ object TxnLog {
           // all-new partitions: pure insert
           (u, u.withColumn("_change_type", lit("insert")))
         } else {
-          val baseDf = readFiles(spark, table, touchedFiles, declared)
+          val baseDf =
+            withNewCols(readFiles(spark, table, touchedFiles, declared))
           (graft.ops.Merge.upsert(baseDf, u, keys),
             upsertCdc(baseDf, u, keys))
         }
         val named = stageChecked(spark, table, merged, st.checks, pcols)
         val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
-        val actions = "op\tupsert" +: (touchedFiles.map("remove\t" + _) ++
-          named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _))
+        val actions = "op\tupsert" +:
+          (evolvedJson.map("schema\t" + _).toSeq ++
+          touchedFiles.map("remove\t" + _) ++
+          named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
+          rowcountLines(table, named))
         // partition-conflict-aware publish: a lost race re-checks the
         // commits that beat us; disjoint partitions → retry at the new
         // head (our removes are still live), overlap → stale merge
@@ -1050,7 +1139,8 @@ object TxnLog {
     val v = base + 1
     if (!publish(table, v, "op\tcompact" +: "nochange" +:
         (st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
-          statsLines(spark, table, named, sc))))
+          statsLines(spark, table, named, sc) ++
+          rowcountLines(table, named))))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -1154,9 +1244,12 @@ object TxnLog {
       .map("schema\t" + _)
     val stats = adds.flatMap(f => tgt.stats.collect {
       case ((`f`, c), (mn, mx)) => s"stats\t$f\t$c\t$mn\t$mx" })
+    val rcs = adds.flatMap(f =>
+      tgt.rowcounts.get(f).map(n => s"rowcount\t$f\t$n"))
     val v = base + 1
     if (!publish(table, v, "op\trestore" +: (schemaLine.toSeq ++
-        removes.map("remove\t" + _) ++ adds.map("add\t" + _) ++ stats)))
+        removes.map("remove\t" + _) ++ adds.map("add\t" + _) ++ stats ++
+        rcs)))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v

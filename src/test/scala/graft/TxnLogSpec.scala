@@ -712,6 +712,60 @@ class TxnLogSpec extends SparkSpec {
     assert(got.count() == 1)
   }
 
+  test("countRows is pure log metadata — survives a corrupted data file") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 3))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 3))
+    val expected = nation.count()
+    assert(TxnLog.countRows(t).contains(expected))
+    // delete + upsert keep the metadata count in lockstep with the data
+    TxnLog.deleteWhere(spark, t, col("n_nationkey") === 3)
+    assert(TxnLog.countRows(t).contains(expected - 1))
+    assert(TxnLog.countRows(t, Some(2L)).contains(expected)) // time travel
+    // PROOF of zero data I/O: trash every data file — the metadata
+    // count still answers, where a scan would now throw
+    TxnLog.files(t).foreach { f =>
+      Files.write(Paths.get(t).resolve(f), Array[Byte](1, 2, 3))
+    }
+    assert(TxnLog.countRows(t).contains(expected - 1))
+  }
+
+  test("countRows refuses to guess when a live file predates rowcounts") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    // simulate a pre-rowcount log: strip the lines in place
+    val f = Paths.get(t, "_txn_log", f"${1L}%020d.log")
+    val kept = Files.readAllLines(f)
+    kept.removeIf((l: String) => l.startsWith("rowcount\t"))
+    Files.write(f, kept)
+    assert(TxnLog.countRows(t).isEmpty)
+  }
+
+  test("upsert schema evolution: opt-in, old rows null, old schema " +
+      "time-travels") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 3))
+    val upd = nation.filter(col("n_regionkey") >= 3)
+      .withColumn("flag", lit(1))
+    // undeclared column without the opt-in: reject at write time
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.upsert(spark, t, upd, Seq("n_nationkey"))
+    }
+    TxnLog.upsert(spark, t, upd, Seq("n_nationkey"), mergeSchema = true)
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.columns.contains("flag"))
+    assert(snap.filter(col("n_regionkey") < 3)
+      .filter(col("flag").isNotNull).count() == 0)
+    assert(snap.filter(col("flag") === 1).count() ==
+      nation.filter(col("n_regionkey") >= 3).count())
+    // time travel returns the PRE-evolution schema
+    assert(!TxnLog.snapshot(spark, t, Some(1L)).columns.contains("flag"))
+    // a later plain append must now carry the evolved schema
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.append(spark, t, nation.limit(1))
+    }
+  }
+
   test("history classifies structurally when op lines are absent") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
