@@ -5407,6 +5407,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ── [ext] append-path streaming read of a TxnLog table: the
+    // _stream_feed hard-link mirror (appends only, rewrites excluded
+    // by construction) under Spark's checkpointed file stream — the
+    // dataChange-add half of Delta's streaming source, complementing
+    // q275's change-journal half. Compaction + upsert run between the
+    // appends and the read; a stream over the raw table dir would
+    // double-count their rewrites, the feed stream must not see them. ─
+    "q286_txn_append_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.txnAppendStreamTotals(s, dir)),
+
     // ── [ext] schema-evolving MERGE (Delta's schema.autoMerge): the
     // daily upsert starts carrying a column the table never declared —
     // with mergeSchema the commit evolves the declared schema, matched
@@ -9366,6 +9376,15 @@ object SparkEntry {
 
       // q277: pruning is layout + superset + residual, so the oracle is
       // the plain 1997 aggregate regardless of clustering
+      // q286: only the two appended batches (pre-1998) — a rewrite row
+      // leaking from the compact/upsert would inflate counts and fail
+      "q286_txn_append_stream" ->
+        """SELECT o_orderstatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders WHERE o_orderdate < DATE '1998-01-01'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
       // q285: the evolved-merge state replayed by predicates — rows the
       // upsert never touched land in the pre-evolution (null) band
       "q285_txn_evolving_upsert" ->

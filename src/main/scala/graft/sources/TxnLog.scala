@@ -598,6 +598,42 @@ object TxnLog {
     }
   }
 
+  /** Mirror freshly committed APPEND-path data files into the
+    * append-only `_stream_feed/` directory as hard links (no bytes
+    * copied). Rewrite commits (upsert/delete/compact) never touch the
+    * feed, so a file stream over it sees each appended row exactly
+    * once and is blind to compaction — the append analogue of the
+    * `_change_data` journal, and the same "reuse Spark's checkpointed
+    * FileStreamSource instead of hand-rolling a source" contract
+    * ([[appendStream]]). Linked AFTER the version publishes: a lost
+    * commit race never leaks rows into the feed. */
+  private def feedLink(table: String, named: Seq[String]): Unit = {
+    val dir = Paths.get(table, "_stream_feed")
+    Files.createDirectories(dir)
+    named.foreach { n =>
+      try Files.createLink(dir.resolve(n.split('/').last),
+        Paths.get(table, n))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+  }
+
+  /** STREAMING reader of the table's APPEND path: a checkpointed file
+    * stream over `_stream_feed/` — every create/append/idempotentAppend
+    * row exactly once, rewrites (upsert/delete/compact) invisible.
+    * Complements [[changeStream]] (which serves the journaled
+    * upsert/delete commits); together they cover Delta's streaming
+    * source split of dataChange adds vs change-data files. Reads older
+    * than the vacuum horizon stop working — same contract as time
+    * travel. */
+  def appendStream(spark: SparkSession, table: String): DataFrame = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val declared = declaredSchema(table).getOrElse(
+      sys.error(s"append stream requires a declared schema: $table"))
+    val dir = Paths.get(table, "_stream_feed")
+    Files.createDirectories(dir)
+    spark.readStream.schema(declared).parquet(dir.toString)
+  }
+
   /** Per-file `rowcount` lines — Delta's numRecords, read straight off
     * each staged file's parquet FOOTER on the driver (no Spark job; the
     * footer is already local after the stage). Every data-writing
@@ -827,6 +863,7 @@ object TxnLog {
         ++ rowcountLines(table, named))
     if (!publish(table, 1L, actions))
       throw new ConcurrentCommitException(1L)
+    feedLink(table, named)
     1L
   }
 
@@ -866,6 +903,7 @@ object TxnLog {
       ++ rowcountLines(table, named))
     var v = vs.last + 1
     while (!publish(table, v, actions)) v += 1
+    feedLink(table, named)
     maybeCheckpoint(table, v)
     v
   }
@@ -929,6 +967,7 @@ object TxnLog {
       }
       v = versions(table).last + 1
     }
+    feedLink(table, named)
     maybeCheckpoint(table, v)
     v
   }
@@ -1374,10 +1413,18 @@ object TxnLog {
     val retained = vs.takeRight(math.max(1, retainVersions))
     val keep = scala.collection.mutable.Set.empty[String]
     retained.foreach(v => keep ++= files(table, Some(v)))
-    // change-feed files stay addressable back to the retention horizon
+    // change-feed files stay addressable back to the retention horizon;
+    // same for the append feed's hard links (streams older than the
+    // horizon stop working, exactly like time travel)
     vs.filter(_ >= retained.head).foreach { v =>
       keep ++= actionsOf(table, v).collect { case Array("cdc", f) => f }
+      keep ++= actionsOf(table, v).collect {
+        case Array("add", f) => "_stream_feed/" + f.split('/').last }
     }
+    // live files keep their feed mirror too (links share the inode, so
+    // this costs no space)
+    retained.foreach(v => files(table, Some(v)).foreach(f =>
+      keep += "_stream_feed/" + f.split('/').last))
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis <= cutoff

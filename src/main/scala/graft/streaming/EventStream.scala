@@ -803,6 +803,44 @@ object EventStream {
     } finally deleteRecursively(java.nio.file.Paths.get(table).getParent)
   }
 
+  /** q286: the APPEND-path streaming read of a TxnLog table — the
+    * `_stream_feed` hard-link mirror is an append-only parquet feed of
+    * exactly the create/append/idempotentAppend rows, so Spark's
+    * checkpointed file stream IS Delta's streaming source for the
+    * dataChange-add path, zero custom machinery (the [[q275]] pattern
+    * applied to the main data instead of the change journal). The
+    * compaction and upsert issued AFTER the appends rewrite every data
+    * file — a stream over the table directory would double-count, the
+    * feed stream must not see them at all. The oracle replays only the
+    * appended batches, so a leaked rewrite row hash-fails. */
+  def txnAppendStreamTotals(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txn_feed_").resolve("t").toString
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_totalprice"))
+    val d97 = to_date(lit("1997-01-01"))
+    val d98 = to_date(lit("1998-01-01"))
+    TxnLog.create(spark, table, o.filter(col("o_orderdate") < d97))
+    TxnLog.append(spark, table,
+      o.filter(col("o_orderdate") >= d97 && col("o_orderdate") < d98))
+    // rewrites: both must be INVISIBLE to the append stream
+    TxnLog.compact(spark, table)
+    TxnLog.upsert(spark, table, o.filter(col("o_orderdate") >= d98),
+      Seq("o_orderkey"))
+    val agg = TxnLog.appendStream(spark, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(Exact.Money)).as("tp"))
+    try runToResult(spark, agg, "complete",
+      statePartitioned = false, None) { t =>
+      t.select(col("o_orderstatus"), col("n_rows"),
+        col("tp").cast(DoubleType).as("total_price"))
+        .orderBy("o_orderstatus")
+    } finally deleteRecursively(java.nio.file.Paths.get(table).getParent)
+  }
+
   def dailyTotals(spark: SparkSession, dir: String): DataFrame = {
     val (src, landing) = eventsStream(spark, dir)
     val agg = src

@@ -103,7 +103,10 @@ class TxnLogSpec extends SparkSpec {
     val before = parquetCount()
     val deleted = TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
     assert(deleted.nonEmpty)
-    assert(parquetCount() == before - deleted.size)
+    // vacuum also reclaims _stream_feed mirrors past the horizon;
+    // the root-file count moves only by the root victims
+    assert(parquetCount() ==
+      before - deleted.count(!_.startsWith("_stream_feed/")))
     // current snapshot unaffected
     assert(TxnLog.snapshot(spark, t).count() ==
       nation.filter(col("n_regionkey") === 0).count())
@@ -764,6 +767,28 @@ class TxnLogSpec extends SparkSpec {
     intercept[TxnLog.SchemaMismatchException] {
       TxnLog.append(spark, t, nation.limit(1))
     }
+  }
+
+  test("append feed mirrors append commits only; rewrites are invisible") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2)
+      .coalesce(1))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 2)
+      .coalesce(1))
+    def feedFiles() = {
+      val s = Files.list(Paths.get(t, "_stream_feed"))
+      try s.count() finally s.close()
+    }
+    assert(feedFiles() == 2)
+    // compaction and upsert rewrite the table — the feed must not move
+    TxnLog.compact(spark, t)
+    TxnLog.upsert(spark, t, nation.filter(col("n_nationkey") === 3)
+      .withColumn("n_name", lit("PATCHED")), Seq("n_nationkey"))
+    assert(feedFiles() == 2)
+    // the feed holds exactly the appended rows (pre-rewrite values)
+    val fed = spark.read.parquet(Paths.get(t, "_stream_feed").toString)
+    assert(fed.count() == nation.count())
+    assert(fed.filter(col("n_name") === "PATCHED").count() == 0)
   }
 
   test("history classifies structurally when op lines are absent") {
