@@ -522,6 +522,23 @@ object TxnLog {
     * one expression, two call sites, so build and probe can never
     * drift. Values canonicalize through their Spark string cast
     * (integral/string columns — the point-lookup types). */
+  /** Canonical string rendering of a probe value — the SAME Catalyst
+    * Cast-to-string the build side's `col.cast(StringType)` evaluates,
+    * so build and probe renderings can never drift (String.valueOf
+    * differs from Spark's cast on Decimal scale, Date/Timestamp, and
+    * Float/Double formatting — a drift here is a bloom FALSE NEGATIVE,
+    * i.e. files wrongly skipped and rows silently missing). Timestamps
+    * still assume build and probe sessions share a timezone — the one
+    * rendering input the expression can't pin. */
+  private def canonicalProbe(spark: SparkSession, value: Any): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val l = Literal(value)
+    if (l.dataType == StringType) String.valueOf(value)
+    else Cast(l, StringType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone))
+      .eval(null).toString
+  }
+
   private def bloomPos(i: Int, probe: String, m: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
       org.apache.spark.sql.catalyst.expressions.Literal(i),
@@ -548,7 +565,7 @@ object TxnLog {
     val st = replayState(table, upTo)
     val schema =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val probe = String.valueOf(value)
+    val probe = canonicalProbe(spark, value)
     val keep = st.live.filter { f =>
       st.blooms.get((f, colName)) match {
         case Some((m, k, bits)) => (1 to k).forall { i =>
@@ -609,10 +626,13 @@ object TxnLog {
     * commit race never leaks rows into the feed. */
   private def feedLink(table: String, named: Seq[String]): Unit = {
     val dir = Paths.get(table, "_stream_feed")
-    Files.createDirectories(dir)
     named.foreach { n =>
-      try Files.createLink(dir.resolve(n.split('/').last),
-        Paths.get(table, n))
+      // preserve the col=val directory segments: partition values live
+      // in the PATH, not the parquet data, so a flat feed would stream
+      // partition columns through as silent nulls
+      val dest = dir.resolve(n)
+      Files.createDirectories(dest.getParent)
+      try Files.createLink(dest, Paths.get(table, n))
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
   }
@@ -631,7 +651,13 @@ object TxnLog {
       sys.error(s"append stream requires a declared schema: $table"))
     val dir = Paths.get(table, "_stream_feed")
     Files.createDirectories(dir)
-    spark.readStream.schema(declared).parquet(dir.toString)
+    // the feed mirrors the table's hive layout ([[feedLink]]), so on a
+    // partitioned table the file stream's own partition discovery
+    // re-derives the partition columns from the col=val directories —
+    // the declared schema names them, exactly like a batch basePath read
+    val df = spark.readStream.schema(declared).parquet(dir.toString)
+    df.select(declared.fieldNames
+      .map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
   /** Per-file `rowcount` lines — Delta's numRecords, read straight off
@@ -897,12 +923,30 @@ object TxnLog {
       .map("schema\t" + _)
     val named = stageChecked(spark, table, df, st.checks,
       partitionColsOf(st.live).getOrElse(Nil))
-    val actions = "op\tappend" +: (schemaLine.toSeq ++
-      named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols)
-      ++ bloomLines(spark, table, named, bloomCols)
-      ++ rowcountLines(table, named))
+    val rest = named.map("add\t" + _) ++
+      statsLines(spark, table, named, statsCols) ++
+      bloomLines(spark, table, named, bloomCols) ++
+      rowcountLines(table, named)
+    var actions = "op\tappend" +: (schemaLine.toSeq ++ rest)
     var v = vs.last + 1
-    while (!publish(table, v, actions)) v += 1
+    while (!publish(table, v, actions)) {
+      if (schemaLine.isDefined) {
+        // a schema-carrying commit is NOT valid against arbitrary
+        // snapshots: replay is last-schema-wins, so re-publishing a
+        // stale evolution line would clobber columns a concurrent
+        // evolving writer just declared. Re-derive the evolved schema
+        // from the new head before retrying (two appends adding
+        // DIFFERENT columns then compose; the same column re-validates
+        // to a no-op line).
+        val head = versions(table).last
+        val d2 = replayState(table, head).schemaJson
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        val sl2 = d2.flatMap(validateAgainst(_, df.schema, mergeSchema))
+          .map("schema\t" + _)
+        actions = "op\tappend" +: (sl2.toSeq ++ rest)
+        v = head + 1
+      } else v += 1
+    }
     feedLink(table, named)
     maybeCheckpoint(table, v)
     v
@@ -952,8 +996,18 @@ object TxnLog {
     if (lastTxnVersion(table, appId) >= txnVersion)
       return txnCommitVersion(table, appId, txnVersion)
         .getOrElse(versions(table).last) // batch skipped upstream: latest
-    val named = stageChecked(spark, table, df,
-      replayState(table, versions(table).last).checks, Nil)
+    val st = replayState(table, versions(table).last)
+    // same contract as append: a schema-drifted micro-batch must FAIL at
+    // write time, not land as silent nulls — and a partitioned table's
+    // batches stage through the hive layout like every other writer (a
+    // root file would violate the uniform-partition-path invariant
+    // readFiles/partitionColsOf depend on). No mergeSchema path: an
+    // evolving commit is not valid against arbitrary snapshots, which is
+    // exactly what this writer's blind publish retry assumes.
+    st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .foreach(validateAgainst(_, df.schema, mergeSchema = false))
+    val named = stageChecked(spark, table, df, st.checks,
+      partitionColsOf(st.live).getOrElse(Nil))
     val actions = "op\tappend" +: s"txn\t$appId\t$txnVersion" +:
       (named.map("add\t" + _) ++ rowcountLines(table, named))
     var v = versions(table).last + 1
@@ -1196,8 +1250,13 @@ object TxnLog {
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val snap = snapshot(spark, table, Some(base))
-    val survivors = snap.filter(!cond)
-    val deleted = snap.filter(cond).withColumn("_change_type", lit("delete"))
+    // SQL/Delta DELETE semantics: only cond === TRUE rows are deleted; a
+    // NULL predicate KEEPS the row. Splitting on raw cond/!cond would
+    // drop NULL-predicate rows from BOTH sides — silently deleted with
+    // no CDF record, breaking the feed-replays-the-table invariant.
+    val hit = org.apache.spark.sql.functions.coalesce(cond, lit(false))
+    val survivors = snap.filter(!hit)
+    val deleted = snap.filter(hit).withColumn("_change_type", lit("delete"))
     overwrite(spark, table, survivors, Some(base), cdcRows = Some(deleted),
       opName = "delete")
   }
@@ -1419,12 +1478,12 @@ object TxnLog {
     vs.filter(_ >= retained.head).foreach { v =>
       keep ++= actionsOf(table, v).collect { case Array("cdc", f) => f }
       keep ++= actionsOf(table, v).collect {
-        case Array("add", f) => "_stream_feed/" + f.split('/').last }
+        case Array("add", f) => "_stream_feed/" + f }
     }
     // live files keep their feed mirror too (links share the inode, so
     // this costs no space)
     retained.foreach(v => files(table, Some(v)).foreach(f =>
-      keep += "_stream_feed/" + f.split('/').last))
+      keep += "_stream_feed/" + f))
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis <= cutoff

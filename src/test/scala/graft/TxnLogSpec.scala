@@ -805,4 +805,104 @@ class TxnLogSpec extends SparkSpec {
     val h = TxnLog.history(spark, t).orderBy("version").collect()
     assert(h.map(_.getString(1)).toSeq == Seq("create", "append"))
   }
+
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val t = freshTable()
+    // v is NULL for nationkeys >= 5 — cond (v > 2) evaluates NULL there
+    val base = nation.withColumn("v",
+      when(col("n_nationkey") < 5, col("n_nationkey")))
+    TxnLog.create(spark, t, base)
+    val v2 = TxnLog.deleteWhere(spark, t, col("v") > 2)
+    val snap = TxnLog.snapshot(spark, t)
+    // deleted: exactly v ∈ {3, 4}; NULL-v rows all survive
+    assert(snap.count() == base.count() - 2)
+    assert(snap.filter(col("v").isNull).count() ==
+      base.filter(col("v").isNull).count())
+    // and the CDF journal records exactly the deleted set
+    val cdc = TxnLog.changesBetween(spark, t, 1L, v2)
+    assert(cdc.count() == 2)
+    assert(rowsOf(cdc.select("n_nationkey").orderBy("n_nationkey")) ==
+      Seq(Seq(3L), Seq(4L)).map(_.map(_.asInstanceOf[Any])) ||
+      cdc.select("n_nationkey").orderBy("n_nationkey").collect()
+        .map(_.get(0)).toSeq == Seq(3, 4))
+  }
+
+  test("idempotentAppend validates schema and stages hive-partitioned") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    // drifted batch (missing a declared column) must fail at write time
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.idempotentAppend(spark, t,
+        nation.drop("n_name").limit(1), "app", 0L)
+    }
+    // a valid batch lands under the hive layout, not as a root file
+    TxnLog.idempotentAppend(spark, t,
+      nation.filter(col("n_nationkey") === 999).unionByName(
+        spark.range(1).select(lit(900).as("n_nationkey"),
+          lit("NEW").as("n_name"), lit(7).as("n_regionkey"))), "app", 1L)
+    val live = TxnLog.files(t)
+    assert(live.forall(_.contains("n_regionkey=")),
+      s"all data files must carry the partition path: $live")
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("n_nationkey") === 900 && col("n_regionkey") === 7)
+      .count() == 1)
+  }
+
+  test("schema-evolving append lost race refuses to clobber the winner") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    // a concurrent writer owns v2 and declared an evolved schema with
+    // column colY — a blind retry of OUR evolution line would clobber it
+    val winnerSchema = org.apache.spark.sql.types.StructType(
+      nation.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "colY", org.apache.spark.sql.types.LongType))
+    Files.write(Paths.get(t, "_txn_log", f"${2L}%020d.log"),
+      java.util.Arrays.asList("op\tappend", s"schema\t${winnerSchema.json}"))
+    intercept[TxnLog.SchemaMismatchException] {
+      TxnLog.append(spark, t,
+        nation.limit(1).withColumn("colX", lit(1L)), mergeSchema = true)
+    }
+    // the winner's evolution is intact
+    assert(TxnLog.declaredSchema(t).get.fieldNames.contains("colY"))
+    // and a batch that carries the merged set composes cleanly
+    val v = TxnLog.append(spark, t, nation.limit(1)
+      .withColumn("colY", lit(2L)).withColumn("colX", lit(1L)),
+      mergeSchema = true)
+    assert(v == 3L)
+    val names = TxnLog.declaredSchema(t).get.fieldNames.toSet
+    assert(names.contains("colY") && names.contains("colX"))
+  }
+
+  test("appendStream on a partitioned table carries partition values") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    TxnLog.append(spark, t, spark.range(1)
+      .select(lit(901).as("n_nationkey"), lit("FEED").as("n_name"),
+        lit(4).as("n_regionkey")))
+    val q = TxnLog.appendStream(spark, t).writeStream
+      .format("memory").queryName("txn_feed_part").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("txn_feed_part")
+    assert(got.count() == nation.count() + 1)
+    assert(got.filter(col("n_regionkey").isNull).count() == 0,
+      "partition column must stream through from the hive path, not null")
+    assert(got.filter(col("n_nationkey") === 901)
+      .select("n_regionkey").collect().head.get(0).toString == "4")
+  }
+
+  test("bloom probe canonicalization matches the build side for dates") {
+    val t = freshTable()
+    val df = Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .repartitionByRange(4, col("o_orderkey"))
+    TxnLog.create(spark, t, df, bloomCols = Seq("od"))
+    val probe = df.filter(col("o_orderkey") === 7).select("od")
+      .collect().head.getDate(0)
+    // String.valueOf(Date) happens to agree with Spark's cast, so ALSO
+    // probe a timestamp-shaped rendering risk: the count must match a
+    // plain filter (no file wrongly skipped = no rows missing)
+    val got = TxnLog.snapshotWhereEq(spark, t, "od", probe).count()
+    assert(got == df.filter(col("od") === probe).count())
+    assert(got > 0)
+  }
 }
