@@ -5417,6 +5417,33 @@ object SparkEntry {
     "q286_txn_append_stream" -> ((s, dir) =>
       graft.streaming.EventStream.txnAppendStreamTotals(s, dir)),
 
+    // ── [ext] file-pruned MERGE on an UNPARTITIONED table: the log's
+    // per-file min/max stats and blooms on the merge key split the
+    // live set into touched vs untouched files — the batch below hits
+    // a narrow low-key range, so the merge reads and rewrites ∝ that
+    // range while every other file keeps its exact name, stats, and
+    // blooms (TxnLogSpec pins the file identity; this query pins the
+    // merged rows). Delta MERGE's touched-file scoping — the last
+    // whole-table rewrite term in the format, now gone: an
+    // unpartitioned 100 TB table pays its daily merge ∝ the key range
+    // the batch touches. ──────────────────────────────────────────────
+    "q287_txn_pruned_merge" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q287_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl,
+        o.repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      val updates = o.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.sources.TxnLog.upsert(s, tbl, updates, Seq("o_orderkey"))
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── [ext] schema-evolving MERGE (Delta's schema.autoMerge): the
     // daily upsert starts carrying a column the table never declared —
     // with mergeSchema the commit evolves the declared schema, matched
@@ -9384,6 +9411,16 @@ object SparkEntry {
           |    AS total_price
           |FROM orders WHERE o_orderdate < DATE '1998-01-01'
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q287: the pruned merge's state replayed with CASE — low keys
+      // doubled in place, everything else byte-identical (its files
+      // were never rewritten)
+      "q287_txn_pruned_merge" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(CASE WHEN o_orderkey < 1000
+          |    THEN o_totalprice * 2 ELSE o_totalprice END
+          |    AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q285: the evolved-merge state replayed by predicates — rows the
       // upsert never touched land in the pre-evolution (null) band

@@ -782,26 +782,34 @@ object TxnLog {
     * integer interval test per file at PLANNING time. A file with an
     * all-null column gets no stats line for it — unprunable, never
     * wrongly skipped. */
-  private def statsLines(spark: SparkSession, table: String,
-                         named: Seq[String],
-                         statsCols: Seq[String]): Seq[String] = {
-    if (statsCols.isEmpty || named.isEmpty) return Nil
+  /** Canonical-long rendering of a column for stats purposes — temporal
+    * columns canonicalize to EPOCH DAYS (a timestamp's day floor keeps
+    * pruning superset-correct: a file is skipped only when its whole
+    * day range misses the window). ONE definition shared by the stats
+    * writer and every probe side, so build and probe can never drift. */
+  private def canonicalCol(df: DataFrame, c: String)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
-    val byLeaf = named.map(n => n.split('/').last -> n).toMap
-    val df = spark.read.parquet(
-      named.map(n => Paths.get(table, n).toString): _*)
-    // temporal columns canonicalize to EPOCH DAYS (a timestamp's day
-    // floor keeps pruning superset-correct: a file is skipped only when
-    // its whole day range misses the window)
-    def canonical(c: String) = df.schema(c).dataType match {
+    df.schema(c).dataType match {
       case DateType | TimestampType =>
         datediff(to_date(col(c)), to_date(lit("1970-01-01")))
           .cast(LongType)
       case _ => col(c).cast(LongType)
     }
+  }
+
+  private def statsLines(spark: SparkSession, table: String,
+                         named: Seq[String],
+                         statsCols: Seq[String]): Seq[String] = {
+    if (statsCols.isEmpty || named.isEmpty) return Nil
+    import org.apache.spark.sql.functions._
+    val byLeaf = named.map(n => n.split('/').last -> n).toMap
+    val df = spark.read.parquet(
+      named.map(n => Paths.get(table, n).toString): _*)
     val aggs = statsCols.flatMap(c => Seq(
-      min(canonical(c)).as(s"__mn_$c"), max(canonical(c)).as(s"__mx_$c")))
+      min(canonicalCol(df, c)).as(s"__mn_$c"),
+      max(canonicalCol(df, c)).as(s"__mx_$c")))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect() // ≤ |files| rows
     rows.toSeq.flatMap { r =>
@@ -1040,7 +1048,9 @@ object TxnLog {
                 expectedVersion: Option[Long] = None,
                 overwriteSchema: Boolean = false,
                 cdcRows: Option[DataFrame] = None,
-                opName: String = "overwrite"): Long = {
+                opName: String = "overwrite",
+                statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil): Long = {
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
@@ -1060,7 +1070,10 @@ object TxnLog {
     val v = base + 1
     if (!publish(table, v, s"op\t$opName" +: (schemaLine.toSeq ++
         st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
-        cdcNames.map("cdc\t" + _) ++ rowcountLines(table, named))))
+        cdcNames.map("cdc\t" + _) ++
+        statsLines(spark, table, named, statsCols) ++
+        bloomLines(spark, table, named, bloomCols) ++
+        rowcountLines(table, named))))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -1083,6 +1096,71 @@ object TxnLog {
     val ins = updates.join(baseKeys, keys, "left_anti")
       .withColumn("_change_type", lit("insert"))
     pre.unionByName(post).unionByName(ins)
+  }
+
+  /** How many distinct update-key values a merge will collect for
+    * driver-side bloom probing before giving up on bloom pruning for
+    * that column (stats-interval pruning still applies). A daily merge
+    * batch with millions of keys keeps range pruning; a point-fix batch
+    * gets per-file bloom precision. */
+  val MergeBloomProbeCap: Int = 4096
+
+  /** The live files a merge of `updates` on `keys` can possibly touch —
+    * Delta MERGE's file-pruning step, decided entirely from the LOG's
+    * committed per-file stats and blooms (zero data I/O on the target).
+    * SUPERSET contract: a file is excluded only when it provably
+    * contains no matching key — its stats interval is disjoint from the
+    * update batch's key range on some key column, or its bloom rejects
+    * every distinct update value of a key column. Files without
+    * stats/blooms on the keys are unprunable and always touched. */
+  private def touchedByKeys(spark: SparkSession, st: State,
+                            updates: DataFrame,
+                            keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    // canonical [lo, hi] of the batch per stats-covered key column —
+    // ONE tiny agg job over the updates (the merge scans them anyway)
+    val statCols = keys.filter(c => st.stats.keys.exists(_._2 == c))
+    val intervals: Map[String, (Long, Long)] =
+      if (statCols.isEmpty) Map.empty
+      else {
+        val aggs = statCols.flatMap(c => Seq(
+          min(canonicalCol(updates, c)).as(s"__lo_$c"),
+          max(canonicalCol(updates, c)).as(s"__hi_$c")))
+        val r = updates.agg(aggs.head, aggs.tail: _*).collect().head
+        statCols.flatMap { c =>
+          val lo = r.fieldIndex(s"__lo_$c"); val hi = r.fieldIndex(s"__hi_$c")
+          if (r.isNullAt(lo) || r.isNullAt(hi)) None
+          else Some(c -> (r.getLong(lo), r.getLong(hi)))
+        }.toMap
+      }
+    // capped distinct probe values per bloom-covered key column (a
+    // null-keyed update never matches any target row, so nulls are
+    // pure inserts and need no file)
+    val bloomKeyCols = keys.filter(c => st.blooms.keys.exists(_._2 == c))
+    val probes: Map[String, Seq[String]] = bloomKeyCols.flatMap { c =>
+      val vals = updates.select(col(c)).where(col(c).isNotNull)
+        .distinct().limit(MergeBloomProbeCap + 1).collect().map(_.get(0))
+      if (vals.length > MergeBloomProbeCap) None
+      else Some(c -> vals.toSeq.map(canonicalProbe(spark, _)))
+    }.toMap
+    st.live.filter { f =>
+      val statsOk = intervals.forall { case (c, (lo, hi)) =>
+        st.stats.get((f, c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // unprunable, never wrongly excluded
+        }
+      }
+      val bloomOk = probes.forall { case (c, vals) =>
+        st.blooms.get((f, c)) match {
+          case Some((m, k, bits)) => vals.exists(v => (1 to k).forall { i =>
+            val p = bloomPos(i, v, m)
+            (bits(p >>> 6) & (1L << (p & 63))) != 0L
+          })
+          case None => true
+        }
+      }
+      statsOk && bloomOk
+    }
   }
 
   /** Copy-on-write MERGE: last-writer-wins upsert of `updates` into the
@@ -1145,11 +1223,55 @@ object TxnLog {
     }
     partitionColsOf(st.live) match {
       case None =>
-        val snap = withNewCols(readFiles(spark, table, st.live, declared))
-        val merged = graft.ops.Merge.upsert(snap, u, keys)
-        overwrite(spark, table, merged, Some(base),
-          overwriteSchema = evolvedJson.isDefined,
-          cdcRows = Some(upsertCdc(snap, u, keys)), opName = "upsert")
+        // file-level pruned merge (Delta MERGE's touched-file scoping):
+        // the log's per-file stats and blooms on the merge keys split
+        // the live set into files that might hold a matching key vs
+        // files that provably don't — only the former are read, merged,
+        // and rewritten; untouched files stay live with their exact
+        // names, stats, and blooms. An unpartitioned 100 TB table whose
+        // daily batch hits a narrow key range rewrites ∝ that range,
+        // not the table. Falls back to the whole-table rewrite when
+        // nothing is prunable (no stats/blooms on the keys).
+        val touchedFiles = touchedByKeys(spark, st, u, keys)
+        if (touchedFiles.size == st.live.size) {
+          val snap = withNewCols(readFiles(spark, table, st.live, declared))
+          val merged = graft.ops.Merge.upsert(snap, u, keys)
+          overwrite(spark, table, merged, Some(base),
+            overwriteSchema = evolvedJson.isDefined,
+            cdcRows = Some(upsertCdc(snap, u, keys)), opName = "upsert",
+            statsCols = st.stats.keys.map(_._2).toSeq.distinct.sorted,
+            bloomCols = st.blooms.keys.map(_._2).toSeq.distinct.sorted)
+        } else {
+          val (merged, cdc) = if (touchedFiles.isEmpty) {
+            // no file can match: pure insert
+            (u, u.withColumn("_change_type", lit("insert")))
+          } else {
+            val baseDf =
+              withNewCols(readFiles(spark, table, touchedFiles, declared))
+            (graft.ops.Merge.upsert(baseDf, u, keys),
+              upsertCdc(baseDf, u, keys))
+          }
+          val named = stageChecked(spark, table, merged, st.checks, Nil)
+          val cdcNames =
+            stage(spark, table, cdc, subdir = Some("_change_data"))
+          // keep the skipping metadata self-perpetuating: re-record
+          // stats/blooms for every column the table already tracks, so
+          // the files this merge writes are prunable by the next one
+          val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
+          val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
+          val actions = "op\tupsert" +:
+            (evolvedJson.map("schema\t" + _).toSeq ++
+              touchedFiles.map("remove\t" + _) ++
+              named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
+              statsLines(spark, table, named, trackedStats) ++
+              bloomLines(spark, table, named, trackedBlooms) ++
+              rowcountLines(table, named))
+          val v = base + 1
+          if (!publish(table, v, actions))
+            throw new ConcurrentCommitException(v)
+          maybeCheckpoint(table, v)
+          v
+        }
       case Some(pcols) =>
         // touched partitions: the updates' own partition values — a
         // bounded collect (#distinct partitions a batch touches), the

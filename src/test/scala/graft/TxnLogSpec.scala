@@ -890,6 +890,49 @@ class TxnLogSpec extends SparkSpec {
       .select("n_regionkey").collect().head.get(0).toString == "4")
   }
 
+  test("unpartitioned pruned merge rewrites only files holding the keys") {
+    val t = freshTable()
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // 4 range-clustered files → each owns a narrow o_orderkey interval
+    TxnLog.create(spark, t,
+      orders.repartitionByRange(4, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+    val before = TxnLog.files(t)
+    assert(before.size == 4)
+    // updates hit a handful of LOW keys — one file's interval
+    val updates = orders.filter(col("o_orderkey") <= 7)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val v2 = TxnLog.upsert(spark, t, updates, Seq("o_orderkey"))
+    val after = TxnLog.files(t)
+    val untouched = before.filter(after.contains)
+    assert(untouched.size == 3,
+      s"exactly the 3 key-free files must keep their names " +
+        s"(before=$before after=$after)")
+    // merged rows match the join-rewrite semantics exactly
+    val expect = ops.Merge.upsert(orders, updates, Seq("o_orderkey"))
+    assert(rowsOf(TxnLog.snapshot(spark, t).orderBy("o_orderkey")) ==
+      rowsOf(expect.orderBy("o_orderkey")))
+    // the CDF journal still covers the merge
+    val cdc = TxnLog.changesBetween(spark, t, 1L, v2)
+    assert(cdc.filter(col("_change_type") === "update_postimage").count() ==
+      updates.count())
+    // the REWRITTEN file re-recorded its skipping metadata: a second
+    // narrow merge still prunes (files count stays 4: 3 old + 1 new)
+    val v3 = TxnLog.upsert(spark, t,
+      updates.withColumn("o_totalprice", col("o_totalprice") + 1),
+      Seq("o_orderkey"))
+    assert(v3 == v2 + 1)
+    assert(TxnLog.files(t).count(before.contains) == 3,
+      "second merge must still leave the 3 untouched files alone")
+    // all-new keys beyond every file's range: pure insert, zero rewrites
+    val fresh = spark.range(1).select(lit(99000001).as("o_orderkey"),
+      lit(1).as("o_custkey"), lit(1.0).as("o_totalprice"))
+    TxnLog.upsert(spark, t, fresh, Seq("o_orderkey"))
+    assert(TxnLog.files(t).count(before.contains) == 3 &&
+      TxnLog.snapshot(spark, t).count() == orders.count() + 1)
+  }
+
   test("bloom probe canonicalization matches the build side for dates") {
     val t = freshTable()
     val df = Tables.load(spark, sf0001, "orders")
