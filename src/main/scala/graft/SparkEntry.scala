@@ -5444,6 +5444,32 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] TxnLog behind Spark's own data-source machinery: the
+    // registered `txnlog` format plans a HadoopFsRelation over a
+    // log-backed FileIndex (Delta's TahoeFileIndex shape), so a PURE
+    // SQL consumer — temp view USING txnlog, then plain SELECT — gets
+    // log-planned snapshots with stats/bloom file skipping riding
+    // Spark's own pushdown (PushedFilters + a pruned file list,
+    // PlanShapeSpec-pinned), vectorized parquet, and column pruning.
+    // Same aggregate as q267, reached without ONE programmatic call. ──
+    "q288_txnlog_sql_pushdown" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q288_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        .repartitionByRange(8, col("o_orderdate"))
+      graft.sources.TxnLog.create(s, tbl, o, statsCols = Seq("o_orderdate"),
+        bloomCols = Seq("o_orderkey"))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q288_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM q288_txn_v
+          |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // ── [ext] schema-evolving MERGE (Delta's schema.autoMerge): the
     // daily upsert starts carrying a column the table never declared —
     // with mergeSchema the commit evolves the declared schema, matched
@@ -9410,6 +9436,16 @@ object SparkEntry {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_price
           |FROM orders WHERE o_orderdate < DATE '1998-01-01'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q288: the SQL-path read is the same 1997 aggregate as q267 —
+      // skipping is superset + Spark's own residual filters
+      "q288_txnlog_sql_pushdown" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders
+          |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q287: the pruned merge's state replayed with CASE — low keys

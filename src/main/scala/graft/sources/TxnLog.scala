@@ -183,7 +183,7 @@ object TxnLog {
     * schema (latest `schema` action ≤ the version), per-app txn
     * high-water marks, and per-(file, column) canonical-long min/max
     * stats for data skipping. */
-  private final case class State(live: Seq[String],
+  private[sources] final case class State(live: Seq[String],
                                  schemaJson: Option[String],
                                  checks: Map[String, String],
                                  txn: Map[String, Long],
@@ -194,7 +194,7 @@ object TxnLog {
 
   /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
     * when one exists, else from the log's beginning. */
-  private def replayState(table: String, upTo: Long): State = {
+  private[sources] def replayState(table: String, upTo: Long): State = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     var schemaJson: Option[String] = None
     val checks = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -371,7 +371,7 @@ object TxnLog {
 
   /** Partition (col, value) pairs encoded in a relative file path
     * (hive-style `col=val` directory segments), Nil for root files. */
-  private def partValuesOf(relPath: String): Seq[(String, String)] =
+  private[sources] def partValuesOf(relPath: String): Seq[(String, String)] =
     relPath.split('/').dropRight(1).toSeq
       .filter(_.contains('='))
       .map { seg =>
@@ -383,7 +383,7 @@ object TxnLog {
     * (None = unpartitioned). All data files of a partitioned table
     * carry the same partition-column sequence — enforced at write time
     * because every writer stages through the same partitionBy. */
-  private def partitionColsOf(live: Seq[String]): Option[Seq[String]] =
+  private[sources] def partitionColsOf(live: Seq[String]): Option[Seq[String]] =
     live.headOption.map(partValuesOf(_).map(_._1)).filter(_.nonEmpty)
 
   /** Whether a committed action line touches any of `touched`
@@ -539,7 +539,7 @@ object TxnLog {
       .eval(null).toString
   }
 
-  private def bloomPos(i: Int, probe: String, m: Int): Int = {
+  private[sources] def bloomPos(i: Int, probe: String, m: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
       org.apache.spark.sql.catalyst.expressions.Literal(i),
       org.apache.spark.sql.catalyst.expressions.Literal(

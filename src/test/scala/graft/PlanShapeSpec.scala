@@ -374,6 +374,58 @@ class PlanShapeSpec extends SparkSpec {
       s"the JDBC read must plan 4 range slices:\n$plan")
   }
 
+  test("txnlog relation: pushed filters reach the scan and prune files") {
+    import graft.sources.TxnLog
+    val d = java.nio.file.Files.createTempDirectory("graft_txnsrc_plan_")
+    d.toFile.deleteOnExit()
+    val t = d.resolve("t").toString
+    val o = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("o_orderdate"))
+    TxnLog.create(spark, t, o, statsCols = Seq("o_orderdate"),
+      bloomCols = Seq("o_orderkey"))
+    def scanOf(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.execution.FileSourceScanExec = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).head
+    }
+    // (a) a date-range predicate in PURE SQL: PushedFilters carries it
+    // to parquet AND the log's stats skipping drops provably-disjoint
+    // files at planning time — Spark's own pushdown, no snapshotWhere
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_plan_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    val range = spark.sql(
+      """SELECT count(*) AS n FROM txn_plan_v
+        |WHERE o_orderdate >= DATE '1997-09-01'""".stripMargin)
+    val plan = range.queryExecution.explainString(SimpleMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate"),
+      s"the date predicate must reach the parquet scan:\n$plan")
+    val rangeScan = scanOf(range)
+    val nRange = rangeScan.selectedPartitions.totalNumberOfFiles
+    assert(nRange < 8 && nRange > 0,
+      s"stats skipping must prune the 8-file scan, read $nRange")
+    // ...and the pruned answer is still the right one
+    assert(range.collect().head.getLong(0) ==
+      o.filter(org.apache.spark.sql.functions.col("o_orderdate") >=
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.lit("1997-09-01"))).count())
+    // (b) an equality probe rides the committed blooms to a 1-file scan
+    val key = o.agg(org.apache.spark.sql.functions.min("o_orderkey"))
+      .head().getLong(0)
+    val eq = spark.read.format("txnlog").load(t)
+      .where(org.apache.spark.sql.functions.col("o_orderkey") === key)
+    val nEq = scanOf(eq).selectedPartitions.totalNumberOfFiles
+    assert(nEq <= 2, s"bloom skipping must bound the equality scan: $nEq")
+    assert(eq.count() == 1)
+  }
+
   test("q261 ECE: one map-side-combined pass + a broadcast total") {
     val plan = planOf("q261_ece_calibration")
     // partial/final HashAggregate pairs over ONE events scan each for

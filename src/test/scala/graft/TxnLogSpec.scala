@@ -890,6 +890,43 @@ class TxnLogSpec extends SparkSpec {
       .select("n_regionkey").collect().head.get(0).toString == "4")
   }
 
+  test("txnlog format: SQL and reader API match snapshot; version travels") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 2))
+    // pure SQL over the registered short name (v1 relations register
+    // through USING — the pre-catalog Delta contract)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_sql_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    val viaSql = spark.sql("SELECT * FROM txn_sql_v ORDER BY n_nationkey")
+    assert(rowsOf(viaSql) ==
+      rowsOf(TxnLog.snapshot(spark, t).orderBy("n_nationkey")))
+    // reader API + time travel option
+    val v1 = spark.read.format("txnlog").option("version", "1").load(t)
+    assert(v1.count() == nation.filter(col("n_regionkey") < 2).count())
+    intercept[Exception] {
+      spark.read.format("txnlog").option("version", "9").load(t).count()
+    }
+  }
+
+  test("txnlog format: partitioned tables surface partition columns") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    val df = spark.read.format("txnlog").load(t)
+    assert(df.columns.toSet == nation.columns.toSet)
+    assert(rowsOf(df.select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")) ==
+      rowsOf(nation.orderBy("n_nationkey")))
+    // partition filter via SQL prunes AND returns the right rows
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_part_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    val one = spark.sql(
+      "SELECT n_nationkey FROM txn_part_v WHERE n_regionkey = 2 " +
+        "ORDER BY n_nationkey")
+    assert(rowsOf(one) == rowsOf(nation.filter(col("n_regionkey") === 2)
+      .select("n_nationkey").orderBy("n_nationkey")))
+  }
+
   test("unpartitioned pruned merge rewrites only files holding the keys") {
     val t = freshTable()
     val orders = Tables.load(spark, sf0001, "orders")
