@@ -216,13 +216,20 @@ object Graph {
     * still matches. ScaleProbe's hub_cap rows pin the flat-under-hub-
     * growth property; its link_pred rows pin the no-hub overhead-free
     * path. */
-  def cappedAdjacency(dirE: DataFrame, k: Int): DataFrame = {
+  def cappedAdjacency(dirE: DataFrame, k: Int,
+                      degrees: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // max over an EMPTY aggregate is a single null row — an empty edge
-    // set must take the identity branch, not NPE in getLong
+    // set must take the identity branch, not NPE in getLong.
+    // `degrees`: a caller that already aggregated per-src degrees
+    // (vertex, count) hands them in and the statistic folds into a max
+    // over that (tiny, ideally checkpointed) relation — dropping the
+    // duplicate |E|-wide degree shuffle this job otherwise costs.
     val maxDeg = {
-      val r = dirE.groupBy("src").agg(count(lit(1)).as("__deg"))
-        .agg(max(col("__deg"))).head()
+      val degAgg = degrees.getOrElse(
+        dirE.groupBy("src").agg(count(lit(1)).as("__deg")))
+      val degCol = degAgg.columns.last
+      val r = degAgg.agg(max(col(degCol))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     if (maxDeg <= k) dirE
@@ -544,13 +551,21 @@ object Graph {
     * the bound (seeds at dist 0). */
   def boundedSssp(edges: DataFrame, seeds: DataFrame, rounds: Int,
                   localMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
-    val dir = edges.select(col("a").as("src"), col("b").as("dst"),
+    val dirLazy = edges.select(col("a").as("src"), col("b").as("dst"),
         col("w").cast(LongType).as("w"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst"),
         col("w").cast(LongType).as("w")))
-      .localCheckpoint(true)
-    // subcritical → one-task local fixed point (see LocalSolveMaxEdges)
-    if (dir.count() <= localMaxEdges) return localSssp(dir, seeds, rounds)
+    // the plan-picking statistic is one count of the UNDIRECTED input
+    // (×2 for the bidirection) — callers hand in a materialized edge
+    // relation (coOccurrenceEdges checkpoints), so this is a metadata-
+    // cheap scan; materializing the 2|E| bidirected rows just to count
+    // them doubled the subcritical path's cost for nothing
+    if (edges.count() * 2 <= localMaxEdges)
+      return localSssp(dirLazy, seeds, rounds)
+    // supercritical: NOW pin the bidirected relation once — every round
+    // re-reads it, and without an exchange to reuse each join would
+    // re-derive the union
+    val dir = dirLazy.localCheckpoint(true)
     var dist = seeds.select(col("v"), lit(0L).as("dist"))
       .localCheckpoint(true)
     (1 to rounds).foreach { i =>

@@ -30,6 +30,11 @@ import org.apache.spark.sql.types._
   */
 object TextDedup {
 
+  /** Train-side size (CBO estimate, bytes) above which
+    * [[decontaminateBloom]] builds its explicit bloom prefilter; below
+    * it the plain semi join wins — see the decision comment there. */
+  val PrefilterTrainBytes: Long = 256L << 20
+
   // 2^31 - 1: keeps (h mod p) * a + b far below 2^63 so the expression tree
   // never overflows under ANSI mode (p=2^61-1 would need 128-bit mults).
   private val MersennePrime = 2147483647L
@@ -341,10 +346,29 @@ object TextDedup {
     * replaced by a constant sketch. */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, shingleLen: Int = 5,
-                         expectedItems: Long = 1000000L): DataFrame = {
+                         expectedItems: Long = 1000000L,
+                         prefilterTrainBytes: Long = PrefilterTrainBytes)
+      : DataFrame = {
     def shingles(df: DataFrame) = widen(df.filter(length(trim(col(textCol))) > 0))
       .select(col(idCol),
         graft.functions.ShingleHashSha(col(textCol), shingleLen).as("sh"))
+    // ADAPTIVE prefilter decision (the statistic-picks-the-plan pattern,
+    // value-identical either way): the explicit bloom pays a FIXED
+    // two-action overhead — checkpoint the eval shingles, aggregate +
+    // collect the filter — to cut the train side's exploded-shingle
+    // shuffle by the contamination selectivity. That trade only wins
+    // when there IS a big shuffle to cut: below the threshold the plain
+    // semi join is strictly cheaper (measured 0.83s vs 1.59s at sf0.1),
+    // above it the shuffle write dominates and the bloom pays for
+    // itself many times over (the 100 TB shape). The statistic is the
+    // train side's CBO size estimate — driver-side, zero jobs.
+    val trainBytes = train.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (trainBytes < (prefilterTrainBytes: BigInt)) {
+      val b0 = shingles(bench).select(explode(col("sh")).as("h")).distinct()
+      return shingles(train).select(col(idCol), explode(col("sh")).as("h"))
+        .join(b0, Seq("h"), "left_semi")
+        .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    }
     // the eval shingle set feeds TWO actions (bloom build, then the exact
     // semi join) — checkpoint it once instead of re-shingling the eval
     // split per action, and pin the partition width first: AQE coalesces

@@ -225,6 +225,12 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bloom === exact)
     assert(exact.nonEmpty)
+    // both sides of the adaptive prefilter decision are value-identical:
+    // force the explicit-bloom branch (threshold 0) on the same corpus
+    val forced = TextDedup.decontaminateBloom(train, bench, "doc_id",
+      "text", 4, prefilterTrainBytes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(forced === exact)
   }
 
   test("feature-hash score: ordered slot-weight fold, both classes occur") {
