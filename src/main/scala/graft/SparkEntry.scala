@@ -3591,14 +3591,20 @@ object SparkEntry {
         urgent, "l_orderkey", "l_partkey").localCheckpoint(false)
       val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      // the degree aggregate is needed by the Jaccard denominator AND
+      // by the hub cap's max-degree statistic — checkpoint it once so
+      // the statistic is a max over |V| pinned rows, not a second
+      // |E|-wide degree shuffle
       val deg = dirE.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       // Hub cap (adaptive): per middle vertex at most the 64 lowest-id
       // neighbors generate wedges — Σ min(deg,64)² instead of Σ deg².
       // Graph.cappedAdjacency skips the |E| window sort entirely when a
       // max-degree statistic shows no hub exceeds the cap (same rows
       // either way, so the always-capped oracle still matches). The
       // checkpoint pins the adjacency for both wedge sides.
-      val capped = graft.operators.Graph.cappedAdjacency(dirE, 64)
+      val capped = graft.operators.Graph.cappedAdjacency(dirE, 64,
+          degrees = Some(deg))
         .localCheckpoint(false)
       val cn = capped.select(col("src").as("m"), col("dst").as("u"))
         .join(capped.select(col("src").as("m"), col("dst").as("v2")), "m")
@@ -5468,6 +5474,122 @@ object SparkEntry {
           |FROM q288_txn_v
           |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // ── [ext] change feed ACROSS a restore: the undo commit is
+    // metadata-only (re-add old files, remove new ones — no journaled
+    // change data), so the feed synthesizes its row-level delta as the
+    // multiset diff of the snapshots around it: the rows the bad
+    // delete victimized come BACK as inserts. A downstream incremental
+    // consumer stays correct through the operator's undo button — it
+    // sees delete-then-insert instead of silently diverging. The diff
+    // costs two snapshot scans, paid only by windows that actually
+    // span a restore. ─────────────────────────────────────────────────
+    "q289_txn_restore_cdf" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q289_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl,
+        o.filter(col("o_orderdate") < to_date(lit("1998-01-01"))))
+      graft.sources.TxnLog.deleteWhere(s, tbl,
+        col("o_totalprice") > 300000) // the "bad" load fix gone wrong
+      val v3 = graft.sources.TxnLog.restore(s, tbl, 1L) // the undo
+      graft.sources.TxnLog.changesBetween(s, tbl, 1L, v3)
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("_change_type", "o_orderstatus")
+    }),
+
+    // ── [ext] Hilbert-curve multi-dimensional clustering (Delta's
+    // OPTIMIZE ZORDER BY a,b / Iceberg hilbert sort): lexicographic
+    // range-clustering gives narrow per-file intervals in the FIRST
+    // column only; laying the rewrite along the Hilbert curve of the
+    // (min-max normalized) 2-D grid gives EVERY file a narrow interval
+    // in EACH column, so a predicate on either one prunes the scan
+    // (TxnLogSpec pins the file-subset counts both ways; this query
+    // pins the rows through the conjunctive read). The layout lever
+    // that makes a 100 TB table servable by two independent access
+    // paths at once. ──────────────────────────────────────────────────
+    "q292_txn_hilbert_cluster" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q292_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_totalprice")
+        .repartition(8, col("o_orderkey")) // both dims scattered
+      graft.sources.TxnLog.create(s, tbl, o,
+        statsCols = Seq("o_custkey", "o_orderdate"))
+      graft.sources.TxnLog.compact(s, tbl, targetFiles = 16,
+        clusterBy = Seq("o_custkey", "o_orderdate"), hilbert = true)
+      val dLo = java.time.LocalDate.parse("1997-01-01").toEpochDay
+      val dHi = java.time.LocalDate.parse("1997-12-31").toEpochDay
+      graft.sources.TxnLog
+        .snapshotWhereAll(s, tbl,
+          Seq(("o_custkey", 1L, 500L), ("o_orderdate", dLo, dHi)))
+        .where(col("o_custkey").between(1, 500) &&
+          col("o_orderdate").between(
+            to_date(lit("1997-01-01")), to_date(lit("1997-12-31"))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── [ext] dynamic partition overwrite (INSERT OVERWRITE dynamic /
+    // Delta replaceWhere): the 1997 partition is recomputed (prices
+    // doubled) and swapped in as ONE commit that removes exactly that
+    // partition's files — every other year keeps its exact files
+    // (TxnLogSpec pins the identity), the swap is journaled as
+    // delete+insert CDF, and a lost race against a disjoint-partition
+    // writer retries instead of failing. The daily-load pattern the
+    // reference's BigQuery PARTITION BY date table exists for. ────────
+    "q291_txn_replace_partition" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q291_txn")
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), year(col("o_orderdate")).as("o_year"))
+      graft.sources.TxnLog.create(s, tbl, o, partitionBy = Seq("o_year"))
+      graft.sources.TxnLog.overwritePartitions(s, tbl,
+        o.filter(col("o_year") === 1997)
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_year")
+    }),
+
+    // ── [ext] DELETION VECTORS — merge-on-read DELETE (Delta DV /
+    // Iceberg v2 position deletes): two successive deletes journal only
+    // (file, row-index) positions + per-file victim counts; ZERO data
+    // files are rewritten (asserted in-query via file identity), every
+    // read subtracts the positions with one anti join, and count(*)
+    // stays a pure log answer (rowcounts − dvcounts, surfaced as
+    // meta_total and oracle-checked against the real count). The
+    // write-amplification killer at 100 TB: a 0.01% delete costs KB of
+    // positions, not a table rewrite; compact() purges when the read
+    // tax accumulates (TxnLogSpec pins purge + restore + checkpoint
+    // round-trips). ───────────────────────────────────────────────────
+    "q290_txn_deletion_vectors" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q290_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl,
+        o.repartitionByRange(4, col("o_orderkey")))
+      val files0 = graft.sources.TxnLog.files(tbl)
+      graft.sources.TxnLog.deleteWhereDV(s, tbl,
+        col("o_totalprice") > 300000)
+      graft.sources.TxnLog.deleteWhereDV(s, tbl,
+        col("o_orderdate") >= to_date(lit("1998-01-01")))
+      require(graft.sources.TxnLog.files(tbl) == files0,
+        "merge-on-read delete must not rewrite any data file")
+      val metaCount = graft.sources.TxnLog.countRows(tbl).get
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .withColumn("meta_total", lit(metaCount))
+        .orderBy("o_orderstatus")
     }),
 
     // ── [ext] schema-evolving MERGE (Delta's schema.autoMerge): the
@@ -9447,6 +9569,57 @@ object SparkEntry {
           |FROM orders
           |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q289: the restore window is the delete victims twice — once as
+      // the journaled deletes, once as the synthesized re-inserts
+      "q289_txn_restore_cdf" ->
+        """WITH victims AS (
+          |  SELECT o_orderstatus, o_totalprice FROM orders
+          |  WHERE o_orderdate < DATE '1998-01-01'
+          |    AND o_totalprice > 300000),
+          |feed AS (
+          |  SELECT 'delete' AS _change_type, * FROM victims
+          |  UNION ALL
+          |  SELECT 'insert' AS _change_type, * FROM victims)
+          |SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM feed GROUP BY 1, 2
+          |ORDER BY _change_type, o_orderstatus""".stripMargin,
+
+      // q292: pruning is layout + superset + residual, so the oracle is
+      // the plain two-predicate aggregate regardless of the curve
+      "q292_txn_hilbert_cluster" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders
+          |WHERE o_custkey BETWEEN 1 AND 500
+          |  AND o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q291: the swapped table replayed with CASE — 1997 doubled in
+      // place, every other year untouched
+      "q291_txn_replace_partition" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1997
+          |    THEN o_totalprice * 2 ELSE o_totalprice END
+          |    AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+      // q290: the DV-masked snapshot is the doubly-filtered table, and
+      // the metadata count must equal the real live count
+      "q290_txn_deletion_vectors" ->
+        """WITH live AS (
+          |  SELECT * FROM orders
+          |  WHERE o_totalprice <= 300000
+          |    AND o_orderdate < DATE '1998-01-01')
+          |SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price,
+          |  (SELECT count(*) FROM live) AS meta_total
+          |FROM live GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q287: the pruned merge's state replayed with CASE — low keys
       // doubled in place, everything else byte-identical (its files

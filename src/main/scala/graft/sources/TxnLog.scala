@@ -190,7 +190,9 @@ object TxnLog {
                                  stats: Map[(String, String), (Long, Long)],
                                  blooms: Map[(String, String),
                                    (Int, Int, Array[Long])],
-                                 rowcounts: Map[String, Long])
+                                 rowcounts: Map[String, Long],
+                                 dvFiles: Seq[String],
+                                 dvCounts: Map[String, Long])
 
   /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
     * when one exists, else from the log's beginning. */
@@ -204,11 +206,14 @@ object TxnLog {
     val blooms = scala.collection.mutable
       .Map.empty[(String, String), (Int, Int, Array[Long])]
     val rowcounts = scala.collection.mutable.Map.empty[String, Long]
+    val dvFiles = scala.collection.mutable.LinkedHashSet.empty[String]
+    val dvCounts = scala.collection.mutable.Map.empty[String, Long]
     def dropFile(f: String): Unit = {
       live -= f
       stats.keys.filter(_._1 == f).toSeq.foreach(stats.remove)
       blooms.keys.filter(_._1 == f).toSeq.foreach(blooms.remove)
       rowcounts.remove(f)
+      dvCounts.remove(f) // a rewritten file's DV entries are dead
     }
     def applyLine(where: String)(line: String): Unit =
       line.split('\t') match {
@@ -227,6 +232,11 @@ object TxnLog {
         case Array("bloom", f, c, m, k, b64) =>
           blooms((f, c)) = (m.toInt, k.toInt, bitsFromB64(b64))
         case Array("rowcount", f, n) => rowcounts(f) = n.toLong
+        case Array("dv", f) => dvFiles += f
+        case Array("dvcount", f, n) =>
+          dvCounts(f) = dvCounts.getOrElse(f, 0L) + n.toLong
+        case Array("dvclear") => // DVs materialized away (compact/restore)
+          dvFiles.clear(); dvCounts.clear()
         case _ => sys.error(s"corrupt log line in $where: $line")
       }
     val start = latestCheckpoint(table, upTo) match {
@@ -240,7 +250,7 @@ object TxnLog {
         .foreach(applyLine(s"v$v"))
     }
     State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap,
-      blooms.toMap, rowcounts.toMap)
+      blooms.toMap, rowcounts.toMap, dvFiles.toSeq, dvCounts.toMap)
   }
 
   /** Raw action lines of one committed version (no checkpoint
@@ -254,7 +264,16 @@ object TxnLog {
     * next to the log, written temp-then-atomic-move. Failure is
     * swallowed — readers recompute from the log. */
   private def maybeCheckpoint(table: String, v: Long): Unit =
-    if (v % CheckpointInterval == 0) try {
+    if (v % CheckpointInterval == 0)
+      writeCheckpoint(table, v, updatePointer = true)
+
+  /** Write the full replay state at `v` as a checkpoint parquet.
+    * `updatePointer = false` leaves `_last_checkpoint` alone — vacuum
+    * writes a HORIZON checkpoint below the head, and moving the hot
+    * pointer backward would degrade every head read's planning. */
+  private def writeCheckpoint(table: String, v: Long,
+                              updatePointer: Boolean): Unit =
+    try {
       val st = replayState(table, v)
       val fac =
         new org.apache.parquet.example.data.simple.SimpleGroupFactory(
@@ -276,7 +295,10 @@ object TxnLog {
               .append("detail", bitsToB64(bits))
               .append("lo", m.toLong).append("hi", k.toLong) } ++
           st.rowcounts.toSeq.sortBy(_._1).map { case (f, n) =>
-            g("rowcount").append("path", f).append("lo", n) }
+            g("rowcount").append("path", f).append("lo", n) } ++
+          st.dvFiles.map(f => g("dv").append("path", f)) ++
+          st.dvCounts.toSeq.sortBy(_._1).map { case (f, n) =>
+            g("dvcount").append("path", f).append("lo", n) }
       // write-temp-then-atomic-rename, like the log itself: a reader
       // can never observe a half-written checkpoint
       val tmp = logDir(table).resolve(
@@ -294,13 +316,16 @@ object TxnLog {
         StandardCopyOption.REPLACE_EXISTING)
       // publish the pointer LAST: readers that already resolved the old
       // pointer keep working (older checkpoints are never invalidated)
-      val ptmp = Files.createTempFile(logDir(table), "_ptr_", ".inprogress")
-      Files.write(ptmp,
-        s"""{"version":$v,"size":${rows.size}}"""
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(ptmp, lastCheckpointPtr(table),
-        StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      if (updatePointer) {
+        val ptmp =
+          Files.createTempFile(logDir(table), "_ptr_", ".inprogress")
+        Files.write(ptmp,
+          s"""{"version":$v,"size":${rows.size}}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.move(ptmp, lastCheckpointPtr(table),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
       // NonFatal, not just IOException: the version is already PUBLISHED
       // when this runs, so any failure escaping here (a NumberFormat /
       // sys.error from replaying a corrupt historic line) would make the
@@ -334,6 +359,8 @@ object TxnLog {
             s"bloom\t${s("path")}\t${s("name")}\t${l("lo")}\t${l("hi")}\t" +
               s("detail")
           case "rowcount" => s"rowcount\t${s("path")}\t${l("lo")}"
+          case "dv" => s"dv\t${s("path")}"
+          case "dvcount" => s"dvcount\t${s("path")}\t${l("lo")}"
           case other => sys.error(s"unknown checkpoint action: $other")
         })
         g = r.read()
@@ -413,19 +440,51 @@ object TxnLog {
     * time-traveled read uses the OLD declared schema). */
   private def readFiles(spark: SparkSession, table: String,
                         relPaths: Seq[String],
-                        schema: Option[StructType]): DataFrame = {
+                        schema: Option[StructType],
+                        dv: Option[DataFrame] = None,
+                        keepDvPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
     val base = Paths.get(table).toAbsolutePath
     val paths = relPaths.map(f => base.resolve(f).toString)
     val r0: DataFrameReader = spark.read
     val r1 = if (relPaths.exists(_.contains('=')))
       r0.option("basePath", base.toString) else r0
     val r2 = schema.fold(r1)(r1.schema)
-    val df = r2.parquet(paths: _*)
+    val df0 = r2.parquet(paths: _*)
+    // DELETION VECTORS (merge-on-read): subtract journaled (leaf file,
+    // row index) pairs with one anti join keyed on the scan's own
+    // _metadata columns — deleted rows vanish logically with ZERO data
+    // files rewritten. The join is skipped entirely (None) on tables
+    // without live DVs, and the DV side is sized ∝ deleted rows, so
+    // AQE broadcasts it in the common small-delete case. `keepDvPos`
+    // keeps the position columns for a caller that needs them (the DV
+    // delete's victim scan) — _metadata resolves only on the scan
+    // itself, so positions must be captured in this pass.
+    val needPos = dv.isDefined || keepDvPos
+    val withPos = if (!needPos) df0
+    else df0.withColumn("__dv_f",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__dv_r", col("_metadata.row_index"))
+    val joined = dv.fold(withPos)(dvDf =>
+      withPos.join(dvDf, Seq("__dv_f", "__dv_r"), "left_anti"))
+    val df = if (needPos && !keepDvPos) joined.drop("__dv_f", "__dv_r")
+      else joined
     // pin the declared column order (partition discovery appends
     // partition columns at the end regardless of schema order)
     schema.fold(df)(s => df.select(
-      s.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+      (s.fieldNames.toSeq ++
+        (if (keepDvPos) Seq("__dv_f", "__dv_r") else Nil))
+        .map(org.apache.spark.sql.functions.col): _*))
   }
+
+  /** The live-DV relation of a snapshot state: (leaf data-file name,
+    * row index) pairs, None when the state has no deletion vectors —
+    * the zero-cost common case every [[readFiles]] call threads
+    * through. */
+  private def dvOf(spark: SparkSession, table: String,
+                   st: State): Option[DataFrame] =
+    if (st.dvFiles.isEmpty) None
+    else Some(readFiles(spark, table, st.dvFiles, None))
 
   /** Snapshot read, optionally time-traveled to an older version. */
   def snapshot(spark: SparkSession, table: String,
@@ -437,7 +496,8 @@ object TxnLog {
     val st = replayState(table, upTo)
     if (st.live.isEmpty) sys.error(s"empty snapshot of $table") // never: create requires data
     readFiles(spark, table, st.live,
-      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]))
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]),
+      dvOf(spark, table, st))
   }
 
   /** Data-skipping snapshot read: only files whose committed
@@ -489,7 +549,7 @@ object TxnLog {
       // table's schema (scan one file, read no rows)
       readFiles(spark, table, Seq(st.live.head), schema)
         .where(org.apache.spark.sql.functions.lit(false))
-    else readFiles(spark, table, keep, schema)
+    else readFiles(spark, table, keep, schema, dvOf(spark, table, st))
   }
 
   // ─── per-file bloom skipping ───────────────────────────────────────
@@ -578,7 +638,7 @@ object TxnLog {
     val base =
       if (keep.isEmpty)
         readFiles(spark, table, Seq(st.live.head), schema).where(lit(false))
-      else readFiles(spark, table, keep, schema)
+      else readFiles(spark, table, keep, schema, dvOf(spark, table, st))
     base.filter(col(colName) === lit(value))
   }
 
@@ -687,7 +747,10 @@ object TxnLog {
     require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
     val st = replayState(table, upTo)
     if (st.live.forall(st.rowcounts.contains))
-      Some(st.live.map(st.rowcounts).sum)
+      // deletion vectors subtract exactly: every DV commit journals its
+      // per-file victim counts, and a rewritten file drops its entry
+      Some(st.live.map(f =>
+        st.rowcounts(f) - st.dvCounts.getOrElse(f, 0L)).sum)
     else None
   }
 
@@ -704,7 +767,8 @@ object TxnLog {
     val st = replayState(table, upTo)
     if (!st.live.forall(st.rowcounts.contains)) None
     else Some(st.live.groupBy(partValuesOf)
-      .view.mapValues(_.map(st.rowcounts).sum).toMap)
+      .view.mapValues(_.map(f =>
+        st.rowcounts(f) - st.dvCounts.getOrElse(f, 0L)).sum).toMap)
   }
 
   // ─── staging ───────────────────────────────────────────────────────
@@ -1068,7 +1132,7 @@ object TxnLog {
     val cdcNames = cdcRows.toSeq.flatMap(
       stage(spark, table, _, subdir = Some("_change_data")))
     val v = base + 1
-    if (!publish(table, v, s"op\t$opName" +: (schemaLine.toSeq ++
+    if (!publish(table, v, s"op\t$opName" +: "dvclear" +: (schemaLine.toSeq ++
         st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
         cdcNames.map("cdc\t" + _) ++
         statsLines(spark, table, named, statsCols) ++
@@ -1234,7 +1298,8 @@ object TxnLog {
         // nothing is prunable (no stats/blooms on the keys).
         val touchedFiles = touchedByKeys(spark, st, u, keys)
         if (touchedFiles.size == st.live.size) {
-          val snap = withNewCols(readFiles(spark, table, st.live, declared))
+          val snap = withNewCols(readFiles(spark, table, st.live, declared,
+            dvOf(spark, table, st)))
           val merged = graft.ops.Merge.upsert(snap, u, keys)
           overwrite(spark, table, merged, Some(base),
             overwriteSchema = evolvedJson.isDefined,
@@ -1247,7 +1312,8 @@ object TxnLog {
             (u, u.withColumn("_change_type", lit("insert")))
           } else {
             val baseDf =
-              withNewCols(readFiles(spark, table, touchedFiles, declared))
+              withNewCols(readFiles(spark, table, touchedFiles, declared,
+                dvOf(spark, table, st)))
             (graft.ops.Merge.upsert(baseDf, u, keys),
               upsertCdc(baseDf, u, keys))
           }
@@ -1287,7 +1353,8 @@ object TxnLog {
           (u, u.withColumn("_change_type", lit("insert")))
         } else {
           val baseDf =
-            withNewCols(readFiles(spark, table, touchedFiles, declared))
+            withNewCols(readFiles(spark, table, touchedFiles, declared,
+              dvOf(spark, table, st)))
           (graft.ops.Merge.upsert(baseDf, u, keys),
             upsertCdc(baseDf, u, keys))
         }
@@ -1316,6 +1383,73 @@ object TxnLog {
     }
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (Spark's INSERT OVERWRITE dynamic
+    * mode / Delta `replaceWhere` on partition values): replace EXACTLY
+    * the partitions present in `df` — their old files are removed, the
+    * staged files take their place, and every other partition keeps
+    * its exact files. The daily-load pattern the reference's BigQuery
+    * `PARTITION BY date` table exists for: recompute one day, swap it
+    * in, never touch the rest of the 100 TB.
+    *
+    * The touched-partition set is derived from the STAGED files' own
+    * hive paths — exact, no extra job over `df`. The swap is journaled
+    * as row-level CDF (old partition rows as `delete`, new rows as
+    * `insert`), so downstream incremental consumers see it; cost ∝
+    * touched partitions only. Conflicts follow the partitioned-upsert
+    * matrix: a lost race re-checks the intervening commits and retries
+    * iff they touched only OTHER partitions. Schema must match the
+    * declaration exactly (a partition swap is not a schema event). */
+  def overwritePartitions(spark: SparkSession, table: String,
+                          df: DataFrame,
+                          expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.lit
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val st = replayState(table, base)
+    val pcols = partitionColsOf(st.live).getOrElse(sys.error(
+      s"overwritePartitions requires a hive-partitioned table: $table"))
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    declared.foreach(validateAgainst(_, df.schema, mergeSchema = false))
+    val named = stageChecked(spark, table, df, st.checks, pcols)
+    val touched: Set[Seq[String]] =
+      named.map(partValuesOf(_).map(_._2)).toSet
+    val removes =
+      st.live.filter(f => touched.contains(partValuesOf(f).map(_._2)))
+    // the CDF swap journal: the replaced partitions' (DV-masked) rows
+    // out, the staged rows in — read back from the staged files so the
+    // journaled insert set is byte-exactly what the table now holds
+    val oldRows =
+      if (removes.isEmpty) None
+      else Some(readFiles(spark, table, removes, declared,
+        dvOf(spark, table, st))
+        .withColumn("_change_type", lit("delete")))
+    val newRows = readFiles(spark, table, named, declared)
+      .withColumn("_change_type", lit("insert"))
+    val cdc = oldRows.fold(newRows)(_.unionByName(newRows))
+    val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
+    val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
+    val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
+    val actions = "op\treplacePartitions" +:
+      (removes.map("remove\t" + _) ++ named.map("add\t" + _) ++
+        cdcNames.map("cdc\t" + _) ++
+        statsLines(spark, table, named, trackedStats) ++
+        bloomLines(spark, table, named, trackedBlooms) ++
+        rowcountLines(table, named))
+    var checkedUpTo = base
+    var v = base + 1
+    while (!publish(table, v, actions)) {
+      val head = versions(table).last
+      val conflict = (checkedUpTo + 1 to head).exists(cv =>
+        actionTouches(actionsOf(table, cv), touched))
+      if (conflict) throw new ConcurrentCommitException(v)
+      checkedUpTo = head
+      v = head + 1
+    }
+    maybeCheckpoint(table, v)
+    v
+  }
+
   /** Transactional small-file compaction (Delta OPTIMIZE): rewrite the
     * current snapshot into (at most) `targetFiles` files per partition
     * in ONE commit whose actions carry a `nochange` marker — the rows
@@ -1331,28 +1465,75 @@ object TxnLog {
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
               expectedVersion: Option[Long] = None,
               clusterBy: Seq[String] = Nil,
-              statsCols: Seq[String] = Nil): Long = {
+              statsCols: Seq[String] = Nil,
+              hilbert: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, greatest, least, lit,
+      max, min}
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val snap0 = readFiles(spark, table, st.live, declared)
+    val snap0 = readFiles(spark, table, st.live, declared,
+      dvOf(spark, table, st))
     // clusterBy = Delta's OPTIMIZE ZORDER in its range-cluster form:
     // the rewrite range-lays rows on the cluster columns, so each new
     // file owns a narrow value interval and the fresh per-file stats
     // (recorded below, defaulting to the cluster columns) make
     // snapshotWhere pruning EFFECTIVE on a table whose original write
-    // order scattered the column across every file
+    // order scattered the column across every file.
+    //
+    // hilbert = the MULTI-DIMENSIONAL form (Delta's ZORDER BY a, b /
+    // Iceberg's hilbert sort): lexicographic range-clustering makes
+    // files narrow in the FIRST column only; laying rows along the
+    // Hilbert curve of both columns' (min-max normalized, canonical-
+    // long) grid coordinates gives every file a narrow interval in
+    // EACH column, so single-column predicates on either one prune.
+    // Normalization is one tiny min/max agg; the curve index is the
+    // codegen'd [[graft.functions.HilbertIndex]]. Layout-only, like
+    // every compaction: the nochange commit keeps CDF silent and the
+    // oracle layout-blind.
     val snap =
       if (clusterBy.isEmpty) snap0.repartition(math.max(1, targetFiles))
-      else snap0.repartitionByRange(math.max(1, targetFiles),
-        clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      else if (!hilbert)
+        snap0.repartitionByRange(math.max(1, targetFiles),
+          clusterBy.map(col): _*)
+      else {
+        require(clusterBy.size == 2,
+          "hilbert clustering takes exactly two columns")
+        val bits = 16
+        val side = (1L << bits) - 1
+        val (a, b) = (clusterBy.head, clusterBy(1))
+        val bounds = snap0.agg(
+          min(canonicalCol(snap0, a)).as("amn"),
+          max(canonicalCol(snap0, a)).as("amx"),
+          min(canonicalCol(snap0, b)).as("bmn"),
+          max(canonicalCol(snap0, b)).as("bmx")).head()
+        if (bounds.isNullAt(0) || bounds.isNullAt(2))
+          // an all-null cluster column has no grid: fall back to the
+          // lexicographic range layout rather than NPE
+          return compact(spark, table, targetFiles, expectedVersion,
+            clusterBy, statsCols, hilbert = false)
+        def grid(c: String, mnI: Int, mxI: Int) = {
+          val mn = bounds.getLong(mnI)
+          val span = math.max(1L, bounds.getLong(mxI) - mn)
+          // bucket in double (span can be ~2^63; layout-only, so the
+          // rounding never touches correctness), clamp to the grid
+          least(greatest(((canonicalCol(snap0, c) - lit(mn))
+            .cast(org.apache.spark.sql.types.DoubleType) * lit(side.toDouble)
+            / lit(span.toDouble)).cast(LongType), lit(0L)), lit(side))
+        }
+        snap0.withColumn("__h", graft.functions.HilbertIndex(
+            grid(a, 0, 1), grid(b, 2, 3), bits))
+          .repartitionByRange(math.max(1, targetFiles), col("__h"))
+          .sortWithinPartitions("__h")
+          .drop("__h")
+      }
     val named = stage(spark, table, snap,
       partitionColsOf(st.live).getOrElse(Nil))
     val sc = if (statsCols.nonEmpty) statsCols else clusterBy
     val v = base + 1
-    if (!publish(table, v, "op\tcompact" +: "nochange" +:
+    if (!publish(table, v, "op\tcompact" +: "nochange" +: "dvclear" +:
         (st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
           statsLines(spark, table, named, sc) ++
           rowcountLines(table, named))))
@@ -1383,6 +1564,69 @@ object TxnLog {
       opName = "delete")
   }
 
+  /** MERGE-ON-READ DELETE via deletion vectors (Delta's DV feature /
+    * Iceberg v2 position deletes): instead of rewriting every file that
+    * holds a victim row — copy-on-write's write amplification, which on
+    * a 100 TB table can turn a 0.01% delete into a full-table rewrite —
+    * the commit journals the victims' (file, row index) positions under
+    * `_deletion_vectors/` and every subsequent read subtracts them with
+    * one anti join ([[readFiles]]). ZERO data files touched; the
+    * deleted rows are also journaled as `delete` change-feed entries,
+    * so [[changesBetween]] serves the window identically to the
+    * copy-on-write [[deleteWhere]]. Per-file victim counts ride the
+    * commit (`dvcount`), keeping [[countRows]] a pure metadata answer.
+    *
+    * The read tax is proportional to accumulated DV rows; [[compact]]
+    * materializes the deletes away (it reads DV-aware and commits a
+    * `dvclear` — Delta's REORG PURGE), which is also the escape hatch
+    * the SQL relation ([[TxnLogFileIndex]]) points to, since a plain
+    * file scan cannot apply row-level subtraction. SQL NULL-predicate
+    * semantics match [[deleteWhere]]: only cond === TRUE rows die.
+    * CAS-pinned like every snapshot-derived commit. */
+  def deleteWhereDV(spark: SparkSession, table: String, cond: Column,
+                    expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val st = replayState(table, base)
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    // DV-aware victim scan: rows already deleted by earlier DVs cannot
+    // be victimized twice, so per-file counts stay exact under repeated
+    // deletes. Positions are captured in the scan pass (keepDvPos) —
+    // _metadata does not resolve through the anti join.
+    val raw = readFiles(spark, table, st.live, None,
+      dvOf(spark, table, st), keepDvPos = true)
+    val hit = org.apache.spark.sql.functions.coalesce(cond, lit(false))
+    val victims = raw.filter(hit)
+      .localCheckpoint(true) // one scan feeds DV stage + counts + cdc
+    val dvNamed = stage(spark, table,
+      victims.select(col("__dv_f"), col("__dv_r")),
+      subdir = Some("_deletion_vectors"))
+    val perFile = victims.groupBy("__dv_f")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect() // ≤ |live files| rows
+      .map(r => r.getString(0) -> r.getLong(1))
+    // leaf name → committed relative path (partitioned files live in
+    // col=val dirs; the DV keys use the leaf, counts key the log path)
+    val byLeaf = st.live.map(f => f.split('/').last -> f).toMap
+    val dataCols = declared.map(_.fieldNames.toSeq)
+      .getOrElse(raw.columns.toSeq.filterNot(_.startsWith("__dv_")))
+    val cdc = victims
+      .select(dataCols.map(col): _*)
+      .withColumn("_change_type", lit("delete"))
+    val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
+    val actions = "op\tdeleteDV" +: (dvNamed.map("dv\t" + _) ++
+      perFile.toSeq.sortBy(_._1).map { case (leaf, n) =>
+        s"dvcount\t${byLeaf(leaf)}\t$n" } ++
+      cdcNames.map("cdc\t" + _))
+    val v = base + 1
+    if (!publish(table, v, actions))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
   /** Row-level change feed (Delta CDF): every change committed in
     * versions (fromV, toV] as table rows plus `_change_type` ∈ {insert,
     * update_preimage, update_postimage, delete} and `_commit_version`.
@@ -1408,11 +1652,42 @@ object TxnLog {
       val cdcF = acts.collect { case Array("cdc", f) => f }
       val adds = acts.collect { case Array("add", f) => f }
       val removes = acts.collect { case Array("remove", f) => f }
+      val opName = acts.collectFirst { case Array("op", name) => name }
       if (acts.exists(_.sameElements(Array("nochange"))))
         None // layout-only commit (compaction): rows unchanged by contract
       else if (cdcF.nonEmpty)
         Some(readFiles(spark, table, cdcF, None)
           .withColumn("_commit_version", lit(v)))
+      else if (opName.contains("restore") && removes.nonEmpty) {
+        // a RESTORE is metadata-only (add+remove, no journaled change
+        // data): synthesize its row-level delta as the multiset diff of
+        // the snapshots around it. This is the one window shape that
+        // pays a data diff — priced ∝ the two snapshots, and only when
+        // a feed window actually spans a restore (the rare undo path).
+        // Schemas may differ (restore rolls the declaration back), so
+        // both sides align on the column union with typed nulls first.
+        val prev = vs.filter(_ < v).last
+        val before0 = snapshot(spark, table, Some(prev))
+        val after0 = snapshot(spark, table, Some(v))
+        def align(df: DataFrame, other: DataFrame,
+                  order: Seq[String]): DataFrame = {
+          val have = df.columns.toSet
+          val widened = other.schema.fields
+            .filterNot(f => have.contains(f.name))
+            .foldLeft(df)((d, f) =>
+              d.withColumn(f.name, lit(null).cast(f.dataType)))
+          widened.select(order.map(
+            org.apache.spark.sql.functions.col): _*)
+        }
+        val order = (after0.columns ++ before0.columns).distinct.toSeq
+        val before = align(before0, after0, order)
+        val after = align(after0, before0, order)
+        Some(after.exceptAll(before)
+          .withColumn("_change_type", lit("insert"))
+          .unionByName(before.exceptAll(after)
+            .withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_version", lit(v)))
+      }
       else if (removes.nonEmpty)
         throw new IllegalStateException(
           s"version $v removes files but journaled no change data " +
@@ -1466,10 +1741,22 @@ object TxnLog {
       case ((`f`, c), (mn, mx)) => s"stats\t$f\t$c\t$mn\t$mx" })
     val rcs = adds.flatMap(f =>
       tgt.rowcounts.get(f).map(n => s"rowcount\t$f\t$n"))
+    // deletion-vector state rolls back WITH the snapshot: DVs journaled
+    // after `toVersion` must not keep masking the restored files, and
+    // the target's own DVs come back (their files are vacuum-guarded
+    // like data files)
+    val missingDv = tgt.dvFiles.filterNot(f =>
+      Files.exists(Paths.get(table).resolve(f)))
+    require(missingDv.isEmpty,
+      s"cannot restore to v$toVersion: vacuum reclaimed " +
+        s"${missingDv.size} of its deletion-vector files")
+    val dvLines = "dvclear" +: (tgt.dvFiles.map("dv\t" + _) ++
+      tgt.dvCounts.toSeq.sortBy(_._1).map { case (f, n) =>
+        s"dvcount\t$f\t$n" })
     val v = base + 1
     if (!publish(table, v, "op\trestore" +: (schemaLine.toSeq ++
         removes.map("remove\t" + _) ++ adds.map("add\t" + _) ++ stats ++
-        rcs)))
+        rcs ++ dvLines)))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -1593,7 +1880,11 @@ object TxnLog {
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val retained = vs.takeRight(math.max(1, retainVersions))
     val keep = scala.collection.mutable.Set.empty[String]
-    retained.foreach(v => keep ++= files(table, Some(v)))
+    retained.foreach { v =>
+      val st = replayState(table, v)
+      keep ++= st.live
+      keep ++= st.dvFiles // live deletion vectors are part of the state
+    }
     // change-feed files stay addressable back to the retention horizon;
     // same for the append feed's hard links (streams older than the
     // horizon stop working, exactly like time travel)
@@ -1640,7 +1931,43 @@ object TxnLog {
         .foreach(p => Files.deleteIfExists(p))
       finally ls.close()
     }
+    // LOG RETENTION (Delta's logRetentionDuration): replay for any
+    // retained version needs one checkpoint ≤ the horizon plus the log
+    // entries after it — every log file and checkpoint strictly below
+    // that checkpoint is metadata for history the retention contract
+    // already gave up (its data files are reclaimed above). Ensure a
+    // horizon checkpoint exists (written WITHOUT moving the hot
+    // `_last_checkpoint` pointer backward; a failed write just skips
+    // pruning — checkpoints are derived data), then drop the older log
+    // entries and superseded checkpoints under the same age grace.
+    // Reads below the horizon now fail cleanly ("version not in log"),
+    // exactly like time travel past a reclaimed snapshot; txn
+    // high-water marks and the declared schema survive INSIDE the
+    // checkpoint, so idempotent-writer dedup keeps working.
+    val horizon = retained.head
+    val prunedMeta: Seq[Path] = {
+      val cpOpt = latestCheckpoint(table, horizon).orElse {
+        if (horizon > vs.head) writeCheckpoint(table, horizon,
+          updatePointer = false)
+        latestCheckpoint(table, horizon)
+      }
+      cpOpt.filter(_ > vs.head).toSeq.flatMap { cp =>
+        val oldLogs = vs.filter(_ < cp).map(v => logFile(table, v))
+        val oldCps = {
+          val s = Files.list(ld)
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".checkpoint.parquet"))
+            .filter(_.getFileName.toString
+              .stripSuffix(".checkpoint.parquet").toLong < cp)
+            .toSeq
+          finally s.close()
+        }
+        (oldLogs ++ oldCps).filter(p => Files.exists(p) && oldEnough(p))
+      }
+    }
+    prunedMeta.foreach(p => Files.deleteIfExists(p))
     victimFiles.map(p => tableDir.relativize(p).toString) ++
-      deadStaging.map(p => tableDir.relativize(p).toString)
+      deadStaging.map(p => tableDir.relativize(p).toString) ++
+      prunedMeta.map(p => tableDir.relativize(p).toString)
   }
 }

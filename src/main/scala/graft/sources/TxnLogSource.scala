@@ -87,6 +87,12 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
     .getOrElse(sys.error(
       s"txnlog relation requires a declared schema in the log: $table"))
 
+  // a HadoopFsRelation is a plain file scan — it cannot subtract
+  // row-level deletion vectors; compact() materializes them away
+  require(st.dvFiles.isEmpty,
+    s"txnlog relation cannot serve a snapshot with live deletion " +
+      s"vectors: $table — run TxnLog.compact to purge them first")
+
   private val partCols: Seq[String] =
     TxnLog.partitionColsOf(st.live).getOrElse(Nil)
 

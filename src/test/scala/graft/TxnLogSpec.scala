@@ -106,7 +106,8 @@ class TxnLogSpec extends SparkSpec {
     // vacuum also reclaims _stream_feed mirrors past the horizon;
     // the root-file count moves only by the root victims
     assert(parquetCount() ==
-      before - deleted.count(!_.startsWith("_stream_feed/")))
+      before - deleted.count(d => !d.startsWith("_stream_feed/") &&
+        !d.startsWith("_txn_log/")))
     // current snapshot unaffected
     assert(TxnLog.snapshot(spark, t).count() ==
       nation.filter(col("n_regionkey") === 0).count())
@@ -888,6 +889,211 @@ class TxnLogSpec extends SparkSpec {
       "partition column must stream through from the hive path, not null")
     assert(got.filter(col("n_nationkey") === 901)
       .select("n_regionkey").collect().head.get(0).toString == "4")
+  }
+
+  test("vacuum prunes log entries and checkpoints past the horizon") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") === 0))
+    (1 to 12).foreach(i => TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey") === i)))
+    assert(TxnLog.versions(t) == (1L to 13L))
+    val headRows = rowsOf(TxnLog.snapshot(spark, t).orderBy("n_nationkey"))
+    val deleted = TxnLog.vacuum(t, retainVersions = 3, minAgeMs = 0)
+    // log entries below the newest checkpoint ≤ horizon (v10) are gone,
+    // and so is their superseded metadata
+    assert(TxnLog.versions(t) == (10L to 13L),
+      s"expected log pruned to [10..13], got ${TxnLog.versions(t)}")
+    assert(deleted.exists(_.contains("_txn_log/")),
+      "pruned log entries must be reported")
+    // retained reads replay from the checkpoint, identical rows
+    assert(rowsOf(TxnLog.snapshot(spark, t).orderBy("n_nationkey")) ==
+      headRows)
+    assert(TxnLog.snapshot(spark, t, Some(11L)).count() == 11)
+    // below the horizon: clean failure, not plausible wrong data
+    intercept[Exception] { TxnLog.snapshot(spark, t, Some(9L)) }
+    // and the table keeps working: appends continue past the prune
+    val v = TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey") === 20))
+    assert(v == 14L)
+  }
+
+  test("vacuum writes a horizon checkpoint when none exists yet") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") === 0))
+    (1 to 5).foreach(i => TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey") === i)))
+    assert(TxnLog.versions(t) == (1L to 6L)) // no natural checkpoint yet
+    val headRows = rowsOf(TxnLog.snapshot(spark, t).orderBy("n_nationkey"))
+    TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
+    assert(TxnLog.versions(t) == Seq(6L),
+      s"expected only the horizon version, got ${TxnLog.versions(t)}")
+    assert(rowsOf(TxnLog.snapshot(spark, t).orderBy("n_nationkey")) ==
+      headRows)
+    assert(TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey") === 21)) == 7L)
+  }
+
+  test("changesBetween synthesizes the delta across a restore") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 2))
+    val v3 = TxnLog.deleteWhere(spark, t, col("n_regionkey") === 1)
+    val v4 = TxnLog.restore(spark, t, 2L)
+    assert(v4 == 4L)
+    val feed = TxnLog.changesBetween(spark, t, 2L, 4L)
+    val byType = feed.groupBy("_change_type", "_commit_version")
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nR1 = nation.filter(col("n_regionkey") === 1).count()
+    // v3: journaled deletes; v4 (the restore): the same rows come BACK
+    // as synthesized inserts — the diff of the snapshots around it
+    assert(byType(("delete", v3)) == nR1)
+    assert(byType(("insert", v4)) == nR1)
+    assert(byType.size == 2, s"unexpected extra change rows: $byType")
+    // the restored-in rows are exactly region 1's
+    assert(feed.filter(col("_commit_version") === v4)
+      .select("n_nationkey").orderBy("n_nationkey").collect()
+      .map(_.get(0)).toSeq ==
+      nation.filter(col("n_regionkey") === 1)
+        .select("n_nationkey").orderBy("n_nationkey").collect()
+        .map(_.get(0)).toSeq)
+  }
+
+  test("hilbert compaction: stats skipping works on BOTH cluster columns") {
+    val t = freshTable()
+    val o = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .repartition(8, col("o_orderkey")) // both dims scattered everywhere
+    TxnLog.create(spark, t, o, statsCols = Seq("o_custkey", "o_orderdate"))
+    val nFiles = TxnLog.files(t).size
+    def filesScanned(colName: String, lo: Long, hi: Long) =
+      TxnLog.snapshotWhere(spark, t, colName, lo, hi).inputFiles.length
+    val custLo = 1L; val custHi = 30L
+    val dLo = java.time.LocalDate.parse("1997-01-01").toEpochDay
+    val dHi = java.time.LocalDate.parse("1997-03-31").toEpochDay
+    // scattered: neither predicate prunes anything
+    assert(filesScanned("o_custkey", custLo, custHi) == nFiles)
+    assert(filesScanned("o_orderdate", dLo, dHi) == nFiles)
+    TxnLog.compact(spark, t, targetFiles = 16,
+      clusterBy = Seq("o_custkey", "o_orderdate"), hilbert = true)
+    val total = TxnLog.files(t).size
+    val byCust = filesScanned("o_custkey", custLo, custHi)
+    val byDate = filesScanned("o_orderdate", dLo, dHi)
+    assert(byCust < total, s"custkey pruning: $byCust of $total")
+    assert(byDate < total, s"orderdate pruning: $byDate of $total")
+    // layout-only: same rows, and the narrow reads stay exact under the
+    // residual filter
+    assert(TxnLog.snapshot(spark, t).count() == o.count())
+    assert(TxnLog.snapshotWhere(spark, t, "o_custkey", custLo, custHi)
+      .where(col("o_custkey").between(custLo, custHi)).count() ==
+      o.filter(col("o_custkey").between(custLo, custHi)).count())
+  }
+
+  test("overwritePartitions swaps exactly the partitions present") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    val before = TxnLog.files(t)
+    // the recomputed day: region 2, one row fewer, renamed
+    val dropKey = nation.filter(col("n_regionkey") === 2)
+      .agg(min("n_nationkey")).head().getInt(0)
+    val repl = nation.filter(col("n_regionkey") === 2 &&
+      col("n_nationkey") =!= dropKey)
+      .withColumn("n_name", concat(lit("R2_"), col("n_nationkey")))
+    val v2 = TxnLog.overwritePartitions(spark, t, repl)
+    val after = TxnLog.files(t)
+    // untouched partitions keep their exact files; region 2's are new
+    assert(before.filterNot(_.contains("n_regionkey=2"))
+      .forall(after.contains))
+    assert(after.filter(_.contains("n_regionkey=2"))
+      .forall(f => !before.contains(f)))
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.count() == nation.count() - 1) // one region-2 row dropped
+    assert(snap.filter(col("n_regionkey") === 2).count() == repl.count())
+    assert(snap.filter(col("n_name").startsWith("R2_")).count() ==
+      repl.count())
+    // the swap is journaled: old region-2 rows out, new ones in
+    val cdc = TxnLog.changesBetween(spark, t, v2 - 1, v2)
+    assert(cdc.filter(col("_change_type") === "delete").count() ==
+      nation.filter(col("n_regionkey") === 2).count())
+    assert(cdc.filter(col("_change_type") === "insert").count() ==
+      repl.count())
+    // a lost race against a disjoint-partition commit retries and lands
+    Files.write(Paths.get(t, "_txn_log", f"${v2 + 1}%020d.log"),
+      java.util.Arrays.asList("op\tappend",
+        "add\tn_regionkey=4/part-race.parquet"))
+    val v4 = TxnLog.overwritePartitions(spark, t,
+      repl.withColumn("n_name", lit("AGAIN")))
+    assert(v4 == v2 + 2)
+    // an unpartitioned table refuses
+    val t2 = freshTable()
+    TxnLog.create(spark, t2, nation)
+    intercept[Exception] { TxnLog.overwritePartitions(spark, t2, nation) }
+  }
+
+  test("deletion vectors: merge-on-read delete, zero file rewrites") {
+    val t = freshTable()
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    TxnLog.create(spark, t, orders.repartitionByRange(4, col("o_orderkey")))
+    val before = TxnLog.files(t)
+    val n = orders.count()
+    val v2 = TxnLog.deleteWhereDV(spark, t, col("o_totalprice") > 300000)
+    // every data file keeps its exact name — the delete wrote none
+    assert(TxnLog.files(t) == before)
+    val n300 = orders.filter(col("o_totalprice") > 300000).count()
+    assert(n300 > 0)
+    assert(TxnLog.snapshot(spark, t).count() == n - n300)
+    // metadata-only count stays exact under DVs
+    assert(TxnLog.countRows(t).contains(n - n300))
+    // the change feed journals the victims like a copy-on-write delete
+    val cdc = TxnLog.changesBetween(spark, t, 1L, v2)
+    assert(cdc.count() == n300 &&
+      cdc.filter(col("_change_type") === "delete").count() == n300)
+    // a SECOND DV delete sees the first (no double-victimization)
+    val v3 = TxnLog.deleteWhereDV(spark, t, col("o_totalprice") > 200000)
+    val n200 = orders.filter(col("o_totalprice") > 200000).count()
+    assert(TxnLog.snapshot(spark, t).count() == n - n200)
+    assert(TxnLog.countRows(t).contains(n - n200))
+    assert(TxnLog.changesBetween(spark, t, v2, v3).count() == n200 - n300)
+    // time travel is DV-versioned: v1 has everything, v2 one delete in
+    assert(TxnLog.snapshot(spark, t, Some(1L)).count() == n)
+    assert(TxnLog.snapshot(spark, t, Some(v2)).count() == n - n300)
+    // the SQL relation refuses a DV-bearing snapshot...
+    intercept[Exception] { spark.read.format("txnlog").load(t) }
+    // ...and compact materializes the deletes away (REORG PURGE)
+    TxnLog.compact(spark, t, targetFiles = 2)
+    assert(TxnLog.snapshot(spark, t).count() == n - n200)
+    assert(TxnLog.countRows(t).contains(n - n200))
+    assert(spark.read.format("txnlog").load(t).count() == n - n200)
+  }
+
+  test("deletion vectors survive checkpoints and roll back with restore") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    val v2 = TxnLog.deleteWhereDV(spark, t, col("n_regionkey") === 1)
+    val nR1 = nation.filter(col("n_regionkey") === 1).count()
+    // force a checkpoint beyond the DV commit and replay through it
+    (1 to 9).foreach(i => TxnLog.append(spark, t,
+      spark.range(1).select(lit(100 + i).as("n_nationkey"),
+        lit(s"X$i").as("n_name"), lit(8).as("n_regionkey"))))
+    assert(TxnLog.versions(t).last > TxnLog.CheckpointInterval)
+    assert(TxnLog.snapshot(spark, t).count() ==
+      nation.count() - nR1 + 9)
+    // an upsert that rewrites files must not resurrect DV-deleted rows
+    TxnLog.upsert(spark, t, nation.filter(col("n_nationkey") === 0)
+      .withColumn("n_name", lit("PATCHED")), Seq("n_nationkey"))
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.filter(col("n_regionkey") === 1).count() == 0,
+      "rewrite must not resurrect DV-deleted rows")
+    assert(snap.filter(col("n_name") === "PATCHED").count() == 1)
+    // restore to the pre-delete version: rows return, counts exact
+    TxnLog.restore(spark, t, 1L)
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+    assert(TxnLog.countRows(t).contains(nation.count()))
+    // and restore back ONTO the DV version keeps its deletes
+    TxnLog.restore(spark, t, v2)
+    assert(TxnLog.snapshot(spark, t).count() == nation.count() - nR1)
+    assert(TxnLog.countRows(t).contains(nation.count() - nR1))
   }
 
   test("txnlog format: SQL and reader API match snapshot; version travels") {
