@@ -5501,6 +5501,72 @@ object SparkEntry {
         .orderBy("_change_type", "o_orderstatus")
     }),
 
+    // ── [ext] exactly-once streaming MERGE sink: foreachBatch +
+    // txn-marked upsert (TxnLog.idempotentUpsert), then the WHOLE query
+    // re-run on a fresh checkpoint — the crash-replay shape. A merge is
+    // value-idempotent; what the marker protects is the CHANGE FEED
+    // (a replayed MERGE would re-journal every pre/post pair and every
+    // downstream incremental consumer would double-apply), so the
+    // result carries the per-status CDF row count: the oracle's
+    // 2×updated-rows only holds when the replay was absorbed. ─────────
+    "q295_stream_txnlog_merge" -> ((s, dir) =>
+      graft.streaming.EventStream.txnMergeSinkTotals(s, dir)),
+
+    // ── [ext] metadata-only MIN/MAX: the aggregate answered from the
+    // log's per-file stats alone — min of mins / max of maxs over the
+    // live set, zero data I/O (how Delta serves SELECT min(x) from
+    // stats). The exactness contract refuses rather than guesses:
+    // every live file must carry stats, the type must round-trip the
+    // canonical-long encoding (integrals/dates — a timestamp's stats
+    // are day floors), and no deletion vectors may be live (a DV could
+    // have deleted the extreme row). ──────────────────────────────────
+    "q293_txn_meta_minmax" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q293_txn")
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl,
+        o.filter(col("o_date") < d98).repartitionByRange(4, col("o_orderkey")),
+        statsCols = Seq("o_orderkey", "o_date"))
+      graft.sources.TxnLog.append(s, tbl, o.filter(col("o_date") >= d98),
+        statsCols = Seq("o_orderkey", "o_date"))
+      val (kLo, kHi) =
+        graft.sources.TxnLog.minMaxFromLog(tbl, "o_orderkey").get
+      val (dLo, dHi) = graft.sources.TxnLog.minMaxFromLog(tbl, "o_date").get
+      s.range(1).select(lit(kLo).as("min_key"), lit(kHi).as("max_key"),
+        lit(dLo).as("min_day"), lit(dHi).as("max_day"))
+    }),
+
+    // ── [ext] hybrid retrieval via reciprocal-rank fusion (Cormack et
+    // al. SIGIR'09, k=60): a lexical retriever (term frequency of
+    // 'query' over the raw token stream) and a semantic one (cosine vs
+    // doc 0's embedding) each produce a top-50 SHORTLIST as
+    // orderBy+limit — TakeOrderedAndProject map-side heaps, so the
+    // corpus-sized work stays in the scans — and fusion ranks + sums
+    // 1/(60+rank) over ≤100 rows (bounded plan parameter). The
+    // standard hybrid-search architecture, deterministic via id
+    // tie-breaks. ─────────────────────────────────────────────────────
+    "q294_rrf_hybrid" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val e = T(s, dir, "embeddings")
+      val lex = docs.filter(col("doc_id") =!= 0)
+        .select(col("doc_id").as("id"),
+          size(filter(split(col("text"), " "),
+            x => x === lit("query"))).cast(DoubleType).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("id")).limit(50)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val sem = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          VectorOps.cosine(col("embedding"), col("qv")).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(50)
+      graft.operators.Similarity.rrfFusion(Seq(lex, sem), "id", "score",
+          k = 60, topN = 10)
+        .select(col("id").as("doc_id"), col("rrf"))
+    }),
+
     // ── [ext] Hilbert-curve multi-dimensional clustering (Delta's
     // OPTIMIZE ZORDER BY a,b / Iceberg hilbert sort): lexicographic
     // range-clustering gives narrow per-file intervals in the FIRST
@@ -9586,6 +9652,58 @@ object SparkEntry {
           |    AS total_price
           |FROM feed GROUP BY 1, 2
           |ORDER BY _change_type, o_orderstatus""".stripMargin,
+
+      // q295: merged snapshot (H1-1997 doubled in place) + exactly
+      // 2 CDF rows (pre+post) per updated key — a double-applied
+      // replay would double n_change_rows and fail
+      "q295_stream_txnlog_merge" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(CASE WHEN o_orderdate >= DATE '1997-01-01'
+          |      AND o_orderdate < DATE '1997-07-01'
+          |    THEN o_totalprice * 2 ELSE o_totalprice END
+          |    AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+          |  CAST(2 * sum(CASE WHEN o_orderdate >= DATE '1997-01-01'
+          |      AND o_orderdate < DATE '1997-07-01' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_change_rows
+          |FROM orders WHERE o_orderdate < DATE '1998-01-01'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q293: the metadata answer must equal the real aggregates;
+      // canonical space = epoch days for the date column
+      "q293_txn_meta_minmax" ->
+        """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+          |  CAST(date_diff('day', DATE '1970-01-01',
+          |    CAST(min(o_orderdate) AS DATE)) AS BIGINT) AS min_day,
+          |  CAST(date_diff('day', DATE '1970-01-01',
+          |    CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS max_day
+          |FROM orders""".stripMargin,
+
+      // q294: both shortlists replayed with the same ranks and
+      // tie-breaks, fused with the same 1/(60+r) doubles
+      "q294_rrf_hybrid" ->
+        s"""WITH lex0 AS (
+           |  SELECT doc_id AS id, CAST(len(list_filter(
+           |      string_split(text, ' '), x -> x = 'query')) AS DOUBLE)
+           |    AS s
+           |  FROM documents WHERE doc_id <> 0),
+           |lex1 AS (SELECT id, s FROM lex0 WHERE s > 0
+           |         ORDER BY s DESC, id LIMIT 50),
+           |lex AS (SELECT id,
+           |          row_number() OVER (ORDER BY s DESC, id) AS r
+           |        FROM lex1),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |sem1 AS (SELECT vec_id AS id,
+           |           ${cosine("embedding", "qv")} AS s
+           |         FROM embeddings, q WHERE vec_id <> 0
+           |         ORDER BY s DESC, id LIMIT 50),
+           |sem AS (SELECT id,
+           |          row_number() OVER (ORDER BY s DESC, id) AS r
+           |        FROM sem1)
+           |SELECT coalesce(lex.id, sem.id) AS doc_id,
+           |  coalesce(1.0/(60 + lex.r), 0.0) +
+           |  coalesce(1.0/(60 + sem.r), 0.0) AS rrf
+           |FROM lex FULL JOIN sem ON lex.id = sem.id
+           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
       // q292: pruning is layout + superset + residual, so the oracle is
       // the plain two-predicate aggregate regardless of the curve

@@ -20,6 +20,38 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Brute-force cosine top-k against one literal query vector. */
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-search combiner: each retriever contributes
+    * 1/(k + rank_i) per candidate, summed over the lists it appears
+    * in; k=60 is the published default. Inputs are (id, score)
+    * SHORTLISTS — each retriever's top-M, produced upstream as
+    * orderBy+limit (TakeOrderedAndProject: map-side heaps, no global
+    * sort) — so the no-partition ranking window here runs over ≤ Σ M
+    * rows, a bounded plan parameter, never the corpus. That is the
+    * production hybrid-retrieval shape: the corpus-sized work lives in
+    * the per-retriever scans; fusion touches shortlists only. Ranks
+    * tie-break on id, so the fused list is deterministic on any
+    * engine. */
+  def rrfFusion(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+                k: Int = 60, topN: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFusion needs at least one ranked list")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol),
+        row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol)))
+          .as(s"__rrf_r$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rrf = ranked.indices
+      .map(i => when(col(s"__rrf_r$i").isNotNull,
+        lit(1.0) / (lit(k.toDouble) + col(s"__rrf_r$i")))
+        .otherwise(lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol), rrf.as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topN)
+  }
+
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)

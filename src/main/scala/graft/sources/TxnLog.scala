@@ -754,6 +754,40 @@ object TxnLog {
     else None
   }
 
+  /** MIN/MAX of a column answered from the LOG alone: min of the live
+    * files' committed per-file mins / max of maxs — zero data I/O, the
+    * way Delta serves `SELECT min(x)` from stats. EXACTNESS contract
+    * (a metadata answer must never be approximately right): None unless
+    * (a) every live file carries stats for the column, (b) the declared
+    * type round-trips the canonical-long encoding exactly (integrals
+    * and dates; a timestamp's stats are DAY FLOORS, so it refuses), and
+    * (c) no deletion vectors are live (a DV may have deleted the
+    * extreme row). Per-file stats already ignore nulls, matching SQL
+    * MIN/MAX. Values are canonical longs (epoch days for dates). */
+  def minMaxFromLog(table: String, colName: String,
+                    asOf: Option[Long] = None): Option[(Long, Long)] = {
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
+      ShortType}
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    val st = replayState(table, upTo)
+    if (st.dvCounts.nonEmpty) return None
+    val exactType = st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .flatMap(_.fields.find(_.name == colName))
+      .exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType =>
+          true
+        case _ => false
+      })
+    if (!exactType) return None
+    if (!st.live.forall(f => st.stats.contains((f, colName)))) return None
+    val perFile = st.live.map(f => st.stats((f, colName)))
+    Some((perFile.map(_._1).min, perFile.map(_._2).max))
+  }
+
   /** Per-partition `count(*)` from the log alone: live files grouped by
     * their hive partition values, rowcounts summed — the GROUP-BY form
     * of [[countRows]], still zero data I/O. None under the same
@@ -1114,7 +1148,8 @@ object TxnLog {
                 cdcRows: Option[DataFrame] = None,
                 opName: String = "overwrite",
                 statsCols: Seq[String] = Nil,
-                bloomCols: Seq[String] = Nil): Long = {
+                bloomCols: Seq[String] = Nil,
+                txn: Option[(String, Long)] = None): Long = {
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
@@ -1133,6 +1168,7 @@ object TxnLog {
       stage(spark, table, _, subdir = Some("_change_data")))
     val v = base + 1
     if (!publish(table, v, s"op\t$opName" +: "dvclear" +: (schemaLine.toSeq ++
+        txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
         st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
         cdcNames.map("cdc\t" + _) ++
         statsLines(spark, table, named, statsCols) ++
@@ -1244,7 +1280,8 @@ object TxnLog {
   def upsert(spark: SparkSession, table: String, updates: DataFrame,
              keys: Seq[String],
              expectedVersion: Option[Long] = None,
-             mergeSchema: Boolean = false): Long = {
+             mergeSchema: Boolean = false,
+             txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
@@ -1305,7 +1342,8 @@ object TxnLog {
             overwriteSchema = evolvedJson.isDefined,
             cdcRows = Some(upsertCdc(snap, u, keys)), opName = "upsert",
             statsCols = st.stats.keys.map(_._2).toSeq.distinct.sorted,
-            bloomCols = st.blooms.keys.map(_._2).toSeq.distinct.sorted)
+            bloomCols = st.blooms.keys.map(_._2).toSeq.distinct.sorted,
+            txn = txn)
         } else {
           val (merged, cdc) = if (touchedFiles.isEmpty) {
             // no file can match: pure insert
@@ -1327,6 +1365,7 @@ object TxnLog {
           val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
           val actions = "op\tupsert" +:
             (evolvedJson.map("schema\t" + _).toSeq ++
+              txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
               touchedFiles.map("remove\t" + _) ++
               named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
               statsLines(spark, table, named, trackedStats) ++
@@ -1362,6 +1401,7 @@ object TxnLog {
         val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
         val actions = "op\tupsert" +:
           (evolvedJson.map("schema\t" + _).toSeq ++
+          txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
           touchedFiles.map("remove\t" + _) ++
           named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
           rowcountLines(table, named))
@@ -1448,6 +1488,48 @@ object TxnLog {
     }
     maybeCheckpoint(table, v)
     v
+  }
+
+  /** Exactly-once streaming MERGE sink: [[upsert]] guarded by the same
+    * `txn appId/txnVersion` marker protocol as [[idempotentAppend]].
+    * A merge is VALUE-idempotent (replaying last-writer-wins updates
+    * lands the same rows), but a naive replay still commits a second
+    * version whose CDF journal re-emits every change — a downstream
+    * incremental consumer ([[changeStream]], q280's MV) would apply
+    * the deltas TWICE. The marker makes the replayed micro-batch a
+    * true no-op: no commit, no CDF rows, no history pollution. A lost
+    * race against an UNRELATED writer re-checks the marker, then
+    * recomputes the merge against the new head and retries — the
+    * foreachBatch loop Delta users hand-write around MERGE, packaged. */
+  def idempotentUpsert(spark: SparkSession, table: String,
+                       updates: DataFrame, keys: Seq[String],
+                       appId: String, txnVersion: Long): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    def committed: Option[Long] =
+      if (lastTxnVersion(table, appId) >= txnVersion)
+        Some(txnCommitVersion(table, appId, txnVersion)
+          .getOrElse(versions(table).last))
+      else None
+    committed.getOrElse {
+      var attempts = 0
+      var result = -1L
+      while (result < 0) {
+        try result = upsert(spark, table, updates, keys,
+          txn = Some((appId, txnVersion)))
+        catch {
+          case e: ConcurrentCommitException =>
+            committed match {
+              case Some(v) => result = v // a concurrent replayer won
+              case None =>
+                attempts += 1
+                if (attempts > 10) throw e // livelock guard
+              // else: unrelated writer interleaved — upsert recomputes
+              // against the new head on the next call
+            }
+        }
+      }
+      result
+    }
   }
 
   /** Transactional small-file compaction (Delta OPTIMIZE): rewrite the

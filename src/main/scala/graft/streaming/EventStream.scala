@@ -768,6 +768,68 @@ object EventStream {
     }
   }
 
+  /** Exactly-once streaming MERGE into a TxnLog table: two "daily
+    * update" files arrive as micro-batches, each foreachBatch runs
+    * [[graft.sources.TxnLog.idempotentUpsert]] (txn-marked MERGE), and
+    * the whole query is then re-run with a FRESH checkpoint — the
+    * at-least-once crash-replay shape. A merge is value-idempotent, so
+    * the replay hazard is not the ROWS but the CHANGE FEED: a naive
+    * replayed MERGE commits again and re-journals every pre/post pair,
+    * and every downstream incremental consumer applies the deltas
+    * twice. The result therefore surfaces BOTH the merged snapshot and
+    * the per-status CDF row count over the full window — the oracle's
+    * `2 × updated rows` only holds if the markers absorbed the replay. */
+  def txnMergeSinkTotals(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("graft_txn_merge_")
+    val table = root.resolve("t").toString
+    val landing = root.resolve("landing")
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_totalprice"))
+    TxnLog.create(spark, table,
+      o.filter(col("o_orderdate") < to_date(lit("1998-01-01"))))
+    def window(lo: String, hi: String) = o
+      .filter(col("o_orderdate") >= to_date(lit(lo)) &&
+        col("o_orderdate") < to_date(lit(hi)))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    window("1997-01-01", "1997-04-01").coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/a")
+    window("1997-04-01", "1997-07-01").coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/b")
+    val schema = o.schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$landing/*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          TxnLog.idempotentUpsert(spark, table, batch,
+            Seq("o_orderkey"), "merge-sync", id): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // fresh checkpoint = full crash replay; markers absorb it
+    try {
+      val snap = TxnLog.snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Exact.Money)).cast(DoubleType)
+            .as("total_price"))
+      val chg = TxnLog
+        .changesBetween(spark, table, 1L, TxnLog.versions(table).last)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_change_rows"))
+      snap.join(chg, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"), col("n_orders"), col("total_price"),
+          coalesce(col("n_change_rows"), lit(0L)).as("n_change_rows"))
+        .orderBy("o_orderstatus")
+        .localCheckpoint(true)
+    } finally deleteRecursively(root)
+  }
+
   /** Streaming consumer of the TxnLog CHANGE FEED: orders lands through
     * the reference's daily pattern (create → MERGE-style upsert →
     * delete), each journaling commit appends immutable CDF parquet

@@ -959,6 +959,67 @@ class TxnLogSpec extends SparkSpec {
         .map(_.get(0)).toSeq)
   }
 
+  test("idempotentUpsert: replayed MERGE commits nothing, journals nothing") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    val updates = nation.filter(col("n_nationkey") < 3)
+      .withColumn("n_name", lit("MERGED"))
+    val v = TxnLog.idempotentUpsert(spark, t, updates,
+      Seq("n_nationkey"), "merge-app", 0L)
+    assert(v == 2L)
+    val nVersions = TxnLog.versions(t).size
+    val nCdf = TxnLog.changesBetween(spark, t, 1L, v).count()
+    assert(nCdf == 6) // 3 pre + 3 post
+    // the crash-replay: same (appId, txnVersion) arrives again
+    val v2 = TxnLog.idempotentUpsert(spark, t, updates,
+      Seq("n_nationkey"), "merge-app", 0L)
+    assert(v2 == v, "replay must return the original commit version")
+    assert(TxnLog.versions(t).size == nVersions,
+      "replay must not commit a new version")
+    assert(TxnLog.changesBetween(spark, t, 1L,
+      TxnLog.versions(t).last).count() == nCdf,
+      "replay must not re-journal change rows")
+    // the NEXT batch lands, and a lost race against an unrelated
+    // writer recomputes instead of failing
+    Files.write(Paths.get(t, "_txn_log", f"${3L}%020d.log"),
+      java.util.Arrays.asList("op\tappend"))
+    val v3 = TxnLog.idempotentUpsert(spark, t,
+      nation.filter(col("n_nationkey") === 5)
+        .withColumn("n_name", lit("MERGED2")),
+      Seq("n_nationkey"), "merge-app", 1L)
+    assert(v3 == 4L)
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("n_name").startsWith("MERGED")).count() == 4)
+  }
+
+  test("minMaxFromLog: metadata answer is exact or refused, never a guess") {
+    val t = freshTable()
+    TxnLog.create(spark, t,
+      nation.repartitionByRange(3, col("n_nationkey")),
+      statsCols = Seq("n_nationkey"))
+    assert(TxnLog.minMaxFromLog(t, "n_nationkey").contains((0L, 24L)))
+    // a column without stats on every file refuses
+    assert(TxnLog.minMaxFromLog(t, "n_regionkey").isEmpty)
+    // an appended file without stats poisons the column → refuse
+    TxnLog.append(spark, t, spark.range(1)
+      .select(lit(900).as("n_nationkey"), lit("X").as("n_name"),
+        lit(9).as("n_regionkey")))
+    assert(TxnLog.minMaxFromLog(t, "n_nationkey").isEmpty)
+    // with stats recorded the answer tracks the append
+    TxnLog.append(spark, t, spark.range(1)
+      .select(lit(-5).as("n_nationkey"), lit("Y").as("n_name"),
+        lit(9).as("n_regionkey")), statsCols = Seq("n_nationkey"))
+    assert(TxnLog.minMaxFromLog(t, "n_nationkey").isEmpty,
+      "the stats-free v2 file still poisons the column")
+    // fresh table: DV delete of the extreme row must flip to refusal
+    val t2 = freshTable()
+    TxnLog.create(spark, t2, nation, statsCols = Seq("n_nationkey"))
+    assert(TxnLog.minMaxFromLog(t2, "n_nationkey").contains((0L, 24L)))
+    TxnLog.deleteWhereDV(spark, t2, col("n_nationkey") === 24)
+    assert(TxnLog.minMaxFromLog(t2, "n_nationkey").isEmpty,
+      "live deletion vectors must refuse the metadata answer")
+  }
+
   test("hilbert compaction: stats skipping works on BOTH cluster columns") {
     val t = freshTable()
     val o = Tables.load(spark, sf0001, "orders")

@@ -193,4 +193,24 @@ class VectorSpec extends SparkSpec {
     assert((exact & viaJl).size >= 6,
       s"JL shortlist recalled only ${(exact & viaJl).size}/10 exact neighbors")
   }
+
+  test("rrfFusion: hand-checkable reciprocal-rank arithmetic") {
+    import graft.operators.Similarity
+    // list A ranks: 1→doc1, 2→doc2, 3→doc3; list B: 1→doc2, 2→doc4
+    val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val b = Seq((2L, 7.0), (4L, 3.0)).toDF("id", "score")
+    val got = Similarity.rrfFusion(Seq(a, b), "id", "score", k = 60,
+      topN = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = Seq(
+      2L -> (1.0 / 62 + 1.0 / 61), // rank 2 in A, rank 1 in B — wins
+      1L -> 1.0 / 61,
+      4L -> 1.0 / 62,
+      3L -> 1.0 / 63)
+    assert(got.toSeq == expect)
+    // equal scores tie-break on id: doc5 before doc6
+    val t = Seq((6L, 2.0), (5L, 2.0)).toDF("id", "score")
+    val ranks = Similarity.rrfFusion(Seq(t), "id", "score", k = 60,
+      topN = 2).collect().map(_.getLong(0)).toSeq
+    assert(ranks == Seq(5L, 6L))
+  }
 }
