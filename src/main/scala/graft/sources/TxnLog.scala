@@ -192,7 +192,8 @@ object TxnLog {
                                    (Int, Int, Array[Long])],
                                  rowcounts: Map[String, Long],
                                  dvFiles: Seq[String],
-                                 dvCounts: Map[String, Long])
+                                 dvCounts: Map[String, Long],
+                                 sizes: Map[String, Long])
 
   /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
     * when one exists, else from the log's beginning. */
@@ -208,12 +209,14 @@ object TxnLog {
     val rowcounts = scala.collection.mutable.Map.empty[String, Long]
     val dvFiles = scala.collection.mutable.LinkedHashSet.empty[String]
     val dvCounts = scala.collection.mutable.Map.empty[String, Long]
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
     def dropFile(f: String): Unit = {
       live -= f
       stats.keys.filter(_._1 == f).toSeq.foreach(stats.remove)
       blooms.keys.filter(_._1 == f).toSeq.foreach(blooms.remove)
       rowcounts.remove(f)
       dvCounts.remove(f) // a rewritten file's DV entries are dead
+      sizes.remove(f)
     }
     def applyLine(where: String)(line: String): Unit =
       line.split('\t') match {
@@ -232,6 +235,7 @@ object TxnLog {
         case Array("bloom", f, c, m, k, b64) =>
           blooms((f, c)) = (m.toInt, k.toInt, bitsFromB64(b64))
         case Array("rowcount", f, n) => rowcounts(f) = n.toLong
+        case Array("fsize", f, n) => sizes(f) = n.toLong
         case Array("dv", f) => dvFiles += f
         case Array("dvcount", f, n) =>
           dvCounts(f) = dvCounts.getOrElse(f, 0L) + n.toLong
@@ -250,7 +254,8 @@ object TxnLog {
         .foreach(applyLine(s"v$v"))
     }
     State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap,
-      blooms.toMap, rowcounts.toMap, dvFiles.toSeq, dvCounts.toMap)
+      blooms.toMap, rowcounts.toMap, dvFiles.toSeq, dvCounts.toMap,
+      sizes.toMap)
   }
 
   /** Raw action lines of one committed version (no checkpoint
@@ -298,7 +303,9 @@ object TxnLog {
             g("rowcount").append("path", f).append("lo", n) } ++
           st.dvFiles.map(f => g("dv").append("path", f)) ++
           st.dvCounts.toSeq.sortBy(_._1).map { case (f, n) =>
-            g("dvcount").append("path", f).append("lo", n) }
+            g("dvcount").append("path", f).append("lo", n) } ++
+          st.sizes.toSeq.sortBy(_._1).map { case (f, n) =>
+            g("fsize").append("path", f).append("lo", n) }
       // write-temp-then-atomic-rename, like the log itself: a reader
       // can never observe a half-written checkpoint
       val tmp = logDir(table).resolve(
@@ -361,6 +368,7 @@ object TxnLog {
           case "rowcount" => s"rowcount\t${s("path")}\t${l("lo")}"
           case "dv" => s"dv\t${s("path")}"
           case "dvcount" => s"dvcount\t${s("path")}\t${l("lo")}"
+          case "fsize" => s"fsize\t${s("path")}\t${l("lo")}"
           case other => sys.error(s"unknown checkpoint action: $other")
         })
         g = r.read()
@@ -726,12 +734,17 @@ object TxnLog {
     * commit records them, which is what makes [[countRows]] a pure
     * metadata operation. */
   private def rowcountLines(table: String, named: Seq[String]): Seq[String] =
-    named.map { n =>
+    named.flatMap { n =>
+      val p = Paths.get(table, n)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(Paths.get(table, n).toString),
-        rawLocalConf)
+        new org.apache.hadoop.fs.Path(p.toString), rawLocalConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try s"rowcount\t$n\t${r.getRecordCount}" finally r.close()
+      // size rides the same commit (Delta's add.size): read planning
+      // then never stats a data file — at 1M files on an object store
+      // that is 1M HEAD requests the log already paid for
+      try Seq(s"rowcount\t$n\t${r.getRecordCount}",
+        s"fsize\t$n\t${Files.size(p)}")
+      finally r.close()
     }
 
   /** `count(*)` answered from the LOG alone — the sum of the live
@@ -1682,13 +1695,22 @@ object TxnLog {
     val hit = org.apache.spark.sql.functions.coalesce(cond, lit(false))
     val victims = raw.filter(hit)
       .localCheckpoint(true) // one scan feeds DV stage + counts + cdc
-    val dvNamed = stage(spark, table,
-      victims.select(col("__dv_f"), col("__dv_r")),
-      subdir = Some("_deletion_vectors"))
     val perFile = victims.groupBy("__dv_f")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect() // ≤ |live files| rows
       .map(r => r.getString(0) -> r.getLong(1))
+    if (perFile.isEmpty) {
+      // nothing matched: a marker-only commit (still a version — the
+      // caller observes the delete happened), zero DV read tax added
+      val v0 = base + 1
+      if (!publish(table, v0, Seq("op\tdeleteDV")))
+        throw new ConcurrentCommitException(v0)
+      maybeCheckpoint(table, v0)
+      return v0
+    }
+    val dvNamed = stage(spark, table,
+      victims.select(col("__dv_f"), col("__dv_r")),
+      subdir = Some("_deletion_vectors"))
     // leaf name → committed relative path (partitioned files live in
     // col=val dirs; the DV keys use the leaf, counts key the log path)
     val byLeaf = st.live.map(f => f.split('/').last -> f).toMap
@@ -1822,7 +1844,8 @@ object TxnLog {
     val stats = adds.flatMap(f => tgt.stats.collect {
       case ((`f`, c), (mn, mx)) => s"stats\t$f\t$c\t$mn\t$mx" })
     val rcs = adds.flatMap(f =>
-      tgt.rowcounts.get(f).map(n => s"rowcount\t$f\t$n"))
+      tgt.rowcounts.get(f).map(n => s"rowcount\t$f\t$n")) ++
+      adds.flatMap(f => tgt.sizes.get(f).map(n => s"fsize\t$f\t$n"))
     // deletion-vector state rolls back WITH the snapshot: DVs journaled
     // after `toVersion` must not keep masking the restored files, and
     // the target's own DVs come back (their files are vacuum-guarded

@@ -102,10 +102,14 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
     StructType(declared.filterNot(f => partCols.contains(f.name)))
 
   private val base = Paths.get(table).toAbsolutePath
+  // file sizes come from the LOG (`fsize` actions — Delta's add.size):
+  // planning never stats a data file; only files committed before size
+  // recording fall back to one filesystem call each
   private val statuses: Map[String, FileStatus] = st.live.map { f =>
     val p = base.resolve(f)
-    f -> new FileStatus(Files.size(p), false, 1, 128L * 1024 * 1024,
-      Files.getLastModifiedTime(p).toMillis, new HPath(p.toUri))
+    val len = st.sizes.getOrElse(f, Files.size(p))
+    f -> new FileStatus(len, false, 1, 128L * 1024 * 1024,
+      0L, new HPath(p.toUri))
   }.toMap
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(base.toUri))

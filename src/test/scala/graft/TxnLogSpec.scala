@@ -1128,6 +1128,18 @@ class TxnLogSpec extends SparkSpec {
     assert(spark.read.format("txnlog").load(t).count() == n - n200)
   }
 
+  test("zero-victim DV delete commits a marker only — no read tax added") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    val v = TxnLog.deleteWhereDV(spark, t, col("n_nationkey") === 999)
+    assert(v == 2L)
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+    assert(TxnLog.countRows(t).contains(nation.count()))
+    // no deletion-vector files were journaled, so the SQL relation
+    // (which refuses live DVs) still works
+    assert(spark.read.format("txnlog").load(t).count() == nation.count())
+  }
+
   test("deletion vectors survive checkpoints and roll back with restore") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
