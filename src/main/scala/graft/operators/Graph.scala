@@ -201,6 +201,26 @@ object Graph {
       .localCheckpoint(true)
   }
 
+  /** Materialize an edge relation once unless it is ALREADY a
+    * checkpointed scan (a LogicalRDD, possibly under cheap row-local
+    * projections/filters — the shape `coOccurrenceEdges` hands every
+    * caller). The fixed-point operators below bidirect their input
+    * LAZILY — a union of two projections over these blocks costs the
+    * same bytes to read as a materialized 2|E| relation and saves the
+    * 2|E| checkpoint WRITE the old shape paid before its plan-picking
+    * statistic. */
+  private def pinned(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+      LogicalPlan, Project => LProject}
+    def cheap(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case pr: LProject => cheap(pr.child)
+      case f: LFilter => cheap(f.child)
+      case _ => false
+    }
+    if (cheap(df.queryExecution.analyzed)) df else df.localCheckpoint(true)
+  }
+
   /** Hub-capped adjacency for wedge generation: per `src`, keep only
     * the `k` lowest-`dst` neighbors (a deterministic per-key top-k any
     * SQL engine replays with row_number). Wedge joins on the capped
@@ -318,11 +338,13 @@ object Graph {
                          steps: Int,
                          localMaxEdges: Long = LocalSolveMaxEdges)
       : DataFrame = {
-    val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
-    // subcritical → one-task local fixed point (see LocalSolveMaxEdges)
-    if (dirE.count() <= localMaxEdges)
+    val e = pinned(edges)
+    val dirE = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    // subcritical → one-task local fixed point (see LocalSolveMaxEdges);
+    // the statistic counts the pinned UNDIRECTED blocks — bidirecting
+    // stays lazy, saving the 2|E| checkpoint write either branch
+    if (e.count() * 2 <= localMaxEdges)
       return localWalks(dirE, seeds, steps)
     var cur = seeds.select(col("walk_id"), col("v"))
     var out = cur.withColumn("step", lit(0))
@@ -439,12 +461,13 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int,
                        localMaxEdges: Long = LocalSolveMaxEdges)
       : DataFrame = {
-    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+    val e = pinned(edges)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     // subcritical → one-task local fixed point (see LocalSolveMaxEdges);
-    // the count is a column scan of the just-checkpointed blocks
-    if (dir.count() <= localMaxEdges) return localLabelProp(dir, rounds)
+    // the statistic counts the pinned UNDIRECTED blocks, bidirection
+    // stays a lazy union over them on both branches
+    if (e.count() * 2 <= localMaxEdges) return localLabelProp(dir, rounds)
     var labels = dir.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
     (1 to rounds).foreach { i =>
@@ -551,16 +574,17 @@ object Graph {
     * the bound (seeds at dist 0). */
   def boundedSssp(edges: DataFrame, seeds: DataFrame, rounds: Int,
                   localMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
-    val dirLazy = edges.select(col("a").as("src"), col("b").as("dst"),
+    val e = pinned(edges)
+    val dirLazy = e.select(col("a").as("src"), col("b").as("dst"),
         col("w").cast(LongType).as("w"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst"),
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst"),
         col("w").cast(LongType).as("w")))
     // the plan-picking statistic is one count of the UNDIRECTED input
     // (×2 for the bidirection) — callers hand in a materialized edge
     // relation (coOccurrenceEdges checkpoints), so this is a metadata-
     // cheap scan; materializing the 2|E| bidirected rows just to count
     // them doubled the subcritical path's cost for nothing
-    if (edges.count() * 2 <= localMaxEdges)
+    if (e.count() * 2 <= localMaxEdges)
       return localSssp(dirLazy, seeds, rounds)
     // supercritical: NOW pin the bidirected relation once — every round
     // re-reads it, and without an exchange to reuse each join would
@@ -638,12 +662,12 @@ object Graph {
                          checkpointEvery: Int = 5,
                          localMaxEdges: Long = LocalSolveMaxEdges)
       : DataFrame = {
-    // materialize the bidirected relation ONCE — both paths read these
-    // blocks, and the stat job below costs a column scan of them, never
-    // a recompute of the (corpus-sized) edge-extraction subtree above
-    val dirRaw = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+    // pin the UNDIRECTED relation once (no-op for already-checkpointed
+    // callers) and bidirect lazily — the stat job and both branches
+    // read the same blocks, and the old 2|E| checkpoint write is gone
+    val e = pinned(edges)
+    val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     // ONE stat job: |V| (= distinct src — the edge list is bidirected,
     // so every vertex appears as a src) feeds round 1's constant vector
     // and the teleport term; |E| picks the plan ([[LocalSolveMaxEdges]]).
