@@ -5658,6 +5658,90 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] merge-on-read SQL reads: a DV-bearing snapshot served
+    // through PURE SQL — the `txnlog` source routes it to the DV-aware
+    // relation (PrunedFilteredScan running the same log-pruned,
+    // anti-join-subtracting plan as the programmatic snapshot) instead
+    // of refusing until compaction. The in-query require pins the
+    // merge-on-read contract (zero data files rewritten) and the
+    // o_orderkey filter still prunes files from committed stats
+    // (TxnLogSpec pins the pruned count) — combining round-11's two
+    // features, DV deletes + SQL reads, in one path. ──────────────────
+    "q296_txn_dv_sql_read" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q296_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl,
+        o.repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"))
+      val files0 = graft.sources.TxnLog.files(tbl)
+      graft.sources.TxnLog.deleteWhereDV(s, tbl,
+        col("o_totalprice") > 300000)
+      require(graft.sources.TxnLog.files(tbl) == files0,
+        "merge-on-read delete must not rewrite any data file")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q296_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM q296_txn_v WHERE o_orderkey <= 15000
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // ── [ext] the WRITE path through the data source: the reference
+    // writes its Delta tables with `df.write.format("delta")`
+    // (`spark_deltalake_sync.py:163`); this is that surface for the
+    // TxnLog format — SaveMode mapped onto the transactional writers
+    // (ErrorIfExists→create with skipping metadata, Append→validated
+    // append), so a format-string user gets the same log-planned,
+    // schema-enforced table as the programmatic API. The in-query
+    // require pins that both writes landed as LOG COMMITS. ────────────
+    "q297_txnlog_write_path" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q297_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      o.filter(col("o_orderdate") < d98).write.format("txnlog")
+        .option("statsCols", "o_orderdate").save(tbl)
+      o.filter(col("o_orderdate") >= d98).write.format("txnlog")
+        .mode("append").save(tbl)
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "format-string writes must land as one commit each")
+      s.read.format("txnlog").load(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── [ext] INSERT INTO a `USING txnlog` view: the relation is
+    // InsertableRelation, so SQL inserts resolve to the transactional
+    // TxnLog.append — never Spark's raw-file insert command, which
+    // would drop files into the directory no log entry references
+    // (silently invisible to every log-planned reader; the in-query
+    // require pins the commit). The view re-resolves the log head, so
+    // the same view serves the post-insert snapshot. ──────────────────
+    "q298_txnlog_sql_insert" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q298_txn")
+      val n = T(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.TxnLog.create(s, tbl, n.filter(col("n_regionkey") < 2))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q298_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      n.filter(col("n_regionkey") >= 2)
+        .createOrReplaceTempView("q298_rest")
+      s.sql("INSERT INTO q298_txn_v " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM q298_rest")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "INSERT INTO must land as one transactional append commit")
+      s.sql(
+        """SELECT n_regionkey, count(*) AS n_nations,
+          |  min(n_name) AS first_name
+          |FROM q298_txn_v GROUP BY n_regionkey
+          |ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // ── [ext] schema-evolving MERGE (Delta's schema.autoMerge): the
     // daily upsert starts carrying a column the table never declared —
     // with mergeSchema the commit evolves the declared schema, matched
@@ -9738,6 +9822,29 @@ object SparkEntry {
           |    AS total_price,
           |  (SELECT count(*) FROM live) AS meta_total
           |FROM live GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q296: the DV survivors, filtered and aggregated — a resurrected
+      // (or doubly deleted) row changes a bucket's count/sum
+      "q296_txn_dv_sql_read" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders
+          |WHERE o_totalprice <= 300000 AND o_orderkey <= 15000
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q297: the two format-string writes reassemble the full table
+      "q297_txnlog_write_path" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q298: create + SQL INSERT reassemble the whole nation table
+      "q298_txnlog_sql_insert" ->
+        """SELECT n_regionkey, count(*) AS n_nations,
+          |  min(n_name) AS first_name
+          |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
 
       // q287: the pruned merge's state replayed with CASE — low keys
       // doubled in place, everything else byte-identical (its files

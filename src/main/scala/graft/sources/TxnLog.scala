@@ -435,6 +435,20 @@ object TxnLog {
         val pv = partValuesOf(f).map(_._2)
         pv.isEmpty || touched.contains(pv)
       case Array("schema", _) => true
+      // a merge-on-read DELETE journals no add/remove — its data-file
+      // scope is the dvcount lines. Ignoring them would let a retried
+      // partition-scoped writer republish actions computed from the
+      // pre-DV base state: rewriting a masked file RESURRECTS the rows
+      // the DV delete just deleted, and re-journals CDF deletes the DV
+      // commit already journaled (downstream consumers double-apply).
+      case Array("dvcount", f, _) =>
+        val pv = partValuesOf(f).map(_._2)
+        pv.isEmpty || touched.contains(pv)
+      // a dvclear (compact / restore / overwrite) resets masks table-
+      // wide: a base state that subtracted those DVs is stale everywhere
+      case Array("dvclear") => true
+      // the `dv` line is the mask FILE under _deletion_vectors/ — its
+      // data-file scope is already covered by the dvcount lines above
       case _ => false
     }
 
@@ -446,7 +460,7 @@ object TxnLog {
     * applied when present (parquet matches by NAME, so files written
     * before a schema evolution surface the new column as null — and a
     * time-traveled read uses the OLD declared schema). */
-  private def readFiles(spark: SparkSession, table: String,
+  private[sources] def readFiles(spark: SparkSession, table: String,
                         relPaths: Seq[String],
                         schema: Option[StructType],
                         dv: Option[DataFrame] = None,
@@ -489,7 +503,7 @@ object TxnLog {
     * row index) pairs, None when the state has no deletion vectors —
     * the zero-cost common case every [[readFiles]] call threads
     * through. */
-  private def dvOf(spark: SparkSession, table: String,
+  private[sources] def dvOf(spark: SparkSession, table: String,
                    st: State): Option[DataFrame] =
     if (st.dvFiles.isEmpty) None
     else Some(readFiles(spark, table, st.dvFiles, None))
@@ -1689,8 +1703,12 @@ object TxnLog {
     // DV-aware victim scan: rows already deleted by earlier DVs cannot
     // be victimized twice, so per-file counts stay exact under repeated
     // deletes. Positions are captured in the scan pass (keepDvPos) —
-    // _metadata does not resolve through the anti join.
-    val raw = readFiles(spark, table, st.live, None,
+    // _metadata does not resolve through the anti join. The DECLARED
+    // schema pins the scan like every other reader: on a schema-evolved
+    // table a single-footer inference may lack evolved columns, so the
+    // predicate (or the CDC projection) would fail or see the column on
+    // only some files — inconsistent with deleteWhere's behavior.
+    val raw = readFiles(spark, table, st.live, declared,
       dvOf(spark, table, st), keepDvPos = true)
     val hit = org.apache.spark.sql.functions.coalesce(cond, lit(false))
     val victims = raw.filter(hit)
@@ -1770,7 +1788,14 @@ object TxnLog {
         // a feed window actually spans a restore (the rare undo path).
         // Schemas may differ (restore rolls the declaration back), so
         // both sides align on the column union with typed nulls first.
-        val prev = vs.filter(_ < v).last
+        // after vacuum's log retention, a window opened at fromV=0 (the
+        // explicit full-history escape hatch) can hit a restore whose
+        // predecessor was pruned — refuse descriptively, not with .last's
+        // NoSuchElementException
+        val prev = vs.filter(_ < v).lastOption.getOrElse(sys.error(
+          s"change window spans a restore at v$v whose predecessor is " +
+            "below the log-retention horizon; open the window from a " +
+            "retained version"))
         val before0 = snapshot(spark, table, Some(prev))
         val after0 = snapshot(spark, table, Some(v))
         def align(df: DataFrame, other: DataFrame,

@@ -3,7 +3,9 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession,
+  SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
   BoundReference, Cast, EqualTo, Expression, GreaterThan,
@@ -12,7 +14,9 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, InsertableRelation, PrunedFilteredScan,
   RelationProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,27 +46,264 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`src/etl/spark_deltalake_sync.py:139,208`); this is that surface
   * for the TxnLog format.
   *
+  * Snapshots with LIVE DELETION VECTORS cannot be served by a plain
+  * file scan (row-level subtraction doesn't fit a FileSourceScanExec),
+  * so [[createRelation]] routes them to [[TxnLogScanRelation]] — the v1
+  * `PrunedFilteredScan` shape whose buildScan runs the same
+  * log-pruned, DV-subtracting plan [[TxnLog.snapshot]] builds. The DV
+  * read tax there is the row-conversion boundary; `compact()` (REORG
+  * PURGE) returns the table to the vectorized fast path.
+  *
+  * The WRITE half ([[CreatableRelationProvider]]) makes
+  * `df.write.format("txnlog")` work (the reference writes through the
+  * format string, `spark_deltalake_sync.py:163`), and the relation
+  * itself is [[InsertableRelation]] so `INSERT INTO` a `USING txnlog`
+  * temp view lands as a transactional [[TxnLog.append]]/[[TxnLog.overwrite]]
+  * — never as raw files the log would ignore.
+  *
   * Options: `path` (the table directory), `version` (optional time
-  * travel, same contract as [[TxnLog.snapshot]]). */
-final class TxnLogSource extends RelationProvider with DataSourceRegister {
+  * travel, same contract as [[TxnLog.snapshot]]); write-side:
+  * `partitionBy` (comma-separated), `statsCols`, `bloomCols`,
+  * `mergeSchema`, `overwriteSchema`. */
+final class TxnLogSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "txnlog"
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("txnlog: a table path is required (option 'path')"))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])
       : BaseRelation = {
-    val table = parameters.getOrElse("path",
-      sys.error("txnlog: a table path is required (option 'path')"))
+    val table = tableOf(parameters)
     val asOf = parameters.get("version").map(_.trim.toLong)
     val spark = sqlContext.sparkSession
-    val index = new TxnLogFileIndex(spark, table, asOf)
-    HadoopFsRelation(
-      location = index,
-      partitionSchema = index.partitionSchema,
-      dataSchema = index.dataSchema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(spark)
+    val vs = TxnLog.versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    if (TxnLog.replayState(table, upTo).dvFiles.nonEmpty)
+      // merge-on-read snapshot: the DV-aware relation (anti-join read)
+      new TxnLogScanRelation(sqlContext, table, asOf)
+    else {
+      val index = new TxnLogFileIndex(spark, table, asOf)
+      new TxnLogHadoopFsRelation(index, table, spark)
+    }
   }
+
+  /** `df.write.format("txnlog")`: SaveMode mapped onto the log's
+    * transactional writers. Overwrite on an existing table is the raw
+    * snapshot replacement ([[TxnLog.overwrite]] — no row-level CDF for
+    * a blind overwrite, same as the programmatic call); Append
+    * validates against the declared schema like every other writer. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val table = tableOf(parameters)
+    val spark = sqlContext.sparkSession
+    def csv(k: String): Seq[String] =
+      parameters.get(k).toSeq.flatMap(_.split(',')).map(_.trim)
+        .filter(_.nonEmpty)
+    def create(): Unit = TxnLog.create(spark, table, data,
+      statsCols = csv("statsCols"), partitionBy = csv("partitionBy"),
+      bloomCols = csv("bloomCols"))
+    val there = TxnLog.exists(table)
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        require(!there, s"table already exists: $table"); create()
+      case SaveMode.Ignore => if (!there) create()
+      case SaveMode.Append =>
+        if (!there) create()
+        else TxnLog.append(spark, table, data, statsCols = csv("statsCols"),
+          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+          bloomCols = csv("bloomCols"))
+      case SaveMode.Overwrite =>
+        if (!there) create()
+        else TxnLog.overwrite(spark, table, data, overwriteSchema =
+          parameters.get("overwriteSchema").exists(_.toBoolean),
+          statsCols = csv("statsCols"), bloomCols = csv("bloomCols"))
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** The fast-path relation: a real [[HadoopFsRelation]] (so
+  * `FileSourceStrategy` plans the vectorized, codegen'd, PushedFilters
+  * scan) that is ALSO [[InsertableRelation]] — `INSERT INTO` a
+  * `USING txnlog` view resolves to [[TxnLog.append]] (or the
+  * transactional overwrite for `INSERT OVERWRITE`) instead of Spark's
+  * raw `InsertIntoHadoopFsRelationCommand`, which would drop files into
+  * the directory no log entry references (silently invisible data —
+  * the one way a log-governed table must never be written). */
+private[sources] class TxnLogHadoopFsRelation(index: TxnLogFileIndex,
+                                              table: String,
+                                              spark: SparkSession)
+  extends HadoopFsRelation(
+    location = index,
+    partitionSchema = index.partitionSchema,
+    dataSchema = index.dataSchema,
+    bucketSpec = None,
+    fileFormat = new ParquetFileFormat,
+    options = Map.empty)(spark) with InsertableRelation {
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    if (overwrite) TxnLog.overwrite(spark, table, data)
+    else TxnLog.append(spark, table, data)
+}
+
+/** DV-aware v1 relation ([[PrunedFilteredScan]]): serves snapshots
+  * with live deletion vectors by running the SAME plan
+  * [[TxnLog.snapshot]] builds — log-pruned file list, parquet scan,
+  * one anti join on the journaled (file, row-index) pairs — and
+  * handing Spark the resulting rows. File pruning still happens from
+  * the committed stats/blooms (see [[prunedFiles]], spec-pinned);
+  * recognized pushed filters are ALSO applied inside the inner plan so
+  * parquet row-group pushdown keeps working; Spark re-applies every
+  * filter on top (the v1 superset contract), so unrecognized shapes
+  * are never wrong, just unpruned. */
+private[graft] final class TxnLogScanRelation(sqlCtx: SQLContext,
+                                              table: String,
+                                              asOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+  override def sqlContext: SQLContext = sqlCtx
+  private def spark = sqlCtx.sparkSession
+
+  private def state(): TxnLog.State = {
+    val vs = TxnLog.versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    TxnLog.replayState(table, upTo)
+  }
+
+  override val schema: StructType = state().schemaJson
+    .map(DataType.fromJson(_).asInstanceOf[StructType])
+    .getOrElse(sys.error(
+      s"txnlog relation requires a declared schema in the log: $table"))
+
+  override def sizeInBytes: Long = {
+    val st = state()
+    val known = st.sizes.values.sum
+    if (known > 0) known else super.sizeInBytes
+  }
+
+  /** Canonical-long rendering of an EXTERNAL filter value (v1 filters
+    * carry external types: java.sql.Date, not epoch days), mirroring
+    * the stats writer's epoch-day canonicalization. */
+  private def canonLong(dt: DataType, v: Any): Option[Long] = (dt, v) match {
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+      Some(n.longValue)
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(DateTimeUtils.microsToDays(DateTimeUtils.fromJavaTimestamp(t),
+        java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)).toLong)
+    case (TimestampType, t: java.time.Instant) =>
+      Some(DateTimeUtils.microsToDays(DateTimeUtils.instantToMicros(t),
+        java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)).toLong)
+    case _ => None
+  }
+
+  private def probeString(dt: DataType, v: Any): String = {
+    val lit = Literal.create(v, dt)
+    if (dt == StringType) String.valueOf(v)
+    else Cast(lit, StringType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null).toString
+  }
+
+  private def dtOf(a: String): Option[DataType] =
+    schema.fields.find(_.name == a).map(_.dataType)
+
+  /** The file subset that survives stats/bloom pruning for the pushed
+    * filters — the spec pins that DV-mode reads still prune. */
+  private[graft] def prunedFiles(filters: Array[sources.Filter])
+      : Seq[String] = {
+    val st = state()
+    val iv = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val eq = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    filters.foreach {
+      case sources.EqualTo(a, v) if v != null =>
+        dtOf(a).foreach { dt =>
+          canonLong(dt, v).foreach(x => iv += ((a, x, x)))
+          eq += ((a, probeString(dt, v)))
+        }
+      case sources.GreaterThan(a, v) if v != null =>
+        dtOf(a).flatMap(canonLong(_, v))
+          .foreach(x => iv += ((a, x, Long.MaxValue)))
+      case sources.GreaterThanOrEqual(a, v) if v != null =>
+        dtOf(a).flatMap(canonLong(_, v))
+          .foreach(x => iv += ((a, x, Long.MaxValue)))
+      case sources.LessThan(a, v) if v != null =>
+        dtOf(a).flatMap(canonLong(_, v))
+          .foreach(x => iv += ((a, Long.MinValue, x)))
+      case sources.LessThanOrEqual(a, v) if v != null =>
+        dtOf(a).flatMap(canonLong(_, v))
+          .foreach(x => iv += ((a, Long.MinValue, x)))
+      case _ => () // unrecognized → unprunable, never wrong
+    }
+    st.live.filter { f =>
+      val statsOk = iv.forall { case (c, lo, hi) =>
+        st.stats.get((f, c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+      val bloomOk = eq.forall { case (c, probe) =>
+        st.blooms.get((f, c)) match {
+          case Some((m, k, bits)) => (1 to k).forall { i =>
+            val p = TxnLog.bloomPos(i, probe, m)
+            (bits(p >>> 6) & (1L << (p & 63))) != 0L
+          }
+          case None => true
+        }
+      }
+      statsOk && bloomOk
+    }
+  }
+
+  /** Pushed filters a Column can be built for — applied INSIDE the
+    * inner plan so parquet row-group pushdown works; Spark re-applies
+    * everything on top, so this is purely an I/O optimization. */
+  private def innerFilter(fs: Array[sources.Filter])
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val conds = fs.flatMap {
+      case sources.EqualTo(a, v) if v != null => Some(col(a) === lit(v))
+      case sources.GreaterThan(a, v) if v != null => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) if v != null =>
+        Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) if v != null => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) if v != null =>
+        Some(col(a) <= lit(v))
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        Some(col(a).isin(vs.toSeq: _*))
+      case _ => None
+    }
+    conds.reduceOption(_ && _)
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[sources.Filter]): RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val st = state()
+    val keep = prunedFiles(filters)
+    val base =
+      if (keep.isEmpty)
+        TxnLog.readFiles(spark, table, Seq(st.live.head), Some(schema))
+          .where(org.apache.spark.sql.functions.lit(false))
+      else TxnLog.readFiles(spark, table, keep, Some(schema),
+        TxnLog.dvOf(spark, table, st))
+    val filtered = innerFilter(filters).fold(base)(base.filter)
+    filtered.select(requiredColumns.toSeq.map(col): _*).rdd
+  }
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    if (overwrite) TxnLog.overwrite(spark, table, data)
+    else TxnLog.append(spark, table, data)
 }
 
 /** Log-planned [[FileIndex]]: the live file set of one TxnLog snapshot,
@@ -74,49 +315,77 @@ final class TxnLogSource extends RelationProvider with DataSourceRegister {
   * to the rows it reads, so pruning is purely an I/O optimization. */
 final class TxnLogFileIndex(spark: SparkSession, table: String,
                             asOf: Option[Long]) extends FileIndex {
-  private val vs = TxnLog.versions(table)
-  require(vs.nonEmpty, s"not a TxnLog table: $table")
-  private val upTo = asOf.getOrElse(vs.last)
-  require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
-  private val st = TxnLog.replayState(table, upTo)
+  private val vs0 = TxnLog.versions(table)
+  require(vs0.nonEmpty, s"not a TxnLog table: $table")
+  asOf.foreach(v => require(vs0.contains(v),
+    s"version $v not in log (have $vs0)"))
+
+  private val base = Paths.get(table).toAbsolutePath
+
+  /** One resolved snapshot: the replay state plus the per-file statuses
+    * the planner consumes. File sizes come from the LOG (`fsize`
+    * actions — Delta's add.size): planning never stats a data file;
+    * only files committed before size recording fall back to one
+    * filesystem call each. */
+  private final case class Snap(version: Long, st: TxnLog.State,
+                                statuses: Map[String, FileStatus])
+  private def resolve(v: Long): Snap = {
+    val st = TxnLog.replayState(table, v)
+    val statuses = st.live.map { f =>
+      val p = base.resolve(f)
+      val len = st.sizes.getOrElse(f, Files.size(p))
+      f -> new FileStatus(len, false, 1, 128L * 1024 * 1024,
+        0L, new HPath(p.toUri))
+    }.toMap
+    Snap(v, st, statuses)
+  }
+
+  @volatile private var snap: Snap = resolve(asOf.getOrElse(vs0.last))
+
+  /** HEAD reads re-resolve the log per planning pass (Delta's
+    * TahoeFileIndex re-resolves per snapshot): a persistent temp view
+    * keeps seeing new commits, and a compact+vacuum cannot strand the
+    * view on a pinned file list of deleted files. An EXPLICIT `version`
+    * option pins forever — that is what time travel means (and vacuum
+    * reclaiming the pinned snapshot fails its scans, same contract as
+    * [[TxnLog.snapshot]]). */
+  private def current(): Snap = {
+    if (asOf.isDefined) snap
+    else {
+      val head = TxnLog.versions(table).last
+      if (head != snap.version) snap = resolve(head)
+      snap
+    }
+  }
+
+  // the SCHEMA is pinned at construction (analysis time): a resolved
+  // plan cannot change shape mid-query, and post-evolution files simply
+  // surface their extra columns as unread (parquet matches by name) —
+  // re-create the view to pick up an evolved declaration
+  private val st0 = snap.st
 
   /** SQL reads need the log-declared schema: schema-on-read inference
     * would have to open footers (and would mis-order evolved columns). */
-  val declared: StructType = st.schemaJson
+  val declared: StructType = st0.schemaJson
     .map(DataType.fromJson(_).asInstanceOf[StructType])
     .getOrElse(sys.error(
       s"txnlog relation requires a declared schema in the log: $table"))
 
-  // a HadoopFsRelation is a plain file scan — it cannot subtract
-  // row-level deletion vectors; compact() materializes them away
-  require(st.dvFiles.isEmpty,
-    s"txnlog relation cannot serve a snapshot with live deletion " +
-      s"vectors: $table — run TxnLog.compact to purge them first")
-
   private val partCols: Seq[String] =
-    TxnLog.partitionColsOf(st.live).getOrElse(Nil)
+    TxnLog.partitionColsOf(st0.live).getOrElse(Nil)
 
   override val partitionSchema: StructType =
     StructType(partCols.map(declared(_)))
   val dataSchema: StructType =
     StructType(declared.filterNot(f => partCols.contains(f.name)))
 
-  private val base = Paths.get(table).toAbsolutePath
-  // file sizes come from the LOG (`fsize` actions — Delta's add.size):
-  // planning never stats a data file; only files committed before size
-  // recording fall back to one filesystem call each
-  private val statuses: Map[String, FileStatus] = st.live.map { f =>
-    val p = base.resolve(f)
-    val len = st.sizes.getOrElse(f, Files.size(p))
-    f -> new FileStatus(len, false, 1, 128L * 1024 * 1024,
-      0L, new HPath(p.toUri))
-  }.toMap
-
   override def rootPaths: Seq[HPath] = Seq(new HPath(base.toUri))
   override def inputFiles: Array[String] =
-    st.live.map(f => base.resolve(f).toString).toArray
-  override def refresh(): Unit = ()
-  override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+    current().st.live.map(f => base.resolve(f).toString).toArray
+  override def refresh(): Unit =
+    if (asOf.isEmpty) snap = resolve(TxnLog.versions(table).last)
+  override def sizeInBytes: Long =
+    current().statuses.values.map(_.getLen).sum
 
   private def tz = spark.sessionState.conf.sessionLocalTimeZone
 
@@ -184,7 +453,8 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
     (iv.toSeq, eq.toSeq)
   }
 
-  private def survives(f: String, iv: Seq[(String, Long, Long)],
+  private def survives(st: TxnLog.State, f: String,
+                       iv: Seq[(String, Long, Long)],
                        eq: Seq[(String, String)]): Boolean = {
     val statsOk = iv.forall { case (c, lo, hi) =>
       st.stats.get((f, c)) match {
@@ -218,8 +488,19 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
+    val cur = current()
+    val st = cur.st
+    val statuses = cur.statuses
+    // a HadoopFsRelation is a plain file scan — it cannot subtract
+    // row-level deletion vectors. A table WITHOUT live DVs routes here
+    // (the fast vectorized path); one that gains DVs after this view
+    // was created must refuse rather than resurrect deleted rows —
+    // re-create the view (routes to the DV-aware relation) or compact.
+    require(st.dvFiles.isEmpty,
+      s"txnlog view of $table predates its live deletion vectors — " +
+        "re-create the view (DV-aware reads) or run TxnLog.compact")
     val (iv, eq) = pruningHints(dataFilters)
-    val pruned = st.live.filter(survives(_, iv, eq))
+    val pruned = st.live.filter(survives(st, _, iv, eq))
     if (partCols.isEmpty) {
       Seq(PartitionDirectory(InternalRow.empty,
         pruned.map(statuses).toArray))

@@ -1119,9 +1119,10 @@ class TxnLogSpec extends SparkSpec {
     // time travel is DV-versioned: v1 has everything, v2 one delete in
     assert(TxnLog.snapshot(spark, t, Some(1L)).count() == n)
     assert(TxnLog.snapshot(spark, t, Some(v2)).count() == n - n300)
-    // the SQL relation refuses a DV-bearing snapshot...
-    intercept[Exception] { spark.read.format("txnlog").load(t) }
-    // ...and compact materializes the deletes away (REORG PURGE)
+    // the SQL relation serves a DV-bearing snapshot (merge-on-read
+    // reads route through the DV-aware relation, not the file scan)
+    assert(spark.read.format("txnlog").load(t).count() == n - n200)
+    // compact materializes the deletes away (REORG PURGE)
     TxnLog.compact(spark, t, targetFiles = 2)
     assert(TxnLog.snapshot(spark, t).count() == n - n200)
     assert(TxnLog.countRows(t).contains(n - n200))
@@ -1263,5 +1264,189 @@ class TxnLogSpec extends SparkSpec {
     val got = TxnLog.snapshotWhereEq(spark, t, "od", probe).count()
     assert(got == df.filter(col("od") === probe).count())
     assert(got > 0)
+  }
+
+  test("partition-scoped retry treats a concurrent DV delete as a conflict") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    // a concurrent merge-on-read delete journals ONLY dv/dvcount/cdc
+    // lines — no add/remove. A retry that classified it as
+    // non-conflicting would republish actions computed from the pre-DV
+    // base state, resurrecting the deleted rows.
+    val f2 = TxnLog.files(t).find(_.contains("n_regionkey=2")).get
+    Files.write(Paths.get(t, "_txn_log", f"${2L}%020d.log"),
+      java.util.Arrays.asList("op\tdeleteDV",
+        "dv\t_deletion_vectors/part-fake.parquet", s"dvcount\t$f2\t3"))
+    val ups = nation.filter(col("n_regionkey") === 2)
+      .withColumn("n_name", lit("TOUCHED"))
+    intercept[TxnLog.ConcurrentCommitException] {
+      TxnLog.upsert(spark, t, ups, Seq("n_nationkey"),
+        expectedVersion = Some(1L))
+    }
+    // …but a DV delete in a DISJOINT partition stays non-conflicting:
+    // the retry lands (Delta's conflict matrix, DV case included)
+    val t2 = freshTable()
+    TxnLog.create(spark, t2, nation, partitionBy = Seq("n_regionkey"))
+    val f4 = TxnLog.files(t2).find(_.contains("n_regionkey=4")).get
+    Files.write(Paths.get(t2, "_txn_log", f"${2L}%020d.log"),
+      java.util.Arrays.asList("op\tdeleteDV",
+        "dv\t_deletion_vectors/part-fake.parquet", s"dvcount\t$f4\t1"))
+    val v3 = TxnLog.upsert(spark, t2, ups, Seq("n_nationkey"),
+      expectedVersion = Some(1L))
+    assert(v3 == 3L)
+    // a dvclear (compact/restore) resets masks table-wide: always stale
+    val t3 = freshTable()
+    TxnLog.create(spark, t3, nation, partitionBy = Seq("n_regionkey"))
+    Files.write(Paths.get(t3, "_txn_log", f"${2L}%020d.log"),
+      java.util.Arrays.asList("op\trestore", "dvclear"))
+    intercept[TxnLog.ConcurrentCommitException] {
+      TxnLog.upsert(spark, t3, ups, Seq("n_nationkey"),
+        expectedVersion = Some(1L))
+    }
+  }
+
+  test("DV delete predicates see evolved columns (declared-schema scan)") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    // evolve: the new column exists only in the appended file's footer
+    TxnLog.append(spark, t, nation.limit(0).withColumn("flag", lit("x")),
+      mergeSchema = true)
+    TxnLog.append(spark, t,
+      spark.range(2).select((col("id") + 900).cast("int").as("n_nationkey"),
+        lit("NEW").as("n_name"), lit(9).as("n_regionkey"),
+        lit("kill").as("flag")))
+    // the victim scan must resolve `flag` on EVERY file (old footers
+    // lack it) — single-footer inference would fail or mis-scope it
+    val v = TxnLog.deleteWhereDV(spark, t, col("flag") === "kill")
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+    val cdc = TxnLog.changesBetween(spark, t, v - 1, v)
+    assert(cdc.count() == 2 &&
+      cdc.columns.contains("flag"), "CDC must carry the evolved column")
+  }
+
+  test("restore below the log-retention horizon refuses descriptively") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation) // v1
+    (2 to 9).foreach(i => TxnLog.append(spark, t,
+      spark.range(1).select(lit(100 + i).as("n_nationkey"),
+        lit(s"X$i").as("n_name"), lit(8).as("n_regionkey"))))
+    val vRestore = TxnLog.restore(spark, t, 1L) // v10 → checkpointed
+    assert(vRestore == 10L)
+    TxnLog.append(spark, t, nation.limit(1)) // v11
+    TxnLog.vacuum(t, retainVersions = 2, minAgeMs = 0)
+    assert(TxnLog.versions(t) == Seq(10L, 11L))
+    // fromV=0 over a window whose FIRST retained commit is the restore:
+    // the predecessor snapshot is gone — a clean refusal, not a crash
+    val e = intercept[Exception] {
+      TxnLog.changesBetween(spark, t, 0L, 11L).count()
+    }
+    assert(e.getMessage.contains("log-retention horizon"))
+    // windows past the restore still serve
+    assert(TxnLog.changesBetween(spark, t, 10L, 11L).count() == 1)
+  }
+
+  test("txnlog view re-resolves the log head; explicit version pins") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_live_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    assert(spark.table("txn_live_v").count() == nation.count())
+    // new commits are visible through the SAME view (no frozen snapshot)
+    TxnLog.append(spark, t, spark.range(1)
+      .select(lit(555).as("n_nationkey"), lit("LATE").as("n_name"),
+        lit(9).as("n_regionkey")))
+    assert(spark.table("txn_live_v").count() == nation.count() + 1)
+    // an explicit version option stays pinned across commits
+    val pinned = spark.read.format("txnlog").option("version", "1").load(t)
+    TxnLog.append(spark, t, spark.range(1)
+      .select(lit(556).as("n_nationkey"), lit("LATER").as("n_name"),
+        lit(9).as("n_regionkey")))
+    assert(pinned.count() == nation.count())
+    // compact + vacuum: the view must re-resolve, not scan deleted files
+    TxnLog.compact(spark, t, targetFiles = 1)
+    TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
+    assert(spark.table("txn_live_v").count() == nation.count() + 2)
+  }
+
+  test("txnlog write path: save modes land transactional commits") {
+    val t = freshTable()
+    // default ErrorIfExists → create (with skipping metadata options)
+    nation.filter(col("n_regionkey") < 2).write.format("txnlog")
+      .option("statsCols", "n_nationkey").save(t)
+    assert(TxnLog.versions(t) == Seq(1L))
+    // append validates + commits v2
+    nation.filter(col("n_regionkey") >= 2).write.format("txnlog")
+      .mode("append").save(t)
+    assert(TxnLog.versions(t) == Seq(1L, 2L))
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+    // overwrite replaces; history stays addressable
+    nation.filter(col("n_regionkey") === 0).write.format("txnlog")
+      .mode("overwrite").save(t)
+    assert(TxnLog.snapshot(spark, t).count() ==
+      nation.filter(col("n_regionkey") === 0).count())
+    assert(TxnLog.snapshot(spark, t, Some(2L)).count() == nation.count())
+    // ignore is a no-op on an existing table
+    nation.write.format("txnlog").mode("ignore").save(t)
+    assert(TxnLog.versions(t).last == 3L)
+    // a drifted append fails at write time (schema contract holds
+    // through the format string too)
+    intercept[TxnLog.SchemaMismatchException] {
+      nation.withColumn("n_nationkey", col("n_nationkey").cast("long"))
+        .write.format("txnlog").mode("append").save(t)
+    }
+    // partitioned create via option: hive layout + partition pruning
+    val t2 = freshTable()
+    nation.write.format("txnlog").option("partitionBy", "n_regionkey")
+      .save(t2)
+    assert(TxnLog.files(t2).forall(_.contains("n_regionkey=")))
+    assert(rowsOf(spark.read.format("txnlog").load(t2)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")) == rowsOf(nation.orderBy("n_nationkey")))
+  }
+
+  test("INSERT INTO a txnlog view commits through the log") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_ins_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    spark.sql("INSERT INTO txn_ins_v VALUES (700, 'INS', 3)")
+    // the row must arrive as a LOG COMMIT — a raw file drop into the
+    // directory would be invisible to every log-planned reader
+    assert(TxnLog.versions(t) == Seq(1L, 2L),
+      "insert must be one transactional append commit")
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("n_name") === "INS").count() == 1)
+    assert(spark.table("txn_ins_v").count() == nation.count() + 1)
+    // INSERT OVERWRITE is the transactional snapshot replacement
+    spark.sql("INSERT OVERWRITE txn_ins_v VALUES (701, 'OVR', 4)")
+    assert(TxnLog.snapshot(spark, t).count() == 1)
+    assert(TxnLog.snapshot(spark, t, Some(2L)).count() ==
+      nation.count() + 1, "history stays addressable")
+  }
+
+  test("DV-aware SQL relation: filters, projections, pruning stay live") {
+    val t = freshTable()
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    TxnLog.create(spark, t, orders.repartitionByRange(4, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))
+    TxnLog.deleteWhereDV(spark, t, col("o_totalprice") > 300000)
+    val expect = orders.filter(col("o_totalprice") <= 300000)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_dv_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    assert(rowsOf(spark.sql(
+      "SELECT o_orderkey, o_totalprice FROM txn_dv_v " +
+        "WHERE o_orderkey <= 7 ORDER BY o_orderkey")) ==
+      rowsOf(expect.filter(col("o_orderkey") <= 7)
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")))
+    assert(spark.table("txn_dv_v").count() == expect.count())
+    // file pruning is STILL decided from the log with DVs live: the
+    // narrow-key filter keeps one of the four range-clustered files
+    val rel = new graft.sources.TxnLogScanRelation(
+      spark.sqlContext, t, None)
+    assert(rel.prunedFiles(Array(
+      org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 7L)))
+      .size == 1)
+    assert(rel.prunedFiles(Array.empty).size == 4)
   }
 }
