@@ -5742,6 +5742,59 @@ object SparkEntry {
           |ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // ── [ext] COLUMN RENAME as a metadata commit (Delta's
+    // columnMapping = name): the declared schema carries each field's
+    // immutable PHYSICAL name, so a rename rewrites ZERO data files
+    // (the in-query require pins it — on a 100 TB table the difference
+    // between a log write and a full rewrite), old files keep serving
+    // through the mapping, time travel returns the old name, and a
+    // post-rename append arrives with the NEW logical name and lands
+    // under the physical one. ─────────────────────────────────────────
+    "q299_txn_rename_column" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q299_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d98))
+      val files0 = graft.sources.TxnLog.files(tbl)
+      graft.sources.TxnLog.renameColumn(s, tbl, "o_totalprice", "price")
+      require(graft.sources.TxnLog.files(tbl) == files0,
+        "rename must be a metadata-only commit")
+      graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d98)
+          .withColumnRenamed("o_totalprice", "price"))
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("price")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── [ext] change feed across RESTORE-after-partition-swap: the
+    // operator's undo of a bad daily reload (overwritePartitions of
+    // 1997, then restore) — the feed window over the undo synthesizes
+    // the multiset diff's remove/add PAIRS of the swap: the bad
+    // (doubled) rows leave as deletes, the originals return as
+    // inserts. Downstream incremental consumers survive the full
+    // reload-then-undo cycle without diffing snapshots themselves. ────
+    "q300_txn_restore_swap_cdf" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q300_txn")
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          year(col("o_orderdate")).cast(IntegerType).as("o_year"),
+          col("o_totalprice"))
+      graft.sources.TxnLog.create(s, tbl, o, partitionBy = Seq("o_year"))
+      val repl = o.filter(col("o_year") === 1997)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val v2 = graft.sources.TxnLog.overwritePartitions(s, tbl, repl)
+      val v3 = graft.sources.TxnLog.restore(s, tbl, 1L)
+      graft.sources.TxnLog.changesBetween(s, tbl, v2, v3)
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("_change_type", "o_orderstatus")
+    }),
+
     // ── [ext] schema-evolving MERGE (Delta's schema.autoMerge): the
     // daily upsert starts carrying a column the table never declared —
     // with mergeSchema the commit evolves the declared schema, matched
@@ -9845,6 +9898,30 @@ object SparkEntry {
         """SELECT n_regionkey, count(*) AS n_nations,
           |  min(n_name) AS first_name
           |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
+
+      // q299: pre- and post-rename files serve ONE logical column — a
+      // mapping bug surfaces as nulls (count/sum drift)
+      "q299_txn_rename_column" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q300: the undo window is the 1997 swap replayed — doubled rows
+      // out as deletes, originals back as inserts
+      "q300_txn_restore_swap_cdf" ->
+        """WITH y97 AS (
+          |  SELECT o_orderstatus, o_totalprice FROM orders
+          |  WHERE year(CAST(o_orderdate AS DATE)) = 1997),
+          |feed AS (
+          |  SELECT 'delete' AS _change_type, o_orderstatus,
+          |    o_totalprice * 2 AS p FROM y97
+          |  UNION ALL
+          |  SELECT 'insert', o_orderstatus, o_totalprice FROM y97)
+          |SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM feed GROUP BY 1, 2
+          |ORDER BY _change_type, o_orderstatus""".stripMargin,
 
       // q287: the pruned merge's state replayed with CASE — low keys
       // doubled in place, everything else byte-identical (its files

@@ -1,10 +1,11 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
 import java.util.UUID
 
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, Row, SparkSession}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
@@ -85,13 +86,55 @@ object TxnLog {
   final class ConstraintViolationException(msg: String)
     extends RuntimeException(msg)
 
-  private def logDir(table: String): Path = Paths.get(table, "_txn_log")
-  private def logFile(table: String, v: Long): Path =
-    logDir(table).resolve(f"$v%020d.log")
-  private def checkpointFile(table: String, v: Long): Path =
-    logDir(table).resolve(f"$v%020d.checkpoint.parquet")
-  private def lastCheckpointPtr(table: String): Path =
-    logDir(table).resolve("_last_checkpoint")
+  // ─── storage layer: Hadoop FileSystem, scheme-agnostic ─────────────
+  // Every table-I/O operation (stage, publish, read planning, vacuum,
+  // feed mirroring) goes through the Hadoop FileSystem API resolved
+  // from the TABLE PATH's own scheme, so a table can live wherever a
+  // Hadoop connector exists — `file:/...` (tests run the whole suite
+  // through it), `hdfs://`, or an object store (where a 100 TB table
+  // actually lives), given a conditional-put [[LogStore]] for its
+  // scheme. Only the commit CAS itself is storage-specific, and it is
+  // isolated behind [[LogStore.putIfAbsent]].
+
+  /** Hadoop conf for the table-I/O layer: the active session's conf
+    * (object-store credentials/connectors ride along) with `file://`
+    * pinned to the RAW local filesystem — no `.crc` sidecars in the
+    * log — and the file-scheme cache disabled so a previously cached
+    * checksummed instance can't shadow the pin (raw-local construction
+    * is trivial; remote schemes keep their cached clients). */
+  private[sources] lazy val ioConf: Configuration = {
+    val base = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    val c = new Configuration(base)
+    c.set("fs.file.impl",
+      classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+
+  private[sources] def fsOf(p: HPath): FileSystem = p.getFileSystem(ioConf)
+
+  private def tablePath(table: String): HPath = new HPath(table)
+  private def logDir(table: String): HPath = new HPath(table, "_txn_log")
+  private def logFile(table: String, v: Long): HPath =
+    new HPath(logDir(table), f"$v%020d.log")
+  private def checkpointFile(table: String, v: Long): HPath =
+    new HPath(logDir(table), f"$v%020d.checkpoint.parquet")
+  private def lastCheckpointPtr(table: String): HPath =
+    new HPath(logDir(table), "_last_checkpoint")
+
+  private def readBytes(fs: FileSystem, p: HPath): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  private def readLines(fs: FileSystem, p: HPath): Seq[String] =
+    new String(readBytes(fs, p), UTF_8).split('\n').toSeq
+      .filter(_.nonEmpty)
 
   /** Every N commits the committer also writes a CHECKPOINT — the full
     * live-file set, declared schema, and per-app txn high-water marks as
@@ -107,14 +150,12 @@ object TxnLog {
   /** Committed versions, ascending (empty = not a table). */
   def versions(table: String): Seq[Long] = {
     val d = logDir(table)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val s = Files.list(d)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
+    val fs = fsOf(d)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".log"))
       .map(_.stripSuffix(".log").toLong)
-      .toSeq.sorted
-    finally s.close()
+      .sorted
   }
 
   /** D4 existence probe: a table exists iff it has ≥1 committed version
@@ -130,26 +171,22 @@ object TxnLog {
     * listing. */
   private def latestCheckpoint(table: String, upTo: Long): Option[Long] = {
     val d = logDir(table)
-    if (!Files.isDirectory(d)) return None
+    val fs = fsOf(d)
+    if (!fs.exists(d)) return None
     val fromPtr =
       try {
-        val txt = new String(Files.readAllBytes(lastCheckpointPtr(table)),
-          java.nio.charset.StandardCharsets.UTF_8)
+        val txt = new String(readBytes(fs, lastCheckpointPtr(table)), UTF_8)
         // minimal JSON: {"version":N} — no parser dependency needed
         val v = "\"version\"\\s*:\\s*(\\d+)".r
           .findFirstMatchIn(txt).map(_.group(1).toLong)
-        v.filter(cv => cv <= upTo && Files.exists(checkpointFile(table, cv)))
+        v.filter(cv => cv <= upTo && fs.exists(checkpointFile(table, cv)))
       } catch { case scala.util.control.NonFatal(_) => None }
     fromPtr.orElse {
-      val s = Files.list(d)
-      try {
-        val cps = s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.endsWith(".checkpoint.parquet"))
-          .map(_.stripSuffix(".checkpoint.parquet").toLong)
-          .filter(cv => cv <= upTo && Files.exists(checkpointFile(table, cv)))
-          .toSeq
-        if (cps.isEmpty) None else Some(cps.max)
-      } finally s.close()
+      val cps = fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".checkpoint.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet").toLong)
+        .filter(_ <= upTo)
+      if (cps.isEmpty) None else Some(cps.max)
     }
   }
 
@@ -170,15 +207,6 @@ object TxnLog {
         |  optional int64 hi;
         |}""".stripMargin)
 
-  /** Hadoop conf pinned to the RAW local filesystem so parquet-mr
-    * writes no `.crc` sidecars into the log directory. */
-  private def rawLocalConf = {
-    val c = new org.apache.hadoop.conf.Configuration()
-    c.set("fs.file.impl",
-      classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
-    c
-  }
-
   /** Full replay state at a version: live files in add order, declared
     * schema (latest `schema` action ≤ the version), per-app txn
     * high-water marks, and per-(file, column) canonical-long min/max
@@ -193,7 +221,8 @@ object TxnLog {
                                  rowcounts: Map[String, Long],
                                  dvFiles: Seq[String],
                                  dvCounts: Map[String, Long],
-                                 sizes: Map[String, Long])
+                                 sizes: Map[String, Long],
+                                 props: Map[String, String])
 
   /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
     * when one exists, else from the log's beginning. */
@@ -210,6 +239,7 @@ object TxnLog {
     val dvFiles = scala.collection.mutable.LinkedHashSet.empty[String]
     val dvCounts = scala.collection.mutable.Map.empty[String, Long]
     val sizes = scala.collection.mutable.Map.empty[String, Long]
+    val props = scala.collection.mutable.Map.empty[String, String]
     def dropFile(f: String): Unit = {
       live -= f
       stats.keys.filter(_._1 == f).toSeq.foreach(stats.remove)
@@ -241,6 +271,7 @@ object TxnLog {
           dvCounts(f) = dvCounts.getOrElse(f, 0L) + n.toLong
         case Array("dvclear") => // DVs materialized away (compact/restore)
           dvFiles.clear(); dvCounts.clear()
+        case Array("prop", k, v) => props(k) = v // table property (sticky)
         case _ => sys.error(s"corrupt log line in $where: $line")
       }
     val start = latestCheckpoint(table, upTo) match {
@@ -249,20 +280,19 @@ object TxnLog {
         cv
       case None => 0L
     }
+    val fs = fsOf(logDir(table))
     versions(table).filter(v => v > start && v <= upTo).foreach { v =>
-      Files.readAllLines(logFile(table, v)).asScala
-        .foreach(applyLine(s"v$v"))
+      readLines(fs, logFile(table, v)).foreach(applyLine(s"v$v"))
     }
     State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap,
       blooms.toMap, rowcounts.toMap, dvFiles.toSeq, dvCounts.toMap,
-      sizes.toMap)
+      sizes.toMap, props.toMap)
   }
 
   /** Raw action lines of one committed version (no checkpoint
     * collapsing) — what [[changesBetween]] and conflict detection read. */
   private def actionsOf(table: String, v: Long): Seq[Array[String]] =
-    Files.readAllLines(logFile(table, v)).asScala.toSeq
-      .map(_.split('\t'))
+    readLines(fsOf(logDir(table)), logFile(table, v)).map(_.split('\t'))
 
   /** Best-effort checkpoint after commit `v` (every
     * [[CheckpointInterval]]-th version): full replay state serialized
@@ -305,33 +335,45 @@ object TxnLog {
           st.dvCounts.toSeq.sortBy(_._1).map { case (f, n) =>
             g("dvcount").append("path", f).append("lo", n) } ++
           st.sizes.toSeq.sortBy(_._1).map { case (f, n) =>
-            g("fsize").append("path", f).append("lo", n) }
-      // write-temp-then-atomic-rename, like the log itself: a reader
-      // can never observe a half-written checkpoint
-      val tmp = logDir(table).resolve(
+            g("fsize").append("path", f).append("lo", n) } ++
+          st.props.toSeq.sortBy(_._1).map { case (k, pv) =>
+            g("prop").append("name", k).append("detail", pv) }
+      // write-temp-then-rename, like the log itself: a reader can never
+      // observe a half-written checkpoint. Rename refusing an existing
+      // destination is FINE here — a concurrent checkpointer of the
+      // same version wrote identical content, so the loser just drops
+      // its temp (checkpoints are derived data).
+      val fs = fsOf(logDir(table))
+      val tmp = new HPath(logDir(table),
         s"_cp_${UUID.randomUUID()}.inprogress")
-      val conf = rawLocalConf
+      // parquet-mr's GroupWriteSupport MUTATES the conf it's given —
+      // never hand it the shared ioConf
+      val conf = new Configuration(ioConf)
       org.apache.parquet.hadoop.example.GroupWriteSupport
         .setSchema(CheckpointSchema, conf)
       val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
         .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-          new org.apache.hadoop.fs.Path(tmp.toString), conf))
+          fs.makeQualified(tmp), conf))
         .withConf(conf).withType(CheckpointSchema).build()
       try rows.foreach(w.write) finally w.close()
-      Files.move(tmp, checkpointFile(table, v),
-        StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      val dest = checkpointFile(table, v)
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, false)
       // publish the pointer LAST: readers that already resolved the old
-      // pointer keep working (older checkpoints are never invalidated)
+      // pointer keep working (older checkpoints are never invalidated).
+      // The pointer REPLACE is delete+rename — not atomic everywhere,
+      // and deliberately safe anyway: a reader hitting the momentary
+      // gap falls back to listing the log directory (the pointer is a
+      // pure read-planning accelerator, NonFatal-guarded at every use).
       if (updatePointer) {
-        val ptmp =
-          Files.createTempFile(logDir(table), "_ptr_", ".inprogress")
-        Files.write(ptmp,
-          s"""{"version":$v,"size":${rows.size}}"""
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        Files.move(ptmp, lastCheckpointPtr(table),
-          StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        val ptmp = new HPath(logDir(table),
+          s"_ptr_${UUID.randomUUID()}.inprogress")
+        val out = fs.create(ptmp, false)
+        try out.write(s"""{"version":$v,"size":${rows.size}}"""
+          .getBytes(UTF_8))
+        finally out.close()
+        fs.delete(lastCheckpointPtr(table), false)
+        if (!fs.rename(ptmp, lastCheckpointPtr(table)))
+          fs.delete(ptmp, false)
       }
       // NonFatal, not just IOException: the version is already PUBLISHED
       // when this runs, so any failure escaping here (a NumberFormat /
@@ -348,8 +390,8 @@ object TxnLog {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val r = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-        new org.apache.hadoop.fs.Path(checkpointFile(table, v).toString))
-      .withConf(rawLocalConf).build()
+        checkpointFile(table, v))
+      .withConf(new Configuration(ioConf)).build()
     try {
       var g = r.read()
       while (g != null) {
@@ -369,6 +411,7 @@ object TxnLog {
           case "dv" => s"dv\t${s("path")}"
           case "dvcount" => s"dvcount\t${s("path")}\t${l("lo")}"
           case "fsize" => s"fsize\t${s("path")}\t${l("lo")}"
+          case "prop" => s"prop\t${s("name")}\t${s("detail")}"
           case other => sys.error(s"unknown checkpoint action: $other")
         })
         g = r.read()
@@ -452,6 +495,46 @@ object TxnLog {
       case _ => false
     }
 
+  // ─── column mapping (Delta's columnMapping = name) ─────────────────
+  // A column RENAME must be a metadata commit, not a table rewrite: the
+  // declared schema carries each field's PHYSICAL name (the name inside
+  // the parquet files, pinned at first write) in StructField metadata,
+  // writers project logical→physical before staging, and readers select
+  // physical-as-logical after the scan. DROP is schema-only the same
+  // way (the physical column stays in old files, unread). Once mapping
+  // is active (sticky `prop columnMapping name`), columns added by
+  // schema evolution get GUID physical names, so re-adding a previously
+  // dropped column can never resurrect the old files' stale values.
+
+  private val PhysKey = "graft.phys"
+
+  private[sources] def physName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  private[sources] def mappingActive(s: StructType): Boolean =
+    s.fields.exists(f => physName(f) != f.name)
+
+  /** The schema as written inside data files (physical names). */
+  private def physSchema(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      StructField(physName(f), f.dataType, f.nullable)))
+
+  /** logical → physical name map of a declared schema. */
+  private def physMapOf(s: Option[StructType]): Map[String, String] =
+    s.map(_.fields.map(f => f.name -> physName(f)).toMap)
+      .getOrElse(Map.empty)
+
+  /** Project a logical-named batch onto the declared physical layout
+    * before staging — identity unless mapping is active. */
+  private def toPhys(df: DataFrame, declared: Option[StructType])
+      : DataFrame = declared.filter(mappingActive).fold(df) { s =>
+    import org.apache.spark.sql.functions.col
+    val have = df.columns.toSet
+    df.select(s.fields.toSeq.filter(f => have.contains(f.name))
+      .map(f => col(f.name).as(physName(f))): _*)
+  }
+
   // ─── readers ───────────────────────────────────────────────────────
 
   /** Read a set of committed relative paths as one parquet scan.
@@ -466,12 +549,15 @@ object TxnLog {
                         dv: Option[DataFrame] = None,
                         keepDvPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
-    val base = Paths.get(table).toAbsolutePath
-    val paths = relPaths.map(f => base.resolve(f).toString)
+    val t = tablePath(table)
+    val base = fsOf(t).makeQualified(t)
+    val paths = relPaths.map(f => new HPath(base, f).toString)
     val r0: DataFrameReader = spark.read
     val r1 = if (relPaths.exists(_.contains('=')))
       r0.option("basePath", base.toString) else r0
-    val r2 = schema.fold(r1)(r1.schema)
+    // the scan reads the files' PHYSICAL column names; the final select
+    // below renames them to the declared logical names (column mapping)
+    val r2 = schema.fold(r1)(s => r1.schema(physSchema(s)))
     val df0 = r2.parquet(paths: _*)
     // DELETION VECTORS (merge-on-read): subtract journaled (leaf file,
     // row index) pairs with one anti join keyed on the scan's own
@@ -492,11 +578,11 @@ object TxnLog {
     val df = if (needPos && !keepDvPos) joined.drop("__dv_f", "__dv_r")
       else joined
     // pin the declared column order (partition discovery appends
-    // partition columns at the end regardless of schema order)
+    // partition columns at the end regardless of schema order) and
+    // rename physical → logical where mapping is active
     schema.fold(df)(s => df.select(
-      (s.fieldNames.toSeq ++
-        (if (keepDvPos) Seq("__dv_f", "__dv_r") else Nil))
-        .map(org.apache.spark.sql.functions.col): _*))
+      (s.fields.toSeq.map(f => col(physName(f)).as(f.name)) ++
+        (if (keepDvPos) Seq(col("__dv_f"), col("__dv_r")) else Nil)): _*))
   }
 
   /** The live-DV relation of a snapshot state: (leaf data-file name,
@@ -671,21 +757,29 @@ object TxnLog {
     * driver-side. */
   private def bloomLines(spark: SparkSession, table: String,
                          named: Seq[String],
-                         bloomCols: Seq[String]): Seq[String] = {
+                         bloomCols: Seq[String],
+                         phys: Map[String, String] = Map.empty)
+      : Seq[String] = {
     if (bloomCols.isEmpty || named.isEmpty) return Nil
     import org.apache.spark.sql.functions._
     val m = BloomBits; val k = BloomHashes
     val byLeaf = named.map(n => n.split('/').last -> n).toMap
     val df = spark.read.parquet(
-      named.map(n => Paths.get(table, n).toString): _*)
-    val aggs = bloomCols.flatMap(c => (1 to k).map(i =>
-      collect_set(pmod(xxhash64(lit(i), col(c).cast(StringType)), lit(m)))
-        .as(s"__bl_${c}_$i")))
+      named.map(n => new HPath(tablePath(table), n).toString): _*)
+    // staged files carry PHYSICAL names; lines are keyed by the LOGICAL
+    // name probes use. A tracked column no longer in the files (renamed
+    // away / dropped) is skipped — unprunable, never wrong.
+    val cols = bloomCols.map(c => c -> phys.getOrElse(c, c))
+      .filter { case (_, pc) => df.columns.contains(pc) }
+    if (cols.isEmpty) return Nil
+    val aggs = cols.flatMap { case (c, pc) => (1 to k).map(i =>
+      collect_set(pmod(xxhash64(lit(i), col(pc).cast(StringType)), lit(m)))
+        .as(s"__bl_${c}_$i")) }
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect() // ≤ |files| rows
     rows.toSeq.flatMap { r =>
       val fname = byLeaf(r.getAs[String]("__f").split('/').last)
-      bloomCols.map { c =>
+      cols.map { case (c, _) =>
         val bits = new Array[Long](m / 64)
         (1 to k).foreach { i =>
           r.getSeq[Long](r.fieldIndex(s"__bl_${c}_$i")).foreach { p =>
@@ -707,15 +801,28 @@ object TxnLog {
     * ([[appendStream]]). Linked AFTER the version publishes: a lost
     * commit race never leaks rows into the feed. */
   private def feedLink(table: String, named: Seq[String]): Unit = {
-    val dir = Paths.get(table, "_stream_feed")
+    val t = tablePath(table)
+    val fs = fsOf(t)
+    val local = fs.getUri.getScheme == "file"
     named.foreach { n =>
       // preserve the col=val directory segments: partition values live
       // in the PATH, not the parquet data, so a flat feed would stream
       // partition columns through as silent nulls
-      val dest = dir.resolve(n)
-      Files.createDirectories(dest.getParent)
-      try Files.createLink(dest, Paths.get(table, n))
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      val dest = new HPath(t, "_stream_feed/" + n)
+      fs.mkdirs(dest.getParent)
+      if (local) {
+        // hard link: zero bytes copied, shares the data file's inode
+        try Files.createLink(
+          Paths.get(fs.makeQualified(dest).toUri.getPath),
+          Paths.get(fs.makeQualified(new HPath(t, n)).toUri.getPath))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } else if (!fs.exists(dest)) {
+        // object stores have no links: the feed mirror is a copy, cost
+        // ∝ the appended bytes only (the feed is the appendStream
+        // convenience surface, never the snapshot read path)
+        org.apache.hadoop.fs.FileUtil.copy(fs, new HPath(t, n),
+          fs, dest, false, ioConf)
+      }
     }
   }
 
@@ -731,15 +838,18 @@ object TxnLog {
     require(exists(table), s"not a TxnLog table: $table")
     val declared = declaredSchema(table).getOrElse(
       sys.error(s"append stream requires a declared schema: $table"))
-    val dir = Paths.get(table, "_stream_feed")
-    Files.createDirectories(dir)
+    val dir = new HPath(tablePath(table), "_stream_feed")
+    fsOf(dir).mkdirs(dir)
     // the feed mirrors the table's hive layout ([[feedLink]]), so on a
     // partitioned table the file stream's own partition discovery
     // re-derives the partition columns from the col=val directories —
-    // the declared schema names them, exactly like a batch basePath read
-    val df = spark.readStream.schema(declared).parquet(dir.toString)
-    df.select(declared.fieldNames
-      .map(org.apache.spark.sql.functions.col).toSeq: _*)
+    // the declared schema names them, exactly like a batch basePath
+    // read. Mapped tables stream the files' PHYSICAL columns and
+    // rename to logical, same as every batch reader.
+    val df = spark.readStream.schema(physSchema(declared))
+      .parquet(dir.toString)
+    df.select(declared.fields.toSeq.map(f =>
+      org.apache.spark.sql.functions.col(physName(f)).as(f.name)): _*)
   }
 
   /** Per-file `rowcount` lines — Delta's numRecords, read straight off
@@ -747,19 +857,22 @@ object TxnLog {
     * footer is already local after the stage). Every data-writing
     * commit records them, which is what makes [[countRows]] a pure
     * metadata operation. */
-  private def rowcountLines(table: String, named: Seq[String]): Seq[String] =
+  private def rowcountLines(table: String, named: Seq[String]): Seq[String] = {
+    val t = tablePath(table)
+    val fs = fsOf(t)
     named.flatMap { n =>
-      val p = Paths.get(table, n)
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toString), rawLocalConf)
+      val p = fs.makeQualified(new HPath(t, n))
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, ioConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       // size rides the same commit (Delta's add.size): read planning
       // then never stats a data file — at 1M files on an object store
       // that is 1M HEAD requests the log already paid for
       try Seq(s"rowcount\t$n\t${r.getRecordCount}",
-        s"fsize\t$n\t${Files.size(p)}")
+        s"fsize\t$n\t${fs.getFileStatus(p).getLen}")
       finally r.close()
     }
+  }
 
   /** `count(*)` answered from the LOG alone — the sum of the live
     * files' committed rowcounts, zero data I/O (Delta answers
@@ -845,29 +958,37 @@ object TxnLog {
   private def stage(spark: SparkSession, table: String, df: DataFrame,
                     partitionBy: Seq[String] = Nil,
                     subdir: Option[String] = None): Seq[String] = {
-    Files.createDirectories(Paths.get(table))
-    val tmp = Files.createTempDirectory(Paths.get(table), "_staging_")
+    val t = tablePath(table)
+    val fs = fsOf(t)
+    fs.mkdirs(t)
+    val tableQ = fs.makeQualified(t)
+    val tmp = new HPath(tableQ, s"_staging_${UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(tmp.toString)
+    val tmpQ = fs.makeQualified(tmp).toString
     val parts = {
-      val s = Files.walk(tmp)
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet")).toSeq
-      finally s.close()
+      val it = fs.listFiles(tmp, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += st.getPath
+      }
+      buf.toSeq
     }
     val named = parts.map { p =>
-      val rel = tmp.relativize(p.getParent)
+      val rel = p.toString.stripPrefix(tmpQ).stripPrefix("/")
+      val relDir = rel.split('/').dropRight(1).mkString("/")
       val prefix = subdir.map(_ + "/").getOrElse("") +
-        (if (rel.toString.isEmpty) "" else rel.toString + "/")
+        (if (relDir.isEmpty) "" else relDir + "/")
       val name = s"${prefix}part-${UUID.randomUUID()}.parquet"
-      val dest = Paths.get(table).resolve(name)
-      Files.createDirectories(dest.getParent)
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      val dest = new HPath(tableQ, name)
+      fs.mkdirs(dest.getParent)
+      fs.rename(p, dest)
       name
     }
-    graft.TempWork.deleteRecursively(tmp)
+    fs.delete(tmp, true)
     named
   }
 
@@ -880,19 +1001,28 @@ object TxnLog {
     * SQL semantics: a NULL predicate passes; only FALSE violates. */
   private def stageChecked(spark: SparkSession, table: String,
                            df: DataFrame, checks: Map[String, String],
-                           partitionBy: Seq[String]): Seq[String] = {
-    if (checks.isEmpty) return stage(spark, table, df, partitionBy)
+                           partitionBy: Seq[String],
+                           physOf: Option[StructType] = None)
+      : Seq[String] = {
+    // CHECK expressions evaluate against LOGICAL names (the observe
+    // rides the incoming batch); the physical projection for column
+    // mapping is applied after, directly before the write
+    if (checks.isEmpty)
+      return stage(spark, table, toPhys(df, physOf), partitionBy)
     import org.apache.spark.sql.functions._
     val obs = new org.apache.spark.sql.Observation()
     val aggs = checks.toSeq.map { case (n, e) =>
       sum(when(expr(e).isNull || expr(e), 0L).otherwise(1L)).as(n) }
     val named = stage(spark, table,
-      df.observe(obs, aggs.head, aggs.tail: _*), partitionBy)
+      toPhys(df.observe(obs, aggs.head, aggs.tail: _*), physOf),
+      partitionBy)
     val m = obs.get
     val bad = checks.keys.filter(n =>
       Option(m(n)).exists(_.asInstanceOf[Long] > 0))
     if (bad.nonEmpty) {
-      named.foreach(n => Files.deleteIfExists(Paths.get(table).resolve(n)))
+      val t = tablePath(table)
+      val fs = fsOf(t)
+      named.foreach(n => fs.delete(new HPath(t, n), false))
       throw new ConstraintViolationException(
         s"batch violates CHECK constraint(s): ${bad.toSeq.sorted.map(n =>
           s"$n (${checks(n)})").mkString("; ")}")
@@ -926,20 +1056,27 @@ object TxnLog {
 
   private def statsLines(spark: SparkSession, table: String,
                          named: Seq[String],
-                         statsCols: Seq[String]): Seq[String] = {
+                         statsCols: Seq[String],
+                         phys: Map[String, String] = Map.empty)
+      : Seq[String] = {
     if (statsCols.isEmpty || named.isEmpty) return Nil
     import org.apache.spark.sql.functions._
     val byLeaf = named.map(n => n.split('/').last -> n).toMap
     val df = spark.read.parquet(
-      named.map(n => Paths.get(table, n).toString): _*)
-    val aggs = statsCols.flatMap(c => Seq(
-      min(canonicalCol(df, c)).as(s"__mn_$c"),
-      max(canonicalCol(df, c)).as(s"__mx_$c")))
+      named.map(n => new HPath(tablePath(table), n).toString): _*)
+    // staged files carry PHYSICAL names; lines are keyed by the LOGICAL
+    // name probes use (same contract as bloomLines)
+    val cols = statsCols.map(c => c -> phys.getOrElse(c, c))
+      .filter { case (_, pc) => df.columns.contains(pc) }
+    if (cols.isEmpty) return Nil
+    val aggs = cols.flatMap { case (c, pc) => Seq(
+      min(canonicalCol(df, pc)).as(s"__mn_$c"),
+      max(canonicalCol(df, pc)).as(s"__mx_$c")) }
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect() // ≤ |files| rows
     rows.toSeq.flatMap { r =>
       val fname = byLeaf(r.getAs[String]("__f").split('/').last)
-      statsCols.flatMap { c =>
+      cols.flatMap { case (c, _) =>
         val mnI = r.fieldIndex(s"__mn_$c"); val mxI = r.fieldIndex(s"__mx_$c")
         if (r.isNullAt(mnI) || r.isNullAt(mxI)) Nil
         else Seq(s"stats\t$fname\t$c\t${r.getLong(mnI)}\t${r.getLong(mxI)}")
@@ -948,17 +1085,17 @@ object TxnLog {
   }
 
   /** Atomically publish `actions` as version `v`. True iff this writer
-    * won; false iff `v` already exists (concurrent commit). */
+    * won; false iff `v` already exists (concurrent commit). The CAS
+    * itself is the scheme's [[LogStore]] — hard-link on `file://`,
+    * atomic rename on HDFS, a registered conditional put on an object
+    * store — the one storage-specific primitive in the whole format. */
   private def publish(table: String, v: Long,
                       actions: Seq[String]): Boolean = {
-    Files.createDirectories(logDir(table))
-    val tmp = Files.createTempFile(logDir(table), "_tmp_", ".inprogress")
-    Files.write(tmp, actions.asJava)
-    try {
-      Files.createLink(logFile(table, v), tmp); true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally Files.deleteIfExists(tmp)
+    val fs = fsOf(logDir(table))
+    fs.mkdirs(logDir(table))
+    LogStore.forScheme(fs.getUri.getScheme)
+      .putIfAbsent(fs, fs.makeQualified(logFile(table, v)),
+        LogStore.utf8(actions))
   }
 
   // ─── schema enforcement ────────────────────────────────────────────
@@ -978,7 +1115,8 @@ object TxnLog {
     * nulls at read time (the failure mode schema-on-read has and the
     * reference's declared StructTypes exist to prevent). */
   private def validateAgainst(declared: StructType, incoming: StructType,
-                              mergeSchema: Boolean): Option[String] = {
+                              mergeSchema: Boolean,
+                              mappingOn: Boolean = false): Option[String] = {
     val d = canonCols(declared); val in = canonCols(incoming)
     val missing = d.keySet -- in.keySet
     if (missing.nonEmpty) throw new SchemaMismatchException(
@@ -993,8 +1131,20 @@ object TxnLog {
     else if (!mergeSchema) throw new SchemaMismatchException(
       s"batch adds undeclared columns: ${extra.map(_.name).mkString(", ")} " +
         "(pass mergeSchema = true to evolve the table schema)")
-    else Some(StructType(declared.fields ++ extra).json)
+    else Some(StructType(declared.fields ++
+      extra.map(guidPhys(_, mappingOn))).json)
   }
+
+  /** Under active column mapping, a column ADDED by evolution gets a
+    * GUID physical name: a previously DROPPED column's name can then be
+    * re-added without resurrecting the old files' stale values (their
+    * physical column no longer matches anything declared). */
+  private def guidPhys(f: StructField, mappingOn: Boolean): StructField =
+    if (!mappingOn) f
+    else StructField(f.name, f.dataType, f.nullable,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(PhysKey, s"col-${UUID.randomUUID()}").build())
 
   // ─── writers ───────────────────────────────────────────────────────
 
@@ -1051,14 +1201,18 @@ object TxnLog {
     val st = replayState(table, vs.last)
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val schemaLine = declared
-      .flatMap(validateAgainst(_, df.schema, mergeSchema))
-      .map("schema\t" + _)
+    val mappingOn = st.props.get("columnMapping").contains("name")
+    val evolvedJson =
+      declared.flatMap(validateAgainst(_, df.schema, mergeSchema, mappingOn))
+    val schemaLine = evolvedJson.map("schema\t" + _)
+    val physOf = evolvedJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType]).orElse(declared)
     val named = stageChecked(spark, table, df, st.checks,
-      partitionColsOf(st.live).getOrElse(Nil))
+      partitionColsOf(st.live).getOrElse(Nil), physOf)
+    val pm = physMapOf(physOf)
     val rest = named.map("add\t" + _) ++
-      statsLines(spark, table, named, statsCols) ++
-      bloomLines(spark, table, named, bloomCols) ++
+      statsLines(spark, table, named, statsCols, pm) ++
+      bloomLines(spark, table, named, bloomCols, pm) ++
       rowcountLines(table, named)
     var actions = "op\tappend" +: (schemaLine.toSeq ++ rest)
     var v = vs.last + 1
@@ -1072,9 +1226,11 @@ object TxnLog {
         // DIFFERENT columns then compose; the same column re-validates
         // to a no-op line).
         val head = versions(table).last
-        val d2 = replayState(table, head).schemaJson
+        val hs = replayState(table, head)
+        val d2 = hs.schemaJson
           .map(DataType.fromJson(_).asInstanceOf[StructType])
-        val sl2 = d2.flatMap(validateAgainst(_, df.schema, mergeSchema))
+        val sl2 = d2.flatMap(validateAgainst(_, df.schema, mergeSchema,
+          hs.props.get("columnMapping").contains("name")))
           .map("schema\t" + _)
         actions = "op\tappend" +: (sl2.toSeq ++ rest)
         v = head + 1
@@ -1137,10 +1293,11 @@ object TxnLog {
     // readFiles/partitionColsOf depend on). No mergeSchema path: an
     // evolving commit is not valid against arbitrary snapshots, which is
     // exactly what this writer's blind publish retry assumes.
-    st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-      .foreach(validateAgainst(_, df.schema, mergeSchema = false))
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    declared.foreach(validateAgainst(_, df.schema, mergeSchema = false))
     val named = stageChecked(spark, table, df, st.checks,
-      partitionColsOf(st.live).getOrElse(Nil))
+      partitionColsOf(st.live).getOrElse(Nil), declared)
     val actions = "op\tappend" +: s"txn\t$appId\t$txnVersion" +:
       (named.map("add\t" + _) ++ rowcountLines(table, named))
     var v = versions(table).last + 1
@@ -1148,7 +1305,8 @@ object TxnLog {
       if (lastTxnVersion(table, appId) >= txnVersion) {
         // a concurrent replayer of the SAME batch won: abandon our
         // staged files (log-invisible; next vacuum sweeps them)
-        named.foreach(n => Files.deleteIfExists(Paths.get(table, n)))
+        val fs = fsOf(tablePath(table))
+        named.foreach(n => fs.delete(new HPath(tablePath(table), n), false))
         return txnCommitVersion(table, appId, txnVersion)
           .getOrElse(versions(table).last)
       }
@@ -1189,8 +1347,13 @@ object TxnLog {
           "overwrite changes the declared schema; pass overwriteSchema = true")
       case _ => Some("schema\t" + df.schema.json)
     }
+    // a same-schema overwrite keeps the declared mapping (and stages
+    // through it); a re-declaration resets physical = logical — it
+    // rewrites every file anyway, so the layouts stay consistent
+    val physOf = if (schemaLine.isEmpty) declared else None
     val named = stageChecked(spark, table, df, st.checks,
-      partitionColsOf(st.live).getOrElse(Nil))
+      partitionColsOf(st.live).getOrElse(Nil), physOf)
+    val pm = physMapOf(physOf)
     val cdcNames = cdcRows.toSeq.flatMap(
       stage(spark, table, _, subdir = Some("_change_data")))
     val v = base + 1
@@ -1198,8 +1361,8 @@ object TxnLog {
         txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
         st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
         cdcNames.map("cdc\t" + _) ++
-        statsLines(spark, table, named, statsCols) ++
-        bloomLines(spark, table, named, bloomCols) ++
+        statsLines(spark, table, named, statsCols, pm) ++
+        bloomLines(spark, table, named, bloomCols, pm) ++
         rowcountLines(table, named))))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
@@ -1320,6 +1483,7 @@ object TxnLog {
     // schema, and surface as null on pre-evolution rows. Unlike append,
     // type differences on DECLARED columns are not drift here — the
     // store-assignment projection below casts them to the target types.
+    val mappingOn = st.props.get("columnMapping").contains("name")
     val evolvedJson = declared.flatMap { d =>
       val have = canonCols(d)
       val extra = updates.schema.fields.filterNot(f => have.contains(f.name))
@@ -1327,7 +1491,8 @@ object TxnLog {
       else if (!mergeSchema) throw new SchemaMismatchException(
         s"upsert adds undeclared columns: ${extra.map(_.name).mkString(", ")} " +
           "(pass mergeSchema = true to evolve the table schema)")
-      else Some(StructType(d.fields ++ extra).json)
+      else Some(StructType(d.fields ++
+        extra.map(guidPhys(_, mappingOn))).json)
     }
     val target = evolvedJson
       .map(DataType.fromJson(_).asInstanceOf[StructType]).orElse(declared)
@@ -1382,7 +1547,8 @@ object TxnLog {
             (graft.ops.Merge.upsert(baseDf, u, keys),
               upsertCdc(baseDf, u, keys))
           }
-          val named = stageChecked(spark, table, merged, st.checks, Nil)
+          val named =
+            stageChecked(spark, table, merged, st.checks, Nil, target)
           val cdcNames =
             stage(spark, table, cdc, subdir = Some("_change_data"))
           // keep the skipping metadata self-perpetuating: re-record
@@ -1390,13 +1556,14 @@ object TxnLog {
           // the files this merge writes are prunable by the next one
           val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
           val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
+          val pm = physMapOf(target)
           val actions = "op\tupsert" +:
             (evolvedJson.map("schema\t" + _).toSeq ++
               txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
               touchedFiles.map("remove\t" + _) ++
               named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
-              statsLines(spark, table, named, trackedStats) ++
-              bloomLines(spark, table, named, trackedBlooms) ++
+              statsLines(spark, table, named, trackedStats, pm) ++
+              bloomLines(spark, table, named, trackedBlooms, pm) ++
               rowcountLines(table, named))
           val v = base + 1
           if (!publish(table, v, actions))
@@ -1424,7 +1591,8 @@ object TxnLog {
           (graft.ops.Merge.upsert(baseDf, u, keys),
             upsertCdc(baseDf, u, keys))
         }
-        val named = stageChecked(spark, table, merged, st.checks, pcols)
+        val named =
+          stageChecked(spark, table, merged, st.checks, pcols, target)
         val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
         val actions = "op\tupsert" +:
           (evolvedJson.map("schema\t" + _).toSeq ++
@@ -1478,7 +1646,7 @@ object TxnLog {
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     declared.foreach(validateAgainst(_, df.schema, mergeSchema = false))
-    val named = stageChecked(spark, table, df, st.checks, pcols)
+    val named = stageChecked(spark, table, df, st.checks, pcols, declared)
     val touched: Set[Seq[String]] =
       named.map(partValuesOf(_).map(_._2)).toSet
     val removes =
@@ -1500,8 +1668,10 @@ object TxnLog {
     val actions = "op\treplacePartitions" +:
       (removes.map("remove\t" + _) ++ named.map("add\t" + _) ++
         cdcNames.map("cdc\t" + _) ++
-        statsLines(spark, table, named, trackedStats) ++
-        bloomLines(spark, table, named, trackedBlooms) ++
+        statsLines(spark, table, named, trackedStats,
+          physMapOf(declared)) ++
+        bloomLines(spark, table, named, trackedBlooms,
+          physMapOf(declared)) ++
         rowcountLines(table, named))
     var checkedUpTo = base
     var v = base + 1
@@ -1638,13 +1808,13 @@ object TxnLog {
           .sortWithinPartitions("__h")
           .drop("__h")
       }
-    val named = stage(spark, table, snap,
+    val named = stage(spark, table, toPhys(snap, declared),
       partitionColsOf(st.live).getOrElse(Nil))
     val sc = if (statsCols.nonEmpty) statsCols else clusterBy
     val v = base + 1
     if (!publish(table, v, "op\tcompact" +: "nochange" +: "dvclear" +:
         (st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
-          statsLines(spark, table, named, sc) ++
+          statsLines(spark, table, named, sc, physMapOf(declared)) ++
           rowcountLines(table, named))))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
@@ -1821,10 +1991,16 @@ object TxnLog {
         throw new IllegalStateException(
           s"version $v removes files but journaled no change data " +
             "(raw overwrite); use upsert/deleteWhere or diff snapshots")
-      else if (adds.nonEmpty)
-        Some(readFiles(spark, table, adds, None)
+      else if (adds.nonEmpty) {
+        // pure-add synthesis reads DATA files — pin the schema the
+        // commit declared so column mapping (physical names in the
+        // files) and evolved column order resolve correctly
+        val sch = replayState(table, v).schemaJson
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        Some(readFiles(spark, table, adds, sch)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v)))
+      }
       else None // marker-only commit
     }
     if (parts.isEmpty)
@@ -1857,8 +2033,9 @@ object TxnLog {
     val base = expectedVersion.getOrElse(vs.last)
     val cur = replayState(table, base)
     val tgt = replayState(table, toVersion)
+    val rfs = fsOf(tablePath(table))
     val missing = tgt.live.filterNot(f =>
-      Files.exists(Paths.get(table).resolve(f)))
+      rfs.exists(new HPath(tablePath(table), f)))
     require(missing.isEmpty,
       s"cannot restore to v$toVersion: vacuum reclaimed ${missing.size} " +
         s"of its files (first: ${missing.headOption.getOrElse("")})")
@@ -1876,7 +2053,7 @@ object TxnLog {
     // the target's own DVs come back (their files are vacuum-guarded
     // like data files)
     val missingDv = tgt.dvFiles.filterNot(f =>
-      Files.exists(Paths.get(table).resolve(f)))
+      rfs.exists(new HPath(tablePath(table), f)))
     require(missingDv.isEmpty,
       s"cannot restore to v$toVersion: vacuum reclaimed " +
         s"${missingDv.size} of its deletion-vector files")
@@ -1927,6 +2104,84 @@ object TxnLog {
     v
   }
 
+  /** Shared validation for the column-mapping DDL commits. */
+  private def mappingPrereqs(table: String, st: State,
+                             colName: String): StructType = {
+    val declared = st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(sys.error(
+        s"column mapping requires a declared schema: $table"))
+    require(declared.fieldNames.contains(colName),
+      s"no such column: $colName (have ${declared.fieldNames.mkString(", ")})")
+    require(!partitionColsOf(st.live).exists(_.contains(colName)),
+      s"cannot rename/drop partition column $colName — partition values " +
+        "live in the directory PATHS, which are immutable per file")
+    require(st.checks.isEmpty,
+      "cannot rename/drop columns on a table with CHECK constraints " +
+        "(their expressions reference columns by name); drop the " +
+        "constraints first")
+    declared
+  }
+
+  /** RENAME COLUMN as a METADATA commit (Delta's columnMapping = name):
+    * the field keeps its immutable PHYSICAL name — the name inside
+    * every already-written parquet file — and only the declared
+    * LOGICAL name changes, so zero data files are rewritten and old
+    * files stay readable. Time travel returns the OLD logical name
+    * (the schema is versioned with everything else). Committed
+    * stats/blooms stay keyed by the old logical name — lookups under
+    * the new name find nothing (unprunable, superset-safe) until a
+    * rewrite/compact re-records them. CAS-pinned. */
+  def renameColumn(spark: SparkSession, table: String,
+                   oldName: String, newName: String): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = versions(table).last
+    val st = replayState(table, base)
+    val declared = mappingPrereqs(table, st, oldName)
+    require(!declared.fieldNames.contains(newName),
+      s"column $newName already exists")
+    require(!declared.fields.exists(f => physName(f) == newName),
+      s"$newName collides with an existing physical column name")
+    val fields = declared.fields.map { f =>
+      if (f.name != oldName) f
+      else StructField(newName, f.dataType, f.nullable,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(PhysKey, physName(f)).build())
+    }
+    val v = base + 1
+    if (!publish(table, v, Seq("op\trenameColumn",
+        "prop\tcolumnMapping\tname",
+        s"schema\t${StructType(fields).json}")))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
+  /** DROP COLUMN as a METADATA commit: the field leaves the declared
+    * schema; its physical column stays inside old files, unread (every
+    * reader projects the declared schema). Re-adding the same LOGICAL
+    * name later gets a GUID physical name (the sticky columnMapping
+    * property set here), so the old files' stale values can never
+    * resurface. CAS-pinned. */
+  def dropColumn(spark: SparkSession, table: String,
+                 colName: String): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = versions(table).last
+    val st = replayState(table, base)
+    val declared = mappingPrereqs(table, st, colName)
+    require(declared.fields.length > 1,
+      "cannot drop the only column of a table")
+    val fields = declared.fields.filterNot(_.name == colName)
+    val v = base + 1
+    if (!publish(table, v, Seq("op\tdropColumn",
+        "prop\tcolumnMapping\tname",
+        s"schema\t${StructType(fields).json}")))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
   /** STREAMING change-feed consumer. The `_change_data` directory is an
     * append-only parquet feed — every journaling commit ([[upsert]],
     * [[deleteWhere]]) adds immutable files and nothing ever rewrites
@@ -1946,8 +2201,8 @@ object TxnLog {
       sys.error(s"change stream requires a declared schema: $table"))
     val cdfSchema = StructType(
       declared.fields :+ StructField("_change_type", StringType))
-    val dir = Paths.get(table, "_change_data")
-    Files.createDirectories(dir)
+    val dir = new HPath(tablePath(table), "_change_data")
+    fsOf(dir).mkdirs(dir)
     spark.readStream.schema(cdfSchema).parquet(dir.toString)
   }
 
@@ -2028,38 +2283,43 @@ object TxnLog {
     retained.foreach(v => files(table, Some(v)).foreach(f =>
       keep += "_stream_feed/" + f))
     val cutoff = System.currentTimeMillis() - minAgeMs
-    def oldEnough(p: Path): Boolean =
-      try Files.getLastModifiedTime(p).toMillis <= cutoff
-      catch { case _: java.io.IOException => false }
-    val tableDir = Paths.get(table)
-    val (victimFiles, deadStaging) = {
-      val s = Files.walk(tableDir)
-      try {
-        val all = s.iterator().asScala
-          .filter(p => !p.startsWith(logDir(table)))
-          .filter(_ != tableDir).toSeq
-        (all.filter { p =>
-          Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet") &&
-            !p.toString.contains("_staging_") &&
-            !keep.contains(tableDir.relativize(p).toString) && oldEnough(p)
-        },
-          all.filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("_staging_") && oldEnough(p)))
-      } finally s.close()
+    val tableDir = tablePath(table)
+    val fs = fsOf(tableDir)
+    val tableQ = fs.makeQualified(tableDir)
+    def oldEnough(st: FileStatus): Boolean =
+      st.getModificationTime <= cutoff
+    def rel(p: HPath): String =
+      p.toString.stripPrefix(tableQ.toString).stripPrefix("/")
+    // one recursive walk of the table OUTSIDE the log directory —
+    // vacuum is the single operation allowed to LIST the table (it must
+    // find orphans no log entry references; every read path plans from
+    // the log alone)
+    val allFiles = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    val allDirs = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    def walk(d: HPath): Unit = fs.listStatus(d).foreach { st =>
+      if (st.getPath.getName == "_txn_log") () // the log subtree is meta
+      else if (st.isDirectory) { allDirs += st; walk(st.getPath) }
+      else allFiles += st
     }
-    victimFiles.foreach(p => Files.deleteIfExists(p))
-    deadStaging.foreach(graft.TempWork.deleteRecursively)
-    // a publisher that crashed between temp-write and hard-link leaves
-    // an .inprogress file the link never consumed
+    walk(tableQ)
+    val victimFiles = allFiles.toSeq.filter { st =>
+      st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.toString.contains("_staging_") &&
+        !keep.contains(rel(st.getPath)) && oldEnough(st)
+    }.map(_.getPath)
+    val deadStaging = allDirs.toSeq.filter(st =>
+      st.getPath.getName.startsWith("_staging_") && oldEnough(st))
+      .map(_.getPath)
+    victimFiles.foreach(p => fs.delete(p, false))
+    deadStaging.foreach(p => fs.delete(p, true))
+    // a publisher that crashed between temp-write and CAS leaves an
+    // .inprogress file the link/rename never consumed
     val ld = logDir(table)
-    if (Files.isDirectory(ld)) {
-      val ls = Files.list(ld)
-      try ls.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".inprogress") &&
-          oldEnough(p))
-        .foreach(p => Files.deleteIfExists(p))
-      finally ls.close()
+    if (fs.exists(ld)) {
+      fs.listStatus(ld).toSeq
+        .filter(st => st.getPath.getName.endsWith(".inprogress") &&
+          oldEnough(st))
+        .foreach(st => fs.delete(st.getPath, false))
     }
     // LOG RETENTION (Delta's logRetentionDuration): replay for any
     // retained version needs one checkpoint ≤ the horizon plus the log
@@ -2075,7 +2335,7 @@ object TxnLog {
     // high-water marks and the declared schema survive INSIDE the
     // checkpoint, so idempotent-writer dedup keeps working.
     val horizon = retained.head
-    val prunedMeta: Seq[Path] = {
+    val prunedMeta: Seq[HPath] = {
       val cpOpt = latestCheckpoint(table, horizon).orElse {
         if (horizon > vs.head) writeCheckpoint(table, horizon,
           updatePointer = false)
@@ -2083,21 +2343,16 @@ object TxnLog {
       }
       cpOpt.filter(_ > vs.head).toSeq.flatMap { cp =>
         val oldLogs = vs.filter(_ < cp).map(v => logFile(table, v))
-        val oldCps = {
-          val s = Files.list(ld)
-          try s.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".checkpoint.parquet"))
-            .filter(_.getFileName.toString
-              .stripSuffix(".checkpoint.parquet").toLong < cp)
-            .toSeq
-          finally s.close()
+        val oldCps = fs.listStatus(ld).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".checkpoint.parquet"))
+          .filter(_.getName.stripSuffix(".checkpoint.parquet").toLong < cp)
+        (oldLogs ++ oldCps).filter { p =>
+          fs.exists(p) && oldEnough(fs.getFileStatus(p))
         }
-        (oldLogs ++ oldCps).filter(p => Files.exists(p) && oldEnough(p))
       }
     }
-    prunedMeta.foreach(p => Files.deleteIfExists(p))
-    victimFiles.map(p => tableDir.relativize(p).toString) ++
-      deadStaging.map(p => tableDir.relativize(p).toString) ++
-      prunedMeta.map(p => tableDir.relativize(p).toString)
+    prunedMeta.foreach(p => fs.delete(p, false))
+    (victimFiles ++ deadStaging ++ prunedMeta.map(fs.makeQualified))
+      .map(rel)
   }
 }

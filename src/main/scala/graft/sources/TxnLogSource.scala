@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession,
@@ -83,8 +81,14 @@ final class TxnLogSource extends RelationProvider
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val upTo = asOf.getOrElse(vs.last)
     require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
-    if (TxnLog.replayState(table, upTo).dvFiles.nonEmpty)
-      // merge-on-read snapshot: the DV-aware relation (anti-join read)
+    val st = TxnLog.replayState(table, upTo)
+    val mapped = st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .exists(TxnLog.mappingActive)
+    if (st.dvFiles.nonEmpty || mapped)
+      // merge-on-read snapshots (anti-join DV subtraction) and mapped
+      // schemas (physical→logical rename) need the relation that reads
+      // through TxnLog's own plan, not a plain file scan
       new TxnLogScanRelation(sqlContext, table, asOf)
     else {
       val index = new TxnLogFileIndex(spark, table, asOf)
@@ -320,24 +324,27 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
   asOf.foreach(v => require(vs0.contains(v),
     s"version $v not in log (have $vs0)"))
 
-  private val base = Paths.get(table).toAbsolutePath
+  private val base: HPath = {
+    val t = new HPath(table)
+    TxnLog.fsOf(t).makeQualified(t)
+  }
 
   /** One resolved snapshot: the replay state plus the per-file statuses
     * the planner consumes. File sizes come from the LOG (`fsize`
     * actions — Delta's add.size): planning never stats a data file;
     * only files committed before size recording fall back to one
     * filesystem call each. */
-  private final case class Snap(version: Long, st: TxnLog.State,
-                                statuses: Map[String, FileStatus])
+  private final class Snap(val version: Long, val st: TxnLog.State,
+                           val statuses: Map[String, FileStatus])
   private def resolve(v: Long): Snap = {
     val st = TxnLog.replayState(table, v)
+    lazy val fs = TxnLog.fsOf(base)
     val statuses = st.live.map { f =>
-      val p = base.resolve(f)
-      val len = st.sizes.getOrElse(f, Files.size(p))
-      f -> new FileStatus(len, false, 1, 128L * 1024 * 1024,
-        0L, new HPath(p.toUri))
+      val p = new HPath(base, f)
+      val len = st.sizes.getOrElse(f, fs.getFileStatus(p).getLen)
+      f -> new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)
     }.toMap
-    Snap(v, st, statuses)
+    new Snap(v, st, statuses)
   }
 
   @volatile private var snap: Snap = resolve(asOf.getOrElse(vs0.last))
@@ -379,9 +386,9 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
   val dataSchema: StructType =
     StructType(declared.filterNot(f => partCols.contains(f.name)))
 
-  override def rootPaths: Seq[HPath] = Seq(new HPath(base.toUri))
+  override def rootPaths: Seq[HPath] = Seq(base)
   override def inputFiles: Array[String] =
-    current().st.live.map(f => base.resolve(f).toString).toArray
+    current().st.live.map(f => new HPath(base, f).toString).toArray
   override def refresh(): Unit =
     if (asOf.isEmpty) snap = resolve(TxnLog.versions(table).last)
   override def sizeInBytes: Long =
@@ -499,6 +506,14 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
     require(st.dvFiles.isEmpty,
       s"txnlog view of $table predates its live deletion vectors — " +
         "re-create the view (DV-aware reads) or run TxnLog.compact")
+    // same guard for a rename/drop committed AFTER this view resolved:
+    // a plain file scan reads physical names; serving them under this
+    // view's logical schema would surface silent nulls
+    require(!st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .exists(TxnLog.mappingActive),
+      s"txnlog view of $table predates a column rename/drop — " +
+        "re-create the view (it will route through the mapped reader)")
     val (iv, eq) = pruningHints(dataFilters)
     val pruned = st.live.filter(survives(st, _, iv, eq))
     if (partCols.isEmpty) {

@@ -1449,4 +1449,179 @@ class TxnLogSpec extends SparkSpec {
       .size == 1)
     assert(rel.prunedFiles(Array.empty).size == 4)
   }
+
+  test("scheme-agnostic table I/O: full lifecycle through a file:// URI") {
+    // every TxnLog operation resolves its FileSystem from the table
+    // path's own scheme (the Hadoop API) — the same code path an
+    // hdfs:// or object-store table takes; file:// proves the plumbing
+    val t = "file:" + freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"),
+      statsCols = Seq("n_nationkey"))
+    TxnLog.append(spark, t, spark.range(1)
+      .select(lit(900).as("n_nationkey"), lit("URI").as("n_name"),
+        lit(9).as("n_regionkey")))
+    assert(TxnLog.snapshot(spark, t).count() == nation.count() + 1)
+    // partition-scoped merge + CDF
+    val ups = nation.filter(col("n_regionkey") === 2)
+      .withColumn("n_name", concat(col("n_name"), lit("_U")))
+    val vU = TxnLog.upsert(spark, t, ups, Seq("n_nationkey"))
+    assert(TxnLog.changesBetween(spark, t, vU - 1, vU)
+      .filter(col("_change_type") === "update_postimage").count() ==
+      ups.count())
+    // merge-on-read delete + metadata count
+    TxnLog.deleteWhereDV(spark, t, col("n_name") === "URI")
+    assert(TxnLog.countRows(t).contains(nation.count()))
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+    // SQL view over the URI path (DV-aware relation)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_uri_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    assert(spark.table("txn_uri_v").count() == nation.count())
+    // stats pruning from the log still works through the URI
+    assert(TxnLog.snapshotWhere(spark, t, "n_nationkey", 0L, 3L)
+      .filter(col("n_nationkey") <= 3).count() == 4)
+    // compact purges DVs; the fast HadoopFsRelation path comes back
+    TxnLog.compact(spark, t, targetFiles = 1)
+    assert(spark.read.format("txnlog").load(t).count() == nation.count())
+    // append-feed streaming dir + vacuum lifecycle through the URI
+    val swept = TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
+    assert(swept.nonEmpty, "vacuum must reclaim the rewritten files")
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+    // history + time-travel guardrails intact
+    assert(TxnLog.history(spark, t).count() == TxnLog.versions(t).size)
+  }
+
+  test("LogStore: hard-link CAS wins exactly once; rename store excludes") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = Files.createTempDirectory("graft_logstore_")
+    dir.toFile.deleteOnExit()
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem()
+    fs.initialize(new java.net.URI("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val dest = new HPath(s"file:$dir/00001.log")
+    val a = "one\n".getBytes("UTF-8")
+    assert(graft.sources.LogStore.HardLink.putIfAbsent(fs, dest, a))
+    assert(!graft.sources.LogStore.HardLink.putIfAbsent(fs, dest,
+      "two\n".getBytes("UTF-8")), "second put of the same version loses")
+    assert(new String(Files.readAllBytes(
+      Paths.get(dir.toString, "00001.log"))) == "one\n",
+      "the loser must not clobber the winner")
+    // no temp debris left behind
+    assert(!Files.list(dir).anyMatch(
+      p => p.getFileName.toString.endsWith(".inprogress")))
+    // the rename store publishes and cleans its temp (its EXCLUSION
+    // guarantee is HDFS's rename contract — which is exactly why the
+    // file:// scheme maps to HardLink, where POSIX rename would
+    // silently replace)
+    val dest2 = new HPath(s"file:$dir/00002.log")
+    assert(graft.sources.LogStore.AtomicRename.putIfAbsent(fs, dest2, a))
+    assert(Files.exists(Paths.get(dir.toString, "00002.log")))
+    assert(!Files.list(dir).anyMatch(
+      p => p.getFileName.toString.endsWith(".inprogress")))
+    assert(graft.sources.LogStore.forScheme("file") ==
+      graft.sources.LogStore.HardLink)
+    assert(graft.sources.LogStore.forScheme("hdfs") ==
+      graft.sources.LogStore.AtomicRename)
+  }
+
+  test("column mapping: rename is a metadata commit, old files readable") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, statsCols = Seq("n_nationkey"))
+    val files0 = TxnLog.files(t)
+    TxnLog.renameColumn(spark, t, "n_name", "nation_name")
+    assert(TxnLog.files(t) == files0, "rename must rewrite zero files")
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.columns.toSeq ==
+      Seq("n_nationkey", "nation_name", "n_regionkey"))
+    assert(rowsOf(snap.orderBy("n_nationkey").select("nation_name")) ==
+      rowsOf(nation.orderBy("n_nationkey").select("n_name")))
+    // time travel returns the OLD logical name
+    assert(TxnLog.snapshot(spark, t, Some(1L)).columns.contains("n_name"))
+    // post-rename APPEND writes the immutable physical name: one
+    // logical column across pre- and post-rename files
+    TxnLog.append(spark, t, spark.range(1)
+      .select(lit(700).as("n_nationkey"), lit("NEWROW").as("nation_name"),
+        lit(9).as("n_regionkey")))
+    val snap2 = TxnLog.snapshot(spark, t)
+    assert(snap2.count() == nation.count() + 1)
+    assert(snap2.filter(col("nation_name") === "NEWROW").count() == 1)
+    assert(snap2.filter(col("nation_name").isNull).count() == 0,
+      "pre-rename rows must surface through the mapping, not as nulls")
+    // MERGE on the renamed table
+    TxnLog.upsert(spark, t, spark.range(1)
+      .select(lit(0).as("n_nationkey"), lit("PATCH").as("nation_name"),
+        lit(0).as("n_regionkey")), Seq("n_nationkey"))
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("nation_name") === "PATCH").count() == 1)
+    // SQL view routes through the mapped reader
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_map_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    assert(spark.table("txn_map_v").count() == nation.count() + 1)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM txn_map_v WHERE nation_name = 'PATCH'")
+      .head().getLong(0) == 1L)
+    // renaming to a name that collides refuses
+    intercept[Exception] {
+      TxnLog.renameColumn(spark, t, "nation_name", "n_regionkey")
+    }
+  }
+
+  test("column mapping: drop is metadata; re-added name never resurrects") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    val files0 = TxnLog.files(t)
+    TxnLog.dropColumn(spark, t, "n_name")
+    assert(TxnLog.files(t) == files0, "drop must rewrite zero files")
+    assert(TxnLog.snapshot(spark, t).columns.toSeq ==
+      Seq("n_nationkey", "n_regionkey"))
+    // re-add the same LOGICAL name via evolution: the sticky mapping
+    // property gives it a GUID physical name, so the dropped values
+    // inside the old files can never resurface
+    TxnLog.append(spark, t,
+      nation.select("n_nationkey", "n_regionkey").limit(0)
+        .withColumn("n_name", lit("x")), mergeSchema = true)
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("n_name").isNotNull).count() == 0,
+      "dropped values must not resurrect under a re-added name")
+    // fresh writes land under the new physical name and read back
+    TxnLog.append(spark, t, spark.range(1)
+      .select(lit(800).as("n_nationkey"), lit(9).as("n_regionkey"),
+        lit("fresh").as("n_name")))
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.filter(col("n_name") === "fresh").count() == 1)
+    assert(snap.count() == nation.count() + 1)
+    // time travel: pre-drop snapshots still carry the column + values
+    assert(TxnLog.snapshot(spark, t, Some(1L))
+      .filter(col("n_name").isNotNull).count() == nation.count())
+    // partition columns refuse rename/drop (their values ARE the paths)
+    val t2 = freshTable()
+    TxnLog.create(spark, t2, nation, partitionBy = Seq("n_regionkey"))
+    intercept[Exception] {
+      TxnLog.renameColumn(spark, t2, "n_regionkey", "rk")
+    }
+    intercept[Exception] { TxnLog.dropColumn(spark, t2, "n_regionkey") }
+  }
+
+  test("CDF window spanning restore-after-overwritePartitions synthesizes") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    val repl = nation.filter(col("n_regionkey") === 2)
+      .withColumn("n_name", concat(lit("SWAP_"), col("n_nationkey")))
+    val v2 = TxnLog.overwritePartitions(spark, t, repl)
+    val v3 = TxnLog.restore(spark, t, 1L)
+    // the undo window: the swapped-in rows leave, the originals return
+    val w = TxnLog.changesBetween(spark, t, v2, v3)
+    val r2n = nation.filter(col("n_regionkey") === 2).count()
+    assert(w.filter(col("_change_type") === "delete").count() == r2n)
+    assert(w.filter(col("_change_type") === "delete")
+      .filter(col("n_name").startsWith("SWAP_")).count() == r2n,
+      "deletes must be the swapped-in rows")
+    assert(w.filter(col("_change_type") === "insert").count() == r2n)
+    assert(w.filter(col("_change_type") === "insert")
+      .filter(col("n_name").startsWith("SWAP_")).count() == 0,
+      "inserts must be the restored originals")
+    // the full window from v1 nets out to zero row-level drift
+    val all = TxnLog.changesBetween(spark, t, 1L, v3)
+    assert(all.filter(col("_change_type") === "insert").count() ==
+      all.filter(col("_change_type") === "delete").count())
+  }
 }
