@@ -5231,13 +5231,17 @@ object SparkEntry {
         .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
           .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
         .select(col("l_orderkey"), col("l_partkey"))
-      val edges = graft.operators.Graph.coOccurrenceEdges(
-          urgent, "l_orderkey", "l_partkey")
-        .withColumn("w", (col("a") + col("b")) % 7 + lit(1L))
+      // the pair-mass statistic the edge derivation already computed
+      // rides into the SSSP's plan pick — one statistic job for the
+      // whole pipeline instead of one per operator
+      val (edges0, mass) = graft.operators.Graph.coOccurrenceEdgesWithMass(
+        urgent, "l_orderkey", "l_partkey")
+      val edges = edges0.withColumn("w", (col("a") + col("b")) % 7 + lit(1L))
       val seeds = edges.select(col("a").as("v"))
         .unionAll(edges.select(col("b").as("v")))
         .distinct().filter(col("v") < 50)
-      graft.operators.Graph.boundedSssp(edges, seeds, rounds = 3)
+      graft.operators.Graph.boundedSssp(edges, seeds, rounds = 3,
+          edgeMassBound = Some(mass))
         .select(col("v").as("part"), col("dist"))
         .orderBy("part")
     }),
@@ -5324,7 +5328,14 @@ object SparkEntry {
     // standard one-number summary of hub-to-hub vs hub-to-leaf wiring
     // (Newman 2002). Exact BIGINT moments (degrees are counts, every
     // sum < 2⁵³), one double formula at the end — bit-identical on any
-    // engine, one |E| join + one aggregate, no iteration. ─────────────
+    // engine. PLAN: the single-endpoint moments never need the edge
+    // relation — over directed edges each vertex appears exactly d(v)
+    // times as the src endpoint, so m = Σd, Σdx = Σd², Σdx² = Σd³, and
+    // the bidirection makes the dst moments equal by symmetry; only
+    // the cross moment Σ dx·dy pays an |E| join (edge ⋈ degree on dst,
+    // fold to per-vertex neighbor-degree sums, then a VERTEX-sized
+    // join). One |E|-sized join instead of two — at 100 TB the removed
+    // join is the bigger half of the query. ───────────────────────────
     "q281_degree_assortativity" -> ((s, dir) => {
       val urgent = T(s, dir, "lineitem")
         .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
@@ -5334,20 +5345,29 @@ object SparkEntry {
         urgent, "l_orderkey", "l_partkey")
       val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      // the VERTEX-sized degree relation feeds three consumers (endpoint
+      // moments, the dst-side join build, the final vertex join) — pin
+      // it once so the |E|-scale groupBy runs once, and AQE broadcasts
+      // the materialized (small) relation into the joins
       val deg = dirE.groupBy("src").agg(count(lit(1)).as("d"))
-      val j = dirE
-        .join(deg.select(col("src").as("src"), col("d").as("dx")), "src")
+        .localCheckpoint(true)
+      // endpoint moments from the degree relation alone (no edge join)
+      val ends = deg.agg(sum(col("d")).as("m"),
+        sum(col("d") * col("d")).as("sx"),
+        sum(col("d") * col("d") * col("d")).as("sxx"))
+      // cross moment: per-vertex neighbor-degree sum, then vertex-sized
+      // join back to the vertex's own degree
+      val nsum = dirE
         .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+        .groupBy("src").agg(sum(col("dy")).as("t"))
+      val cross = nsum.join(deg, "src")
+        .agg(sum(col("d") * col("t")).as("sxy"))
       def dbl(c: Column) = c.cast(DoubleType)
-      j.agg(count(lit(1)).as("m"),
-          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-          sum(col("dx") * col("dy")).as("sxy"),
-          sum(col("dx") * col("dx")).as("sxx"),
-          sum(col("dy") * col("dy")).as("syy"))
+      ends.crossJoin(cross) // 1 row × 1 row
         .select(col("m"),
-          ((dbl(col("m")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          ((dbl(col("m")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sx"))) /
             (sqrt(dbl(col("m")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
-              sqrt(dbl(col("m")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))))
+              sqrt(dbl(col("m")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))))
             .as("assortativity"))
     }),
 

@@ -95,7 +95,21 @@ object Graph {
   def coOccurrenceEdges(pairs: DataFrame, groupCol: String,
                         memberCol: String,
                         localMaxPairMass: Long = LocalSolveMaxEdges)
-      : DataFrame = {
+      : DataFrame =
+    coOccurrenceEdgesWithMass(pairs, groupCol, memberCol,
+      localMaxPairMass)._1
+
+  /** [[coOccurrenceEdges]] plus the driver-known pre-dedup pair mass —
+    * an UPPER BOUND on |E| a caller can hand to a downstream
+    * fixed-point operator's plan-picking statistic ([[boundedSssp]]'s
+    * `edgeMassBound`), so the pipeline pays ONE statistic job instead
+    * of one per operator (the same fold that moved q213's degree
+    * statistic into [[cappedAdjacency]]). */
+  def coOccurrenceEdgesWithMass(pairs: DataFrame, groupCol: String,
+                                memberCol: String,
+                                localMaxPairMass: Long =
+                                  LocalSolveMaxEdges)
+      : (DataFrame, Long) = {
     // the corpus-sized input is grouped ONCE either way; materializing
     // the (small) member-set relation lets the pair-mass statistic and
     // the expansion read blocks instead of rescanning the corpus
@@ -107,12 +121,13 @@ object Graph {
     // expansion + dedup run in ONE task (no explosion shuffle, no
     // distinct exchange) — the same statistic-picks-the-plan contract as
     // [[LocalSolveMaxEdges]]; past it, the distributed explode+distinct
-    val mass = sets
+    val massRow = sets
       .selectExpr("sum(CAST(size(ms) AS BIGINT)*(size(ms)-1) DIV 2) AS m")
       .head()
-    if (!mass.isNullAt(0) && mass.getLong(0) <= localMaxPairMass)
-      return localCoOccurrence(sets)
-    sets
+    val mass = if (massRow.isNullAt(0)) 0L else massRow.getLong(0)
+    if (mass <= localMaxPairMass)
+      return (localCoOccurrence(sets), mass)
+    (sets
       // pin the width before the C(|g|,2) expansion: the member-set
       // relation is BYTE-small, so AQE coalesces it to one partition
       // and the CPU-bound pair explosion would run single-threaded
@@ -123,7 +138,7 @@ object Graph {
             struct(element_at(col("ms"), i).as("a"),
               element_at(col("ms"), j).as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+      .distinct(), mass)
   }
 
   /** Single-task pair expansion + dedup over a subcritical member-set
@@ -573,7 +588,8 @@ object Graph {
     * value-identical. Returns (v, dist) for vertices reachable within
     * the bound (seeds at dist 0). */
   def boundedSssp(edges: DataFrame, seeds: DataFrame, rounds: Int,
-                  localMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
+                  localMaxEdges: Long = LocalSolveMaxEdges,
+                  edgeMassBound: Option[Long] = None): DataFrame = {
     val e = pinned(edges)
     val dirLazy = e.select(col("a").as("src"), col("b").as("dst"),
         col("w").cast(LongType).as("w"))
@@ -583,8 +599,16 @@ object Graph {
     // (×2 for the bidirection) — callers hand in a materialized edge
     // relation (coOccurrenceEdges checkpoints), so this is a metadata-
     // cheap scan; materializing the 2|E| bidirected rows just to count
-    // them doubled the subcritical path's cost for nothing
-    if (e.count() * 2 <= localMaxEdges)
+    // them doubled the subcritical path's cost for nothing. An
+    // `edgeMassBound` (coOccurrenceEdgesWithMass's driver-known upper
+    // bound on |E|) that is itself subcritical skips even that count —
+    // a provable upper bound can only send SMALLER graphs local, never
+    // a too-big one (the superset direction of the statistic contract).
+    val subcritical = edgeMassBound match {
+      case Some(mb) if mb * 2 <= localMaxEdges => true
+      case _ => e.count() * 2 <= localMaxEdges
+    }
+    if (subcritical)
       return localSssp(dirLazy, seeds, rounds)
     // supercritical: NOW pin the bidirected relation once — every round
     // re-reads it, and without an exchange to reuse each join would

@@ -170,6 +170,32 @@ class GraphSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("coOccurrenceEdgesWithMass bound folds into boundedSssp's pick") {
+    val pairs = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 2L), (20L, 3L), (30L, 9L)).toDF("g", "m")
+    val (edges0, mass) = Graph.coOccurrenceEdgesWithMass(pairs, "g", "m")
+    // mass = C(3,2) + C(2,2 choose) = 3 + 1 pre-dedup pairs; the deduped
+    // edge set is {12,13,23} — the bound is an upper bound, never below
+    assert(mass === 4L)
+    assert(edges0.count() === 3L)
+    val e = edges0.withColumn("w", lit(1L))
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    val viaBound = Graph.boundedSssp(e, seeds, rounds = 2,
+        edgeMassBound = Some(mass))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaCount = Graph.boundedSssp(e, seeds, rounds = 2)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaBound.toSeq === viaCount.toSeq)
+    assert(viaBound.toSeq ===
+      Seq((1L, 0L), (2L, 1L), (3L, 1L))) // hand-checked distances
+    // a bound ABOVE the local threshold falls back to counting (and the
+    // distributed loop still agrees)
+    val viaDist = Graph.boundedSssp(e, seeds, rounds = 2,
+        localMaxEdges = 0L, edgeMassBound = Some(mass))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaDist.toSeq === viaBound.toSeq)
+  }
+
   test("deterministicWalks is partitioning-invariant") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("a", "b")
