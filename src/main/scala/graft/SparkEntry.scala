@@ -4930,6 +4930,17 @@ object SparkEntry {
     "q264_stream_txnlog_sink" -> ((s, dir) =>
       graft.streaming.EventStream.txnLogSinkTotals(s, dir)),
 
+    // ── [ext] the streaming sink as a FORMAT STRING:
+    // `writeStream.format("txnlog")` (StreamSinkProvider) — the
+    // reference's `writeStream.format("delta")` surface. Each
+    // micro-batch lands through the txn-marked append; the first batch
+    // CREATES the table (schema + data + marker, one commit); the
+    // whole query then re-runs on a FRESH checkpoint — the full
+    // crash-replay — and only the sink's internal markers absorbing
+    // every re-delivered batch keeps the aggregate at the oracle. ─────
+    "q301_stream_txnlog_format" -> ((s, dir) =>
+      graft.streaming.EventStream.txnLogFormatSinkTotals(s, dir)),
+
     // ── [ext] approximate-quantile sanity gate: Spark's native
     // percentile_approx (Greenwald-Khanna-style mergeable sketch — the
     // O(1)-state quantile any 100 TB profile actually runs) checked
@@ -10135,6 +10146,13 @@ object SparkEntry {
       // the plain batch aggregate
       "q264_stream_txnlog_sink" ->
         s"""SELECT event_type, count(*) AS n_events, $moneyV AS total_value
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // q301: a doubled (replayed) landing would double n_events and
+      // total_value — the oracle holds only under exactly-once
+      "q301_stream_txnlog_format" ->
+        s"""SELECT event_type, count(*) AS n_events,
+           |  $moneyV AS total_value, max(value) AS max_value
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
       // q260: the paged source's deterministic payload replayed from

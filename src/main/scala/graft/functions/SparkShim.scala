@@ -21,6 +21,18 @@ object GraftShim {
   def logicalPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
 
+  /** Re-root a micro-batch DataFrame (the streaming-tagged plan a v1
+    * `Sink.addBatch` receives) as an ordinary batch DataFrame — the
+    * exact materialization `ForeachBatchSink` itself performs
+    * (`LogicalRDD.fromDataset(toRdd, …, isStreaming = false)`), so a
+    * custom sink can hand the batch to any batch writer. */
+  def asBatch(df: Dataset[_]): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[_]]
+    val node = execution.LogicalRDD.fromDataset(
+      cdf.queryExecution.toRdd, cdf, isStreaming = false)
+    classic.Dataset.ofRows(cdf.sparkSession, node)
+  }
+
   /** Late (post-build) function registration on a live session — the
     * runtime twin of SparkSessionExtensions.injectFunction. */
   def registerFunctions(

@@ -431,6 +431,29 @@ object TxnLog {
     replayState(table, upTo).live
   }
 
+  /** TIMESTAMP time travel (Delta's `timestampAsOf`): the newest
+    * version whose commit time is ≤ `tsMillis`. Commit time is the log
+    * file's modification time — the same source Delta used before
+    * in-commit timestamps; log files are written once and never
+    * rewritten, so the stamp is stable, and vacuum pruning a version
+    * below the horizon makes times before the horizon refuse exactly
+    * like version-based travel. */
+  def versionAt(table: String, tsMillis: Long): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val fs = fsOf(logDir(table))
+    val stamped = vs.map(v =>
+      v -> fs.getFileStatus(logFile(table, v)).getModificationTime)
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no commit at or before timestamp $tsMillis (oldest retained " +
+        s"commit is v${vs.head} at ${stamped.head._2})")
+    // mtimes are assigned at publish so they are monotone with version
+    // order up to clock skew; take the max version among qualifying
+    // commits, never a later one
+    at.map(_._1).max
+  }
+
   /** The schema declared in the log as of `asOf` (latest `schema`
     * action), None for tables created before schema tracking. Time
     * travel returns the schema THAT version declared — an evolved
@@ -1159,14 +1182,16 @@ object TxnLog {
              statsCols: Seq[String] = Nil,
              partitionBy: Seq[String] = Nil,
              checks: Seq[(String, String)] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): Long = {
     require(!exists(table), s"table already exists: $table")
     checks.foreach { case (n, e) =>
       require(!n.contains('\t') && !e.contains('\t'),
         "constraint names/expressions must be tab-free") }
     val named = stageChecked(spark, table, df, checks.toMap, partitionBy)
     val actions = "op\tcreate" +: s"schema\t${df.schema.json}" +:
-      (checks.map { case (n, e) => s"check\t$n\t$e" } ++
+      (txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
+        checks.map { case (n, e) => s"check\t$n\t$e" } ++
         named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols)
         ++ bloomLines(spark, table, named, bloomCols)
         ++ rowcountLines(table, named))
@@ -1181,9 +1206,14 @@ object TxnLog {
     * race-free operation. Returns true iff THIS call created it; a
     * concurrent creator winning the v1 race is "already exists" too. */
   def createIfNotExists(spark: SparkSession, table: String,
-                        df: DataFrame): Boolean =
+                        df: DataFrame,
+                        statsCols: Seq[String] = Nil,
+                        partitionBy: Seq[String] = Nil): Boolean =
     if (exists(table)) false
-    else try { create(spark, table, df); true }
+    else try {
+      create(spark, table, df, statsCols = statsCols,
+        partitionBy = partitionBy); true
+    }
     catch { case _: ConcurrentCommitException => false }
 
   /** Blind append: valid against ANY snapshot, so a lost commit race

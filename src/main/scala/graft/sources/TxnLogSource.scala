@@ -64,18 +64,56 @@ import org.apache.spark.unsafe.types.UTF8String
   * `partitionBy` (comma-separated), `statsCols`, `bloomCols`,
   * `mergeSchema`, `overwriteSchema`. */
 final class TxnLogSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "txnlog"
+
+  /** `df.writeStream.format("txnlog")`: the exactly-once streaming sink
+    * as a FORMAT STRING (the reference's `writeStream.format("delta")`
+    * surface) — each micro-batch lands through
+    * [[TxnLog.idempotentAppend]] under the required `txnAppId` option,
+    * so Structured Streaming's at-least-once micro-batch replay (crash
+    * between sink write and checkpoint commit) is absorbed by the txn
+    * markers instead of duplicating rows. `writeStream.partitionBy`
+    * flows into the table's hive layout on first-batch creation. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming
+                            .OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode ==
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      "txnlog sink supports Append output mode (a Complete-mode " +
+        "rewrite per micro-batch is a table overwrite — use " +
+        "foreachBatch + TxnLog.overwrite deliberately)")
+    new TxnLogSink(tableOf(parameters), parameters, partitionColumns)
+  }
 
   private def tableOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       sys.error("txnlog: a table path is required (option 'path')"))
 
+  /** `version` pins a snapshot directly; `timestampAsOf` (epoch millis
+    * or an ISO-8601 instant) resolves through [[TxnLog.versionAt]] —
+    * both produce a PINNED relation, the time-travel contract. */
+  private def asOfOf(table: String,
+                     parameters: Map[String, String]): Option[Long] =
+    parameters.get("version").map(_.trim.toLong).orElse(
+      parameters.get("timestampAsOf").map { raw =>
+        val t = raw.trim
+        val millis =
+          if (t.forall(c => c.isDigit)) t.toLong
+          else java.time.Instant.parse(t).toEpochMilli
+        TxnLog.versionAt(table, millis)
+      })
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])
       : BaseRelation = {
     val table = tableOf(parameters)
-    val asOf = parameters.get("version").map(_.trim.toLong)
+    val asOf = asOfOf(table, parameters)
     val spark = sqlContext.sparkSession
     val vs = TxnLog.versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
@@ -129,6 +167,48 @@ final class TxnLogSource extends RelationProvider
           statsCols = csv("statsCols"), bloomCols = csv("bloomCols"))
     }
     createRelation(sqlContext, parameters)
+  }
+}
+
+/** The v1 streaming sink behind `writeStream.format("txnlog")`: every
+  * micro-batch is re-rooted as a batch DataFrame (the ForeachBatchSink
+  * materialization, [[org.apache.spark.sql.GraftShim.asBatch]]) and
+  * landed via [[TxnLog.idempotentAppend]] with `(txnAppId, batchId)`
+  * as the idempotence identity — a batch re-delivered after a crash
+  * (or a full fresh-checkpoint replay) finds its marker and commits
+  * NOTHING. First batch creates the table (schema-only commit, the
+  * D4 idempotent init) honoring `writeStream.partitionBy`. */
+private[graft] final class TxnLogSink(table: String,
+                                      parameters: Map[String, String],
+                                      partitionColumns: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  private val appId = parameters.getOrElse("txnAppId", sys.error(
+    "txnlog sink: option 'txnAppId' is required — it is the idempotence " +
+      "identity that makes micro-batch replays exactly-once"))
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = org.apache.spark.sql.GraftShim.asBatch(data)
+    val spark = batch.sparkSession
+    if (!TxnLog.exists(table)) {
+      // first batch creates the table WITH its data under the txn
+      // marker (one commit, layout from partitionBy honored even when
+      // the batch is the layout's only evidence); a replay finds the
+      // marker through idempotentAppend below, a concurrent creator
+      // winning the v1 race drops us to the marker-guarded append
+      val created =
+        try {
+          TxnLog.create(spark, table, batch,
+            partitionBy = partitionColumns, txn = Some((appId, batchId)))
+          true
+        } catch {
+          case _: TxnLog.ConcurrentCommitException => false
+          case e: IllegalArgumentException
+            if e.getMessage.contains("already exists") => false
+        }
+      if (created) return
+    }
+    TxnLog.idempotentAppend(spark, table, batch, appId, batchId): Unit
   }
 }
 

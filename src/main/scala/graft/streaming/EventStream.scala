@@ -768,6 +768,48 @@ object EventStream {
     }
   }
 
+  /** The FORMAT-STRING streaming sink (`writeStream.format("txnlog")`,
+    * [[graft.sources.TxnLogSink]]) — the reference's
+    * `writeStream.format("delta")` surface — verified by the same
+    * fresh-checkpoint full replay as [[txnLogSinkTotals]]: the second
+    * run re-delivers every micro-batch with the same ids, and only the
+    * sink's internal (txnAppId, batchId) markers absorbing the replay
+    * keeps the aggregate equal to the batch oracle. The first batch
+    * CREATES the table (schema + data + marker in one commit). */
+  def txnLogFormatSinkTotals(spark: SparkSession, dir: String): DataFrame = {
+    val (stream0, landing) = parityStream(spark, dir, "txnfmt_")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txn_fmt_").resolve("t").toString
+    val src = stream0.select(col("event_id"), col("event_type"),
+      col("value"))
+    def runOnce(): Unit = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_txn_fmt_ck_").toString
+      val q = src.writeStream.format("txnlog")
+        .option("path", table)
+        .option("txnAppId", "etl-format-sync")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      finally deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
+    runOnce()
+    runOnce() // fresh checkpoint = full crash replay; markers absorb it
+    try {
+      graft.sources.TxnLog.snapshot(spark, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(Exact.Money)).cast(DoubleType)
+            .as("total_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+    } finally {
+      if (!LandingCache.isCached(landing)) deleteRecursively(landing)
+      deleteRecursively(java.nio.file.Paths.get(table).getParent)
+    }
+  }
+
   /** Exactly-once streaming MERGE into a TxnLog table: two "daily
     * update" files arrive as micro-batches, each foreachBatch runs
     * [[graft.sources.TxnLog.idempotentUpsert]] (txn-marked MERGE), and
