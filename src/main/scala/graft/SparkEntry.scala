@@ -4941,6 +4941,36 @@ object SparkEntry {
     "q301_stream_txnlog_format" -> ((s, dir) =>
       graft.streaming.EventStream.txnLogFormatSinkTotals(s, dir)),
 
+    // ── [ext] batch CDF through the format string: `spark.read
+    // .format("txnlog").option("readChangeFeed", true)
+    // .option("startingVersion", v)` — Delta's CDC consumption surface
+    // (the reference's downstream incremental readers), served by the
+    // same changesBetween as the programmatic feed: journaled
+    // update pre/post pairs, synthesized inserts, and delete rows all
+    // arrive through one SQL-visible relation with _change_type /
+    // _commit_version columns. ─────────────────────────────────────────
+    "q302_txn_cdf_sql_read" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q302_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl, o.filter(col("o_orderdate") < d98))
+      val ups = o.filter(col("o_orderdate").between(
+          to_date(lit("1997-07-01")), to_date(lit("1998-12-31"))))
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      graft.sources.TxnLog.upsert(s, tbl, ups, Seq("o_orderkey")) // v2
+      graft.sources.TxnLog.deleteWhere(s, tbl,
+        col("o_totalprice") > 300000) // v3
+      s.read.format("txnlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2") // inclusive, Delta semantics
+        .load(tbl)
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("_change_type", "o_orderstatus")
+    }),
+
     // ── [ext] approximate-quantile sanity gate: Spark's native
     // percentile_approx (Greenwald-Khanna-style mergeable sketch — the
     // O(1)-state quantile any 100 TB profile actually runs) checked
@@ -10154,6 +10184,37 @@ object SparkEntry {
         s"""SELECT event_type, count(*) AS n_events,
            |  $moneyV AS total_value, max(value) AS max_value
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // q302: the (v1, v3] feed replayed from predicates — matched
+      // window rows as pre/post pairs, post-97H2 arrivals as inserts,
+      // then the >300k deletes evaluated on the POST-merge state
+      "q302_txn_cdf_sql_read" ->
+        """WITH w_upd AS (
+          |  SELECT o_orderstatus, o_totalprice FROM orders
+          |  WHERE o_orderdate >= DATE '1997-07-01'
+          |    AND o_orderdate < DATE '1998-01-01'),
+          |w_ins AS (
+          |  SELECT o_orderstatus, o_totalprice FROM orders
+          |  WHERE o_orderdate >= DATE '1998-01-01'
+          |    AND o_orderdate <= DATE '1998-12-31'),
+          |state AS (
+          |  SELECT o_orderstatus,
+          |    CASE WHEN o_orderdate >= DATE '1997-07-01'
+          |      THEN o_totalprice + 10 ELSE o_totalprice END AS p
+          |  FROM orders WHERE o_orderdate <= DATE '1998-12-31'),
+          |feed AS (
+          |  SELECT 'update_preimage' AS _change_type, o_orderstatus,
+          |    o_totalprice AS p FROM w_upd
+          |  UNION ALL SELECT 'update_postimage', o_orderstatus,
+          |    o_totalprice + 10 FROM w_upd
+          |  UNION ALL SELECT 'insert', o_orderstatus,
+          |    o_totalprice + 10 FROM w_ins
+          |  UNION ALL SELECT 'delete', o_orderstatus, p
+          |  FROM state WHERE p > 300000)
+          |SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM feed GROUP BY 1, 2
+          |ORDER BY _change_type, o_orderstatus""".stripMargin,
 
       // q260: the paged source's deterministic payload replayed from
       // generate_series — page p holds ids p*50 .. p*50+49, symbol

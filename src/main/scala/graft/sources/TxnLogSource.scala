@@ -113,6 +113,19 @@ final class TxnLogSource extends RelationProvider
                               parameters: Map[String, String])
       : BaseRelation = {
     val table = tableOf(parameters)
+    if (parameters.get("readChangeFeed").exists(_.trim.toBoolean)) {
+      // Delta's batch CDF surface: startingVersion is INCLUSIVE (its
+      // own changes are part of the window), endingVersion defaults to
+      // the head — served by the same changesBetween every programmatic
+      // consumer reads
+      val vs0 = TxnLog.versions(table)
+      require(vs0.nonEmpty, s"not a TxnLog table: $table")
+      val from = parameters.get("startingVersion").map(_.trim.toLong)
+        .getOrElse(vs0.head)
+      val to = parameters.get("endingVersion").map(_.trim.toLong)
+        .getOrElse(vs0.last)
+      return new TxnLogChangesRelation(sqlContext, table, from - 1, to)
+    }
     val asOf = asOfOf(table, parameters)
     val spark = sqlContext.sparkSession
     val vs = TxnLog.versions(table)
@@ -168,6 +181,23 @@ final class TxnLogSource extends RelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** Batch change-feed relation (`option("readChangeFeed", "true")`):
+  * the row-level CDF window (fromV, toV] as a v1 TableScan — schema
+  * and rows come from the same [[TxnLog.changesBetween]] the
+  * programmatic consumers use, so every window shape (journaled
+  * upsert/delete files, synthesized pure-add inserts, restore multiset
+  * diffs) serves identically through pure SQL. */
+private[graft] final class TxnLogChangesRelation(sqlCtx: SQLContext,
+                                                 table: String,
+                                                 fromV: Long, toV: Long)
+    extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+  override def sqlContext: SQLContext = sqlCtx
+  private def feed: DataFrame =
+    TxnLog.changesBetween(sqlCtx.sparkSession, table, fromV, toV)
+  override val schema: StructType = feed.schema
+  override def buildScan(): RDD[Row] = feed.rdd
 }
 
 /** The v1 streaming sink behind `writeStream.format("txnlog")`: every

@@ -1694,6 +1694,26 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("readChangeFeed option serves exactly changesBetween's window") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    TxnLog.upsert(spark, t, nation.filter(col("n_nationkey") < 3)
+      .withColumn("n_name", lit("U")), Seq("n_nationkey")) // v2
+    TxnLog.deleteWhere(spark, t, col("n_regionkey") === 4) // v3
+    val sql = spark.read.format("txnlog")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(t)
+    val prog = TxnLog.changesBetween(spark, t, 1L, 3L)
+    val order = Seq("_commit_version", "_change_type", "n_nationkey")
+    assert(rowsOf(sql.orderBy(order.map(col): _*)) ==
+      rowsOf(prog.orderBy(order.map(col): _*)))
+    assert(sql.count() > 0)
+    // endingVersion bounds the window; default is the head
+    assert(spark.read.format("txnlog").option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2")
+      .load(t).select("_commit_version").distinct().count() == 1)
+  }
+
   test("CDF window spanning restore-after-overwritePartitions synthesizes") {
     val t = freshTable()
     TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
