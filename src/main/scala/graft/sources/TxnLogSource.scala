@@ -95,19 +95,16 @@ final class TxnLogSource extends RelationProvider
     parameters.getOrElse("path",
       sys.error("txnlog: a table path is required (option 'path')"))
 
-  /** `version` pins a snapshot directly; `timestampAsOf` (epoch millis
-    * or an ISO-8601 instant) resolves through [[TxnLog.versionAt]] —
-    * both produce a PINNED relation, the time-travel contract. */
+  /** `version` pins a snapshot directly; `timestampAsOf` resolves
+    * through [[TxnLog.versionAt]] — both produce a PINNED relation, the
+    * time-travel contract. Accepted timestamp forms mirror Delta's:
+    * epoch millis, ISO-8601 instant, `yyyy-MM-dd HH:mm:ss[.f…]` and
+    * `yyyy-MM-dd` (both read in the session timezone). */
   private def asOfOf(table: String,
                      parameters: Map[String, String]): Option[Long] =
     parameters.get("version").map(_.trim.toLong).orElse(
-      parameters.get("timestampAsOf").map { raw =>
-        val t = raw.trim
-        val millis =
-          if (t.forall(c => c.isDigit)) t.toLong
-          else java.time.Instant.parse(t).toEpochMilli
-        TxnLog.versionAt(table, millis)
-      })
+      parameters.get("timestampAsOf").map(raw =>
+        TxnLog.versionAt(table, TxnLogSource.parseAsOfMillis(raw))))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])
@@ -180,6 +177,32 @@ final class TxnLogSource extends RelationProvider
           statsCols = csv("statsCols"), bloomCols = csv("bloomCols"))
     }
     createRelation(sqlContext, parameters)
+  }
+}
+
+private[graft] object TxnLogSource {
+  /** `timestampAsOf` value → epoch millis. Delta accepts the lenient
+    * date/datetime strings (`'2026-08-15'`, `'2026-08-15 10:30:00'`) in
+    * the session timezone alongside ISO instants; a strict
+    * `Instant.parse` alone (requires an offset) rejected them with a
+    * raw `DateTimeParseException`. Failures carry the accepted forms. */
+  private[graft] def parseAsOfMillis(raw: String): Long = {
+    val t = raw.trim
+    val tz = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.conf.sessionLocalTimeZone)
+      .fold(java.time.ZoneId.systemDefault())(java.time.ZoneId.of)
+    def attempt(f: => Long): Option[Long] =
+      try Some(f) catch { case scala.util.control.NonFatal(_) => None }
+    (if (t.nonEmpty && t.forall(_.isDigit)) attempt(t.toLong) else None)
+      .orElse(attempt(java.time.Instant.parse(t).toEpochMilli))
+      .orElse(attempt(java.time.LocalDateTime
+        .parse(t.replace(' ', 'T')).atZone(tz).toInstant.toEpochMilli))
+      .orElse(attempt(java.time.LocalDate.parse(t)
+        .atStartOfDay(tz).toInstant.toEpochMilli))
+      .getOrElse(sys.error(
+        s"timestampAsOf: cannot parse '$raw' — accepted forms: epoch " +
+          "millis, ISO-8601 instant (2026-08-15T10:30:00Z), " +
+          "'yyyy-MM-dd HH:mm:ss[.f…]' or 'yyyy-MM-dd' (session timezone)"))
   }
 }
 
@@ -333,8 +356,14 @@ private[graft] final class TxnLogScanRelation(sqlCtx: SQLContext,
   /** The file subset that survives stats/bloom pruning for the pushed
     * filters — the spec pins that DV-mode reads still prune. */
   private[graft] def prunedFiles(filters: Array[sources.Filter])
-      : Seq[String] = {
-    val st = state()
+      : Seq[String] = prunedFiles(filters, state())
+
+  /** State-threaded form: [[buildScan]] resolves the replay state ONCE
+    * and passes it here, so a commit landing mid-planning can never mix
+    * one version's live-file/stats set with another version's DV set —
+    * the scan always corresponds to a single committed version. */
+  private[graft] def prunedFiles(filters: Array[sources.Filter],
+                                 st: TxnLog.State): Seq[String] = {
     val iv = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val eq = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     filters.foreach {
@@ -404,7 +433,7 @@ private[graft] final class TxnLogScanRelation(sqlCtx: SQLContext,
                          filters: Array[sources.Filter]): RDD[Row] = {
     import org.apache.spark.sql.functions.col
     val st = state()
-    val keep = prunedFiles(filters)
+    val keep = prunedFiles(filters, st)
     val base =
       if (keep.isEmpty)
         TxnLog.readFiles(spark, table, Seq(st.live.head), Some(schema))
