@@ -162,6 +162,7 @@ object TxnLog {
     stateCache.clear()
     cpCache.clear()
     fsCache.clear()
+    dvCache.clear()
   }
 
   private def tablePath(table: String): HPath = new HPath(table)
@@ -632,7 +633,7 @@ object TxnLog {
     s.fields.exists(f => physName(f) != f.name)
 
   /** The schema as written inside data files (physical names). */
-  private def physSchema(s: StructType): StructType =
+  private[sources] def physSchema(s: StructType): StructType =
     StructType(s.fields.map(f =>
       StructField(physName(f), f.dataType, f.nullable)))
 
@@ -709,6 +710,44 @@ object TxnLog {
                    st: State): Option[DataFrame] =
     if (st.dvFiles.isEmpty) None
     else Some(readFiles(spark, table, st.dvFiles, None))
+
+  /** Per-file deleted-row skip sets (leaf data-file name → SORTED row
+    * indexes), decoded from the journaled DV parquet under
+    * `_deletion_vectors/`, memoized by the DV file list: DV files are
+    * immutable once committed, so a given combination decodes once per
+    * session no matter how many scans plan against it. This is the
+    * driver-side half of the VECTORIZED merge-on-read path — the sets
+    * ride to executors inside each file's [[org.apache.spark.sql
+    * .execution.datasources.FileStatusWithMetadata]] (so a task carries
+    * only ITS files' deletions, no global broadcast), and
+    * [[TxnLogParquetFileFormat]] subtracts them against the parquet
+    * reader's generated row indexes. Memory is ∝ deleted-but-uncompacted
+    * rows at 8 B each; `compact()`'s dvclear resets it — the same bound
+    * Delta's in-memory DV descriptors live under. */
+  private[sources] def dvSkipSets(spark: SparkSession, table: String,
+                                  dvFiles: Seq[String])
+      : Map[String, Array[Long]] = {
+    if (dvFiles.isEmpty) return Map.empty
+    val key = (table, dvFiles.sorted.mkString(" "))
+    var m = dvCache.get(key)
+    if (m == null) {
+      import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+      m = readFiles(spark, table, dvFiles, None)
+        .groupBy(col("__dv_f"))
+        .agg(sort_array(collect_list(col("__dv_r"))).as("rs"))
+        .collect() // ≤ |files with deletions| rows
+        .map(r => r.getString(0) ->
+          r.getSeq[Long](1).toArray)
+        .toMap
+      if (dvCache.size > 64) dvCache.clear() // crude bound; re-decode is cheap
+      val prev = dvCache.putIfAbsent(key, m)
+      if (prev != null) m = prev
+    }
+    m
+  }
+
+  private val dvCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, Array[Long]]]()
 
   /** Snapshot read, optionally time-traveled to an older version. */
   def snapshot(spark: SparkSession, table: String,

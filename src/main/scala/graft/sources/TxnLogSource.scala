@@ -10,8 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
   GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex,
-  HadoopFsRelation, PartitionDirectory}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+  FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
   DataSourceRegister, InsertableRelation, PrunedFilteredScan,
@@ -129,19 +128,16 @@ final class TxnLogSource extends RelationProvider
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val upTo = asOf.getOrElse(vs.last)
     require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
-    val st = TxnLog.replayState(table, upTo)
-    val mapped = st.schemaJson
-      .map(DataType.fromJson(_).asInstanceOf[StructType])
-      .exists(TxnLog.mappingActive)
-    if (st.dvFiles.nonEmpty || mapped)
-      // merge-on-read snapshots (anti-join DV subtraction) and mapped
-      // schemas (physical→logical rename) need the relation that reads
-      // through TxnLog's own plan, not a plain file scan
-      new TxnLogScanRelation(sqlContext, table, asOf)
-    else {
-      val index = new TxnLogFileIndex(spark, table, asOf)
-      new TxnLogHadoopFsRelation(index, table, spark)
-    }
+    // EVERY snapshot shape takes the vectorized HadoopFsRelation path:
+    // column mapping is a rename at reader construction and DV
+    // subtraction a per-file row-index filter, both folded into
+    // [[TxnLogParquetFileFormat]] — merge-on-read and renamed tables
+    // keep the vectorized parquet scan (the round-12 fallback to an
+    // external-row PrunedFilteredScan is retired; the class remains as
+    // [[TxnLogScanRelation]] for its pruning spec and as the documented
+    // alternative shape)
+    val index = new TxnLogFileIndex(spark, table, asOf)
+    new TxnLogHadoopFsRelation(index, table, spark)
   }
 
   /** `df.write.format("txnlog")`: SaveMode mapped onto the log's
@@ -281,7 +277,8 @@ private[sources] class TxnLogHadoopFsRelation(index: TxnLogFileIndex,
     partitionSchema = index.partitionSchema,
     dataSchema = index.dataSchema,
     bucketSpec = None,
-    fileFormat = new ParquetFileFormat,
+    fileFormat =
+      new TxnLogParquetFileFormat(index.physMap, index.dvMode0),
     options = Map.empty)(spark) with InsertableRelation {
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
     if (overwrite) TxnLog.overwrite(spark, table, data)
@@ -456,6 +453,14 @@ private[graft] final class TxnLogScanRelation(sqlCtx: SQLContext,
   * [[TxnLog.snapshotWhereAll]]: a file survives unless its committed
   * metadata PROVES no row can match; the scan re-applies every filter
   * to the rows it reads, so pruning is purely an I/O optimization. */
+object TxnLogFileIndex {
+  /** logical → physical renames of a declared schema (only the fields
+    * where they differ; empty = mapping inactive). */
+  private[sources] def physMapOf(s: StructType): Map[String, String] =
+    s.fields.iterator.map(f => f.name -> TxnLog.physName(f))
+      .filter { case (l, p) => l != p }.toMap
+}
+
 final class TxnLogFileIndex(spark: SparkSession, table: String,
                             asOf: Option[Long]) extends FileIndex {
   private val vs0 = TxnLog.versions(table)
@@ -517,13 +522,37 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
     .getOrElse(sys.error(
       s"txnlog relation requires a declared schema in the log: $table"))
 
+  /** logical → physical data-column renames of the pinned schema
+    * (empty unless column mapping is active) — consumed by the
+    * relation's [[TxnLogParquetFileFormat]], which applies them at
+    * reader construction so the vectorized scan reads the files'
+    * physical names under this view's logical ones. */
+  private[sources] val physMap: Map[String, String] =
+    TxnLogFileIndex.physMapOf(declared)
+  /** Whether the pinned snapshot carries live deletion vectors — fixes
+    * the relation's format in DV (row-filtering) mode. A view created
+    * on a DV-bearing table stays in row mode after a compact clears
+    * the DVs (correct, just not batch) — re-create it to regain batch
+    * handoff; the reverse direction (DVs appearing under a batch-mode
+    * view) refuses in [[listFiles]]. */
+  private[sources] val dvMode0: Boolean = st0.dvFiles.nonEmpty
+
+  /** Partition directory names are PHYSICAL column names (writers
+    * stage through the physical projection); each maps back to the
+    * declared logical field carried by [[partitionSchema]]. */
   private val partCols: Seq[String] =
     TxnLog.partitionColsOf(st0.live).getOrElse(Nil)
+  private def logicalOf(pc: String): StructField =
+    declared.fields.find(f => TxnLog.physName(f) == pc).getOrElse(
+      sys.error(s"partition column $pc of $table is not in the " +
+        s"declared schema"))
 
   override val partitionSchema: StructType =
-    StructType(partCols.map(declared(_)))
-  val dataSchema: StructType =
-    StructType(declared.filterNot(f => partCols.contains(f.name)))
+    StructType(partCols.map(logicalOf))
+  val dataSchema: StructType = {
+    val physPart = partCols.toSet
+    StructType(declared.filterNot(f => physPart.contains(TxnLog.physName(f))))
+  }
 
   override def rootPaths: Seq[HPath] = Seq(base)
   override def inputFiles: Array[String] =
@@ -637,27 +666,39 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
     val cur = current()
     val st = cur.st
     val statuses = cur.statuses
-    // a HadoopFsRelation is a plain file scan — it cannot subtract
-    // row-level deletion vectors. A table WITHOUT live DVs routes here
-    // (the fast vectorized path); one that gains DVs after this view
-    // was created must refuse rather than resurrect deleted rows —
-    // re-create the view (routes to the DV-aware relation) or compact.
-    require(st.dvFiles.isEmpty,
+    // this relation's format row-filters deletion vectors ONLY when it
+    // was constructed in DV mode; DVs appearing under a batch-mode view
+    // must refuse rather than resurrect deleted rows — re-create the
+    // view (it re-resolves into DV mode) or compact
+    require(dvMode0 || st.dvFiles.isEmpty,
       s"txnlog view of $table predates its live deletion vectors — " +
-        "re-create the view (DV-aware reads) or run TxnLog.compact")
-    // same guard for a rename/drop committed AFTER this view resolved:
-    // a plain file scan reads physical names; serving them under this
-    // view's logical schema would surface silent nulls
-    require(!st.schemaJson
+        "re-create the view (it will row-filter them) or run " +
+        "TxnLog.compact")
+    // likewise a rename/drop committed AFTER this view resolved: the
+    // format's logical→physical map is pinned at construction, so a
+    // drifted mapping would read the wrong (or no) physical columns
+    require(st.schemaJson
       .map(DataType.fromJson(_).asInstanceOf[StructType])
-      .exists(TxnLog.mappingActive),
+      .forall(s => TxnLogFileIndex.physMapOf(s)
+        .forall { case (l, p) => physMap.getOrElse(l, l) == p }),
       s"txnlog view of $table predates a column rename/drop — " +
-        "re-create the view (it will route through the mapped reader)")
+        "re-create the view to pick up the new mapping")
+    // per-file deleted-row skip sets, decided by THIS resolution (same
+    // committed version as the file list — never a mixed plan), handed
+    // to the reader through each file's metadata map
+    val dvSets =
+      if (st.dvFiles.isEmpty) Map.empty[String, Array[Long]]
+      else TxnLog.dvSkipSets(spark, table, st.dvFiles)
+    def withMeta(f: String): FileStatusWithMetadata = {
+      val md = dvSets.get(f.split('/').last)
+        .map(a => Map[String, Any](TxnLogParquetFileFormat.DvKey -> a))
+        .getOrElse(Map.empty[String, Any])
+      FileStatusWithMetadata(statuses(f), md)
+    }
     val (iv, eq) = pruningHints(dataFilters)
     val pruned = st.live.filter(survives(st, _, iv, eq))
     if (partCols.isEmpty) {
-      Seq(PartitionDirectory(InternalRow.empty,
-        pruned.map(statuses).toArray))
+      Seq(PartitionDirectory(InternalRow.empty, pruned.map(withMeta)))
     } else {
       // the planner does NOT re-apply partition filters to rows — the
       // index must honor them (PartitioningAwareFileIndex's contract)
@@ -674,7 +715,7 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
             vals.zip(partitionSchema.fields)
               .map { case (v, fld) => partCast(v, fld.dataType) })
           if (pred.forall(_.eval(row)))
-            Some(PartitionDirectory(row, fs.map(statuses).toArray))
+            Some(PartitionDirectory(row, fs.map(withMeta)))
           else None
         }
     }

@@ -1450,6 +1450,77 @@ class TxnLogSpec extends SparkSpec {
     assert(rel.prunedFiles(Array.empty).size == 4)
   }
 
+  test("vectorized merge-on-read: DV and mapped reads keep FileSourceScan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.executedPlan
+        .collectFirst { case s: FileSourceScanExec => s }
+        .getOrElse(fail("expected a FileSourceScanExec — the read fell " +
+          "back off the vectorized path"))
+    val t = freshTable()
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    TxnLog.create(spark, t,
+      orders.repartitionByRange(4, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))
+    TxnLog.deleteWhereDV(spark, t, col("o_totalprice") > 300000)
+    val expect = orders.filter(col("o_totalprice") <= 300000)
+    val df = spark.read.format("txnlog").load(t)
+    // 1. plan shape: a real parquet FileSourceScan (vectorized decode,
+    // parquet pushdown, log-decided pruning) — DV subtraction no longer
+    // costs the external-row relation; only batch HANDOFF is off
+    val q = df.filter(col("o_orderkey") <= 7)
+    val scan = scanOf(q)
+    assert(!scan.supportsColumnar,
+      "DV mode row-filters, so the scan hands off rows")
+    assert(scan.metadata("PushedFilters").contains("o_orderkey"),
+      "parquet row-group pushdown stays live under DVs")
+    assert(rowsOf(q.select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")) ==
+      rowsOf(expect.filter(col("o_orderkey") <= 7)
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")))
+    assert(df.count() == expect.count())
+    // 2. stats-based file pruning still planned from the log in DV
+    // mode: replay the scan's own pushed dataFilters through the index
+    assert(scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum == 1,
+      "narrow-key filter must keep one of four range-clustered files")
+    // 3. compact purges DVs; a fresh relation returns to BATCH handoff,
+    // and a rename after that keeps it (mapping is a reader-construction
+    // rename, zero per-row cost)
+    TxnLog.compact(spark, t, targetFiles = 2)
+    TxnLog.renameColumn(spark, t, "o_totalprice", "price")
+    val m = spark.read.format("txnlog").load(t)
+    val mq = m.filter(col("o_orderkey") <= 7)
+    assert(scanOf(mq).supportsColumnar,
+      "mapped-without-DV reads keep the columnar batch path")
+    assert(rowsOf(mq.select("o_orderkey", "price").orderBy("o_orderkey")) ==
+      rowsOf(expect.filter(col("o_orderkey") <= 7)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        .orderBy("o_orderkey")))
+    // 4. DVs landing AFTER a batch-mode view resolved must refuse (the
+    // pinned format cannot row-filter) — a fresh view serves them
+    val t2 = freshTable()
+    TxnLog.create(spark, t2, nation)
+    val stale = spark.read.format("txnlog").load(t2)
+    stale.count() // force resolution pre-DV
+    TxnLog.deleteWhereDV(spark, t2, col("n_nationkey") === 0)
+    val e = intercept[Throwable] { stale.count() }
+    def messages(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + messages(x.getCause)
+    assert(messages(e).contains("re-create the view"))
+    assert(spark.read.format("txnlog").load(t2).count() ==
+      nation.count() - 1)
+    // 5. same refusal for a rename landing after resolution
+    val stale2 = spark.read.format("txnlog").load(t2)
+    TxnLog.renameColumn(spark, t2, "n_name", "nm")
+    val e2 = intercept[Throwable] { stale2.count() }
+    assert(messages(e2).contains("re-create the view"))
+    assert(spark.read.format("txnlog").load(t2)
+      .filter(col("nm") === "NATION_3").count() == 1)
+  }
+
   test("scheme-agnostic table I/O: full lifecycle through a file:// URI") {
     // every TxnLog operation resolves its FileSystem from the table
     // path's own scheme (the Hadoop API) — the same code path an
