@@ -28,6 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.NanosPredicatePushdown)
     ext.injectOptimizerRule(_ => graft.plans.EagerMinMaxAggregation)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL surfaces of the txnlog format: VERSION/TIMESTAMP AS OF and
+    // MERGE INTO resolve onto the format's own read options / upsert.
+    // These run in the HINTS batch (before the main Resolution batch):
+    // Spark's own ResolveRelations refuses time travel over v1 temp
+    // views/catalog tables by THROWING during resolution, so the claim
+    // must happen before it ever sees the node.
+    ext.injectHintResolutionRule(s => graft.plans.TxnLogTimeTravelRule(s))
+    ext.injectHintResolutionRule(s => graft.plans.TxnLogMergeRule(s))
+    // a txnlog table must NEVER be written by the raw-file insert
+    // command (unlogged files are silently invisible); the cached
+    // catalog-relation INSERT route plans it — rewrite post-hoc
+    ext.injectPostHocResolutionRule(s => graft.plans.TxnLogInsertGuard(s))
   }
 }
 

@@ -23,6 +23,7 @@ object Main {
     case "bench" :: rest        => Bench.main(rest.toArray)
     case "entry" :: Nil =>
       val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
         .master("local[4]").config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false").getOrCreate()

@@ -4971,6 +4971,104 @@ object SparkEntry {
         .orderBy("_change_type", "o_orderstatus")
     }),
 
+    // ── [ext] CATALOG tables: `saveAsTable` registers the txnlog
+    // table in the session catalog (a durable table object, the
+    // reference's destination-table shape — src/db/postgres/
+    // company.sql:7), `spark.table` resolves it with the LOG's schema
+    // as source of truth, and INSERT INTO the CACHED catalog relation
+    // still lands transactionally: the post-hoc insert guard rewrites
+    // Spark's raw-file insert command (whose unlogged files would be
+    // silently invisible to every log-planned reader) into a log
+    // commit — the in-query require pins it. ──────────────────────────
+    "q303_txn_catalog_table" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q303_txn")
+      val tname = "q303_cat_t"
+      s.sql(s"DROP TABLE IF EXISTS $tname")
+      val n = T(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.filter(col("n_regionkey") < 2).write.format("txnlog")
+        .option("path", tbl).saveAsTable(tname)
+      s.table(tname).count() // populate the catalog-relation cache
+      n.filter(col("n_regionkey") >= 2)
+        .createOrReplaceTempView("q303_rest")
+      s.sql(s"INSERT INTO $tname " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM q303_rest")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "catalog INSERT must land as one transactional append commit")
+      s.sql(
+        s"""SELECT n_regionkey, count(*) AS n_nations,
+           |  min(n_name) AS first_name
+           |FROM $tname GROUP BY n_regionkey
+           |ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // ── [ext] SQL time travel: `VERSION AS OF` / `TIMESTAMP AS OF`
+    // straight from the parser ([[graft.plans.TxnLogTimeTravelRule]]
+    // claims the RelationTimeTravel node in the Hints batch and pins a
+    // relation through the same version/timestampAsOf options every
+    // programmatic reader uses) — here both forms in ONE statement,
+    // diffing a historical version against the head. ──────────────────
+    "q304_txn_sql_time_travel" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q304_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate",
+          "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl,
+        o.filter(col("o_orderdate") < d98))
+      graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d98))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q304_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql(
+        """SELECT h.o_orderstatus, v1.n_orders AS n_v1,
+          |  h.n_orders AS n_head
+          |FROM (SELECT o_orderstatus, count(*) AS n_orders
+          |      FROM q304_txn_v TIMESTAMP AS OF '2035-01-01'
+          |      GROUP BY o_orderstatus) h
+          |LEFT JOIN (SELECT o_orderstatus, count(*) AS n_orders
+          |           FROM q304_txn_v VERSION AS OF 1
+          |           GROUP BY o_orderstatus) v1
+          |  ON v1.o_orderstatus = h.o_orderstatus
+          |ORDER BY h.o_orderstatus""".stripMargin)
+    }),
+
+    // ── [ext] SQL MERGE INTO — the reference's core DML shape as
+    // literal SQL (`src/etl/sql/bigquery_dml__upsert_company.sql:7-27`:
+    // equality key match, UPDATE SET * / INSERT *), claimed by
+    // [[graft.plans.TxnLogMergeRule]] and executed as the SAME
+    // stats/bloom file-pruned transactional TxnLog.upsert the
+    // programmatic call runs — updates AND inserts in one commit, CDF
+    // journaled. ──────────────────────────────────────────────────────
+    "q305_txn_sql_merge" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q305_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl,
+        o.repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q305_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      o.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.filter(col("o_orderkey") < 300)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000000.0))
+        .createOrReplaceTempView("q305_src")
+      s.sql(
+        """MERGE INTO q305_txn_v USING q305_src
+          |ON q305_txn_v.o_orderkey = q305_src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "SQL MERGE must land as one transactional commit")
+      s.table("q305_txn_v")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── [ext] approximate-quantile sanity gate: Spark's native
     // percentile_approx (Greenwald-Khanna-style mergeable sketch — the
     // O(1)-state quantile any 100 TB profile actually runs) checked
@@ -10215,6 +10313,42 @@ object SparkEntry {
           |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
           |FROM feed GROUP BY 1, 2
           |ORDER BY _change_type, o_orderstatus""".stripMargin,
+
+      // q303: catalog create + guarded SQL INSERT reassemble nation
+      "q303_txn_catalog_table" ->
+        """SELECT n_regionkey, count(*) AS n_nations,
+          |  min(n_name) AS first_name
+          |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
+
+      // q304: v1 = pre-1998 subset, head = whole table — both read back
+      // via SQL time-travel syntax
+      "q304_txn_sql_time_travel" ->
+        """WITH v1 AS (
+          |  SELECT o_orderstatus, count(*) AS n_orders FROM orders
+          |  WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1),
+          |h AS (
+          |  SELECT o_orderstatus, count(*) AS n_orders FROM orders
+          |  GROUP BY 1)
+          |SELECT h.o_orderstatus, v1.n_orders AS n_v1,
+          |  h.n_orders AS n_head
+          |FROM h LEFT JOIN v1 ON v1.o_orderstatus = h.o_orderstatus
+          |ORDER BY h.o_orderstatus""".stripMargin,
+
+      // q305: the SQL MERGE replayed — keys < 1000 doubled (updates),
+      // the +20M-key copies of keys < 300 arrive as inserts
+      "q305_txn_sql_merge" ->
+        """WITH st AS (
+          |  SELECT o_orderstatus,
+          |    CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+          |      ELSE o_totalprice END AS p
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT o_orderstatus, o_totalprice + 1000000
+          |  FROM orders WHERE o_orderkey < 300)
+          |SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM st GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q260: the paged source's deterministic payload replayed from
       // generate_series — page p holds ids p*50 .. p*50+49, symbol

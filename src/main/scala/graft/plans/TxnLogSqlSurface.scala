@@ -1,0 +1,275 @@
+package graft.plans
+
+import graft.sources.{TxnLog, TxnLogHadoopFsRelation,
+  TxnLogParquetFileFormat, TxnLogScanRelation}
+import org.apache.spark.sql.{AnalysisException, GraftShim, Row,
+  SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
+  UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  AttributeReference, Cast, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable,
+  UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{StringType, TimestampType}
+
+/** The pure-SQL surfaces of the txnlog table format that need an
+  * analyzer hook — Spark's parser already produces the right logical
+  * nodes ([[RelationTimeTravel]] for `VERSION AS OF` / `TIMESTAMP AS
+  * OF`, [[MergeIntoTable]] for `MERGE INTO`), but its built-in
+  * resolution only serves DSv2 catalogs; these rules claim the nodes
+  * whose target bottoms out in a txnlog relation and map them onto the
+  * format's existing entry points (the `version`/`timestampAsOf` read
+  * options and [[TxnLog.upsert]]'s file-pruned transactional merge).
+  * Non-txnlog targets pass through untouched for Spark's own handling.
+  *
+  * Reference anchors: the reference's DML is literal SQL MERGE
+  * (`src/etl/sql/bigquery_dml__upsert_company.sql:7-27`) and its Delta
+  * reads use Delta's SQL time-travel syntax; this is that surface for
+  * the txnlog format. Registered via [[graft.GraftExtensions]]
+  * (`spark.sql.extensions`).
+  */
+object TxnLogSqlSurface {
+
+  /** The table directory of a plan that bottoms out in a txnlog
+    * relation (temp view bodies, catalog-table reads). */
+  private[graft] def pathOf(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case r: TxnLogHadoopFsRelation => Some(r.tableDir)
+        case r: TxnLogScanRelation => Some(r.tableDir)
+        case _ => None
+      }
+    }.flatten
+
+  /** Resolve a (possibly unresolved) relation identifier to a txnlog
+    * table directory: a session temp view whose body reads the format,
+    * or a catalog table whose provider is `txnlog`. None = not ours. */
+  private[graft] def lookupPath(spark: SparkSession,
+                                parts: Seq[String]): Option[String] = {
+    val catalog = spark.sessionState.catalog
+    val viaTempView =
+      if (parts.length == 1) catalog.getTempView(parts.head).flatMap(pathOf)
+      else None
+    viaTempView.orElse {
+      val ti = parts match {
+        case Seq(t) => Some(TableIdentifier(t))
+        case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+        case _ => None
+      }
+      ti.filter(catalog.tableExists).flatMap { id =>
+        val meta = catalog.getTableMetadata(id)
+        if (meta.provider.exists(_.equalsIgnoreCase("txnlog")))
+          meta.storage.locationUri
+            .map(u => new org.apache.hadoop.fs.Path(u).toString)
+        else None
+      }
+    }
+  }
+}
+
+/** `SELECT … FROM t VERSION AS OF 3` / `TIMESTAMP AS OF '…'` for
+  * txnlog temp views and catalog tables: the parser's
+  * [[RelationTimeTravel]] node is resolved into a PINNED relation via
+  * the same `version`/`timestampAsOf` options every reader uses — one
+  * code path for time travel whether it arrives programmatically or as
+  * SQL. */
+case class TxnLogTimeTravelRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        TxnLogSqlSurface.lookupPath(spark, u.multipartIdentifier) match {
+          case None => tt // not a txnlog table: Spark's own resolution
+          case Some(path) =>
+            val rd = spark.read.format("txnlog").option("path", path)
+            val pinned = (ver, ts) match {
+              case (Some(v), _) => rd.option("version", v.trim)
+              case (None, Some(expr)) =>
+                rd.option("timestampAsOf", timestampString(expr))
+              case (None, None) => rd
+            }
+            GraftShim.logicalPlan(pinned.load())
+        }
+    }
+
+  /** Render the AS OF timestamp expression for the read option: string
+    * literals pass through (the option parser accepts Delta's lenient
+    * forms), timestamp-typed foldables become epoch millis. */
+  private def timestampString(e: Expression): String = e match {
+    case Literal(v, StringType) => String.valueOf(v)
+    case other if other.foldable =>
+      val tsVal = Cast(other, TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      if (tsVal == null) throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3100",
+        messageParameters = Map("message" ->
+          s"TIMESTAMP AS OF: cannot evaluate $other as a timestamp"))
+      (tsVal.asInstanceOf[Long] / 1000L).toString // micros → millis
+    case other => throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" ->
+        s"TIMESTAMP AS OF requires a constant expression, got $other"))
+  }
+}
+
+/** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *` against a txnlog view or catalog
+  * table — mapped onto [[TxnLog.upsert]], so SQL MERGE gets the same
+  * transactional, stats/bloom FILE-PRUNED copy-on-write rewrite (and
+  * row-level CDF journaling) as the programmatic call. The supported
+  * shape is exactly the reference's upsert DML (equality key match,
+  * update-all + insert-all); richer clauses error descriptively rather
+  * than silently diverge. */
+case class TxnLogMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case m: MergeIntoTable =>
+        // this runs pre-resolution (Hints batch): recover the target's
+        // identifier textually and ask the session catalog whether it
+        // is a txnlog view/table; the already-resolved form is also
+        // accepted for programmatic plans
+        targetPath(m.targetTable) match {
+          case None => m // not ours: Spark's v2 row-level path
+          case Some(path) => rewrite(m, path)
+        }
+    }
+
+  private def targetPath(t: LogicalPlan): Option[String] = t match {
+    case u: UnresolvedRelation =>
+      TxnLogSqlSurface.lookupPath(spark, u.multipartIdentifier)
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(_, child) => targetPath(child)
+    case resolved if resolved.resolved => TxnLogSqlSurface.pathOf(resolved)
+    case _ => None
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" -> (s"txnlog MERGE INTO: $msg " +
+        "(supported shape: ON conjunctive equality of same-named key " +
+        "columns, WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED " +
+        "THEN INSERT *)")))
+
+  private def nameOf(e: Expression): Option[String] = e match {
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  private def keysOf(cond: Expression): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(cond).map {
+      case EqualTo(a, b) =>
+        (nameOf(a), nameOf(b)) match {
+          case (Some(an), Some(bn)) if an == bn => an
+          case _ => fail(s"ON clause must equate same-named key " +
+            s"columns, got ${EqualTo(a, b).sql}")
+        }
+      case other => fail(s"ON clause must be a conjunction of " +
+        s"equalities, got ${other.sql}")
+    }
+  }
+
+  /** SET * / INSERT * — either still a star action, or already
+    * expanded by the analyzer into name-aligned column assignments. */
+  private def isStarLike(a: org.apache.spark.sql.catalyst.plans.logical
+      .MergeAction): Boolean = a match {
+    case UpdateStarAction(None) | InsertStarAction(None) => true
+    case UpdateAction(None, assigns, _) => assignsAligned(assigns)
+    case InsertAction(None, assigns) => assignsAligned(assigns)
+    case _ => false
+  }
+  private def assignsAligned(assigns: Seq[Assignment]): Boolean =
+    assigns.forall(a => (nameOf(a.key), nameOf(a.value)) match {
+      case (Some(k), Some(v)) => k == v
+      case _ => false
+    })
+
+  private def rewrite(m: MergeIntoTable, path: String): LogicalPlan = {
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (m.matchedActions.length != 1 || !isStarLike(m.matchedActions.head))
+      fail(s"matched clause must be UPDATE SET *, got ${m.matchedActions}")
+    if (m.notMatchedActions.length != 1 ||
+        !isStarLike(m.notMatchedActions.head))
+      fail(s"not-matched clause must be INSERT *, got ${m.notMatchedActions}")
+    val keys = keysOf(m.mergeCondition)
+    if (keys.isEmpty) fail("no key equality in ON clause")
+    TxnLogMergeCommand(path, m.sourceTable, keys,
+      withSchemaEvolution = m.withSchemaEvolution)
+  }
+}
+
+/** The last line of defense for log-governed writes: whatever analyzer
+  * path an `INSERT INTO` a txnlog CATALOG table takes, it must never
+  * reach Spark's raw-file `InsertIntoHadoopFsRelationCommand` — files
+  * written without a log commit are silently invisible to every
+  * log-planned reader (worse than an error). The temp-view route
+  * reliably lands on [[org.apache.spark.sql.sources.InsertableRelation]],
+  * but the CACHED catalog-relation route was observed to plan the raw
+  * command; this post-hoc rule (runs after Spark's own insertion
+  * preprocessing, so column alignment/casting is already applied to the
+  * query) rewrites any such command over a [[TxnLogParquetFileFormat]]
+  * into the transactional append/overwrite. */
+case class TxnLogInsertGuard(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case c: InsertIntoHadoopFsRelationCommand
+          if c.fileFormat.isInstanceOf[TxnLogParquetFileFormat] =>
+        if (c.staticPartitions.nonEmpty) throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3100",
+          messageParameters = Map("message" ->
+            ("txnlog INSERT: static PARTITION specs are not supported " +
+              "— use TxnLog.overwritePartitions or a partition-scoped " +
+              "MERGE")))
+        TxnLogInsertCommand(c.outputPath.toString, c.query,
+          overwrite = c.mode == org.apache.spark.sql.SaveMode.Overwrite,
+          outputColumnNames = c.outputColumnNames)
+    }
+}
+
+/** Runnable half of the guarded INSERT: one [[TxnLog.append]] /
+  * [[TxnLog.overwrite]] commit over the (already aligned and cast)
+  * insert query. */
+case class TxnLogInsertCommand(table: String, query: LogicalPlan,
+                               overwrite: Boolean,
+                               outputColumnNames: Seq[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = GraftShim.ofRows(session, query)
+      .toDF(outputColumnNames: _*)
+    if (overwrite) TxnLog.overwrite(session, table, df)
+    else TxnLog.append(session, table, df)
+    Nil
+  }
+}
+
+/** The runnable half of SQL MERGE: executes [[TxnLog.upsert]] at
+  * command run time (one optimistic transactional commit; retried
+  * internally on a lost commit race like every other writer). */
+case class TxnLogMergeCommand(table: String, source: LogicalPlan,
+                              keys: Seq[String],
+                              withSchemaEvolution: Boolean)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    TxnLog.upsert(session, table, GraftShim.ofRows(session, source),
+      keys, mergeSchema = withSchemaEvolution)
+    Nil
+  }
+}

@@ -1917,7 +1917,8 @@ object TxnLog {
               expectedVersion: Option[Long] = None,
               clusterBy: Seq[String] = Nil,
               statsCols: Seq[String] = Nil,
-              hilbert: Boolean = false): Long = {
+              hilbert: Boolean = false,
+              bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, greatest, least, lit,
       max, min}
     require(exists(table), s"not a TxnLog table: $table")
@@ -1950,32 +1951,42 @@ object TxnLog {
         snap0.repartitionByRange(math.max(1, targetFiles),
           clusterBy.map(col): _*)
       else {
-        require(clusterBy.size == 2,
-          "hilbert clustering takes exactly two columns")
-        val bits = 16
+        require(clusterBy.size >= 2,
+          "hilbert clustering takes two or more columns")
+        // grid resolution: d·bits must fit a positive long — 16 bits
+        // per axis at d=2 (the historical layout), 20 at d=3, etc.
+        val bits = math.min(16, 62 / clusterBy.size)
         val side = (1L << bits) - 1
-        val (a, b) = (clusterBy.head, clusterBy(1))
         val bounds = snap0.agg(
-          min(canonicalCol(snap0, a)).as("amn"),
-          max(canonicalCol(snap0, a)).as("amx"),
-          min(canonicalCol(snap0, b)).as("bmn"),
-          max(canonicalCol(snap0, b)).as("bmx")).head()
-        if (bounds.isNullAt(0) || bounds.isNullAt(2))
+          min(canonicalCol(snap0, clusterBy.head))
+            .as(s"mn_${clusterBy.head}"),
+          (max(canonicalCol(snap0, clusterBy.head))
+            .as(s"mx_${clusterBy.head}") +:
+            clusterBy.tail.flatMap(c => Seq(
+              min(canonicalCol(snap0, c)).as(s"mn_$c"),
+              max(canonicalCol(snap0, c)).as(s"mx_$c")))): _*).head()
+        if (clusterBy.indices.exists(i => bounds.isNullAt(2 * i)))
           // an all-null cluster column has no grid: fall back to the
           // lexicographic range layout rather than NPE
           return compact(spark, table, targetFiles, expectedVersion,
-            clusterBy, statsCols, hilbert = false)
-        def grid(c: String, mnI: Int, mxI: Int) = {
-          val mn = bounds.getLong(mnI)
-          val span = math.max(1L, bounds.getLong(mxI) - mn)
+            clusterBy, statsCols, hilbert = false, bloomCols = bloomCols)
+        def grid(c: String, i: Int) = {
+          val mn = bounds.getLong(2 * i)
+          val span = math.max(1L, bounds.getLong(2 * i + 1) - mn)
           // bucket in double (span can be ~2^63; layout-only, so the
           // rounding never touches correctness), clamp to the grid
           least(greatest(((canonicalCol(snap0, c) - lit(mn))
             .cast(org.apache.spark.sql.types.DoubleType) * lit(side.toDouble)
             / lit(span.toDouble)).cast(LongType), lit(0L)), lit(side))
         }
-        snap0.withColumn("__h", graft.functions.HilbertIndex(
-            grid(a, 0, 1), grid(b, 2, 3), bits))
+        val coords = clusterBy.zipWithIndex.map { case (c, i) => grid(c, i) }
+        // 2-D keeps the rotate-accumulate walk (oracle CTEs exist for
+        // it); 3+ dims take Skilling's transpose construction
+        val h =
+          if (clusterBy.size == 2)
+            graft.functions.HilbertIndex(coords(0), coords(1), bits)
+          else graft.functions.HilbertIndexN(bits, coords: _*)
+        snap0.withColumn("__h", h)
           .repartitionByRange(math.max(1, targetFiles), col("__h"))
           .sortWithinPartitions("__h")
           .drop("__h")
@@ -1987,6 +1998,7 @@ object TxnLog {
     if (!publish(table, v, "op\tcompact" +: "nochange" +: "dvclear" +:
         (st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
           statsLines(spark, table, named, sc, physMapOf(declared)) ++
+          bloomLines(spark, table, named, bloomCols, physMapOf(declared)) ++
           rowcountLines(table, named))))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)

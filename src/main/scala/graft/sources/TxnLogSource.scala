@@ -63,10 +63,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * `partitionBy` (comma-separated), `statsCols`, `bloomCols`,
   * `mergeSchema`, `overwriteSchema`. */
 final class TxnLogSource extends RelationProvider
+    with org.apache.spark.sql.sources.SchemaRelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
   override def shortName(): String = "txnlog"
+
+  /** Schema-carrying resolution (what Spark passes for CATALOG tables,
+    * whose schema it persisted at CREATE time): the LOG's declared
+    * schema is the source of truth — the catalog copy is advisory and
+    * goes stale the moment a schema evolution / rename commits, exactly
+    * Delta's catalog contract — so the passed schema is accepted and
+    * ignored. Without this interface, `spark.table` on an evolved
+    * txnlog table would refuse with a schema-mismatch error. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters)
 
   /** `df.writeStream.format("txnlog")`: the exactly-once streaming sink
     * as a FORMAT STRING (the reference's `writeStream.format("delta")`
@@ -269,7 +282,7 @@ private[graft] final class TxnLogSink(table: String,
   * raw `InsertIntoHadoopFsRelationCommand`, which would drop files into
   * the directory no log entry references (silently invisible data —
   * the one way a log-governed table must never be written). */
-private[sources] class TxnLogHadoopFsRelation(index: TxnLogFileIndex,
+private[graft] class TxnLogHadoopFsRelation(index: TxnLogFileIndex,
                                               table: String,
                                               spark: SparkSession)
   extends HadoopFsRelation(
@@ -280,6 +293,9 @@ private[sources] class TxnLogHadoopFsRelation(index: TxnLogFileIndex,
     fileFormat =
       new TxnLogParquetFileFormat(index.physMap, index.dvMode0),
     options = Map.empty)(spark) with InsertableRelation {
+  /** The table directory — the analyzer rules (SQL time travel, MERGE
+    * INTO) recover it from a resolved relation to re-read the log. */
+  private[graft] def tableDir: String = table
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
     if (overwrite) TxnLog.overwrite(spark, table, data)
     else TxnLog.append(spark, table, data)
@@ -300,6 +316,7 @@ private[graft] final class TxnLogScanRelation(sqlCtx: SQLContext,
                                               asOf: Option[Long])
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
   override def sqlContext: SQLContext = sqlCtx
+  private[graft] def tableDir: String = table
   private def spark = sqlCtx.sparkSession
 
   private def state(): TxnLog.State = {
@@ -517,10 +534,16 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
 
   /** SQL reads need the log-declared schema: schema-on-read inference
     * would have to open footers (and would mis-order evolved columns). */
-  val declared: StructType = st0.schemaJson
+  // data columns surface NULLABLE regardless of the declared flag:
+  // files written before a schema evolution legitimately lack the
+  // evolved columns (they read as null), and a non-nullable field in
+  // the scan schema makes the parquet reader refuse those files
+  // outright ("required column is missing") instead of null-filling
+  val declared: StructType = StructType(st0.schemaJson
     .map(DataType.fromJson(_).asInstanceOf[StructType])
     .getOrElse(sys.error(
       s"txnlog relation requires a declared schema in the log: $table"))
+    .fields.map(_.copy(nullable = true)))
 
   /** logical → physical data-column renames of the pinned schema
     * (empty unless column mapping is active) — consumed by the

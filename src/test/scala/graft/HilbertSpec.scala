@@ -63,4 +63,58 @@ class HilbertSpec extends SparkSpec {
     }
     assert(got === Seq(expected))
   }
+
+  // ── N-dimensional (Skilling transpose) curve ───────────────────────
+
+  private def indexOfN(bits: Int, pts: Seq[Seq[Long]]): Seq[Long] = {
+    import graft.functions.HilbertIndexN
+    val n = pts.head.length
+    val df = pts.map {
+      case Seq(a, b, c) => (a, b, c, 0L)
+      case Seq(a, b, c, d) => (a, b, c, d)
+      case other => sys.error(s"unsupported arity ${other.length}")
+    }.toDF("a", "b", "c", "e")
+    val cols = Seq("a", "b", "c", "e").take(n).map(col)
+    df.select(HilbertIndexN(bits, cols: _*).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("3-D order-3 curve is a bijection with grid-adjacent steps") {
+    // 512 cells: bijection onto [0, 512) + every consecutive pair of
+    // indexes differs by exactly one unit in exactly one axis — the
+    // two properties that CHARACTERIZE a Hilbert curve (and the reason
+    // a contiguous index range is a compact 3-D region, i.e. per-file
+    // min/max stays narrow in every clustered column)
+    val pts = for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield Seq(x, y, z)
+    val ds = indexOfN(3, pts)
+    assert(ds.sorted === (0L until 512L))
+    val byIndex = ds.zip(pts).sortBy(_._1).map(_._2)
+    byIndex.sliding(2).foreach { case Seq(p1, p2) =>
+      val dist = p1.zip(p2).map { case (u, v) => math.abs(u - v) }.sum
+      assert(dist === 1L, s"non-adjacent step $p1 -> $p2")
+    }
+  }
+
+  test("4-D order-2 curve is a bijection with grid-adjacent steps") {
+    val pts = for (a <- 0L until 4L; b <- 0L until 4L; c <- 0L until 4L;
+                   e <- 0L until 4L) yield Seq(a, b, c, e)
+    val ds = indexOfN(2, pts)
+    assert(ds.sorted === (0L until 256L))
+    val byIndex = ds.zip(pts).sortBy(_._1).map(_._2)
+    byIndex.sliding(2).foreach { case Seq(p1, p2) =>
+      val dist = p1.zip(p2).map { case (u, v) => math.abs(u - v) }.sum
+      assert(dist === 1L, s"non-adjacent step $p1 -> $p2")
+    }
+  }
+
+  test("N-dim codegen agrees with the interpreted transpose walk") {
+    import graft.functions.HilbertIndexN
+    val pts = Seq(Seq(5L, 2L, 7L), Seq(0L, 0L, 0L), Seq(7L, 7L, 7L),
+      Seq(3L, 6L, 1L))
+    val viaExpr = indexOfN(3, pts)
+    val viaScala = pts.map(p =>
+      graft.functions.HilbertIndexN.testIndex(p.toArray, 3))
+    assert(viaExpr === viaScala)
+  }
 }

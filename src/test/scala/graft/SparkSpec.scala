@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * startup dominates test wall-clock otherwise). */
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

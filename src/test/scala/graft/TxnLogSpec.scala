@@ -1521,6 +1521,143 @@ class TxnLogSpec extends SparkSpec {
       .filter(col("nm") === "NATION_3").count() == 1)
   }
 
+  test("compact after rename re-keys stats/blooms to the new names") {
+    val t = freshTable()
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"),
+        concat(lit("u"), col("id")).as("tag"))
+      .repartitionByRange(8, col("k"))
+    TxnLog.create(spark, t, df, statsCols = Seq("k"),
+      bloomCols = Seq("tag"))
+    TxnLog.renameColumn(spark, t, "k", "key")
+    TxnLog.renameColumn(spark, t, "tag", "label")
+    // renamed columns are (safely) unprunable on the old files — a
+    // probe under the new name keeps every file
+    val full = TxnLog.snapshot(spark, t).inputFiles.length
+    assert(TxnLog.snapshotWhere(spark, t, "key", 1000L, 1499L)
+      .inputFiles.length == full,
+      "old files carry stats under the OLD logical name only")
+    // compact re-records skipping metadata under the POST-rename
+    // logical names (reading the physical columns underneath), so
+    // pruning recovers without any caller-side re-mapping
+    TxnLog.compact(spark, t, targetFiles = 8, clusterBy = Seq("key"),
+      statsCols = Seq("key"), bloomCols = Seq("label"))
+    val full2 = TxnLog.snapshot(spark, t).inputFiles.length
+    assert(TxnLog.snapshotWhere(spark, t, "key", 1000L, 1499L)
+      .inputFiles.length < full2,
+      "compact must restore stats pruning on the new name")
+    assert(TxnLog.snapshotWhereEq(spark, t, "label", "u17")
+      .inputFiles.length < full2,
+      "compact must restore bloom pruning on the new name")
+    assert(TxnLog.snapshotWhereEq(spark, t, "label", "u17")
+      .filter(col("label") === "u17").count() == 1)
+    assert(TxnLog.snapshot(spark, t).count() == 4000)
+  }
+
+  test("3-column hilbert compact prunes on every clustered column") {
+    val t = freshTable()
+    // three independent uniform axes: lexicographic range layout would
+    // leave b and c scattered across every file
+    val df = spark.range(0, 8000).select(
+      (col("id") % 97).as("a"), ((col("id") * 31) % 89).as("b"),
+      ((col("id") * 57) % 83).as("c"))
+    TxnLog.create(spark, t, df)
+    TxnLog.compact(spark, t, targetFiles = 16,
+      clusterBy = Seq("a", "b", "c"), hilbert = true)
+    val full = TxnLog.snapshot(spark, t).inputFiles.length
+    assert(full >= 8, s"expected a multi-file layout, got $full")
+    for (c <- Seq("a", "b", "c")) {
+      val kept = TxnLog.snapshotWhere(spark, t, c, 10L, 14L)
+        .inputFiles.length
+      assert(kept < full,
+        s"hilbert layout must let a single-column probe on $c prune " +
+          s"($kept vs $full)")
+    }
+    // layout-only: the multiset is untouched
+    assert(TxnLog.snapshot(spark, t)
+      .groupBy("a").count().orderBy("a").collect().toSeq ==
+      df.groupBy("a").count().orderBy("a").collect().toSeq)
+  }
+
+  test("SQL surface: time travel, MERGE INTO, catalog tables, insert guard") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 2))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_sql_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    // VERSION AS OF / TIMESTAMP AS OF resolve through the hint-batch
+    // rule onto the pinned read options
+    assert(spark.sql("SELECT count(*) FROM txn_sql_v VERSION AS OF 1")
+      .head.getLong(0) == nation.filter(col("n_regionkey") < 2).count())
+    assert(spark.sql(
+      "SELECT count(*) FROM txn_sql_v TIMESTAMP AS OF '2035-01-01'")
+      .head.getLong(0) == nation.count())
+    // MERGE INTO: updates + inserts as one transactional commit
+    nation.filter(col("n_nationkey") < 3)
+      .withColumn("n_name", concat(col("n_name"), lit("_M")))
+      .unionByName(nation.filter(col("n_nationkey") < 2)
+        .withColumn("n_nationkey", col("n_nationkey") + 900))
+      .createOrReplaceTempView("txn_sql_src")
+    spark.sql(
+      """MERGE INTO txn_sql_v USING txn_sql_src
+        |ON txn_sql_v.n_nationkey = txn_sql_src.n_nationkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(TxnLog.versions(t) == Seq(1L, 2L, 3L),
+      "SQL MERGE must be exactly one commit")
+    assert(spark.table("txn_sql_v")
+      .filter(col("n_name").endsWith("_M")).count() == 3)
+    assert(spark.table("txn_sql_v").count() == nation.count() + 2)
+    // unsupported MERGE shapes refuse DESCRIPTIVELY (never silently
+    // diverge from SQL semantics)
+    val e1 = intercept[Exception] { spark.sql(
+      """MERGE INTO txn_sql_v USING txn_sql_src
+        |ON txn_sql_v.n_nationkey = txn_sql_src.n_nationkey
+        |WHEN MATCHED THEN DELETE""".stripMargin) }
+    assert(e1.getMessage.contains("txnlog MERGE INTO"))
+    val e2 = intercept[Exception] { spark.sql(
+      """MERGE INTO txn_sql_v USING txn_sql_src
+        |ON txn_sql_v.n_nationkey > txn_sql_src.n_nationkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+    assert(e2.getMessage.contains("conjunction of equalities"))
+    // catalog lifecycle: saveAsTable → spark.table → CACHED-relation
+    // INSERT (the guard must land it as a log commit, never raw files)
+    val t2 = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_sql_cat")
+    nation.filter(col("n_regionkey") < 2).write.format("txnlog")
+      .option("path", t2).saveAsTable("txn_sql_cat")
+    assert(spark.table("txn_sql_cat").count() ==
+      nation.filter(col("n_regionkey") < 2).count())
+    nation.filter(col("n_regionkey") >= 2)
+      .createOrReplaceTempView("txn_sql_rest")
+    spark.sql("INSERT INTO txn_sql_cat SELECT * FROM txn_sql_rest")
+    assert(TxnLog.versions(t2) == Seq(1L, 2L),
+      "cached-relation INSERT must be one transactional commit " +
+        "(raw-file inserts are invisible to the log)")
+    assert(spark.table("txn_sql_cat").count() == nation.count())
+    // catalog table supports SQL time travel and MERGE too
+    assert(spark.sql("SELECT count(*) FROM txn_sql_cat VERSION AS OF 1")
+      .head.getLong(0) == nation.filter(col("n_regionkey") < 2).count())
+    // the log's schema outlives the catalog's stored copy (evolution);
+    // REFRESH TABLE drops the cached relation so the next resolution
+    // reads the evolved declaration — the catalog-table twin of the
+    // temp-view "re-create the view" contract
+    TxnLog.append(spark, t2, nation.limit(1)
+      .withColumn("n_nationkey", col("n_nationkey") + 950)
+      .withColumn("extra", lit(7)), mergeSchema = true)
+    spark.sql("REFRESH TABLE txn_sql_cat")
+    assert(spark.table("txn_sql_cat").columns.contains("extra"))
+    assert(spark.table("txn_sql_cat")
+      .filter(col("extra") === 7).count() == 1)
+    assert(spark.table("txn_sql_cat")
+      .filter(col("extra").isNull).count() == nation.count())
+    // DROP removes the catalog entry; the table directory survives
+    spark.sql("DROP TABLE txn_sql_cat")
+    assert(!spark.catalog.tableExists("txn_sql_cat"))
+    assert(TxnLog.exists(t2))
+  }
+
   test("scheme-agnostic table I/O: full lifecycle through a file:// URI") {
     // every TxnLog operation resolves its FileSystem from the table
     // path's own scheme (the Hadoop API) — the same code path an
