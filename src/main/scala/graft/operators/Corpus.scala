@@ -156,24 +156,38 @@ object Corpus {
     // already has n_tokens/dup_*_frac columns can't collide ambiguously.
     require(!docs.columns.exists(_.startsWith("__graft_")),
       "curate reserves the __graft_ column prefix")
-    val gated = docs
+    // exact dedup FIRST: keep the smallest id per content group. The
+    // window is keyed on the 256-bit content hash, not the text: same
+    // groups (the oracle partitions by text — collision-free at any
+    // feasible corpus size), but the shuffle sorts/compares 64-char
+    // digests instead of arbitrarily long documents.
+    val dedupW = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    // EXPLICIT width on the content-hash exchange: it satisfies the
+    // window's required distribution (no second exchange) and, unlike
+    // the implicit window shuffle, an explicit repartition width is
+    // never AQE-coalesced — the byte-small corpus would land on ONE
+    // post-shuffle task and serialize the gate's tokenize CPU behind it
+    val deduped0 = docs.repartition(32, sha2(col(textCol), 256))
+      .withColumn("dup_rn", row_number().over(dedupW))
+      .filter(col("dup_rn") === 1).drop("dup_rn")
+    // the repetition gate runs AFTER the dedup window — result-identical
+    // (the predicate is a pure function of the text, so every copy in a
+    // content group passes or fails together and the min-id owner is
+    // unchanged) but the tokenize-heavy stats now (a) compute on dedup
+    // SURVIVORS only and (b) run distributed on the window shuffle's
+    // partitions instead of the corpus scan's input splits — probed at
+    // sf0.1, the gate was a 0.58 s single-task stage when it ran on the
+    // one-split scan before any exchange.
+    // materialized once: BOTH the contamination probe and the clean-set
+    // anti join consume this relation — without the checkpoint each
+    // branch re-runs the gate + dedup window over the whole corpus (the
+    // same double-compute Components paid before its round-3 fix)
+    val deduped = deduped0
       .select(col("*") +: repetitionCols(textCol, prefix = "__graft_"): _*)
       .filter(col("__graft_dup_word_frac") <= maxDupWordFrac &&
         col("__graft_dup_bigram_frac") <= maxDupBigramFrac &&
         col("__graft_n_tokens") >= minTokens)
       .drop("__graft_dup_word_frac", "__graft_dup_bigram_frac")
-    // exact dedup: keep the smallest id per content group. The window is
-    // keyed on the 256-bit content hash, not the text: same groups (the
-    // oracle partitions by text — collision-free at any feasible corpus
-    // size), but the shuffle sorts/compares 64-char digests instead of
-    // arbitrarily long documents.
-    val dedupW = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    // materialized once: BOTH the contamination probe and the clean-set
-    // anti join consume this relation — without the checkpoint each
-    // branch re-runs the gate + dedup window over the whole corpus (the
-    // same double-compute Components paid before its round-3 fix)
-    val deduped = gated.withColumn("dup_rn", row_number().over(dedupW))
-      .filter(col("dup_rn") === 1).drop("dup_rn")
       .localCheckpoint(true)
     val contaminated = TextDedup.decontaminate(
       deduped, evalSet, idCol, textCol, shingleLen = 4)
@@ -231,7 +245,10 @@ object Corpus {
     * replays the full model. */
   def bigramLmScore(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val withTk = docs
+    // width pinned before the CPU-bound tokenize+explode (the one-split
+    // corpus scan would otherwise run it on a single core, and every
+    // downstream map-side partial aggregate inherits this width)
+    val withTk = docs.repartition(32)
       .select(col(idCol).as("doc_id"),
         graft.functions.TextOps.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= 2)
