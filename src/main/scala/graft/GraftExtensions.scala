@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // must happen before it ever sees the node.
     ext.injectHintResolutionRule(s => graft.plans.TxnLogTimeTravelRule(s))
     ext.injectHintResolutionRule(s => graft.plans.TxnLogMergeRule(s))
+    ext.injectHintResolutionRule(s => graft.plans.TxnLogDmlRule(s))
     // a txnlog table must NEVER be written by the raw-file insert
     // command (unlogged files are silently invisible); the cached
     // catalog-relation INSERT route plans it — rewrite post-hoc

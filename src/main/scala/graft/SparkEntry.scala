@@ -5082,6 +5082,37 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] SQL UPDATE + DELETE — the row-level DML pair next to
+    // q305's MERGE, claimed by [[graft.plans.TxnLogDmlRule]]: UPDATE is
+    // TxnLog.updateWhere (copy-on-write, update_pre/post CDF), DELETE
+    // is TxnLog.deleteWhereDV (merge-on-read deletion vectors — the
+    // in-query require pins that the delete rewrote ZERO data files,
+    // the 100 TB contract), and the final read serves the DV-masked,
+    // updated snapshot through the vectorized format path. ────────────
+    "q307_txn_sql_update_delete" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q307_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl,
+        o.repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q307_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql("UPDATE q307_txn_v SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey < 1000")
+      val files2 = graft.sources.TxnLog.files(tbl)
+      s.sql("DELETE FROM q307_txn_v WHERE o_totalprice > 300000")
+      require(graft.sources.TxnLog.files(tbl) == files2,
+        "SQL DELETE must be a merge-on-read DV commit: zero rewrites")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L, 3L),
+        "UPDATE and DELETE must land as one commit each")
+      s.read.format("txnlog").load(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── [ext] approximate-quantile sanity gate: Spark's native
     // percentile_approx (Greenwald-Khanna-style mergeable sketch — the
     // O(1)-state quantile any 100 TB profile actually runs) checked
@@ -5584,6 +5615,16 @@ object SparkEntry {
     // double-count their rewrites, the feed stream must not see them. ─
     "q286_txn_append_stream" -> ((s, dir) =>
       graft.streaming.EventStream.txnAppendStreamTotals(s, dir)),
+
+    // ── [ext] `readStream.format("txnlog")` — the registered STREAMING
+    // SOURCE with log versions as offsets (Delta's streaming-source
+    // shape, the read twin of q301's sink): exactly-once append replay
+    // through the format string, layout-only compaction invisible,
+    // row-rewriting upsert skipped under ignoreChanges (refused
+    // without it — TxnLogSpec pins the refusal), restart-deterministic
+    // because offsets are committed versions over immutable log files.
+    "q306_stream_txnlog_source" -> ((s, dir) =>
+      graft.streaming.EventStream.txnSourceStreamTotals(s, dir)),
 
     // ── [ext] file-pruned MERGE on an UNPARTITIONED table: the log's
     // per-file min/max stats and blooms on the merge key split the
@@ -9925,6 +9966,15 @@ object SparkEntry {
           |FROM orders WHERE o_orderdate < DATE '1998-01-01'
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
+      // q306: the streaming-source replay = the two append commits
+      // (compaction invisible, the upsert's rewrite skipped)
+      "q306_stream_txnlog_source" ->
+        """SELECT o_orderstatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders WHERE o_orderdate < DATE '1998-01-01'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
       // q288: the SQL-path read is the same 1997 aggregate as q267 —
       // skipping is superset + Spark's own residual filters
       "q288_txnlog_sql_pushdown" ->
@@ -10352,6 +10402,20 @@ object SparkEntry {
           |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_price
           |FROM st GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q307: the UPDATE doubles low keys, the DELETE then drops the
+      // expensive rows — replayed as CASE + filter
+      "q307_txn_sql_update_delete" ->
+        """WITH st AS (
+          |  SELECT o_orderstatus,
+          |    CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+          |      ELSE o_totalprice END AS p
+          |  FROM orders)
+          |SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM st WHERE p <= 300000
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q260: the paged source's deterministic payload replayed from
       // generate_series — page p holds ids p*50 .. p*50+49, symbol

@@ -4,8 +4,12 @@ object TimeTwice {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.GraftExtensions").master(s"local[$cpus]")
+    val b0 = SparkSession.builder()
+    // dev knob: SPARK_GRAFT_NO_EXT=1 times without session extensions
+    // (isolates analyzer-rule overhead from plan changes)
+    val spark = (if (sys.env.contains("SPARK_GRAFT_NO_EXT")) b0
+      else b0.config("spark.sql.extensions", "graft.GraftExtensions"))
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -33,6 +33,17 @@ object GraftShim {
     classic.Dataset.ofRows(cdf.sparkSession, node)
   }
 
+  /** Re-root a BATCH DataFrame as a STREAMING-tagged one — what a v1
+    * `Source.getBatch` must return (the engine splices the plan into
+    * the micro-batch; Kafka's source uses the same private
+    * `internalCreateDataFrame(…, isStreaming = true)`). The inverse of
+    * [[asBatch]]. */
+  def asStreaming(df: Dataset[_]): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[_]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
+  }
+
   /** Late (post-build) function registration on a live session — the
     * runtime twin of SparkSessionExtensions.injectFunction. */
   def registerFunctions(

@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, Cast, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable,
-  UpdateAction, UpdateStarAction}
+  DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
+  UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -45,6 +46,25 @@ object TxnLogSqlSurface {
         case _ => None
       }
     }.flatten
+
+  /** Target-table path of a DML statement's (pre-resolution) target
+    * plan: an unresolved identifier looked up in the session catalog,
+    * an alias unwrapped, or an already-resolved txnlog relation. */
+  private[graft] def targetPath(spark: SparkSession,
+                                t: LogicalPlan): Option[String] = t match {
+    case u: UnresolvedRelation => lookupPath(spark, u.multipartIdentifier)
+    case SubqueryAlias(_, child) => targetPath(spark, child)
+    case resolved if resolved.resolved => pathOf(resolved)
+    case _ => None
+  }
+
+  /** Strip alias qualifiers off unresolved attribute references (the
+    * DML predicates/assignments run against the table's own snapshot
+    * DataFrame, where `t.price` has no alias to resolve against). */
+  private[graft] def unqualify(e: Expression): Expression = e.transform {
+    case u: UnresolvedAttribute if u.nameParts.length > 1 =>
+      UnresolvedAttribute(Seq(u.nameParts.last))
+  }
 
   /** Resolve a (possibly unresolved) relation identifier to a txnlog
     * table directory: a session temp view whose body reads the format,
@@ -139,14 +159,8 @@ case class TxnLogMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
 
-  private def targetPath(t: LogicalPlan): Option[String] = t match {
-    case u: UnresolvedRelation =>
-      TxnLogSqlSurface.lookupPath(spark, u.multipartIdentifier)
-    case org.apache.spark.sql.catalyst.plans.logical
-        .SubqueryAlias(_, child) => targetPath(child)
-    case resolved if resolved.resolved => TxnLogSqlSurface.pathOf(resolved)
-    case _ => None
-  }
+  private def targetPath(t: LogicalPlan): Option[String] =
+    TxnLogSqlSurface.targetPath(spark, t)
 
   private def fail(msg: String): Nothing =
     throw new AnalysisException(
@@ -206,6 +220,80 @@ case class TxnLogMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (keys.isEmpty) fail("no key equality in ON clause")
     TxnLogMergeCommand(path, m.sourceTable, keys,
       withSchemaEvolution = m.withSchemaEvolution)
+  }
+}
+
+/** SQL `DELETE FROM` / `UPDATE` over txnlog views and catalog tables —
+  * the remaining row-level DML next to MERGE, claimed in the Hints
+  * batch like [[TxnLogMergeRule]] (Spark's own analysis refuses v1
+  * row-level DML by throwing) and mapped onto the format's own
+  * operators: DELETE → [[TxnLog.deleteWhereDV]] (merge-on-read, ZERO
+  * files rewritten — the 100 TB default, exactly Delta-with-DVs'
+  * SQL DELETE), UPDATE → [[TxnLog.updateWhere]] (copy-on-write with
+  * update_pre/post CDF journaling). Non-txnlog targets pass through. */
+case class TxnLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case d: DeleteFromTable =>
+        TxnLogSqlSurface.targetPath(spark, d.table) match {
+          case None => d
+          case Some(path) => TxnLogDeleteCommand(path,
+            ExprBox(TxnLogSqlSurface.unqualify(d.condition)))
+        }
+      case u: UpdateTable =>
+        TxnLogSqlSurface.targetPath(spark, u.table) match {
+          case None => u
+          case Some(path) =>
+            val names = u.assignments.map(a => a.key match {
+              case ua: UnresolvedAttribute => ua.nameParts.last
+              case ar: AttributeReference => ar.name
+              case other => throw new AnalysisException(
+                errorClass = "_LEGACY_ERROR_TEMP_3100",
+                messageParameters = Map("message" ->
+                  (s"txnlog UPDATE: cannot SET $other — assignments " +
+                    "must target plain columns")))
+            })
+            TxnLogUpdateCommand(path, names,
+              u.assignments.map(a =>
+                ExprBox(TxnLogSqlSurface.unqualify(a.value))),
+              u.condition.map(c =>
+                ExprBox(TxnLogSqlSurface.unqualify(c))))
+        }
+    }
+}
+
+/** Opaque expression holder: a DML command's predicate/assignment
+  * expressions are INTENTIONALLY unresolved at analysis time (they
+  * resolve by name against the table's own snapshot DataFrame at run
+  * time), but an `Expression`-typed case-class field would surface in
+  * the command's auto-derived `expressions` and fail CheckAnalysis's
+  * unresolved-attribute sweep — boxing hides them from the traversal
+  * without losing the tree. */
+final case class ExprBox(e: Expression)
+
+/** Runnable half of SQL DELETE: one merge-on-read DV commit. */
+case class TxnLogDeleteCommand(table: String, cond: ExprBox)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    TxnLog.deleteWhereDV(session, table, GraftShim.column(cond.e))
+    Nil
+  }
+}
+
+/** Runnable half of SQL UPDATE: one copy-on-write commit with
+  * update_preimage/update_postimage CDF journaling. */
+case class TxnLogUpdateCommand(table: String, setNames: Seq[String],
+                               setValues: Seq[ExprBox],
+                               cond: Option[ExprBox])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    TxnLog.updateWhere(session, table,
+      cond.map(b => GraftShim.column(b.e)).getOrElse(lit(true)),
+      setNames.zip(setValues.map(b => GraftShim.column(b.e))))
+    Nil
   }
 }
 

@@ -364,6 +364,30 @@ object TxnLog {
   private def actionsOf(table: String, v: Long): Seq[Array[String]] =
     readLines(fsOf(logDir(table)), logFile(table, v)).map(_.split('\t'))
 
+  /** One committed version classified for the STREAMING SOURCE:
+    * (op, data-file adds, layoutOnly = carries `nochange`, rewrite =
+    * removes rows or masks them with DVs). Layout-only commits
+    * (compact) are silently invisible to a stream — their adds are the
+    * same rows re-laid; rewrite commits are the ones Delta's source
+    * refuses without ignoreChanges. */
+  private[sources] def versionAdds(table: String, v: Long)
+      : (String, Seq[String], Boolean, Boolean) = {
+    val acts = actionsOf(table, v)
+    val op = acts.collectFirst { case Array("op", o) => o }.getOrElse("")
+    val adds = acts.collect { case Array("add", f) => f }
+    val layoutOnly = acts.exists {
+      case Array("nochange") => true
+      case _ => false
+    }
+    val rewrite = acts.exists {
+      case Array("remove", _) => true
+      case Array("dvcount", _, _) => true
+      case Array("dvclear") => true
+      case _ => false
+    }
+    (op, adds.toSeq, layoutOnly, rewrite)
+  }
+
   /** Best-effort checkpoint after commit `v` (every
     * [[CheckpointInterval]]-th version): full replay state serialized
     * next to the log, written temp-then-atomic-move. Failure is
@@ -728,7 +752,7 @@ object TxnLog {
                                   dvFiles: Seq[String])
       : Map[String, Array[Long]] = {
     if (dvFiles.isEmpty) return Map.empty
-    val key = (table, dvFiles.sorted.mkString(" "))
+    val key = (table, dvFiles.sorted.mkString("\u0000"))
     var m = dvCache.get(key)
     if (m == null) {
       import org.apache.spark.sql.functions.{col, collect_list, sort_array}
@@ -2025,6 +2049,50 @@ object TxnLog {
     val deleted = snap.filter(hit).withColumn("_change_type", lit("delete"))
     overwrite(spark, table, survivors, Some(base), cdcRows = Some(deleted),
       opName = "delete")
+  }
+
+  /** SQL UPDATE as a transactional copy-on-write commit (Delta's
+    * UPDATE shape): rows where cond === TRUE get the SET assignments
+    * applied — each value store-assignment cast to its declared column
+    * type, exactly the upsert writer's contract — NULL-predicate rows
+    * are KEPT (SQL semantics, mirroring [[deleteWhere]]), and the
+    * change feed journals update_preimage/update_postimage pairs so
+    * incremental consumers see the update row-level, same as a MERGE.
+    * The file-pruned path for key-addressed changes remains
+    * [[upsert]]; a predicate UPDATE (no key) rewrites the snapshot the
+    * way [[deleteWhere]] does. */
+  def updateWhere(spark: SparkSession, table: String, cond: Column,
+                  set: Seq[(String, Column)],
+                  expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(exists(table), s"not a TxnLog table: $table")
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val st = replayState(table, base)
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val byName = set.toMap
+    declared.foreach { d =>
+      val missing = byName.keySet -- d.fieldNames.toSet
+      require(missing.isEmpty,
+        s"UPDATE sets undeclared column(s): ${missing.mkString(", ")}")
+    }
+    val snap = snapshot(spark, table, Some(base))
+    val hit = coalesce(cond, lit(false))
+    val untouched = snap.filter(!hit)
+    val pre = snap.filter(hit)
+    def assigned(df: DataFrame): DataFrame =
+      df.select(df.columns.toSeq.map { c =>
+        byName.get(c).fold(col(c)) { v =>
+          declared.map(_(c).dataType).fold(v)(v.cast).as(c)
+        }
+      }: _*)
+    val post = assigned(pre)
+    val cdc = pre.withColumn("_change_type", lit("update_preimage"))
+      .unionByName(post.withColumn("_change_type",
+        lit("update_postimage")))
+    overwrite(spark, table, untouched.unionByName(post), Some(base),
+      cdcRows = Some(cdc), opName = "update")
   }
 
   /** MERGE-ON-READ DELETE via deletion vectors (Delta's DV feature /

@@ -66,8 +66,47 @@ final class TxnLogSource extends RelationProvider
     with org.apache.spark.sql.sources.SchemaRelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
   override def shortName(): String = "txnlog"
+
+  /** `spark.readStream.format("txnlog")`: the table's APPEND history as
+    * a streaming source with LOG VERSIONS as offsets (Delta's streaming
+    * source shape) — every create/append/idempotentAppend row exactly
+    * once, replay-deterministic across restarts because offsets are
+    * committed versions and log files are immutable. Layout-only
+    * commits (compact — `nochange`) are invisible; row-REWRITING
+    * commits (upsert/delete/overwrite/restore) refuse descriptively
+    * unless `ignoreChanges=true` skips them (Delta's contract — a
+    * rewrite re-serves rows a pure append stream must not duplicate).
+    * `startingVersion` (default: from the first version) bounds the
+    * initial replay; versions below the vacuum horizon fail like any
+    * time travel. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "txnlog source: the schema comes from the table's own declared " +
+        "schema — a user-specified one cannot override the log")
+    val table = tableOf(parameters)
+    val declared = TxnLog.declaredSchema(table).getOrElse(sys.error(
+      s"txnlog source requires a declared schema in the log: $table"))
+    (shortName(), StructType(declared.fields.map(_.copy(nullable = true))))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new TxnLogStreamSource(sqlContext, tableOf(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      startingVersion =
+        parameters.get("startingVersion").map(_.trim.toLong),
+      ignoreChanges =
+        parameters.get("ignoreChanges").exists(_.trim.toBoolean))
 
   /** Schema-carrying resolution (what Spark passes for CATALOG tables,
     * whose schema it persisted at CREATE time): the LOG's declared
@@ -272,6 +311,76 @@ private[graft] final class TxnLogSink(table: String,
     }
     TxnLog.idempotentAppend(spark, table, batch, appId, batchId): Unit
   }
+}
+
+/** The v1 streaming SOURCE behind `readStream.format("txnlog")`:
+  * offsets are committed log versions, `getBatch((from, to])` serves
+  * exactly the data files ADDED by the append-shaped commits in that
+  * window — deterministic replay from immutable log files, so a
+  * restarted query's checkpointed offset window rebuilds the identical
+  * micro-batch (the property Spark's exactly-once sink contract needs
+  * from a source). The batch plan is [[TxnLog.readFiles]] — the same
+  * pruned, schema-pinned, mapping-aware reader every batch consumer
+  * uses — re-rooted as a streaming DataFrame
+  * ([[org.apache.spark.sql.GraftShim.asStreaming]], the Kafka-source
+  * materialization). */
+private[graft] final class TxnLogStreamSource(sqlCtx: SQLContext,
+                                              table: String,
+                                              declared: StructType,
+                                              startingVersion: Option[Long],
+                                              ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  private def spark = sqlCtx.sparkSession
+  override def schema: StructType = declared
+
+  private val floor: Long = startingVersion.getOrElse(0L) - 1L
+
+  private def versionOf(o: org.apache.spark.sql.execution.streaming
+      .Offset): Long = o match {
+    case org.apache.spark.sql.execution.streaming.runtime.LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val vs = TxnLog.versions(table)
+    if (vs.isEmpty || vs.last <= floor) None
+    else Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(vs.last))
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val from = math.max(start.map(versionOf).getOrElse(floor), floor)
+    val to = versionOf(end)
+    val files = TxnLog.versions(table)
+      .filter(v => v > from && v <= to)
+      .flatMap { v =>
+        val (op, adds, layoutOnly, rewrite) = TxnLog.versionAdds(table, v)
+        if (layoutOnly) Nil // compaction re-lays rows a stream has seen
+        else if (rewrite) {
+          if (ignoreChanges) Nil
+          else sys.error(s"txnlog source: version $v of $table is a " +
+            s"row-rewriting commit (op=$op) — a pure append stream " +
+            "cannot serve it exactly-once; set ignoreChanges=true to " +
+            "skip rewrite commits, or consume TxnLog.changeStream " +
+            "for row-level changes")
+        } else adds
+      }
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(declared.fields.map(_.copy(nullable = true))))
+      else TxnLog.readFiles(spark, table, files, Some(declared))
+    org.apache.spark.sql.GraftShim.asStreaming(batch)
+  }
+
+  override def commit(
+      end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxnLogStreamSource[$table]"
 }
 
 /** The fast-path relation: a real [[HadoopFsRelation]] (so

@@ -945,6 +945,44 @@ object EventStream {
     } finally deleteRecursively(java.nio.file.Paths.get(table).getParent)
   }
 
+  /** `spark.readStream.format("txnlog")` end-to-end: the registered
+    * STREAMING SOURCE (log versions as offsets) consumes a table's
+    * append history through the format string — no programmatic
+    * `appendStream` call — with a compaction (layout-only, invisible)
+    * and an upsert (row-rewriting, skipped under `ignoreChanges`) in
+    * the middle of the log, so the totals pin the source's Delta-shaped
+    * commit classification, not just the happy path. */
+  def txnSourceStreamTotals(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txn_src_").resolve("t").toString
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_totalprice"))
+    val d97 = to_date(lit("1997-01-01"))
+    val d98 = to_date(lit("1998-01-01"))
+    TxnLog.create(spark, table, o.filter(col("o_orderdate") < d97))
+    TxnLog.append(spark, table,
+      o.filter(col("o_orderdate") >= d97 && col("o_orderdate") < d98))
+    // rewrites: compaction is layout-only (always invisible); the
+    // upsert is a row-rewriting commit ignoreChanges skips
+    TxnLog.compact(spark, table)
+    TxnLog.upsert(spark, table, o.filter(col("o_orderdate") >= d98),
+      Seq("o_orderkey"))
+    val agg = spark.readStream.format("txnlog")
+      .option("path", table).option("ignoreChanges", "true")
+      .load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(Exact.Money)).as("tp"))
+    try runToResult(spark, agg, "complete",
+      statePartitioned = false, None) { t =>
+      t.select(col("o_orderstatus"), col("n_rows"),
+        col("tp").cast(DoubleType).as("total_price"))
+        .orderBy("o_orderstatus")
+    } finally deleteRecursively(java.nio.file.Paths.get(table).getParent)
+  }
+
   def dailyTotals(spark: SparkSession, dir: String): DataFrame = {
     val (src, landing) = eventsStream(spark, dir)
     val agg = src

@@ -1656,6 +1656,76 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_sql_cat")
     assert(!spark.catalog.tableExists("txn_sql_cat"))
     assert(TxnLog.exists(t2))
+    // SQL UPDATE: copy-on-write with update_pre/post CDF journaling
+    val t3 = freshTable()
+    TxnLog.create(spark, t3, nation)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_dml_v " +
+      s"USING txnlog OPTIONS (path '$t3')")
+    spark.sql("UPDATE txn_dml_v SET n_name = concat(n_name, '_U') " +
+      "WHERE n_regionkey = 2")
+    val vU = TxnLog.versions(t3).last
+    assert(spark.read.format("txnlog").load(t3)
+      .filter(col("n_name").endsWith("_U")).count() ==
+      nation.filter(col("n_regionkey") === 2).count())
+    assert(TxnLog.changesBetween(spark, t3, vU - 1, vU)
+      .filter(col("_change_type") === "update_postimage").count() ==
+      nation.filter(col("n_regionkey") === 2).count())
+    // SQL DELETE: merge-on-read DV commit — zero files rewritten
+    val filesBefore = TxnLog.files(t3)
+    spark.sql("DELETE FROM txn_dml_v WHERE n_regionkey = 0")
+    assert(TxnLog.files(t3) == filesBefore,
+      "SQL DELETE must journal deletion vectors, not rewrite files")
+    assert(spark.read.format("txnlog").load(t3).count() ==
+      nation.filter(col("n_regionkey") =!= 0).count())
+    // NULL-predicate rows are KEPT (SQL semantics)
+    spark.sql("DELETE FROM txn_dml_v " +
+      "WHERE CASE WHEN n_regionkey = 1 THEN true ELSE CAST(NULL AS " +
+      "BOOLEAN) END")
+    assert(spark.read.format("txnlog").load(t3).count() ==
+      nation.filter(col("n_regionkey") =!= 0).count() -
+        nation.filter(col("n_regionkey") === 1).count())
+  }
+
+  test("readStream.format(txnlog): version offsets, rewrite refusal") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 2))
+    def runStream(extra: Map[String, String]): Seq[Seq[Any]] = {
+      val reader = spark.readStream.format("txnlog").option("path", t)
+      val src = extra.foldLeft(reader) { case (r, (k, v)) =>
+        r.option(k, v) }.load()
+      val qname = "txn_src_" + math.abs(t.hashCode)
+      val q = src.groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() }
+      finally q.stop()
+      rowsOf(spark.table(qname).orderBy("n_regionkey"))
+    }
+    // exactly-once append replay across both commits
+    assert(runStream(Map.empty) ==
+      rowsOf(nation.groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+        .orderBy("n_regionkey")))
+    // startingVersion bounds the initial replay
+    assert(runStream(Map("startingVersion" -> "2")) ==
+      rowsOf(nation.filter(col("n_regionkey") >= 2)
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+        .orderBy("n_regionkey")))
+    // a layout-only compaction is invisible; a row-rewriting commit
+    // refuses without ignoreChanges and is skipped with it
+    TxnLog.compact(spark, t, targetFiles = 2)
+    assert(runStream(Map.empty).map(_(1).asInstanceOf[Long]).sum ==
+      nation.count())
+    TxnLog.upsert(spark, t, nation.limit(2)
+      .withColumn("n_name", lit("REWRITTEN")), Seq("n_nationkey"))
+    val e = intercept[Throwable] { runStream(Map.empty) }
+    def messages(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + messages(x.getCause)
+    assert(messages(e).contains("ignoreChanges"))
+    assert(runStream(Map("ignoreChanges" -> "true"))
+      .map(_(1).asInstanceOf[Long]).sum == nation.count(),
+      "ignoreChanges must skip the rewrite commit, not duplicate rows")
   }
 
   test("scheme-agnostic table I/O: full lifecycle through a file:// URI") {
