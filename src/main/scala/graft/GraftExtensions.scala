@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // command (unlogged files are silently invisible); the cached
     // catalog-relation INSERT route plans it — rewrite post-hoc
     ext.injectPostHocResolutionRule(s => graft.plans.TxnLogInsertGuard(s))
+    // maintenance statements Spark's grammar lacks: VACUUM / OPTIMIZE
+    // [ZORDER BY] / DESCRIBE HISTORY — a delegating parser claims them,
+    // every other statement reaches the stock parser untouched
+    ext.injectParser((s, delegate) =>
+      new graft.plans.GraftSqlParser(s, delegate))
   }
 }
 

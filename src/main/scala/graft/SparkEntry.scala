@@ -5113,6 +5113,35 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] maintenance SQL: `OPTIMIZE … ZORDER BY` + `DESCRIBE
+    // HISTORY` + `VACUUM … RETAIN n HOURS` — the Delta utility triad as
+    // literal statements ([[graft.plans.GraftSqlParser]], a delegating
+    // parser; Spark's grammar has none of them). The optimize is one
+    // hilbert-clustering commit (layout-only: the aggregate is
+    // oracle-identical), DESCRIBE HISTORY labels the log, and the
+    // vacuum reclaims the pre-compaction files while the head stays
+    // readable — requires pin all three. ──────────────────────────────
+    "q309_txn_maintenance_sql" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q309_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl, o)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q309_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql("OPTIMIZE q309_txn_v ZORDER BY (o_orderkey, o_totalprice)")
+      val ops = s.sql("DESCRIBE HISTORY q309_txn_v")
+        .orderBy("version").collect().map(_.getString(1)).toSeq
+      require(ops == Seq("create", "compact"),
+        s"history must label the two commits, got $ops")
+      val swept = s.sql("VACUUM q309_txn_v RETAIN 0 HOURS").count()
+      require(swept > 0, "vacuum must reclaim the pre-optimize files")
+      s.table("q309_txn_v")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── [ext] approximate-quantile sanity gate: Spark's native
     // percentile_approx (Greenwald-Khanna-style mergeable sketch — the
     // O(1)-state quantile any 100 TB profile actually runs) checked
@@ -5625,6 +5654,15 @@ object SparkEntry {
     // because offsets are committed versions over immutable log files.
     "q306_stream_txnlog_source" -> ((s, dir) =>
       graft.streaming.EventStream.txnSourceStreamTotals(s, dir)),
+
+    // ── [ext] STREAMING change feed via the format string — the q275
+    // journal consumed through `readStream.format("txnlog")
+    // .option("readChangeFeed", true)`: version-offset micro-batches of
+    // changesBetween windows (Delta's streaming readChangeFeed), with
+    // `_commit_version` proving which commit produced each change class
+    // (update pre/post from the upsert's v2, deletes from v3). ────────
+    "q308_stream_txnlog_cdf" -> ((s, dir) =>
+      graft.streaming.EventStream.txnCdfStreamTotals(s, dir)),
 
     // ── [ext] file-pruned MERGE on an UNPARTITIONED table: the log's
     // per-file min/max stats and blooms on the merge key split the
@@ -10323,6 +10361,32 @@ object SparkEntry {
           |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
           |FROM f GROUP BY 1 ORDER BY _change_type""".stripMargin,
 
+      // q308: the streaming change-feed source replays q275's journal
+      // with _commit_version — updates/inserts from the upsert (v2),
+      // deletes from the delete commit (v3)
+      "q308_stream_txnlog_cdf" ->
+        """WITH upd AS (SELECT * FROM orders
+          |  WHERE o_orderdate BETWEEN DATE '1997-06-01'
+          |    AND DATE '1998-06-30'),
+          |f AS (
+          |  SELECT 'insert' AS _change_type, o_totalprice * 2 AS p,
+          |    2 AS v
+          |  FROM upd WHERE o_orderdate >= DATE '1998-01-01'
+          |  UNION ALL
+          |  SELECT 'update_preimage', o_totalprice, 2
+          |  FROM upd WHERE o_orderdate < DATE '1998-01-01'
+          |  UNION ALL
+          |  SELECT 'update_postimage', o_totalprice * 2, 2
+          |  FROM upd WHERE o_orderdate < DATE '1998-01-01'
+          |  UNION ALL
+          |  SELECT 'delete', o_totalprice * 2, 3
+          |  FROM upd WHERE o_totalprice * 2 > 900000)
+          |SELECT _change_type, count(*) AS n_rows,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price,
+          |  CAST(min(v) AS BIGINT) AS first_v
+          |FROM f GROUP BY 1 ORDER BY _change_type""".stripMargin,
+
       // q264: exactly-once makes the streaming+replay pipeline equal
       // the plain batch aggregate
       "q264_stream_txnlog_sink" ->
@@ -10416,6 +10480,14 @@ object SparkEntry {
           |    AS total_price
           |FROM st WHERE p <= 300000
           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q309: optimize + vacuum are layout/lifecycle-only — the
+      // aggregate equals the plain table
+      "q309_txn_maintenance_sql" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q260: the paged source's deterministic payload replayed from
       // generate_series — page p holds ids p*50 .. p*50+49, symbol

@@ -93,20 +93,36 @@ final class TxnLogSource extends RelationProvider
     val table = tableOf(parameters)
     val declared = TxnLog.declaredSchema(table).getOrElse(sys.error(
       s"txnlog source requires a declared schema in the log: $table"))
-    (shortName(), StructType(declared.fields.map(_.copy(nullable = true))))
+    val base = StructType(declared.fields.map(_.copy(nullable = true)))
+    val out =
+      if (parameters.get("readChangeFeed").exists(_.trim.toBoolean))
+        base.add(StructField("_change_type", StringType))
+          .add(StructField("_commit_version", LongType))
+      else base
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source =
-    new TxnLogStreamSource(sqlContext, tableOf(parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      startingVersion =
-        parameters.get("startingVersion").map(_.trim.toLong),
-      ignoreChanges =
-        parameters.get("ignoreChanges").exists(_.trim.toBoolean))
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val table = tableOf(parameters)
+    val declared =
+      sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val startV = parameters.get("startingVersion").map(_.trim.toLong)
+    if (parameters.get("readChangeFeed").exists(_.trim.toBoolean))
+      // STREAMING CDF (Delta's readChangeFeed stream): each micro-batch
+      // is a changesBetween window over newly committed versions —
+      // row-level pre/post/delete/insert records with _commit_version,
+      // same rows as the batch CDF relation, incrementally
+      new TxnLogChangeStreamSource(sqlContext, table, declared, startV)
+    else
+      new TxnLogStreamSource(sqlContext, table, declared,
+        startingVersion = startV,
+        ignoreChanges =
+          parameters.get("ignoreChanges").exists(_.trim.toBoolean))
+  }
 
   /** Schema-carrying resolution (what Spark passes for CATALOG tables,
     * whose schema it persisted at CREATE time): the LOG's declared
@@ -381,6 +397,65 @@ private[graft] final class TxnLogStreamSource(sqlCtx: SQLContext,
       end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"TxnLogStreamSource[$table]"
+}
+
+/** Streaming CHANGE-FEED source (`readStream.format("txnlog")
+  * .option("readChangeFeed", true)`): offsets are log versions and each
+  * micro-batch is the [[TxnLog.changesBetween]] window over the newly
+  * committed versions — the exact rows the batch CDF relation serves,
+  * delivered incrementally (Delta's streaming readChangeFeed).
+  * Restart-deterministic like [[TxnLogStreamSource]]; windows that
+  * span a raw overwrite refuse the way every CDF consumer does. Output
+  * columns align to the schema pinned at stream start — post-evolution
+  * windows surface missing columns as typed nulls until the stream is
+  * re-created. */
+private[graft] final class TxnLogChangeStreamSource(
+    sqlCtx: SQLContext, table: String, declared: StructType,
+    startingVersion: Option[Long])
+    extends org.apache.spark.sql.execution.streaming.Source {
+  private def spark = sqlCtx.sparkSession
+  override def schema: StructType = declared
+  private val floor: Long = startingVersion.getOrElse(1L) - 1L
+
+  private def versionOf(o: org.apache.spark.sql.execution.streaming
+      .Offset): Long = o match {
+    case org.apache.spark.sql.execution.streaming.runtime
+      .LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val vs = TxnLog.versions(table)
+    if (vs.isEmpty || vs.last <= floor) None
+    else Some(org.apache.spark.sql.execution.streaming.runtime
+      .LongOffset(vs.last))
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val from = math.max(start.map(versionOf).getOrElse(floor), floor)
+    val to = versionOf(end)
+    val batch =
+      if (from >= to)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared)
+      else {
+        val feed = TxnLog.changesBetween(spark, table, from, to)
+        val have = feed.columns.toSet
+        feed.select(declared.fields.toSeq.map(f =>
+          if (have.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }
+    org.apache.spark.sql.GraftShim.asStreaming(batch)
+  }
+
+  override def commit(
+      end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxnLogChangeStreamSource[$table]"
 }
 
 /** The fast-path relation: a real [[HadoopFsRelation]] (so

@@ -907,6 +907,46 @@ object EventStream {
     } finally deleteRecursively(java.nio.file.Paths.get(table).getParent)
   }
 
+  /** Streaming CDF via the FORMAT STRING: the q275 pipeline (create →
+    * MERGE-style upsert → delete) consumed through
+    * `readStream.format("txnlog").option("readChangeFeed", true)` — the
+    * registered change-feed SOURCE whose offsets are log versions and
+    * whose micro-batches are changesBetween windows, i.e. Delta's
+    * streaming readChangeFeed with zero programmatic calls.
+    * `startingVersion = 2` opens the window after the create, so the
+    * feed is exactly the journaled upsert/delete rows. */
+  def txnCdfStreamTotals(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txn_cdfsrc_").resolve("t").toString
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_totalprice"))
+    val d98 = to_date(lit("1998-01-01"))
+    TxnLog.create(spark, table, o.filter(col("o_orderdate") < d98))
+    TxnLog.upsert(spark, table,
+      o.filter(col("o_orderdate").between(
+          to_date(lit("1997-06-01")), to_date(lit("1998-06-30"))))
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"))
+    TxnLog.deleteWhere(spark, table, col("o_totalprice") > 900000)
+    val agg = spark.readStream.format("txnlog")
+      .option("path", table)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2")
+      .load()
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(Exact.Money)).as("tp"),
+        min(col("_commit_version")).as("first_v"))
+    try runToResult(spark, agg, "complete",
+      statePartitioned = false, None) { t =>
+      t.select(col("_change_type"), col("n_rows"),
+        col("tp").cast(DoubleType).as("total_price"), col("first_v"))
+        .orderBy("_change_type")
+    } finally deleteRecursively(java.nio.file.Paths.get(table).getParent)
+  }
+
   /** q286: the APPEND-path streaming read of a TxnLog table — the
     * `_stream_feed` hard-link mirror is an append-only parquet feed of
     * exactly the create/append/idempotentAppend rows, so Spark's

@@ -1686,6 +1686,39 @@ class TxnLogSpec extends SparkSpec {
         nation.filter(col("n_regionkey") === 1).count())
   }
 
+  test("maintenance SQL: VACUUM, OPTIMIZE ZORDER, DESCRIBE HISTORY") {
+    val t = freshTable()
+    val df = spark.range(0, 4000).select(
+      (col("id") % 97).as("a"), ((col("id") * 31) % 89).as("b"),
+      col("id").as("k"))
+    TxnLog.create(spark, t, df)
+    TxnLog.append(spark, t, df.limit(10))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_maint_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    // OPTIMIZE ZORDER: one compaction commit, hilbert-clustered, with
+    // pruning effective on BOTH zorder columns afterwards
+    val opt = spark.sql(
+      "OPTIMIZE txn_maint_v ZORDER BY (a, b)").collect()
+    assert(opt.length == 1 && opt(0).getLong(1) >= 2L)
+    val full = TxnLog.snapshot(spark, t).inputFiles.length
+    for (c <- Seq("a", "b"))
+      assert(TxnLog.snapshotWhere(spark, t, c, 5L, 9L)
+        .inputFiles.length < full, s"zorder must let $c prune")
+    assert(TxnLog.snapshot(spark, t).count() == 4010)
+    // DESCRIBE HISTORY: every commit, operations labeled
+    val hist = spark.sql("DESCRIBE HISTORY txn_maint_v").collect()
+    assert(hist.map(_.getLong(0)).toSeq == TxnLog.versions(t))
+    assert(hist.map(_.getString(1)).toSeq ==
+      Seq("create", "append", "compact"))
+    // VACUUM RETAIN 0 HOURS: reclaims the pre-compaction files; the
+    // statement returns the swept paths and the head stays readable
+    val swept = spark.sql("VACUUM txn_maint_v RETAIN 0 HOURS").collect()
+    assert(swept.nonEmpty, "vacuum must reclaim the rewritten files")
+    assert(TxnLog.snapshot(spark, t).count() == 4010)
+    // quoted-path addressing works without any view
+    assert(spark.sql(s"DESCRIBE HISTORY '$t'").count() >= 1)
+  }
+
   test("readStream.format(txnlog): version offsets, rewrite refusal") {
     val t = freshTable()
     TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
