@@ -5142,6 +5142,152 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] SQL RESTORE — `RESTORE TABLE t TO VERSION AS OF n`
+    // ([[graft.plans.GraftSqlParser]] → [[graft.sources.TxnLog
+    // .restore]]): the bad-deploy undo as ONE metadata commit (history
+    // preserved, nothing deleted — at 100 TB the restore costs the same
+    // as at 100 MB because no data file moves). The require pins that
+    // the roll-back and the roll-FORWARD (restore is symmetric) each
+    // landed as exactly one commit. ───────────────────────────────────
+    "q310_txn_sql_restore" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q310_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate",
+          "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl,
+        o.filter(col("o_orderdate") < d98))
+      graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d98))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q310_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      val r = s.sql("RESTORE TABLE q310_txn_v TO VERSION AS OF 1")
+        .collect()
+      require(r.length == 1 && r(0).getLong(1) == 3L,
+        "restore must land as exactly one new commit")
+      s.table("q310_txn_v")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── [ext] SQL column DDL — `ALTER TABLE … ADD/RENAME/DROP COLUMN`
+    // for txnlog targets ([[graft.plans.GraftSqlParser]] claims only
+    // tables that resolve to the format; everything else reaches the
+    // stock parser): each is a METADATA-ONLY commit — ADD surfaces
+    // nulls on old files, RENAME/DROP ride column mapping with GUID
+    // physical names (old files stay readable, dropped names cannot
+    // resurrect) — so schema surgery on a 100 TB table rewrites zero
+    // bytes. ──────────────────────────────────────────────────────────
+    "q311_txn_sql_alter_columns" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q311_txn")
+      val n = T(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.TxnLog.create(s, tbl, n)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q311_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql("ALTER TABLE q311_txn_v ADD COLUMN score INT")
+      graft.sources.TxnLog.append(s, tbl, n
+        .withColumn("n_nationkey", col("n_nationkey") + 100)
+        .withColumn("n_name", concat(col("n_name"), lit("_S")))
+        .withColumn("score", col("n_regionkey") * 10))
+      s.sql("ALTER TABLE q311_txn_v RENAME COLUMN score TO quality")
+      s.sql("ALTER TABLE q311_txn_v DROP COLUMN n_regionkey")
+      require(graft.sources.TxnLog.files(tbl).size ==
+        graft.sources.TxnLog.snapshot(s, tbl).inputFiles.length,
+        "column DDL must be metadata-only — zero files rewritten")
+      // the re-created view serves the post-DDL shape: renamed values
+      // survive, old rows read the added column as null
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q311_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.table("q311_txn_v")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("quality"), lit(-1)).as("quality"))
+        .orderBy("n_nationkey")
+    }),
+
+    // ── [ext] SHALLOW CLONE — `CREATE TABLE d SHALLOW CLONE s [VERSION
+    // AS OF n] LOCATION '…'` ([[graft.sources.TxnLog.shallowClone]]):
+    // a zero-copy table branch whose v1 log REFERENCES the source
+    // snapshot's immutable files by absolute path — cloning a 100 TB
+    // table is one metadata write (the require pins zero data files
+    // under the clone), yet the clone is fully independent: its own
+    // writes land locally (readers union the two bases), stats/bloom
+    // skipping carries over, and compact() severs the reference. ──────
+    "q312_txn_shallow_clone" -> ((s, dir) => {
+      val src = TempWork.fresh("q312_src")
+      val dst = TempWork.fresh("q312_dst")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.TxnLog.create(s, src, o,
+        statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q312_clone_t")
+      s.sql(s"CREATE TABLE q312_clone_t SHALLOW CLONE '$src' " +
+        s"VERSION AS OF 1 LOCATION '$dst'")
+      val cloned = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dst))
+        try st.filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_txn_log")).count()
+        finally st.close()
+      }
+      require(cloned == 0, "shallow clone must copy zero data files")
+      // the clone diverges without touching the source
+      s.sql("UPDATE q312_clone_t SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey < 1000")
+      require(graft.sources.TxnLog.snapshot(s, src)
+        .filter(col("o_orderkey") < 1000).count() ==
+        o.filter(col("o_orderkey") < 1000).count(),
+        "clone writes must never reach the source")
+      val out = s.table("q312_clone_t")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+      // force materialization before the catalog entry is dropped
+      val pinned = out.localCheckpoint(true)
+      s.sql("DROP TABLE q312_clone_t")
+      pinned
+    }),
+
+    // ── [ext] rate-limited streaming source —
+    // `maxVersionsPerTrigger=1` drains a 4-version backlog as four
+    // bounded micro-batches (the helper's require pins the batch count
+    // from the query's own progress): Delta's maxFilesPerTrigger
+    // contract at version granularity, the difference between a
+    // restartable catch-up and an executor-OOM first trigger at
+    // 100 TB. ─────────────────────────────────────────────────────────
+    "q313_stream_rate_limit" -> ((s, dir) =>
+      graft.streaming.EventStream.txnRateLimitedStreamTotals(s, dir)),
+
+    // ── [ext] pure-SQL CTAS — `CREATE TABLE … USING txnlog LOCATION …
+    // AS SELECT …` lands through the provider's CreatableRelation path
+    // as exactly the create commit (require-pinned), making table
+    // bootstrap a one-statement operation; the result then reads back
+    // through `spark.table` with the log, not the catalog copy, as
+    // schema truth. ───────────────────────────────────────────────────
+    "q314_txn_ctas" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q314_txn")
+      s.sql("DROP TABLE IF EXISTS q314_ctas_t")
+      T(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .createOrReplaceTempView("q314_src")
+      s.sql(s"CREATE TABLE q314_ctas_t USING txnlog LOCATION '$tbl' " +
+        "AS SELECT * FROM q314_src WHERE l_quantity < 25")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L),
+        "CTAS must land as exactly the create commit")
+      val out = s.table("q314_ctas_t")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Exact.moneySum(col("l_extendedprice")).as("total_price"),
+          sum(col("l_quantity")).as("sum_qty")) // integral doubles: exact
+        .orderBy("l_returnflag")
+      val pinned = out.localCheckpoint(true)
+      s.sql("DROP TABLE q314_ctas_t")
+      pinned
+    }),
+
     // ── [ext] approximate-quantile sanity gate: Spark's native
     // percentile_approx (Greenwald-Khanna-style mergeable sketch — the
     // O(1)-state quantile any 100 TB profile actually runs) checked
@@ -10488,6 +10634,57 @@ object SparkEntry {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_price
           |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q310: after RESTORE TO VERSION AS OF 1 the table is the
+      // pre-1998 create batch again
+      "q310_txn_sql_restore" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders WHERE o_orderdate < DATE '1998-01-01'
+          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q311: original rows read the added column as null (→ -1), the
+      // appended copies carry their scores through the rename; the
+      // dropped n_regionkey is gone from the output shape
+      "q311_txn_sql_alter_columns" ->
+        """WITH t AS (
+          |  SELECT n_nationkey, n_name, -1 AS quality FROM nation
+          |  UNION ALL
+          |  SELECT n_nationkey + 100, n_name || '_S',
+          |    n_regionkey * 10 FROM nation)
+          |SELECT n_nationkey, n_name, quality FROM t
+          |ORDER BY n_nationkey""".stripMargin,
+
+      // q312: the clone serves the source snapshot plus its OWN update
+      // (keys < 1000 doubled) — the source stays untouched
+      "q312_txn_shallow_clone" ->
+        """WITH st AS (
+          |  SELECT o_orderstatus,
+          |    CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+          |      ELSE o_totalprice END AS p
+          |  FROM orders)
+          |SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM st GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q313: rate limiting changes the micro-batch cadence, never the
+      // rows — the stream total equals the plain aggregate
+      "q313_stream_rate_limit" ->
+        """SELECT o_orderstatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q314: the CTAS body replayed directly
+      "q314_txn_ctas" ->
+        """SELECT l_returnflag, count(*) AS n_items,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price,
+          |  sum(l_quantity) AS sum_qty
+          |FROM lineitem WHERE l_quantity < 25
+          |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
       // q260: the paged source's deterministic payload replayed from
       // generate_series — page p holds ids p*50 .. p*50+49, symbol

@@ -60,12 +60,34 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
 }
 
 object GraftSqlParser {
+  private val Tok = """(`[^`]+`|'[^']+'|[\w.]+)"""
   private val Vacuum =
-    """(?is)\s*VACUUM\s+(`[^`]+`|'[^']+'|[\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+""" + Tok +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""").r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(`[^`]+`|'[^']+'|[\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + Tok +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|'[^']+'|[\w.]+)\s*;?\s*""".r
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Tok + """\s*;?\s*""").r
+  private val RestoreV =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + Tok +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val RestoreT =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + Tok +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
+  private val AlterAdd =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+ADD\s+COLUMNS?\s+\(?\s*(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)?\s*;?\s*""").r
+  private val AlterRename =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
+  private val AlterDrop =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+DROP\s+COLUMNS?\s+\(?\s*(`[^`]+`|\w+)\s*\)?\s*;?\s*""").r
+  private val CloneStmt =
+    ("""(?is)\s*CREATE\s+TABLE\s+""" + Tok + """\s+SHALLOW\s+CLONE\s+""" +
+      Tok + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
   private def fail(msg: String): Nothing =
     throw new AnalysisException(
@@ -87,6 +109,29 @@ object GraftSqlParser {
         "(quote a table directory to address one by path)"))
   }
 
+  /** Like [[pathOf]] but None instead of failing — for statements
+    * Spark's own grammar ALSO parses (ALTER TABLE …): only a txnlog
+    * target claims them; everything else reaches the stock parser. */
+  private def maybePath(spark: SparkSession, delegate: ParserInterface,
+                        token: String): Option[String] = {
+    val t = token.trim
+    if (t.startsWith("'") || t.startsWith("`"))
+      Some(t.substring(1, t.length - 1))
+    else scala.util.Try(TxnLogSqlSurface
+      .lookupPath(spark, delegate.parseMultipartIdentifier(t)))
+      .toOption.flatten
+  }
+
+  private def unquote(id: String): String =
+    id.trim.stripPrefix("`").stripSuffix("`")
+
+  /** The catalog identifier to REFRESH after a DDL commit (None for a
+    * quoted path target — nothing is cached under a name). */
+  private def refreshNameOf(token: String): Option[String] = {
+    val t = token.trim
+    if (t.startsWith("'") || t.startsWith("`")) None else Some(t)
+  }
+
   private[graft] def maintenancePlan(spark: SparkSession,
                                      delegate: ParserInterface,
                                      sqlText: String)
@@ -100,6 +145,39 @@ object GraftSqlParser {
       Some(TxnLogOptimizeCommand(pathOf(spark, delegate, target), cols))
     case History(target) =>
       Some(TxnLogHistoryCommand(pathOf(spark, delegate, target)))
+    case RestoreV(target, v) =>
+      Some(TxnLogRestoreCommand(pathOf(spark, delegate, target),
+        Left(v.toLong), refreshNameOf(target)))
+    case RestoreT(target, ts) =>
+      Some(TxnLogRestoreCommand(pathOf(spark, delegate, target),
+        Right(ts), refreshNameOf(target)))
+    // ALTER TABLE is in Spark's own grammar: claim it ONLY for a
+    // txnlog target — the commit is a metadata-only schema change in
+    // the table's own log (column mapping), not a catalog edit
+    case AlterAdd(target, col, dt) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogAlterColumnCommand(p, "add", unquote(col),
+          Some(delegate.parseDataType(dt)), None, refreshNameOf(target)))
+    case AlterRename(target, from, to) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogAlterColumnCommand(p, "rename", unquote(from), None,
+          Some(unquote(to)), refreshNameOf(target)))
+    case AlterDrop(target, col) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogAlterColumnCommand(p, "drop", unquote(col), None, None,
+          refreshNameOf(target)))
+    case CloneStmt(dest, src, v, loc) =>
+      val srcPath = pathOf(spark, delegate, src)
+      val d = dest.trim
+      val destPath =
+        if (d.startsWith("'") || d.startsWith("`"))
+          d.substring(1, d.length - 1)
+        else Option(loc).getOrElse(fail(
+          s"CREATE TABLE $d SHALLOW CLONE …: an identifier destination " +
+            "needs LOCATION '<table dir>' (or quote a path directly)"))
+      val register = refreshNameOf(dest)
+      Some(TxnLogCloneCommand(destPath, srcPath,
+        Option(v).map(_.toLong), register))
     case _ => None
   }
 }
@@ -153,4 +231,77 @@ case class TxnLogHistoryCommand(table: String)
     AttributeReference("n_cdc_files", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     TxnLog.history(session, table).collect().toSeq
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` / `TO TIMESTAMP AS OF '…'`:
+  * roll the table's LIVE state back to a retained snapshot as one new
+  * commit ([[TxnLog.restore]] — history is preserved, nothing is
+  * deleted; Delta's RESTORE). Returns (restored_to_version,
+  * new_version). */
+case class TxnLogRestoreCommand(table: String,
+                                to: Either[Long, String],
+                                refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val target = to match {
+      case Left(v) => v
+      case Right(ts) => TxnLog.versionAt(table,
+        graft.sources.TxnLogSource.parseAsOfMillis(ts))
+    }
+    val v = TxnLog.restore(session, table, target)
+    refreshName.foreach(session.catalog.refreshTable)
+    Seq(Row(target, v))
+  }
+}
+
+/** `ALTER TABLE t ADD|RENAME|DROP COLUMN …` for txnlog targets: each is
+  * a METADATA-ONLY commit in the table's own log ([[TxnLog.addColumn]] /
+  * [[TxnLog.renameColumn]] / [[TxnLog.dropColumn]] — column mapping
+  * keeps old files readable and dropped names un-resurrectable); the
+  * session catalog's stored schema copy is advisory and the cached
+  * relation is refreshed. Returns the new log version. */
+case class TxnLogAlterColumnCommand(table: String, action: String,
+                                    col: String,
+                                    dataType: Option[org.apache.spark.sql
+                                      .types.DataType],
+                                    newName: Option[String],
+                                    refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = action match {
+      case "add" => TxnLog.addColumn(session, table, col, dataType.get)
+      case "rename" => TxnLog.renameColumn(session, table, col, newName.get)
+      case "drop" => TxnLog.dropColumn(session, table, col)
+      case other => sys.error(s"unknown ALTER COLUMN action: $other")
+    }
+    refreshName.foreach(session.catalog.refreshTable)
+    Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE <dest> SHALLOW CLONE <src> [VERSION AS OF n]
+  * [LOCATION '<dir>']`: zero-copy table branch —
+  * [[TxnLog.shallowClone]] commits a v1 log that REFERENCES the source
+  * snapshot's files; an identifier destination is then registered as a
+  * catalog table over the clone directory. Returns (version,
+  * n_files_referenced). */
+case class TxnLogCloneCommand(dest: String, source: String,
+                              sourceVersion: Option[Long],
+                              registerAs: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxnLog.shallowClone(session, source, dest, sourceVersion)
+    registerAs.foreach { name =>
+      session.sql(s"CREATE TABLE $name USING txnlog LOCATION '$dest'")
+    }
+    Seq(Row(v, TxnLog.files(dest).size.toLong))
+  }
 }

@@ -58,6 +58,25 @@ object TxnLogSqlSurface {
     case _ => None
   }
 
+  /** The catalog name a DML statement addressed its target by (None
+    * for an already-resolved plan): after a commit that changes the
+    * relation's pinned shape (a first DV, a column-mapping change),
+    * the command refreshes this name so the CACHED catalog relation
+    * re-resolves instead of refusing with the stale-view error. */
+  private[graft] def targetName(t: LogicalPlan): Option[String] = t match {
+    case u: UnresolvedRelation => Some(u.multipartIdentifier.mkString("."))
+    case SubqueryAlias(_, child) => targetName(child)
+    case _ => None
+  }
+
+  /** Refresh a DML target's cached catalog relation, tolerating names
+    * that vanished mid-statement (DROP TABLE race). */
+  private[graft] def refreshQuietly(session: SparkSession,
+                                    name: Option[String]): Unit =
+    name.foreach(n =>
+      try session.catalog.refreshTable(n)
+      catch { case scala.util.control.NonFatal(_) => () })
+
   /** Strip alias qualifiers off unresolved attribute references (the
     * DML predicates/assignments run against the table's own snapshot
     * DataFrame, where `t.price` has no alias to resolve against). */
@@ -238,7 +257,8 @@ case class TxnLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         TxnLogSqlSurface.targetPath(spark, d.table) match {
           case None => d
           case Some(path) => TxnLogDeleteCommand(path,
-            ExprBox(TxnLogSqlSurface.unqualify(d.condition)))
+            ExprBox(TxnLogSqlSurface.unqualify(d.condition)),
+            TxnLogSqlSurface.targetName(d.table))
         }
       case u: UpdateTable =>
         TxnLogSqlSurface.targetPath(spark, u.table) match {
@@ -257,7 +277,8 @@ case class TxnLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               u.assignments.map(a =>
                 ExprBox(TxnLogSqlSurface.unqualify(a.value))),
               u.condition.map(c =>
-                ExprBox(TxnLogSqlSurface.unqualify(c))))
+                ExprBox(TxnLogSqlSurface.unqualify(c))),
+              TxnLogSqlSurface.targetName(u.table))
         }
     }
 }
@@ -272,11 +293,16 @@ case class TxnLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 final case class ExprBox(e: Expression)
 
 /** Runnable half of SQL DELETE: one merge-on-read DV commit. */
-case class TxnLogDeleteCommand(table: String, cond: ExprBox)
+case class TxnLogDeleteCommand(table: String, cond: ExprBox,
+                               refreshName: Option[String] = None)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
     TxnLog.deleteWhereDV(session, table, GraftShim.column(cond.e))
+    // the delete may have journaled the table's FIRST deletion vector:
+    // a cached catalog relation pinned in batch mode would refuse the
+    // next read — re-resolve it now
+    TxnLogSqlSurface.refreshQuietly(session, refreshName)
     Nil
   }
 }
@@ -285,7 +311,8 @@ case class TxnLogDeleteCommand(table: String, cond: ExprBox)
   * update_preimage/update_postimage CDF journaling. */
 case class TxnLogUpdateCommand(table: String, setNames: Seq[String],
                                setValues: Seq[ExprBox],
-                               cond: Option[ExprBox])
+                               cond: Option[ExprBox],
+                               refreshName: Option[String] = None)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
@@ -293,6 +320,7 @@ case class TxnLogUpdateCommand(table: String, setNames: Seq[String],
     TxnLog.updateWhere(session, table,
       cond.map(b => GraftShim.column(b.e)).getOrElse(lit(true)),
       setNames.zip(setValues.map(b => GraftShim.column(b.e))))
+    TxnLogSqlSurface.refreshQuietly(session, refreshName)
     Nil
   }
 }

@@ -326,7 +326,8 @@ object TxnLog {
         case Array("schema", json) => schemaJson = Some(json)
         case Array("cdc", _) => () // change-feed file: never in the snapshot
         case Array("nochange") => () // layout-only commit marker (compaction)
-        case Array("op", _) => () // commitInfo: per-commit metadata, not state
+        case Array("op", _*) => () // commitInfo (+ provenance fields, e.g.
+          // clone's source/version): per-commit metadata, not state
         case Array("check", name, exprSql) => checks(name) = exprSql
         case Array("txn", id, tv) =>
           txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
@@ -692,14 +693,11 @@ object TxnLog {
     import org.apache.spark.sql.functions.{col, element_at, split}
     val t = tablePath(table)
     val base = fsOf(t).makeQualified(t)
+    // committed paths are table-relative for files the table wrote
+    // itself and ABSOLUTE for files a shallow clone references in its
+    // source table; Hadoop's Path(parent, child) resolves an absolute
+    // child to itself, so one join covers both
     val paths = relPaths.map(f => new HPath(base, f).toString)
-    val r0: DataFrameReader = spark.read
-    val r1 = if (relPaths.exists(_.contains('=')))
-      r0.option("basePath", base.toString) else r0
-    // the scan reads the files' PHYSICAL column names; the final select
-    // below renames them to the declared logical names (column mapping)
-    val r2 = schema.fold(r1)(s => r1.schema(physSchema(s)))
-    val df0 = r2.parquet(paths: _*)
     // DELETION VECTORS (merge-on-read): subtract journaled (leaf file,
     // row index) pairs with one anti join keyed on the scan's own
     // _metadata columns — deleted rows vanish logically with ZERO data
@@ -710,10 +708,32 @@ object TxnLog {
     // delete's victim scan) — _metadata resolves only on the scan
     // itself, so positions must be captured in this pass.
     val needPos = dv.isDefined || keepDvPos
-    val withPos = if (!needPos) df0
-    else df0.withColumn("__dv_f",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__dv_r", col("_metadata.row_index"))
+    // hive-partitioned paths need a `basePath` so Spark re-derives the
+    // partition columns — and a post-clone table can mix bases (its own
+    // dir plus the clone source's), so scan one group per base and
+    // union (same declared schema, no shuffle)
+    def baseOfPath(q: String): String = {
+      val segs = q.split('/')
+      var end = segs.length - 1 // drop the leaf file
+      while (end > 0 && segs(end - 1).contains('=')) end -= 1
+      segs.take(end).mkString("/")
+    }
+    def scanGroup(gBase: String, gPaths: Seq[String]): DataFrame = {
+      val r0: DataFrameReader = spark.read
+      val r1 = if (gPaths.exists(_.substring(gBase.length).contains('=')))
+        r0.option("basePath", gBase) else r0
+      // the scan reads the files' PHYSICAL column names; the final
+      // select below renames them to declared names (column mapping)
+      val r2 = schema.fold(r1)(s => r1.schema(physSchema(s)))
+      val g0 = r2.parquet(gPaths: _*)
+      if (!needPos) g0
+      else g0.withColumn("__dv_f",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__dv_r", col("_metadata.row_index"))
+    }
+    val groups = paths.groupBy(baseOfPath).toSeq.sortBy(_._1)
+    val withPos = groups.map { case (b, ps) => scanGroup(b, ps) }
+      .reduce(_ unionByName _)
     val joined = dv.fold(withPos)(dvDf =>
       withPos.join(dvDf, Seq("__dv_f", "__dv_r"), "left_anti"))
     val df = if (needPos && !keepDvPos) joined.drop("__dv_f", "__dv_r")
@@ -2321,6 +2341,59 @@ object TxnLog {
     v
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`): a new
+    * table whose v1 commit REFERENCES the source snapshot's immutable
+    * data files by absolute path — zero bytes copied, so cloning a
+    * 100 TB table is one metadata write. The clone is independent from
+    * that moment: writes land as its own relative files (readers union
+    * the two bases), `compact()` rewrites everything local and severs
+    * the reference, and its log/snapshot/time-travel lifecycle is its
+    * own. Schema, table properties, CHECK constraints, and the
+    * per-file skipping metadata (stats/blooms/rowcounts/sizes) all
+    * carry over — pruning works on the clone immediately. Caveats,
+    * both Delta's own: VACUUM on the SOURCE can reclaim files a live
+    * clone still references (clones are for dev/test/short-lived
+    * branches, not archival), and a source with live deletion vectors
+    * must be compacted first (the clone's log has no way to reference
+    * another table's DV journal).
+    * Reference: the reference's dev flow re-creates full Delta tables
+    * per environment (`src/etl/spark_deltalake_sync.py:76-88`) — a
+    * clone gives that workflow a zero-copy branch instead. */
+  def shallowClone(spark: SparkSession, source: String, dest: String,
+                   sourceVersion: Option[Long] = None): Long = {
+    val vs = versions(source)
+    require(vs.nonEmpty, s"not a TxnLog table: $source")
+    val v = sourceVersion.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in log (have $vs)")
+    require(!exists(dest), s"table already exists: $dest")
+    val st = replayState(source, v)
+    require(st.dvFiles.isEmpty,
+      s"cannot shallow-clone $source at v$v: it carries live deletion " +
+        "vectors — run TxnLog.compact (or OPTIMIZE) on the source first")
+    val srcQ = fsOf(tablePath(source)).makeQualified(tablePath(source))
+    require(!srcQ.toString.contains('='),
+      s"source path must not contain '=' (partition-segment parsing): " +
+        srcQ)
+    def abs(f: String): String = new HPath(srcQ, f).toString
+    val lines = Seq(s"op\tclone\t$srcQ\t$v") ++
+      st.schemaJson.map("schema\t" + _) ++
+      st.props.toSeq.sortBy(_._1).map { case (k, pv) => s"prop\t$k\t$pv" } ++
+      st.checks.toSeq.sortBy(_._1).map { case (n, e) => s"check\t$n\t$e" } ++
+      st.live.map(f => "add\t" + abs(f)) ++
+      st.live.flatMap(f => st.stats.collect {
+        case ((`f`, c), (mn, mx)) => s"stats\t${abs(f)}\t$c\t$mn\t$mx" }) ++
+      st.live.flatMap(f => st.blooms.collect {
+        case ((`f`, c), (m, k, bits)) =>
+          s"bloom\t${abs(f)}\t$c\t$m\t$k\t${bitsToB64(bits)}" }) ++
+      st.live.flatMap(f =>
+        st.rowcounts.get(f).map(n => s"rowcount\t${abs(f)}\t$n")) ++
+      st.live.flatMap(f =>
+        st.sizes.get(f).map(n => s"fsize\t${abs(f)}\t$n"))
+    if (!publish(dest, 1L, lines))
+      throw new ConcurrentCommitException(1L)
+    1L
+  }
+
   /** The table's CHECK constraints as of `asOf` (name → SQL predicate). */
   def checkConstraints(table: String,
                        asOf: Option[Long] = None): Map[String, String] = {
@@ -2434,6 +2507,35 @@ object TxnLog {
     v
   }
 
+  /** ADD COLUMN as a METADATA commit: the nullable field joins the
+    * declared schema; every existing file simply lacks it and reads as
+    * null (parquet matches by name — Delta's additive evolution, the
+    * same semantics `mergeSchema` gives a widening append, minus the
+    * data). Under active column mapping the new field gets a GUID
+    * physical name so re-adding a previously DROPPED logical name can
+    * never resurrect the old files' stale values. CAS-pinned. */
+  def addColumn(spark: SparkSession, table: String, colName: String,
+                dataType: DataType): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = versions(table).last
+    val st = replayState(table, base)
+    val declared = st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(sys.error(s"no declared schema in the log: $table"))
+    require(!declared.fieldNames.contains(colName),
+      s"column $colName already exists")
+    val mappingOn = st.props.get("columnMapping").contains("name") ||
+      declared.fields.exists(f => physName(f) != f.name)
+    val f = guidPhys(StructField(colName, dataType, nullable = true),
+      mappingOn)
+    val v = base + 1
+    if (!publish(table, v, Seq("op\taddColumn",
+        s"schema\t${StructType(declared.fields :+ f).json}")))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
   /** STREAMING change-feed consumer. The `_change_data` directory is an
     * append-only parquet feed — every journaling commit ([[upsert]],
     * [[deleteWhere]]) adds immutable files and nothing ever rewrites
@@ -2473,7 +2575,8 @@ object TxnLog {
       val adds = acts.count(a => a.length == 2 && a(0) == "add")
       val removes = acts.count(a => a.length == 2 && a(0) == "remove")
       val cdc = acts.count(a => a.length == 2 && a(0) == "cdc")
-      val op = acts.collectFirst { case Array("op", name) => name }
+      val op = acts.collectFirst {
+        case a if a.length >= 2 && a(0) == "op" => a(1) }
         .getOrElse { // structural fallback for pre-commitInfo logs
           if (v == 1L) "create"
           else if (acts.exists(_.sameElements(Array("nochange")))) "compact"

@@ -81,7 +81,9 @@ final class TxnLogSource extends RelationProvider
     * rewrite re-serves rows a pure append stream must not duplicate).
     * `startingVersion` (default: from the first version) bounds the
     * initial replay; versions below the vacuum horizon fail like any
-    * time travel. */
+    * time travel. `maxVersionsPerTrigger` caps each micro-batch at N
+    * log versions (Delta's maxFilesPerTrigger analogue) so backlog
+    * catch-up arrives in bounded batches. */
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
@@ -121,7 +123,9 @@ final class TxnLogSource extends RelationProvider
       new TxnLogStreamSource(sqlContext, table, declared,
         startingVersion = startV,
         ignoreChanges =
-          parameters.get("ignoreChanges").exists(_.trim.toBoolean))
+          parameters.get("ignoreChanges").exists(_.trim.toBoolean),
+        maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
+          .map(_.trim.toInt))
   }
 
   /** Schema-carrying resolution (what Spark passes for CATALOG tables,
@@ -344,12 +348,21 @@ private[graft] final class TxnLogStreamSource(sqlCtx: SQLContext,
                                               table: String,
                                               declared: StructType,
                                               startingVersion: Option[Long],
-                                              ignoreChanges: Boolean)
+                                              ignoreChanges: Boolean,
+                                              maxVersionsPerTrigger:
+                                                Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   private def spark = sqlCtx.sparkSession
   override def schema: StructType = declared
 
   private val floor: Long = startingVersion.getOrElse(0L) - 1L
+  // rate-limit bookkeeping (Delta's maxFilesPerTrigger analogue at
+  // version granularity): the highest offset this source has HANDED to
+  // the engine — getBatch re-syncs it on restart (the engine replays
+  // the checkpointed batch before asking for a new offset), so a
+  // recovered stream resumes its capped cadence from the checkpoint,
+  // not from the floor
+  @volatile private var lastEnd: Long = floor
 
   private def versionOf(o: org.apache.spark.sql.execution.streaming
       .Offset): Long = o match {
@@ -361,7 +374,22 @@ private[graft] final class TxnLogStreamSource(sqlCtx: SQLContext,
       : Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val vs = TxnLog.versions(table)
     if (vs.isEmpty || vs.last <= floor) None
-    else Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(vs.last))
+    else {
+      val lo = math.max(floor, lastEnd)
+      // cap the batch at N versions so a stream starting against a
+      // long-lived table (or catching up after downtime) ingests the
+      // backlog in bounded micro-batches instead of one giant one —
+      // at 100 TB the difference between a restartable catch-up and
+      // an executor-OOM batch
+      val capped = maxVersionsPerTrigger.filter(_ > 0)
+        .fold(vs.last)(n => math.min(vs.last, lo + n))
+      if (capped <= lo) None
+      else {
+        lastEnd = capped
+        Some(org.apache.spark.sql.execution.streaming.runtime
+          .LongOffset(capped))
+      }
+    }
   }
 
   override def getBatch(
@@ -370,6 +398,7 @@ private[graft] final class TxnLogStreamSource(sqlCtx: SQLContext,
       : org.apache.spark.sql.DataFrame = {
     val from = math.max(start.map(versionOf).getOrElse(floor), floor)
     val to = versionOf(end)
+    if (to > lastEnd) lastEnd = to // restart replay re-syncs the cap
     val files = TxnLog.versions(table)
       .filter(v => v > from && v <= to)
       .flatMap { v =>

@@ -915,6 +915,48 @@ object EventStream {
     * streaming readChangeFeed with zero programmatic calls.
     * `startingVersion = 2` opens the window after the create, so the
     * feed is exactly the journaled upsert/delete rows. */
+  /** Rate-limited txnlog streaming source: `maxVersionsPerTrigger=1`
+    * turns a 4-version backlog into four bounded micro-batches instead
+    * of one giant catch-up batch — the in-run require pins the batch
+    * count from the query's own progress records. At 100 TB this is
+    * the difference between a restartable, memory-bounded backlog
+    * drain and an executor-OOM first trigger (Delta's
+    * maxFilesPerTrigger contract at version granularity). */
+  def txnRateLimitedStreamTotals(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txn_rate_").resolve("t").toString
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val slice = pmod(col("o_orderkey"), lit(4))
+    TxnLog.create(spark, table, o.filter(slice === 0))
+    for (i <- 1 to 3)
+      TxnLog.append(spark, table, o.filter(slice === i))
+    val agg = spark.readStream.format("txnlog")
+      .option("path", table)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(Exact.Money)).as("tp"))
+    val name = s"stream_rate_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      require(nonEmpty >= 4,
+        s"4 versions at 1/trigger need >= 4 micro-batches, got $nonEmpty")
+    } finally q.stop()
+    try spark.table(name)
+      .select(col("o_orderstatus"), col("n_rows"),
+        col("tp").cast(DoubleType).as("total_price"))
+      .orderBy("o_orderstatus").localCheckpoint(true)
+    finally deleteRecursively(java.nio.file.Paths.get(table).getParent)
+  }
+
   def txnCdfStreamTotals(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxnLog
     val table = java.nio.file.Files

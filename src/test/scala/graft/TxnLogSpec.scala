@@ -2048,4 +2048,178 @@ class TxnLogSpec extends SparkSpec {
     assert(all.filter(col("_change_type") === "insert").count() ==
       all.filter(col("_change_type") === "delete").count())
   }
+
+  test("shallow clone: zero-copy branch, divergence, compaction severs") {
+    val src = freshTable()
+    TxnLog.create(spark, src, nation, partitionBy = Seq("n_regionkey"),
+      statsCols = Seq("n_nationkey"))
+    TxnLog.append(spark, src, spark.range(1)
+      .select(lit(900L).cast("int").as("n_nationkey"),
+        lit("EXTRA").as("n_name"), lit(9).cast("int").as("n_regionkey")),
+      statsCols = Seq("n_nationkey"))
+    val dest = freshTable()
+    assert(TxnLog.shallowClone(spark, src, dest) == 1L)
+    // the clone reads the source snapshot — and its directory holds NO
+    // data files, only the log (zero bytes copied)
+    assert(rowsOf(TxnLog.snapshot(spark, dest).orderBy("n_nationkey")) ==
+      rowsOf(TxnLog.snapshot(spark, src).orderBy("n_nationkey")))
+    val destDir = Paths.get(dest)
+    def parquetUnder(p: java.nio.file.Path): Long = {
+      val s = Files.walk(p)
+      try s.filter(_.toString.endsWith(".parquet"))
+        .filter(!_.toString.contains("_txn_log")).count()
+      finally s.close()
+    }
+    assert(parquetUnder(destDir) == 0, "clone must copy zero data files")
+    // skipping metadata carried over: stats pruning live on the clone
+    assert(TxnLog.snapshotWhere(spark, dest, "n_nationkey", 0L, 3L)
+      .inputFiles.length <
+      TxnLog.snapshot(spark, dest).inputFiles.length)
+    // divergence both ways: a write to the clone never touches the
+    // source; a write to the source never reaches the clone
+    TxnLog.append(spark, dest, spark.range(1)
+      .select(lit(901L).cast("int").as("n_nationkey"),
+        lit("CLONE_ONLY").as("n_name"),
+        lit(1).cast("int").as("n_regionkey")))
+    TxnLog.append(spark, src, spark.range(1)
+      .select(lit(902L).cast("int").as("n_nationkey"),
+        lit("SRC_ONLY").as("n_name"),
+        lit(1).cast("int").as("n_regionkey")))
+    // mixed-base read: clone-local relative files union the source's
+    // absolute references in one scan
+    val cloneRows = TxnLog.snapshot(spark, dest)
+    assert(cloneRows.count() == nation.count() + 2)
+    assert(cloneRows.filter(col("n_name") === "CLONE_ONLY").count() == 1)
+    assert(cloneRows.filter(col("n_name") === "SRC_ONLY").count() == 0)
+    assert(TxnLog.snapshot(spark, src)
+      .filter(col("n_name") === "CLONE_ONLY").count() == 0)
+    // the vectorized SQL path plans the same mixed-base file set
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_clone_v " +
+      s"USING txnlog OPTIONS (path '$dest')")
+    assert(spark.table("txn_clone_v").count() == nation.count() + 2)
+    assert(spark.sql(
+      "SELECT count(*) FROM txn_clone_v WHERE n_regionkey = 1")
+      .head.getLong(0) ==
+      nation.filter(col("n_regionkey") === 1).count() + 1)
+    // compaction severs the reference: every live file is clone-local
+    TxnLog.compact(spark, dest, targetFiles = 1)
+    assert(TxnLog.files(dest).forall(f =>
+      !f.startsWith("/") && !f.contains(":/")),
+      "compact must leave only clone-local relative paths")
+    assert(parquetUnder(destDir) >= 1)
+    assert(TxnLog.snapshot(spark, dest).count() == nation.count() + 2)
+    // a DV-bearing source refuses descriptively (compact it first)
+    val srcDv = freshTable()
+    TxnLog.create(spark, srcDv, nation)
+    TxnLog.deleteWhereDV(spark, srcDv, col("n_regionkey") === 0)
+    val e = intercept[Exception] {
+      TxnLog.shallowClone(spark, srcDv, freshTable()) }
+    assert(e.getMessage.contains("deletion vectors"))
+    // SQL surface: clone at an explicit source version + catalog entry
+    val dest2 = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_clone_cat")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_clone_src_v " +
+      s"USING txnlog OPTIONS (path '$src')")
+    val out = spark.sql(s"CREATE TABLE txn_clone_cat SHALLOW CLONE " +
+      s"txn_clone_src_v VERSION AS OF 1 LOCATION '$dest2'").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    assert(spark.table("txn_clone_cat").count() == nation.count(),
+      "VERSION AS OF 1 pins the pre-append source snapshot")
+    spark.sql("DROP TABLE txn_clone_cat")
+  }
+
+  test("RESTORE and ALTER TABLE column DDL through SQL") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 2))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_rsql_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    // RESTORE TO VERSION AS OF: one new commit, contents roll back
+    val r = spark.sql(
+      "RESTORE TABLE txn_rsql_v TO VERSION AS OF 1").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 1L &&
+      r(0).getLong(1) == 3L)
+    assert(spark.table("txn_rsql_v").count() ==
+      nation.filter(col("n_regionkey") < 2).count())
+    // RESTORE TO TIMESTAMP AS OF: lenient date strings resolve to the
+    // newest version committed at-or-before the instant — here the
+    // restore commit itself, so the rolled-back state is re-affirmed
+    // as one more commit
+    spark.sql("RESTORE txn_rsql_v TO TIMESTAMP AS OF '2035-01-01'")
+    assert(spark.table("txn_rsql_v").count() ==
+      nation.filter(col("n_regionkey") < 2).count())
+    assert(TxnLog.versions(t).size == 4)
+    // roll FORWARD by version: the pre-restore contents come back
+    spark.sql("RESTORE txn_rsql_v TO VERSION AS OF 2")
+    assert(spark.table("txn_rsql_v").count() == nation.count())
+    // ALTER TABLE ADD COLUMN: metadata-only, old rows read as null
+    spark.sql("ALTER TABLE txn_rsql_v ADD COLUMN score INT")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_rsql_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    assert(spark.table("txn_rsql_v").columns.contains("score"))
+    assert(spark.table("txn_rsql_v")
+      .filter(col("score").isNull).count() == nation.count())
+    TxnLog.append(spark, t, spark.range(1)
+      .select(lit(910).cast("int").as("n_nationkey"),
+        lit("SCORED").as("n_name"), lit(0).cast("int").as("n_regionkey"),
+        lit(7).cast("int").as("score")))
+    // RENAME + DROP: mapping commits; the re-created view serves the
+    // new shape and the renamed column's values survive
+    spark.sql("ALTER TABLE txn_rsql_v RENAME COLUMN score TO quality")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_rsql_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    assert(spark.sql(
+      "SELECT n_name FROM txn_rsql_v WHERE quality = 7")
+      .head.getString(0) == "SCORED")
+    spark.sql("ALTER TABLE txn_rsql_v DROP COLUMN quality")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_rsql_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    assert(!spark.table("txn_rsql_v").columns.contains("quality"))
+    // non-txnlog ALTER TABLE falls through to the stock parser —
+    // Spark's own error for its own tables, never ours
+    nation.createOrReplaceTempView("plain_nation_v")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE plain_nation_v ADD COLUMN x INT") }
+    assert(!e.getMessage.contains("txnlog"))
+  }
+
+  test("CREATE TABLE AS SELECT through the txnlog provider") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_ctas")
+    nation.createOrReplaceTempView("txn_ctas_src")
+    spark.sql(s"CREATE TABLE txn_ctas USING txnlog LOCATION '$t' AS " +
+      "SELECT n_nationkey, n_name, n_regionkey FROM txn_ctas_src " +
+      "WHERE n_regionkey < 3")
+    assert(TxnLog.versions(t) == Seq(1L),
+      "CTAS must land as exactly the create commit")
+    assert(spark.table("txn_ctas").count() ==
+      nation.filter(col("n_regionkey") < 3).count())
+    // the created table is a first-class txnlog table: DML + history
+    spark.sql("DELETE FROM txn_ctas WHERE n_regionkey = 0")
+    assert(spark.table("txn_ctas").count() ==
+      nation.filter(col("n_regionkey") > 0 && col("n_regionkey") < 3)
+        .count())
+    spark.sql("DROP TABLE txn_ctas")
+    assert(TxnLog.exists(t))
+  }
+
+  test("streaming source maxVersionsPerTrigger bounds each micro-batch") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 5))
+    for (lo <- Seq(5, 10, 15, 20))
+      TxnLog.append(spark, t, nation.filter(
+        col("n_nationkey") >= lo && col("n_nationkey") < lo + 5))
+    val src = spark.readStream.format("txnlog").option("path", t)
+      .option("maxVersionsPerTrigger", "2").load()
+    val qname = "txn_rate_" + math.abs(t.hashCode)
+    val q = src.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(qname).count() == nation.count(),
+      "rate limiting must not lose or duplicate rows")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"5 versions at 2/trigger need >= 3 non-empty micro-batches, " +
+        s"got ${batches.length}")
+  }
 }
