@@ -38,7 +38,20 @@ object Bench {
       val sib = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
       if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
     }
-    SparkEntry.queries.valuesIterator.foreach { fn =>
+    // SPARK_GRAFT_ONLY=q113,q196 — time just those queries (by qNN
+    // short key): the solo re-probe knob for gate flags, so a suspected
+    // host-load artifact can be re-measured in isolation without paying
+    // a full suite pass. A subset run writes BENCH_SUBSET.json, never
+    // the committed-baseline-facing BENCH_FULL.json.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def shortKeyOf(name: String): String = {
+      val cut = name.indexOf('_')
+      if (cut > 0) name.substring(0, cut) else name
+    }
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(shortKeyOf(name))) }
+    selected.valuesIterator.foreach { fn =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // min of two timed passes per query: one-shot timings on a shared
@@ -70,7 +83,7 @@ object Bench {
             s"[bench] ignoring unparseable SPARK_GRAFT_ONE_SHOT_CUTOFF='$s'")
         parsed
       }.getOrElse(Double.MaxValue)
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+    val firstPass = selected.map { case (name, fn) =>
       val (first, ok1) = timeOnce(fn)
       val best = if (!ok1 || first >= oneShotCutoff) first else {
         val (second, ok2) = timeOnce(fn)
@@ -93,7 +106,7 @@ object Bench {
     val results = firstPass.map { case (name, best) =>
       if (best < retryThreshold) name -> best
       else {
-        val (again, ok) = timeOnce(SparkEntry.queries(name))
+        val (again, ok) = timeOnce(selected(name))
         name -> (if (ok) math.min(best, again) else best)
       }
     }
@@ -125,7 +138,9 @@ object Bench {
     // noise, present in full in the file.
     val full =
       s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    val outName =
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       java.util.Arrays.asList(full))
     catch { case _: java.io.IOException => () }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -5288,6 +5288,49 @@ object SparkEntry {
       pinned
     }),
 
+    // ── [ext] constraint DDL + DESCRIBE DETAIL — `ALTER TABLE … ADD
+    // CONSTRAINT name CHECK (…)` / `DROP CONSTRAINT` (Delta's
+    // constraint DDL; ADD validates existing rows first, enforcement
+    // rejects violating writes at commit time — bad data fails at the
+    // WRITER, not as silent corruption downstream) and `DESCRIBE
+    // DETAIL` (head facts — version/files/bytes/rows/partitions/
+    // properties — served entirely from the log: no data file opens,
+    // so the answer costs the same at 100 TB). ────────────────────────
+    "q315_txn_constraint_sql" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q315_txn")
+      val n = T(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.TxnLog.create(s, tbl, n)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q315_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql("ALTER TABLE q315_txn_v ADD CONSTRAINT region_range " +
+        "CHECK (n_regionkey < 10)")
+      // enforcement: the violating batch must refuse at commit time
+      val bad = s.range(1).select(
+        lit(990).cast("int").as("n_nationkey"),
+        lit("BAD").as("n_name"), lit(99).cast("int").as("n_regionkey"))
+      val refused =
+        try { graft.sources.TxnLog.append(s, tbl, bad); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("region_range") }
+      require(refused, "constraint must reject the violating append")
+      graft.sources.TxnLog.append(s, tbl, n
+        .withColumn("n_nationkey", col("n_nationkey") + 200)
+        .withColumn("n_name", concat(col("n_name"), lit("_C"))))
+      val d = s.sql("DESCRIBE DETAIL q315_txn_v").collect()(0)
+      require(d.getLong(8) == 1L && d.getLong(5) == 2 * n.count(),
+        "DESCRIBE DETAIL must report the constraint and the row count")
+      s.sql("ALTER TABLE q315_txn_v DROP CONSTRAINT region_range")
+      require(s.sql("DESCRIBE DETAIL q315_txn_v")
+        .collect()(0).getLong(8) == 0L,
+        "DROP CONSTRAINT must stop enforcement")
+      s.table("q315_txn_v")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    }),
+
     // ── [ext] approximate-quantile sanity gate: Spark's native
     // percentile_approx (Greenwald-Khanna-style mergeable sketch — the
     // O(1)-state quantile any 100 TB profile actually runs) checked
@@ -10676,6 +10719,17 @@ object SparkEntry {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_price
           |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q315: the enforced-then-dropped constraint never admits the
+      // bad row — the table is nation plus its suffixed copy
+      "q315_txn_constraint_sql" ->
+        """WITH t AS (
+          |  SELECT n_regionkey, n_name FROM nation
+          |  UNION ALL
+          |  SELECT n_regionkey, n_name || '_C' FROM nation)
+          |SELECT n_regionkey, count(*) AS n_rows,
+          |  min(n_name) AS first_name
+          |FROM t GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
 
       // q314: the CTAS body replayed directly
       "q314_txn_ctas" ->

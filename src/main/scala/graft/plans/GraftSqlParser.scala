@@ -88,6 +88,14 @@ object GraftSqlParser {
     ("""(?is)\s*CREATE\s+TABLE\s+""" + Tok + """\s+SHALLOW\s+CLONE\s+""" +
       Tok + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private val AddConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+ADD\s+CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s*\((.*)\)\s*;?\s*""").r
+  private val DropConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+DROP\s+CONSTRAINT\s+(`[^`]+`|\w+)\s*;?\s*""").r
+  private val Detail =
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Tok + """\s*;?\s*""").r
 
   private def fail(msg: String): Nothing =
     throw new AnalysisException(
@@ -166,6 +174,16 @@ object GraftSqlParser {
       maybePath(spark, delegate, target).map(p =>
         TxnLogAlterColumnCommand(p, "drop", unquote(col), None, None,
           refreshNameOf(target)))
+    case AddConstraint(target, name, expr) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogConstraintCommand(p, unquote(name), Some(expr.trim),
+          refreshNameOf(target)))
+    case DropConstraint(target, name) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogConstraintCommand(p, unquote(name), None,
+          refreshNameOf(target)))
+    case Detail(target) =>
+      Some(TxnLogDetailCommand(pathOf(spark, delegate, target)))
     case CloneStmt(dest, src, v, loc) =>
       val srcPath = pathOf(spark, delegate, src)
       val d = dest.trim
@@ -303,5 +321,58 @@ case class TxnLogCloneCommand(dest: String, source: String,
       session.sql(s"CREATE TABLE $name USING txnlog LOCATION '$dest'")
     }
     Seq(Row(v, TxnLog.files(dest).size.toLong))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
+  * `DROP CONSTRAINT name` for txnlog targets (Delta's constraint DDL):
+  * ADD validates existing rows first and refuses on violations, DROP
+  * stops enforcement — both metadata-only commits. Returns the new
+  * log version. */
+case class TxnLogConstraintCommand(table: String, name: String,
+                                   checkExpr: Option[String],
+                                   refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = checkExpr match {
+      case Some(e) => TxnLog.addCheck(session, table, name, e)
+      case None => TxnLog.dropCheck(session, table, name)
+    }
+    refreshName.foreach(n =>
+      try session.catalog.refreshTable(n)
+      catch { case scala.util.control.NonFatal(_) => () })
+    Seq(Row(v))
+  }
+}
+
+/** `DESCRIBE DETAIL t` (Delta's table-detail utility): one row of
+  * head-snapshot facts served ENTIRELY from the log — version, live
+  * file count, total bytes, row count (null when any file predates
+  * rowcount recording), partition columns, properties, constraint
+  * count. No data file is opened. */
+case class TxnLogDetailCommand(table: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)(),
+    AttributeReference("partition_columns", StringType,
+      nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)(),
+    AttributeReference("n_constraints", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, nFiles, size, nRows, partCols, props, checks) =
+      TxnLog.detail(table)
+    Seq(Row("txnlog", table, v, nFiles, size,
+      nRows.map(Long.box).orNull,
+      partCols.mkString(","),
+      props.toSeq.sorted.map { case (k, pv) => s"$k=$pv" }
+        .mkString(","),
+      checks.size.toLong))
   }
 }

@@ -329,6 +329,7 @@ object TxnLog {
         case Array("op", _*) => () // commitInfo (+ provenance fields, e.g.
           // clone's source/version): per-commit metadata, not state
         case Array("check", name, exprSql) => checks(name) = exprSql
+        case Array("checkdrop", name) => checks.remove(name)
         case Array("txn", id, tv) =>
           txn(id) = math.max(txn.getOrElse(id, -1L), tv.toLong)
         case Array("stats", f, c, mn, mx) =>
@@ -2424,6 +2425,36 @@ object TxnLog {
       s"existing rows violate CHECK $name ($exprSql)")
     val v = base + 1
     if (!publish(table, v, Seq("op\taddCheck", s"check\t$name\t$exprSql")))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
+  /** DESCRIBE DETAIL's payload, all from the log (no data file is
+    * opened): (version, nFiles, sizeBytes, rowCount, partitionColumns,
+    * properties, checks) of the head snapshot. */
+  def detail(table: String): (Long, Long, Long, Option[Long],
+      Seq[String], Map[String, String], Map[String, String]) = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val st = replayState(table, vs.last)
+    val size = st.live.flatMap(f => st.sizes.get(f)).sum
+    (vs.last, st.live.size.toLong, size, countRows(table),
+      partitionColsOf(st.live).getOrElse(Nil), st.props, st.checks)
+  }
+
+  /** DROP CONSTRAINT: the named CHECK leaves the enforcement set as a
+    * metadata commit (`checkdrop` replay line) — later writers stop
+    * validating it; history below the commit still shows it. */
+  def dropCheck(spark: SparkSession, table: String, name: String): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = versions(table).last
+    val st = replayState(table, base)
+    require(st.checks.contains(name),
+      s"no CHECK constraint named $name on $table " +
+        s"(have: ${st.checks.keys.toSeq.sorted.mkString(", ")})")
+    val v = base + 1
+    if (!publish(table, v, Seq("op\tdropCheck", s"checkdrop\t$name")))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v

@@ -2203,6 +2203,70 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.exists(t))
   }
 
+  test("shallow clone carries column mapping, properties, constraints") {
+    val src = freshTable()
+    TxnLog.create(spark, src, nation)
+    // rename BEFORE the constraint: mapping DDL refuses while CHECK
+    // expressions (name-referencing) exist — its own guard
+    TxnLog.renameColumn(spark, src, "n_name", "nation_name")
+    TxnLog.addCheck(spark, src, "key_range", "n_nationkey < 100")
+    val dest = freshTable()
+    TxnLog.shallowClone(spark, src, dest)
+    // the mapped schema serves through the clone: logical rename
+    // visible, values read from the physical column in SOURCE files
+    val snap = TxnLog.snapshot(spark, dest)
+    assert(snap.columns.contains("nation_name") &&
+      !snap.columns.contains("n_name"))
+    assert(rowsOf(snap.orderBy("n_nationkey")) ==
+      rowsOf(nation.withColumnRenamed("n_name", "nation_name")
+        .orderBy("n_nationkey")))
+    // constraints came over: the clone enforces them on ITS writes
+    val e = intercept[Exception] { TxnLog.append(spark, dest,
+      spark.range(1).select(lit(500).cast("int").as("n_nationkey"),
+        lit("BAD").as("nation_name"),
+        lit(0).cast("int").as("n_regionkey"))) }
+    assert(e.getMessage.contains("key_range"))
+    // sticky columnMapping property came over too
+    assert(TxnLog.detail(dest)._6.get("columnMapping").contains("name"))
+  }
+
+  test("constraint DDL and DESCRIBE DETAIL through SQL") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_cons_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    spark.sql("ALTER TABLE txn_cons_v ADD CONSTRAINT key_range " +
+      "CHECK (n_nationkey < 100)")
+    def badRow = spark.range(1).select(
+      lit(500).cast("int").as("n_nationkey"), lit("BAD").as("n_name"),
+      lit(0).cast("int").as("n_regionkey"))
+    // the constraint ENFORCES: a violating append refuses
+    val e = intercept[Exception] { TxnLog.append(spark, t, badRow) }
+    assert(e.getMessage.contains("key_range"))
+    // a constraint existing rows violate refuses at ADD time
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE txn_cons_v ADD CONSTRAINT impossible " +
+        "CHECK (n_regionkey > 99)") }
+    assert(e2.getMessage.contains("impossible"))
+    // DESCRIBE DETAIL: head facts straight from the log
+    val d = spark.sql("DESCRIBE DETAIL txn_cons_v").collect()(0)
+    assert(d.getString(0) == "txnlog")
+    assert(d.getLong(2) == TxnLog.versions(t).last)
+    assert(d.getLong(3) >= 1L) // n_files
+    assert(d.getLong(5) == nation.count()) // n_rows
+    assert(d.getLong(8) == 1L) // n_constraints
+    // DROP CONSTRAINT stops enforcement
+    spark.sql("ALTER TABLE txn_cons_v DROP CONSTRAINT key_range")
+    TxnLog.append(spark, t, badRow)
+    assert(TxnLog.snapshot(spark, t).count() == nation.count() + 1)
+    assert(spark.sql("DESCRIBE DETAIL txn_cons_v")
+      .collect()(0).getLong(8) == 0L)
+    // dropping an unknown constraint refuses descriptively
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE txn_cons_v DROP CONSTRAINT nope") }
+    assert(e3.getMessage.contains("no CHECK constraint"))
+  }
+
   test("streaming source maxVersionsPerTrigger bounds each micro-batch") {
     val t = freshTable()
     TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 5))
