@@ -5331,6 +5331,53 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // ── [ext] per-domain document cap — the pretraining-mix fairness
+    // op (no single domain may dominate the corpus): keep the K
+    // longest docs per source. NOT a window sort: the kept set is a
+    // [[graft.functions.BottomKSample]] aggregate over
+    // (-n_chars, doc_id), so map-side partial aggregation carries at
+    // most K pairs per (task, source) and the corpus text never
+    // shuffles — at 100 TB the cap costs one small aggregate, not a
+    // per-domain global sort. Deterministic (value-defined order,
+    // doc_id tiebreak), replayed by the oracle as a row_number
+    // prefix. ─────────────────────────────────────────────────────────
+    "q316_domain_cap" -> ((s, dir) => {
+      import graft.functions.BottomKSample
+      val k = 20
+      T(s, dir, "documents")
+        .select(col("source"), (-col("n_chars")).cast("long").as("h"),
+          col("doc_id").cast("double").as("v"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          BottomKSample(col("h"), col("v"), k).as("kept"))
+        .select(col("source"), col("n_total"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (col("n_total") - size(col("kept")).cast("long"))
+            .as("n_dropped"),
+          aggregate(transform(col("kept"), x => -x.getField("h")),
+            lit(0L), (a, b) => a + b).as("kept_chars"))
+        .orderBy("source")
+    }),
+
+    // ── [ext] sequence-length bucketing — the batch-packing profile a
+    // training data loader runs before choosing bucket boundaries:
+    // whitespace-token counts binned to fixed 64-token buckets, with
+    // the padding waste each bucket pays at its own max. Pure map +
+    // an aggregate over ≤ dozens of bucket keys: zero corpus shuffle,
+    // the 100 TB plan is one pass. ────────────────────────────────────
+    "q317_length_buckets" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(size(filter(split(col("text"), " "),
+          x => x =!= lit(""))).cast("long").as("n_tokens"))
+        .withColumn("bucket",
+          expr("((n_tokens + 63) DIV 64) * 64"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("bucket") - col("n_tokens")).as("padding_tokens"))
+        .orderBy("bucket")
+    }),
+
     // ── [ext] approximate-quantile sanity gate: Spark's native
     // percentile_approx (Greenwald-Khanna-style mergeable sketch — the
     // O(1)-state quantile any 100 TB profile actually runs) checked
@@ -10730,6 +10777,36 @@ object SparkEntry {
           |SELECT n_regionkey, count(*) AS n_rows,
           |  min(n_name) AS first_name
           |FROM t GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
+
+      // q316: the bottom-k cap replayed as a row_number prefix per
+      // source (longest-first, doc_id tiebreak)
+      "q316_domain_cap" ->
+        """WITH r AS (
+          |  SELECT source, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents)
+          |SELECT source, count(*) AS n_total,
+          |  CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_kept,
+          |  CAST(sum(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_dropped,
+          |  CAST(sum(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END)
+          |    AS BIGINT) AS kept_chars
+          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+      // q317: fixed 64-token buckets over whitespace token counts
+      "q317_length_buckets" ->
+        """WITH t AS (
+          |  SELECT CAST(len(list_filter(string_split(text, ' '),
+          |    x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |SELECT ((n_tokens + 63) // 64) * 64 AS bucket,
+          |  count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+          |  CAST(sum(((n_tokens + 63) // 64) * 64 - n_tokens) AS BIGINT)
+          |    AS padding_tokens
+          |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
 
       // q314: the CTAS body replayed directly
       "q314_txn_ctas" ->

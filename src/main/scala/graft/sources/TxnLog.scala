@@ -344,7 +344,18 @@ object TxnLog {
         case Array("dvclear") => // DVs materialized away (compact/restore)
           dvFiles.clear(); dvCounts.clear()
         case Array("prop", k, v) => props(k) = v // table property (sticky)
-        case _ => sys.error(s"corrupt log line in $where: $line")
+        // forward-compat guard (Delta's protocol action): a writer that
+        // needs semantics this reader lacks raises minreader, and every
+        // replay refuses DESCRIPTIVELY instead of serving a snapshot
+        // that silently ignores the new semantics
+        case Array("minreader", n) =>
+          if (n.toLong > SupportedReaderVersion) sys.error(
+            s"table requires reader version $n " +
+              s"(this build supports $SupportedReaderVersion) — " +
+              s"upgrade to read $where")
+        case _ => sys.error(s"corrupt log line in $where: $line " +
+          "(unknown action: either corruption or a newer writer " +
+          "this reader does not support)")
       }
     val start = latestCheckpoint(table, upTo) match {
       case Some(cv) =>
@@ -871,6 +882,12 @@ object TxnLog {
     * min and max≈global max in EVERY file, so range stats prune
     * nothing — the bloom is what makes an equality probe touch one
     * file instead of all of them. */
+  /** The log protocol this build can read (Delta's minReaderVersion
+    * shape): `minreader` actions above it refuse replay descriptively.
+    * Raise it only alongside a semantic the old reader would silently
+    * misread. */
+  private[sources] val SupportedReaderVersion = 1L
+
   val BloomBits: Int = 1 << 18
   val BloomHashes: Int = 5
 
@@ -1376,7 +1393,8 @@ object TxnLog {
       require(!n.contains('\t') && !e.contains('\t'),
         "constraint names/expressions must be tab-free") }
     val named = stageChecked(spark, table, df, checks.toMap, partitionBy)
-    val actions = "op\tcreate" +: s"schema\t${df.schema.json}" +:
+    val actions = "op\tcreate" +: "minreader\t1" +:
+      s"schema\t${df.schema.json}" +:
       (txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
         checks.map { case (n, e) => s"check\t$n\t$e" } ++
         named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols)
@@ -2267,10 +2285,16 @@ object TxnLog {
       else if (adds.nonEmpty) {
         // pure-add synthesis reads DATA files — pin the schema the
         // commit declared so column mapping (physical names in the
-        // files) and evolved column order resolve correctly
-        val sch = replayState(table, v).schemaJson
+        // files) and evolved column order resolve correctly. The
+        // commit's own DV state is subtracted too: a no-op for plain
+        // appends (a DV can only mask files OLDER than itself), but a
+        // DV-carrying SHALLOW CLONE's v1 arrives with adds and masks
+        // together — its insert feed must not resurrect deleted rows.
+        val stv = replayState(table, v)
+        val sch = stv.schemaJson
           .map(DataType.fromJson(_).asInstanceOf[StructType])
-        Some(readFiles(spark, table, adds, sch)
+        Some(readFiles(spark, table, adds, sch,
+            dv = dvOf(spark, table, stv))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v)))
       }
@@ -2351,12 +2375,12 @@ object TxnLog {
     * the reference, and its log/snapshot/time-travel lifecycle is its
     * own. Schema, table properties, CHECK constraints, and the
     * per-file skipping metadata (stats/blooms/rowcounts/sizes) all
-    * carry over — pruning works on the clone immediately. Caveats,
-    * both Delta's own: VACUUM on the SOURCE can reclaim files a live
-    * clone still references (clones are for dev/test/short-lived
-    * branches, not archival), and a source with live deletion vectors
-    * must be compacted first (the clone's log has no way to reference
-    * another table's DV journal).
+    * carry over — pruning works on the clone immediately, and live
+    * DELETION VECTORS clone as absolute references too (the masked
+    * rows stay deleted in the clone; its own compact materializes
+    * them away). Caveat, Delta's own: VACUUM on the SOURCE can
+    * reclaim files a live clone still references (clones are for
+    * dev/test/short-lived branches, not archival).
     * Reference: the reference's dev flow re-creates full Delta tables
     * per environment (`src/etl/spark_deltalake_sync.py:76-88`) — a
     * clone gives that workflow a zero-copy branch instead. */
@@ -2368,9 +2392,6 @@ object TxnLog {
     require(vs.contains(v), s"version $v not in log (have $vs)")
     require(!exists(dest), s"table already exists: $dest")
     val st = replayState(source, v)
-    require(st.dvFiles.isEmpty,
-      s"cannot shallow-clone $source at v$v: it carries live deletion " +
-        "vectors — run TxnLog.compact (or OPTIMIZE) on the source first")
     val srcQ = fsOf(tablePath(source)).makeQualified(tablePath(source))
     require(!srcQ.toString.contains('='),
       s"source path must not contain '=' (partition-segment parsing): " +
@@ -2389,7 +2410,13 @@ object TxnLog {
       st.live.flatMap(f =>
         st.rowcounts.get(f).map(n => s"rowcount\t${abs(f)}\t$n")) ++
       st.live.flatMap(f =>
-        st.sizes.get(f).map(n => s"fsize\t${abs(f)}\t$n"))
+        st.sizes.get(f).map(n => s"fsize\t${abs(f)}\t$n")) ++
+      // live deletion vectors clone as absolute references like data
+      // files: skip sets key by LEAF data-file name, so the masked
+      // rows stay deleted through every read path
+      st.dvFiles.map(f => "dv\t" + abs(f)) ++
+      st.dvCounts.toSeq.sortBy(_._1).map { case (f, n) =>
+        s"dvcount\t${abs(f)}\t$n" }
     if (!publish(dest, 1L, lines))
       throw new ConcurrentCommitException(1L)
     1L

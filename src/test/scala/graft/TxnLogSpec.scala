@@ -2108,13 +2108,37 @@ class TxnLogSpec extends SparkSpec {
       "compact must leave only clone-local relative paths")
     assert(parquetUnder(destDir) >= 1)
     assert(TxnLog.snapshot(spark, dest).count() == nation.count() + 2)
-    // a DV-bearing source refuses descriptively (compact it first)
+    // a DV-bearing source clones WITH its masks: deleted rows stay
+    // deleted through snapshot, SQL, and the clone's own CDF
     val srcDv = freshTable()
     TxnLog.create(spark, srcDv, nation)
     TxnLog.deleteWhereDV(spark, srcDv, col("n_regionkey") === 0)
-    val e = intercept[Exception] {
-      TxnLog.shallowClone(spark, srcDv, freshTable()) }
-    assert(e.getMessage.contains("deletion vectors"))
+    val liveN = nation.filter(col("n_regionkey") =!= 0).count()
+    val destDv = freshTable()
+    TxnLog.shallowClone(spark, srcDv, destDv)
+    assert(TxnLog.snapshot(spark, destDv).count() == liveN)
+    assert(TxnLog.snapshot(spark, destDv)
+      .filter(col("n_regionkey") === 0).count() == 0,
+      "cloned deletion vectors must keep masking")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_clone_dv_v " +
+      s"USING txnlog OPTIONS (path '$destDv')")
+    assert(spark.table("txn_clone_dv_v").count() == liveN)
+    // the clone's v1 insert feed must not resurrect the masked rows
+    val feed = TxnLog.changesBetween(spark, destDv, 0L, 1L)
+    assert(feed.filter(col("_change_type") === "insert").count() ==
+      liveN)
+    // the clone deletes independently (its own DV journal), and its
+    // compact materializes ALL masks away locally
+    TxnLog.deleteWhereDV(spark, destDv, col("n_regionkey") === 1)
+    assert(TxnLog.snapshot(spark, destDv).count() ==
+      nation.filter(col("n_regionkey") >= 2).count())
+    assert(TxnLog.snapshot(spark, srcDv).count() == liveN,
+      "the clone's delete must never reach the source")
+    TxnLog.compact(spark, destDv, targetFiles = 1)
+    assert(TxnLog.snapshot(spark, destDv).count() ==
+      nation.filter(col("n_regionkey") >= 2).count())
+    assert(TxnLog.files(destDv).forall(f =>
+      !f.startsWith("/") && !f.contains(":/")))
     // SQL surface: clone at an explicit source version + catalog entry
     val dest2 = freshTable()
     spark.sql("DROP TABLE IF EXISTS txn_clone_cat")
@@ -2228,6 +2252,31 @@ class TxnLogSpec extends SparkSpec {
     assert(e.getMessage.contains("key_range"))
     // sticky columnMapping property came over too
     assert(TxnLog.detail(dest)._6.get("columnMapping").contains("name"))
+  }
+
+  test("minreader protocol guard refuses newer-writer logs descriptively") {
+    val t = freshTable()
+    val log = Paths.get(t, "_txn_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${1L}%020d.log"),
+      java.util.Arrays.asList("op\tcreate", "minreader\t99",
+        "schema\t" + nation.schema.json))
+    val e = intercept[Exception] { TxnLog.snapshot(spark, t) }
+    assert(e.getMessage.contains("reader version 99"))
+    // an unknown ACTION (a future writer without the courtesy bump)
+    // refuses too, with the newer-writer hint — never a silent skip
+    val t2 = freshTable()
+    val log2 = Paths.get(t2, "_txn_log")
+    Files.createDirectories(log2)
+    Files.write(log2.resolve(f"${1L}%020d.log"),
+      java.util.Arrays.asList("op\tcreate",
+        "schema\t" + nation.schema.json, "wormhole\tx"))
+    val e2 = intercept[Exception] { TxnLog.snapshot(spark, t2) }
+    assert(e2.getMessage.contains("newer writer"))
+    // a current-build table carries minreader=1 and replays fine
+    val t3 = freshTable()
+    TxnLog.create(spark, t3, nation)
+    assert(TxnLog.snapshot(spark, t3).count() == nation.count())
   }
 
   test("constraint DDL and DESCRIBE DETAIL through SQL") {
