@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // command (unlogged files are silently invisible); the cached
     // catalog-relation INSERT route plans it — rewrite post-hoc
     ext.injectPostHocResolutionRule(s => graft.plans.TxnLogInsertGuard(s))
+    // Delta's CDF table-valued function: table_changes('t', from[, to])
+    // resolves inline to the readChangeFeed relation
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.plans.TableChangesFunction.getClass.getName,
+        "table_changes"),
+      (args: Seq[Expression]) =>
+        graft.plans.TableChangesFunction.plan(args)))
     // maintenance statements Spark's grammar lacks: VACUUM / OPTIMIZE
     // [ZORDER BY] / DESCRIBE HISTORY — a delegating parser claims them,
     // every other statement reaches the stock parser untouched

@@ -5331,6 +5331,46 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // ── [ext] CDF as a TABLE-VALUED FUNCTION + property DDL —
+    // `table_changes('t', startV)` (Delta's CDF TVF, injected via
+    // SparkSessionExtensions.injectTableFunction) serves the same
+    // row-level feed as the format-string reader but inline in any
+    // SQL statement; `ALTER TABLE … SET TBLPROPERTIES` / `SHOW
+    // TBLPROPERTIES` commit and read sticky log properties (the
+    // channel columnMapping itself rides). The require pins the
+    // property round-trip; the output is the oracle-replayed change
+    // window. ─────────────────────────────────────────────────────────
+    "q318_txn_table_changes_fn" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q318_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate",
+          "o_totalprice")
+      val d98 = to_date(lit("1998-01-01"))
+      graft.sources.TxnLog.create(s, tbl,
+        o.filter(col("o_orderdate") < d98)) // v1
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q318_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql("ALTER TABLE q318_txn_v SET TBLPROPERTIES " +
+        "('pipeline'='daily')") // v2
+      require(s.sql("SHOW TBLPROPERTIES q318_txn_v").collect()
+        .exists(r => r.getString(0) == "pipeline" &&
+          r.getString(1) == "daily"),
+        "SET TBLPROPERTIES must round-trip through SHOW")
+      graft.sources.TxnLog.append(s, tbl,
+        o.filter(col("o_orderdate") >= d98)) // v3
+      graft.sources.TxnLog.upsert(s, tbl,
+        o.filter(col("o_orderkey") < 1000)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey")) // v4
+      s.sql(
+        """SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM table_changes('q318_txn_v', 3)
+          |GROUP BY 1, 2
+          |ORDER BY _change_type, o_orderstatus""".stripMargin)
+    }),
+
     // ── [ext] per-domain document cap — the pretraining-mix fairness
     // op (no single domain may dominate the corpus): keep the K
     // longest docs per source. NOT a window sort: the kept set is a
@@ -10777,6 +10817,28 @@ object SparkEntry {
           |SELECT n_regionkey, count(*) AS n_rows,
           |  min(n_name) AS first_name
           |FROM t GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
+
+      // q318: the (v3, head] window — the append's inserts plus the
+      // upsert's pre/post pairs for every key < 1000
+      "q318_txn_table_changes_fn" ->
+        """WITH ins AS (
+          |  SELECT o_orderstatus, o_totalprice FROM orders
+          |  WHERE o_orderdate >= DATE '1998-01-01'),
+          |upd AS (
+          |  SELECT o_orderstatus, o_totalprice FROM orders
+          |  WHERE o_orderkey < 1000),
+          |feed AS (
+          |  SELECT 'insert' AS _change_type, o_orderstatus,
+          |    o_totalprice AS p FROM ins
+          |  UNION ALL SELECT 'update_preimage', o_orderstatus,
+          |    o_totalprice FROM upd
+          |  UNION ALL SELECT 'update_postimage', o_orderstatus,
+          |    o_totalprice * 2 FROM upd)
+          |SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM feed GROUP BY 1, 2
+          |ORDER BY _change_type, o_orderstatus""".stripMargin,
 
       // q316: the bottom-k cap replayed as a row_number prefix per
       // source (longest-first, doc_id tiebreak)

@@ -96,6 +96,12 @@ object GraftSqlParser {
       """\s+DROP\s+CONSTRAINT\s+(`[^`]+`|\w+)\s*;?\s*""").r
   private val Detail =
     ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Tok + """\s*;?\s*""").r
+  private val SetProps =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*""").r
+  private val ShowProps =
+    ("""(?is)\s*SHOW\s+TBLPROPERTIES\s+""" + Tok + """\s*;?\s*""").r
+  private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
 
   private def fail(msg: String): Nothing =
     throw new AnalysisException(
@@ -184,6 +190,19 @@ object GraftSqlParser {
           refreshNameOf(target)))
     case Detail(target) =>
       Some(TxnLogDetailCommand(pathOf(spark, delegate, target)))
+    // SET/SHOW TBLPROPERTIES are in Spark's grammar too: txnlog
+    // targets only, everything else reaches the stock parser
+    case SetProps(target, pairs) =>
+      maybePath(spark, delegate, target).map { p =>
+        val kvs = PropPair.findAllMatchIn(pairs)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        if (kvs.isEmpty) fail(
+          "SET TBLPROPERTIES: expected ('key'='value', ...) pairs")
+        TxnLogSetPropertiesCommand(p, kvs, refreshNameOf(target))
+      }
+    case ShowProps(target) =>
+      maybePath(spark, delegate, target)
+        .map(TxnLogShowPropertiesCommand(_))
     case CloneStmt(dest, src, v, loc) =>
       val srcPath = pathOf(spark, delegate, src)
       val d = dest.trim
@@ -374,5 +393,84 @@ case class TxnLogDetailCommand(table: String)
       props.toSeq.sorted.map { case (k, pv) => s"$k=$pv" }
         .mkString(","),
       checks.size.toLong))
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)` for txnlog targets:
+  * one metadata commit of sticky key→value `prop` lines (last writer
+  * wins per key — the channel columnMapping itself rides). Returns the
+  * new log version. */
+case class TxnLogSetPropertiesCommand(table: String,
+                                      props: Map[String, String],
+                                      refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxnLog.setProperties(session, table, props)
+    refreshName.foreach(n =>
+      try session.catalog.refreshTable(n)
+      catch { case scala.util.control.NonFatal(_) => () })
+    Seq(Row(v))
+  }
+}
+
+/** `SHOW TBLPROPERTIES t` for txnlog targets: the head snapshot's
+  * sticky properties as (key, value) rows — from the log, not the
+  * session catalog's stored copy. */
+case class TxnLogShowPropertiesCommand(table: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    TxnLog.properties(table).toSeq.sorted
+      .map { case (k, v) => Row(k, v) }
+}
+
+/** `SELECT … FROM table_changes('t' | '/path', startV [, endV])` —
+  * Delta's CDF table-valued function: resolves to the same
+  * `readChangeFeed` relation the format string serves (row-level
+  * insert/update_pre/update_post/delete records with
+  * `_commit_version`), so the feed is queryable inline in any SQL
+  * statement. Versions are inclusive; endV defaults to the head. */
+object TableChangesFunction {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" -> msg))
+
+  private def litOf(e: Expression, what: String): Any = e match {
+    case Literal(v, _) if v != null => v
+    case other => fail(
+      s"table_changes: $what must be a non-null literal, got $other")
+  }
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    if (args.size < 2 || args.size > 3)
+      fail("table_changes(table, start_version[, end_version]) takes " +
+        s"2 or 3 arguments, got ${args.size}")
+    val spark = SparkSession.active
+    val target = String.valueOf(litOf(args(0), "table"))
+    val from = litOf(args(1), "start_version")
+      .asInstanceOf[Number].longValue
+    val path =
+      if (target.contains("/")) target
+      else TxnLogSqlSurface
+        .lookupPath(spark, target.split('.').toSeq)
+        .getOrElse(fail(s"table_changes: $target is not a txnlog " +
+          "view, table, or path"))
+    val rd = spark.read.format("txnlog").option("path", path)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", from.toString)
+    val rd2 =
+      if (args.size == 3)
+        rd.option("endingVersion", litOf(args(2), "end_version")
+          .asInstanceOf[Number].longValue.toString)
+      else rd
+    org.apache.spark.sql.GraftShim.logicalPlan(rd2.load())
   }
 }

@@ -2457,6 +2457,35 @@ object TxnLog {
     v
   }
 
+  /** SET TBLPROPERTIES as one metadata commit: sticky key→value pairs
+    * in the log (`prop` replay lines — last writer wins per key), the
+    * same channel columnMapping rides. CAS-pinned. */
+  def setProperties(spark: SparkSession, table: String,
+                    props: Map[String, String]): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    require(props.nonEmpty, "no properties to set")
+    props.foreach { case (k, pv) =>
+      require(!k.contains('\t') && !pv.contains('\t'),
+        "property keys/values must be tab-free") }
+    val base = versions(table).last
+    val v = base + 1
+    if (!publish(table, v, "op\tsetProperties" +:
+        props.toSeq.sortBy(_._1).map { case (k, pv) => s"prop\t$k\t$pv" }))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
+  /** The table's sticky properties at the head (or `asOf`). */
+  def properties(table: String,
+                 asOf: Option[Long] = None): Map[String, String] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    replayState(table, upTo).props
+  }
+
   /** DESCRIBE DETAIL's payload, all from the log (no data file is
     * opened): (version, nFiles, sizeBytes, rowCount, partitionColumns,
     * properties, checks) of the head snapshot. */

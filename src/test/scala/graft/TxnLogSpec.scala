@@ -2254,6 +2254,49 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.detail(dest)._6.get("columnMapping").contains("name"))
   }
 
+  test("SET/SHOW TBLPROPERTIES and table_changes() through SQL") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_props_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    // SET TBLPROPERTIES: one metadata commit, sticky, last-wins
+    spark.sql("ALTER TABLE txn_props_v SET TBLPROPERTIES " +
+      "('owner'='etl', 'retention.hours'='168')")
+    spark.sql("ALTER TABLE txn_props_v SET TBLPROPERTIES " +
+      "('owner'='pipeline')")
+    val props = spark.sql("SHOW TBLPROPERTIES txn_props_v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props == Map("owner" -> "pipeline",
+      "retention.hours" -> "168"))
+    assert(TxnLog.versions(t) == Seq(1L, 2L, 3L))
+    // non-txnlog SHOW TBLPROPERTIES reaches Spark's own handler
+    // (a plain temp view has none of our sticky log properties)
+    nation.createOrReplaceTempView("plain_props_v")
+    val plain = spark.sql("SHOW TBLPROPERTIES plain_props_v").collect()
+      .map(_.getString(0)).toSet
+    assert(!plain.contains("owner"),
+      "a plain view must not serve the txnlog table's properties")
+    // table_changes(): the CDF window inline in SQL
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 2))
+    val vA = TxnLog.versions(t).last
+    TxnLog.upsert(spark, t, nation.filter(col("n_nationkey") < 2)
+      .withColumn("n_name", concat(col("n_name"), lit("_U"))),
+      Seq("n_nationkey"))
+    val changes = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM " +
+        s"table_changes('txn_props_v', $vA) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(changes("insert") ==
+      nation.filter(col("n_regionkey") >= 2).count())
+    assert(changes("update_postimage") == 2L &&
+      changes("update_preimage") == 2L)
+    // path form + explicit end version: just the append window
+    val byPath = spark.sql(
+      s"SELECT count(*) FROM table_changes('$t', $vA, $vA)")
+      .head.getLong(0)
+    assert(byPath == nation.filter(col("n_regionkey") >= 2).count())
+  }
+
   test("minreader protocol guard refuses newer-writer logs descriptively") {
     val t = freshTable()
     val log = Paths.get(t, "_txn_log")
