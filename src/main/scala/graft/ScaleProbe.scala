@@ -492,6 +492,40 @@ object ScaleProbe {
           java.nio.file.Paths.get(tdir).getParent)
       }
     }
+
+    // ── TxnLog shallow clone: cost ∝ live-file METADATA, independent
+    // of data volume. The source grows 16× in file count; the clone is
+    // one log write of add/stats lines (zero data files copied — the
+    // probe asserts it), so the 100 TB table clones in the same
+    // milliseconds as the 100 MB one. The read-back count proves the
+    // absolute-path references serve immediately. ───────────────────────
+    {
+      val base = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+        .select("o_orderkey", "o_totalprice")
+      for (nFiles <- Seq(16, 64, 256)) {
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft_txn_cl_").resolve("s").toString
+        graft.sources.TxnLog.create(spark, sdir,
+          base.repartition(nFiles), statsCols = Seq("o_orderkey"))
+        val ddir = java.nio.file.Paths.get(sdir).getParent
+          .resolve("d").toString
+        val t0 = System.nanoTime()
+        graft.sources.TxnLog.shallowClone(spark, sdir, ddir)
+        val ms = (System.nanoTime() - t0) / 1e6
+        val copied = {
+          val st = java.nio.file.Files.walk(java.nio.file.Paths.get(ddir))
+          try st.filter(p => p.toString.endsWith(".parquet") &&
+            !p.toString.contains("_txn_log")).count()
+          finally st.close()
+        }
+        require(copied == 0, "clone must copy zero data files")
+        val n = graft.sources.TxnLog.snapshot(spark, ddir).count()
+        println(f"SCALE txn_clone        files=$nFiles%-4d ${ms}%7.1f ms  " +
+          f"(0 data files copied, $n rows readable)")
+        graft.TempWork.deleteRecursively(
+          java.nio.file.Paths.get(sdir).getParent)
+      }
+    }
     spark.stop()
   }
 }
