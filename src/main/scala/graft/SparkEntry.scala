@@ -5331,6 +5331,36 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // ── [ext] CONVERT TO TXNLOG — adopt an existing plain-parquet
+    // directory as a transactional table IN PLACE (Delta's CONVERT TO
+    // DELTA): one metadata commit logs the files already there (zero
+    // bytes rewritten — adopting a 100 TB parquet lake is one log
+    // write), after which the full surface applies — here a SQL
+    // UPDATE lands as the v2 copy-on-write commit on the adopted
+    // files. Requires pin the one-commit conversion and the version
+    // chain. ──────────────────────────────────────────────────────────
+    "q319_txn_convert" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q319_txn") + "/t"
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.repartition(4).write.parquet(tbl)
+      val out = s.sql(s"CONVERT TO TXNLOG '$tbl'").collect()
+      require(out.length == 1 && out(0).getLong(0) == 1L &&
+        out(0).getLong(1) >= 4L,
+        "convert must log the existing files as the v1 commit")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q319_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql("UPDATE q319_txn_v SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey < 1000")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "the adopted table must take DML as ordinary commits")
+      s.table("q319_txn_v")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── [ext] CDF as a TABLE-VALUED FUNCTION + property DDL —
     // `table_changes('t', startV)` (Delta's CDF TVF, injected via
     // SparkSessionExtensions.injectTableFunction) serves the same
@@ -10817,6 +10847,18 @@ object SparkEntry {
           |SELECT n_regionkey, count(*) AS n_rows,
           |  min(n_name) AS first_name
           |FROM t GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
+
+      // q319: the adopted table after the doubled-price UPDATE
+      "q319_txn_convert" ->
+        """WITH st AS (
+          |  SELECT o_orderstatus,
+          |    CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+          |      ELSE o_totalprice END AS p
+          |  FROM orders)
+          |SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM st GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q318: the (v3, head] window — the append's inserts plus the
       // upsert's pre/post pairs for every key < 1000

@@ -10,15 +10,33 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
-/** Maintenance statements of the txnlog format as REAL SQL — the three
-  * Delta utility commands a table operator runs daily, claimed by a
-  * delegating parser (Spark's grammar has no VACUUM/OPTIMIZE/DESCRIBE
-  * HISTORY, so nothing is shadowed; every other statement goes to the
-  * stock parser untouched):
+/** Maintenance + DDL statements of the txnlog format as REAL SQL,
+  * claimed by a delegating parser. Two claim disciplines: statements
+  * Spark's grammar LACKS (nothing shadowed) are claimed whenever they
+  * parse —
   *
   *   VACUUM t [RETAIN n HOURS]            → [[TxnLog.vacuum]]
   *   OPTIMIZE t [ZORDER BY (a, b, …)]     → [[TxnLog.compact]]
   *   DESCRIBE HISTORY t                   → [[TxnLog.history]]
+  *   DESCRIBE DETAIL t                    → [[TxnLog.detail]]
+  *   RESTORE [TABLE] t TO VERSION/TIMESTAMP AS OF … → [[TxnLog.restore]]
+  *   CREATE TABLE d SHALLOW CLONE s [VERSION AS OF n] [LOCATION '…']
+  *                                        → [[TxnLog.shallowClone]]
+  *
+  * — while statements Spark ALSO parses (ALTER TABLE …, SHOW
+  * TBLPROPERTIES) are claimed ONLY when the target resolves to a
+  * txnlog table; everything else reaches the stock parser untouched:
+  *
+  *   ALTER TABLE t ADD COLUMN c TYPE      → [[TxnLog.addColumn]]
+  *     (one column, primitive types — the common evolution; richer
+  *     shapes go through the programmatic mergeSchema path)
+  *   ALTER TABLE t RENAME COLUMN a TO b   → [[TxnLog.renameColumn]]
+  *   ALTER TABLE t DROP COLUMN c          → [[TxnLog.dropColumn]]
+  *   ALTER TABLE t ADD CONSTRAINT n CHECK (…) → [[TxnLog.addCheck]]
+  *   ALTER TABLE t DROP CONSTRAINT n      → [[TxnLog.dropCheck]]
+  *   ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)
+  *                                        → [[TxnLog.setProperties]]
+  *   SHOW TBLPROPERTIES t                 → [[TxnLog.properties]]
   *
   * The target is a temp view / catalog table name (resolved through
   * [[TxnLogSqlSurface.lookupPath]]) or a quoted table path. Registered
@@ -102,6 +120,8 @@ object GraftSqlParser {
   private val ShowProps =
     ("""(?is)\s*SHOW\s+TBLPROPERTIES\s+""" + Tok + """\s*;?\s*""").r
   private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val Convert =
+    ("""(?is)\s*CONVERT\s+TO\s+TXNLOG\s+""" + Tok + """\s*;?\s*""").r
 
   private def fail(msg: String): Nothing =
     throw new AnalysisException(
@@ -203,6 +223,13 @@ object GraftSqlParser {
     case ShowProps(target) =>
       maybePath(spark, delegate, target)
         .map(TxnLogShowPropertiesCommand(_))
+    case Convert(target) =>
+      val d = target.trim
+      val path = if (d.startsWith("'") || d.startsWith("`"))
+        d.substring(1, d.length - 1)
+      else fail("CONVERT TO TXNLOG takes a quoted parquet directory " +
+        "path (the directory is not yet a table the catalog can name)")
+      Some(TxnLogConvertCommand(path))
     case CloneStmt(dest, src, v, loc) =>
       val srcPath = pathOf(spark, delegate, src)
       val d = dest.trim
@@ -472,5 +499,21 @@ object TableChangesFunction {
           .asInstanceOf[Number].longValue.toString)
       else rd
     org.apache.spark.sql.GraftShim.logicalPlan(rd2.load())
+  }
+}
+
+/** `CONVERT TO TXNLOG '/path/to/parquet'` — adopt an existing plain
+  * parquet directory (flat or hive-partitioned) as a txnlog table in
+  * place ([[TxnLog.convertFromParquet]]): one metadata commit logging
+  * the files already there, zero bytes rewritten. Returns (version,
+  * n_files). */
+case class TxnLogConvertCommand(table: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxnLog.convertFromParquet(session, table)
+    Seq(Row(v, TxnLog.files(table).size.toLong))
   }
 }

@@ -2457,6 +2457,56 @@ object TxnLog {
     v
   }
 
+  /** CONVERT an existing plain-parquet directory (flat or
+    * hive-partitioned) into a txnlog table IN PLACE — Delta's `CONVERT
+    * TO DELTA`: the v1 commit simply logs the files already there
+    * (relative paths, sizes from the listing) plus the
+    * footer-inferred schema; zero bytes rewritten, so adopting a
+    * 100 TB parquet lake into the transactional format is one
+    * metadata write. After conversion every capability applies —
+    * appends, MERGE, DVs, time travel from v1, compaction (which also
+    * back-fills the skipping stats conversion does not collect).
+    * Refuses directories that already hold a log. */
+  def convertFromParquet(spark: SparkSession, table: String): Long = {
+    require(!exists(table), s"already a TxnLog table: $table")
+    val t = tablePath(table)
+    val fs = fsOf(t)
+    require(fs.isDirectory(t), s"not a directory: $table")
+    val base = fs.makeQualified(t).toString
+    val found = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def walk(d: HPath): Unit = fs.listStatus(d).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (!name.startsWith("_") && !name.startsWith(".")) walk(st.getPath)
+      } else if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith(".")) {
+        val q = fs.makeQualified(st.getPath).toString
+        require(q.startsWith(base), s"walked outside the table dir: $q")
+        found += ((q.substring(base.length).dropWhile(_ == '/'),
+          st.getLen))
+      }
+    }
+    walk(t)
+    require(found.nonEmpty, s"no parquet files under $table")
+    // a partitioned layout must be UNIFORM (every writer here stages
+    // through one partitionBy; a mixed directory has no single layout
+    // to log)
+    val layouts = found.map(f => partValuesOf(f._1).map(_._1)).distinct
+    require(layouts.size == 1,
+      s"mixed partition layouts under $table: " +
+        layouts.map(_.mkString("/")).mkString(" vs "))
+    // footer-inferred schema INCLUDING hive partition columns (the
+    // same discovery every later reader applies to the logged paths)
+    val schema = spark.read.parquet(table).schema
+    val lines = Seq("op\tconvert", "minreader\t1",
+        s"schema\t${schema.json}") ++
+      found.sortBy(_._1).flatMap { case (f, len) =>
+        Seq("add\t" + f, s"fsize\t$f\t$len") }
+    if (!publish(table, 1L, lines))
+      throw new ConcurrentCommitException(1L)
+    1L
+  }
+
   /** SET TBLPROPERTIES as one metadata commit: sticky key→value pairs
     * in the log (`prop` replay lines — last writer wins per key), the
     * same channel columnMapping rides. CAS-pinned. */

@@ -2254,6 +2254,72 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.detail(dest)._6.get("columnMapping").contains("name"))
   }
 
+  test("CONVERT TO TXNLOG adopts a parquet directory in place") {
+    // flat layout via SQL
+    val flat = freshTable()
+    nation.repartition(3).write.parquet(flat)
+    val out = spark.sql(s"CONVERT TO TXNLOG '$flat'").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L &&
+      out(0).getLong(1) >= 3L)
+    assert(rowsOf(TxnLog.snapshot(spark, flat).orderBy("n_nationkey")) ==
+      rowsOf(nation.orderBy("n_nationkey")))
+    // post-convert the table is first-class: DV delete, time travel
+    TxnLog.deleteWhereDV(spark, flat, col("n_regionkey") === 0)
+    assert(TxnLog.snapshot(spark, flat).count() ==
+      nation.filter(col("n_regionkey") =!= 0).count())
+    assert(TxnLog.snapshot(spark, flat, Some(1L)).count() ==
+      nation.count())
+    // hive-partitioned layout: partition columns in the declared
+    // schema, partition-scoped reads work
+    val part = freshTable()
+    nation.write.partitionBy("n_regionkey").parquet(part)
+    TxnLog.convertFromParquet(spark, part)
+    val snap = TxnLog.snapshot(spark, part)
+    assert(snap.columns.contains("n_regionkey"))
+    assert(snap.count() == nation.count())
+    assert(snap.filter(col("n_regionkey") === 2).count() ==
+      nation.filter(col("n_regionkey") === 2).count())
+    // converting twice refuses; converting a non-directory refuses
+    val e = intercept[Exception] {
+      TxnLog.convertFromParquet(spark, part) }
+    assert(e.getMessage.contains("already"))
+  }
+
+  test("clone of a clone chains absolute references correctly") {
+    val a = freshTable()
+    TxnLog.create(spark, a, nation, statsCols = Seq("n_nationkey"))
+    val b = freshTable()
+    TxnLog.shallowClone(spark, a, b)
+    // b diverges with a local write, then clones again: c must see
+    // BOTH b's local files (absolute via b) and a's files (absolute
+    // strings copied verbatim — abs-of-abs resolves to itself)
+    TxnLog.append(spark, b, spark.range(1)
+      .select(lit(900).cast("int").as("n_nationkey"),
+        lit("B_ONLY").as("n_name"), lit(0).cast("int").as("n_regionkey")))
+    val c = freshTable()
+    TxnLog.shallowClone(spark, b, c)
+    assert(TxnLog.snapshot(spark, c).count() == nation.count() + 1)
+    assert(TxnLog.snapshot(spark, c)
+      .filter(col("n_name") === "B_ONLY").count() == 1)
+    // c copied NOTHING; b holds only its own appended rows' files
+    def localParquet(d: String): Long = {
+      val st = Files.walk(Paths.get(d))
+      try st.filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_txn_log")).count()
+      finally st.close()
+    }
+    assert(localParquet(c) == 0L, "clone-of-clone must copy zero files")
+    assert(localParquet(b) >= 1L)
+    // stats pruning still live two hops out
+    assert(TxnLog.snapshotWhere(spark, c, "n_nationkey", 0L, 3L)
+      .inputFiles.length <= TxnLog.snapshot(spark, c).inputFiles.length)
+    // compacting c severs BOTH upstream references
+    TxnLog.compact(spark, c, targetFiles = 1)
+    assert(TxnLog.files(c).forall(f =>
+      !f.startsWith("/") && !f.contains(":/")))
+    assert(TxnLog.snapshot(spark, c).count() == nation.count() + 1)
+  }
+
   test("SET/SHOW TBLPROPERTIES and table_changes() through SQL") {
     val t = freshTable()
     TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
