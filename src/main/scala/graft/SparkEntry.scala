@@ -5331,6 +5331,25 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // ── [ext] SHOW PARTITIONS — live per-partition row counts
+    // answered ENTIRELY from the log (rowcount lines minus journaled
+    // DV deletions): the partition census of a 100 TB table costs
+    // zero data-file opens. The DV delete in the middle proves the
+    // counts are live, not write-time stale. ──────────────────────────
+    "q320_txn_show_partitions" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q320_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl, o,
+        partitionBy = Seq("o_orderstatus"))
+      graft.sources.TxnLog.deleteWhereDV(s, tbl,
+        col("o_totalprice") > 300000)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW q320_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql("SHOW PARTITIONS q320_txn_v")
+        .orderBy("partition")
+    }),
+
     // ── [ext] CONVERT TO TXNLOG — adopt an existing plain-parquet
     // directory as a transactional table IN PLACE (Delta's CONVERT TO
     // DELTA): one metadata commit logs the files already there (zero
@@ -10847,6 +10866,13 @@ object SparkEntry {
           |SELECT n_regionkey, count(*) AS n_rows,
           |  min(n_name) AS first_name
           |FROM t GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
+
+      // q320: live per-partition counts after the DV delete
+      "q320_txn_show_partitions" ->
+        """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+          |  count(*) AS n_rows
+          |FROM orders WHERE o_totalprice <= 300000
+          |GROUP BY 1 ORDER BY partition""".stripMargin,
 
       // q319: the adopted table after the doubled-price UPDATE
       "q319_txn_convert" ->

@@ -122,6 +122,8 @@ object GraftSqlParser {
   private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val Convert =
     ("""(?is)\s*CONVERT\s+TO\s+TXNLOG\s+""" + Tok + """\s*;?\s*""").r
+  private val ShowParts =
+    ("""(?is)\s*SHOW\s+PARTITIONS\s+""" + Tok + """\s*;?\s*""").r
 
   private def fail(msg: String): Nothing =
     throw new AnalysisException(
@@ -223,6 +225,9 @@ object GraftSqlParser {
     case ShowProps(target) =>
       maybePath(spark, delegate, target)
         .map(TxnLogShowPropertiesCommand(_))
+    case ShowParts(target) =>
+      maybePath(spark, delegate, target)
+        .map(TxnLogShowPartitionsCommand(_))
     case Convert(target) =>
       val d = target.trim
       val path = if (d.startsWith("'") || d.startsWith("`"))
@@ -515,5 +520,31 @@ case class TxnLogConvertCommand(table: String)
   override def run(session: SparkSession): Seq[Row] = {
     val v = TxnLog.convertFromParquet(session, table)
     Seq(Row(v, TxnLog.files(table).size.toLong))
+  }
+}
+
+/** `SHOW PARTITIONS t` for txnlog targets: hive-style partition
+  * strings with their LIVE row counts (rowcounts minus journaled DV
+  * deletions) — answered entirely from the log, no data file opens.
+  * `n_rows` is null when any live file predates rowcount recording. */
+case class TxnLogShowPartitionsCommand(table: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val counts = TxnLog.partitionRowCounts(table)
+    val parts = TxnLog.partitionValues(table)
+    if (parts.isEmpty) throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" ->
+        s"SHOW PARTITIONS: $table is not partitioned"))
+    parts.toSeq.map(p => p.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      .sorted.map { label =>
+        val n = counts.flatMap(_.find { case (pv, _) =>
+          pv.map { case (k, v) => s"$k=$v" }.mkString("/") == label
+        }.map(_._2))
+        Row(label, n.map(Long.box).orNull)
+      }
   }
 }

@@ -1169,6 +1169,20 @@ object TxnLog {
         st.rowcounts(f) - st.dvCounts.getOrElse(f, 0L)).sum).toMap)
   }
 
+  /** The head snapshot's distinct partition (col, value) tuples from
+    * its live file paths — empty for unpartitioned tables. Pure log
+    * metadata (SHOW PARTITIONS' payload). */
+  def partitionValues(table: String,
+                      asOf: Option[Long] = None)
+      : Set[Seq[(String, String)]] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    replayState(table, upTo).live
+      .map(partValuesOf).filter(_.nonEmpty).toSet
+  }
+
   // ─── staging ───────────────────────────────────────────────────────
 
   /** Stage `df` as fresh UUID-named parquet files, returning their

@@ -2254,6 +2254,34 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.detail(dest)._6.get("columnMapping").contains("name"))
   }
 
+  test("SHOW PARTITIONS serves live per-partition counts from the log") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_showp_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    val rows = spark.sql("SHOW PARTITIONS txn_showp_v").collect()
+    val expected = nation.groupBy("n_regionkey").count().collect()
+      .map(r => s"n_regionkey=${r.get(0)}" -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      expected)
+    // counts are LIVE: a DV delete in one partition shrinks only it
+    TxnLog.deleteWhereDV(spark, t,
+      col("n_regionkey") === 2 && col("n_nationkey") < 10)
+    val after = spark.sql("SHOW PARTITIONS txn_showp_v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deleted = nation.filter(
+      col("n_regionkey") === 2 && col("n_nationkey") < 10).count()
+    assert(after("n_regionkey=2") == expected("n_regionkey=2") - deleted)
+    assert(after.view.filterKeys(_ != "n_regionkey=2").toMap ==
+      expected.view.filterKeys(_ != "n_regionkey=2").toMap)
+    // unpartitioned tables refuse descriptively
+    val t2 = freshTable()
+    TxnLog.create(spark, t2, nation)
+    val e = intercept[Exception] {
+      spark.sql(s"SHOW PARTITIONS '$t2'").collect() }
+    assert(e.getMessage.contains("not partitioned"))
+  }
+
   test("CONVERT TO TXNLOG adopts a parquet directory in place") {
     // flat layout via SQL
     val flat = freshTable()
