@@ -42,9 +42,16 @@ object SparkEntry {
   private val urgentEdgesMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, Long)]()
   private def urgentEdges(s: SparkSession, dir: String)
-      : (DataFrame, Long) =
-    urgentEdgesMemo.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir, _ => {
+      : (DataFrame, Long) = {
+    val key = System.identityHashCode(s) + "|" + dir
+    val hit = urgentEdgesMemo.get(key)
+    if (hit != null) return hit
+    // bound the memo: Bench/Verify see one (session, dir) pair, but a
+    // long-lived server would otherwise pin every past session's
+    // localCheckpoint blocks forever — dropping the map entry lets the
+    // ContextCleaner reclaim the blocks once the RDD is unreachable
+    if (urgentEdgesMemo.size >= 4) urgentEdgesMemo.clear()
+    urgentEdgesMemo.computeIfAbsent(key, _ => {
         val urgent = T(s, dir, "lineitem")
           .join(T(s, dir, "orders")
             .filter(col("o_orderpriority") === "1-URGENT")
@@ -54,6 +61,7 @@ object SparkEntry {
           urgent, "l_orderkey", "l_partkey")
         (e.localCheckpoint(true), m)
       })
+  }
 
   /** Flagship: one full incremental-sync round (scan → argmax dedup →
     * recency-guarded merge), the reference's E3 lifecycle on fixtures.

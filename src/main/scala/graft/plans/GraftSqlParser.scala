@@ -369,7 +369,16 @@ case class TxnLogCloneCommand(dest: String, source: String,
   override def run(session: SparkSession): Seq[Row] = {
     val v = TxnLog.shallowClone(session, source, dest, sourceVersion)
     registerAs.foreach { name =>
-      session.sql(s"CREATE TABLE $name USING txnlog LOCATION '$dest'")
+      // the identifier is regex-constrained ([\w.]+) by the statement
+      // matcher, but re-assert it here (this command is constructible
+      // programmatically) and single-quote-escape the interpolated
+      // LOCATION so a quote in the destination path cannot break out
+      // of the literal (statement injection)
+      require(name.matches("""[\w]+(\.[\w]+)*"""),
+        s"clone registration: invalid table identifier $name")
+      val quoted = name.split('.').map(p => s"`$p`").mkString(".")
+      val escDest = dest.replace("'", "''")
+      session.sql(s"CREATE TABLE $quoted USING txnlog LOCATION '$escDest'")
     }
     Seq(Row(v, TxnLog.files(dest).size.toLong))
   }

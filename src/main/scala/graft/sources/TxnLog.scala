@@ -379,26 +379,40 @@ object TxnLog {
 
   /** One committed version classified for the STREAMING SOURCE:
     * (op, data-file adds, layoutOnly = carries `nochange`, rewrite =
-    * removes rows or masks them with DVs). Layout-only commits
-    * (compact) are silently invisible to a stream — their adds are the
-    * same rows re-laid; rewrite commits are the ones Delta's source
-    * refuses without ignoreChanges. */
+    * removes rows or masks PRE-EXISTING rows with DVs, selfMasked =
+    * an initial snapshot whose DVs mask only its OWN adds). Layout-only
+    * commits (compact) are silently invisible to a stream — their adds
+    * are the same rows re-laid; rewrite commits are the ones Delta's
+    * source refuses without ignoreChanges. A DV-carrying SHALLOW
+    * CLONE's v1 is NOT a rewrite: its masks arrive with the adds they
+    * mask, so the stream serves the adds minus the commit's own DVs —
+    * the initial snapshot, exactly what Delta's source serves (the op
+    * matcher accepts provenance-carrying lines like
+    * `op\tclone\t<src>\t<v>`, not just two-field ones). */
   private[sources] def versionAdds(table: String, v: Long)
-      : (String, Seq[String], Boolean, Boolean) = {
+      : (String, Seq[String], Boolean, Boolean, Boolean) = {
     val acts = actionsOf(table, v)
-    val op = acts.collectFirst { case Array("op", o) => o }.getOrElse("")
+    val op = acts.collectFirst {
+      case a if a.length >= 2 && a(0) == "op" => a(1) }.getOrElse("")
     val adds = acts.collect { case Array("add", f) => f }
     val layoutOnly = acts.exists {
       case Array("nochange") => true
       case _ => false
     }
-    val rewrite = acts.exists {
+    val removes = acts.exists {
       case Array("remove", _) => true
-      case Array("dvcount", _, _) => true
+      case _ => false
+    }
+    val dvClear = acts.exists {
       case Array("dvclear") => true
       case _ => false
     }
-    (op, adds.toSeq, layoutOnly, rewrite)
+    val dvTouched = acts.collect { case Array("dvcount", f, _) => f }
+    val selfMasked = !removes && !dvClear && dvTouched.nonEmpty &&
+      dvTouched.forall(adds.contains)
+    val rewrite = !selfMasked &&
+      (removes || dvClear || dvTouched.nonEmpty)
+    (op, adds.toSeq, layoutOnly, rewrite, selfMasked)
   }
 
   /** Best-effort checkpoint after commit `v` (every
@@ -723,12 +737,17 @@ object TxnLog {
     // hive-partitioned paths need a `basePath` so Spark re-derives the
     // partition columns — and a post-clone table can mix bases (its own
     // dir plus the clone source's), so scan one group per base and
-    // union (same declared schema, no shuffle)
-    def baseOfPath(q: String): String = {
-      val segs = q.split('/')
-      var end = segs.length - 1 // drop the leaf file
-      while (end > 0 && segs(end - 1).contains('=')) end -= 1
-      segs.take(end).mkString("/")
+    // union (same declared schema, no shuffle). The base pops EXACTLY
+    // the committed path's own segments (leaf + its partition dirs) —
+    // never arbitrary '='-containing ANCESTORS, so a table whose own
+    // directory (or an ancestor) contains '=' cannot grow phantom
+    // partition columns. Clone-referenced absolute paths carry only
+    // their partition '='-segments (shallowClone forbids '=' in source
+    // dirs), so the count is exact for both spellings.
+    def baseOfPath(committed: String, q: String): String = {
+      val pop = 1 +
+        committed.split('/').dropRight(1).count(_.contains('='))
+      q.split('/').dropRight(pop).mkString("/")
     }
     def scanGroup(gBase: String, gPaths: Seq[String]): DataFrame = {
       val r0: DataFrameReader = spark.read
@@ -743,7 +762,10 @@ object TxnLog {
           element_at(split(col("_metadata.file_path"), "/"), -1))
         .withColumn("__dv_r", col("_metadata.row_index"))
     }
-    val groups = paths.groupBy(baseOfPath).toSeq.sortBy(_._1)
+    val groups = relPaths.zip(paths)
+      .groupBy { case (f, q) => baseOfPath(f, q) }
+      .toSeq.sortBy(_._1)
+      .map { case (b, fq) => (b, fq.map(_._2)) }
     val withPos = groups.map { case (b, ps) => scanGroup(b, ps) }
       .reduce(_ unionByName _)
     val joined = dv.fold(withPos)(dvDf =>
@@ -2354,8 +2376,10 @@ object TxnLog {
     val adds = tgt.live.filterNot(cur.live.contains)
     val schemaLine = tgt.schemaJson.filter(j => !cur.schemaJson.contains(j))
       .map("schema\t" + _)
-    val stats = adds.flatMap(f => tgt.stats.collect {
-      case ((`f`, c), (mn, mx)) => s"stats\t$f\t$c\t$mn\t$mx" })
+    val tgtStatsByFile = tgt.stats.groupBy(_._1._1) // O(metadata), not O(adds × stats)
+    val stats = adds.flatMap(f => tgtStatsByFile.getOrElse(f, Map.empty)
+      .toSeq.sortBy(_._1._2).map { case ((_, c), (mn, mx)) =>
+        s"stats\t$f\t$c\t$mn\t$mx" })
     val rcs = adds.flatMap(f =>
       tgt.rowcounts.get(f).map(n => s"rowcount\t$f\t$n")) ++
       adds.flatMap(f => tgt.sizes.get(f).map(n => s"fsize\t$f\t$n"))
@@ -2411,15 +2435,22 @@ object TxnLog {
       s"source path must not contain '=' (partition-segment parsing): " +
         srcQ)
     def abs(f: String): String = new HPath(srcQ, f).toString
+    // group the per-(file, column) maps by file ONCE — a per-live-file
+    // scan of the whole stats map would be O(files × stats entries),
+    // quadratic in file count for wide stats, and the clone commit must
+    // stay O(metadata)
+    val statsByFile = st.stats.groupBy(_._1._1)
+    val bloomsByFile = st.blooms.groupBy(_._1._1)
     val lines = Seq(s"op\tclone\t$srcQ\t$v") ++
       st.schemaJson.map("schema\t" + _) ++
       st.props.toSeq.sortBy(_._1).map { case (k, pv) => s"prop\t$k\t$pv" } ++
       st.checks.toSeq.sortBy(_._1).map { case (n, e) => s"check\t$n\t$e" } ++
       st.live.map(f => "add\t" + abs(f)) ++
-      st.live.flatMap(f => st.stats.collect {
-        case ((`f`, c), (mn, mx)) => s"stats\t${abs(f)}\t$c\t$mn\t$mx" }) ++
-      st.live.flatMap(f => st.blooms.collect {
-        case ((`f`, c), (m, k, bits)) =>
+      st.live.flatMap(f => statsByFile.getOrElse(f, Map.empty).toSeq
+        .sortBy(_._1._2).map { case ((_, c), (mn, mx)) =>
+          s"stats\t${abs(f)}\t$c\t$mn\t$mx" }) ++
+      st.live.flatMap(f => bloomsByFile.getOrElse(f, Map.empty).toSeq
+        .sortBy(_._1._2).map { case ((_, c), (m, k, bits)) =>
           s"bloom\t${abs(f)}\t$c\t$m\t$k\t${bitsToB64(bits)}" }) ++
       st.live.flatMap(f =>
         st.rowcounts.get(f).map(n => s"rowcount\t${abs(f)}\t$n")) ++

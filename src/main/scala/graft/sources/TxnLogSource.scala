@@ -399,26 +399,44 @@ private[graft] final class TxnLogStreamSource(sqlCtx: SQLContext,
     val from = math.max(start.map(versionOf).getOrElse(floor), floor)
     val to = versionOf(end)
     if (to > lastEnd) lastEnd = to // restart replay re-syncs the cap
-    val files = TxnLog.versions(table)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a version whose DVs mask only its OWN adds (a DV-carrying shallow
+    // clone's v1) is an initial snapshot, not a rewrite: its adds are
+    // served with that commit's own masks subtracted, like Delta's
+    // source serving a cloned snapshot with DVs applied
+    val selfMaskedVs = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Seq[String])]
+    TxnLog.versions(table)
       .filter(v => v > from && v <= to)
-      .flatMap { v =>
-        val (op, adds, layoutOnly, rewrite) = TxnLog.versionAdds(table, v)
-        if (layoutOnly) Nil // compaction re-lays rows a stream has seen
+      .foreach { v =>
+        val (op, adds, layoutOnly, rewrite, selfMasked) =
+          TxnLog.versionAdds(table, v)
+        if (layoutOnly) () // compaction re-lays rows a stream has seen
         else if (rewrite) {
-          if (ignoreChanges) Nil
-          else sys.error(s"txnlog source: version $v of $table is a " +
-            s"row-rewriting commit (op=$op) — a pure append stream " +
-            "cannot serve it exactly-once; set ignoreChanges=true to " +
-            "skip rewrite commits, or consume TxnLog.changeStream " +
-            "for row-level changes")
-        } else adds
+          if (!ignoreChanges)
+            sys.error(s"txnlog source: version $v of $table is a " +
+              s"row-rewriting commit (op=$op) — a pure append stream " +
+              "cannot serve it exactly-once; set ignoreChanges=true to " +
+              "skip rewrite commits, or consume TxnLog.changeStream " +
+              "for row-level changes")
+        } else if (selfMasked) selfMaskedVs += ((v, adds))
+        else files ++= adds
       }
+    val plain =
+      if (files.isEmpty) None
+      else Some(TxnLog.readFiles(spark, table, files.toSeq, Some(declared)))
+    val masked = selfMaskedVs.toSeq.map { case (v, adds) =>
+      val stv = TxnLog.replayState(table, v)
+      TxnLog.readFiles(spark, table, adds, Some(declared),
+        dv = TxnLog.dvOf(spark, table, stv))
+    }
+    val parts = plain.toSeq ++ masked
     val batch =
-      if (files.isEmpty)
+      if (parts.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
           StructType(declared.fields.map(_.copy(nullable = true))))
-      else TxnLog.readFiles(spark, table, files, Some(declared))
+      else parts.reduce(_ unionByName _)
     org.apache.spark.sql.GraftShim.asStreaming(batch)
   }
 

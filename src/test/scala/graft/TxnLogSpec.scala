@@ -2472,4 +2472,80 @@ class TxnLogSpec extends SparkSpec {
       s"5 versions at 2/trigger need >= 3 non-empty micro-batches, " +
         s"got ${batches.length}")
   }
+
+  test("streaming a DV-carrying clone serves the masked initial snapshot") {
+    val src = freshTable()
+    TxnLog.create(spark, src, nation)
+    TxnLog.deleteWhereDV(spark, src, col("n_nationkey") < 5)
+    val dest = freshTable()
+    TxnLog.shallowClone(spark, src, dest)
+    // the clone's v1 carries adds AND the DVs that mask them — an
+    // initial snapshot, NOT a rewrite: the stream must serve it (minus
+    // the masked rows) without demanding ignoreChanges, like Delta's
+    // source serving a cloned snapshot with DVs applied
+    val s = spark.readStream.format("txnlog").option("path", dest).load()
+    val qname = "txn_dvclone_" + math.abs(dest.hashCode)
+    val q = s.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(qname).count() == nation.count() - 5,
+      "clone stream must apply the commit's own deletion vectors")
+    assert(spark.table(qname).filter(col("n_nationkey") < 5).count() == 0)
+  }
+
+  test("clone-chain CDF: the clone's feed is its own log, source invisible") {
+    val src = freshTable()
+    TxnLog.create(spark, src, nation)
+    TxnLog.deleteWhereDV(spark, src, col("n_nationkey") >= 20)
+    val dest = freshTable()
+    TxnLog.shallowClone(spark, src, dest)
+    // the SOURCE advancing after the clone must be invisible to every
+    // clone-side change consumer (the clone's history starts at ITS v1)
+    TxnLog.append(spark, src, spark.range(1)
+      .select(lit(800).cast("int").as("n_nationkey"),
+        lit("SRC_AFTER").as("n_name"), lit(0).cast("int").as("n_regionkey")))
+    // window (0, 1]: the clone commit synthesizes inserts from its adds
+    // with its own DVs subtracted — the masked rows never appear
+    val v1 = TxnLog.changesBetween(spark, dest, 0L, 1L)
+    assert(v1.count() == 20,
+      "clone v1 feed = source snapshot minus cloned deletion vectors")
+    assert(v1.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(v1.filter(col("n_name") === "SRC_AFTER").count() == 0)
+    // the clone's OWN later commits journal normally on top
+    TxnLog.upsert(spark, dest, nation.filter(col("n_nationkey") === 3)
+      .withColumn("n_name", lit("CLONE_EDIT")), Seq("n_nationkey"))
+    val all = TxnLog.changesBetween(spark, dest, 0L, 2L)
+    assert(all.filter(col("_commit_version") === 2L &&
+      col("_change_type") === "update_postimage").count() == 1)
+    assert(all.filter(col("n_name") === "SRC_AFTER").count() == 0,
+      "source commits after the clone must never enter the clone's feed")
+    // table_changes() — the SQL spelling — sees the same window
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_chaincdf_v " +
+      s"USING txnlog OPTIONS (path '$dest')")
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$dest', 1, 1)")
+      .head.getLong(0) == 20)
+  }
+
+  test("a table directory containing '=' grows no phantom partitions") {
+    val root = Files.createTempDirectory("graft_txn_eq_")
+    root.toFile.deleteOnExit()
+    // the table's own ancestor chain carries a hive-looking segment;
+    // base derivation must stop at the table dir, not pop into it
+    val t = root.resolve("env=prod").resolve("t").toString
+    TxnLog.create(spark, t, nation)
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"),
+      s"phantom partition column derived: ${snap.columns.mkString(",")}")
+    assert(snap.count() == nation.count())
+    // and a genuinely partitioned table under the same dir still
+    // re-derives ITS partition column (and only it)
+    val t2 = root.resolve("env=prod").resolve("t2").toString
+    TxnLog.create(spark, t2, nation, partitionBy = Seq("n_regionkey"))
+    val snap2 = TxnLog.snapshot(spark, t2)
+    assert(snap2.columns.sorted.toSeq ==
+      Seq("n_name", "n_nationkey", "n_regionkey"))
+    assert(snap2.filter(col("n_regionkey") === 2).count() ==
+      nation.filter(col("n_regionkey") === 2).count())
+  }
 }
