@@ -259,8 +259,12 @@ object TxnLog {
 
   /** Full replay state at a version: live files in add order, declared
     * schema (latest `schema` action ≤ the version), per-app txn
-    * high-water marks, and per-(file, column) canonical-long min/max
-    * stats for data skipping. */
+    * high-water marks, per-(file, column) canonical-long min/max
+    * stats for data skipping, and the protocol floor (max
+    * minreader/minwriter seen — CARRIED so checkpoints re-emit them;
+    * a replay starting from a checkpoint written after a protocol
+    * bump must re-enforce the guard, exactly Delta persisting the
+    * protocol action in every checkpoint). */
   private[sources] final case class State(live: Seq[String],
                                  schemaJson: Option[String],
                                  checks: Map[String, String],
@@ -272,7 +276,9 @@ object TxnLog {
                                  dvFiles: Seq[String],
                                  dvCounts: Map[String, Long],
                                  sizes: Map[String, Long],
-                                 props: Map[String, String])
+                                 props: Map[String, String],
+                                 minReader: Long = 1L,
+                                 minWriter: Long = 1L)
 
   /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
     * when one exists, else from the log's beginning. Memoized — see
@@ -310,6 +316,8 @@ object TxnLog {
     val dvCounts = scala.collection.mutable.Map.empty[String, Long]
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     val props = scala.collection.mutable.Map.empty[String, String]
+    var minReader = 1L
+    var minWriter = 1L
     def dropFile(f: String): Unit = {
       live -= f
       stats.keys.filter(_._1 == f).toSeq.foreach(stats.remove)
@@ -353,6 +361,15 @@ object TxnLog {
             s"table requires reader version $n " +
               s"(this build supports $SupportedReaderVersion) — " +
               s"upgrade to read $where")
+          minReader = math.max(minReader, n.toLong)
+        // the WRITE-side protocol floor (Delta's minWriterVersion):
+        // reads stay legal — an old reader can still serve the
+        // snapshot — but every WRITER below the floor must refuse
+        // (enforced at publish), or it would append to a table whose
+        // in-flight invariants (constraints, mapping, DVs) it does not
+        // understand and silently break them
+        case Array("minwriter", n) =>
+          minWriter = math.max(minWriter, n.toLong)
         case _ => sys.error(s"corrupt log line in $where: $line " +
           "(unknown action: either corruption or a newer writer " +
           "this reader does not support)")
@@ -369,7 +386,7 @@ object TxnLog {
     }
     State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap,
       blooms.toMap, rowcounts.toMap, dvFiles.toSeq, dvCounts.toMap,
-      sizes.toMap, props.toMap)
+      sizes.toMap, props.toMap, minReader, minWriter)
   }
 
   /** Raw action lines of one committed version (no checkpoint
@@ -437,6 +454,10 @@ object TxnLog {
       def g(action: String): org.apache.parquet.example.data.Group =
         fac.newGroup().append("action", action)
       val rows: Seq[org.apache.parquet.example.data.Group] =
+        // protocol floors FIRST: a replay from this checkpoint must
+        // re-enforce the reader guard before interpreting anything else
+        Seq(g("minreader").append("lo", st.minReader),
+          g("minwriter").append("lo", st.minWriter)) ++
         st.live.map(f => g("file").append("path", f)) ++
           st.schemaJson.map(j => g("schema").append("detail", j)).toSeq ++
           st.checks.toSeq.map { case (n, e) =>
@@ -557,6 +578,8 @@ object TxnLog {
           case "dvcount" => s"dvcount\t${s("path")}\t${l("lo")}"
           case "fsize" => s"fsize\t${s("path")}\t${l("lo")}"
           case "prop" => s"prop\t${s("name")}\t${s("detail")}"
+          case "minreader" => s"minreader\t${l("lo")}"
+          case "minwriter" => s"minwriter\t${l("lo")}"
           case other => sys.error(s"unknown checkpoint action: $other")
         })
         g = r.read()
@@ -909,6 +932,14 @@ object TxnLog {
     * Raise it only alongside a semantic the old reader would silently
     * misread. */
   private[sources] val SupportedReaderVersion = 1L
+
+  /** The log protocol this build can WRITE (Delta's minWriterVersion
+    * shape): `minwriter` floors above it refuse every commit at
+    * [[publish]] while reads keep working. Every current feature
+    * (constraints, column mapping, DVs, clones) is writer-version 1;
+    * raise the stamp only alongside an invariant an old writer would
+    * silently break. */
+  private[sources] val SupportedWriterVersion = 1L
 
   val BloomBits: Int = 1 << 18
   val BloomHashes: Int = 5
@@ -1354,6 +1385,20 @@ object TxnLog {
     * store — the one storage-specific primitive in the whole format. */
   private def publish(table: String, v: Long,
                       actions: Seq[String]): Boolean = {
+    // minwriter protocol guard (mirror of the minreader guard in
+    // replay): a commit onto an existing table first checks the head's
+    // writer floor — an older writer appending to a table whose
+    // invariants (constraints, column mapping, DVs) it does not
+    // understand would silently break them, which is worse than a
+    // refusal. Reads are NOT gated by minwriter. The state lookup is
+    // memoized, so this costs ~nothing per commit.
+    if (v > 1L) {
+      val mw = replayState(table, v - 1L).minWriter
+      if (mw > SupportedWriterVersion) sys.error(
+        s"table requires writer version $mw " +
+          s"(this build supports $SupportedWriterVersion) — reads " +
+          "still work; upgrade this writer to commit to " + table)
+    }
     val fs = fsOf(logDir(table))
     fs.mkdirs(logDir(table))
     LogStore.forScheme(fs.getUri.getScheme)
@@ -1429,7 +1474,7 @@ object TxnLog {
       require(!n.contains('\t') && !e.contains('\t'),
         "constraint names/expressions must be tab-free") }
     val named = stageChecked(spark, table, df, checks.toMap, partitionBy)
-    val actions = "op\tcreate" +: "minreader\t1" +:
+    val actions = "op\tcreate" +: "minreader\t1" +: "minwriter\t1" +:
       s"schema\t${df.schema.json}" +:
       (txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
         checks.map { case (n, e) => s"check\t$n\t$e" } ++
@@ -2543,7 +2588,7 @@ object TxnLog {
     // footer-inferred schema INCLUDING hive partition columns (the
     // same discovery every later reader applies to the logged paths)
     val schema = spark.read.parquet(table).schema
-    val lines = Seq("op\tconvert", "minreader\t1",
+    val lines = Seq("op\tconvert", "minreader\t1", "minwriter\t1",
         s"schema\t${schema.json}") ++
       found.sortBy(_._1).flatMap { case (f, len) =>
         Seq("add\t" + f, s"fsize\t$f\t$len") }

@@ -2527,6 +2527,50 @@ class TxnLogSpec extends SparkSpec {
       .head.getLong(0) == 20)
   }
 
+  test("minwriter protocol guard refuses commits, reads stay legal") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    // a (hypothetical newer) writer raises the WRITE floor to 2
+    val log = Paths.get(t, "_txn_log")
+    Files.write(log.resolve(f"${2L}%020d.log"),
+      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t2"))
+    // reads are NOT gated by minwriter
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+    // every commit path refuses descriptively
+    val e = intercept[Exception] { TxnLog.append(spark, t, nation) }
+    assert(e.getMessage.contains("writer version 2"), e.getMessage)
+    val e2 = intercept[Exception] {
+      TxnLog.deleteWhereDV(spark, t, col("n_nationkey") < 3) }
+    assert(e2.getMessage.contains("writer version 2"))
+  }
+
+  test("protocol floors survive inside checkpoints") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 3))
+    val log = Paths.get(t, "_txn_log")
+    Files.write(log.resolve(f"${2L}%020d.log"),
+      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t2"))
+    // hand-publish two more appends (the guard refuses TxnLog.append —
+    // which is the point — so re-add the existing file as raw lines)
+    val f0 = TxnLog.files(t).head
+    (3L to 4L).foreach { v =>
+      Files.write(log.resolve(f"$v%020d.log"),
+        java.util.Arrays.asList("op\tappend", s"add\t$f0"))
+    }
+    // vacuum writes a HORIZON checkpoint at the retained head and
+    // prunes every log entry below it — replay now starts from the
+    // checkpoint alone. If the checkpoint dropped the floor, the
+    // guard would silently vanish (the advisor's exact scenario).
+    TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
+    assert(!Files.exists(log.resolve(f"${2L}%020d.log")),
+      "the bump commit itself must be pruned — the floor now lives " +
+        "only in the checkpoint")
+    assert(TxnLog.snapshot(spark, t).count() > 0) // reads stay legal
+    val e = intercept[Exception] { TxnLog.append(spark, t, nation) }
+    assert(e.getMessage.contains("writer version 2"),
+      s"floor must survive checkpoint replay, got: ${e.getMessage}")
+  }
+
   test("a table directory containing '=' grows no phantom partitions") {
     val root = Files.createTempDirectory("graft_txn_eq_")
     root.toFile.deleteOnExit()
