@@ -5428,6 +5428,109 @@ object SparkEntry {
           |ORDER BY _change_type, o_orderstatus""".stripMargin)
     }),
 
+    // ── [ext] RECENCY-GUARDED SQL MERGE — the reference's actual
+    // production merge shape (`src/etl/sql/bigquery_dml__upsert_daily_
+    // stock_price.sql:10-16`: `WHEN MATCHED AND source.extracted_at >=
+    // target.extracted_at THEN UPDATE SET *`) as literal SQL: a
+    // re-extract carrying BOTH newer and stale rows may only apply the
+    // newer ones. Compiled by [[graft.plans.TxnLogMergeRule]] onto
+    // [[graft.sources.TxnLog.merge]]'s clause engine — still one
+    // stats/bloom file-pruned transactional commit; the require pins
+    // that the narrow-key batch left most files untouched. ───────────
+    "q321_txn_sql_merge_recency" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q321_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate",
+          "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl,
+        o.repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      val before = graft.sources.TxnLog.files(tbl)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q321_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      // keys < 1000 re-extracted NEWER (date+30, price doubled);
+      // [1000, 2000) re-extracted STALE (date-30, price tripled — the
+      // guard must skip them); keys+20M brand new (inserts)
+      o.filter(col("o_orderkey") < 1000)
+        .withColumn("o_orderdate", date_add(col("o_orderdate"), 30))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.filter(col("o_orderkey") >= 1000 &&
+            col("o_orderkey") < 2000)
+          .withColumn("o_orderdate", date_sub(col("o_orderdate"), 30))
+          .withColumn("o_totalprice", col("o_totalprice") * 3))
+        .unionByName(o.filter(col("o_orderkey") < 300)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+          .withColumn("o_totalprice",
+            col("o_totalprice") + 1000000.0))
+        .createOrReplaceTempView("q321_src")
+      s.sql(
+        """MERGE INTO q321_txn_v t USING q321_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_orderdate >= t.o_orderdate THEN
+          |  UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "conditional MERGE must land as one transactional commit")
+      val after = graft.sources.TxnLog.files(tbl).toSet
+      require(before.count(after.contains) >= before.size - 3,
+        "narrow-key merge must keep most files untouched (file pruning)")
+      s.table("q321_txn_v")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ── [ext] CDC-APPLY SQL MERGE — the multi-clause shape every
+    // change-data-capture consumer needs: `WHEN MATCHED AND op='D'
+    // THEN DELETE` ahead of the update clause, a conditional INSERT
+    // with an explicit column list, and differently-named join keys
+    // (the feed's `k` against the table's `o_orderkey`). Deletes for
+    // absent keys are no-ops, exactly Delta's apply-changes contract;
+    // the in-query require pins the delete mass into the CDF. ─────────
+    "q322_txn_sql_merge_cdc" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q322_txn")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.TxnLog.create(s, tbl,
+        o.repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q322_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      def ch(df: org.apache.spark.sql.DataFrame, op: String,
+             shift: Long, dp: Double) = df.select(
+        (col("o_orderkey") + shift).as("k"),
+        col("o_orderstatus").as("status"),
+        (col("o_totalprice") + dp).as("price"), lit(op).as("op"))
+      ch(o.filter(col("o_orderkey") < 500), "D", 0L, 0.0)
+        .unionByName(ch(o.filter(col("o_orderkey") >= 500 &&
+          col("o_orderkey") < 1500), "U", 0L, 100000.0))
+        .unionByName(ch(o.filter(col("o_orderkey") < 200), "U",
+          30000000L, 0.0))
+        .unionByName(ch(o.filter(col("o_orderkey") < 100), "D",
+          40000000L, 0.0)) // deletes of absent keys: must no-op
+        .createOrReplaceTempView("q322_src")
+      s.sql(
+        """MERGE INTO q322_txn_v t USING q322_src c
+          |ON t.o_orderkey = c.k
+          |WHEN MATCHED AND c.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = c.price
+          |WHEN NOT MATCHED AND c.op <> 'D' THEN
+          |  INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (c.k, c.status, c.price)""".stripMargin)
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "CDC apply must land as one transactional commit")
+      val nDel = graft.sources.TxnLog.changesBetween(s, tbl, 1L, 2L)
+        .filter(col("_change_type") === "delete").count()
+      require(nDel == o.filter(col("o_orderkey") < 500).count(),
+        s"CDF must journal exactly the applied deletes, got $nDel")
+      s.table("q322_txn_v")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── [ext] per-domain document cap — the pretraining-mix fairness
     // op (no single domain may dominate the corpus): keep the K
     // longest docs per source. NOT a window sort: the kept set is a
@@ -10842,6 +10945,41 @@ object SparkEntry {
           |    n_regionkey * 10 FROM nation)
           |SELECT n_nationkey, n_name, quality FROM t
           |ORDER BY n_nationkey""".stripMargin,
+
+      // q321: the recency guard applies ONLY the newer re-extract
+      // (keys < 1000 doubled); the stale [1000, 2000) batch is skipped
+      // entirely, and the +20M copies of keys < 300 arrive as inserts
+      "q321_txn_sql_merge_recency" ->
+        """WITH st AS (
+          |  SELECT o_orderstatus,
+          |    CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+          |      ELSE o_totalprice END AS p
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT o_orderstatus, o_totalprice + 1000000
+          |  FROM orders WHERE o_orderkey < 300)
+          |SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM st GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q322: CDC replay — keys < 500 deleted, [500, 1500) bumped by
+      // 100000, the +30M copies of keys < 200 inserted; deletes of
+      // absent keys no-op
+      "q322_txn_sql_merge_cdc" ->
+        """WITH st AS (
+          |  SELECT o_orderstatus,
+          |    CASE WHEN o_orderkey >= 500 AND o_orderkey < 1500
+          |      THEN o_totalprice + 100000
+          |      ELSE o_totalprice END AS p
+          |  FROM orders WHERE o_orderkey >= 500
+          |  UNION ALL
+          |  SELECT o_orderstatus, o_totalprice
+          |  FROM orders WHERE o_orderkey < 200)
+          |SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM st GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
       // q312: the clone serves the source snapshot plus its OWN update
       // (keys < 1000 doubled) — the source stays untouched

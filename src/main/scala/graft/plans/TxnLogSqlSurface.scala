@@ -10,9 +10,9 @@ import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, Cast, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan,
-  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
-  UpdateTable}
+  DeleteAction, DeleteFromTable, InsertAction, InsertStarAction,
+  LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction,
+  UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -156,14 +156,23 @@ case class TxnLogTimeTravelRule(spark: SparkSession)
   }
 }
 
-/** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
-  * WHEN NOT MATCHED THEN INSERT *` against a txnlog view or catalog
-  * table — mapped onto [[TxnLog.upsert]], so SQL MERGE gets the same
-  * transactional, stats/bloom FILE-PRUNED copy-on-write rewrite (and
-  * row-level CDF journaling) as the programmatic call. The supported
-  * shape is exactly the reference's upsert DML (equality key match,
-  * update-all + insert-all); richer clauses error descriptively rather
-  * than silently diverge. */
+/** SQL `MERGE INTO` against a txnlog view or catalog table — the FULL
+  * clause surface: `WHEN MATCHED [AND cond] THEN UPDATE SET
+  * star-or-assignments | DELETE`, multiple clauses in order, `WHEN NOT
+  * MATCHED [AND cond] THEN INSERT star-or-(cols) VALUES (...)`, and
+  * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE`. The
+  * canonical
+  * update-all/insert-all shape maps onto [[TxnLog.upsert]] (the fast
+  * path: schema evolution, partition-conflict retry); everything else
+  * compiles onto [[TxnLog.merge]]'s clause engine — both get the same
+  * transactional, stats/bloom FILE-PRUNED rewrite and row-level CDF
+  * journaling as the programmatic calls. Clause expressions are
+  * re-qualified at analysis time (target alias → `__t` struct refs,
+  * source alias → `__s`; unqualified names resolve by schema
+  * membership at run time, insert clauses source-first). The reference
+  * anchor is its own RECENCY-GUARDED production merge
+  * (`src/etl/sql/bigquery_dml__upsert_daily_stock_price.sql:10-16`),
+  * now expressible as literal SQL. */
 case class TxnLogMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
@@ -185,9 +194,10 @@ case class TxnLogMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     throw new AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_3100",
       messageParameters = Map("message" -> (s"txnlog MERGE INTO: $msg " +
-        "(supported shape: ON conjunctive equality of same-named key " +
-        "columns, WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED " +
-        "THEN INSERT *)")))
+        "(supported: ON conjunctive equality of same-named key columns; " +
+        "WHEN MATCHED [AND cond] THEN UPDATE SET */assignments | DELETE; " +
+        "WHEN NOT MATCHED [AND cond] THEN INSERT */(cols) VALUES; " +
+        "WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE)")))
 
   private def nameOf(e: Expression): Option[String] = e match {
     case u: UnresolvedAttribute => Some(u.nameParts.last)
@@ -195,17 +205,38 @@ case class TxnLogMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def keysOf(cond: Expression): Seq[String] = {
+  /** ON-clause key pairs as (target column, source column). Sides are
+    * decided by alias qualification; an UNQUALIFIED equality is
+    * accepted only when both names agree (either assignment of sides
+    * is then equivalent). Differently-named unqualified pairs must be
+    * qualified — the rule cannot know the schemas yet. */
+  private def keyPairsOf(cond: Expression, tq: Set[String],
+                         sq: Set[String]): Seq[(String, String)] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
+    def sideOf(e: Expression): Option[(Char, String)] = e match {
+      case u: UnresolvedAttribute =>
+        val parts = u.nameParts
+        val q = parts.init.mkString(".").toLowerCase
+        if (parts.length >= 2 && tq.contains(q)) Some(('t', parts.last))
+        else if (parts.length >= 2 && sq.contains(q))
+          Some(('s', parts.last))
+        else if (parts.length == 1) Some(('?', parts.head))
+        else None
+      case a: AttributeReference => Some(('?', a.name))
+      case _ => None
+    }
     conjuncts(cond).map {
       case EqualTo(a, b) =>
-        (nameOf(a), nameOf(b)) match {
-          case (Some(an), Some(bn)) if an == bn => an
-          case _ => fail(s"ON clause must equate same-named key " +
-            s"columns, got ${EqualTo(a, b).sql}")
+        (sideOf(a), sideOf(b)) match {
+          case (Some(('t', tn)), Some(('s', sn))) => (tn, sn)
+          case (Some(('s', sn)), Some(('t', tn))) => (tn, sn)
+          case (Some((_, an)), Some((_, bn))) if an == bn => (an, bn)
+          case _ => fail("ON clause must equate a target key with a " +
+            s"source key (qualify differently-named columns), got " +
+            EqualTo(a, b).sql)
         }
       case other => fail(s"ON clause must be a conjunction of " +
         s"equalities, got ${other.sql}")
@@ -227,18 +258,91 @@ case class TxnLogMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     })
 
+  /** The qualifiers a side of the MERGE can be addressed by in clause
+    * expressions: its SQL alias when present (the alias SHADOWS the
+    * underlying name), else the relation identifier's last part and
+    * full dotted form. */
+  private def qualsOf(p: LogicalPlan): Set[String] = p match {
+    case SubqueryAlias(ident, _) => Set(ident.name.toLowerCase)
+    case u: UnresolvedRelation =>
+      Set(u.multipartIdentifier.last.toLowerCase,
+        u.multipartIdentifier.mkString(".").toLowerCase)
+    case _ => Set.empty
+  }
+
+  /** Re-qualify clause expressions for the joined-row layout
+    * [[TxnLog.merge]] evaluates against: target-alias refs become
+    * `__t.<col>` struct accesses, source-alias refs `__s.<col>`;
+    * unqualified single-part names are left for the command's runtime
+    * schema-membership resolution. */
+  private def sideQualify(e: Expression, tq: Set[String],
+                          sq: Set[String]): Expression = e.transformUp {
+    case u: UnresolvedAttribute if u.nameParts.length >= 2 =>
+      val parts = u.nameParts
+      val head = parts.head.toLowerCase
+      val allButLast = parts.init.mkString(".").toLowerCase
+      if (tq.contains(allButLast))
+        UnresolvedAttribute(Seq("__t", parts.last))
+      else if (sq.contains(allButLast))
+        UnresolvedAttribute(Seq("__s", parts.last))
+      else if (tq.contains(head)) UnresolvedAttribute("__t" +: parts.tail)
+      else if (sq.contains(head)) UnresolvedAttribute("__s" +: parts.tail)
+      else u
+  }
+
+  private def assignName(k: Expression): String = k match {
+    case ua: UnresolvedAttribute => ua.nameParts.last
+    case ar: AttributeReference => ar.name
+    case other =>
+      fail(s"cannot SET $other — assignments must target plain columns")
+  }
+
   private def rewrite(m: MergeIntoTable, path: String): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
-    if (m.matchedActions.length != 1 || !isStarLike(m.matchedActions.head))
-      fail(s"matched clause must be UPDATE SET *, got ${m.matchedActions}")
-    if (m.notMatchedActions.length != 1 ||
-        !isStarLike(m.notMatchedActions.head))
-      fail(s"not-matched clause must be INSERT *, got ${m.notMatchedActions}")
-    val keys = keysOf(m.mergeCondition)
-    if (keys.isEmpty) fail("no key equality in ON clause")
-    TxnLogMergeCommand(path, m.sourceTable, keys,
-      withSchemaEvolution = m.withSchemaEvolution)
+    val tq = qualsOf(m.targetTable)
+    val sq = qualsOf(m.sourceTable)
+    val pairs = keyPairsOf(m.mergeCondition, tq, sq)
+    if (pairs.isEmpty) fail("no key equality in ON clause")
+    val canonical = m.notMatchedBySourceActions.isEmpty &&
+      m.matchedActions.length == 1 && isStarLike(m.matchedActions.head) &&
+      m.notMatchedActions.length == 1 &&
+      isStarLike(m.notMatchedActions.head) &&
+      pairs.forall { case (tn, sn) => tn == sn }
+    if (canonical)
+      // the reference's exact upsert DML: keep the dedicated fast path
+      // (schema evolution, partition-conflict retry) — TxnLog.upsert
+      TxnLogMergeCommand(path, m.sourceTable, pairs.map(_._1),
+        withSchemaEvolution = m.withSchemaEvolution)
+    else {
+      if (m.withSchemaEvolution) fail(
+        "WITH SCHEMA EVOLUTION is supported only for the canonical " +
+          "UPDATE SET * / INSERT * shape")
+      def box(e: Expression): ExprBox = ExprBox(sideQualify(e, tq, sq))
+      def specOf(a: MergeAction): TxnLogMergeClauseSpec = a match {
+        case UpdateStarAction(cond) =>
+          TxnLogMergeClauseSpec(cond.map(box), isDelete = false,
+            isStar = true, Nil)
+        case InsertStarAction(cond) =>
+          TxnLogMergeClauseSpec(cond.map(box), isDelete = false,
+            isStar = true, Nil)
+        case DeleteAction(cond) =>
+          TxnLogMergeClauseSpec(cond.map(box), isDelete = true,
+            isStar = false, Nil)
+        case UpdateAction(cond, assigns, _) =>
+          TxnLogMergeClauseSpec(cond.map(box), isDelete = false,
+            isStar = false,
+            assigns.map(a => assignName(a.key) -> box(a.value)))
+        case InsertAction(cond, assigns) =>
+          TxnLogMergeClauseSpec(cond.map(box), isDelete = false,
+            isStar = false,
+            assigns.map(a => assignName(a.key) -> box(a.value)))
+        case other => fail(s"unsupported MERGE clause: $other")
+      }
+      TxnLogGeneralMergeCommand(path, m.sourceTable,
+        pairs.map(_._1), pairs.map(_._2),
+        m.matchedActions.map(specOf), m.notMatchedActions.map(specOf),
+        m.notMatchedBySourceActions.map(specOf),
+        TxnLogSqlSurface.targetName(m.targetTable))
+    }
   }
 }
 
@@ -386,6 +490,78 @@ case class TxnLogMergeCommand(table: String, source: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     TxnLog.upsert(session, table, GraftShim.ofRows(session, source),
       keys, mergeSchema = withSchemaEvolution)
+    Nil
+  }
+}
+
+/** One compiled WHEN clause of a general SQL MERGE: condition and
+  * assignment values are [[ExprBox]]-held expressions already
+  * re-qualified to the `__t`/`__s` joined-row layout (unqualified
+  * names still pending runtime schema-membership resolution);
+  * `isStar` expands to all declared columns ← `__s.<col>` at run
+  * time. */
+final case class TxnLogMergeClauseSpec(condition: Option[ExprBox],
+                                       isDelete: Boolean,
+                                       isStar: Boolean,
+                                       assignments: Seq[(String, ExprBox)])
+
+/** The runnable half of a NON-canonical SQL MERGE (clause conditions,
+  * multiple clauses, DELETE actions, explicit assignments, NOT MATCHED
+  * BY SOURCE): finishes expression resolution now that both schemas
+  * are known — an unqualified name resolves to whichever side declares
+  * it (source-first inside insert clauses, ambiguous-refuses
+  * elsewhere) — and executes [[TxnLog.merge]]'s clause engine as one
+  * file-pruned transactional commit. */
+case class TxnLogGeneralMergeCommand(table: String, source: LogicalPlan,
+                                     keys: Seq[String],
+                                     sourceKeys: Seq[String],
+                                     matched: Seq[TxnLogMergeClauseSpec],
+                                     notMatched: Seq[TxnLogMergeClauseSpec],
+                                     notMatchedBySource:
+                                       Seq[TxnLogMergeClauseSpec],
+                                     refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftShim.ofRows(session, source)
+    val schema = TxnLog.declaredSchema(table).getOrElse(
+      sys.error(s"MERGE requires a declared schema: $table"))
+    val tCols = schema.fieldNames.map(_.toLowerCase).toSet
+    val sCols = src.columns.map(_.toLowerCase).toSet
+    def side(e: Expression, insertCtx: Boolean)
+        : org.apache.spark.sql.Column =
+      GraftShim.column(e.transformUp {
+        case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+          val n = u.nameParts.head
+          val inT = tCols.contains(n.toLowerCase)
+          val inS = sCols.contains(n.toLowerCase)
+          if (insertCtx && inS) UnresolvedAttribute(Seq("__s", n))
+          else if (inT && inS) throw new AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3100",
+            messageParameters = Map("message" ->
+              (s"MERGE: reference to $n is ambiguous (both target and " +
+                "source declare it) — qualify it with the table alias")))
+          else if (inS) UnresolvedAttribute(Seq("__s", n))
+          else UnresolvedAttribute(Seq("__t", n))
+      })
+    def clauses(sps: Seq[TxnLogMergeClauseSpec], insertCtx: Boolean)
+        : Seq[TxnLog.MergeClause] = sps.map { sp =>
+      val assigns =
+        if (sp.isStar) schema.fieldNames.toSeq.map(n =>
+          n -> org.apache.spark.sql.functions.col(s"__s.$n"))
+        else sp.assignments.map { case (n, b) =>
+          n -> side(b.e, insertCtx) }
+      TxnLog.MergeClause(sp.condition.map(b => side(b.e, insertCtx)),
+        sp.isDelete, assigns)
+    }
+    TxnLog.merge(session, table, src, keys,
+      clauses(matched, insertCtx = false),
+      clauses(notMatched, insertCtx = true),
+      clauses(notMatchedBySource, insertCtx = false),
+      sourceKeys = sourceKeys)
+    TxnLogSqlSurface.refreshQuietly(session, refreshName)
     Nil
   }
 }

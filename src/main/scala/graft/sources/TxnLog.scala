@@ -1934,6 +1934,191 @@ object TxnLog {
     }
   }
 
+  /** One WHEN clause of a general [[merge]]. `condition` and every
+    * assignment VALUE are Columns over the merge's joined row, where
+    * the target row is struct column `__t` and the source row struct
+    * column `__s` — `col("__s.price") >= col("__t.price")` is the
+    * reference's recency guard. Assignment KEYS are declared target
+    * column names. `isDelete` clauses carry no assignments. A clause
+    * without a condition always fires (when reached in order). */
+  final case class MergeClause(condition: Option[Column],
+                               isDelete: Boolean,
+                               assignments: Seq[(String, Column)])
+
+  /** General MERGE (the full Delta/SQL clause surface): against the
+    * current snapshot, each TARGET row matched by a source row takes
+    * the FIRST `matched` clause whose condition holds (UPDATE
+    * assignments or DELETE; none → kept unchanged), each UNMATCHED
+    * source row takes the first `notMatched` clause (INSERT; none →
+    * dropped), and each target row with NO source match takes the
+    * first `notMatchedBySource` clause (UPDATE/DELETE; none → kept) —
+    * evaluation order is SQL's, a NULL condition is false, and a
+    * target row matched by MORE than one source row refuses
+    * (`raise_error` inside the plan — the standard's cardinality rule,
+    * checked with one window count over the SOURCE side only).
+    *
+    * This is the operator behind conditional SQL MERGE — the
+    * reference's own production merge is recency-GUARDED
+    * (`src/etl/sql/bigquery_dml__upsert_daily_stock_price.sql:10-16`:
+    * `WHEN MATCHED AND source.extracted_at >= target.extracted_at`),
+    * and CDC apply needs matched-DELETE. [[upsert]] remains the
+    * canonical update-all/insert-all fast path (schema evolution,
+    * partition-conflict retry); this generalization keeps its scale
+    * spine: file-level stats/bloom PRUNING on the merge keys (only
+    * files that can hold a matching key are read and rewritten —
+    * disabled only when `notMatchedBySource` clauses exist, since
+    * those touch every unmatched target row, exactly Delta's rule),
+    * one transactional CAS-pinned commit, and row-level CDF journaling
+    * (update_preimage/update_postimage/delete/insert). */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keys: Seq[String],
+            matched: Seq[MergeClause],
+            notMatched: Seq[MergeClause],
+            notMatchedBySource: Seq[MergeClause] = Nil,
+            sourceKeys: Seq[String] = Nil,
+            expectedVersion: Option[Long] = None): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    import org.apache.spark.sql.functions.{col, count, lit, raise_error,
+      struct, when}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    // the ON equality may pair differently-named columns (a CDC feed's
+    // `id` against the table's `order_id`); `sourceKeys` names the
+    // source side positionally, defaulting to the target names
+    val sKeys = if (sourceKeys.isEmpty) keys else sourceKeys
+    require(sKeys.length == keys.length,
+      "sourceKeys must pair 1:1 with keys")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "merge needs at least one WHEN clause")
+    matched.foreach(c => require(c.isDelete || c.assignments.nonEmpty,
+      "a matched UPDATE clause needs assignments"))
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val st = replayState(table, base)
+    val schema = st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(sys.error(s"merge requires a declared schema: $table"))
+    val fieldLc = schema.fields.map(f => f.name.toLowerCase).toSet
+    (matched ++ notMatched ++ notMatchedBySource)
+      .flatMap(_.assignments.map(_._1)).foreach(k =>
+        require(fieldLc.contains(k.toLowerCase),
+          s"merge assigns undeclared column: $k"))
+    val pcols = partitionColsOf(st.live).getOrElse(Nil)
+    // file pruning on the merge keys — only when no clause touches
+    // unmatched target rows (those can live in ANY file); the pruning
+    // probe projects the source keys under the TARGET names the
+    // committed stats/blooms are keyed by
+    val touchedFiles =
+      if (notMatchedBySource.nonEmpty) st.live
+      else touchedByKeys(spark, st,
+        source.select(keys.zip(sKeys).map { case (tk, sk) =>
+          col(sk).as(tk) }: _*), keys)
+    val declared = Some(schema)
+    // the SOURCE side carries its per-key row count so the plan itself
+    // enforces the cardinality rule on matched rows (window over the
+    // source only — the small side)
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(sKeys.map(col): _*)
+    val srcS = source
+      .withColumn("__scnt", count(lit(1)).over(sw))
+      .select(struct(source.columns.toSeq.map(col): _*).as("__s"),
+        col("__scnt"))
+    val joined = (if (touchedFiles.isEmpty) None
+      else Some(readFiles(spark, table, touchedFiles, declared,
+        dvOf(spark, table, st)))) match {
+      case Some(b) =>
+        b.select(struct(b.columns.toSeq.map(col): _*).as("__t"))
+          .join(srcS, keys.zip(sKeys).map { case (tk, sk) =>
+            col(s"__t.$tk") === col(s"__s.$sk") }
+            .reduce(_ && _), "full_outer")
+      case None => // no file can hold a match: every source row is new
+        srcS.withColumn("__t", lit(null).cast(schema))
+    }
+    val isM = col("__t").isNotNull && col("__s").isNotNull
+    val isT = col("__t").isNotNull && col("__s").isNull
+    val isS = col("__t").isNull && col("__s").isNotNull
+    // first-match clause index per branch (null = no clause fired);
+    // when() treats a NULL condition as false, SQL's rule
+    def firstIdx(cls: Seq[MergeClause]): Column =
+      cls.zipWithIndex.foldRight(lit(null).cast("int"): Column) {
+        case ((cl, i), acc) =>
+          when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(acc)
+      }
+    val mi = firstIdx(matched)
+    val ti = firstIdx(notMatchedBySource)
+    val si = firstIdx(notMatched)
+    def delIdxs(cls: Seq[MergeClause]): Seq[Int] =
+      cls.zipWithIndex.filter(_._1.isDelete).map(_._2)
+    def isIn(c: Column, idxs: Seq[Int]): Column =
+      if (idxs.isEmpty) lit(false) else c.isin(idxs: _*)
+    val mDel = delIdxs(matched); val tDel = delIdxs(notMatchedBySource)
+    val cardOk = when(isM && col("__scnt") > 1,
+      raise_error(lit(s"MERGE into $table: a target row matched " +
+        s"multiple source rows on (${keys.mkString(", ")}) — " +
+        "deduplicate the source")).isNull).otherwise(lit(true))
+    val survives =
+      when(isM, (mi.isNull || !isIn(mi, mDel)) && cardOk)
+        .when(isT, ti.isNull || !isIn(ti, tDel))
+        .otherwise(si.isNotNull && cardOk)
+    // output value per declared column: CASE over (branch, clause idx),
+    // every assignment store-assignment CAST to the declared type
+    def outCol(f: StructField): Column = {
+      def assigned(cl: MergeClause): Option[Column] =
+        cl.assignments.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+      var v: Column = col(s"__t.${f.name}")
+      matched.zipWithIndex.foreach { case (cl, i) =>
+        if (!cl.isDelete) assigned(cl).foreach(a =>
+          v = when(isM && mi === i, a.cast(f.dataType)).otherwise(v)) }
+      notMatchedBySource.zipWithIndex.foreach { case (cl, i) =>
+        if (!cl.isDelete) assigned(cl).foreach(a =>
+          v = when(isT && ti === i, a.cast(f.dataType)).otherwise(v)) }
+      notMatched.zipWithIndex.foreach { case (cl, i) =>
+        // an INSERT leaves unassigned columns NULL (SQL's column list)
+        val a = assigned(cl).getOrElse(lit(null))
+        v = when(isS && si === i, a.cast(f.dataType)).otherwise(v) }
+      v.as(f.name)
+    }
+    val outCols = schema.fields.toSeq.map(outCol)
+    val tAll = schema.fields.toSeq
+      .map(f => col(s"__t.${f.name}").as(f.name))
+    val merged = joined.filter(survives).select(outCols: _*)
+    // row-level CDF: pre/post pairs for updates, delete/insert rows —
+    // same joined plan, recomputed per branch like upsertCdc
+    val updRow = (isM && mi.isNotNull && !isIn(mi, mDel)) ||
+      (isT && ti.isNotNull && !isIn(ti, tDel))
+    val delRow = (isM && isIn(mi, mDel)) || (isT && isIn(ti, tDel))
+    val cdc = joined.filter(updRow && cardOk).select(tAll: _*)
+        .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(joined.filter(updRow && cardOk).select(outCols: _*)
+        .withColumn("_change_type", lit("update_postimage")))
+      .unionByName(joined.filter(delRow).select(tAll: _*)
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(joined.filter(isS && si.isNotNull && cardOk)
+        .select(outCols: _*)
+        .withColumn("_change_type", lit("insert")))
+    val named = stageChecked(spark, table, merged, st.checks, pcols,
+      declared)
+    val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
+    val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
+    val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
+    val pm = physMapOf(declared)
+    // when every DV-masked file is rewritten here, clear the mask state
+    // (the rewrite materialized the deletions — same as overwrite)
+    val dvLine =
+      if (st.dvCounts.nonEmpty &&
+        st.dvCounts.keySet.subsetOf(touchedFiles.toSet)) Seq("dvclear")
+      else Nil
+    val actions = "op\tmerge" +: (dvLine ++
+      touchedFiles.map("remove\t" + _) ++ named.map("add\t" + _) ++
+      cdcNames.map("cdc\t" + _) ++
+      statsLines(spark, table, named, trackedStats, pm) ++
+      bloomLines(spark, table, named, trackedBlooms, pm) ++
+      rowcountLines(table, named))
+    val v = base + 1
+    if (!publish(table, v, actions))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
   /** DYNAMIC PARTITION OVERWRITE (Spark's INSERT OVERWRITE dynamic
     * mode / Delta `replaceWhere` on partition values): replace EXACTLY
     * the partitions present in `df` — their old files are removed, the

@@ -1608,13 +1608,17 @@ class TxnLogSpec extends SparkSpec {
     assert(spark.table("txn_sql_v")
       .filter(col("n_name").endsWith("_M")).count() == 3)
     assert(spark.table("txn_sql_v").count() == nation.count() + 2)
-    // unsupported MERGE shapes refuse DESCRIPTIVELY (never silently
-    // diverge from SQL semantics)
-    val e1 = intercept[Exception] { spark.sql(
+    // matched-DELETE is the general clause engine (round 14): one more
+    // commit removing exactly the source-matched rows
+    spark.sql(
       """MERGE INTO txn_sql_v USING txn_sql_src
         |ON txn_sql_v.n_nationkey = txn_sql_src.n_nationkey
-        |WHEN MATCHED THEN DELETE""".stripMargin) }
-    assert(e1.getMessage.contains("txnlog MERGE INTO"))
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(TxnLog.versions(t) == Seq(1L, 2L, 3L, 4L))
+    assert(spark.table("txn_sql_v").count() == nation.count() - 3,
+      "matched DELETE must drop the 3 updated originals and 2 inserts")
+    // unsupported MERGE shapes refuse DESCRIPTIVELY (never silently
+    // diverge from SQL semantics)
     val e2 = intercept[Exception] { spark.sql(
       """MERGE INTO txn_sql_v USING txn_sql_src
         |ON txn_sql_v.n_nationkey > txn_sql_src.n_nationkey
@@ -2525,6 +2529,124 @@ class TxnLogSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM table_changes('$dest', 1, 1)")
       .head.getLong(0) == 20)
+  }
+
+  test("general MERGE: clause conditions, matched DELETE, ordering, CDF") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_gm_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    // source: key 0 flagged for delete; keys 1,2 updates (1 recent,
+    // 2 stale); keys 900 (insert) and 901 (op='D' — must NOT insert)
+    spark.createDataFrame(Seq(
+      (0, "X", 99, "D"), (1, "FRESH", 7, "U"), (2, "STALE", -1, "U"),
+      (900, "NEW", 5, "U"), (901, "DEAD", 5, "D")))
+      .toDF("k", "name", "r", "op")
+      .createOrReplaceTempView("txn_gm_src")
+    spark.sql(
+      """MERGE INTO txn_gm_v t USING txn_gm_src s
+        |ON t.n_nationkey = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.r >= 0 THEN
+        |  UPDATE SET n_name = s.name, n_regionkey = s.r
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN
+        |  INSERT (n_nationkey, n_name) VALUES (s.k, s.name)""".stripMargin)
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.filter(col("n_nationkey") === 0).count() == 0, "matched DELETE")
+    assert(rowsOf(out.filter(col("n_nationkey") === 1)
+      .select("n_name", "n_regionkey")) == Seq(Seq("FRESH", 7)))
+    // key 2's clause condition failed and no later clause may re-fire
+    assert(out.filter(col("n_nationkey") === 2)
+      .head.getString(1) != "STALE", "guarded update must skip stale rows")
+    assert(rowsOf(out.filter(col("n_nationkey") === 900)
+      .select("n_name")) == Seq(Seq("NEW")))
+    assert(out.filter(col("n_nationkey") === 900).head.isNullAt(2),
+      "INSERT column list leaves unassigned columns null")
+    assert(out.filter(col("n_nationkey") === 901).count() == 0,
+      "conditional INSERT must skip op='D' rows")
+    assert(out.count() == nation.count() - 1 + 1)
+    assert(TxnLog.versions(t) == Seq(1L, 2L),
+      "general MERGE must land as one transactional commit")
+    // CDF: delete for key 0, pre/post for key 1, insert for 900 — and
+    // NOTHING for the stale key 2
+    val cdf = TxnLog.changesBetween(spark, t, 1L, 2L)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 1)
+    assert(cdf.filter(col("n_nationkey") === 1 &&
+      col("_change_type").startsWith("update_")).count() == 2)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 1)
+    assert(cdf.filter(col("n_nationkey") === 2).count() == 0)
+  }
+
+  test("general MERGE: NOT MATCHED BY SOURCE, recency guard, dup refusal") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_gm2_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    spark.createDataFrame(Seq((0, "KEEP0"), (1, "KEEP1")))
+      .toDF("k", "name").createOrReplaceTempView("txn_gm2_src")
+    // prune everything the source does not mention, bump what it does
+    spark.sql(
+      """MERGE INTO txn_gm2_v t USING txn_gm2_src s
+        |ON t.n_nationkey = s.k
+        |WHEN MATCHED THEN UPDATE SET n_name = s.name
+        |WHEN NOT MATCHED BY SOURCE AND t.n_regionkey <> 2 THEN DELETE
+        |""".stripMargin)
+    val out = TxnLog.snapshot(spark, t)
+    val expected = nation.filter(col("n_regionkey") === 2 &&
+      !col("n_nationkey").isin(0, 1)).count() + 2
+    assert(out.count() == expected,
+      "NMBS DELETE must prune exactly the unguarded unmatched rows")
+    assert(rowsOf(out.filter(col("n_nationkey") === 1).select("n_name")) ==
+      Seq(Seq("KEEP1")))
+    // duplicate source keys matching one target row refuse (SQL's
+    // cardinality rule), raised from inside the plan
+    spark.createDataFrame(Seq((1, "A"), (1, "B"))).toDF("k", "name")
+      .createOrReplaceTempView("txn_gm2_dup")
+    val e = intercept[Exception] { spark.sql(
+      """MERGE INTO txn_gm2_v t USING txn_gm2_dup s
+        |ON t.n_nationkey = s.k
+        |WHEN MATCHED THEN UPDATE SET n_name = s.name""".stripMargin) }
+    def rootMsg(x: Throwable): String =
+      (Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("multiple source rows"), rootMsg(e))
+    // a non-equality ON refuses descriptively
+    val e2 = intercept[Exception] { spark.sql(
+      """MERGE INTO txn_gm2_v t USING txn_gm2_src s
+        |ON t.n_nationkey < s.k
+        |WHEN MATCHED THEN UPDATE SET n_name = s.name""".stripMargin) }
+    assert(e2.getMessage.contains("conjunction of equalities"))
+  }
+
+  test("general MERGE prunes files on the merge keys") {
+    val t = freshTable()
+    TxnLog.create(spark, t,
+      nation.repartitionByRange(5, col("n_nationkey")),
+      statsCols = Seq("n_nationkey"))
+    val before = TxnLog.files(t)
+    assert(before.size >= 4)
+    // a narrow-key conditional merge must rewrite only the files whose
+    // stats admit the keys — NOT the whole table
+    TxnLog.merge(spark, t,
+      spark.createDataFrame(Seq((0, "Z0"), (1, "Z1")))
+        .toDF("n_nationkey", "name"),
+      keys = Seq("n_nationkey"),
+      matched = Seq(TxnLog.MergeClause(None, isDelete = false,
+        Seq("n_name" -> col("__s.name")))),
+      notMatched = Nil)
+    val after = TxnLog.files(t)
+    assert(before.toSet.intersect(after.toSet).size >= before.size - 1,
+      s"narrow merge must keep most files live untouched: " +
+        s"${before.size} -> kept ${before.toSet.intersect(after.toSet).size}")
+    val out = TxnLog.snapshot(spark, t)
+    assert(rowsOf(out.filter(col("n_nationkey") <= 1)
+      .orderBy("n_nationkey").select("n_name")) ==
+      Seq(Seq("Z0"), Seq("Z1")))
+    assert(out.count() == nation.count())
+    // an all-update merge with no not-matched clause DROPS no rows in
+    // untouched files (they were never read)
+    assert(out.filter(col("n_nationkey") > 1).count() ==
+      nation.filter(col("n_nationkey") > 1).count())
   }
 
   test("minwriter protocol guard refuses commits, reads stay legal") {
