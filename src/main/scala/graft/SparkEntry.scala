@@ -5531,6 +5531,85 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ── [ext] DDL-FIRST CREATE TABLE — the reference's actual
+    // bootstrap shape (`src/db/postgres/company.sql:7-16` declares the
+    // empty schema before any load): `CREATE TABLE name (cols) USING
+    // txnlog PARTITIONED BY (…) LOCATION …` commits an EMPTY v1 whose
+    // declared schema (and partition layout, via the sticky
+    // graft.partitionBy property) governs every later write — the
+    // first INSERT validates against it and lands hive-partitioned.
+    // Requires pin the empty read, the one-commit create, and the
+    // declared layout on the loaded files. ────────────────────────────
+    "q323_txn_create_ddl" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q323_txn")
+      s.sql("DROP TABLE IF EXISTS q323_ddl_t")
+      s.sql("CREATE TABLE q323_ddl_t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) USING txnlog " +
+        s"PARTITIONED BY (o_orderstatus) LOCATION '$tbl'")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L),
+        "DDL create must be one empty metadata commit")
+      require(s.table("q323_ddl_t").count() == 0,
+        "the schema-born table must read as empty")
+      T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("q323_src")
+      // by-NAME insert: the relation surfaces partition columns last
+      // (HadoopFsRelation's schema contract), so the column list keeps
+      // the statement order-independent
+      s.sql("INSERT INTO q323_ddl_t " +
+        "(o_orderkey, o_orderstatus, o_totalprice) " +
+        "SELECT * FROM q323_src")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "the first load must be one transactional append")
+      require(graft.sources.TxnLog.files(tbl)
+        .forall(_.contains("o_orderstatus=")),
+        "the load must land in the DECLARED hive layout")
+      val out = s.table("q323_ddl_t")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+      val pinned = out.localCheckpoint(true)
+      s.sql("DROP TABLE q323_ddl_t")
+      pinned
+    }),
+
+    // ── [ext] multi-column ADD COLUMNS with DEFAULT — schema surgery
+    // with EXISTENCE DEFAULTS (Delta's default values): one metadata
+    // commit adds both columns; rows in files written BEFORE the
+    // evolution read the DEFAULT (the parquet reader fills
+    // footer-missing columns from the schema metadata — a per-file
+    // distinction no post-scan coalesce can make), while
+    // post-evolution writes supply the columns and their genuine
+    // nulls stay null. Zero bytes rewritten at any table size. ────────
+    "q324_txn_add_columns_default" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q324_txn")
+      val n = T(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.TxnLog.create(s, tbl, n) // pre-evolution files
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q324_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql("ALTER TABLE q324_txn_v ADD COLUMNS " +
+        "(quality INT DEFAULT 7, tag STRING DEFAULT 'legacy')")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "multi-column ADD COLUMNS must be one metadata commit")
+      graft.sources.TxnLog.append(s, tbl, n
+        .withColumn("n_nationkey", col("n_nationkey") + 100)
+        .withColumn("n_name", concat(col("n_name"), lit("_S")))
+        .withColumn("quality", (col("n_regionkey") * 10).cast("int"))
+        .withColumn("tag", when(col("n_regionkey") === 0,
+          lit(null)).otherwise(lit("fresh")).cast("string")))
+      require(graft.sources.TxnLog.files(tbl).size ==
+        graft.sources.TxnLog.snapshot(s, tbl).inputFiles.length,
+        "the evolution must have rewritten zero files")
+      // re-create: temp views pin their schema at creation
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q324_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.table("q324_txn_v")
+        .select("n_nationkey", "n_name", "quality", "tag")
+        .orderBy("n_nationkey")
+    }),
+
     // ── [ext] per-domain document cap — the pretraining-mix fairness
     // op (no single domain may dominate the corpus): keep the K
     // longest docs per source. NOT a window sort: the kept set is a
@@ -10980,6 +11059,28 @@ object SparkEntry {
           |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total_price
           |FROM st GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q323: the DDL-born table holds exactly the inserted load
+      "q323_txn_create_ddl" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+      // q324: pre-evolution rows surface the DEFAULTs (quality 7,
+      // tag 'legacy'); the appended copies carry their own values,
+      // including genuine nulls for region 0
+      "q324_txn_add_columns_default" ->
+        """WITH t AS (
+          |  SELECT n_nationkey, n_name, 7 AS quality,
+          |    'legacy' AS tag FROM nation
+          |  UNION ALL
+          |  SELECT n_nationkey + 100, n_name || '_S',
+          |    n_regionkey * 10,
+          |    CASE WHEN n_regionkey = 0 THEN NULL ELSE 'fresh' END
+          |  FROM nation)
+          |SELECT n_nationkey, n_name, quality, tag FROM t
+          |ORDER BY n_nationkey""".stripMargin,
 
       // q312: the clone serves the source snapshot plus its OWN update
       // (keys < 1000 doubled) — the source stays untouched

@@ -95,7 +95,14 @@ object GraftSqlParser {
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
   private val AlterAdd =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
-      """\s+ADD\s+COLUMNS?\s+\(?\s*(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)?\s*;?\s*""").r
+      """\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*""").r
+  private val ColSpec =
+    """(?is)\s*(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
+  private val CreateTableDdl =
+    ("""(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + Tok +
+      """\s*\((.+)\)\s*USING\s+txnlog""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   private val AlterRename =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
@@ -161,6 +168,30 @@ object GraftSqlParser {
   private def unquote(id: String): String =
     id.trim.stripPrefix("`").stripSuffix("`")
 
+  /** Split a column-spec list on TOP-LEVEL commas only — `DECIMAL(10,2)`
+    * and quoted DEFAULT literals keep their commas. Outer parentheses
+    * (the optional `(a INT, b STRING)` wrapping) are stripped first. */
+  private def splitColSpecs(raw: String): Seq[String] = {
+    var s = raw.trim
+    if (s.startsWith("(") && s.endsWith(")"))
+      s = s.substring(1, s.length - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQuote = false
+    s.foreach { ch =>
+      if (inQuote) { cur += ch; if (ch == '\'') inQuote = false }
+      else ch match {
+        case '\'' => inQuote = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** The catalog identifier to REFRESH after a DDL commit (None for a
     * quoted path target — nothing is cached under a name). */
   private def refreshNameOf(token: String): Option[String] = {
@@ -187,13 +218,43 @@ object GraftSqlParser {
     case RestoreT(target, ts) =>
       Some(TxnLogRestoreCommand(pathOf(spark, delegate, target),
         Right(ts), refreshNameOf(target)))
+    // DDL-first CREATE TABLE with a declared column list (the
+    // reference's bootstrap shape, src/db/postgres/company.sql:7-16):
+    // an EMPTY txnlog table born from schema alone. Claimed only for
+    // USING txnlog, so every other provider reaches the stock parser.
+    case CreateTableDdl(ifNotExists, dest, colSpec, partBy, loc) =>
+      val d = dest.trim
+      val destPath =
+        if (d.startsWith("'") || d.startsWith("`"))
+          d.substring(1, d.length - 1)
+        else Option(loc).getOrElse(fail(
+          s"CREATE TABLE $d (…) USING txnlog: an identifier " +
+            "destination needs LOCATION '<table dir>' (or quote a " +
+            "path directly)"))
+      val schema = scala.util.Try(delegate.parseTableSchema(colSpec))
+        .getOrElse(fail(s"CREATE TABLE … USING txnlog: cannot parse " +
+          s"column list ($colSpec)"))
+      val parts = Option(partBy).toSeq.flatMap(_.split(','))
+        .map(unquote).map(_.trim).filter(_.nonEmpty)
+      Some(TxnLogCreateTableCommand(destPath, schema, parts,
+        refreshNameOf(dest), ifNotExists = ifNotExists != null))
     // ALTER TABLE is in Spark's own grammar: claim it ONLY for a
     // txnlog target — the commit is a metadata-only schema change in
-    // the table's own log (column mapping), not a catalog edit
-    case AlterAdd(target, col, dt) =>
-      maybePath(spark, delegate, target).map(p =>
-        TxnLogAlterColumnCommand(p, "add", unquote(col),
-          Some(delegate.parseDataType(dt)), None, refreshNameOf(target)))
+    // the table's own log (column mapping), not a catalog edit.
+    // ADD COLUMNS takes a full multi-column list with optional
+    // DEFAULT literals (existence defaults: old files read the
+    // default, new nulls stay null).
+    case AlterAdd(target, spec) =>
+      maybePath(spark, delegate, target).map { p =>
+        val cols = splitColSpecs(spec).map {
+          case ColSpec(name, dt, dflt) =>
+            (unquote(name), delegate.parseDataType(dt),
+              Option(dflt).map(_.trim))
+          case bad => fail(s"ADD COLUMNS: cannot parse column spec " +
+            s"'$bad' (expected: name TYPE [DEFAULT <literal>])")
+        }
+        TxnLogAddColumnsCommand(p, cols, refreshNameOf(target))
+      }
     case AlterRename(target, from, to) =>
       maybePath(spark, delegate, target).map(p =>
         TxnLogAlterColumnCommand(p, "rename", unquote(from), None,
@@ -529,6 +590,63 @@ case class TxnLogConvertCommand(table: String)
   override def run(session: SparkSession): Seq[Row] = {
     val v = TxnLog.convertFromParquet(session, table)
     Seq(Row(v, TxnLog.files(table).size.toLong))
+  }
+}
+
+/** `CREATE TABLE d (col type, …) USING txnlog [PARTITIONED BY (…)]
+  * [LOCATION '…']` — DDL-first table creation: an EMPTY transactional
+  * table born from its declared schema ([[TxnLog.createEmpty]] — one
+  * v1 metadata commit, partitioning recorded as the sticky
+  * `graft.partitionBy` property until the first file lands). An
+  * identifier destination is registered as a catalog table over the
+  * directory. Returns the created version. */
+case class TxnLogCreateTableCommand(dest: String, tableSchema: StructType,
+                                    partitionBy: Seq[String],
+                                    registerAs: Option[String],
+                                    ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    if (TxnLog.exists(dest)) {
+      if (!ifNotExists) throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3100",
+        messageParameters = Map("message" ->
+          (s"CREATE TABLE: table already exists at $dest " +
+            "(use IF NOT EXISTS for the idempotent form)")))
+    } else TxnLog.createEmpty(session, dest, tableSchema, partitionBy)
+    registerAs.foreach { name =>
+      require(name.matches("""[\w]+(\.[\w]+)*"""),
+        s"invalid table identifier: $name")
+      val quoted = name.split('.').map(p => s"`$p`").mkString(".")
+      val escDest = dest.replace("'", "''")
+      if (!session.catalog.tableExists(name))
+        session.sql(
+          s"CREATE TABLE $quoted USING txnlog LOCATION '$escDest'")
+    }
+    Seq(Row(TxnLog.versions(dest).last))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMNS (a INT DEFAULT 5, b STRING, …)` for
+  * txnlog targets: one metadata commit adding every column
+  * ([[TxnLog.addColumns]]); DEFAULT literals become existence
+  * defaults — pre-evolution rows read the default, post-evolution
+  * nulls stay null. Returns the new log version. */
+case class TxnLogAddColumnsCommand(table: String,
+                                   cols: Seq[(String,
+                                     org.apache.spark.sql.types.DataType,
+                                     Option[String])],
+                                   refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxnLog.addColumns(session, table, cols)
+    refreshName.foreach(n =>
+      try session.catalog.refreshTable(n)
+      catch { case scala.util.control.NonFatal(_) => () })
+    Seq(Row(v))
   }
 }
 

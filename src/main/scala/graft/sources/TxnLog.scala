@@ -655,6 +655,17 @@ object TxnLog {
   private[sources] def partitionColsOf(live: Seq[String]): Option[Seq[String]] =
     live.headOption.map(partValuesOf(_).map(_._1)).filter(_.nonEmpty)
 
+  /** Partition columns of a snapshot STATE: derived from the live file
+    * paths when data exists, else from the `graft.partitionBy` table
+    * property — the channel a DDL-first `CREATE TABLE … PARTITIONED BY`
+    * declares its layout through before any file lands (an EMPTY
+    * partitioned table has no paths to derive from). */
+  private[sources] def partitionColsOf(st: State): Option[Seq[String]] =
+    partitionColsOf(st.live).orElse(
+      st.props.get("graft.partitionBy")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty))
+
   /** Whether a committed action line touches any of `touched`
     * partitions — the Delta-style conflict test for partition-scoped
     * writers. Conservative: an add/remove OUTSIDE the partition layout
@@ -706,10 +717,16 @@ object TxnLog {
   private[sources] def mappingActive(s: StructType): Boolean =
     s.fields.exists(f => physName(f) != f.name)
 
-  /** The schema as written inside data files (physical names). */
+  /** The schema as written inside data files (physical names). Field
+    * METADATA rides along — the EXISTS_DEFAULT existence defaults of
+    * [[addColumns]] must reach the parquet reader's required schema,
+    * where Spark fills columns MISSING from a file's footer with the
+    * default instead of null (that per-file distinction is exactly
+    * what makes the semantics right: pre-evolution files read the
+    * default, post-evolution nulls stay null). */
   private[sources] def physSchema(s: StructType): StructType =
     StructType(s.fields.map(f =>
-      StructField(physName(f), f.dataType, f.nullable)))
+      StructField(physName(f), f.dataType, f.nullable, f.metadata)))
 
   /** logical → physical name map of a declared schema. */
   private def physMapOf(s: Option[StructType]): Map[String, String] =
@@ -858,11 +875,22 @@ object TxnLog {
     val upTo = asOf.getOrElse(vs.last)
     require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
     val st = replayState(table, upTo)
-    if (st.live.isEmpty) sys.error(s"empty snapshot of $table") // never: create requires data
-    readFiles(spark, table, st.live,
-      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]),
-      dvOf(spark, table, st))
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (st.live.isEmpty)
+      // a DDL-first table before its first load (or a table whose
+      // contents were fully deleted): an empty relation with the
+      // DECLARED schema, the same thing Delta serves
+      return emptyDf(spark, declared.getOrElse(sys.error(
+        s"empty snapshot of $table with no declared schema")))
+    readFiles(spark, table, st.live, declared, dvOf(spark, table, st))
   }
+
+  /** Zero-row DataFrame with exactly `schema` (nullable-normalized —
+    * the shape every file-backed read of this table would surface). */
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(schema.fields.map(_.copy(nullable = true))))
 
   /** Data-skipping snapshot read: only files whose committed
     * [min, max] stats for `statsCol` intersect [lo, hi] (canonical-long
@@ -908,7 +936,10 @@ object TxnLog {
         }
       }
     }
-    if (keep.isEmpty)
+    if (st.live.isEmpty)
+      emptyDf(spark, schema.getOrElse(sys.error(
+        s"empty snapshot of $table with no declared schema")))
+    else if (keep.isEmpty)
       // every file provably disjoint: an empty relation with the
       // table's schema (scan one file, read no rows)
       readFiles(spark, table, Seq(st.live.head), schema)
@@ -1487,6 +1518,35 @@ object TxnLog {
     1L
   }
 
+  /** DDL-first creation: an EMPTY table born from a declared schema
+    * alone (the reference bootstraps its tables exactly this way —
+    * `src/db/postgres/company.sql:7-16` creates the empty schema before
+    * any load). The v1 commit carries the schema, the protocol stamps,
+    * optional CHECK constraints, and — since an empty table has no file
+    * paths to derive a layout from — the partition columns as the
+    * sticky `graft.partitionBy` property every writer consults through
+    * [[partitionColsOf(st*]]. The first append simply validates against
+    * the declaration like any other. */
+  def createEmpty(spark: SparkSession, table: String, schema: StructType,
+                  partitionBy: Seq[String] = Nil,
+                  checks: Seq[(String, String)] = Nil): Long = {
+    require(!exists(table), s"table already exists: $table")
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the declared schema"))
+    checks.foreach { case (n, e) =>
+      require(!n.contains('\t') && !e.contains('\t'),
+        "constraint names/expressions must be tab-free") }
+    val actions = Seq("op\tcreate", "minreader\t1", "minwriter\t1",
+      s"schema\t${schema.json}") ++
+      (if (partitionBy.nonEmpty)
+        Seq(s"prop\tgraft.partitionBy\t${partitionBy.mkString(",")}")
+      else Nil) ++
+      checks.map { case (n, e) => s"check\t$n\t$e" }
+    if (!publish(table, 1L, actions))
+      throw new ConcurrentCommitException(1L)
+    1L
+  }
+
   /** Idempotent init (SURVEY D4): create iff absent — the reference's
     * existence-probe-then-CREATE (`deltalake_sync.py` table init) as one
     * race-free operation. Returns true iff THIS call created it; a
@@ -1524,7 +1584,7 @@ object TxnLog {
     val physOf = evolvedJson
       .map(DataType.fromJson(_).asInstanceOf[StructType]).orElse(declared)
     val named = stageChecked(spark, table, df, st.checks,
-      partitionColsOf(st.live).getOrElse(Nil), physOf)
+      partitionColsOf(st).getOrElse(Nil), physOf)
     val pm = physMapOf(physOf)
     val rest = named.map("add\t" + _) ++
       statsLines(spark, table, named, statsCols, pm) ++
@@ -1613,7 +1673,7 @@ object TxnLog {
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     declared.foreach(validateAgainst(_, df.schema, mergeSchema = false))
     val named = stageChecked(spark, table, df, st.checks,
-      partitionColsOf(st.live).getOrElse(Nil), declared)
+      partitionColsOf(st).getOrElse(Nil), declared)
     val actions = "op\tappend" +: s"txn\t$appId\t$txnVersion" +:
       (named.map("add\t" + _) ++ rowcountLines(table, named))
     var v = versions(table).last + 1
@@ -1668,7 +1728,7 @@ object TxnLog {
     // rewrites every file anyway, so the layouts stay consistent
     val physOf = if (schemaLine.isEmpty) declared else None
     val named = stageChecked(spark, table, df, st.checks,
-      partitionColsOf(st.live).getOrElse(Nil), physOf)
+      partitionColsOf(st).getOrElse(Nil), physOf)
     val pm = physMapOf(physOf)
     val cdcNames = cdcRows.toSeq.flatMap(
       stage(spark, table, _, subdir = Some("_change_data")))
@@ -1830,7 +1890,7 @@ object TxnLog {
             d.withColumn(f.name, lit(null).cast(f.dataType)))
       case None => base0
     }
-    partitionColsOf(st.live) match {
+    partitionColsOf(st) match {
       case None =>
         // file-level pruned merge (Delta MERGE's touched-file scoping):
         // the log's per-file stats and blooms on the merge keys split
@@ -2001,7 +2061,7 @@ object TxnLog {
       .flatMap(_.assignments.map(_._1)).foreach(k =>
         require(fieldLc.contains(k.toLowerCase),
           s"merge assigns undeclared column: $k"))
-    val pcols = partitionColsOf(st.live).getOrElse(Nil)
+    val pcols = partitionColsOf(st).getOrElse(Nil)
     // file pruning on the merge keys — only when no clause touches
     // unmatched target rows (those can live in ANY file); the pruning
     // probe projects the source keys under the TARGET names the
@@ -2142,7 +2202,7 @@ object TxnLog {
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
-    val pcols = partitionColsOf(st.live).getOrElse(sys.error(
+    val pcols = partitionColsOf(st).getOrElse(sys.error(
       s"overwritePartitions requires a hive-partitioned table: $table"))
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
@@ -2821,7 +2881,7 @@ object TxnLog {
     val st = replayState(table, vs.last)
     val size = st.live.flatMap(f => st.sizes.get(f)).sum
     (vs.last, st.live.size.toLong, size, countRows(table),
-      partitionColsOf(st.live).getOrElse(Nil), st.props, st.checks)
+      partitionColsOf(st).getOrElse(Nil), st.props, st.checks)
   }
 
   /** DROP CONSTRAINT: the named CHECK leaves the enforcement set as a
@@ -2927,22 +2987,57 @@ object TxnLog {
     * physical name so re-adding a previously DROPPED logical name can
     * never resurrect the old files' stale values. CAS-pinned. */
   def addColumn(spark: SparkSession, table: String, colName: String,
-                dataType: DataType): Long = {
+                dataType: DataType): Long =
+    addColumns(spark, table, Seq((colName, dataType, None)))
+
+  /** Multi-column ADD COLUMNS with optional DEFAULTs, one metadata
+    * commit (Delta's `ALTER TABLE … ADD COLUMNS` + existence default
+    * values): each nullable field joins the declared schema; a DEFAULT
+    * literal is recorded as the field's EXISTS_DEFAULT metadata, which
+    * the parquet reader applies to files whose footers LACK the column
+    * — so every pre-evolution row reads the default while
+    * post-evolution writes must supply the column explicitly (their
+    * genuine nulls stay null). Defaults must be constant expressions
+    * castable to the column type, validated HERE so a typo'd default
+    * fails the DDL, not every later read. Under active column mapping
+    * new fields get GUID physical names as usual. CAS-pinned. */
+  def addColumns(spark: SparkSession, table: String,
+                 cols: Seq[(String, DataType, Option[String])]): Long = {
     require(exists(table), s"not a TxnLog table: $table")
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
     val base = versions(table).last
     val st = replayState(table, base)
     val declared = st.schemaJson
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(sys.error(s"no declared schema in the log: $table"))
-    require(!declared.fieldNames.contains(colName),
-      s"column $colName already exists")
     val mappingOn = st.props.get("columnMapping").contains("name") ||
       declared.fields.exists(f => physName(f) != f.name)
-    val f = guidPhys(StructField(colName, dataType, nullable = true),
-      mappingOn)
+    val have = scala.collection.mutable.Set(declared.fieldNames.toSeq: _*)
+    val newFields = cols.map { case (colName, dataType, default) =>
+      require(!have.contains(colName), s"column $colName already exists")
+      have += colName
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      default.foreach { d =>
+        val e = spark.sessionState.sqlParser.parseExpression(d)
+        require(e.foldable,
+          s"DEFAULT for $colName must be a constant expression: $d")
+        val cast = org.apache.spark.sql.catalyst.expressions.Cast(e,
+          dataType, Some(spark.sessionState.conf.sessionLocalTimeZone))
+        require(scala.util.Try(cast.eval(null)).isSuccess,
+          s"DEFAULT for $colName does not cast to " +
+            s"${dataType.catalogString}: $d")
+        // Spark's existence/current default metadata keys — the
+        // parquet readers consume EXISTS_DEFAULT for footer-missing
+        // columns; CURRENT_DEFAULT documents the INSERT-time default
+        mb.putString("EXISTS_DEFAULT", d)
+        mb.putString("CURRENT_DEFAULT", d)
+      }
+      guidPhys(StructField(colName, dataType, nullable = true,
+        mb.build()), mappingOn)
+    }
     val v = base + 1
     if (!publish(table, v, Seq("op\taddColumn",
-        s"schema\t${StructType(declared.fields :+ f).json}")))
+        s"schema\t${StructType(declared.fields ++ newFields).json}")))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v

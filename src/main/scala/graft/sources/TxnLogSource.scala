@@ -795,7 +795,7 @@ final class TxnLogFileIndex(spark: SparkSession, table: String,
     * stage through the physical projection); each maps back to the
     * declared logical field carried by [[partitionSchema]]. */
   private val partCols: Seq[String] =
-    TxnLog.partitionColsOf(st0.live).getOrElse(Nil)
+    TxnLog.partitionColsOf(st0).getOrElse(Nil)
   private def logicalOf(pc: String): StructField =
     declared.fields.find(f => TxnLog.physName(f) == pc).getOrElse(
       sys.error(s"partition column $pc of $table is not in the " +

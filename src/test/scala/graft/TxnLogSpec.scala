@@ -2649,6 +2649,102 @@ class TxnLogSpec extends SparkSpec {
       nation.filter(col("n_nationkey") > 1).count())
   }
 
+  test("ADD COLUMNS with DEFAULT: pre-evolution rows read the default") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val t = freshTable()
+    TxnLog.create(spark, t, nation) // these files lack the new columns
+    TxnLog.addColumns(spark, t, Seq(
+      ("quality", IntegerType, Some("7")),
+      ("tag", StringType, Some("'legacy'"))))
+    // programmatic snapshot: every pre-evolution row surfaces the
+    // DEFAULT (not null) — the parquet reader fills footer-missing
+    // columns from the schema's existence-default metadata
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.filter(col("quality") === 7).count() == nation.count())
+    assert(snap.filter(col("tag") === "legacy").count() == nation.count())
+    // post-evolution writes supply the columns; genuine nulls STAY null
+    TxnLog.append(spark, t, nation.limit(2)
+      .withColumn("n_nationkey", col("n_nationkey") + 500)
+      .withColumn("quality", lit(1))
+      .withColumn("tag", lit(null).cast("string")))
+    val s2 = TxnLog.snapshot(spark, t)
+    assert(s2.filter(col("n_nationkey") >= 500 &&
+      col("tag").isNull).count() == 2)
+    assert(s2.filter(col("tag") === "legacy").count() == nation.count())
+    // the vectorized SQL relation serves the same values
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_dflt_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    assert(spark.table("txn_dflt_v")
+      .filter(col("quality") === 7).count() == nation.count())
+    // a non-constant or non-castable DEFAULT fails the DDL, not reads
+    val e = intercept[Exception] { TxnLog.addColumns(spark, t,
+      Seq(("bad", IntegerType, Some("'not a number'")))) }
+    assert(e.getMessage.contains("does not cast"))
+  }
+
+  test("DDL-first CREATE TABLE: empty schema-born table, then load") {
+    val t = freshTable()
+    val r = spark.sql(s"CREATE TABLE txn_ddl_t (n_nationkey INT, " +
+      s"n_name STRING, n_regionkey INT) USING txnlog " +
+      s"PARTITIONED BY (n_regionkey) LOCATION '$t'").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 1L)
+    assert(TxnLog.versions(t) == Seq(1L))
+    // empty reads serve the DECLARED schema through both paths
+    assert(TxnLog.snapshot(spark, t).count() == 0)
+    assert(TxnLog.snapshot(spark, t).columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(spark.table("txn_ddl_t").count() == 0)
+    // double-create refuses; IF NOT EXISTS is the idempotent form
+    val e = intercept[Exception] { spark.sql(
+      s"CREATE TABLE txn_ddl_t2 (a INT) USING txnlog LOCATION '$t'") }
+    assert(e.getMessage.contains("already exists"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS txn_ddl_t " +
+      s"(n_nationkey INT, n_name STRING, n_regionkey INT) " +
+      s"USING txnlog LOCATION '$t'") // no-op
+    assert(TxnLog.versions(t) == Seq(1L))
+    // the first load validates against the declaration and lands in
+    // the DECLARED hive layout (partition cols from the log property)
+    nation.createOrReplaceTempView("txn_ddl_src")
+    spark.sql("INSERT INTO txn_ddl_t SELECT * FROM txn_ddl_src")
+    assert(TxnLog.versions(t) == Seq(1L, 2L))
+    assert(TxnLog.files(t).forall(_.contains("n_regionkey=")),
+      s"files must land hive-partitioned: ${TxnLog.files(t).take(3)}")
+    assert(spark.table("txn_ddl_t").count() == nation.count())
+    assert(spark.sql(
+      "SELECT count(*) FROM txn_ddl_t WHERE n_regionkey = 2")
+      .head.getLong(0) == nation.filter(col("n_regionkey") === 2).count())
+    // a drifted batch refuses like any append
+    val e2 = intercept[Exception] { TxnLog.append(spark, t,
+      nation.withColumn("extra", lit(1))) }
+    assert(e2.getMessage.contains("undeclared"))
+    spark.sql("DROP TABLE txn_ddl_t")
+  }
+
+  test("SQL ADD COLUMNS: multi-column with DEFAULTs in one commit") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_addc_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    val v = spark.sql("ALTER TABLE txn_addc_v ADD COLUMNS " +
+      "(score DECIMAL(10,2) DEFAULT 9.50, tag STRING DEFAULT 'legacy', " +
+      "note STRING)").collect()
+    assert(v.length == 1 && v(0).getLong(0) == 2L,
+      "multi-column ADD COLUMNS must be ONE metadata commit")
+    // temp views pin their schema at creation — re-create to serve the
+    // evolved shape (the documented contract, same as every other
+    // schema DDL)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_addc_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    val out = spark.table("txn_addc_v")
+    assert(out.columns.toSeq.takeRight(3) == Seq("score", "tag", "note"))
+    assert(out.filter(col("tag") === "legacy").count() == nation.count())
+    assert(out.filter(col("score") === 9.5).count() == nation.count())
+    assert(out.filter(col("note").isNull).count() == nation.count())
+    assert(TxnLog.files(t).size ==
+      TxnLog.snapshot(spark, t).inputFiles.length,
+      "ADD COLUMNS must rewrite zero files")
+  }
+
   test("minwriter protocol guard refuses commits, reads stay legal") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
