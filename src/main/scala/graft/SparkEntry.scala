@@ -1769,21 +1769,39 @@ object SparkEntry {
     // extreme points cannot drag; rank-based medians are actual data
     // values, so the whole chain replays exactly ────────────────────────
     "q198_grouped_mad" -> ((s, dir) => {
+      import s.implicits._
+      // Structural fix over the round-13 shape: the per-group
+      // medians/MADs are PLAN PARAMETERS (a handful of rows), so they
+      // are collected and re-literalized instead of re-running the
+      // lazy candidate pass once per downstream consumer (the med pass
+      // ran twice, the dev derivation three times). Probed (round 14):
+      // repartition/localCheckpoint fan-out experiments both measured
+      // WORSE in paired windows — five short jobs at the fixture's
+      // scan parallelism are the floor; the operator's own two-pass
+      // scale shape is unchanged.
       val e = T(s, dir, "events")
+        .select("event_type", "value", "event_id")
       val med = graft.operators.Quantiles.twoPassExact(
         e, "event_type", "value", "event_id", Seq(0.5), 50.0)
         .select(col("event_type"), col("n"), col("p50").as("median"))
-      val dev = e.join(broadcast(med.drop("n")), "event_type")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val medDf = med.toDF("event_type", "n", "median")
+      val dev = e.join(broadcast(medDf.select("event_type", "median")),
+        "event_type")
         .withColumn("adev", abs(col("value") - col("median")))
       val mad = graft.operators.Quantiles.twoPassExact(
         dev, "event_type", "adev", "event_id", Seq(0.5), 25.0)
         .select(col("event_type"), col("p50").as("mad"))
-      dev.join(broadcast(mad), "event_type")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getDouble(1)))
+      val madDf = mad.toDF("event_type", "mad")
+      dev.join(broadcast(madDf), "event_type")
         .groupBy("event_type")
         .agg(max("median").as("median"), max("mad").as("mad"),
           sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
             .otherwise(0L)).as("n_outliers"))
-        .join(broadcast(med.select(col("event_type"), col("n"))),
+        .join(broadcast(medDf.select(col("event_type"), col("n"))),
           "event_type")
         .select(col("event_type"), col("n"), col("median"), col("mad"),
           col("n_outliers"))
@@ -1793,24 +1811,36 @@ object SparkEntry {
     // ── [north star] corpus report ("dataset nutrition label"): the
     // one-stop release summary a corpus ships with — volume, token
     // mass, mean length, exact-duplicate mass, repetition-gate failures,
-    // language/source spread — as labeled metric rows; two scans (one
-    // content-keyed dedup aggregate, one everything-else pass) ──────────
+    // language/source spread — as labeled metric rows; two scans: ONE
+    // fused expression pass (volume + token mass + spread + the
+    // repetition gate all ride the same tokenizer output — the
+    // round-13 shape paid the tokenizer on two separate scans) plus
+    // the content-hash dedup aggregate, which needs its own shuffle
+    // but never tokenizes ───────────────────────────────────────────────
     "q196_corpus_report" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val tk = graft.functions.TextOps.tokens(col("text"))
-      val base = d.agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(tk).cast(LongType)).as("n_tokens"),
-        sum(col("n_chars")).as("n_chars"),
-        countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("source")).as("n_sources"))
-      val rep = graft.operators.Corpus.repetitionStats(d, "doc_id", "text")
-        .agg(sum(when(col("keep"), 0L).otherwise(1L)).as("n_rep_flagged"))
+      // the fixture is ONE parquet file (one scan task): without an
+      // explicit fan-out the tokenizer+bigram expression work — the
+      // query's whole cost — serializes on a single core (StageProbe:
+      // 584 of 886 job-ms in that one task). The repartition shuffles
+      // only the raw docs (MBs) and buys 32-way expression parallelism;
+      // at corpus scale the input is many files and the exchange is
+      // already there.
+      val fanned = d.repartition(s.sparkContext.defaultParallelism)
+      val base = graft.operators.Corpus
+        .repetitionAugmented(fanned, "text")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_rep_flagged"))
       val dup = d.groupBy(sha2(col("text"), 256).as("h"))
         .agg(count(lit(1)).as("c"))
         .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"),
           sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_groups"))
-      base.crossJoin(rep).crossJoin(dup)
+      base.crossJoin(dup)
         .selectExpr("stack(8," +
           " 'n_docs', CAST(n_docs AS DOUBLE)," +
           " 'n_tokens', CAST(n_tokens AS DOUBLE)," +
@@ -3432,22 +3462,32 @@ object SparkEntry {
     // exact sums make the means replay bit-for-bit (a double sum would
     // be shuffle-order-dependent). ────────────────────────────────────
     "q207_trimmed_stats" -> ((s, dir) => {
+      // Probed (round 14, StageProbe): three ~200ms stages at the
+      // fixture's 3-row-group scan parallelism. Both re-shape
+      // experiments measured WORSE in paired windows (repartition(32):
+      // each job re-pays the exchange since reuse does not span jobs;
+      // eager localCheckpoint: the materialization job costs more than
+      // the three narrow rescans) — the 3-task scan is the floor at
+      // this fixture size, so the working set stays a plain projection.
       val li = T(s, dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_orderkey")
       val cuts = graft.operators.Quantiles.twoPassExact(
         li, "l_returnflag", "l_extendedprice", "l_orderkey",
         Seq(0.1, 0.9), 1000.0)
       val x = col("l_extendedprice").cast(DecimalType(18, 2))
-      val j = li.join(broadcast(cuts), "l_returnflag")
-      val trimmed = j
-        .where(col("l_extendedprice") >= col("p10") &&
-          col("l_extendedprice") <= col("p90"))
+      // ONE scan computes BOTH robust means: the trim is a conditional
+      // aggregate over the same broadcast-joined rows the winsor clamp
+      // reads, so fusing them halves the lineitem passes (the round-13
+      // shape aggregated each in its own scan and joined the results)
+      val inCut = col("l_extendedprice") >= col("p10") &&
+        col("l_extendedprice") <= col("p90")
+      li.join(broadcast(cuts), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_kept"), sum(x).as("ts"))
-      val winsor = j.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
+          sum(when(inCut, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(inCut, x).otherwise(lit(null))).as("ts"),
           sum(least(greatest(col("l_extendedprice"), col("p10")),
             col("p90")).cast(DecimalType(18, 2))).as("ws"))
-      trimmed.join(winsor, "l_returnflag")
         .join(broadcast(cuts.select("l_returnflag", "p10", "p90")),
           "l_returnflag")
         .select(col("l_returnflag"), col("n"), col("n_kept"),

@@ -132,6 +132,19 @@ object Corpus {
         col("dup_word_frac") <= maxDupWordFrac &&
           col("dup_bigram_frac") <= maxDupBigramFrac)
 
+  /** [[repetitionStats]] that KEEPS the document's own columns — the
+    * fused-scan spelling: a caller aggregating volume, token mass, and
+    * the repetition gate together pays the tokenizer ONCE on one scan
+    * instead of once per projection. Appends `n_tokens`,
+    * `dup_word_frac`, `dup_bigram_frac`, `keep`. */
+  def repetitionAugmented(docs: DataFrame, textCol: String,
+                          maxDupWordFrac: Double = 0.4,
+                          maxDupBigramFrac: Double = 0.25): DataFrame =
+    docs.select(col("*") +: repetitionCols(textCol): _*)
+      .withColumn("keep",
+        col("dup_word_frac") <= maxDupWordFrac &&
+          col("dup_bigram_frac") <= maxDupBigramFrac)
+
   /** End-to-end curation pipeline — the operators of this module plus
     * dedup/decontamination composed the way a real corpus build chains
     * them: repetition quality gate → exact content dedup (keep min id) →
