@@ -526,6 +526,56 @@ object ScaleProbe {
           java.nio.file.Paths.get(sdir).getParent)
       }
     }
+    // ── General MERGE (clause engine): rewrite mass ∝ candidate
+    // files, NOT table size. The table grows 4× in file count per
+    // step while the batch stays fixed (a narrow key band + far-away
+    // inserts); stats-gated bloom pruning must keep the rewritten
+    // file count roughly CONSTANT, so the conditional merge's cost is
+    // flat-ish while the table grows — the property that makes a
+    // daily recency-guarded merge affordable at 100 TB. ────────────────
+    {
+      val base = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      for (nFiles <- Seq(8, 32, 128)) {
+        val tdir = java.nio.file.Files
+          .createTempDirectory("graft_txn_gm_").resolve("t").toString
+        graft.sources.TxnLog.create(spark, tdir,
+          base.repartitionByRange(nFiles, col("o_orderkey")),
+          statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+        val src = base.filter(col("o_orderkey") < 600)
+          .withColumn("op",
+            when(col("o_orderkey") < 300, lit("D")).otherwise(lit("U")))
+          .unionByName(base.filter(col("o_orderkey") < 200)
+            .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+            .withColumn("op", lit("U")))
+        val t0 = System.nanoTime()
+        graft.sources.TxnLog.merge(spark, tdir, src,
+          keys = Seq("o_orderkey"),
+          matched = Seq(
+            graft.sources.TxnLog.MergeClause(
+              Some(col("__s.op") === "D"), isDelete = true, Nil),
+            graft.sources.TxnLog.MergeClause(None, isDelete = false,
+              Seq("o_totalprice" -> (col("__s.o_totalprice") * 2)))),
+          notMatched = Seq(graft.sources.TxnLog.MergeClause(
+            Some(col("__s.op") =!= "D"), isDelete = false,
+            Seq("o_orderkey" -> col("__s.o_orderkey"),
+              "o_orderstatus" -> col("__s.o_orderstatus"),
+              "o_totalprice" -> col("__s.o_totalprice")))))
+        val s = (System.nanoTime() - t0) / 1e9
+        val after = graft.sources.TxnLog.files(tdir)
+        val untouched = graft.sources.TxnLog.files(tdir, Some(1L))
+          .count(after.contains)
+        val rewritten = graft.sources.TxnLog.files(tdir, Some(1L)).size -
+          untouched
+        require(rewritten <= 4,
+          s"pruning must bound the rewrite to the key band, got $rewritten")
+        println(f"SCALE txn_merge        files=$nFiles%-4d ${s}%7.3f s  " +
+          f"($rewritten of $nFiles files rewritten; " +
+          f"matched-DELETE + guarded UPDATE + conditional INSERT)")
+        graft.TempWork.deleteRecursively(
+          java.nio.file.Paths.get(tdir).getParent)
+      }
+    }
     spark.stop()
   }
 }

@@ -5650,6 +5650,76 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ── [ext] TYPE WIDENING — `ALTER TABLE … ALTER COLUMN c TYPE
+    // BIGINT` as a METADATA commit (Delta's type-widening feature):
+    // only provably-lossless widenings are accepted, the Spark 4
+    // parquet readers promote old int32 pages to long AT DECODE, so
+    // zero files are rewritten and pre-widening files keep serving;
+    // post-widening appends carry genuinely 64-bit values the old
+    // type could not hold. Requires pin the zero-rewrite and the
+    // one-commit DDL. ─────────────────────────────────────────────────
+    "q325_txn_type_widening" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q325_txn")
+      val n = T(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.TxnLog.create(s, tbl, n) // int32 files
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q325_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.sql("ALTER TABLE q325_txn_v ALTER COLUMN n_nationkey " +
+        "TYPE BIGINT")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "widening must be one metadata commit")
+      require(graft.sources.TxnLog.files(tbl).size ==
+        graft.sources.TxnLog.snapshot(s, tbl).inputFiles.length,
+        "widening must rewrite zero files")
+      graft.sources.TxnLog.append(s, tbl, n
+        .withColumn("n_nationkey",
+          col("n_nationkey").cast("long") + 5000000000L))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW q325_txn_v " +
+        s"USING txnlog OPTIONS (path '$tbl')")
+      s.table("q325_txn_v").orderBy("n_nationkey")
+    }),
+
+    // ── [north star] margin-criterion bitext mining (Artetxe &
+    // Schwenk 2019): the standard parallel-corpus miner for
+    // translation training data — a candidate pair scores by its
+    // cosine RELATIVE to each side's neighborhood density
+    // (margin = cos(x,y) / mean of the two sides' top-k cosine
+    // averages), which kills the hubness failure raw cosine mining
+    // has. Here brute-force over two bounded slices (the oracle-exact
+    // baseline, like q30); the scale path swaps the cross join for
+    // the q56 IVF shortlist — the margin arithmetic is shortlist-
+    // agnostic. Margins round to 6 dp so the cross-engine comparison
+    // is ulp-independent. ─────────────────────────────────────────────
+    "q326_margin_bitext" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val x = e.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+      val y = e.filter(col("vec_id") >= 10000 && col("vec_id") < 10200)
+        .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+      val pairs = x.crossJoin(broadcast(y))
+        .withColumn("cos", VectorOps.cosine(col("xv"), col("yv")))
+        .select("x_id", "y_id", "cos")
+        .localCheckpoint(true) // one 200×200 grid feeds 3 consumers
+      val k = 4
+      val wx = Window.partitionBy("x_id")
+        .orderBy(col("cos").desc, col("y_id"))
+      val nx = pairs.withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= k)
+        .groupBy("x_id").agg(avg("cos").as("x_norm"))
+      val wy = Window.partitionBy("y_id")
+        .orderBy(col("cos").desc, col("x_id"))
+      val ny = pairs.withColumn("rn", row_number().over(wy))
+        .filter(col("rn") <= k)
+        .groupBy("y_id").agg(avg("cos").as("y_norm"))
+      pairs.join(broadcast(nx), "x_id").join(broadcast(ny), "y_id")
+        .withColumn("margin", round(col("cos") /
+          ((col("x_norm") + col("y_norm")) / 2), 6))
+        .orderBy(col("margin").desc, col("x_id"), col("y_id"))
+        .select("x_id", "y_id", "margin")
+        .limit(20)
+    }),
+
     // ── [ext] per-domain document cap — the pretraining-mix fairness
     // op (no single domain may dominate the corpus): keep the K
     // longest docs per source. NOT a window sort: the kept set is a
@@ -11121,6 +11191,45 @@ object SparkEntry {
           |  FROM nation)
           |SELECT n_nationkey, n_name, quality, tag FROM t
           |ORDER BY n_nationkey""".stripMargin,
+
+      // q325: widened int32 rows read as BIGINT next to the appended
+      // genuinely-64-bit copies
+      "q325_txn_type_widening" ->
+        """WITH t AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+          |    n_name, n_regionkey FROM nation
+          |  UNION ALL
+          |  SELECT CAST(n_nationkey AS BIGINT) + 5000000000,
+          |    n_name, n_regionkey FROM nation)
+          |SELECT n_nationkey, n_name, n_regionkey FROM t
+          |ORDER BY n_nationkey""".stripMargin,
+
+      // q326: margin-criterion mining replayed — all-pairs cosines,
+      // top-4 neighborhood averages per side, margin rounded to 6 dp
+      "q326_margin_bitext" ->
+        """WITH x AS (SELECT vec_id AS x_id,
+          |    CAST(embedding AS DOUBLE[]) AS xv
+          |  FROM embeddings WHERE vec_id < 200),
+          |y AS (SELECT vec_id AS y_id,
+          |    CAST(embedding AS DOUBLE[]) AS yv
+          |  FROM embeddings WHERE vec_id >= 10000 AND vec_id < 10200),
+          |p AS (SELECT x_id, y_id,
+          |    list_inner_product(xv, yv) /
+          |      (sqrt(list_inner_product(xv, xv)) *
+          |       sqrt(list_inner_product(yv, yv))) AS cos
+          |  FROM x, y),
+          |nx AS (SELECT x_id, avg(cos) AS x_norm FROM (
+          |    SELECT x_id, cos, row_number() OVER
+          |      (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rn
+          |    FROM p) WHERE rn <= 4 GROUP BY x_id),
+          |ny AS (SELECT y_id, avg(cos) AS y_norm FROM (
+          |    SELECT y_id, cos, row_number() OVER
+          |      (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rn
+          |    FROM p) WHERE rn <= 4 GROUP BY y_id)
+          |SELECT p.x_id, p.y_id,
+          |  ROUND(p.cos / ((nx.x_norm + ny.y_norm) / 2), 6) AS margin
+          |FROM p JOIN nx USING (x_id) JOIN ny USING (y_id)
+          |ORDER BY margin DESC, p.x_id, p.y_id LIMIT 20""".stripMargin,
 
       // q312: the clone serves the source snapshot plus its OWN update
       // (keys < 1000 doubled) — the source stays untouched

@@ -106,6 +106,9 @@ object GraftSqlParser {
   private val AlterRename =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
+  private val AlterType =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+TYPE\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""").r
   private val AlterDrop =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
       """\s+DROP\s+COLUMNS?\s+\(?\s*(`[^`]+`|\w+)\s*\)?\s*;?\s*""").r
@@ -259,6 +262,13 @@ object GraftSqlParser {
       maybePath(spark, delegate, target).map(p =>
         TxnLogAlterColumnCommand(p, "rename", unquote(from), None,
           Some(unquote(to)), refreshNameOf(target)))
+    // TYPE WIDENING: metadata-only when the change is provably
+    // lossless (the parquet readers promote at decode) — txnlog
+    // targets only, like the rest of the ALTER family
+    case AlterType(target, col, dt) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogAlterColumnCommand(p, "widen", unquote(col),
+          Some(delegate.parseDataType(dt)), None, refreshNameOf(target)))
     case AlterDrop(target, col) =>
       maybePath(spark, delegate, target).map(p =>
         TxnLogAlterColumnCommand(p, "drop", unquote(col), None, None,
@@ -358,7 +368,8 @@ case class TxnLogHistoryCommand(table: String)
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("n_added", LongType, nullable = false)(),
     AttributeReference("n_removed", LongType, nullable = false)(),
-    AttributeReference("n_cdc_files", LongType, nullable = false)())
+    AttributeReference("n_cdc_files", LongType, nullable = false)(),
+    AttributeReference("commit_ts", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     TxnLog.history(session, table).collect().toSeq
 }
@@ -407,6 +418,7 @@ case class TxnLogAlterColumnCommand(table: String, action: String,
       case "add" => TxnLog.addColumn(session, table, col, dataType.get)
       case "rename" => TxnLog.renameColumn(session, table, col, newName.get)
       case "drop" => TxnLog.dropColumn(session, table, col)
+      case "widen" => TxnLog.widenColumn(session, table, col, dataType.get)
       case other => sys.error(s"unknown ALTER COLUMN action: $other")
     }
     refreshName.foreach(session.catalog.refreshTable)

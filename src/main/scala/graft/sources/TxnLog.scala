@@ -333,6 +333,7 @@ object TxnLog {
         case Array("remove", f) => dropFile(f)
         case Array("schema", json) => schemaJson = Some(json)
         case Array("cdc", _) => () // change-feed file: never in the snapshot
+        case Array("cts", _) => () // in-commit timestamp: per-commit metadata
         case Array("nochange") => () // layout-only commit marker (compaction)
         case Array("op", _*) => () // commitInfo (+ provenance fields, e.g.
           // clone's source/version): per-commit metadata, not state
@@ -609,18 +610,27 @@ object TxnLog {
   def versionAt(table: String, tsMillis: Long): Long = {
     val vs = versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
-    val fs = fsOf(logDir(table))
-    val stamped = vs.map(v =>
-      v -> fs.getFileStatus(logFile(table, v)).getModificationTime)
+    val stamped = vs.map(v => v -> commitTimeOf(table, v))
     val at = stamped.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
       s"no commit at or before timestamp $tsMillis (oldest retained " +
         s"commit is v${vs.head} at ${stamped.head._2})")
-    // mtimes are assigned at publish so they are monotone with version
-    // order up to clock skew; take the max version among qualifying
-    // commits, never a later one
+    // commit times are assigned at publish so they are monotone with
+    // version order up to clock skew; take the max version among
+    // qualifying commits, never a later one
     at.map(_._1).max
   }
+
+  /** A version's commit time: the IN-COMMIT `cts` stamp when present
+    * (robust to file copies that rewrite mtimes — Delta's
+    * inCommitTimestamps), falling back to the log file's mtime for
+    * entries written before stamping (or hand-written by tests). */
+  private[sources] def commitTimeOf(table: String, v: Long): Long =
+    actionsOf(table, v).collectFirst {
+      case Array("cts", ms) => ms.toLong
+    }.getOrElse(
+      fsOf(logDir(table)).getFileStatus(logFile(table, v))
+        .getModificationTime)
 
   /** The schema declared in the log as of `asOf` (latest `schema`
     * action), None for tables created before schema tracking. Time
@@ -1432,9 +1442,14 @@ object TxnLog {
     }
     val fs = fsOf(logDir(table))
     fs.mkdirs(logDir(table))
+    // IN-COMMIT timestamp (Delta's inCommitTimestamps): the commit
+    // time travels INSIDE the log entry, so timestamp time travel
+    // survives file copies/rsync/backup-restore that rewrite mtimes —
+    // versionAt prefers it and falls back to mtime for older logs
+    val stamped = s"cts\t${System.currentTimeMillis()}" +: actions
     LogStore.forScheme(fs.getUri.getScheme)
       .putIfAbsent(fs, fs.makeQualified(logFile(table, v)),
-        LogStore.utf8(actions))
+        LogStore.utf8(stamped))
   }
 
   // ─── schema enforcement ────────────────────────────────────────────
@@ -1473,6 +1488,26 @@ object TxnLog {
     else Some(StructType(declared.fields ++
       extra.map(guidPhys(_, mappingOn))).json)
   }
+
+  /** Fill columns MISSING from an incoming batch whose declared field
+    * carries a CURRENT_DEFAULT (recorded by [[addColumns]] … DEFAULT):
+    * the INSERT-time half of default values — a writer that does not
+    * know the new column yet keeps working and its rows take the
+    * default, exactly SQL's `INSERT (cols)` contract. Columns present
+    * in the batch are untouched (an explicit NULL stays NULL), and
+    * columns without a default still refuse in [[validateAgainst]]. */
+  private def fillDefaults(df: DataFrame,
+                           declared: Option[StructType]): DataFrame =
+    declared.fold(df) { d =>
+      val have = df.columns.toSet
+      d.fields.toSeq
+        .filterNot(f => have.contains(f.name))
+        .filter(_.metadata.contains("CURRENT_DEFAULT"))
+        .foldLeft(df)((acc, f) => acc.withColumn(f.name,
+          org.apache.spark.sql.functions
+            .expr(f.metadata.getString("CURRENT_DEFAULT"))
+            .cast(f.dataType)))
+    }
 
   /** Under active column mapping, a column ADDED by evolution gets a
     * GUID physical name: a previously DROPPED column's name can then be
@@ -1568,7 +1603,7 @@ object TxnLog {
     * columns need `mergeSchema = true`, which commits the evolved
     * schema alongside the data (old files surface the new column as
     * null — Delta's additive evolution). */
-  def append(spark: SparkSession, table: String, df: DataFrame,
+  def append(spark: SparkSession, table: String, df0: DataFrame,
              statsCols: Seq[String] = Nil,
              mergeSchema: Boolean = false,
              bloomCols: Seq[String] = Nil): Long = {
@@ -1577,6 +1612,7 @@ object TxnLog {
     val st = replayState(table, vs.last)
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val df = fillDefaults(df0, declared)
     val mappingOn = st.props.get("columnMapping").contains("name")
     val evolvedJson =
       declared.flatMap(validateAgainst(_, df.schema, mergeSchema, mappingOn))
@@ -1801,14 +1837,23 @@ object TxnLog {
       }
     // capped distinct probe values per bloom-covered key column (a
     // null-keyed update never matches any target row, so nulls are
-    // pure inserts and need no file)
+    // pure inserts and need no file). Each probe carries its
+    // canonical-long alongside the bloom rendering so the per-file
+    // check below can SKIP values the file's stats interval already
+    // excludes: a mixed update+insert batch (new keys far above every
+    // file's range — the daily-merge norm) would otherwise probe
+    // hundreds of values per file and accumulate bloom false
+    // positives until nothing prunes (observed at sf0.1: ~575 probes
+    // × 0.2% FP ≈ 1 hit per file — every file touched).
     val bloomKeyCols = keys.filter(c => st.blooms.keys.exists(_._2 == c))
-    val probes: Map[String, Seq[String]] = bloomKeyCols.flatMap { c =>
-      val vals = updates.select(col(c)).where(col(c).isNotNull)
-        .distinct().limit(MergeBloomProbeCap + 1).collect().map(_.get(0))
-      if (vals.length > MergeBloomProbeCap) None
-      else Some(c -> vals.toSeq.map(canonicalProbe(spark, _)))
-    }.toMap
+    val probes: Map[String, Seq[(String, Option[Long])]] =
+      bloomKeyCols.flatMap { c =>
+        val vals = updates.select(col(c)).where(col(c).isNotNull)
+          .distinct().limit(MergeBloomProbeCap + 1).collect().map(_.get(0))
+        if (vals.length > MergeBloomProbeCap) None
+        else Some(c -> vals.toSeq.map(v =>
+          (canonicalProbe(spark, v), canonLongOf(v))))
+      }.toMap
     st.live.filter { f =>
       val statsOk = intervals.forall { case (c, (lo, hi)) =>
         st.stats.get((f, c)) match {
@@ -1818,15 +1863,40 @@ object TxnLog {
       }
       val bloomOk = probes.forall { case (c, vals) =>
         st.blooms.get((f, c)) match {
-          case Some((m, k, bits)) => vals.exists(v => (1 to k).forall { i =>
-            val p = bloomPos(i, v, m)
-            (bits(p >>> 6) & (1L << (p & 63))) != 0L
-          })
+          case Some((m, k, bits)) =>
+            val iv = st.stats.get((f, c))
+            vals.exists { case (v, cl) =>
+              val inRange = (iv, cl) match {
+                // stats prove this value cannot be in this file: the
+                // bloom need not be asked (and cannot false-positive)
+                case (Some((mn, mx)), Some(x)) => x >= mn && x <= mx
+                case _ => true // unprovable either way: ask the bloom
+              }
+              inRange && (1 to k).forall { i =>
+                val p = bloomPos(i, v, m)
+                (bits(p >>> 6) & (1L << (p & 63))) != 0L
+              }
+            }
           case None => true
         }
       }
       statsOk && bloomOk
     }
+  }
+
+  /** Driver-side canonical-long of a probe value — the SAME rendering
+    * [[canonicalCol]] records stats in (integrals as-is, dates as
+    * epoch days). None for types the stats writer does not
+    * canonicalize (the caller then probes the bloom unconditionally —
+    * superset-safe). */
+  private def canonLongOf(value: Any): Option[Long] = value match {
+    case n: java.lang.Byte => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Long => Some(n.longValue)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
   }
 
   /** Copy-on-write MERGE: last-writer-wins upsert of `updates` into the
@@ -2066,11 +2136,29 @@ object TxnLog {
     // unmatched target rows (those can live in ANY file); the pruning
     // probe projects the source keys under the TARGET names the
     // committed stats/blooms are keyed by
-    val touchedFiles =
+    val touchedFiles0 =
       if (notMatchedBySource.nonEmpty) st.live
       else touchedByKeys(spark, st,
         source.select(keys.zip(sKeys).map { case (tk, sk) =>
           col(sk).as(tk) }: _*), keys)
+    // PARTITION pruning on top, sound ONLY when every partition
+    // column is a join key (equal keys then imply equal partition
+    // values, so a file in an untouched partition provably holds no
+    // match) — the hive twin of upsert's partition-scoped rewrite
+    val keyToSrc = keys.zip(sKeys).toMap
+    val touchedFiles =
+      if (pcols.isEmpty || notMatchedBySource.nonEmpty ||
+        !pcols.forall(keyToSrc.contains)) touchedFiles0
+      else {
+        val pSrc = pcols.map(keyToSrc)
+        val parts: Set[Seq[String]] = source
+          .select(pSrc.map(c => col(c).cast("string")): _*)
+          .where(pSrc.map(c => col(c).isNotNull).reduce(_ && _))
+          .distinct().collect()
+          .map(r => pSrc.indices.map(r.getString)).toSet
+        touchedFiles0.filter(f =>
+          parts.contains(partValuesOf(f).map(_._2)))
+      }
     val declared = Some(schema)
     // the SOURCE side carries its per-key row count so the plan itself
     // enforces the cardinality rule on matched rows (window over the
@@ -3043,6 +3131,47 @@ object TxnLog {
     v
   }
 
+  /** TYPE WIDENING as a METADATA commit (Delta's type-widening table
+    * feature): the declared column type widens to a supertype that
+    * every existing file's physical values up-cast to losslessly — the
+    * Spark 4 parquet readers promote AT DECODE (int32→long,
+    * int/float→double, decimal precision growth), so zero files are
+    * rewritten and old files keep serving. Only provably-lossless
+    * widenings are accepted ([[org.apache.spark.sql.catalyst
+    * .expressions.Cast.canUpCast]]); narrowing or lossy changes refuse
+    * descriptively, and partition columns refuse (their values live in
+    * directory PATHS whose parsing is fixed per file). CAS-pinned. */
+  def widenColumn(spark: SparkSession, table: String, colName: String,
+                  newType: DataType): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = versions(table).last
+    val st = replayState(table, base)
+    val declared = st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(sys.error(s"no declared schema in the log: $table"))
+    val f = declared.fields.find(_.name == colName).getOrElse(sys.error(
+      s"no such column: $colName (have " +
+        s"${declared.fieldNames.mkString(", ")})"))
+    require(!partitionColsOf(st).exists(_.contains(colName)),
+      s"cannot widen partition column $colName — partition values " +
+        "live in the directory paths")
+    require(f.dataType != newType,
+      s"$colName already has type ${newType.catalogString}")
+    require(org.apache.spark.sql.catalyst.expressions.Cast
+        .canUpCast(f.dataType, newType),
+      s"cannot widen $colName from ${f.dataType.catalogString} to " +
+        s"${newType.catalogString} — only lossless widenings are " +
+        "metadata-only (rewrite via overwrite for anything else)")
+    val fields = declared.fields.map(x =>
+      if (x.name == colName) x.copy(dataType = newType) else x)
+    val v = base + 1
+    if (!publish(table, v, Seq("op\twidenColumn",
+        s"schema\t${StructType(fields).json}")))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
   /** STREAMING change-feed consumer. The `_change_data` directory is an
     * append-only parquet feed — every journaling commit ([[upsert]],
     * [[deleteWhere]]) adds immutable files and nothing ever rewrites
@@ -3090,7 +3219,8 @@ object TxnLog {
           else if (cdc > 0 || removes > 0) "overwrite"
           else "append"
         }
-      Row(v, op, adds.toLong, removes.toLong, cdc.toLong)
+      Row(v, op, adds.toLong, removes.toLong, cdc.toLong,
+        commitTimeOf(table, v))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
@@ -3098,7 +3228,8 @@ object TxnLog {
         StructField("operation", StringType, nullable = false),
         StructField("n_added", LongType, nullable = false),
         StructField("n_removed", LongType, nullable = false),
-        StructField("n_cdc_files", LongType, nullable = false))))
+        StructField("n_cdc_files", LongType, nullable = false),
+        StructField("commit_ts", LongType, nullable = false))))
   }
 
   /** K7's retention lifecycle: delete data files not referenced by any

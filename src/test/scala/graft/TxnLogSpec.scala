@@ -2745,6 +2745,135 @@ class TxnLogSpec extends SparkSpec {
       "ADD COLUMNS must rewrite zero files")
   }
 
+  test("append fills missing DEFAULT-bearing columns (INSERT-time half)") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    TxnLog.addColumns(spark, t, Seq(
+      ("quality", IntegerType, Some("7")),
+      ("note", StringType, None))) // no default
+    // a writer that predates the evolution appends WITHOUT the new
+    // columns: quality takes its CURRENT_DEFAULT, but note (no
+    // default) still refuses — the missing-column contract is intact
+    val e = intercept[Exception] { TxnLog.append(spark, t, nation
+      .withColumn("n_nationkey", col("n_nationkey") + 300)) }
+    assert(e.getMessage.contains("note"))
+    TxnLog.dropColumn(spark, t, "note")
+    TxnLog.append(spark, t, nation
+      .withColumn("n_nationkey", col("n_nationkey") + 300))
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.filter(col("n_nationkey") >= 300 &&
+      col("quality") === 7).count() == nation.count(),
+      "rows from a default-unaware writer must take the default")
+    // an explicit value (including NULL) always wins over the default
+    TxnLog.append(spark, t, nation.limit(1)
+      .withColumn("n_nationkey", col("n_nationkey") + 700)
+      .withColumn("quality", lit(null).cast("int")))
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("n_nationkey") >= 700).head.isNullAt(3))
+  }
+
+  test("type widening is a metadata commit; old int files read as long") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, statsCols = Seq("n_nationkey"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_widen_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    spark.sql("ALTER TABLE txn_widen_v ALTER COLUMN n_nationkey " +
+      "TYPE BIGINT")
+    assert(TxnLog.files(t).size ==
+      TxnLog.snapshot(spark, t).inputFiles.length,
+      "widening must rewrite zero files")
+    // pre-widening int32 files decode as LONG (parquet reader
+    // promotion) through both read paths
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(snap.agg(sum(col("n_nationkey"))).head.getLong(0) ==
+      nation.agg(sum(col("n_nationkey").cast("long"))).head.getLong(0))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_widen_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    assert(spark.table("txn_widen_v").schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT sum(n_nationkey) FROM txn_widen_v")
+      .head.getLong(0) == snap.agg(sum("n_nationkey")).head.getLong(0))
+    // post-widening appends carry genuinely long values
+    TxnLog.append(spark, t, spark.range(1).select(
+      lit(9000000000L).as("n_nationkey"), lit("BIG").as("n_name"),
+      lit(0).cast("int").as("n_regionkey")))
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("n_nationkey") === 9000000000L).count() == 1)
+    // stats skipping stays live across the widening (canonical longs)
+    assert(TxnLog.snapshotWhere(spark, t, "n_nationkey", 0L, 3L)
+      .inputFiles.length <= TxnLog.snapshot(spark, t).inputFiles.length)
+    // lossy changes refuse descriptively; time travel serves the OLD type
+    val e = intercept[Exception] { TxnLog.widenColumn(spark, t,
+      "n_name", org.apache.spark.sql.types.IntegerType) }
+    assert(e.getMessage.contains("lossless"))
+    assert(TxnLog.snapshot(spark, t, Some(1L))
+      .schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("general MERGE prunes partitions when partition cols are keys") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    val before = TxnLog.files(t)
+    // keyed on (n_regionkey, n_nationkey): equal keys imply equal
+    // partition values, so only region 2's files may be touched
+    TxnLog.merge(spark, t,
+      spark.createDataFrame(Seq((2, 12, "EDITED"), (2, 908, "NEWROW")))
+        .toDF("r", "k", "name"),
+      keys = Seq("n_regionkey", "n_nationkey"),
+      matched = Seq(TxnLog.MergeClause(None, isDelete = false,
+        Seq("n_name" -> col("__s.name")))),
+      notMatched = Seq(TxnLog.MergeClause(None, isDelete = false,
+        Seq("n_nationkey" -> col("__s.k"),
+          "n_name" -> col("__s.name"),
+          "n_regionkey" -> col("__s.r")))),
+      sourceKeys = Seq("r", "k"))
+    val after = TxnLog.files(t)
+    assert(before.filterNot(_.contains("n_regionkey=2"))
+      .forall(after.contains),
+      "files outside the touched partition must stay live untouched")
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.filter(col("n_nationkey") === 12).head.getString(1) ==
+      "EDITED")
+    assert(out.filter(col("n_nationkey") === 908).count() == 1)
+    assert(out.count() == nation.count() + 1)
+  }
+
+  test("in-commit timestamps survive mtime rewrites (copy/rsync)") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
+    Thread.sleep(15)
+    val midpoint = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 2))
+    // a backup-restore / rsync rewrites every file's mtime to NOW —
+    // timestamp time travel must keep answering from the stamps
+    // journaled INSIDE the commits, not the filesystem's
+    Seq(1L, 2L).foreach { v =>
+      Paths.get(t, "_txn_log", f"$v%020d.log").toFile
+        .setLastModified(System.currentTimeMillis() + 3600000L)
+    }
+    assert(TxnLog.versionAt(t, midpoint) == 1L,
+      "cts must win over the rewritten mtimes")
+    assert(TxnLog.snapshot(spark, t,
+      Some(TxnLog.versionAt(t, midpoint))).count() ==
+      nation.filter(col("n_regionkey") < 2).count())
+    // DESCRIBE HISTORY surfaces the stamp
+    val h = TxnLog.history(spark, t).orderBy("version").collect()
+    assert(h(0).getLong(5) <= midpoint && midpoint <= h(1).getLong(5))
+    // logs that PREDATE stamping (hand-written) fall back to mtime
+    val t2 = freshTable()
+    val log2 = Paths.get(t2, "_txn_log")
+    Files.createDirectories(log2)
+    Files.write(log2.resolve(f"${1L}%020d.log"),
+      java.util.Arrays.asList("op\tcreate",
+        "schema\t" + nation.schema.json))
+    assert(TxnLog.versionAt(t2, System.currentTimeMillis()) == 1L)
+  }
+
   test("minwriter protocol guard refuses commits, reads stay legal") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
