@@ -84,7 +84,11 @@ object GraftSqlParser {
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + Tok +
-      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
+      """(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
+  // OPTIMIZE WHERE takes partition-value equalities only (Delta's
+  // restriction): a conjunction of col = 'val' / col = val
+  private val PartEq =
+    """(?is)\s*(`[^`]+`|\w+)\s*=\s*('[^']*'|[\w.-]+)\s*""".r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Tok + """\s*;?\s*""").r
   private val RestoreV =
@@ -209,10 +213,20 @@ object GraftSqlParser {
     case Vacuum(target, hours) =>
       Some(TxnLogVacuumCommand(pathOf(spark, delegate, target),
         Option(hours).map(_.toLong)))
-    case Optimize(target, zorder) =>
+    case Optimize(target, where, zorder) =>
       val cols = Option(zorder).toSeq.flatMap(_.split(','))
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      Some(TxnLogOptimizeCommand(pathOf(spark, delegate, target), cols))
+      val parts = Option(where).toSeq
+        .flatMap(_.split("""(?i)\s+AND\s+""")).map {
+          case PartEq(c, v) =>
+            val value = if (v.startsWith("'")) v.substring(1, v.length - 1)
+              else v
+            unquote(c) -> value
+          case bad => fail("OPTIMIZE WHERE takes a conjunction of " +
+            s"partition equalities (col = 'value'), got: $bad")
+        }
+      Some(TxnLogOptimizeCommand(pathOf(spark, delegate, target), cols,
+        parts))
     case History(target) =>
       Some(TxnLogHistoryCommand(pathOf(spark, delegate, target)))
     case RestoreV(target, v) =>
@@ -340,21 +354,24 @@ case class TxnLogVacuumCommand(table: String, retainHours: Option[Long])
   * clustering (2-D walk / N-D Skilling transpose) plus fresh stats and
   * blooms on the cluster columns so pruning is effective on every one
   * of them. Returns (version, n_files_after). */
-case class TxnLogOptimizeCommand(table: String, zorderBy: Seq[String])
+case class TxnLogOptimizeCommand(table: String, zorderBy: Seq[String],
+                                 partitions: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val v =
-      if (zorderBy.isEmpty) TxnLog.compact(session, table)
+      if (zorderBy.isEmpty)
+        TxnLog.compact(session, table, partitions = partitions)
       else TxnLog.compact(session, table,
         // enough output files that per-file bounding boxes stay narrow
         // in every clustered column — the point of the zorder layout
         targetFiles = math.max(8, session.sparkContext
           .defaultParallelism / 2),
         clusterBy = zorderBy, hilbert = zorderBy.size >= 2,
-        statsCols = zorderBy, bloomCols = zorderBy)
+        statsCols = zorderBy, bloomCols = zorderBy,
+        partitions = partitions)
     Seq(Row(v, TxnLog.files(table).size.toLong))
   }
 }

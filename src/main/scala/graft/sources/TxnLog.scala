@@ -2395,7 +2395,8 @@ object TxnLog {
               clusterBy: Seq[String] = Nil,
               statsCols: Seq[String] = Nil,
               hilbert: Boolean = false,
-              bloomCols: Seq[String] = Nil): Long = {
+              bloomCols: Seq[String] = Nil,
+              partitions: Seq[(String, String)] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, greatest, least, lit,
       max, min}
     require(exists(table), s"not a TxnLog table: $table")
@@ -2403,7 +2404,30 @@ object TxnLog {
     val st = replayState(table, base)
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val snap0 = readFiles(spark, table, st.live, declared,
+    // PARTITION-SCOPED compaction (Delta's `OPTIMIZE … WHERE`): only
+    // the files of the named partitions are read and re-laid — the
+    // daily pattern at 100 TB is "compact yesterday's partition", and
+    // a table-wide rewrite for that would be absurd. DV state of
+    // untouched partitions survives (their masks stay live; the
+    // rewritten files' dvcounts drop with the removes), so the scoped
+    // form never emits the table-wide `dvclear`.
+    val scope =
+      if (partitions.isEmpty) st.live
+      else {
+        val pcols = partitionColsOf(st).getOrElse(sys.error(
+          s"partition-scoped compaction requires a partitioned table: " +
+            table))
+        partitions.foreach { case (c, _) => require(pcols.contains(c),
+          s"$c is not a partition column (have ${pcols.mkString(", ")})") }
+        val hit = st.live.filter { f =>
+          val pv = partValuesOf(f).toMap
+          partitions.forall { case (c, v) => pv.get(c).contains(v) }
+        }
+        require(hit.nonEmpty,
+          s"no files match partitions ${partitions.mkString(", ")}")
+        hit
+      }
+    val snap0 = readFiles(spark, table, scope, declared,
       dvOf(spark, table, st))
     // clusterBy = Delta's OPTIMIZE ZORDER in its range-cluster form:
     // the rewrite range-lays rows on the cluster columns, so each new
@@ -2446,7 +2470,8 @@ object TxnLog {
           // an all-null cluster column has no grid: fall back to the
           // lexicographic range layout rather than NPE
           return compact(spark, table, targetFiles, expectedVersion,
-            clusterBy, statsCols, hilbert = false, bloomCols = bloomCols)
+            clusterBy, statsCols, hilbert = false, bloomCols = bloomCols,
+            partitions = partitions)
         def grid(c: String, i: Int) = {
           val mn = bounds.getLong(2 * i)
           val span = math.max(1L, bounds.getLong(2 * i + 1) - mn)
@@ -2469,11 +2494,12 @@ object TxnLog {
           .drop("__h")
       }
     val named = stage(spark, table, toPhys(snap, declared),
-      partitionColsOf(st.live).getOrElse(Nil))
+      partitionColsOf(st).getOrElse(Nil))
     val sc = if (statsCols.nonEmpty) statsCols else clusterBy
+    val dvLine = if (partitions.isEmpty) Seq("dvclear") else Nil
     val v = base + 1
-    if (!publish(table, v, "op\tcompact" +: "nochange" +: "dvclear" +:
-        (st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
+    if (!publish(table, v, "op\tcompact" +: "nochange" +: (dvLine ++
+        scope.map("remove\t" + _) ++ named.map("add\t" + _) ++
           statsLines(spark, table, named, sc, physMapOf(declared)) ++
           bloomLines(spark, table, named, bloomCols, physMapOf(declared)) ++
           rowcountLines(table, named))))

@@ -2842,6 +2842,36 @@ class TxnLogSpec extends SparkSpec {
     assert(out.count() == nation.count() + 1)
   }
 
+  test("OPTIMIZE WHERE compacts one partition, DV state elsewhere intact") {
+    val t = freshTable()
+    // two small appends per partition → fragmented layout
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") % 2 === 0),
+      partitionBy = Seq("n_regionkey"))
+    TxnLog.append(spark, t, nation.filter(col("n_nationkey") % 2 === 1))
+    // DV delete in region 1 — scoped compaction of region 2 must NOT
+    // clear it (a table-wide dvclear would resurrect the rows)
+    TxnLog.deleteWhereDV(spark, t,
+      col("n_regionkey") === 1 && col("n_nationkey") < 10)
+    val masked = TxnLog.snapshot(spark, t).count()
+    val beforeR2 = TxnLog.files(t).count(_.contains("n_regionkey=2"))
+    assert(beforeR2 >= 2, s"need a fragmented partition, got $beforeR2")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_optw_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    spark.sql("OPTIMIZE txn_optw_v WHERE n_regionkey = 2")
+    val after = TxnLog.files(t)
+    assert(after.count(_.contains("n_regionkey=2")) < beforeR2,
+      "the scoped partition must compact")
+    assert(TxnLog.files(t, Some(3L)).filterNot(_.contains("n_regionkey=2"))
+      .forall(after.contains),
+      "files outside the scoped partition must stay live untouched")
+    assert(TxnLog.snapshot(spark, t).count() == masked,
+      "scoped compaction must not resurrect region 1's DV-deleted rows")
+    // a non-partition column refuses descriptively
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE txn_optw_v WHERE n_name = 'KENYA'") }
+    assert(e.getMessage.contains("not a partition column"))
+  }
+
   test("in-commit timestamps survive mtime rewrites (copy/rsync)") {
     val t = freshTable()
     TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
