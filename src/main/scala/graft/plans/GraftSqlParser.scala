@@ -107,6 +107,8 @@ object GraftSqlParser {
       """\s*\((.+)\)\s*USING\s+txnlog""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private val ConstraintClause =
+    """(?is)\s*CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s*\((.*)\)\s*""".r
   private val AlterRename =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
@@ -248,13 +250,26 @@ object GraftSqlParser {
           s"CREATE TABLE $d (…) USING txnlog: an identifier " +
             "destination needs LOCATION '<table dir>' (or quote a " +
             "path directly)"))
-      val schema = scala.util.Try(delegate.parseTableSchema(colSpec))
+      // inline CONSTRAINT … CHECK (…) clauses ride the column list
+      // (the SQL-standard spelling); split top-level items first so
+      // CHECK expressions keep their commas/parens
+      val items = splitColSpecs(colSpec)
+      val (consItems, colItems) = items.partition(
+        _.matches("""(?is)\s*CONSTRAINT\s+.*"""))
+      val checks = consItems.map {
+        case ConstraintClause(n, e) => unquote(n) -> e.trim
+        case bad => fail(s"cannot parse table constraint: $bad " +
+          "(expected: CONSTRAINT name CHECK (expr))")
+      }
+      val schema = scala.util.Try(
+        delegate.parseTableSchema(colItems.mkString(", ")))
         .getOrElse(fail(s"CREATE TABLE … USING txnlog: cannot parse " +
           s"column list ($colSpec)"))
       val parts = Option(partBy).toSeq.flatMap(_.split(','))
         .map(unquote).map(_.trim).filter(_.nonEmpty)
       Some(TxnLogCreateTableCommand(destPath, schema, parts,
-        refreshNameOf(dest), ifNotExists = ifNotExists != null))
+        refreshNameOf(dest), ifNotExists = ifNotExists != null,
+        checks = checks))
     // ALTER TABLE is in Spark's own grammar: claim it ONLY for a
     // txnlog target — the commit is a metadata-only schema change in
     // the table's own log (column mapping), not a catalog edit.
@@ -632,7 +647,8 @@ case class TxnLogConvertCommand(table: String)
 case class TxnLogCreateTableCommand(dest: String, tableSchema: StructType,
                                     partitionBy: Seq[String],
                                     registerAs: Option[String],
-                                    ifNotExists: Boolean)
+                                    ifNotExists: Boolean,
+                                    checks: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -643,7 +659,8 @@ case class TxnLogCreateTableCommand(dest: String, tableSchema: StructType,
         messageParameters = Map("message" ->
           (s"CREATE TABLE: table already exists at $dest " +
             "(use IF NOT EXISTS for the idempotent form)")))
-    } else TxnLog.createEmpty(session, dest, tableSchema, partitionBy)
+    } else TxnLog.createEmpty(session, dest, tableSchema, partitionBy,
+      checks = checks)
     registerAs.foreach { name =>
       require(name.matches("""[\w]+(\.[\w]+)*"""),
         s"invalid table identifier: $name")

@@ -446,16 +446,64 @@ case class TxnLogInsertGuard(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case c: InsertIntoHadoopFsRelationCommand
           if c.fileFormat.isInstanceOf[TxnLogParquetFileFormat] =>
-        if (c.staticPartitions.nonEmpty) throw new AnalysisException(
-          errorClass = "_LEGACY_ERROR_TEMP_3100",
-          messageParameters = Map("message" ->
-            ("txnlog INSERT: static PARTITION specs are not supported " +
-              "— use TxnLog.overwritePartitions or a partition-scoped " +
-              "MERGE")))
-        TxnLogInsertCommand(c.outputPath.toString, c.query,
-          overwrite = c.mode == org.apache.spark.sql.SaveMode.Overwrite,
-          outputColumnNames = c.outputColumnNames)
+        val overwrite = c.mode == org.apache.spark.sql.SaveMode.Overwrite
+        val partTypes = c.partitionColumns
+          .map(a => a.name -> a.dataType)
+        if (c.staticPartitions.nonEmpty)
+          // `INSERT [OVERWRITE] t PARTITION (p='x', …)`: the static
+          // values rejoin the rows as typed literals and the write
+          // lands partition-scoped — OVERWRITE replaces exactly the
+          // named partitions (TxnLog.overwritePartitions), INTO
+          // appends into them; either way one transactional commit
+          TxnLogInsertPartitionCommand(c.outputPath.toString, c.query,
+            c.staticPartitions.toSeq.sortBy(_._1), partTypes, overwrite,
+            c.outputColumnNames)
+        else if (overwrite && c.partitionColumns.nonEmpty &&
+            spark.sessionState.conf.partitionOverwriteMode ==
+              org.apache.spark.sql.internal.SQLConf
+                .PartitionOverwriteMode.DYNAMIC)
+          // dynamic INSERT OVERWRITE on a partitioned table: replace
+          // exactly the partitions present in the query output —
+          // Spark's dynamic mode contract, not a whole-table swap
+          TxnLogInsertPartitionCommand(c.outputPath.toString, c.query,
+            Nil, partTypes, overwrite = true, c.outputColumnNames)
+        else
+          TxnLogInsertCommand(c.outputPath.toString, c.query,
+            overwrite = overwrite,
+            outputColumnNames = c.outputColumnNames)
     }
+}
+
+/** Runnable half of a partition-addressed INSERT: static PARTITION
+  * values rejoin the (already aligned) query rows as typed literals;
+  * OVERWRITE maps to the dynamic-partition replace (swap exactly the
+  * partitions the rows land in — for a static spec that is the named
+  * partitions), INTO to a transactional append laid out through the
+  * table's hive layout. */
+case class TxnLogInsertPartitionCommand(table: String, query: LogicalPlan,
+                                        staticParts: Seq[(String, String)],
+                                        partTypes: Seq[(String,
+                                          org.apache.spark.sql.types
+                                            .DataType)],
+                                        overwrite: Boolean,
+                                        outputColumnNames: Seq[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    val typeOf = partTypes.toMap
+    val df0 = GraftShim.ofRows(session, query)
+      .toDF(outputColumnNames: _*)
+    val df = staticParts.foldLeft(df0) { case (d, (k, v)) =>
+      if (d.columns.contains(k)) d // already carried by the query
+      else d.withColumn(k, lit(v).cast(typeOf.getOrElse(k, StringType)))
+    }
+    if (overwrite) TxnLog.overwritePartitions(session, table, df)
+    else TxnLog.append(session, table, df)
+    Nil
+  }
 }
 
 /** Runnable half of the guarded INSERT: one [[TxnLog.append]] /

@@ -2842,6 +2842,121 @@ class TxnLogSpec extends SparkSpec {
     assert(out.count() == nation.count() + 1)
   }
 
+  test("general MERGE: constraints enforced, mapping + DV interplay") {
+    // CHECK constraints gate the merge's rewrite like every writer
+    val t = freshTable()
+    TxnLog.create(spark, t, nation,
+      checks = Seq(("key_range", "n_nationkey < 1000")))
+    val e = intercept[Exception] { TxnLog.merge(spark, t,
+      spark.createDataFrame(Seq((3, 5000))).toDF("n_nationkey", "nk2"),
+      keys = Seq("n_nationkey"),
+      matched = Seq(TxnLog.MergeClause(None, isDelete = false,
+        Seq("n_nationkey" -> col("__s.nk2")))),
+      notMatched = Nil) }
+    assert(e.getMessage.contains("key_range"),
+      s"constraint must reject the violating merge: ${e.getMessage}")
+    assert(TxnLog.versions(t) == Seq(1L), "nothing may commit")
+    // column mapping: merge through a RENAMED column works (logical
+    // names in clauses, physical staging underneath); rename requires
+    // dropping the constraint first (its own documented contract)
+    TxnLog.dropCheck(spark, t, "key_range")
+    TxnLog.renameColumn(spark, t, "n_name", "label")
+    TxnLog.merge(spark, t,
+      spark.createDataFrame(Seq((3, "MAPPED"))).toDF("n_nationkey", "v"),
+      keys = Seq("n_nationkey"),
+      matched = Seq(TxnLog.MergeClause(None, isDelete = false,
+        Seq("label" -> col("__s.v")))),
+      notMatched = Nil)
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("n_nationkey") === 3).head.getString(1) == "MAPPED")
+    // DV interplay: DVs masking UNTOUCHED files survive a pruned merge
+    val t2 = freshTable()
+    TxnLog.create(spark, t2,
+      nation.repartitionByRange(5, col("n_nationkey")),
+      statsCols = Seq("n_nationkey"))
+    TxnLog.deleteWhereDV(spark, t2, col("n_nationkey") >= 20)
+    val maskedCount = TxnLog.snapshot(spark, t2).count()
+    TxnLog.merge(spark, t2,
+      spark.createDataFrame(Seq((0, "Z"))).toDF("n_nationkey", "v"),
+      keys = Seq("n_nationkey"),
+      matched = Seq(TxnLog.MergeClause(None, isDelete = false,
+        Seq("n_name" -> col("__s.v")))),
+      notMatched = Nil)
+    assert(TxnLog.snapshot(spark, t2).count() == maskedCount,
+      "a pruned merge must not resurrect other files' DV-deleted rows")
+    assert(TxnLog.snapshot(spark, t2)
+      .filter(col("n_nationkey") === 0).head.getString(1) == "Z")
+  }
+
+  test("DDL CREATE TABLE with inline CHECK constraints enforces from birth") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE txn_ddlc_t (k INT, v STRING, " +
+      s"CONSTRAINT k_range CHECK (k < 100 AND k >= 0)) " +
+      s"USING txnlog LOCATION '$t'")
+    assert(TxnLog.checkConstraints(t) ==
+      Map("k_range" -> "k < 100 AND k >= 0"))
+    // the constraint bites on the very FIRST load
+    val e = intercept[Exception] { spark.sql(
+      "INSERT INTO txn_ddlc_t SELECT 500 AS k, 'BAD' AS v") }
+    def root(x: Throwable): String = Iterator.iterate(x)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(root(e).contains("k_range"), root(e))
+    spark.sql("INSERT INTO txn_ddlc_t SELECT 5 AS k, 'OK' AS v")
+    assert(spark.table("txn_ddlc_t").count() == 1)
+    spark.sql("DROP TABLE txn_ddlc_t")
+  }
+
+  test("INSERT [OVERWRITE] PARTITION lands partition-scoped commits") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_insp_src " +
+      s"USING txnlog OPTIONS (path '$t')") // unused; keep names apart
+    // register as a CATALOG table so the raw-file insert route is the
+    // one exercised (the guard's rewrite target)
+    spark.sql("DROP TABLE IF EXISTS txn_insp_t")
+    spark.sql(s"CREATE TABLE txn_insp_t USING txnlog LOCATION '$t'")
+    // static INSERT INTO PARTITION: appends INTO the named partition,
+    // the static value rejoining the rows as a typed literal
+    spark.sql("INSERT INTO txn_insp_t PARTITION (n_regionkey = 2) " +
+      "SELECT 700 AS n_nationkey, 'STATIC_ADD' AS n_name")
+    val s1 = TxnLog.snapshot(spark, t)
+    assert(s1.filter(col("n_name") === "STATIC_ADD")
+      .head.getInt(2) == 2, "the static value must land in the rows")
+    assert(s1.count() == nation.count() + 1)
+    // static INSERT OVERWRITE PARTITION: replaces EXACTLY that
+    // partition, every other partition keeps its exact files
+    val beforeOther = TxnLog.files(t).filterNot(_.contains("n_regionkey=2"))
+    spark.sql("INSERT OVERWRITE txn_insp_t PARTITION (n_regionkey = 2) " +
+      "SELECT 701 AS n_nationkey, 'SWAPPED' AS n_name")
+    val s2 = TxnLog.snapshot(spark, t)
+    assert(s2.filter(col("n_regionkey") === 2).count() == 1,
+      "the named partition must be replaced wholesale")
+    assert(s2.filter(col("n_name") === "SWAPPED").count() == 1)
+    assert(s2.filter(col("n_regionkey") =!= 2).count() ==
+      nation.filter(col("n_regionkey") =!= 2).count())
+    assert(beforeOther.forall(TxnLog.files(t).contains),
+      "untouched partitions must keep their exact files")
+    // dynamic INSERT OVERWRITE (no static spec): with dynamic mode on,
+    // only the partitions present in the query are replaced
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE txn_insp_t " +
+        "SELECT 800 AS n_nationkey, 'DYN' AS n_name, " +
+        "CAST(1 AS INT) AS n_regionkey")
+      val s3 = TxnLog.snapshot(spark, t)
+      assert(s3.filter(col("n_regionkey") === 1).count() == 1,
+        "dynamic overwrite must replace only the touched partition")
+      assert(s3.filter(col("n_regionkey") === 0).count() ==
+        nation.filter(col("n_regionkey") === 0).count(),
+        "partitions absent from the query must survive")
+    } finally prev.fold(spark.conf.unset(
+      "spark.sql.sources.partitionOverwriteMode"))(v =>
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    spark.sql("DROP TABLE txn_insp_t")
+  }
+
   test("OPTIMIZE WHERE compacts one partition, DV state elsewhere intact") {
     val t = freshTable()
     // two small appends per partition → fragmented layout
