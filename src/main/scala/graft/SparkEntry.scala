@@ -1545,6 +1545,13 @@ object SparkEntry {
         max(col(c)).cast(DoubleType).as(s"mx_$c")))
       val stackArgs = pcols.map(c =>
         s"'$c', n_rows - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      // Probed (round 14): the Expand+partial-agg runs on the
+      // fixture's single scan split (430 of ~760 job-ms in one task),
+      // but a repartition fan-out measured WORSE (1.13s vs 0.81s —
+      // the extra exchange of 1M rows costs more than the single-task
+      // expand saves; the distinct aggregates shuffle everything
+      // anyway). Floor at this fixture shape; at corpus scale the
+      // scan arrives already wide.
       T(s, dir, "events").agg(aggs.head, aggs.tail: _*)
         .selectExpr(s"stack(${pcols.size}, $stackArgs) AS " +
           "(column_name, n_nulls, n_distinct, min_v, max_v)")
@@ -5678,6 +5685,41 @@ object SparkEntry {
       s.sql("CREATE OR REPLACE TEMPORARY VIEW q325_txn_v " +
         s"USING txnlog OPTIONS (path '$tbl')")
       s.table("q325_txn_v").orderBy("n_nationkey")
+    }),
+
+    // ── [ext] GENERATED partition columns — `day DATE GENERATED
+    // ALWAYS AS (to_date(ts))` in DDL-first CREATE TABLE (Delta's
+    // generated columns): writers supply the BASE columns only and
+    // the table computes the derived one at write time, so the
+    // classic timestamp-table-partitioned-by-day layout needs no
+    // writer cooperation (and can never drift from the expression —
+    // a batch supplying the column refuses). The events load lands
+    // hive-partitioned on the generated day. ──────────────────────────
+    "q327_txn_generated_partition" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q327_txn")
+      s.sql("DROP TABLE IF EXISTS q327_gen_t")
+      s.sql("CREATE TABLE q327_gen_t (event_id BIGINT, user_id INT, " +
+        "ts TIMESTAMP, value DOUBLE, " +
+        "day DATE GENERATED ALWAYS AS (to_date(ts))) USING txnlog " +
+        s"PARTITIONED BY (day) LOCATION '$tbl'")
+      T(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08"))
+        .select("event_id", "user_id", "ts", "value")
+        .createOrReplaceTempView("q327_src")
+      s.sql("INSERT INTO q327_gen_t (event_id, user_id, ts, value) " +
+        "SELECT * FROM q327_src")
+      require(graft.sources.TxnLog.versions(tbl) == Seq(1L, 2L),
+        "the load must be one transactional append")
+      require(graft.sources.TxnLog.files(tbl).forall(_.contains("day=")),
+        "files must land partitioned on the GENERATED column")
+      val out = s.table("q327_gen_t")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("day")
+      val pinned = out.localCheckpoint(true)
+      s.sql("DROP TABLE q327_gen_t")
+      pinned
     }),
 
     // ── [north star] margin-criterion bitext mining (Artetxe &
@@ -11203,6 +11245,15 @@ object SparkEntry {
           |    n_name, n_regionkey FROM nation)
           |SELECT n_nationkey, n_name, n_regionkey FROM t
           |ORDER BY n_nationkey""".stripMargin,
+
+      // q327: the generated day is to_date(ts) — replayed as a
+      // derived-column aggregate over the same slice
+      "q327_txn_generated_partition" ->
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_value
+          |FROM events WHERE ts < TIMESTAMP '2024-01-08'
+          |GROUP BY 1 ORDER BY day""".stripMargin,
 
       // q326: margin-criterion mining replayed — all-pairs cosines,
       // top-4 neighborhood averages per side, margin rounded to 6 dp

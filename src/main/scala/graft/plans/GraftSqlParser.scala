@@ -109,6 +109,8 @@ object GraftSqlParser {
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   private val ConstraintClause =
     """(?is)\s*CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s*\((.*)\)\s*""".r
+  private val GenColSpec =
+    """(?is)\s*(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*""".r
   private val AlterRename =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
@@ -261,10 +263,22 @@ object GraftSqlParser {
         case bad => fail(s"cannot parse table constraint: $bad " +
           "(expected: CONSTRAINT name CHECK (expr))")
       }
-      val schema = scala.util.Try(
-        delegate.parseTableSchema(colItems.mkString(", ")))
-        .getOrElse(fail(s"CREATE TABLE … USING txnlog: cannot parse " +
-          s"column list ($colSpec)"))
+      // parse items individually so GENERATED ALWAYS AS columns (a
+      // clause Spark's parseTableSchema does not accept) ride the
+      // same list; the expression lands in field metadata and the
+      // write path computes it (writers supply base columns only)
+      val fields = colItems.map {
+        case GenColSpec(n, dt, genExpr) =>
+          org.apache.spark.sql.types.StructField(unquote(n),
+            delegate.parseDataType(dt), nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.generate", genExpr.trim).build())
+        case item => scala.util.Try(delegate.parseTableSchema(item))
+          .toOption.flatMap(_.fields.headOption)
+          .getOrElse(fail(s"CREATE TABLE … USING txnlog: cannot " +
+            s"parse column spec ($item)"))
+      }
+      val schema = StructType(fields)
       val parts = Option(partBy).toSeq.flatMap(_.split(','))
         .map(unquote).map(_.trim).filter(_.nonEmpty)
       Some(TxnLogCreateTableCommand(destPath, schema, parts,

@@ -1500,14 +1500,28 @@ object TxnLog {
                            declared: Option[StructType]): DataFrame =
     declared.fold(df) { d =>
       val have = df.columns.toSet
-      d.fields.toSeq
+      val withDefaults = d.fields.toSeq
         .filterNot(f => have.contains(f.name))
         .filter(_.metadata.contains("CURRENT_DEFAULT"))
         .foldLeft(df)((acc, f) => acc.withColumn(f.name,
           org.apache.spark.sql.functions
             .expr(f.metadata.getString("CURRENT_DEFAULT"))
             .cast(f.dataType)))
+      // GENERATED columns (Delta's generated-always-as): the declared
+      // expression is the single source of truth — the column is
+      // ALWAYS recomputed from the base columns, whether the batch
+      // omitted it (the normal writer contract) or carried one
+      // (Spark's insert preprocessing pads missing insert-list
+      // columns with NULL, indistinguishable from a user value, so
+      // recompute-always is the only shape that can never drift)
+      d.fields.toSeq.filter(_.metadata.contains(GenKey))
+        .foldLeft(withDefaults)((acc, f) => acc.withColumn(f.name,
+          org.apache.spark.sql.functions
+            .expr(f.metadata.getString(GenKey)).cast(f.dataType)))
     }
+
+  /** Field-metadata key of a GENERATED ALWAYS AS expression. */
+  private[sources] val GenKey = "graft.generate"
 
   /** Under active column mapping, a column ADDED by evolution gets a
     * GUID physical name: a previously DROPPED column's name can then be
@@ -1568,6 +1582,21 @@ object TxnLog {
     require(!exists(table), s"table already exists: $table")
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the declared schema"))
+    // GENERATED ALWAYS AS expressions validate at DDL time: they must
+    // parse and reference only non-generated declared columns (a
+    // chain of generated columns has no defined evaluation order)
+    val plain = schema.fields.filterNot(_.metadata.contains(GenKey))
+      .map(_.name.toLowerCase).toSet
+    schema.fields.filter(_.metadata.contains(GenKey)).foreach { f =>
+      val g = f.metadata.getString(GenKey)
+      val e = spark.sessionState.sqlParser.parseExpression(g)
+      val refs = e.collect {
+        case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => u.nameParts.last.toLowerCase }
+      refs.foreach(r => require(plain.contains(r),
+        s"GENERATED column ${f.name} references $r, which is not a " +
+          "non-generated declared column"))
+    }
     checks.foreach { case (n, e) =>
       require(!n.contains('\t') && !e.contains('\t'),
         "constraint names/expressions must be tab-free") }

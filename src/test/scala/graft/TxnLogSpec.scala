@@ -2907,6 +2907,40 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_ddlc_t")
   }
 
+  test("GENERATED columns: computed at write, partitionable, refusals") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE txn_gen_t (user_id INT, ts TIMESTAMP, " +
+      s"day DATE GENERATED ALWAYS AS (to_date(ts))) USING txnlog " +
+      s"PARTITIONED BY (day) LOCATION '$t'")
+    // the writer supplies the BASE columns only; the table computes
+    // day and lays the hive partitions out on it
+    spark.sql("INSERT INTO txn_gen_t (user_id, ts) SELECT 1, " +
+      "TIMESTAMP '2026-03-05 10:00:00' UNION ALL SELECT 2, " +
+      "TIMESTAMP '2026-03-06 23:59:00'")
+    assert(TxnLog.files(t).count(_.contains("day=2026-03-05")) >= 1,
+      s"generated partition layout missing: ${TxnLog.files(t)}")
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.filter(col("user_id") === 1).head
+      .getDate(2).toString == "2026-03-05")
+    // a batch SUPPLYING the generated column is RECOMPUTED — the
+    // declared expression is the single source of truth (Spark's own
+    // insert preprocessing pads missing insert-list columns with
+    // NULL, so a supplied value is indistinguishable from padding)
+    TxnLog.append(spark, t,
+      spark.sql("SELECT 3 AS user_id, TIMESTAMP '2026-03-07 00:00:00' " +
+        "AS ts, DATE '1999-01-01' AS day"))
+    assert(TxnLog.snapshot(spark, t).filter(col("user_id") === 3)
+      .head.getDate(2).toString == "2026-03-07",
+      "a supplied generated value must be recomputed, never trusted")
+    // a generated expr referencing another generated (or missing)
+    // column refuses at DDL time
+    val e2 = intercept[Exception] { spark.sql(
+      s"CREATE TABLE txn_gen_bad (a INT, b INT GENERATED ALWAYS AS " +
+        s"(c + 1)) USING txnlog LOCATION '${freshTable()}'") }
+    assert(e2.getMessage.contains("non-generated declared column"))
+    spark.sql("DROP TABLE txn_gen_t")
+  }
+
   test("INSERT [OVERWRITE] PARTITION lands partition-scoped commits") {
     val t = freshTable()
     TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
