@@ -81,7 +81,7 @@ object GraftSqlParser {
   private val Tok = """(`[^`]+`|'[^']+'|[\w.]+)"""
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+""" + Tok +
-      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""").r
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + Tok +
       """(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
@@ -214,9 +214,9 @@ object GraftSqlParser {
                                      delegate: ParserInterface,
                                      sqlText: String)
       : Option[LogicalPlan] = sqlText match {
-    case Vacuum(target, hours) =>
+    case Vacuum(target, hours, dry) =>
       Some(TxnLogVacuumCommand(pathOf(spark, delegate, target),
-        Option(hours).map(_.toLong)))
+        Option(hours).map(_.toLong), dryRun = dry != null))
     case Optimize(target, where, zorder) =>
       val cols = Option(zorder).toSeq.flatMap(_.split(','))
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
@@ -368,14 +368,16 @@ object GraftSqlParser {
 /** `VACUUM t [RETAIN n HOURS]`: reclaim files unreferenced by the
   * retained snapshots (and prune the log/checkpoints below the
   * horizon) — returns the swept relative paths, Delta-style. */
-case class TxnLogVacuumCommand(table: String, retainHours: Option[Long])
+case class TxnLogVacuumCommand(table: String, retainHours: Option[Long],
+                               dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     TxnLog.vacuum(table,
       minAgeMs = retainHours.map(_ * 3600L * 1000L)
-        .getOrElse(7L * 24 * 60 * 60 * 1000)).map(Row(_))
+        .getOrElse(7L * 24 * 60 * 60 * 1000),
+      dryRun = dryRun).map(Row(_))
 }
 
 /** `OPTIMIZE t [ZORDER BY (a, b, …)]`: one transactional compaction

@@ -3308,7 +3308,8 @@ object TxnLog {
     * explicitly, and tests pass 0 to vacuum deterministically in a
     * single-writer world. */
   def vacuum(table: String, retainVersions: Int = 1,
-             minAgeMs: Long = 7L * 24 * 60 * 60 * 1000): Seq[String] = {
+             minAgeMs: Long = 7L * 24 * 60 * 60 * 1000,
+             dryRun: Boolean = false): Seq[String] = {
     val vs = versions(table)
     require(vs.nonEmpty, s"not a TxnLog table: $table")
     val retained = vs.takeRight(math.max(1, retainVersions))
@@ -3358,6 +3359,10 @@ object TxnLog {
     val deadStaging = allDirs.toSeq.filter(st =>
       st.getPath.getName.startsWith("_staging_") && oldEnough(st))
       .map(_.getPath)
+    // DRY RUN (Delta's VACUUM … DRY RUN): report what WOULD be swept
+    // — victims and debris, but never the log-retention pruning,
+    // which a dry run must not trigger either — and touch nothing
+    if (dryRun) return (victimFiles ++ deadStaging).map(rel)
     victimFiles.foreach(p => fs.delete(p, false))
     deadStaging.foreach(p => fs.delete(p, true))
     // a publisher that crashed between temp-write and CAS leaves an

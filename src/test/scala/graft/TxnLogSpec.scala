@@ -2907,6 +2907,25 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_ddlc_t")
   }
 
+  test("VACUUM DRY RUN reports victims without deleting anything") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    TxnLog.overwrite(spark, t, nation.filter(col("n_regionkey") === 0))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txn_vdr_v " +
+      s"USING txnlog OPTIONS (path '$t')")
+    val wouldSweep = spark.sql("VACUUM txn_vdr_v RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(wouldSweep.nonEmpty, "the replaced v1 files are sweepable")
+    // NOTHING was deleted: time travel to v1 still serves
+    assert(TxnLog.snapshot(spark, t, Some(1L)).count() == nation.count())
+    // the real vacuum then sweeps exactly what the dry run predicted
+    val swept = TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
+    assert(wouldSweep.toSet.subsetOf(swept.toSet),
+      s"dry-run prediction must be a subset of the real sweep " +
+        s"(log-retention pruning may add more): " +
+        s"${wouldSweep.toSet -- swept.toSet}")
+  }
+
   test("GENERATED columns: computed at write, partitionable, refusals") {
     val t = freshTable()
     spark.sql(s"CREATE TABLE txn_gen_t (user_id INT, ts TIMESTAMP, " +
