@@ -39,18 +39,24 @@ object SparkEntry {
     * analytics" shape a real pipeline uses. Returns the edge relation
     * plus the pre-dedup pair-mass bound (the plan-picking statistic
     * [[graft.operators.Graph.boundedSssp]] consumes). */
-  private val urgentEdgesMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, Long)]()
+  // LRU-bounded: Bench/Verify see one (session, dir) pair, but a
+  // long-lived server would otherwise pin every past session's
+  // localCheckpoint blocks forever — evicting the LEAST-RECENT entry
+  // (not clearing the map: the hot entry must survive) lets the
+  // ContextCleaner reclaim the blocks once the RDD is unreachable
+  private val urgentEdgesMemo: java.util.Map[String, (DataFrame, Long)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (DataFrame, Long)](
+          8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (DataFrame, Long)]): Boolean =
+          size() > 4
+      })
   private def urgentEdges(s: SparkSession, dir: String)
       : (DataFrame, Long) = {
     val key = System.identityHashCode(s) + "|" + dir
     val hit = urgentEdgesMemo.get(key)
     if (hit != null) return hit
-    // bound the memo: Bench/Verify see one (session, dir) pair, but a
-    // long-lived server would otherwise pin every past session's
-    // localCheckpoint blocks forever — dropping the map entry lets the
-    // ContextCleaner reclaim the blocks once the RDD is unreachable
-    if (urgentEdgesMemo.size >= 4) urgentEdgesMemo.clear()
     urgentEdgesMemo.computeIfAbsent(key, _ => {
         val urgent = T(s, dir, "lineitem")
           .join(T(s, dir, "orders")

@@ -496,11 +496,29 @@ case class TxnLogInsertPartitionCommand(table: String, query: LogicalPlan,
     val typeOf = partTypes.toMap
     val df0 = GraftShim.ofRows(session, query)
       .toDF(outputColumnNames: _*)
+    // the static spec GOVERNS: a query that also carries the partition
+    // column is overridden by the declared literal (it can never
+    // silently redirect rows outside the named partition)
     val df = staticParts.foldLeft(df0) { case (d, (k, v)) =>
-      if (d.columns.contains(k)) d // already carried by the query
-      else d.withColumn(k, lit(v).cast(typeOf.getOrElse(k, StringType)))
+      d.withColumn(k, lit(v).cast(typeOf.getOrElse(k, StringType)))
     }
-    if (overwrite) TxnLog.overwritePartitions(session, table, df)
+    // a FULL static spec under OVERWRITE names its partitions
+    // explicitly, so an empty source still truncates them (Hive/Spark
+    // static-mode contract); values are rendered through the same
+    // cast-to-string Spark applies when deriving touched partitions
+    val explicit: Set[Seq[String]] =
+      if (!overwrite || staticParts.isEmpty ||
+          staticParts.map(_._1).toSet != partTypes.map(_._1).toSet)
+        Set.empty
+      else {
+        val sm = staticParts.toMap
+        val row = session.range(1).select(partTypes.map { case (k, t) =>
+          lit(sm(k)).cast(t).cast(StringType).as(k) }: _*).head
+        Set(partTypes.indices.map(row.getString))
+      }
+    if (overwrite)
+      TxnLog.overwritePartitions(session, table, df,
+        explicitParts = explicit)
     else TxnLog.append(session, table, df)
     Nil
   }

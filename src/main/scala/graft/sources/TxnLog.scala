@@ -371,6 +371,14 @@ object TxnLog {
         // understand and silently break them
         case Array("minwriter", n) =>
           minWriter = math.max(minWriter, n.toLong)
+        // forward-compat channel for INFORMATIONAL actions: a tag
+        // under the `opt.` namespace is ignorable by contract (it can
+        // never carry snapshot semantics), so future builds can add
+        // per-commit metadata without orphaning older readers. Any
+        // OTHER unknown tag still refuses — by policy, a new
+        // semantic-bearing action kind must ship with a minreader
+        // bump so the failure reads "upgrade", not "corrupt".
+        case Array(tag, _*) if tag.startsWith("opt.") => ()
         case _ => sys.error(s"corrupt log line in $where: $line " +
           "(unknown action: either corruption or a newer writer " +
           "this reader does not support)")
@@ -581,6 +589,9 @@ object TxnLog {
           case "prop" => s"prop\t${s("name")}\t${s("detail")}"
           case "minreader" => s"minreader\t${l("lo")}"
           case "minwriter" => s"minwriter\t${l("lo")}"
+          // same `opt.` forward-compat namespace as the log-line
+          // parser: informational-by-contract, ignorable here
+          case tag if tag.startsWith("opt.") => s"opt.ignored"
           case other => sys.error(s"unknown checkpoint action: $other")
         })
         g = r.read()
@@ -898,7 +909,8 @@ object TxnLog {
 
   /** Zero-row DataFrame with exactly `schema` (nullable-normalized —
     * the shape every file-backed read of this table would surface). */
-  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+  private[sources] def emptyDf(spark: SparkSession,
+                               schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(schema.fields.map(_.copy(nullable = true))))
 
@@ -1044,6 +1056,12 @@ object TxnLog {
     val st = replayState(table, upTo)
     val schema =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (st.live.isEmpty)
+      // DDL-first table before its first load / fully-deleted table:
+      // same empty-relation contract as snapshot/snapshotWhere
+      return emptyDf(spark, schema.getOrElse(sys.error(
+        s"empty snapshot of $table with no declared schema")))
+        .filter(col(colName) === lit(value))
     val probe = canonicalProbe(spark, value)
     val keep = st.live.filter { f =>
       st.blooms.get((f, colName)) match {
@@ -2001,7 +2019,10 @@ object TxnLog {
         // not the table. Falls back to the whole-table rewrite when
         // nothing is prunable (no stats/blooms on the keys).
         val touchedFiles = touchedByKeys(spark, st, u, keys)
-        if (touchedFiles.size == st.live.size) {
+        // empty table (DDL-first before its first load): 0 == 0 must
+        // NOT mean "whole-table rewrite" (readFiles on zero paths
+        // throws) — fall through to the pure-insert path below
+        if (st.live.nonEmpty && touchedFiles.size == st.live.size) {
           val snap = withNewCols(readFiles(spark, table, st.live, declared,
             dvOf(spark, table, st)))
           val merged = graft.ops.Merge.upsert(snap, u, keys)
@@ -2248,15 +2269,31 @@ object TxnLog {
         if (!cl.isDelete) assigned(cl).foreach(a =>
           v = when(isT && ti === i, a.cast(f.dataType)).otherwise(v)) }
       notMatched.zipWithIndex.foreach { case (cl, i) =>
-        // an INSERT leaves unassigned columns NULL (SQL's column list)
-        val a = assigned(cl).getOrElse(lit(null))
+        // an INSERT leaves unassigned columns NULL (SQL's column
+        // list) — unless the declared field carries a CURRENT_DEFAULT,
+        // which fills exactly like fillDefaults does on append
+        val a = assigned(cl).getOrElse(
+          if (f.metadata.contains("CURRENT_DEFAULT"))
+            org.apache.spark.sql.functions
+              .expr(f.metadata.getString("CURRENT_DEFAULT"))
+          else lit(null))
         v = when(isS && si === i, a.cast(f.dataType)).otherwise(v) }
       v.as(f.name)
     }
     val outCols = schema.fields.toSeq.map(outCol)
     val tAll = schema.fields.toSeq
       .map(f => col(s"__t.${f.name}").as(f.name))
-    val merged = joined.filter(survives).select(outCols: _*)
+    // GENERATED columns are ALWAYS recomputed from the merged row —
+    // an UPDATE that moves a base column cannot leave the generated
+    // (often partition) column stale, and an INSERT clause that omits
+    // it cannot land a null partition; same recompute-always contract
+    // as fillDefaults on append
+    def regen(df: DataFrame): DataFrame =
+      schema.fields.toSeq.filter(_.metadata.contains(GenKey))
+        .foldLeft(df)((acc, f) => acc.withColumn(f.name,
+          org.apache.spark.sql.functions
+            .expr(f.metadata.getString(GenKey)).cast(f.dataType)))
+    val merged = regen(joined.filter(survives).select(outCols: _*))
     // row-level CDF: pre/post pairs for updates, delete/insert rows —
     // same joined plan, recomputed per branch like upsertCdc
     val updRow = (isM && mi.isNotNull && !isIn(mi, mDel)) ||
@@ -2264,12 +2301,14 @@ object TxnLog {
     val delRow = (isM && isIn(mi, mDel)) || (isT && isIn(ti, tDel))
     val cdc = joined.filter(updRow && cardOk).select(tAll: _*)
         .withColumn("_change_type", lit("update_preimage"))
-      .unionByName(joined.filter(updRow && cardOk).select(outCols: _*)
+      .unionByName(
+        regen(joined.filter(updRow && cardOk).select(outCols: _*))
         .withColumn("_change_type", lit("update_postimage")))
       .unionByName(joined.filter(delRow).select(tAll: _*)
         .withColumn("_change_type", lit("delete")))
-      .unionByName(joined.filter(isS && si.isNotNull && cardOk)
-        .select(outCols: _*)
+      .unionByName(
+        regen(joined.filter(isS && si.isNotNull && cardOk)
+          .select(outCols: _*))
         .withColumn("_change_type", lit("insert")))
     val named = stageChecked(spark, table, merged, st.checks, pcols,
       declared)
@@ -2314,7 +2353,9 @@ object TxnLog {
     * declaration exactly (a partition swap is not a schema event). */
   def overwritePartitions(spark: SparkSession, table: String,
                           df: DataFrame,
-                          expectedVersion: Option[Long] = None): Long = {
+                          expectedVersion: Option[Long] = None,
+                          explicitParts: Set[Seq[String]] = Set.empty)
+      : Long = {
     import org.apache.spark.sql.functions.lit
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
@@ -2325,8 +2366,12 @@ object TxnLog {
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     declared.foreach(validateAgainst(_, df.schema, mergeSchema = false))
     val named = stageChecked(spark, table, df, st.checks, pcols, declared)
+    // `explicitParts` carries a STATIC partition spec (Hive/Spark
+    // static-mode OVERWRITE): the named partitions are replaced even
+    // when the source lands no rows in them — an empty query output
+    // TRUNCATES the named partition instead of leaving it intact
     val touched: Set[Seq[String]] =
-      named.map(partValuesOf(_).map(_._2)).toSet
+      named.map(partValuesOf(_).map(_._2)).toSet ++ explicitParts
     val removes =
       st.live.filter(f => touched.contains(partValuesOf(f).map(_._2)))
     // the CDF swap journal: the replaced partitions' (DV-masked) rows
@@ -2337,10 +2382,16 @@ object TxnLog {
       else Some(readFiles(spark, table, removes, declared,
         dvOf(spark, table, st))
         .withColumn("_change_type", lit("delete")))
-    val newRows = readFiles(spark, table, named, declared)
-      .withColumn("_change_type", lit("insert"))
-    val cdc = oldRows.fold(newRows)(_.unionByName(newRows))
-    val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
+    val newRows =
+      if (named.isEmpty) None // static truncate of an empty source
+      else Some(readFiles(spark, table, named, declared)
+        .withColumn("_change_type", lit("insert")))
+    val cdc = (oldRows, newRows) match {
+      case (Some(o), Some(n)) => Some(o.unionByName(n))
+      case (o, n) => o.orElse(n)
+    }
+    val cdcNames = cdc.fold(Seq.empty[String])(c =>
+      stage(spark, table, c, subdir = Some("_change_data")))
     val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
     val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
     val actions = "op\treplacePartitions" +:

@@ -680,7 +680,11 @@ private[graft] final class TxnLogScanRelation(sqlCtx: SQLContext,
     val st = state()
     val keep = prunedFiles(filters, st)
     val base =
-      if (keep.isEmpty)
+      if (st.live.isEmpty)
+        // empty table (DDL-first, or fully deleted): zero-row relation
+        // with the declared schema — st.live.head would throw
+        TxnLog.emptyDf(spark, schema)
+      else if (keep.isEmpty)
         TxnLog.readFiles(spark, table, Seq(st.live.head), Some(schema))
           .where(org.apache.spark.sql.functions.lit(false))
       else TxnLog.readFiles(spark, table, keep, Some(schema),

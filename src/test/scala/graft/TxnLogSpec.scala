@@ -3137,4 +3137,129 @@ class TxnLogSpec extends SparkSpec {
     assert(snap2.filter(col("n_regionkey") === 2).count() ==
       nation.filter(col("n_regionkey") === 2).count())
   }
+
+  test("MERGE into an empty DDL-first table bootstraps as pure insert") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_mtb_t")
+    spark.sql(s"CREATE TABLE txn_mtb_t (k INT, v STRING) USING txnlog " +
+      s"LOCATION '$t'")
+    spark.createDataFrame(Seq((1, "a"), (2, "b"))).toDF("k", "v")
+      .createOrReplaceTempView("txn_mtb_src")
+    // the canonical MERGE routes through upsert: with zero live files,
+    // 0 touched == 0 live must mean pure INSERT, not whole-rewrite
+    spark.sql("MERGE INTO txn_mtb_t t USING txn_mtb_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(rowsOf(spark.table("txn_mtb_t").orderBy("k")) ==
+      Seq(Seq(1, "a"), Seq(2, "b")))
+    // and the programmatic upsert agrees (same code path, re-entrant)
+    val t2 = freshTable()
+    TxnLog.createEmpty(spark, t2, spark.table("txn_mtb_src").schema)
+    TxnLog.upsert(spark, t2, spark.table("txn_mtb_src"), Seq("k"))
+    assert(TxnLog.snapshot(spark, t2).count() == 2)
+    spark.sql("DROP TABLE txn_mtb_t")
+  }
+
+  test("empty-table reads: bloom probe and relation scan serve 0 rows") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_mty_t")
+    spark.sql(s"CREATE TABLE txn_mty_t (k INT, v STRING) USING txnlog " +
+      s"LOCATION '$t'")
+    // snapshotWhereEq pre-fix threw NoSuchElementException on live.head
+    val eq = TxnLog.snapshotWhereEq(spark, t, "k", 5)
+    assert(eq.columns.toSeq == Seq("k", "v") && eq.count() == 0)
+    // the filtered relation scan (buildScan) pre-fix threw the same way
+    assert(spark.sql("SELECT v FROM txn_mty_t WHERE k = 5").count() == 0)
+    spark.sql("DROP TABLE txn_mty_t")
+  }
+
+  test("general MERGE fills DEFAULTs and recomputes GENERATED columns") {
+    import org.apache.spark.sql.types.StringType
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_mgen_t")
+    spark.sql(s"CREATE TABLE txn_mgen_t (user_id INT, ts TIMESTAMP, " +
+      s"day DATE GENERATED ALWAYS AS (to_date(ts))) USING txnlog " +
+      s"PARTITIONED BY (day) LOCATION '$t'")
+    spark.sql("INSERT INTO txn_mgen_t (user_id, ts) " +
+      "SELECT 1, TIMESTAMP '2026-03-05 10:00:00'")
+    TxnLog.addColumns(spark, t, Seq(("tag", StringType, Some("'legacy'"))))
+    spark.sql("SELECT 1 AS id, TIMESTAMP '2026-04-09 08:00:00' AS ts2 " +
+      "UNION ALL SELECT 7, TIMESTAMP '2026-04-10 09:00:00'")
+      .createOrReplaceTempView("txn_mgen_src")
+    // non-canonical MERGE (clause engine): the UPDATE moves the base
+    // column ts, so the generated day must be RECOMPUTED, and the
+    // INSERT omits tag + day, so tag takes its CURRENT_DEFAULT and
+    // day is computed — neither may land null/stale
+    spark.sql("""MERGE INTO txn_mgen_t t USING txn_mgen_src s
+      |ON t.user_id = s.id
+      |WHEN MATCHED THEN UPDATE SET ts = s.ts2
+      |WHEN NOT MATCHED THEN INSERT (user_id, ts) VALUES (s.id, s.ts2)
+      |""".stripMargin)
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.filter(col("user_id") === 1).head
+      .getDate(2).toString == "2026-04-09",
+      "UPDATE must recompute the generated partition column")
+    val ins = out.filter(col("user_id") === 7).head
+    assert(ins.getDate(2).toString == "2026-04-10",
+      "INSERT must compute the generated column, not null-fill it")
+    assert(ins.getString(3) == "legacy",
+      "INSERT must fill the CURRENT_DEFAULT for unassigned columns")
+    // the hive layout moved with the recompute (no stale/null dirs)
+    assert(TxnLog.files(t).count(_.contains("day=2026-04-09")) >= 1 &&
+      !TxnLog.files(t).exists(_.contains("day=__HIVE_DEFAULT")),
+      s"layout drifted: ${TxnLog.files(t)}")
+    // CDF postimage/insert rows carry the recomputed values too
+    val v = TxnLog.versions(t).last
+    val cdf = TxnLog.changesBetween(spark, t, v - 1, v)
+    assert(cdf.filter(col("_change_type") === "update_postimage").head
+      .getDate(2).toString == "2026-04-09")
+    assert(cdf.filter(col("_change_type") === "insert")
+      .head.getString(3) == "legacy")
+    spark.sql("DROP TABLE txn_mgen_t")
+  }
+
+  test("static OVERWRITE PARTITION: empty source truncates, spec wins") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    spark.sql("DROP TABLE IF EXISTS txn_sop_t")
+    spark.sql(s"CREATE TABLE txn_sop_t USING txnlog LOCATION '$t'")
+    // a query that CARRIES the partition column with a conflicting
+    // value: the static spec governs — rows may not be redirected
+    spark.sql("INSERT OVERWRITE txn_sop_t PARTITION (n_regionkey = 2) " +
+      "SELECT 700 AS n_nationkey, 'PINNED' AS n_name")
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("n_name") === "PINNED").head.getInt(2) == 2)
+    // static OVERWRITE with an EMPTY source must TRUNCATE the named
+    // partition (Hive/Spark static mode), not leave it intact
+    spark.sql("INSERT OVERWRITE txn_sop_t PARTITION (n_regionkey = 2) " +
+      "SELECT 1 AS n_nationkey, 'none' AS n_name WHERE false")
+    val s2 = TxnLog.snapshot(spark, t)
+    assert(s2.filter(col("n_regionkey") === 2).count() == 0,
+      "empty static overwrite must truncate the named partition")
+    assert(s2.filter(col("n_regionkey") =!= 2).count() ==
+      nation.filter(col("n_regionkey") =!= 2).count(),
+      "other partitions must survive the truncate")
+    // the truncate is a real commit: time travel still serves the rows
+    val vs = TxnLog.versions(t)
+    assert(TxnLog.snapshot(spark, t, Some(vs(vs.length - 2)))
+      .filter(col("n_regionkey") === 2).count() > 0)
+    spark.sql("DROP TABLE txn_sop_t")
+  }
+
+  test("opt.* log actions are ignorable forward-compat metadata") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    // a FUTURE writer lands per-commit metadata under the opt.
+    // namespace: ignorable by contract, so THIS build keeps reading
+    val f = Paths.get(t, "_txn_log", f"${2L}%020d.log")
+    Files.write(f, java.util.Arrays.asList(
+      "op\tfuturemeta", "opt.sidecar\t{\"k\":\"v\"}", "nochange"))
+    assert(TxnLog.versions(t) == Seq(1L, 2L))
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+    // while a non-namespaced unknown action still refuses descriptively
+    val f3 = Paths.get(t, "_txn_log", f"${3L}%020d.log")
+    Files.write(f3, java.util.Arrays.asList("newsemantics\tx"))
+    val e = intercept[Exception] { TxnLog.snapshot(spark, t) }
+    assert(e.getMessage.contains("unknown action"))
+    Files.delete(f3)
+  }
 }
