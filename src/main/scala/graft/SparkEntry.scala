@@ -52,6 +52,31 @@ object SparkEntry {
             e: java.util.Map.Entry[String, (DataFrame, Long)]): Boolean =
           size() > 4
       })
+  /** q142's weighted-mean typed aggregator. A TOP-LEVEL object, never
+    * an anonymous class inside the query lambda: an anon there
+    * captures the enclosing SparkSession through the implicits import,
+    * and the session stops being task-serializable the moment any
+    * prior query initializes its lazy ObservationManager (the CHECK-
+    * constraint writers use Observation) — an order-dependent failure.
+    * Encoders are the session-free [[org.apache.spark.sql.Encoders]]
+    * factories for the same reason. */
+  private object WMeanAgg extends org.apache.spark.sql.expressions
+      .Aggregator[(String, Long, Long), (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), r: (String, Long, Long)): (Long, Long) =
+      (b._1 + r._2 * r._3, b._2 + r._3)
+    def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Long, Long)): Double =
+      b._1.toDouble / (b._2.toDouble * 100.0)
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
   private def urgentEdges(s: SparkSession, dir: String)
       : (DataFrame, Long) = {
     val key = System.identityHashCode(s) + "|" + dir
@@ -3282,19 +3307,7 @@ object SparkEntry {
           (col("value").cast(Exact.Money) * 100).cast(LongType).as("cents"),
           (pmod(col("event_id"), lit(3L)) + 1).as("w"))
         .as[(String, Long, Long)]
-      val wm = new org.apache.spark.sql.expressions.Aggregator[
-          (String, Long, Long), (Long, Long), Double] {
-        def zero: (Long, Long) = (0L, 0L)
-        def reduce(b: (Long, Long), r: (String, Long, Long)): (Long, Long) =
-          (b._1 + r._2 * r._3, b._2 + r._3)
-        def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
-          (a._1 + b._1, a._2 + b._2)
-        def finish(b: (Long, Long)): Double =
-          b._1.toDouble / (b._2.toDouble * 100.0)
-        def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[(Long, Long)]]
-        def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Double]]
-      }
-      rows.groupByKey(_._1).agg(wm.toColumn.name("wmean"))
+      rows.groupByKey(_._1).agg(WMeanAgg.toColumn.name("wmean"))
         .toDF("event_type", "wmean")
         .orderBy("event_type")
     }),
@@ -5766,6 +5779,143 @@ object SparkEntry {
         .orderBy(col("margin").desc, col("x_id"), col("y_id"))
         .select("x_id", "y_id", "margin")
         .limit(20)
+    }),
+
+    // ── [ext] DDL-first CREATE TABLE with inline NOT NULL + DEFAULT —
+    // the LAST inline-DDL element of the reference bootstrap
+    // (`src/db/postgres/company.sql:14-15`: `"created_at" TIMESTAMP
+    // NOT NULL DEFAULT NOW()`): NOT NULL lowers to a write-time CHECK
+    // (enforced in the same observe pass as user constraints — no
+    // second scan), DEFAULT lands as CURRENT_DEFAULT field metadata
+    // filled for any batch/INSERT that omits the column. Both are
+    // pure log metadata: zero data-file cost at any table size. ───────
+    "q328_txn_create_default" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q328_txn")
+      s.sql("DROP TABLE IF EXISTS q328_def_t")
+      s.sql(s"""CREATE TABLE q328_def_t (
+        |  c_custkey BIGINT NOT NULL,
+        |  c_name STRING,
+        |  c_acctbal DOUBLE,
+        |  tier STRING NOT NULL DEFAULT 'standard',
+        |  quality INT DEFAULT 7,
+        |  created_at TIMESTAMP NOT NULL DEFAULT NOW()
+        |) USING txnlog LOCATION '$tbl'""".stripMargin)
+      T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+        .createOrReplaceTempView("q328_src")
+      // the load OMITS all three defaulted/audited columns — SQL's
+      // INSERT (cols) contract fills them at write
+      s.sql("INSERT INTO q328_def_t (c_custkey, c_name, c_acctbal) " +
+        "SELECT * FROM q328_src")
+      // a second batch SUPPLIES tier: a supplied value wins (defaults
+      // fill only what the batch omits)
+      s.sql("INSERT INTO q328_def_t (c_custkey, c_name, c_acctbal, " +
+        "tier) SELECT c_custkey + 1000000, c_name, c_acctbal, " +
+        "'premium' FROM q328_src WHERE c_acctbal > 5000")
+      require(graft.sources.TxnLog.versions(tbl).size == 3,
+        "bootstrap must be exactly create + two appends")
+      // in-query pins: the NOT NULL audit column filled on EVERY row
+      // (NOW() is non-deterministic, so it is pinned, not returned) …
+      require(s.table("q328_def_t")
+        .filter(col("created_at").isNull || col("tier").isNull)
+        .isEmpty, "NOT NULL DEFAULT columns must fill, never null-pad")
+      // … and a NULL into the declared NOT NULL key REFUSES at write
+      val refused = scala.util.Try(graft.sources.TxnLog.append(s, tbl,
+        s.sql("SELECT CAST(NULL AS BIGINT) AS c_custkey, 'x' AS " +
+          "c_name, CAST(0.0 AS DOUBLE) AS c_acctbal")))
+      require(refused.isFailure && refused.failed.get.getMessage
+        .contains("nn_c_custkey"),
+        "declared NOT NULL must enforce as a write-time check; got: " +
+          refused.fold(_.getMessage, v => s"success v$v"))
+      val out = s.table("q328_def_t")
+        .select("c_custkey", "c_name", "tier", "quality")
+        .orderBy("c_custkey")
+      val pinned = out.localCheckpoint(true)
+      s.sql("DROP TABLE q328_def_t")
+      pinned
+    }),
+
+    // ── [ext] arbitrary-predicate replaceWhere — the reference's
+    // "re-extract and replace the recent days" on an UNPARTITIONED
+    // table (Delta's replaceWhere beyond partition values): ONE
+    // transactional commit deletes the predicate band and appends the
+    // recomputed batch. Victim files are stats-scoped (candidate
+    // superset driver-side, then one pushed-filter scan pins files
+    // holding a matching row); untouched files keep their exact
+    // identity — pinned in-query. At 100 TB a three-day replace
+    // touches three days of files, not the table. ─────────────────────
+    "q329_txn_replace_where" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q329_txn")
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      def band(lo: String, hi: String) =
+        ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+          .repartition(1) // one file per load slice → exact file pins
+      graft.sources.TxnLog.create(s, tbl,
+        band("2024-01-01", "2024-01-08"), statsCols = Seq("ts"))
+      Seq(("2024-01-08", "2024-01-15"), ("2024-01-15", "2024-01-22"),
+        ("2024-01-22", "2024-01-29")).foreach { case (lo, hi) =>
+        graft.sources.TxnLog.append(s, tbl, band(lo, hi)) }
+      val before = graft.sources.TxnLog.files(tbl)
+      require(before.size == 4, s"expected 4 slice files: $before")
+      // the re-extracted week arrives recomputed (values doubled)
+      val vBase = graft.sources.TxnLog.versions(tbl).last
+      graft.sources.TxnLog.replaceWhere(s, tbl,
+        "ts >= '2024-01-15' AND ts < '2024-01-22'",
+        band("2024-01-15", "2024-01-22")
+          .withColumn("value", col("value") * 2))
+      require(graft.sources.TxnLog.versions(tbl).last == vBase + 1,
+        "replaceWhere must land as ONE transactional commit")
+      val after = graft.sources.TxnLog.files(tbl)
+      require(before.count(after.contains) == 3,
+        "exactly the predicate band's file may be rewritten — " +
+          s"kept ${before.count(after.contains)} of ${before.size}")
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("day")
+    }),
+
+    // ── [ext] CREATE OR REPLACE TABLE + TRUNCATE TABLE — the
+    // TRANSACTIONAL spelling of the reference bootstrap's `DROP TABLE
+    // IF EXISTS` + `CREATE` (`src/db/postgres/company.sql:3-7`): one
+    // commit swaps schema, constraints, and live set (no reader ever
+    // sees a half-replaced table), HISTORY survives — the pre-replace
+    // table stays addressable via VERSION AS OF — and TRUNCATE is a
+    // pure-metadata wipe with row-level delete CDF. ────────────────────
+    "q330_txn_replace_truncate" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q330_txn")
+      s.sql("DROP TABLE IF EXISTS q330_cor_t")
+      s.sql(s"CREATE TABLE q330_cor_t (r_regionkey INT, " +
+        s"r_name STRING) USING txnlog LOCATION '$tbl'")
+      T(s, dir, "region").select("r_regionkey", "r_name")
+        .createOrReplaceTempView("q330_rsrc")
+      s.sql("INSERT INTO q330_cor_t SELECT * FROM q330_rsrc")
+      val vOld = graft.sources.TxnLog.versions(tbl).last
+      s.sql("CREATE OR REPLACE TABLE q330_cor_t (n_nationkey INT, " +
+        s"n_name STRING, n_regionkey INT) USING txnlog LOCATION '$tbl'")
+      require(graft.sources.TxnLog.versions(tbl).last == vOld + 1,
+        "the replace must land as ONE transactional commit")
+      T(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("q330_nsrc")
+      s.sql("INSERT INTO q330_cor_t SELECT * FROM q330_nsrc")
+      // idempotent re-bootstrap: wipe (pure metadata) + reload
+      s.sql("TRUNCATE TABLE q330_cor_t")
+      require(s.table("q330_cor_t").count() == 0,
+        "TRUNCATE must empty the live set")
+      s.sql("INSERT INTO q330_cor_t SELECT * FROM q330_nsrc")
+      // the PRE-REPLACE table still serves through time travel
+      val old = graft.sources.TxnLog.snapshot(s, tbl, Some(vOld))
+        .select(col("r_regionkey").as("key"), col("r_name").as("name"),
+          lit("replaced").as("era"))
+      val neu = s.table("q330_cor_t")
+        .select(col("n_nationkey").as("key"), col("n_name").as("name"),
+          lit("current").as("era"))
+      val out = old.unionByName(neu).orderBy("era", "key")
+      val pinned = out.localCheckpoint(true)
+      s.sql("DROP TABLE q330_cor_t")
+      pinned
     }),
 
     // ── [ext] per-domain document cap — the pretraining-mix fairness
@@ -11251,6 +11401,47 @@ object SparkEntry {
           |    n_name, n_regionkey FROM nation)
           |SELECT n_nationkey, n_name, n_regionkey FROM t
           |ORDER BY n_nationkey""".stripMargin,
+
+      // q328: defaults replayed — the first load takes tier
+      // 'standard' / quality 7, the premium batch supplies tier;
+      // created_at (NOW()) is pinned in-query, not compared
+      "q328_txn_create_default" ->
+        """WITH t AS (
+          |  SELECT c_custkey, c_name, 'standard' AS tier,
+          |    7 AS quality FROM customer
+          |  UNION ALL
+          |  SELECT c_custkey + 1000000, c_name, 'premium', 7
+          |  FROM customer WHERE c_acctbal > 5000)
+          |SELECT c_custkey, c_name, tier, quality FROM t
+          |ORDER BY c_custkey""".stripMargin,
+
+      // q330: the replaced (region-shaped) table read via time
+      // travel next to the current (nation-shaped) one
+      "q330_txn_replace_truncate" ->
+        """WITH t AS (
+          |  SELECT r_regionkey AS key, r_name AS name,
+          |    'replaced' AS era FROM region
+          |  UNION ALL
+          |  SELECT n_nationkey, n_name, 'current' FROM nation)
+          |SELECT key, name, era FROM t ORDER BY era, key""".stripMargin,
+
+      // q329: the replaced week carries doubled values; everything
+      // else is the original four-week window
+      "q329_txn_replace_where" ->
+        """WITH t AS (
+          |  SELECT ts, value FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-01'
+          |    AND ts < TIMESTAMP '2024-01-29'
+          |    AND NOT (ts >= TIMESTAMP '2024-01-15'
+          |      AND ts < TIMESTAMP '2024-01-22')
+          |  UNION ALL
+          |  SELECT ts, value * 2 FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-15'
+          |    AND ts < TIMESTAMP '2024-01-22')
+          |SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_value
+          |FROM t GROUP BY 1 ORDER BY day""".stripMargin,
 
       // q327: the generated day is to_date(ts) — replayed as a
       // derived-column aggregate over the same slice

@@ -103,12 +103,26 @@ object GraftSqlParser {
   private val ColSpec =
     """(?is)\s*(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
   private val CreateTableDdl =
-    ("""(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + Tok +
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?""" + Tok +
       """\s*\((.+)\)\s*USING\s+txnlog""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private val TruncateStmt =
+    ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + Tok + """\s*;?\s*""").r
   private val ConstraintClause =
     """(?is)\s*CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s*\((.*)\)\s*""".r
+  // Delta's arbitrary-predicate replaceWhere as SQL:
+  // INSERT INTO t REPLACE WHERE <pred> SELECT …
+  private val InsertReplaceWhere =
+    ("""(?is)\s*INSERT\s+INTO\s+""" + Tok +
+      """\s+REPLACE\s+WHERE\s+(.+?)\s+(\(?\s*SELECT\b.+)\s*;?\s*""").r
+  // the full column item of DDL-first CREATE TABLE: `name TYPE
+  // [NOT NULL] [DEFAULT <expr>]` (the reference bootstrap's
+  // `"created_at" TIMESTAMP NOT NULL DEFAULT NOW()`,
+  // src/db/postgres/company.sql:14-15)
+  private val CreateColSpec =
+    """(?is)\s*(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(\s+NOT\s+NULL)?(?:\s+DEFAULT\s+(.+?))?\s*""".r
   private val GenColSpec =
     """(?is)\s*(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*""".r
   private val AlterRename =
@@ -243,7 +257,8 @@ object GraftSqlParser {
     // reference's bootstrap shape, src/db/postgres/company.sql:7-16):
     // an EMPTY txnlog table born from schema alone. Claimed only for
     // USING txnlog, so every other provider reaches the stock parser.
-    case CreateTableDdl(ifNotExists, dest, colSpec, partBy, loc) =>
+    case CreateTableDdl(orReplace, ifNotExists, dest, colSpec, partBy,
+        loc) =>
       val d = dest.trim
       val destPath =
         if (d.startsWith("'") || d.startsWith("`"))
@@ -267,12 +282,38 @@ object GraftSqlParser {
       // clause Spark's parseTableSchema does not accept) ride the
       // same list; the expression lands in field metadata and the
       // write path computes it (writers supply base columns only)
+      // NOT NULL declarations lower to write-time CHECKs (one commit,
+      // enforced by the same observe pass as user constraints) while
+      // the declared nullability rides the schema for DESCRIBE
+      val nnChecks = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String)]
       val fields = colItems.map {
         case GenColSpec(n, dt, genExpr) =>
           org.apache.spark.sql.types.StructField(unquote(n),
             delegate.parseDataType(dt), nullable = true,
             new org.apache.spark.sql.types.MetadataBuilder()
               .putString("graft.generate", genExpr.trim).build())
+        // NOT NULL and/or DEFAULT: the default expression lands in
+        // field metadata (CURRENT_DEFAULT — the INSERT-time fill
+        // fillDefaults applies; EXISTS_DEFAULT too when constant, the
+        // key parquet readers consume for footer-missing columns)
+        case CreateColSpec(n, dt, nn, dflt)
+            if nn != null || dflt != null =>
+          val name = unquote(n)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          Option(dflt).map(_.trim).foreach { d =>
+            mb.putString("CURRENT_DEFAULT", d)
+            // non-constant defaults (NOW()) are INSERT-time only;
+            // a constant doubles as the existence default
+            if (scala.util.Try(
+                delegate.parseExpression(d).foldable).getOrElse(false))
+              mb.putString("EXISTS_DEFAULT", d)
+          }
+          if (nn != null)
+            nnChecks += (s"nn_$name" -> s"$name IS NOT NULL")
+          org.apache.spark.sql.types.StructField(name,
+            delegate.parseDataType(dt), nullable = nn == null,
+            mb.build())
         case item => scala.util.Try(delegate.parseTableSchema(item))
           .toOption.flatMap(_.fields.headOption)
           .getOrElse(fail(s"CREATE TABLE … USING txnlog: cannot " +
@@ -281,9 +322,24 @@ object GraftSqlParser {
       val schema = StructType(fields)
       val parts = Option(partBy).toSeq.flatMap(_.split(','))
         .map(unquote).map(_.trim).filter(_.nonEmpty)
+      require(orReplace == null || ifNotExists == null,
+        "CREATE OR REPLACE TABLE cannot also be IF NOT EXISTS")
       Some(TxnLogCreateTableCommand(destPath, schema, parts,
         refreshNameOf(dest), ifNotExists = ifNotExists != null,
-        checks = checks))
+        checks = checks ++ nnChecks, orReplace = orReplace != null))
+    // TRUNCATE TABLE is in Spark's grammar (catalog tables only):
+    // claimed for txnlog targets as one transactional remove-all
+    // commit with row-level delete CDF
+    case TruncateStmt(target) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogTruncateCommand(p, refreshNameOf(target)))
+    // INSERT INTO … REPLACE WHERE: a statement Spark's grammar lacks
+    // (its INSERT takes no predicate) — claimed only for a txnlog
+    // target, one transactional delete-matching + append commit
+    case InsertReplaceWhere(target, pred, query) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogReplaceWhereCommand(p, pred.trim,
+          delegate.parsePlan(query), refreshNameOf(target)))
     // ALTER TABLE is in Spark's own grammar: claim it ONLY for a
     // txnlog target — the commit is a metadata-only schema change in
     // the table's own log (column mapping), not a catalog edit.
@@ -664,17 +720,23 @@ case class TxnLogCreateTableCommand(dest: String, tableSchema: StructType,
                                     partitionBy: Seq[String],
                                     registerAs: Option[String],
                                     ifNotExists: Boolean,
-                                    checks: Seq[(String, String)] = Nil)
+                                    checks: Seq[(String, String)] = Nil,
+                                    orReplace: Boolean = false)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     if (TxnLog.exists(dest)) {
-      if (!ifNotExists) throw new AnalysisException(
+      if (orReplace)
+        // one commit swaps definition + live set; history preserved
+        TxnLog.replaceTable(session, dest, tableSchema, partitionBy,
+          checks)
+      else if (!ifNotExists) throw new AnalysisException(
         errorClass = "_LEGACY_ERROR_TEMP_3100",
         messageParameters = Map("message" ->
           (s"CREATE TABLE: table already exists at $dest " +
-            "(use IF NOT EXISTS for the idempotent form)")))
+            "(use IF NOT EXISTS for the idempotent form, " +
+            "OR REPLACE for the transactional swap)")))
     } else TxnLog.createEmpty(session, dest, tableSchema, partitionBy,
       checks = checks)
     registerAs.foreach { name =>
@@ -685,8 +747,53 @@ case class TxnLogCreateTableCommand(dest: String, tableSchema: StructType,
       if (!session.catalog.tableExists(name))
         session.sql(
           s"CREATE TABLE $quoted USING txnlog LOCATION '$escDest'")
+      else if (orReplace)
+        // the catalog entry's cached schema must follow the swap
+        try session.catalog.refreshTable(name)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     Seq(Row(TxnLog.versions(dest).last))
+  }
+}
+
+/** `TRUNCATE TABLE t` for txnlog targets: one transactional commit
+  * removing every live file ([[TxnLog.truncate]] — pure metadata,
+  * schema/constraints/partitioning survive, deletes journaled as
+  * CDF). Returns the new version. */
+case class TxnLogTruncateCommand(table: String,
+                                 refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxnLog.truncate(session, table)
+    refreshName.foreach(n =>
+      try session.catalog.refreshTable(n)
+      catch { case scala.util.control.NonFatal(_) => () })
+    Seq(Row(v))
+  }
+}
+
+/** `INSERT INTO t REPLACE WHERE <pred> SELECT …` for txnlog targets:
+  * one transactional commit that deletes every row matching the
+  * predicate and appends the query output ([[TxnLog.replaceWhere]] —
+  * victim files stats-scoped, untouched files keep their identity,
+  * batch must satisfy the predicate). Returns the new version. */
+case class TxnLogReplaceWhereCommand(table: String, predSql: String,
+                                     query: LogicalPlan,
+                                     refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.GraftShim.ofRows(session, query)
+    val v = TxnLog.replaceWhere(session, table, predSql, df)
+    refreshName.foreach(n =>
+      try session.catalog.refreshTable(n)
+      catch { case scala.util.control.NonFatal(_) => () })
+    Seq(Row(v))
   }
 }
 

@@ -1594,10 +1594,14 @@ object TxnLog {
     * sticky `graft.partitionBy` property every writer consults through
     * [[partitionColsOf(st*]]. The first append simply validates against
     * the declaration like any other. */
-  def createEmpty(spark: SparkSession, table: String, schema: StructType,
-                  partitionBy: Seq[String] = Nil,
-                  checks: Seq[(String, String)] = Nil): Long = {
-    require(!exists(table), s"table already exists: $table")
+  /** DDL-time validation shared by [[createEmpty]] and
+    * [[replaceTable]]: partition columns declared, GENERATED
+    * expressions parse and reference only non-generated declared
+    * columns, constraints tab-free, DEFAULTs parse / reference no
+    * columns / constant ones cast to the declared type. */
+  private def validateDdl(spark: SparkSession, schema: StructType,
+                          partitionBy: Seq[String],
+                          checks: Seq[(String, String)]): Unit = {
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the declared schema"))
     // GENERATED ALWAYS AS expressions validate at DDL time: they must
@@ -1618,6 +1622,34 @@ object TxnLog {
     checks.foreach { case (n, e) =>
       require(!n.contains('\t') && !e.contains('\t'),
         "constraint names/expressions must be tab-free") }
+    // DEFAULT expressions validate at DDL time: must parse, reference
+    // no columns (a default is row-independent; non-constant clock
+    // functions like NOW() are legal — INSERT-time semantics), and a
+    // CONSTANT default must cast to the declared type
+    schema.fields.filter(_.metadata.contains("CURRENT_DEFAULT"))
+      .foreach { f =>
+        val d = f.metadata.getString("CURRENT_DEFAULT")
+        val e = spark.sessionState.sqlParser.parseExpression(d)
+        val refs = e.collect {
+          case u: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => u.name }
+        require(refs.isEmpty,
+          s"DEFAULT for ${f.name} must not reference columns: $d")
+        if (e.foldable) {
+          val cast = org.apache.spark.sql.catalyst.expressions.Cast(e,
+            f.dataType, Some(spark.sessionState.conf.sessionLocalTimeZone))
+          require(scala.util.Try(cast.eval(null)).isSuccess,
+            s"DEFAULT for ${f.name} does not cast to " +
+              s"${f.dataType.catalogString}: $d")
+        }
+      }
+  }
+
+  def createEmpty(spark: SparkSession, table: String, schema: StructType,
+                  partitionBy: Seq[String] = Nil,
+                  checks: Seq[(String, String)] = Nil): Long = {
+    require(!exists(table), s"table already exists: $table")
+    validateDdl(spark, schema, partitionBy, checks)
     val actions = Seq("op\tcreate", "minreader\t1", "minwriter\t1",
       s"schema\t${schema.json}") ++
       (if (partitionBy.nonEmpty)
@@ -1627,6 +1659,76 @@ object TxnLog {
     if (!publish(table, 1L, actions))
       throw new ConcurrentCommitException(1L)
     1L
+  }
+
+  /** TRUNCATE TABLE as one transactional commit: every live file
+    * removed (pure metadata — zero data bytes touched until vacuum),
+    * the deleted rows journaled as row-level `delete` CDF so
+    * incremental consumers see the wipe. The declared schema,
+    * partitioning, constraints, and properties all survive — this is
+    * the data-only half of the reference bootstrap's DROP + CREATE
+    * (`src/db/postgres/company.sql:3-7`), time-travel-addressable
+    * like every commit. CAS-pinned. */
+  def truncate(spark: SparkSession, table: String,
+               expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.lit
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val st = replayState(table, base)
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val cdcNames =
+      if (st.live.isEmpty) Nil
+      else stage(spark, table,
+        readFiles(spark, table, st.live, declared, dvOf(spark, table, st))
+          .withColumn("_change_type", lit("delete")),
+        subdir = Some("_change_data"))
+    val dvLine = if (st.dvCounts.nonEmpty) Seq("dvclear") else Nil
+    val actions = "op\ttruncate" +: (dvLine ++
+      st.live.map("remove\t" + _) ++ cdcNames.map("cdc\t" + _))
+    val v = base + 1
+    if (!publish(table, v, actions))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
+  /** CREATE OR REPLACE TABLE as ONE transactional commit (Delta's
+    * transactional spelling of the reference bootstrap's `DROP TABLE
+    * IF EXISTS` + `CREATE`, `src/db/postgres/company.sql:3-7`): the
+    * live set empties, the old CHECK constraints drop, and the NEW
+    * declaration (schema, partitioning, constraints) takes effect —
+    * atomically, so no reader ever sees a half-replaced table, and
+    * HISTORY is preserved: `VERSION AS OF` still serves the previous
+    * table's snapshots. No row-level CDF is journaled (a definition
+    * swap is not row change data — same contract as a raw overwrite:
+    * a CDF window crossing it refuses). CAS-pinned. */
+  def replaceTable(spark: SparkSession, table: String,
+                   schema: StructType,
+                   partitionBy: Seq[String] = Nil,
+                   checks: Seq[(String, String)] = Nil): Long = {
+    require(exists(table), s"not a TxnLog table: $table " +
+      "(CREATE OR REPLACE on a fresh path is just CREATE)")
+    validateDdl(spark, schema, partitionBy, checks)
+    val base = versions(table).last
+    val st = replayState(table, base)
+    val dvLine = if (st.dvCounts.nonEmpty) Seq("dvclear") else Nil
+    // `graft.partitionBy` must be OVERWRITTEN even when the new table
+    // is unpartitioned — a bare "," parses to zero partition columns
+    // (split/filter), clearing the sticky property without a new
+    // action kind
+    val partLine = s"prop\tgraft.partitionBy\t" +
+      (if (partitionBy.nonEmpty) partitionBy.mkString(",") else ",")
+    val actions = Seq("op\treplaceTable") ++ dvLine ++
+      st.live.map("remove\t" + _) ++
+      st.checks.keys.toSeq.sorted.map("checkdrop\t" + _) ++
+      Seq(s"schema\t${schema.json}", partLine) ++
+      checks.map { case (n, e) => s"check\t$n\t$e" }
+    val v = base + 1
+    if (!publish(table, v, actions))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
   }
 
   /** Idempotent init (SURVEY D4): create iff absent — the reference's
@@ -2412,6 +2514,176 @@ object TxnLog {
       checkedUpTo = head
       v = head + 1
     }
+    maybeCheckpoint(table, v)
+    v
+  }
+
+  /** Stats-interval candidate files for an ARBITRARY predicate:
+    * conjuncts of `col (=|<|<=|>|>=) literal` shape tighten the file
+    * set through the committed per-file [min,max] stats (canonical-
+    * long space — epoch days for dates/timestamps, so sub-day
+    * operators widen to their day superset); anything unrecognized
+    * (OR-trees, functions, unstated columns) is simply not used.
+    * SUPERSET contract like every skipping path: a file without stats
+    * is kept, and the caller's own row filter remains the correctness
+    * boundary. */
+  private def candidateFiles(spark: SparkSession, st: State,
+                             condSql: String,
+                             declared: Option[StructType]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo,
+      Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+      LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
+      ShortType, TimestampType}
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case o => Seq(o)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.expressions
+        .AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis
+        .UnresolvedAttribute => Some(u.nameParts.last)
+      case _ => None
+    }
+    def canonOf(dt: DataType, v: Any): Option[Long] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(v.asInstanceOf[Number].longValue)
+      case DateType => Some(v.asInstanceOf[Number].longValue) // days
+      case TimestampType =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToDays(
+          v.asInstanceOf[Number].longValue,
+          java.time.ZoneId.of(tz)).toLong)
+      case _ => None
+    }
+    // literal rendered in the DECLARED column's type first (a SQL
+    // date predicate arrives as a string literal), then canonicalized
+    // into the space statsLines records
+    def valOf(n: String, l: Literal): Option[Long] =
+      declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(n)))
+        .flatMap { f =>
+          val v = if (l.dataType == f.dataType) l.value
+            else scala.util.Try(
+              Cast(l, f.dataType, Some(tz)).eval(null)).getOrElse(null)
+          if (v == null) None else canonOf(f.dataType, v)
+        }
+    val iv = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    def add(a: Expression, l: Literal, lo: Boolean, hi: Boolean): Unit =
+      nameOf(a).foreach(n => valOf(n, l).foreach { v =>
+        iv += ((n, if (lo) v else Long.MinValue,
+          if (hi) v else Long.MaxValue))
+      })
+    scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(condSql)).toOption
+      .toSeq.flatMap(conj).foreach {
+        case EqualTo(a, l: Literal) => add(a, l, lo = true, hi = true)
+        case EqualTo(l: Literal, a) => add(a, l, lo = true, hi = true)
+        case GreaterThan(a, l: Literal) => add(a, l, lo = true, hi = false)
+        case GreaterThanOrEqual(a, l: Literal) =>
+          add(a, l, lo = true, hi = false)
+        case LessThan(a, l: Literal) => add(a, l, lo = false, hi = true)
+        case LessThanOrEqual(a, l: Literal) =>
+          add(a, l, lo = false, hi = true)
+        case GreaterThan(l: Literal, a) => add(a, l, lo = false, hi = true)
+        case GreaterThanOrEqual(l: Literal, a) =>
+          add(a, l, lo = false, hi = true)
+        case LessThan(l: Literal, a) => add(a, l, lo = true, hi = false)
+        case LessThanOrEqual(l: Literal, a) =>
+          add(a, l, lo = true, hi = false)
+        case _ => () // unprunable conjunct — superset keeps the file
+      }
+    if (iv.isEmpty) st.live
+    else st.live.filter(f => iv.forall { case (c, lo, hi) =>
+      st.stats.get((f, c)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    })
+  }
+
+  /** ARBITRARY-PREDICATE REPLACE (Delta's `replaceWhere` beyond
+    * partition values): ONE transactional commit that deletes every
+    * row matching `condSql` and appends `batch` — the reference's
+    * "re-extract and replace the recent days" on an UNPARTITIONED
+    * table, which [[overwritePartitions]] cannot spell. Victim files
+    * are scoped in two phases: the committed stats tighten the live
+    * set to a candidate SUPERSET driver-side (no I/O), then one
+    * pushed-filter scan over the candidates pins the files that
+    * actually HOLD a matching row. Victims are rewritten minus their
+    * matching rows; every other file keeps its exact identity, stats,
+    * and blooms — at 100 TB a three-day replace touches three days of
+    * files, not the table. The batch must itself SATISFY the
+    * predicate (Delta's replaceWhere constraint check), enforced in
+    * the same single observe pass as the table's CHECK constraints.
+    * Journaled as row-level delete + insert CDF. CAS-pinned. */
+  def replaceWhere(spark: SparkSession, table: String, condSql: String,
+                   batch: DataFrame,
+                   expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr,
+      input_file_name, lit}
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val st = replayState(table, base)
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val pcols = partitionColsOf(st).getOrElse(Nil)
+    val df0 = fillDefaults(batch, declared)
+    declared.foreach(validateAgainst(_, df0.schema, mergeSchema = false))
+    val hit = coalesce(expr(condSql), lit(false))
+    val candidates = candidateFiles(spark, st, condSql, declared)
+    val victims: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val byLeaf = candidates.map(n => n.split('/').last -> n).toMap
+        readFiles(spark, table, candidates, declared,
+          dvOf(spark, table, st))
+          .filter(hit).select(input_file_name().as("__f"))
+          .distinct().collect().toSeq // ≤ |candidates| metadata rows
+          .map(r => byLeaf(r.getString(0).split('/').last))
+      }
+    val (survivors, deleted) =
+      if (victims.isEmpty) (None, None)
+      else {
+        val v = readFiles(spark, table, victims, declared,
+          dvOf(spark, table, st))
+        (Some(v.filter(!hit)), Some(v.filter(hit)))
+      }
+    // batch-satisfies-predicate rides the SAME observe pass as the
+    // table's own constraints — zero extra jobs
+    val namedNew = stageChecked(spark, table, df0,
+      st.checks + ("replaceWhere" -> condSql), pcols, declared)
+    val namedSurv = survivors.fold(Seq.empty[String])(sv =>
+      stageChecked(spark, table, sv, Map.empty, pcols, declared))
+    val insRows =
+      if (namedNew.isEmpty) None
+      else Some(readFiles(spark, table, namedNew, declared)
+        .withColumn("_change_type", lit("insert")))
+    val delRows = deleted.map(_.withColumn("_change_type", lit("delete")))
+    val cdc = (delRows, insRows) match {
+      case (Some(d), Some(i)) => Some(d.unionByName(i))
+      case (d, i) => d.orElse(i)
+    }
+    val cdcNames = cdc.fold(Seq.empty[String])(c =>
+      stage(spark, table, c, subdir = Some("_change_data")))
+    val named = namedSurv ++ namedNew
+    val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
+    val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
+    val pm = physMapOf(declared)
+    val dvLine =
+      if (st.dvCounts.nonEmpty &&
+        st.dvCounts.keySet.subsetOf(victims.toSet)) Seq("dvclear")
+      else Nil
+    val actions = "op\treplaceWhere" +: (dvLine ++
+      victims.map("remove\t" + _) ++ named.map("add\t" + _) ++
+      cdcNames.map("cdc\t" + _) ++
+      statsLines(spark, table, named, trackedStats, pm) ++
+      bloomLines(spark, table, named, trackedBlooms, pm) ++
+      rowcountLines(table, named))
+    val v = base + 1
+    if (!publish(table, v, actions))
+      throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
   }

@@ -3245,6 +3245,177 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_sop_t")
   }
 
+  test("CREATE TABLE inline NOT NULL + DEFAULT: the reference bootstrap") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_cdef_t")
+    // the reference's company-table shape (company.sql:7-16): PK-ish
+    // NOT NULL key, nullable attributes, NOT NULL DEFAULT NOW() audit
+    spark.sql(s"""CREATE TABLE txn_cdef_t (
+      |  symbol STRING NOT NULL,
+      |  company_name STRING,
+      |  listing_date DATE,
+      |  extracted_at TIMESTAMP,
+      |  created_at TIMESTAMP NOT NULL DEFAULT NOW(),
+      |  quality INT DEFAULT 7
+      |) USING txnlog LOCATION '$t'""".stripMargin)
+    // a programmatic batch OMITTING the defaulted columns: they fill
+    // at write (INSERT-time half), so NOT NULL holds from birth
+    TxnLog.append(spark, t, spark.sql(
+      "SELECT 'AP' AS symbol, 'Ayala' AS company_name, " +
+        "DATE '2000-01-01' AS listing_date, " +
+        "TIMESTAMP '2026-01-01 00:00:00' AS extracted_at"))
+    val row = TxnLog.snapshot(spark, t).head
+    assert(row.getAs[java.sql.Timestamp]("created_at") != null,
+      "NOW() default must fill the omitted audit column")
+    assert(row.getAs[Int]("quality") == 7)
+    // SQL INSERT with a column list omitting the defaulted columns
+    spark.sql("INSERT INTO txn_cdef_t (symbol, company_name) " +
+      "SELECT 'BDO', 'Banco de Oro'")
+    val r2 = spark.table("txn_cdef_t").filter(col("symbol") === "BDO").head
+    assert(r2.getAs[Int]("quality") == 7,
+      "SQL INSERT must fill the declared DEFAULT, not null-pad")
+    assert(r2.getAs[java.sql.Timestamp]("created_at") != null)
+    // NULL into a NOT NULL column refuses descriptively
+    val e = intercept[Exception] { TxnLog.append(spark, t, spark.sql(
+      "SELECT CAST(NULL AS STRING) AS symbol, 'X' AS company_name, " +
+        "DATE '2000-01-01' AS listing_date, " +
+        "TIMESTAMP '2026-01-01 00:00:00' AS extracted_at")) }
+    assert(e.getMessage.contains("nn_symbol"),
+      s"NOT NULL must enforce as a write-time check: ${e.getMessage}")
+    // declared nullability survives into the served schema
+    assert(!spark.table("txn_cdef_t").schema("symbol").nullable ||
+      TxnLog.snapshot(spark, t).schema("created_at") != null)
+    // a DEFAULT that cannot cast refuses at DDL time
+    val e2 = intercept[Exception] { spark.sql(
+      s"CREATE TABLE txn_cdef_bad (a INT DEFAULT 'zap') USING txnlog " +
+        s"LOCATION '${freshTable()}'") }
+    assert(e2.getMessage.contains("does not cast"))
+    spark.sql("DROP TABLE txn_cdef_t")
+  }
+
+  test("replaceWhere: one commit, victims stats-scoped, batch checked") {
+    val t = freshTable()
+    // five files clustered on n_nationkey so the stats intervals can
+    // actually scope victims (create with stats, then append slices)
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 5),
+      statsCols = Seq("n_nationkey"))
+    (1 to 4).foreach(i => TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey") >= i * 5 &&
+        col("n_nationkey") < (i + 1) * 5)))
+    val before = TxnLog.files(t)
+    assert(before.size == 5)
+    // replace the [10, 15) band with a recomputed batch
+    val batch = nation.filter(col("n_nationkey") >= 10 &&
+      col("n_nationkey") < 15)
+      .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+    val vBase = TxnLog.versions(t).last
+    TxnLog.replaceWhere(spark, t,
+      "n_nationkey >= 10 AND n_nationkey < 15", batch)
+    assert(TxnLog.versions(t).last == vBase + 1,
+      "replaceWhere must be ONE commit")
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.count() == nation.count())
+    assert(out.filter(col("n_nationkey").between(10, 14) &&
+      !col("n_name").endsWith("_V2")).count() == 0,
+      "matching rows must be replaced by the batch")
+    assert(out.filter(col("n_name").endsWith("_V2")).count() == 5)
+    // files outside the predicate band keep their exact identity
+    val after = TxnLog.files(t)
+    val untouched = before.filter(after.contains)
+    assert(untouched.size == 4,
+      s"exactly the victim file may be rewritten: kept $untouched")
+    // CDF: 5 deletes + 5 inserts, nothing else
+    val cdf = TxnLog.changesBetween(spark, t, vBase, vBase + 1)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 5)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 5)
+    // a batch that VIOLATES the predicate refuses (Delta's
+    // replaceWhere constraint check), and no commit lands
+    val e = intercept[Exception] { TxnLog.replaceWhere(spark, t,
+      "n_nationkey >= 10 AND n_nationkey < 15",
+      nation.filter(col("n_nationkey") === 20)) }
+    assert(e.getMessage.contains("replaceWhere"))
+    assert(TxnLog.versions(t).last == vBase + 1)
+    // SQL spelling over a catalog table
+    spark.sql("DROP TABLE IF EXISTS txn_rw_t")
+    spark.sql(s"CREATE TABLE txn_rw_t USING txnlog LOCATION '$t'")
+    spark.sql("INSERT INTO txn_rw_t REPLACE WHERE n_regionkey = 2 " +
+      "SELECT n_nationkey + 900 AS n_nationkey, 'RW' AS n_name, " +
+      "2 AS n_regionkey FROM txn_rw_t WHERE n_regionkey = 2")
+    val s2 = spark.table("txn_rw_t")
+    assert(s2.filter(col("n_regionkey") === 2 &&
+      col("n_name") =!= "RW").count() == 0)
+    assert(s2.filter(col("n_name") === "RW").count() ==
+      nation.filter(col("n_regionkey") === 2).count())
+    spark.sql("DROP TABLE txn_rw_t")
+  }
+
+  test("TRUNCATE TABLE: metadata wipe, schema survives, CDF journaled") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    spark.sql("DROP TABLE IF EXISTS txn_trunc_t")
+    spark.sql(s"CREATE TABLE txn_trunc_t USING txnlog LOCATION '$t'")
+    val vBase = TxnLog.versions(t).last
+    spark.sql("TRUNCATE TABLE txn_trunc_t")
+    assert(TxnLog.versions(t).last == vBase + 1, "one commit")
+    assert(spark.table("txn_trunc_t").count() == 0)
+    // schema + history survive: declared columns intact, time travel
+    // serves the pre-truncate rows
+    assert(TxnLog.snapshot(spark, t).columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(TxnLog.snapshot(spark, t, Some(vBase)).count() ==
+      nation.count())
+    // the wipe is row-level CDF (every row a delete)
+    val cdf = TxnLog.changesBetween(spark, t, vBase, vBase + 1)
+    assert(cdf.filter(col("_change_type") === "delete").count() ==
+      nation.count())
+    // and the table keeps working: an append lands normally
+    TxnLog.append(spark, t, nation.limit(3))
+    assert(TxnLog.snapshot(spark, t).count() == 3)
+    spark.sql("DROP TABLE txn_trunc_t")
+  }
+
+  test("CREATE OR REPLACE TABLE: atomic swap, old versions readable") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_cor_t")
+    spark.sql(s"CREATE TABLE txn_cor_t (k INT, v STRING, " +
+      s"CONSTRAINT k_pos CHECK (k >= 0)) USING txnlog LOCATION '$t'")
+    spark.createDataFrame(Seq((1, "a"), (2, "b"))).toDF("k", "v")
+      .createOrReplaceTempView("txn_cor_src")
+    spark.sql("INSERT INTO txn_cor_t SELECT * FROM txn_cor_src")
+    val vOld = TxnLog.versions(t).last
+    // the replace: different schema, different constraint — ONE commit
+    spark.sql(s"CREATE OR REPLACE TABLE txn_cor_t (name STRING, " +
+      s"score DOUBLE, CONSTRAINT s_cap CHECK (score <= 1.0)) " +
+      s"USING txnlog LOCATION '$t'")
+    assert(TxnLog.versions(t).last == vOld + 1, "swap must be 1 commit")
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.columns.toSeq == Seq("name", "score") && snap.count() == 0)
+    // the OLD table is still addressable via time travel
+    val old = TxnLog.snapshot(spark, t, Some(vOld))
+    assert(old.columns.toSeq == Seq("k", "v") && old.count() == 2)
+    // new constraint enforces; the old one is gone (k no longer exists)
+    TxnLog.append(spark, t, spark.sql(
+      "SELECT 'x' AS name, CAST(0.5 AS DOUBLE) AS score"))
+    val e = intercept[Exception] { TxnLog.append(spark, t, spark.sql(
+      "SELECT 'y' AS name, CAST(2.0 AS DOUBLE) AS score")) }
+    assert(e.getMessage.contains("s_cap"))
+    // a replace may also change the PARTITIONING (here: add one)
+    spark.sql(s"CREATE OR REPLACE TABLE txn_cor_t (name STRING, " +
+      s"bucket INT) USING txnlog PARTITIONED BY (bucket) LOCATION '$t'")
+    TxnLog.append(spark, t, spark.sql(
+      "SELECT 'z' AS name, 3 AS bucket"))
+    assert(TxnLog.files(t).forall(_.contains("bucket=")),
+      s"post-replace layout must follow the new declaration: " +
+        s"${TxnLog.files(t)}")
+    // … and REMOVE it again (the sticky property must clear)
+    spark.sql(s"CREATE OR REPLACE TABLE txn_cor_t (name STRING) " +
+      s"USING txnlog LOCATION '$t'")
+    TxnLog.append(spark, t, spark.sql("SELECT 'w' AS name"))
+    assert(TxnLog.files(t).forall(!_.contains("bucket=")),
+      "replace back to unpartitioned must clear the partition property")
+    spark.sql("DROP TABLE txn_cor_t")
+  }
+
   test("opt.* log actions are ignorable forward-compat metadata") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
