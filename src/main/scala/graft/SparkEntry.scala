@@ -5918,6 +5918,79 @@ object SparkEntry {
       pinned
     }),
 
+    // ── [ext] merge-on-read UPDATE via deletion vectors — the
+    // write-amplification lever for wide tables (Delta's DV update):
+    // the commit masks the victims' positions and appends ONLY the
+    // updated rows' file; every pre-update file keeps its exact
+    // identity (pinned in-query). On a 100 TB table a 0.1% touch-up
+    // writes 0.1% of ROWS, not 0.1% of files at full width; compact
+    // (REORG PURGE) remains the read-tax escape hatch. ─────────────────
+    "q331_txn_dv_update" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q331_txn")
+      val ev = T(s, dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+      graft.sources.TxnLog.create(s, tbl,
+        ev.filter(col("ts") < lit("2024-02-01")).repartition(4),
+        statsCols = Seq("event_id"))
+      val before = graft.sources.TxnLog.files(tbl)
+      val vBase = graft.sources.TxnLog.versions(tbl).last
+      graft.sources.TxnLog.updateWhereDV(s, tbl,
+        col("event_type") === "purchase",
+        Seq("value" -> (col("value") + lit(100.0))))
+      val after = graft.sources.TxnLog.files(tbl)
+      require(before.forall(after.contains) && after.size > before.size,
+        "DV update must only ADD files — zero existing files rewritten")
+      require(graft.sources.TxnLog.versions(tbl).last == vBase + 1,
+        "the DV update must land as one transactional commit")
+      graft.sources.TxnLog.snapshot(s, tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          Exact.moneySum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // ── [ext] IDENTITY columns (Delta's GENERATED ALWAYS AS
+    // IDENTITY): surrogate keys assigned DISTRIBUTIVELY — per-write
+    // ranges beyond the committed high-water mark (an `idhigh` log
+    // action, max-merged on replay, checkpoint-carried), values unique
+    // and strictly increasing across commits but NOT dense (gaps are
+    // the price of no coordination — Delta's exact contract). Raw ids
+    // are partitioning-dependent, so the query pins the invariants
+    // (uniqueness, grid alignment, cross-batch disjointness) and
+    // returns deterministic aggregates. ────────────────────────────────
+    "q332_txn_identity" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q332_txn")
+      s.sql("DROP TABLE IF EXISTS q332_id_t")
+      s.sql("CREATE TABLE q332_id_t (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (START WITH 1000 INCREMENT BY 7), name STRING, " +
+        s"batch STRING) USING txnlog LOCATION '$tbl'")
+      T(s, dir, "nation").select(col("n_name").as("name"),
+        lit("nation").as("batch")).createOrReplaceTempView("q332_a")
+      s.sql("INSERT INTO q332_id_t (name, batch) SELECT * FROM q332_a")
+      T(s, dir, "region").select(col("r_name").as("name"),
+        lit("region").as("batch")).createOrReplaceTempView("q332_b")
+      s.sql("INSERT INTO q332_id_t (name, batch) SELECT * FROM q332_b")
+      val all = s.table("q332_id_t").localCheckpoint(true)
+      // in-query pins: the first batch starts AT the declared start,
+      // and the second batch's range is disjoint above the first's
+      val a = all.filter(col("batch") === "nation")
+        .agg(min("id"), max("id")).head
+      val bMin = all.filter(col("batch") === "region")
+        .agg(min("id")).head.getLong(0)
+      require(a.getLong(0) == 1000L,
+        s"first batch must start at START WITH, got ${a.getLong(0)}")
+      require(bMin > a.getLong(1),
+        "the second write must reserve beyond the committed high-water")
+      val out = all.groupBy("batch")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("id").as("n_ids"),
+          min((col("id") - 1000) % 7 === 0).as("grid_ok"))
+        .orderBy("batch")
+      val pinned = out.localCheckpoint(true)
+      s.sql("DROP TABLE q332_id_t")
+      pinned
+    }),
+
     // ── [ext] per-domain document cap — the pretraining-mix fairness
     // op (no single domain may dominate the corpus): keep the K
     // longest docs per source. NOT a window sort: the kept set is a
@@ -11414,6 +11487,29 @@ object SparkEntry {
           |  FROM customer WHERE c_acctbal > 5000)
           |SELECT c_custkey, c_name, tier, quality FROM t
           |ORDER BY c_custkey""".stripMargin,
+
+      // q332: identity invariants replayed as counts — every row got
+      // a unique grid-aligned id
+      "q332_txn_identity" ->
+        """WITH t AS (
+          |  SELECT 'nation' AS batch, count(*) AS n FROM nation
+          |  UNION ALL
+          |  SELECT 'region', count(*) FROM region)
+          |SELECT batch, n AS n_rows, n AS n_ids, true AS grid_ok
+          |FROM t ORDER BY batch""".stripMargin,
+
+      // q331: the DV-updated table replayed — purchases bumped by a
+      // flat 100.0 (fp-exact), everything else untouched
+      "q331_txn_dv_update" ->
+        """WITH t AS (
+          |  SELECT event_type,
+          |    CASE WHEN event_type = 'purchase' THEN value + 100.0
+          |      ELSE value END AS value
+          |  FROM events WHERE ts < TIMESTAMP '2024-02-01')
+          |SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_value
+          |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin,
 
       // q330: the replaced (region-shaped) table read via time
       // travel next to the current (nation-shaped) one

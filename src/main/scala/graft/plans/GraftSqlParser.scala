@@ -125,6 +125,10 @@ object GraftSqlParser {
     """(?is)\s*(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(\s+NOT\s+NULL)?(?:\s+DEFAULT\s+(.+?))?\s*""".r
   private val GenColSpec =
     """(?is)\s*(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*""".r
+  // `id BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH n
+  // [INCREMENT BY k])]` — Delta's identity columns
+  private val IdentityColSpec =
+    """(?is)\s*(`[^`]+`|\w+)\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(\d+))?\s*\))?\s*""".r
   private val AlterRename =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
@@ -288,6 +292,16 @@ object GraftSqlParser {
       val nnChecks = scala.collection.mutable.ArrayBuffer
         .empty[(String, String)]
       val fields = colItems.map {
+        // IDENTITY first: its spelling is a prefix-cousin of the
+        // expression form, and GenColSpec's paren capture must not
+        // swallow "(START WITH …)"
+        case IdentityColSpec(n, dt, start, step) =>
+          org.apache.spark.sql.types.StructField(unquote(n),
+            delegate.parseDataType(dt), nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.identity",
+                s"${Option(start).getOrElse("1")}," +
+                  s"${Option(step).getOrElse("1")}").build())
         case GenColSpec(n, dt, genExpr) =>
           org.apache.spark.sql.types.StructField(unquote(n),
             delegate.parseDataType(dt), nullable = true,

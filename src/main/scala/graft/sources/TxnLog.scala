@@ -278,7 +278,8 @@ object TxnLog {
                                  sizes: Map[String, Long],
                                  props: Map[String, String],
                                  minReader: Long = 1L,
-                                 minWriter: Long = 1L)
+                                 minWriter: Long = 1L,
+                                 idHigh: Map[String, Long] = Map.empty)
 
   /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
     * when one exists, else from the log's beginning. Memoized — see
@@ -316,6 +317,7 @@ object TxnLog {
     val dvCounts = scala.collection.mutable.Map.empty[String, Long]
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     val props = scala.collection.mutable.Map.empty[String, String]
+    val idHigh = scala.collection.mutable.Map.empty[String, Long]
     var minReader = 1L
     var minWriter = 1L
     def dropFile(f: String): Unit = {
@@ -353,6 +355,11 @@ object TxnLog {
         case Array("dvclear") => // DVs materialized away (compact/restore)
           dvFiles.clear(); dvCounts.clear()
         case Array("prop", k, v) => props(k) = v // table property (sticky)
+        // identity high-water: the LARGEST value a committed write has
+        // reserved for a GENERATED ALWAYS AS IDENTITY column — replay
+        // keeps the max so rebased/retried commits can never shrink it
+        case Array("idhigh", c, n) =>
+          idHigh(c) = math.max(idHigh.getOrElse(c, Long.MinValue), n.toLong)
         // forward-compat guard (Delta's protocol action): a writer that
         // needs semantics this reader lacks raises minreader, and every
         // replay refuses DESCRIPTIVELY instead of serving a snapshot
@@ -395,7 +402,7 @@ object TxnLog {
     }
     State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap,
       blooms.toMap, rowcounts.toMap, dvFiles.toSeq, dvCounts.toMap,
-      sizes.toMap, props.toMap, minReader, minWriter)
+      sizes.toMap, props.toMap, minReader, minWriter, idHigh.toMap)
   }
 
   /** Raw action lines of one committed version (no checkpoint
@@ -488,7 +495,9 @@ object TxnLog {
           st.sizes.toSeq.sortBy(_._1).map { case (f, n) =>
             g("fsize").append("path", f).append("lo", n) } ++
           st.props.toSeq.sortBy(_._1).map { case (k, pv) =>
-            g("prop").append("name", k).append("detail", pv) }
+            g("prop").append("name", k).append("detail", pv) } ++
+          st.idHigh.toSeq.sortBy(_._1).map { case (c, n) =>
+            g("idhigh").append("name", c).append("lo", n) }
       // write-temp-then-rename, like the log itself: a reader can never
       // observe a half-written checkpoint. Rename refusing an existing
       // destination is FINE here — a concurrent checkpointer of the
@@ -589,6 +598,7 @@ object TxnLog {
           case "prop" => s"prop\t${s("name")}\t${s("detail")}"
           case "minreader" => s"minreader\t${l("lo")}"
           case "minwriter" => s"minwriter\t${l("lo")}"
+          case "idhigh" => s"idhigh\t${s("name")}\t${l("lo")}"
           // same `opt.` forward-compat namespace as the log-line
           // parser: informational-by-contract, ignorable here
           case tag if tag.startsWith("opt.") => s"opt.ignored"
@@ -1541,6 +1551,33 @@ object TxnLog {
   /** Field-metadata key of a GENERATED ALWAYS AS expression. */
   private[sources] val GenKey = "graft.generate"
 
+  /** Field-metadata key of a GENERATED ALWAYS AS IDENTITY column:
+    * value "start,step". */
+  private[sources] val IdKey = "graft.identity"
+
+  /** Assign IDENTITY columns on an insert batch (Delta's
+    * GENERATED ALWAYS AS IDENTITY): values are UNIQUE and strictly
+    * beyond the committed high-water mark, assigned distributively
+    * (`monotonically_increasing_id` — no global sort, no driver
+    * funnel), and like Delta NOT guaranteed dense: gaps are the price
+    * of assigning ranges without coordination. A batch that carries
+    * the column has it overwritten — GENERATED ALWAYS, same
+    * recompute-always rationale as expression-generated columns. */
+  private def fillIdentity(df: DataFrame, declared: Option[StructType],
+                           idHigh: Map[String, Long]): DataFrame =
+    declared.fold(df) { d =>
+      d.fields.toSeq.filter(_.metadata.contains(IdKey))
+        .foldLeft(df) { (acc, f) =>
+          val Array(start, step) =
+            f.metadata.getString(IdKey).split(',').map(_.toLong)
+          val next = idHigh.get(f.name).map(_ + step).getOrElse(start)
+          acc.withColumn(f.name,
+            (org.apache.spark.sql.functions.lit(next) +
+              org.apache.spark.sql.functions.monotonically_increasing_id()
+                * step).cast(f.dataType))
+        }
+    }
+
   /** Under active column mapping, a column ADDED by evolution gets a
     * GUID physical name: a previously DROPPED column's name can then be
     * re-added without resurrecting the old files' stale values (their
@@ -1622,6 +1659,26 @@ object TxnLog {
     checks.foreach { case (n, e) =>
       require(!n.contains('\t') && !e.contains('\t'),
         "constraint names/expressions must be tab-free") }
+    // IDENTITY columns: integral, positive step, and exclusive of the
+    // other generation/default channels
+    schema.fields.filter(_.metadata.contains(IdKey)).foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"IDENTITY column ${f.name} must be BIGINT or INT, " +
+          s"got ${f.dataType.catalogString}")
+      val parts = f.metadata.getString(IdKey).split(',')
+      require(parts.length == 2 &&
+        scala.util.Try(parts.map(_.toLong)).isSuccess &&
+        parts(1).toLong > 0,
+        s"IDENTITY column ${f.name}: INCREMENT BY must be a positive " +
+          "integer")
+      require(!f.metadata.contains(GenKey) &&
+        !f.metadata.contains("CURRENT_DEFAULT"),
+        s"IDENTITY column ${f.name} cannot also be expression-" +
+          "generated or defaulted")
+      require(!partitionBy.contains(f.name),
+        s"IDENTITY column ${f.name} cannot be a partition column")
+    }
     // DEFAULT expressions validate at DDL time: must parse, reference
     // no columns (a default is row-independent; non-constant clock
     // functions like NOW() are legal — INSERT-time semantics), and a
@@ -1761,7 +1818,8 @@ object TxnLog {
     val st = replayState(table, vs.last)
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val df = fillDefaults(df0, declared)
+    val df = fillIdentity(fillDefaults(df0, declared), declared,
+      st.idHigh)
     val mappingOn = st.props.get("columnMapping").contains("name")
     val evolvedJson =
       declared.flatMap(validateAgainst(_, df.schema, mergeSchema, mappingOn))
@@ -1771,13 +1829,44 @@ object TxnLog {
     val named = stageChecked(spark, table, df, st.checks,
       partitionColsOf(st).getOrElse(Nil), physOf)
     val pm = physMapOf(physOf)
-    val rest = named.map("add\t" + _) ++
+    // identity high-water lines: ONE column-pruned job over the just-
+    // staged files records the largest value each identity column
+    // reserved, so the next writer starts beyond it
+    val idCols = declared.toSeq.flatMap(_.fields)
+      .filter(_.metadata.contains(IdKey)).map(_.name)
+    val idLines: Seq[String] =
+      if (idCols.isEmpty || named.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{col => c, max}
+        val dfS = spark.read.parquet(named.map(n =>
+          new HPath(tablePath(table), n).toString): _*)
+        val cols = idCols.map(n => n -> pm.getOrElse(n, n))
+          .filter { case (_, p) => dfS.columns.contains(p) }
+        if (cols.isEmpty) Nil
+        else {
+          val row = dfS.agg(max(c(cols.head._2)).cast(LongType),
+            cols.tail.map(p => max(c(p._2)).cast(LongType)): _*).head
+          cols.indices.filterNot(row.isNullAt) // zero-row stage: no line
+            .map(i => s"idhigh\t${cols(i)._1}\t${row.getLong(i)}")
+        }
+      }
+    val rest = named.map("add\t" + _) ++ idLines ++
       statsLines(spark, table, named, statsCols, pm) ++
       bloomLines(spark, table, named, bloomCols, pm) ++
       rowcountLines(table, named)
     var actions = "op\tappend" +: (schemaLine.toSeq ++ rest)
     var v = vs.last + 1
     while (!publish(table, v, actions)) {
+      // identity guard: a lost race against ANOTHER identity-assigning
+      // writer means our reserved range may collide with the winner's
+      // — the blind retry is only safe when the high-water is where we
+      // left it (replay keeps the max, so equal high ⇒ no one moved it)
+      if (idLines.nonEmpty) {
+        val hs = replayState(table, versions(table).last)
+        if (idCols.exists(cn => hs.idHigh.getOrElse(cn, Long.MinValue) !=
+            st.idHigh.getOrElse(cn, Long.MinValue)))
+          throw new ConcurrentCommitException(v)
+      }
       if (schemaLine.isDefined) {
         // a schema-carrying commit is NOT valid against arbitrary
         // snapshots: replay is last-schema-wins, so re-publishing a
@@ -2900,6 +2989,15 @@ object TxnLog {
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
+    // merge-on-read routing: a table that already pays the DV read tax
+    // (live DVs) or opted in (`graft.dvUpdate` = true) takes the
+    // masked-positions path — zero victim files rewritten; explicit
+    // copy-on-write stays the default, same split as delete/deleteDV
+    if ((st.dvCounts.nonEmpty ||
+        st.props.get("graft.dvUpdate").contains("true")) &&
+        !set.exists { case (c, _) =>
+          partitionColsOf(st).exists(_.contains(c)) })
+      return updateWhereDV(spark, table, cond, set, Some(base))
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     val byName = set.toMap
@@ -2995,6 +3093,102 @@ object TxnLog {
       perFile.toSeq.sortBy(_._1).map { case (leaf, n) =>
         s"dvcount\t${byLeaf(leaf)}\t$n" } ++
       cdcNames.map("cdc\t" + _))
+    val v = base + 1
+    if (!publish(table, v, actions))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
+  /** MERGE-ON-READ UPDATE via deletion vectors (the UPDATE twin of
+    * [[deleteWhereDV]], Delta's DV-update): instead of rewriting every
+    * file that holds a matching row — on a WIDE table the
+    * write-amplification lever: a one-column touch-up of 0.1% of rows
+    * rewrites 0.1% of files under copy-on-write, each at full row
+    * width — the commit masks the old positions under
+    * `_deletion_vectors/` and appends ONLY the updated rows' file.
+    * Untouched files keep their exact identity, stats, and blooms.
+    * SET values are store-assignment cast to the declared types and
+    * GENERATED columns are recomputed from the post-image (the
+    * fillDefaults contract); CHECK constraints gate the appended rows
+    * in the usual observe pass. CDF journals
+    * update_preimage/update_postimage pairs identically to the
+    * copy-on-write [[updateWhere]], so downstream consumers cannot
+    * tell the strategies apart. The read tax and its escape hatch
+    * ([[compact]] → `dvclear`) are [[deleteWhereDV]]'s. CAS-pinned. */
+  def updateWhereDV(spark: SparkSession, table: String, cond: Column,
+                    set: Seq[(String, Column)],
+                    expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    require(exists(table), s"not a TxnLog table: $table")
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val base = expectedVersion.getOrElse(versions(table).last)
+    val st = replayState(table, base)
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val byName = set.toMap
+    declared.foreach { d =>
+      val missing = byName.keySet -- d.fieldNames.toSet
+      require(missing.isEmpty,
+        s"UPDATE sets undeclared column(s): ${missing.mkString(", ")}")
+      d.fields.filter(_.metadata.contains(GenKey)).foreach(f => require(
+        !byName.keySet.exists(_.equalsIgnoreCase(f.name)),
+        s"cannot SET generated column ${f.name} — it is recomputed"))
+    }
+    val pcols = partitionColsOf(st).getOrElse(Nil)
+    require(!pcols.exists(byName.keySet.contains),
+      "DV update cannot move rows across partitions — SET of a " +
+        "partition column needs the copy-on-write updateWhere")
+    val raw = readFiles(spark, table, st.live, declared,
+      dvOf(spark, table, st), keepDvPos = true)
+    val hit = coalesce(cond, lit(false))
+    val victims = raw.filter(hit)
+      .localCheckpoint(true) // one scan feeds DV stage + post + cdc
+    val perFile = victims.groupBy("__dv_f")
+      .agg(count(lit(1)).as("n"))
+      .collect() // ≤ |live files| rows
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (perFile.isEmpty) {
+      val v0 = base + 1
+      if (!publish(table, v0, Seq("op\tupdateDV")))
+        throw new ConcurrentCommitException(v0)
+      maybeCheckpoint(table, v0)
+      return v0
+    }
+    val dvNamed = stage(spark, table,
+      victims.select(col("__dv_f"), col("__dv_r")),
+      subdir = Some("_deletion_vectors"))
+    val byLeaf = st.live.map(f => f.split('/').last -> f).toMap
+    val dataCols = declared.map(_.fieldNames.toSeq)
+      .getOrElse(raw.columns.toSeq.filterNot(_.startsWith("__dv_")))
+    val pre = victims.select(dataCols.map(col): _*)
+    val post0 = pre.select(dataCols.map { c =>
+      byName.get(c).fold(col(c)) { v =>
+        declared.map(_(c).dataType).fold(v)(v.cast).as(c)
+      }
+    }: _*)
+    // generated columns follow their base columns (recompute-always)
+    val post = declared.fold(post0)(d =>
+      d.fields.filter(_.metadata.contains(GenKey))
+        .foldLeft(post0)((acc, f) => acc.withColumn(f.name,
+          org.apache.spark.sql.functions
+            .expr(f.metadata.getString(GenKey)).cast(f.dataType))))
+    val named = stageChecked(spark, table, post, st.checks, pcols,
+      declared)
+    val cdc = pre.withColumn("_change_type", lit("update_preimage"))
+      .unionByName(post.withColumn("_change_type",
+        lit("update_postimage")))
+    val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
+    val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
+    val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
+    val pm = physMapOf(declared)
+    val actions = "op\tupdateDV" +: (dvNamed.map("dv\t" + _) ++
+      perFile.toSeq.sortBy(_._1).map { case (leaf, n) =>
+        s"dvcount\t${byLeaf(leaf)}\t$n" } ++
+      named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
+      statsLines(spark, table, named, trackedStats, pm) ++
+      bloomLines(spark, table, named, trackedBlooms, pm) ++
+      rowcountLines(table, named))
     val v = base + 1
     if (!publish(table, v, actions))
       throw new ConcurrentCommitException(v)

@@ -3416,6 +3416,112 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_cor_t")
   }
 
+  test("DV-based UPDATE: zero files rewritten, CDF pre/post intact") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, statsCols = Seq("n_nationkey"))
+    spark.sql("DROP TABLE IF EXISTS txn_dvu_meta")
+    val before = TxnLog.files(t)
+    val vBase = TxnLog.versions(t).last
+    TxnLog.updateWhereDV(spark, t, col("n_regionkey") === 2,
+      Seq("n_name" -> concat(col("n_name"), lit("_DV"))))
+    // the victim file is NOT rewritten: every pre-update file is still
+    // live, plus exactly the appended updated-rows file
+    val after = TxnLog.files(t)
+    assert(before.forall(after.contains),
+      "DV update must not rewrite any existing file")
+    assert(after.size == before.size + 1,
+      "DV update adds exactly the updated-rows file")
+    // reads serve the post-image exactly once per row
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.count() == nation.count())
+    val r2 = nation.filter(col("n_regionkey") === 2).count()
+    assert(out.filter(col("n_name").endsWith("_DV")).count() == r2)
+    assert(out.filter(col("n_regionkey") === 2 &&
+      !col("n_name").endsWith("_DV")).count() == 0,
+      "masked pre-image rows must not resurface")
+    // CDF: pre/post pairs, identical to copy-on-write updateWhere
+    val cdf = TxnLog.changesBetween(spark, t, vBase, vBase + 1)
+    assert(cdf.filter(col("_change_type") === "update_preimage")
+      .count() == r2)
+    assert(cdf.filter(col("_change_type") === "update_postimage" &&
+      col("n_name").endsWith("_DV")).count() == r2)
+    // countRows stays a pure metadata answer (adds minus dv masks)
+    assert(TxnLog.countRows(t).contains(nation.count()))
+    // auto-routing: the table now carries DVs, so plain updateWhere
+    // takes the merge-on-read path too (no existing file rewritten)
+    val files2 = TxnLog.files(t)
+    TxnLog.updateWhere(spark, t, col("n_regionkey") === 1,
+      Seq("n_name" -> concat(col("n_name"), lit("_B"))))
+    assert(files2.forall(TxnLog.files(t).contains),
+      "a DV-carrying table must auto-route UPDATE merge-on-read")
+    // compact materializes everything away; values survive
+    TxnLog.compact(spark, t)
+    val fin = TxnLog.snapshot(spark, t)
+    assert(fin.count() == nation.count())
+    assert(fin.filter(col("n_name").endsWith("_DV")).count() == r2)
+    // SET of a generated column refuses; partition-column SET refuses
+    val t2 = freshTable()
+    spark.sql(s"CREATE TABLE txn_dvu_g (a INT, ts TIMESTAMP, " +
+      s"day DATE GENERATED ALWAYS AS (to_date(ts))) USING txnlog " +
+      s"LOCATION '$t2'")
+    spark.sql("INSERT INTO txn_dvu_g (a, ts) SELECT 1, " +
+      "TIMESTAMP '2026-02-01 08:00:00'")
+    val e = intercept[Exception] { TxnLog.updateWhereDV(spark, t2,
+      lit(true), Seq("day" -> lit("1999-01-01"))) }
+    assert(e.getMessage.contains("recomputed"))
+    // … and a ts move RECOMPUTES day on the DV path
+    TxnLog.updateWhereDV(spark, t2, col("a") === 1,
+      Seq("ts" -> lit("2026-03-04 09:00:00").cast("timestamp")))
+    assert(TxnLog.snapshot(spark, t2).head.getDate(2).toString ==
+      "2026-03-04", "generated column must follow its base on DV update")
+    spark.sql("DROP TABLE txn_dvu_g")
+  }
+
+  test("IDENTITY columns: unique, increasing, high-water in the log") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_id_t")
+    spark.sql(s"CREATE TABLE txn_id_t (id BIGINT GENERATED ALWAYS AS " +
+      s"IDENTITY (START WITH 100 INCREMENT BY 10), v STRING) " +
+      s"USING txnlog LOCATION '$t'")
+    spark.sql("INSERT INTO txn_id_t (v) SELECT n_name FROM " +
+      "parquet.`/root/testdata/sf0.001/nation.parquet`")
+    val s1 = TxnLog.snapshot(spark, t)
+    val n = s1.count()
+    assert(s1.select("id").distinct().count() == n,
+      "identity values must be unique")
+    assert(s1.agg(min(col("id"))).head.getLong(0) == 100L,
+      "the first batch starts at START WITH")
+    assert(s1.filter((col("id") - 100) % 10 =!= 0).count() == 0,
+      "values follow the increment grid")
+    // a second batch starts beyond the committed high-water mark
+    val high1 = s1.agg(max(col("id"))).head.getLong(0)
+    spark.sql("INSERT INTO txn_id_t (v) VALUES ('x'), ('y')")
+    val s2 = TxnLog.snapshot(spark, t)
+    assert(s2.select("id").distinct().count() == n + 2)
+    assert(s2.filter(col("v").isin("x", "y"))
+      .agg(min(col("id"))).head.getLong(0) > high1,
+      "the next write must start beyond the committed high-water")
+    // a batch SUPPLYING the column is overwritten (GENERATED ALWAYS)
+    TxnLog.append(spark, t, spark.sql(
+      "SELECT CAST(5 AS BIGINT) AS id, 'supplied' AS v"))
+    val sup = TxnLog.snapshot(spark, t)
+      .filter(col("v") === "supplied").head.getLong(0)
+    assert(sup > high1, s"supplied identity values must be reassigned, got $sup")
+    // the high-water survives a checkpoint round-trip: versions...
+    // (checkpoints are on a cadence; force several commits)
+    (1 to 12).foreach(i => TxnLog.append(spark, t,
+      spark.sql(s"SELECT 'b$i' AS v")))
+    val all = TxnLog.snapshot(spark, t)
+    assert(all.select("id").distinct().count() == all.count(),
+      "uniqueness must hold across checkpointed history")
+    // DDL refusals: non-integral type, zero step, partition column
+    val e1 = intercept[Exception] { spark.sql(
+      s"CREATE TABLE txn_id_bad1 (id STRING GENERATED ALWAYS AS " +
+        s"IDENTITY, v STRING) USING txnlog LOCATION '${freshTable()}'") }
+    assert(e1.getMessage.contains("BIGINT or INT"))
+    spark.sql("DROP TABLE txn_id_t")
+  }
+
   test("opt.* log actions are ignorable forward-compat metadata") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
