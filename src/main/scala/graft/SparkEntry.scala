@@ -2938,9 +2938,13 @@ object SparkEntry {
 
     // ── [ext] sequence gap detection (data-quality: lost records in an
     // id-keyed extract): gaps-and-islands over the surviving ids with
-    // BOTH global orderings done by the two-phase Ranking — no
-    // single-reducer window at either step — and consecutive islands
-    // paired by an equi-join on island rank. Every 97th id is dropped to
+    // ONE two-phase global Ranking (no single-reducer window). The
+    // islands carry their own RANK interval out of the groupBy —
+    // row_number is dense, so consecutive islands are ADJACENT in rank
+    // space (next.rn_lo = this.rn_hi + 1) — and consecutive islands
+    // pair by an equi-join on that, making the second global ranking
+    // pass the old shape paid provably redundant (probed round 15:
+    // it was half the query's job count). Every 97th id is dropped to
     // simulate loss; output = the missing ranges. ──────────────────────
     "q125_gap_detect" -> ((s, dir) => {
       val ids = T(s, dir, "events")
@@ -2949,10 +2953,11 @@ object SparkEntry {
       val islands = Ranking.withGlobalRank(ids, "rn", "__N", col("event_id").asc)
         .withColumn("grp", col("event_id") - col("rn"))
         .groupBy("grp")
-        .agg(min("event_id").as("lo"), max("event_id").as("hi"))
-      val ranked = Ranking.withGlobalRank(islands, "irn", "__M", col("lo").asc)
-      ranked.alias("a")
-        .join(ranked.alias("b"), col("b.irn") === col("a.irn") + 1)
+        .agg(min("event_id").as("lo"), max("event_id").as("hi"),
+          min("rn").as("rn_lo"), max("rn").as("rn_hi"))
+        .localCheckpoint(true) // two join consumers, one derivation
+      islands.alias("a")
+        .join(islands.alias("b"), col("b.rn_lo") === col("a.rn_hi") + 1)
         .select((col("a.hi") + 1).as("gap_start"), (col("b.lo") - 1).as("gap_end"))
         .orderBy("gap_start")
     }),
