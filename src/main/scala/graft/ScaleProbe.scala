@@ -580,6 +580,41 @@ object ScaleProbe {
           java.nio.file.Paths.get(tdir).getParent)
       }
     }
+    // ── replaceWhere: rewrite mass ∝ predicate band, NOT table size.
+    // Same protocol as txn_merge — the table grows 4× in file count
+    // per step, the replaced key band stays fixed. The stats-scoped
+    // candidate set plus the pushed-filter victim pin must keep the
+    // rewritten file count bounded by the band while every other file
+    // keeps its identity — the property that makes "replace the
+    // re-extracted days" affordable on an unpartitioned 100 TB table. ──
+    {
+      val base = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      for (nFiles <- Seq(8, 32, 128)) {
+        val tdir = java.nio.file.Files
+          .createTempDirectory("graft_txn_rw_").resolve("t").toString
+        graft.sources.TxnLog.create(spark, tdir,
+          base.repartitionByRange(nFiles, col("o_orderkey")),
+          statsCols = Seq("o_orderkey"))
+        val batch = base.filter(col("o_orderkey") < 600)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val t0 = System.nanoTime()
+        graft.sources.TxnLog.replaceWhere(spark, tdir,
+          "o_orderkey < 600", batch)
+        val s = (System.nanoTime() - t0) / 1e9
+        val after = graft.sources.TxnLog.files(tdir)
+        val v1 = graft.sources.TxnLog.files(tdir, Some(1L))
+        val rewritten = v1.size - v1.count(after.contains)
+        require(rewritten <= 8,
+          s"replaceWhere must bound the rewrite to the band, got " +
+            s"$rewritten of $nFiles")
+        println(f"SCALE txn_replacewhere files=$nFiles%-4d ${s}%7.3f s  " +
+          f"($rewritten of $nFiles files rewritten; " +
+          "one delete+insert commit)")
+        graft.TempWork.deleteRecursively(
+          java.nio.file.Paths.get(tdir).getParent)
+      }
+    }
     spark.stop()
   }
 }

@@ -5996,6 +5996,41 @@ object SparkEntry {
       pinned
     }),
 
+    // ── [ext] CREATE OR REPLACE TABLE … AS SELECT — the one-commit
+    // definition + data swap (no reader can observe the empty
+    // intermediate a replace-then-insert pair exposes; the previous
+    // table stays addressable via time travel). The atomic flavor of
+    // the reference bootstrap when the new data is already computed. ───
+    "q333_txn_cor_ctas" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q333_txn")
+      s.sql("DROP TABLE IF EXISTS q333_ctas_t")
+      s.sql(s"CREATE TABLE q333_ctas_t (s_suppkey BIGINT, " +
+        s"s_name STRING) USING txnlog LOCATION '$tbl'")
+      T(s, dir, "supplier").select("s_suppkey", "s_name")
+        .createOrReplaceTempView("q333_src")
+      s.sql("INSERT INTO q333_ctas_t SELECT * FROM q333_src")
+      val vOld = graft.sources.TxnLog.versions(tbl).last
+      T(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .createOrReplaceTempView("q333_src2")
+      s.sql(s"CREATE OR REPLACE TABLE q333_ctas_t USING txnlog " +
+        s"LOCATION '$tbl' AS SELECT s_suppkey, s_name, s_acctbal, " +
+        "s_nationkey FROM q333_src2 WHERE s_acctbal > 0")
+      require(graft.sources.TxnLog.versions(tbl).last == vOld + 1,
+        "definition AND data must swap in ONE commit")
+      require(graft.sources.TxnLog
+        .snapshot(s, tbl, Some(vOld)).columns.length == 2,
+        "the pre-replace table must stay addressable via time travel")
+      val out = s.table("q333_ctas_t")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          Exact.moneySum(col("s_acctbal")).as("total_bal"))
+        .orderBy("s_nationkey")
+      val pinned = out.localCheckpoint(true)
+      s.sql("DROP TABLE q333_ctas_t")
+      pinned
+    }),
+
     // ── [ext] per-domain document cap — the pretraining-mix fairness
     // op (no single domain may dominate the corpus): keep the K
     // longest docs per source. NOT a window sort: the kept set is a
@@ -11492,6 +11527,15 @@ object SparkEntry {
           |  FROM customer WHERE c_acctbal > 5000)
           |SELECT c_custkey, c_name, tier, quality FROM t
           |ORDER BY c_custkey""".stripMargin,
+
+      // q333: the swapped table replayed — positive-balance suppliers
+      // aggregated per nation
+      "q333_txn_cor_ctas" ->
+        """SELECT s_nationkey, count(*) AS n_suppliers,
+          |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_bal
+          |FROM supplier WHERE s_acctbal > 0
+          |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
 
       // q332: identity invariants replayed as counts — every row got
       // a unique grid-aligned id

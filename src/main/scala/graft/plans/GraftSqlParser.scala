@@ -110,6 +110,25 @@ object GraftSqlParser {
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   private val TruncateStmt =
     ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + Tok + """\s*;?\s*""").r
+  // CREATE OR REPLACE TABLE … USING txnlog … AS SELECT — the one-
+  // commit definition+data swap (no column list: schema from the query)
+  private val CreateOrReplaceAs =
+    ("""(?is)\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+""" + Tok +
+      """\s+USING\s+txnlog""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(\(?\s*SELECT\b.+)\s*;?\s*""").r
+  private val AlterSetDefault =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""").r
+  private val AlterDropDefault =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*;?\s*""").r
+  private val AlterSetNotNull =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""").r
+  private val AlterDropNotNull =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""").r
   private val ConstraintClause =
     """(?is)\s*CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s*\((.*)\)\s*""".r
   // Delta's arbitrary-predicate replaceWhere as SQL:
@@ -347,6 +366,39 @@ object GraftSqlParser {
     case TruncateStmt(target) =>
       maybePath(spark, delegate, target).map(p =>
         TxnLogTruncateCommand(p, refreshNameOf(target)))
+    // CREATE OR REPLACE TABLE … AS SELECT: the definition swap and
+    // the new data in ONE commit (claimed only for USING txnlog)
+    case CreateOrReplaceAs(dest, partBy, loc, query) =>
+      val d = dest.trim
+      val destPath =
+        if (d.startsWith("'") || d.startsWith("`"))
+          d.substring(1, d.length - 1)
+        else Option(loc).getOrElse(fail(
+          s"CREATE OR REPLACE TABLE $d … AS SELECT USING txnlog: an " +
+            "identifier destination needs LOCATION '<table dir>'"))
+      val parts = Option(partBy).toSeq.flatMap(_.split(','))
+        .map(unquote).map(_.trim).filter(_.nonEmpty)
+      Some(TxnLogReplaceTableAsCommand(destPath, parts,
+        delegate.parsePlan(query), refreshNameOf(dest)))
+    // ALTER COLUMN default/nullability: metadata-only commits for
+    // txnlog targets (Spark parses these for v2 tables; our claim
+    // keeps them off the stock path exactly like the ALTER family)
+    case AlterSetDefault(target, c, dflt) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogColumnMetaCommand(p, "default", unquote(c),
+          Some(dflt.trim), refreshNameOf(target)))
+    case AlterDropDefault(target, c) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogColumnMetaCommand(p, "default", unquote(c), None,
+          refreshNameOf(target)))
+    case AlterSetNotNull(target, c) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogColumnMetaCommand(p, "notnull", unquote(c), None,
+          refreshNameOf(target)))
+    case AlterDropNotNull(target, c) =>
+      maybePath(spark, delegate, target).map(p =>
+        TxnLogColumnMetaCommand(p, "nullable", unquote(c), None,
+          refreshNameOf(target)))
     // INSERT INTO … REPLACE WHERE: a statement Spark's grammar lacks
     // (its INSERT takes no predicate) — claimed only for a txnlog
     // target, one transactional delete-matching + append commit
@@ -767,6 +819,68 @@ case class TxnLogCreateTableCommand(dest: String, tableSchema: StructType,
         catch { case scala.util.control.NonFatal(_) => () }
     }
     Seq(Row(TxnLog.versions(dest).last))
+  }
+}
+
+/** `CREATE OR REPLACE TABLE d USING txnlog [PARTITIONED BY (…)]
+  * [LOCATION …] AS SELECT …`: definition + data swap in ONE commit
+  * ([[TxnLog.replaceTableAs]]); a fresh path is plain CTAS
+  * ([[TxnLog.create]]). Returns the new version. */
+case class TxnLogReplaceTableAsCommand(dest: String,
+                                       partitionBy: Seq[String],
+                                       query: LogicalPlan,
+                                       registerAs: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.GraftShim.ofRows(session, query)
+    if (TxnLog.exists(dest))
+      TxnLog.replaceTableAs(session, dest, df, partitionBy)
+    else TxnLog.create(session, dest, df, partitionBy = partitionBy)
+    registerAs.foreach { name =>
+      require(name.matches("""[\w]+(\.[\w]+)*"""),
+        s"invalid table identifier: $name")
+      val quoted = name.split('.').map(p => s"`$p`").mkString(".")
+      val escDest = dest.replace("'", "''")
+      if (!session.catalog.tableExists(name))
+        session.sql(
+          s"CREATE TABLE $quoted USING txnlog LOCATION '$escDest'")
+      else
+        try session.catalog.refreshTable(name)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+    Seq(Row(TxnLog.versions(dest).last))
+  }
+}
+
+/** ALTER COLUMN metadata commits for txnlog targets: `kind` ∈
+  * default (SET/DROP DEFAULT via `arg`), notnull (SET NOT NULL),
+  * nullable (DROP NOT NULL). Returns the new version. */
+case class TxnLogColumnMetaCommand(table: String, kind: String,
+                                   colName: String, arg: Option[String],
+                                   refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = kind match {
+      case "default" =>
+        TxnLog.setColumnDefault(session, table, colName, arg)
+      case "notnull" =>
+        TxnLog.setColumnNullability(session, table, colName,
+          nullable = false)
+      case "nullable" =>
+        TxnLog.setColumnNullability(session, table, colName,
+          nullable = true)
+      case other => sys.error(s"unknown column-meta kind: $other")
+    }
+    refreshName.foreach(n =>
+      try session.catalog.refreshTable(n)
+      catch { case scala.util.control.NonFatal(_) => () })
+    Seq(Row(v))
   }
 }
 

@@ -1788,6 +1788,128 @@ object TxnLog {
     v
   }
 
+  /** CREATE OR REPLACE TABLE … AS SELECT as ONE transactional commit:
+    * [[replaceTable]]'s definition swap and the new data land together
+    * — no reader can observe the empty intermediate state a
+    * replace-then-insert pair would expose. History preserved like
+    * every commit. */
+  def replaceTableAs(spark: SparkSession, table: String, df: DataFrame,
+                     partitionBy: Seq[String] = Nil,
+                     checks: Seq[(String, String)] = Nil): Long = {
+    require(exists(table), s"not a TxnLog table: $table " +
+      "(CREATE OR REPLACE … AS on a fresh path is just CTAS)")
+    validateDdl(spark, df.schema, partitionBy, checks)
+    val base = versions(table).last
+    val st = replayState(table, base)
+    val named = stageChecked(spark, table, df, checks.toMap, partitionBy,
+      Some(df.schema))
+    val dvLine = if (st.dvCounts.nonEmpty) Seq("dvclear") else Nil
+    val partLine = s"prop\tgraft.partitionBy\t" +
+      (if (partitionBy.nonEmpty) partitionBy.mkString(",") else ",")
+    val actions = Seq("op\treplaceTable") ++ dvLine ++
+      st.live.map("remove\t" + _) ++
+      st.checks.keys.toSeq.sorted.map("checkdrop\t" + _) ++
+      Seq(s"schema\t${df.schema.json}", partLine) ++
+      checks.map { case (n, e) => s"check\t$n\t$e" } ++
+      named.map("add\t" + _) ++ rowcountLines(table, named)
+    val v = base + 1
+    if (!publish(table, v, actions))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT <expr>` / `DROP
+    * DEFAULT` as a METADATA commit: updates CURRENT_DEFAULT — the
+    * INSERT-time half — only. The EXISTENCE default (what pre-existing
+    * footer-missing files read) is fixed at column birth and never
+    * retroactively edited: Delta's exact rule, because changing it
+    * would silently rewrite history's values at read time. Generated
+    * and identity columns refuse (they own their value channel). */
+  def setColumnDefault(spark: SparkSession, table: String,
+                       colName: String, default: Option[String]): Long = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = versions(table).last
+    val st = replayState(table, base)
+    val declared = st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(sys.error(s"no declared schema in the log: $table"))
+    val f = declared.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(sys.error(s"no such column: $colName"))
+    require(!f.metadata.contains(GenKey) && !f.metadata.contains(IdKey),
+      s"column ${f.name} is generated — it cannot take a DEFAULT")
+    default.foreach { d =>
+      val e = spark.sessionState.sqlParser.parseExpression(d)
+      val refs = e.collect {
+        case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => u.name }
+      require(refs.isEmpty,
+        s"DEFAULT for ${f.name} must not reference columns: $d")
+      if (e.foldable) {
+        val cast = org.apache.spark.sql.catalyst.expressions.Cast(e,
+          f.dataType, Some(spark.sessionState.conf.sessionLocalTimeZone))
+        require(scala.util.Try(cast.eval(null)).isSuccess,
+          s"DEFAULT for ${f.name} does not cast to " +
+            s"${f.dataType.catalogString}: $d")
+      }
+    }
+    val newFields = declared.fields.map { g =>
+      if (!g.name.equalsIgnoreCase(colName)) g
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(g.metadata)
+        default match {
+          case Some(d) => mb.putString("CURRENT_DEFAULT", d)
+          case None => mb.remove("CURRENT_DEFAULT")
+        }
+        g.copy(metadata = mb.build())
+      }
+    }
+    val v = base + 1
+    if (!publish(table, v, Seq("op\talterColumn",
+        s"schema\t${StructType(newFields).json}")))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c SET NOT NULL` / `DROP NOT NULL`:
+    * SET validates the EXISTING rows first (one column-pruned count —
+    * a constraint that current data violates must fail at DDL time,
+    * exactly like ADD CONSTRAINT), then one commit flips the declared
+    * nullability and installs the write-time `nn_<col>` CHECK the
+    * DDL-first NOT NULL spelling uses; DROP removes both. */
+  def setColumnNullability(spark: SparkSession, table: String,
+                           colName: String, nullable: Boolean): Long = {
+    import org.apache.spark.sql.functions.col
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = versions(table).last
+    val st = replayState(table, base)
+    val declared = st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(sys.error(s"no declared schema in the log: $table"))
+    val f = declared.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(sys.error(s"no such column: $colName"))
+    if (!nullable && st.live.nonEmpty) {
+      val bad = snapshot(spark, table, Some(base))
+        .filter(col(f.name).isNull).limit(1).count()
+      require(bad == 0,
+        s"cannot SET NOT NULL: existing rows hold NULL in ${f.name}")
+    }
+    val newFields = declared.fields.map(g =>
+      if (g.name.equalsIgnoreCase(colName)) g.copy(nullable = nullable)
+      else g)
+    val checkLine =
+      if (nullable) s"checkdrop\tnn_${f.name}"
+      else s"check\tnn_${f.name}\t${f.name} IS NOT NULL"
+    val v = base + 1
+    if (!publish(table, v, Seq("op\talterColumn",
+        s"schema\t${StructType(newFields).json}", checkLine)))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    v
+  }
+
   /** Idempotent init (SURVEY D4): create iff absent — the reference's
     * existence-probe-then-CREATE (`deltalake_sync.py` table init) as one
     * race-free operation. Returns true iff THIS call created it; a

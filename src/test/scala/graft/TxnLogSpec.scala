@@ -3522,6 +3522,77 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_id_t")
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT and NOT NULL are metadata commits") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_acm_t")
+    spark.sql(s"CREATE TABLE txn_acm_t (k INT, v STRING, tier STRING) " +
+      s"USING txnlog LOCATION '$t'")
+    TxnLog.append(spark, t, spark.sql(
+      "SELECT 1 AS k, 'a' AS v, CAST(NULL AS STRING) AS tier"))
+    val files1 = TxnLog.files(t)
+    // SET DEFAULT: future inserts omitting the column take it;
+    // existing rows are untouched (CURRENT_DEFAULT only — the
+    // existence default is fixed at column birth)
+    spark.sql("ALTER TABLE txn_acm_t ALTER COLUMN tier " +
+      "SET DEFAULT 'standard'")
+    assert(TxnLog.files(t) == files1, "SET DEFAULT must be metadata-only")
+    TxnLog.append(spark, t,
+      spark.sql("SELECT 2 AS k, 'b' AS v")) // omits tier
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.filter(col("k") === 2).head.getString(2) == "standard")
+    assert(out.filter(col("k") === 1).head.isNullAt(2),
+      "pre-existing rows must not take the new default")
+    // DROP DEFAULT: the column stops filling (refuses as missing)
+    spark.sql("ALTER TABLE txn_acm_t ALTER COLUMN tier DROP DEFAULT")
+    val e0 = intercept[Exception] { TxnLog.append(spark, t,
+      spark.sql("SELECT 3 AS k, 'c' AS v")) }
+    assert(e0.getMessage.contains("missing declared columns"))
+    // SET NOT NULL refuses while a NULL exists; after repairing,
+    // it installs the write-time check and flips the declaration
+    val e1 = intercept[Exception] { spark.sql(
+      "ALTER TABLE txn_acm_t ALTER COLUMN tier SET NOT NULL") }
+    assert(e1.getMessage.contains("existing rows hold NULL"))
+    TxnLog.updateWhere(spark, t, col("tier").isNull,
+      Seq("tier" -> lit("fixed")))
+    spark.sql("ALTER TABLE txn_acm_t ALTER COLUMN tier SET NOT NULL")
+    val e2 = intercept[Exception] { TxnLog.append(spark, t, spark.sql(
+      "SELECT 4 AS k, 'd' AS v, CAST(NULL AS STRING) AS tier")) }
+    assert(e2.getMessage.contains("nn_tier"))
+    // DROP NOT NULL: the write is legal again
+    spark.sql("ALTER TABLE txn_acm_t ALTER COLUMN tier DROP NOT NULL")
+    TxnLog.append(spark, t, spark.sql(
+      "SELECT 4 AS k, 'd' AS v, CAST(NULL AS STRING) AS tier"))
+    assert(TxnLog.snapshot(spark, t).filter(col("k") === 4).count() == 1)
+    spark.sql("DROP TABLE txn_acm_t")
+  }
+
+  test("CREATE OR REPLACE TABLE AS SELECT: definition + data, 1 commit") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_cras_t")
+    spark.sql(s"CREATE TABLE txn_cras_t (k INT, v STRING) " +
+      s"USING txnlog LOCATION '$t'")
+    spark.createDataFrame(Seq((1, "a"))).toDF("k", "v")
+      .createOrReplaceTempView("txn_cras_src")
+    spark.sql("INSERT INTO txn_cras_t SELECT * FROM txn_cras_src")
+    val vOld = TxnLog.versions(t).last
+    nation.createOrReplaceTempView("txn_cras_n")
+    spark.sql(s"CREATE OR REPLACE TABLE txn_cras_t USING txnlog " +
+      s"PARTITIONED BY (n_regionkey) LOCATION '$t' AS " +
+      s"SELECT n_nationkey, n_name, n_regionkey FROM txn_cras_n")
+    assert(TxnLog.versions(t).last == vOld + 1,
+      "definition AND data must land in ONE commit")
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.count() == nation.count())
+    assert(snap.columns.toSeq.sorted ==
+      Seq("n_name", "n_nationkey", "n_regionkey"))
+    assert(TxnLog.files(t).forall(_.contains("n_regionkey=")),
+      "the swap must honor the new PARTITIONED BY")
+    // the old table is still addressable
+    val old = TxnLog.snapshot(spark, t, Some(vOld))
+    assert(old.columns.toSeq == Seq("k", "v") && old.count() == 1)
+    spark.sql("DROP TABLE txn_cras_t")
+  }
+
   test("opt.* log actions are ignorable forward-compat metadata") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
