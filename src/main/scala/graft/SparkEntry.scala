@@ -6031,6 +6031,54 @@ object SparkEntry {
       pinned
     }),
 
+    // ── [ext] MERGE WITH SCHEMA EVOLUTION on the clause engine — the
+    // CDC feed grew a column mid-stream (the standard upstream-added-
+    // a-field event): a conditional, non-canonical merge assigns the
+    // undeclared column and ONE commit extends the declaration (type
+    // from Spark's analysis of the assignment), updates the guarded
+    // rows, inserts the new ones, and leaves every untouched row
+    // reading the new column as null. File pruning and CDF keep
+    // working — same commit spine as q321/q322. ───────────────────────
+    "q334_txn_merge_evolution" -> ((s, dir) => {
+      val tbl = TempWork.fresh("q334_txn")
+      s.sql("DROP TABLE IF EXISTS q334_mse_t")
+      graft.sources.TxnLog.create(s, tbl,
+        T(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      s.sql(s"CREATE TABLE q334_mse_t USING txnlog LOCATION '$tbl'")
+      T(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(10L)) === 0)
+        .select(col("o_orderkey").as("k"),
+          (pmod(col("o_orderkey"), lit(100L)) / lit(100.0)).as("score"),
+          (col("o_totalprice") + 50).as("price2"))
+        .unionByName(
+          T(s, dir, "orders")
+            .filter(pmod(col("o_orderkey"), lit(1000L)) === 0)
+            .select((col("o_orderkey") + 100000000L).as("k"),
+              lit(0.75).as("score"),
+              col("o_totalprice").as("price2")))
+        .createOrReplaceTempView("q334_src")
+      val vBase = graft.sources.TxnLog.versions(tbl).last
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO q334_mse_t t
+          |USING q334_src s
+          |ON t.o_orderkey = s.k
+          |WHEN MATCHED AND s.score >= 0.5 THEN
+          |  UPDATE SET o_totalprice = s.price2, priority_score = s.score
+          |WHEN NOT MATCHED THEN
+          |  INSERT (o_orderkey, o_orderstatus, o_totalprice,
+          |    priority_score) VALUES (s.k, 'N', s.price2, s.score)
+          |""".stripMargin)
+      require(graft.sources.TxnLog.versions(tbl).last == vBase + 1,
+        "evolution + update + insert must land in ONE commit")
+      s.table("q334_mse_t")
+        .groupBy(col("priority_score").isNotNull.as("has_score"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.moneySum(col("o_totalprice")).as("total_price"),
+          Exact.moneySum(coalesce(col("priority_score"), lit(0.0)))
+            .as("total_score"))
+        .orderBy("has_score")
+    }),
+
     // ── [ext] per-domain document cap — the pretraining-mix fairness
     // op (no single domain may dominate the corpus): keep the K
     // longest docs per source. NOT a window sort: the kept set is a
@@ -11527,6 +11575,31 @@ object SparkEntry {
           |  FROM customer WHERE c_acctbal > 5000)
           |SELECT c_custkey, c_name, tier, quality FROM t
           |ORDER BY c_custkey""".stripMargin,
+
+      // q334: the evolved merge replayed — guarded updates take the
+      // new column, inserts carry it, untouched rows stay null
+      "q334_txn_merge_evolution" ->
+        """WITH src AS (
+          |  SELECT o_orderkey AS k, (o_orderkey % 100) / 100.0 AS score,
+          |    o_totalprice + 50 AS price2
+          |  FROM orders WHERE o_orderkey % 10 = 0),
+          |t AS (
+          |  SELECT o.o_orderkey,
+          |    CASE WHEN s.k IS NOT NULL AND s.score >= 0.5
+          |      THEN s.price2 ELSE o.o_totalprice END AS o_totalprice,
+          |    CASE WHEN s.k IS NOT NULL AND s.score >= 0.5
+          |      THEN s.score END AS priority_score
+          |  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
+          |  UNION ALL
+          |  SELECT o_orderkey + 100000000, o_totalprice, 0.75
+          |  FROM orders WHERE o_orderkey % 1000 = 0)
+          |SELECT priority_score IS NOT NULL AS has_score,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price,
+          |  CAST(sum(CAST(coalesce(priority_score, 0.0)
+          |    AS DECIMAL(18,2))) AS DOUBLE) AS total_score
+          |FROM t GROUP BY 1 ORDER BY has_score""".stripMargin,
 
       // q333: the swapped table replayed — positive-balance suppliers
       // aggregated per nation

@@ -156,7 +156,8 @@ object GraftSqlParser {
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+TYPE\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""").r
   private val AlterDrop =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tok +
-      """\s+DROP\s+COLUMNS?\s+\(?\s*(`[^`]+`|\w+)\s*\)?\s*;?\s*""").r
+      """\s+DROP\s+COLUMNS?\s+\(?\s*((?:`[^`]+`|\w+)""" +
+      """(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*\)?\s*;?\s*""").r
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+""" + Tok + """\s+SHALLOW\s+CLONE\s+""" +
       Tok + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
@@ -434,10 +435,14 @@ object GraftSqlParser {
       maybePath(spark, delegate, target).map(p =>
         TxnLogAlterColumnCommand(p, "widen", unquote(col),
           Some(delegate.parseDataType(dt)), None, refreshNameOf(target)))
-    case AlterDrop(target, col) =>
-      maybePath(spark, delegate, target).map(p =>
-        TxnLogAlterColumnCommand(p, "drop", unquote(col), None, None,
-          refreshNameOf(target)))
+    case AlterDrop(target, cols) =>
+      maybePath(spark, delegate, target).map { p =>
+        val names = cols.split(',').map(c => unquote(c.trim)).toSeq
+        if (names.length == 1)
+          TxnLogAlterColumnCommand(p, "drop", names.head, None, None,
+            refreshNameOf(target))
+        else TxnLogDropColumnsCommand(p, names, refreshNameOf(target))
+      }
     case AddConstraint(target, name, expr) =>
       maybePath(spark, delegate, target).map(p =>
         TxnLogConstraintCommand(p, unquote(name), Some(expr.trim),
@@ -592,6 +597,23 @@ case class TxnLogAlterColumnCommand(table: String, action: String,
       case other => sys.error(s"unknown ALTER COLUMN action: $other")
     }
     refreshName.foreach(session.catalog.refreshTable)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMNS (a, b, …)` for txnlog targets: every
+  * named column leaves the declaration in ONE metadata commit
+  * ([[TxnLog.dropColumns]]). Returns the new version. */
+case class TxnLogDropColumnsCommand(table: String, cols: Seq[String],
+                                    refreshName: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxnLog.dropColumns(session, table, cols)
+    refreshName.foreach(n =>
+      try session.catalog.refreshTable(n)
+      catch { case scala.util.control.NonFatal(_) => () })
     Seq(Row(v))
   }
 }

@@ -313,9 +313,6 @@ case class TxnLogMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       TxnLogMergeCommand(path, m.sourceTable, pairs.map(_._1),
         withSchemaEvolution = m.withSchemaEvolution)
     else {
-      if (m.withSchemaEvolution) fail(
-        "WITH SCHEMA EVOLUTION is supported only for the canonical " +
-          "UPDATE SET * / INSERT * shape")
       def box(e: Expression): ExprBox = ExprBox(sideQualify(e, tq, sq))
       def specOf(a: MergeAction): TxnLogMergeClauseSpec = a match {
         case UpdateStarAction(cond) =>
@@ -341,7 +338,8 @@ case class TxnLogMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         pairs.map(_._1), pairs.map(_._2),
         m.matchedActions.map(specOf), m.notMatchedActions.map(specOf),
         m.notMatchedBySourceActions.map(specOf),
-        TxnLogSqlSurface.targetName(m.targetTable))
+        TxnLogSqlSurface.targetName(m.targetTable),
+        withSchemaEvolution = m.withSchemaEvolution)
     }
   }
 }
@@ -585,7 +583,8 @@ case class TxnLogGeneralMergeCommand(table: String, source: LogicalPlan,
                                      notMatched: Seq[TxnLogMergeClauseSpec],
                                      notMatchedBySource:
                                        Seq[TxnLogMergeClauseSpec],
-                                     refreshName: Option[String])
+                                     refreshName: Option[String],
+                                     withSchemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
@@ -612,10 +611,17 @@ case class TxnLogGeneralMergeCommand(table: String, source: LogicalPlan,
           else if (inS) UnresolvedAttribute(Seq("__s", n))
           else UnresolvedAttribute(Seq("__t", n))
       })
+    // star expansion: the declared columns ← __s.<col>; under WITH
+    // SCHEMA EVOLUTION the source's EXTRA columns ride along too
+    // (Delta's update*/insert* evolution rule)
+    val starCols = schema.fieldNames.toSeq ++
+      (if (withSchemaEvolution)
+        src.columns.toSeq.filterNot(c => tCols.contains(c.toLowerCase))
+      else Nil)
     def clauses(sps: Seq[TxnLogMergeClauseSpec], insertCtx: Boolean)
         : Seq[TxnLog.MergeClause] = sps.map { sp =>
       val assigns =
-        if (sp.isStar) schema.fieldNames.toSeq.map(n =>
+        if (sp.isStar) starCols.map(n =>
           n -> org.apache.spark.sql.functions.col(s"__s.$n"))
         else sp.assignments.map { case (n, b) =>
           n -> side(b.e, insertCtx) }
@@ -626,7 +632,7 @@ case class TxnLogGeneralMergeCommand(table: String, source: LogicalPlan,
       clauses(matched, insertCtx = false),
       clauses(notMatched, insertCtx = true),
       clauses(notMatchedBySource, insertCtx = false),
-      sourceKeys = sourceKeys)
+      sourceKeys = sourceKeys, mergeSchema = withSchemaEvolution)
     TxnLogSqlSurface.refreshQuietly(session, refreshName)
     Nil
   }

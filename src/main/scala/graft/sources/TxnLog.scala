@@ -2469,7 +2469,8 @@ object TxnLog {
             notMatched: Seq[MergeClause],
             notMatchedBySource: Seq[MergeClause] = Nil,
             sourceKeys: Seq[String] = Nil,
-            expectedVersion: Option[Long] = None): Long = {
+            expectedVersion: Option[Long] = None,
+            mergeSchema: Boolean = false): Long = {
     require(exists(table), s"not a TxnLog table: $table")
     import org.apache.spark.sql.functions.{col, count, lit, raise_error,
       struct, when}
@@ -2490,10 +2491,15 @@ object TxnLog {
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(sys.error(s"merge requires a declared schema: $table"))
     val fieldLc = schema.fields.map(f => f.name.toLowerCase).toSet
-    (matched ++ notMatched ++ notMatchedBySource)
-      .flatMap(_.assignments.map(_._1)).foreach(k =>
-        require(fieldLc.contains(k.toLowerCase),
-          s"merge assigns undeclared column: $k"))
+    // schema evolution (Delta's MERGE WITH SCHEMA EVOLUTION): an
+    // assignment to an undeclared column extends the table schema —
+    // opt-in; without the flag the old refusal stands
+    val newNames = (matched ++ notMatched ++ notMatchedBySource)
+      .flatMap(_.assignments.map(_._1))
+      .filterNot(k => fieldLc.contains(k.toLowerCase)).distinct
+    require(newNames.isEmpty || mergeSchema,
+      s"merge assigns undeclared column: ${newNames.mkString(", ")} " +
+        "(pass mergeSchema = true / WITH SCHEMA EVOLUTION to evolve)")
     val pcols = partitionColsOf(st).getOrElse(Nil)
     // file pruning on the merge keys — only when no clause touches
     // unmatched target rows (those can live in ANY file); the pruning
@@ -2569,12 +2575,28 @@ object TxnLog {
       when(isM, (mi.isNull || !isIn(mi, mDel)) && cardOk)
         .when(isT, ti.isNull || !isIn(ti, tDel))
         .otherwise(si.isNotNull && cardOk)
+    // evolved fields: each NEW column's type comes from Spark's own
+    // analysis of its first assignment over the joined row — no job,
+    // just plan resolution; unmatched target rows surface null (the
+    // same additive-evolution contract append/upsert follow)
+    val mappingOn = st.props.get("columnMapping").contains("name")
+    val newFields = newNames.map { n =>
+      val a = (matched ++ notMatchedBySource ++ notMatched)
+        .flatMap(_.assignments).find(_._1.equalsIgnoreCase(n)).get._2
+      guidPhys(StructField(n,
+        joined.select(a.as(n)).schema.head.dataType, nullable = true),
+        mappingOn)
+    }
+    val evolved = StructType(schema.fields ++ newFields)
+    val oldLc = schema.fields.map(_.name.toLowerCase).toSet
     // output value per declared column: CASE over (branch, clause idx),
     // every assignment store-assignment CAST to the declared type
     def outCol(f: StructField): Column = {
       def assigned(cl: MergeClause): Option[Column] =
         cl.assignments.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
-      var v: Column = col(s"__t.${f.name}")
+      var v: Column =
+        if (oldLc.contains(f.name.toLowerCase)) col(s"__t.${f.name}")
+        else lit(null).cast(f.dataType) // evolution: old rows are null
       matched.zipWithIndex.foreach { case (cl, i) =>
         if (!cl.isDelete) assigned(cl).foreach(a =>
           v = when(isM && mi === i, a.cast(f.dataType)).otherwise(v)) }
@@ -2593,9 +2615,10 @@ object TxnLog {
         v = when(isS && si === i, a.cast(f.dataType)).otherwise(v) }
       v.as(f.name)
     }
-    val outCols = schema.fields.toSeq.map(outCol)
-    val tAll = schema.fields.toSeq
-      .map(f => col(s"__t.${f.name}").as(f.name))
+    val outCols = evolved.fields.toSeq.map(outCol)
+    val tAll = evolved.fields.toSeq.map(f =>
+      (if (oldLc.contains(f.name.toLowerCase)) col(s"__t.${f.name}")
+      else lit(null).cast(f.dataType)).as(f.name))
     // GENERATED columns are ALWAYS recomputed from the merged row —
     // an UPDATE that moves a base column cannot leave the generated
     // (often partition) column stale, and an INSERT clause that omits
@@ -2624,11 +2647,11 @@ object TxnLog {
           .select(outCols: _*))
         .withColumn("_change_type", lit("insert")))
     val named = stageChecked(spark, table, merged, st.checks, pcols,
-      declared)
+      Some(evolved))
     val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
     val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
     val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
-    val pm = physMapOf(declared)
+    val pm = physMapOf(Some(evolved))
     // when every DV-masked file is rewritten here, clear the mask state
     // (the rewrite materialized the deletions — same as overwrite)
     val dvLine =
@@ -2636,6 +2659,7 @@ object TxnLog {
         st.dvCounts.keySet.subsetOf(touchedFiles.toSet)) Seq("dvclear")
       else Nil
     val actions = "op\tmerge" +: (dvLine ++
+      (if (newFields.nonEmpty) Seq(s"schema\t${evolved.json}") else Nil) ++
       touchedFiles.map("remove\t" + _) ++ named.map("add\t" + _) ++
       cdcNames.map("cdc\t" + _) ++
       statsLines(spark, table, named, trackedStats, pm) ++
@@ -3744,14 +3768,27 @@ object TxnLog {
     * property set here), so the old files' stale values can never
     * resurface. CAS-pinned. */
   def dropColumn(spark: SparkSession, table: String,
-                 colName: String): Long = {
+                 colName: String): Long =
+    dropColumns(spark, table, Seq(colName))
+
+  /** Multi-column DROP COLUMNS, ONE metadata commit (the plural of
+    * [[dropColumn]] — Delta's `ALTER TABLE … DROP COLUMNS (a, b)`):
+    * every named field leaves the declared schema together, so no
+    * reader can observe the half-dropped intermediate a loop of
+    * single drops would expose. Same column-mapping prerequisites per
+    * column; refuses to drop every column. CAS-pinned. */
+  def dropColumns(spark: SparkSession, table: String,
+                  colNames: Seq[String]): Long = {
     require(exists(table), s"not a TxnLog table: $table")
+    require(colNames.nonEmpty, "DROP COLUMNS needs at least one column")
+    require(colNames.distinct.length == colNames.length,
+      s"duplicate columns in DROP COLUMNS: ${colNames.mkString(", ")}")
     val base = versions(table).last
     val st = replayState(table, base)
-    val declared = mappingPrereqs(table, st, colName)
-    require(declared.fields.length > 1,
-      "cannot drop the only column of a table")
-    val fields = declared.fields.filterNot(_.name == colName)
+    val declared = colNames.map(mappingPrereqs(table, st, _)).head
+    require(declared.fields.length > colNames.length,
+      "cannot drop every column of a table")
+    val fields = declared.fields.filterNot(f => colNames.contains(f.name))
     val v = base + 1
     if (!publish(table, v, Seq("op\tdropColumn",
         "prop\tcolumnMapping\tname",

@@ -3593,6 +3593,77 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_cras_t")
   }
 
+  test("general MERGE WITH SCHEMA EVOLUTION extends the declaration") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    spark.sql("DROP TABLE IF EXISTS txn_mse_t")
+    spark.sql(s"CREATE TABLE txn_mse_t USING txnlog LOCATION '$t'")
+    // source carries a NEW column `score`; a conditional multi-clause
+    // merge (NON-canonical) assigns it on both branches
+    spark.createDataFrame(Seq((1, "ONE", 0.9), (900, "NEW", 0.5)))
+      .toDF("k", "name", "score").createOrReplaceTempView("txn_mse_src")
+    // without the flag: refuses
+    val e = intercept[Exception] { spark.sql(
+      """MERGE INTO txn_mse_t t USING txn_mse_src s
+        |ON t.n_nationkey = s.k
+        |WHEN MATCHED AND s.score > 0.5 THEN
+        |  UPDATE SET n_name = s.name, score = s.score
+        |WHEN NOT MATCHED THEN
+        |  INSERT (n_nationkey, n_name, score) VALUES (s.k, s.name,
+        |    s.score)""".stripMargin) }
+    assert(e.getMessage.contains("undeclared column"))
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO txn_mse_t t
+        |USING txn_mse_src s
+        |ON t.n_nationkey = s.k
+        |WHEN MATCHED AND s.score > 0.5 THEN
+        |  UPDATE SET n_name = s.name, score = s.score
+        |WHEN NOT MATCHED THEN
+        |  INSERT (n_nationkey, n_name, score) VALUES (s.k, s.name,
+        |    s.score)""".stripMargin)
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey", "score"))
+    assert(out.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      "the evolved type must come from the assignment expression")
+    assert(out.filter(col("n_nationkey") === 1).head.getDouble(3) == 0.9)
+    assert(out.filter(col("n_nationkey") === 900).head.getDouble(3) == 0.5)
+    assert(out.filter(col("score").isNull).count() == nation.count() - 1,
+      "untouched rows surface the evolved column as null")
+    // time travel serves the OLD schema
+    val vs = TxnLog.versions(t)
+    assert(TxnLog.snapshot(spark, t, Some(vs(vs.length - 2)))
+      .columns.length == 3)
+    spark.sql("DROP TABLE txn_mse_t")
+  }
+
+  test("multi-column DROP COLUMNS is one commit; old data unreadable") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    spark.sql("DROP TABLE IF EXISTS txn_mdrop_t")
+    spark.sql(s"CREATE TABLE txn_mdrop_t USING txnlog LOCATION '$t'")
+    val vBase = TxnLog.versions(t).last
+    spark.sql("ALTER TABLE txn_mdrop_t DROP COLUMNS (n_name, " +
+      "n_regionkey)")
+    assert(TxnLog.versions(t).last == vBase + 1,
+      "both drops must land in ONE commit")
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.columns.toSeq == Seq("n_nationkey"))
+    assert(snap.count() == nation.count())
+    // time travel still serves the full pre-drop schema
+    assert(TxnLog.snapshot(spark, t, Some(vBase)).columns.length == 3)
+    // refusals: dropping everything, dropping a missing column
+    val e1 = intercept[Exception] { TxnLog.dropColumns(spark, t,
+      Seq("n_nationkey")) }
+    assert(e1.getMessage.contains("every column"))
+    val e2 = intercept[Exception] { TxnLog.dropColumns(spark, t,
+      Seq("ghost")) }
+    assert(e2.getMessage.toLowerCase.contains("no such column") ||
+      e2.getMessage.toLowerCase.contains("ghost"))
+    spark.sql("DROP TABLE txn_mdrop_t")
+  }
+
   test("opt.* log actions are ignorable forward-compat metadata") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
