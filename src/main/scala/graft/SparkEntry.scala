@@ -6079,6 +6079,46 @@ object SparkEntry {
         .orderBy("has_score")
     }),
 
+    // ── [north star] DSIR data selection (Xie et al. 2023, Data
+    // Selection with Importance Resampling): pick out-of-domain docs
+    // that LOOK like the in-domain target by importance weight under
+    // hashed-n-gram bucket models. Target model = source 'src0';
+    // 64 hashed unigram buckets with +1 smoothing; per-doc score =
+    // mean per-token importance RATIO (the linear-domain surrogate of
+    // the log-likelihood ratio: +,*,/ are exact-rounded IEEE so both
+    // engines agree bit-for-bit, while log is not correctly-rounded —
+    // the same documented deviation as q110's ratio-idf; per-token
+    // monotonicity is preserved). Scale shape: the bucket model is a
+    // 64-row aggregate broadcast back into one explode exchange; the
+    // corpus text never shuffles twice, and at 100 TB the model stays
+    // 64 rows no matter the vocabulary. ────────────────────────────────
+    "q335_dsir_selection" -> ((s, dir) => {
+      val B = 64
+      val tb = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("tk"))
+        .withColumn("b",
+          pmod(graft.ops.Sampling.shaHash60(col("tk")), lit(B.toLong)))
+        .select("doc_id", "source", "b")
+      val m = tb.groupBy("b").agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+      val g = m.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+      val r = m.crossJoin(broadcast(g)) // 64 rows × 1 row
+        .withColumn("ratio",
+          ((col("ct").cast(DoubleType) + 1) /
+            (col("tt").cast(DoubleType) + B)) /
+          ((col("cr").cast(DoubleType) + 1) /
+            (col("tr").cast(DoubleType) + B)))
+        .select("b", "ratio")
+      tb.filter(col("source") =!= "src0") // select from out-of-domain
+        .join(broadcast(r), "b")
+        .groupBy("doc_id")
+        .agg((sum("ratio") / count(lit(1))).as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // ── [ext] per-domain document cap — the pretraining-mix fairness
     // op (no single domain may dominate the corpus): keep the K
     // longest docs per source. NOT a window sort: the kept set is a
@@ -11575,6 +11615,31 @@ object SparkEntry {
           |  FROM customer WHERE c_acctbal > 5000)
           |SELECT c_custkey, c_name, tier, quality FROM t
           |ORDER BY c_custkey""".stripMargin,
+
+      // q335: DSIR replayed — same sha-bucket models, same smoothing,
+      // same linear-domain importance ratio, same top-50
+      "q335_dsir_selection" ->
+        """WITH tok AS (SELECT doc_id, source, unnest(
+          |    list_filter(string_split(text,' '), x -> x <> '')) AS tk
+          |  FROM documents),
+          |tb AS (SELECT doc_id, source,
+          |    ('0x' || substr(sha256(tk), 1, 15))::BIGINT % 64 AS b
+          |  FROM tok),
+          |m AS (SELECT b, count(*) AS cr,
+          |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+          |  FROM tb GROUP BY b),
+          |g AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM m),
+          |r AS (SELECT b,
+          |    ((CAST(ct AS DOUBLE) + 1) / (CAST(tt AS DOUBLE) + 64)) /
+          |    ((CAST(cr AS DOUBLE) + 1) / (CAST(tr AS DOUBLE) + 64))
+          |      AS ratio
+          |  FROM m, g),
+          |d AS (SELECT tb.doc_id,
+          |    sum(ratio) / count(*) AS score
+          |  FROM tb JOIN r USING (b) WHERE tb.source <> 'src0'
+          |  GROUP BY tb.doc_id)
+          |SELECT doc_id, round(score, 6) AS dsir_score FROM d
+          |ORDER BY round(score, 6) DESC, doc_id LIMIT 50""".stripMargin,
 
       // q334: the evolved merge replayed — guarded updates take the
       // new column, inserts carry it, untouched rows stay null

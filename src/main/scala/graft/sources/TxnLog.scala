@@ -1555,6 +1555,26 @@ object TxnLog {
     * value "start,step". */
   private[sources] val IdKey = "graft.identity"
 
+  /** `idhigh` action lines for freshly staged files: one column-pruned
+    * max job over exactly the batch's files (the same shape as
+    * statsLines) recording the largest value each identity column now
+    * holds, so the NEXT writer reserves beyond it. */
+  private def idHighLines(spark: SparkSession, table: String,
+                          named: Seq[String], idCols: Seq[String],
+                          pm: Map[String, String]): Seq[String] = {
+    if (idCols.isEmpty || named.isEmpty) return Nil
+    import org.apache.spark.sql.functions.{col => c, max}
+    val dfS = spark.read.parquet(named.map(n =>
+      new HPath(tablePath(table), n).toString): _*)
+    val cols = idCols.map(n => n -> pm.getOrElse(n, n))
+      .filter { case (_, p) => dfS.columns.contains(p) }
+    if (cols.isEmpty) return Nil
+    val row = dfS.agg(max(c(cols.head._2)).cast(LongType),
+      cols.tail.map(p => max(c(p._2)).cast(LongType)): _*).head
+    cols.indices.filterNot(row.isNullAt) // zero-row stage: no line
+      .map(i => s"idhigh\t${cols(i)._1}\t${row.getLong(i)}")
+  }
+
   /** Assign IDENTITY columns on an insert batch (Delta's
     * GENERATED ALWAYS AS IDENTITY): values are UNIQUE and strictly
     * beyond the committed high-water mark, assigned distributively
@@ -1956,22 +1976,7 @@ object TxnLog {
     // reserved, so the next writer starts beyond it
     val idCols = declared.toSeq.flatMap(_.fields)
       .filter(_.metadata.contains(IdKey)).map(_.name)
-    val idLines: Seq[String] =
-      if (idCols.isEmpty || named.isEmpty) Nil
-      else {
-        import org.apache.spark.sql.functions.{col => c, max}
-        val dfS = spark.read.parquet(named.map(n =>
-          new HPath(tablePath(table), n).toString): _*)
-        val cols = idCols.map(n => n -> pm.getOrElse(n, n))
-          .filter { case (_, p) => dfS.columns.contains(p) }
-        if (cols.isEmpty) Nil
-        else {
-          val row = dfS.agg(max(c(cols.head._2)).cast(LongType),
-            cols.tail.map(p => max(c(p._2)).cast(LongType)): _*).head
-          cols.indices.filterNot(row.isNullAt) // zero-row stage: no line
-            .map(i => s"idhigh\t${cols(i)._1}\t${row.getLong(i)}")
-        }
-      }
+    val idLines = idHighLines(spark, table, named, idCols, pm)
     val rest = named.map("add\t" + _) ++ idLines ++
       statsLines(spark, table, named, statsCols, pm) ++
       bloomLines(spark, table, named, bloomCols, pm) ++
@@ -2589,9 +2594,30 @@ object TxnLog {
     }
     val evolved = StructType(schema.fields ++ newFields)
     val oldLc = schema.fields.map(_.name.toLowerCase).toSet
+    // IDENTITY columns through a merge: GENERATED ALWAYS — no clause
+    // may assign one; matched/unmatched target rows keep their stored
+    // value, and every surviving INSERT row takes a fresh value beyond
+    // the committed high-water (the same distributive assignment the
+    // append path uses; gaps allowed, Delta's contract)
+    val idFieldsM = evolved.fields.filter(_.metadata.contains(IdKey))
+    idFieldsM.foreach(f => require(
+      (matched ++ notMatched ++ notMatchedBySource)
+        .flatMap(_.assignments.map(_._1))
+        .forall(!_.equalsIgnoreCase(f.name)),
+      s"cannot assign identity column ${f.name} — GENERATED ALWAYS"))
     // output value per declared column: CASE over (branch, clause idx),
     // every assignment store-assignment CAST to the declared type
     def outCol(f: StructField): Column = {
+      if (f.metadata.contains(IdKey)) {
+        val Array(start, step) =
+          f.metadata.getString(IdKey).split(',').map(_.toLong)
+        val next = st.idHigh.get(f.name).map(_ + step).getOrElse(start)
+        val fresh = (lit(next) +
+          org.apache.spark.sql.functions.monotonically_increasing_id()
+            * step).cast(f.dataType)
+        return when(isS, fresh).otherwise(col(s"__t.${f.name}"))
+          .as(f.name)
+      }
       def assigned(cl: MergeClause): Option[Column] =
         cl.assignments.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
       var v: Column =
@@ -2662,6 +2688,8 @@ object TxnLog {
       (if (newFields.nonEmpty) Seq(s"schema\t${evolved.json}") else Nil) ++
       touchedFiles.map("remove\t" + _) ++ named.map("add\t" + _) ++
       cdcNames.map("cdc\t" + _) ++
+      idHighLines(spark, table, named,
+        idFieldsM.map(_.name).toSeq, pm) ++
       statsLines(spark, table, named, trackedStats, pm) ++
       bloomLines(spark, table, named, trackedBlooms, pm) ++
       rowcountLines(table, named))

@@ -3664,6 +3664,54 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_mdrop_t")
   }
 
+  test("MERGE into an identity table: inserts take fresh unique ids") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_idm_t")
+    spark.sql(s"CREATE TABLE txn_idm_t (id BIGINT GENERATED ALWAYS AS " +
+      s"IDENTITY, k INT, v STRING) USING txnlog LOCATION '$t'")
+    spark.sql("INSERT INTO txn_idm_t (k, v) VALUES (1, 'a'), (2, 'b')")
+    val high1 = TxnLog.snapshot(spark, t).agg(max(col("id")))
+      .head.getLong(0)
+    spark.createDataFrame(Seq((2, "B2"), (3, "c"), (4, "d")))
+      .toDF("mk", "mv").createOrReplaceTempView("txn_idm_src")
+    // non-canonical merge (conditional): matched row keeps its id,
+    // inserted rows take FRESH ids beyond the committed high-water
+    spark.sql("""MERGE INTO txn_idm_t t USING txn_idm_src s
+      |ON t.k = s.mk
+      |WHEN MATCHED AND s.mv <> 'x' THEN UPDATE SET v = s.mv
+      |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.mk, s.mv)
+      |""".stripMargin)
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.count() == 4)
+    assert(out.select("id").distinct().count() == 4,
+      "merge-inserted rows must take unique identity values")
+    assert(out.filter(col("k") === 2).head.getAs[String]("v") == "B2")
+    assert(out.filter(col("k").isin(3, 4))
+      .agg(min(col("id"))).head.getLong(0) > high1,
+      "fresh ids must reserve beyond the committed high-water")
+    assert(out.filter(col("k").isin(1, 2))
+      .agg(max(col("id"))).head.getLong(0) <= high1,
+      "matched/untouched rows must keep their stored ids")
+    // assigning the identity column refuses (GENERATED ALWAYS)
+    val e = intercept[Exception] { spark.sql(
+      """MERGE INTO txn_idm_t t USING txn_idm_src s ON t.k = s.mk
+        |WHEN MATCHED AND s.mv <> 'x' THEN UPDATE SET id = 99
+        |""".stripMargin) }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // a SECOND merge keeps uniqueness (the idhigh line advanced)
+    spark.createDataFrame(Seq((5, "e"), (6, "f"))).toDF("mk", "mv")
+      .createOrReplaceTempView("txn_idm_src2")
+    spark.sql("""MERGE INTO txn_idm_t t USING txn_idm_src2 s
+      |ON t.k = s.mk
+      |WHEN MATCHED AND s.mv <> 'x' THEN UPDATE SET v = s.mv
+      |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.mk, s.mv)
+      |""".stripMargin)
+    val fin = TxnLog.snapshot(spark, t)
+    assert(fin.count() == 6 && fin.select("id").distinct().count() == 6,
+      "identity uniqueness must hold across successive merges")
+    spark.sql("DROP TABLE txn_idm_t")
+  }
+
   test("opt.* log actions are ignorable forward-compat metadata") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
