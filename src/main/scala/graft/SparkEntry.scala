@@ -6079,6 +6079,36 @@ object SparkEntry {
         .orderBy("has_score")
     }),
 
+    // ── [north star] cross-modal alignment filtering — the LAION
+    // pipeline's CLIP-score gate: embed the MEDIA side (per-partition
+    // encoder stub — a real image tower initializes once per task),
+    // join the text-side embedding by id, score cosine alignment, keep
+    // the best-aligned pairs. The join moves 8 doubles per row, never
+    // the media bytes; both inner products fold elementwise in fixed
+    // order so the doubles reproduce bit-for-bit cross-engine (+ round
+    // 6 dp). At 100 TB the gate is a narrow map + one id-keyed join —
+    // media stays columnar-pruned unless a stage truly needs bytes. ────
+    "q336_mm_clip_filter" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        T(s, dir, "documents").filter(length(col("text")) > 0))
+      val mv = Multimodal.embedStub(s, media).toDF()
+      val te = T(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          transform(slice(col("embedding"), 1, 8),
+            x => x.cast(DoubleType)).as("tvec"))
+      def inner(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+          (acc, v) => acc + v)
+      val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      mv.join(te, "doc_id").join(src, "doc_id")
+        .withColumn("align", round(inner(col("mvec"), col("tvec")) /
+          (sqrt(inner(col("mvec"), col("mvec"))) *
+            sqrt(inner(col("tvec"), col("tvec")))), 6))
+        .select("doc_id", "source", "align")
+        .orderBy(col("align").desc, col("doc_id"))
+        .limit(30)
+    }),
+
     // ── [north star] DSIR data selection (Xie et al. 2023, Data
     // Selection with Importance Resampling): pick out-of-domain docs
     // that LOOK like the in-domain target by importance weight under
@@ -11615,6 +11645,24 @@ object SparkEntry {
           |  FROM customer WHERE c_acctbal > 5000)
           |SELECT c_custkey, c_name, tier, quality FROM t
           |ORDER BY c_custkey""".stripMargin,
+
+      // q336: the CLIP-gate replayed — same strided-byte media vector,
+      // same first-8 text slice, same fixed-order inner products
+      "q336_mm_clip_filter" ->
+        """WITH m AS (SELECT doc_id, source,
+          |    list_transform(range(0, 8), j ->
+          |      ord(text[CAST(j * strlen(text) // 8 AS INT) + 1])
+          |        / 255.0) AS mvec
+          |  FROM documents WHERE strlen(text) > 0),
+          |t AS (SELECT vec_id AS doc_id,
+          |    CAST(embedding AS DOUBLE[])[1:8] AS tvec FROM embeddings),
+          |j AS (SELECT m.doc_id, m.source,
+          |    round(list_inner_product(mvec, tvec) /
+          |      (sqrt(list_inner_product(mvec, mvec)) *
+          |       sqrt(list_inner_product(tvec, tvec))), 6) AS align
+          |  FROM m JOIN t USING (doc_id))
+          |SELECT doc_id, source, align FROM j
+          |ORDER BY align DESC, doc_id LIMIT 30""".stripMargin,
 
       // q335: DSIR replayed — same sha-bucket models, same smoothing,
       // same linear-domain importance ratio, same top-50

@@ -50,6 +50,30 @@ object Multimodal {
       }
   }
 
+  final case class MediaVec(doc_id: Long, mvec: Array[Double])
+
+  /** Media-tower encoder: a fixed-dim embedding per blob — the image
+    * half of a CLIP-style cross-modal filter. DETERMINISTIC STUB (dim
+    * evenly-strided byte samples scaled to [0,1]) for a real encoder;
+    * the real parts are the per-partition batching (a model would
+    * initialize once per task, exactly here), the typed fixed-width
+    * schema, and the blob never becoming a shuffle key — downstream
+    * joins move `dim` doubles per row, never the media bytes. */
+  def embedStub(spark: SparkSession, media: DataFrame,
+                dim: Int = 8): Dataset[MediaVec] = {
+    import spark.implicits._
+    media.select("doc_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // a real encoder (CLIP image tower) loads HERE, once per task
+        batch.map { case (id, blob) =>
+          val n = blob.length
+          MediaVec(id, Array.tabulate(dim)(j =>
+            if (n == 0) 0.0
+            else (blob(((j.toLong * n) / dim).toInt) & 0xff) / 255.0))
+        }
+      }
+  }
+
   final case class Thumb(doc_id: Long, n_bytes: Long, thumb_len: Long,
                          thumb_sum: Long, thumb_head: Long, thumb_tail: Long)
 

@@ -133,6 +133,22 @@ class VectorSpec extends SparkSpec {
     assert(f.feat1 === (97 - 98) / 2.0) // alternating sum / n
   }
 
+  test("media embed stub: fixed-dim strided-byte vector, empty-safe") {
+    val docs = Seq((7L, "abcdefgh", "en", "web"), (8L, "", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Multimodal.embedStub(spark, Multimodal.asMedia(docs))
+      .collect().sortBy(_.doc_id)
+    assert(out.length === 2)
+    // 8 bytes, dim 8: component j samples byte j exactly
+    assert(out(0).mvec.toSeq ===
+      "abcdefgh".getBytes.toSeq.map(b => (b & 0xff) / 255.0))
+    assert(out(1).mvec.toSeq === Seq.fill(8)(0.0), "empty blob → zeros")
+    // partition-independence: the vector is a pure function of bytes
+    val out2 = Multimodal.embedStub(spark,
+      Multimodal.asMedia(docs.repartition(5))).collect().sortBy(_.doc_id)
+    assert(out2.map(_.mvec.toSeq).toSeq === out.map(_.mvec.toSeq).toSeq)
+  }
+
   test("kmeans assignment is partition-independent and a true argmin") {
     import graft.operators.Clustering
     val emb = Tables.load(spark, sf0001, "embeddings")
