@@ -3712,6 +3712,62 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_idm_t")
   }
 
+  test("identity high-water survives RESTORE — rolled-back ids never reused") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_idr_t")
+    spark.sql(s"CREATE TABLE txn_idr_t (id BIGINT GENERATED ALWAYS AS " +
+      s"IDENTITY, v STRING) USING txnlog LOCATION '$t'")
+    spark.sql("INSERT INTO txn_idr_t (v) VALUES ('a'), ('b')")
+    val vKeep = TxnLog.versions(t).last
+    spark.sql("INSERT INTO txn_idr_t (v) VALUES ('c'), ('d')")
+    val highAll = TxnLog.snapshot(spark, t).agg(max(col("id")))
+      .head.getLong(0)
+    // roll back the second batch…
+    spark.sql(s"RESTORE TABLE txn_idr_t TO VERSION AS OF $vKeep")
+    assert(TxnLog.snapshot(spark, t).count() == 2)
+    // …then insert again: the rolled-back commits' idhigh lines are
+    // still in the log (replay max-merges), so the NEW rows can never
+    // collide with ids that version-pinned readers may still serve
+    spark.sql("INSERT INTO txn_idr_t (v) VALUES ('e')")
+    val newId = TxnLog.snapshot(spark, t)
+      .filter(col("v") === "e").head.getLong(0)
+    assert(newId > highAll,
+      s"post-restore identity $newId must exceed the pre-restore " +
+        s"high-water $highAll — reuse would collide with time travel")
+    spark.sql("DROP TABLE txn_idr_t")
+  }
+
+  test("replaceWhere on a PARTITIONED table keeps the hive layout") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"),
+      statsCols = Seq("n_nationkey"))
+    val before = TxnLog.files(t)
+    // replace a KEY band (not a partition): victims span partitions,
+    // survivors rewrite into their own hive dirs, the batch lands
+    // through the declared layout
+    TxnLog.replaceWhere(spark, t, "n_nationkey >= 10 AND n_nationkey < 15",
+      nation.filter(col("n_nationkey").between(10, 14))
+        .withColumn("n_name", concat(col("n_name"), lit("_RW"))))
+    val out = TxnLog.snapshot(spark, t)
+    assert(out.count() == nation.count())
+    assert(out.filter(col("n_nationkey").between(10, 14) &&
+      !col("n_name").endsWith("_RW")).count() == 0)
+    assert(TxnLog.files(t).forall(_.contains("n_regionkey=")),
+      s"all files must stay hive-partitioned: ${TxnLog.files(t).take(3)}")
+    // partition pruning still serves correct slices afterwards
+    assert(TxnLog.snapshot(spark, t).filter(col("n_regionkey") === 2)
+      .count() == nation.filter(col("n_regionkey") === 2).count())
+    // files in partitions the band never touches keep their identity
+    val untouchedParts = before.filterNot { f =>
+      nation.filter(col("n_nationkey").between(10, 14))
+        .select("n_regionkey").distinct().collect()
+        .map(r => s"n_regionkey=${r.getInt(0)}").exists(f.contains)
+    }
+    assert(untouchedParts.forall(TxnLog.files(t).contains),
+      "partitions outside the band must keep their exact files")
+    spark.sql("DROP TABLE IF EXISTS txn_idr_t")
+  }
+
   test("opt.* log actions are ignorable forward-compat metadata") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
