@@ -5887,7 +5887,8 @@ object SparkEntry {
     // commit swaps schema, constraints, and live set (no reader ever
     // sees a half-replaced table), HISTORY survives — the pre-replace
     // table stays addressable via VERSION AS OF — and TRUNCATE is a
-    // pure-metadata wipe with row-level delete CDF. ────────────────────
+    // TRULY metadata-only wipe (zero data bytes touched; no row-level
+    // CDF — a change window crossing it refuses, like the replace). ──
     "q330_txn_replace_truncate" -> ((s, dir) => {
       val tbl = TempWork.fresh("q330_txn")
       s.sql("DROP TABLE IF EXISTS q330_cor_t")
@@ -6118,20 +6119,30 @@ object SparkEntry {
     // the log-likelihood ratio: +,*,/ are exact-rounded IEEE so both
     // engines agree bit-for-bit, while log is not correctly-rounded —
     // the same documented deviation as q110's ratio-idf; per-token
-    // monotonicity is preserved). Scale shape: the bucket model is a
-    // 64-row aggregate broadcast back into one explode exchange; the
-    // corpus text never shuffles twice, and at 100 TB the model stays
-    // 64 rows no matter the vocabulary. ────────────────────────────────
+    // monotonicity is preserved). Scale shape: ONE tokenization pass —
+    // the corpus collapses to per-(doc, bucket) token counts (≤64
+    // narrow rows per doc) which are PINNED (localCheckpoint); the
+    // 64-row model, its global, and the scoring join all read the
+    // pinned counts. Round 15's shape re-tokenized the corpus for
+    // every broadcast subtree (3 passes, StageProbe: 3×~0.5s single-
+    // task stages); at 100 TB the pin costs 64 ints per doc and buys
+    // back two full corpus passes. The fixture is one parquet file
+    // (one scan task), so the pass fans out first — q196's note: at
+    // corpus scale the input is many files and the exchange is free. ──
     "q335_dsir_selection" -> ((s, dir) => {
       val B = 64
       val tb = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("source"),
           explode(TextOps.tokens(col("text"))).as("tk"))
         .withColumn("b",
           pmod(graft.ops.Sampling.shaHash60(col("tk")), lit(B.toLong)))
-        .select("doc_id", "source", "b")
-      val m = tb.groupBy("b").agg(count(lit(1)).as("cr"),
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+        .groupBy("doc_id", "source", "b")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val m = tb.groupBy("b").agg(sum("n").as("cr"),
+        sum(when(col("source") === "src0", col("n")).otherwise(0L))
+          .as("ct"))
       val g = m.agg(sum("cr").as("tr"), sum("ct").as("tt"))
       val r = m.crossJoin(broadcast(g)) // 64 rows × 1 row
         .withColumn("ratio",
@@ -6140,10 +6151,13 @@ object SparkEntry {
           ((col("cr").cast(DoubleType) + 1) /
             (col("tr").cast(DoubleType) + B)))
         .select("b", "ratio")
+      // mean per-token ratio = Σ_b ratio_b·n_b / Σ_b n_b — the
+      // bucket-weighted spelling of the same score, over the pinned
+      // counts instead of a second pass over the raw tokens
       tb.filter(col("source") =!= "src0") // select from out-of-domain
         .join(broadcast(r), "b")
         .groupBy("doc_id")
-        .agg((sum("ratio") / count(lit(1))).as("score"))
+        .agg((sum(col("ratio") * col("n")) / sum(col("n"))).as("score"))
         .select(col("doc_id"), round(col("score"), 6).as("dsir_score"))
         .orderBy(col("dsir_score").desc, col("doc_id"))
         .limit(50)
@@ -11671,10 +11685,11 @@ object SparkEntry {
           |    list_filter(string_split(text,' '), x -> x <> '')) AS tk
           |  FROM documents),
           |tb AS (SELECT doc_id, source,
-          |    ('0x' || substr(sha256(tk), 1, 15))::BIGINT % 64 AS b
-          |  FROM tok),
-          |m AS (SELECT b, count(*) AS cr,
-          |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+          |    ('0x' || substr(sha256(tk), 1, 15))::BIGINT % 64 AS b,
+          |    count(*) AS n
+          |  FROM tok GROUP BY 1, 2, 3),
+          |m AS (SELECT b, sum(n) AS cr,
+          |    sum(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS ct
           |  FROM tb GROUP BY b),
           |g AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM m),
           |r AS (SELECT b,
@@ -11683,7 +11698,7 @@ object SparkEntry {
           |      AS ratio
           |  FROM m, g),
           |d AS (SELECT tb.doc_id,
-          |    sum(ratio) / count(*) AS score
+          |    sum(ratio * n) / sum(n) AS score
           |  FROM tb JOIN r USING (b) WHERE tb.source <> 'src0'
           |  GROUP BY tb.doc_id)
           |SELECT doc_id, round(score, 6) AS dsir_score FROM d

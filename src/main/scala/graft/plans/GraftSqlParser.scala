@@ -907,9 +907,10 @@ case class TxnLogColumnMetaCommand(table: String, kind: String,
 }
 
 /** `TRUNCATE TABLE t` for txnlog targets: one transactional commit
-  * removing every live file ([[TxnLog.truncate]] — pure metadata,
-  * schema/constraints/partitioning survive, deletes journaled as
-  * CDF). Returns the new version. */
+  * removing every live file ([[TxnLog.truncate]] — TRULY pure
+  * metadata: zero data bytes touched, schema/constraints/partitioning
+  * survive; no row-level CDF, so a change window crossing it refuses
+  * like CREATE OR REPLACE). Returns the new version. */
 case class TxnLogTruncateCommand(table: String,
                                  refreshName: Option[String])
     extends LeafRunnableCommand {

@@ -993,16 +993,34 @@ object TxnLog {
   /** The log protocol this build can read (Delta's minReaderVersion
     * shape): `minreader` actions above it refuse replay descriptively.
     * Raise it only alongside a semantic the old reader would silently
-    * misread. */
-  private[sources] val SupportedReaderVersion = 1L
+    * misread. Version 2 = identity tables: replay must understand the
+    * `idhigh` high-water action (an old build would refuse it as a
+    * corrupt log line; the floor turns that into an upgrade message). */
+  private[sources] val SupportedReaderVersion = 2L
 
   /** The log protocol this build can WRITE (Delta's minWriterVersion
     * shape): `minwriter` floors above it refuse every commit at
     * [[publish]] while reads keep working. Every current feature
     * (constraints, column mapping, DVs, clones) is writer-version 1;
     * raise the stamp only alongside an invariant an old writer would
-    * silently break. */
-  private[sources] val SupportedWriterVersion = 1L
+    * silently break. Version 2 = identity tables: a version-1 writer
+    * would append without reserving identity values past the logged
+    * high-water and silently break id uniqueness — exactly the class
+    * of invariant the floor exists for (Delta gates IDENTITY behind a
+    * writer feature the same way). */
+  private[sources] val SupportedWriterVersion = 2L
+
+  /** Protocol stamp for a table born with `schema`: identity columns
+    * need reader/writer 2 (see the constants above); everything else
+    * is 1/1. Emitted by every table-defining commit (create,
+    * createEmpty, replaceTable[As]) — replay keeps the max, so a
+    * replace that ADDS an identity column raises the floor and one
+    * that drops it leaves the floor where history put it (the log
+    * still contains `idhigh` lines an old reader cannot replay). */
+  private def protocolLines(schema: StructType): Seq[String] =
+    if (schema.fields.exists(_.metadata.contains(IdKey)))
+      Seq("minreader\t2", "minwriter\t2")
+    else Seq("minreader\t1", "minwriter\t1")
 
   val BloomBits: Int = 1 << 18
   val BloomHashes: Int = 5
@@ -1629,8 +1647,8 @@ object TxnLog {
       require(!n.contains('\t') && !e.contains('\t'),
         "constraint names/expressions must be tab-free") }
     val named = stageChecked(spark, table, df, checks.toMap, partitionBy)
-    val actions = "op\tcreate" +: "minreader\t1" +: "minwriter\t1" +:
-      s"schema\t${df.schema.json}" +:
+    val actions = "op\tcreate" +: (protocolLines(df.schema) :+
+      s"schema\t${df.schema.json}") ++:
       (txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
         checks.map { case (n, e) => s"check\t$n\t$e" } ++
         named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols)
@@ -1682,9 +1700,13 @@ object TxnLog {
     // IDENTITY columns: integral, positive step, and exclusive of the
     // other generation/default channels
     schema.fields.filter(_.metadata.contains(IdKey)).foreach { f =>
-      require(f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType,
-        s"IDENTITY column ${f.name} must be BIGINT or INT, " +
+      // BIGINT only (Delta's rule): the distributive assignment embeds
+      // the partition id in the high bits (monotonically_increasing_id
+      // is partitionId<<33 | row), so any multi-partition batch mints
+      // values >= 2^33 — an INT identity column would silently wrap
+      // (or throw under ANSI) and corrupt the logged high-water
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"IDENTITY column ${f.name} must be BIGINT, " +
           s"got ${f.dataType.catalogString}")
       val parts = f.metadata.getString(IdKey).split(',')
       require(parts.length == 2 &&
@@ -1727,8 +1749,8 @@ object TxnLog {
                   checks: Seq[(String, String)] = Nil): Long = {
     require(!exists(table), s"table already exists: $table")
     validateDdl(spark, schema, partitionBy, checks)
-    val actions = Seq("op\tcreate", "minreader\t1", "minwriter\t1",
-      s"schema\t${schema.json}") ++
+    val actions = Seq("op\tcreate") ++ protocolLines(schema) ++
+      Seq(s"schema\t${schema.json}") ++
       (if (partitionBy.nonEmpty)
         Seq(s"prop\tgraft.partitionBy\t${partitionBy.mkString(",")}")
       else Nil) ++
@@ -1739,30 +1761,27 @@ object TxnLog {
   }
 
   /** TRUNCATE TABLE as one transactional commit: every live file
-    * removed (pure metadata — zero data bytes touched until vacuum),
-    * the deleted rows journaled as row-level `delete` CDF so
-    * incremental consumers see the wipe. The declared schema,
+    * removed — TRULY pure metadata: zero data bytes read or written
+    * (a 100 TB truncate is a log append, not a table pass). The price
+    * of that contract is the same one [[replaceTable]] charges: no
+    * row-level CDF is journaled — a definition-scale wipe is not row
+    * change data — so a change-feed window CROSSING the truncate
+    * refuses descriptively ([[changesBetween]]'s removes-without-
+    * journal rule) instead of silently skipping the wipe. A caller
+    * who wants the wipe journaled row-level pays for it explicitly
+    * with `deleteWhere(lit(true))`. The declared schema,
     * partitioning, constraints, and properties all survive — this is
     * the data-only half of the reference bootstrap's DROP + CREATE
     * (`src/db/postgres/company.sql:3-7`), time-travel-addressable
     * like every commit. CAS-pinned. */
   def truncate(spark: SparkSession, table: String,
                expectedVersion: Option[Long] = None): Long = {
-    import org.apache.spark.sql.functions.lit
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
-    val declared =
-      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val cdcNames =
-      if (st.live.isEmpty) Nil
-      else stage(spark, table,
-        readFiles(spark, table, st.live, declared, dvOf(spark, table, st))
-          .withColumn("_change_type", lit("delete")),
-        subdir = Some("_change_data"))
     val dvLine = if (st.dvCounts.nonEmpty) Seq("dvclear") else Nil
     val actions = "op\ttruncate" +: (dvLine ++
-      st.live.map("remove\t" + _) ++ cdcNames.map("cdc\t" + _))
+      st.live.map("remove\t" + _))
     val v = base + 1
     if (!publish(table, v, actions))
       throw new ConcurrentCommitException(v)
@@ -1796,7 +1815,8 @@ object TxnLog {
     // action kind
     val partLine = s"prop\tgraft.partitionBy\t" +
       (if (partitionBy.nonEmpty) partitionBy.mkString(",") else ",")
-    val actions = Seq("op\treplaceTable") ++ dvLine ++
+    val actions = Seq("op\treplaceTable") ++ protocolLines(schema) ++
+      dvLine ++
       st.live.map("remove\t" + _) ++
       st.checks.keys.toSeq.sorted.map("checkdrop\t" + _) ++
       Seq(s"schema\t${schema.json}", partLine) ++
@@ -1821,17 +1841,27 @@ object TxnLog {
     validateDdl(spark, df.schema, partitionBy, checks)
     val base = versions(table).last
     val st = replayState(table, base)
-    val named = stageChecked(spark, table, df, checks.toMap, partitionBy,
+    // identity columns in the NEW declaration: GENERATED ALWAYS — the
+    // SELECT's values are overwritten with fresh ones past the logged
+    // high-water (replay keeps idhigh across a replace, so a same-name
+    // identity column can never shrink below history's reservations)
+    val df1 = fillIdentity(df, Some(df.schema), st.idHigh)
+    val named = stageChecked(spark, table, df1, checks.toMap, partitionBy,
       Some(df.schema))
+    val idCols = df.schema.fields.toSeq
+      .filter(_.metadata.contains(IdKey)).map(_.name)
     val dvLine = if (st.dvCounts.nonEmpty) Seq("dvclear") else Nil
     val partLine = s"prop\tgraft.partitionBy\t" +
       (if (partitionBy.nonEmpty) partitionBy.mkString(",") else ",")
-    val actions = Seq("op\treplaceTable") ++ dvLine ++
+    val actions = Seq("op\treplaceTable") ++
+      protocolLines(df.schema) ++ dvLine ++
       st.live.map("remove\t" + _) ++
       st.checks.keys.toSeq.sorted.map("checkdrop\t" + _) ++
       Seq(s"schema\t${df.schema.json}", partLine) ++
       checks.map { case (n, e) => s"check\t$n\t$e" } ++
-      named.map("add\t" + _) ++ rowcountLines(table, named)
+      named.map("add\t" + _) ++
+      idHighLines(spark, table, named, idCols, physMapOf(Some(df.schema))) ++
+      rowcountLines(table, named)
     val v = base + 1
     if (!publish(table, v, actions))
       throw new ConcurrentCommitException(v)
@@ -2111,7 +2141,8 @@ object TxnLog {
                 opName: String = "overwrite",
                 statsCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil,
-                txn: Option[(String, Long)] = None): Long = {
+                txn: Option[(String, Long)] = None,
+                assignIdentity: Boolean = true): Long = {
     require(exists(table), s"not a TxnLog table: $table")
     val base = expectedVersion.getOrElse(versions(table).last)
     val st = replayState(table, base)
@@ -2128,7 +2159,20 @@ object TxnLog {
     // through it); a re-declaration resets physical = logical — it
     // rewrites every file anyway, so the layouts stay consistent
     val physOf = if (schemaLine.isEmpty) declared else None
-    val named = stageChecked(spark, table, df, st.checks,
+    // identity columns: GENERATED ALWAYS holds through a full replace
+    // too — batch values are overwritten with fresh ones past the
+    // committed high-water (which never shrinks), and the commit logs
+    // the new high so the next writer reserves beyond it.
+    // assignIdentity=false is the INTERNAL row-preserving path
+    // (deleteWhere/updateWhere rewrite survivors verbatim): stored
+    // ids pass through untouched and the high-water stands.
+    val governing = if (schemaLine.isEmpty) declared else Some(df.schema)
+    val df1 = if (assignIdentity) fillIdentity(df, governing, st.idHigh)
+      else df
+    val idCols = if (!assignIdentity) Nil
+      else governing.toSeq.flatMap(_.fields)
+        .filter(_.metadata.contains(IdKey)).map(_.name)
+    val named = stageChecked(spark, table, df1, st.checks,
       partitionColsOf(st).getOrElse(Nil), physOf)
     val pm = physMapOf(physOf)
     val cdcNames = cdcRows.toSeq.flatMap(
@@ -2138,6 +2182,7 @@ object TxnLog {
         txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
         st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
         cdcNames.map("cdc\t" + _) ++
+        idHighLines(spark, table, named, idCols, pm) ++
         statsLines(spark, table, named, statsCols, pm) ++
         bloomLines(spark, table, named, bloomCols, pm) ++
         rowcountLines(table, named))))
@@ -2289,6 +2334,19 @@ object TxnLog {
     val st = replayState(table, base)
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    // identity tables refuse the key-rewrite upsert: its merged plan
+    // replaces matched rows with BATCH rows wholesale, which would
+    // either overwrite stored ids with user values (GENERATED ALWAYS
+    // violated) or mint fresh ids for rows that already have one.
+    // The clause-aware [[merge]] handles identity correctly (matched
+    // rows keep their stored value, inserts take fresh ones) — route
+    // there.
+    declared.foreach(d => require(
+      !d.fields.exists(_.metadata.contains(IdKey)),
+      s"upsert on identity table $table is not supported — use merge " +
+        "(WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT), " +
+        "which keeps stored identity values and assigns fresh ones " +
+        "only to inserted rows"))
     // evolution (Delta's schema.autoMerge for MERGE): extra update
     // columns are admitted only via mergeSchema, commit the evolved
     // schema, and surface as null on pre-evolution rows. Unlike append,
@@ -2655,22 +2713,51 @@ object TxnLog {
         .foldLeft(df)((acc, f) => acc.withColumn(f.name,
           org.apache.spark.sql.functions
             .expr(f.metadata.getString(GenKey)).cast(f.dataType)))
-    val merged = regen(joined.filter(survives).select(outCols: _*))
-    // row-level CDF: pre/post pairs for updates, delete/insert rows —
-    // same joined plan, recomputed per branch like upsertCdc
     val updRow = (isM && mi.isNotNull && !isIn(mi, mDel)) ||
       (isT && ti.isNotNull && !isIn(ti, tDel))
     val delRow = (isM && isIn(mi, mDel)) || (isT && isIn(ti, tDel))
+    // the staged rows and the CDF post-image/insert rows must carry
+    // IDENTICAL values, so both derive from ONE tagged plan. When any
+    // output expression can drift between two executions — identity
+    // assignment (monotonically_increasing_id over the filtered plan)
+    // or wall-clock/random defaults like NOW() — the plan is PINNED
+    // once (localCheckpoint, same single-scan contract as
+    // updateWhereDV); a fully deterministic merge skips the pin and
+    // lets both sides re-evaluate to provably equal values.
+    val branchTag = when(isS, lit("ins")).when(updRow, lit("upd"))
+      .otherwise(lit("keep")).as("__branch")
+    def drifts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = {
+      val wallClock = Set("now", "current_timestamp", "current_date",
+        "localtimestamp", "rand", "randn", "random", "uuid", "shuffle",
+        "monotonically_increasing_id")
+      e.exists {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          => wallClock.contains(f.nameParts.last.toLowerCase)
+        case nd if !nd.deterministic => true
+        case _ => false
+      }
+    }
+    val needsPin = idFieldsM.nonEmpty ||
+      outCols.exists(c =>
+        drifts(org.apache.spark.sql.GraftShim.expression(c)))
+    val mergedAll0 = regen(joined.filter(survives)
+      .select(outCols :+ branchTag: _*))
+    val mergedAll =
+      if (needsPin) mergedAll0.localCheckpoint(true) else mergedAll0
+    val merged = mergedAll.drop("__branch")
+    // row-level CDF: pre-image/delete rows read target values (always
+    // deterministic); post-image/insert rows come from the SAME
+    // (possibly pinned) plan the staged files are written from
     val cdc = joined.filter(updRow && cardOk).select(tAll: _*)
         .withColumn("_change_type", lit("update_preimage"))
-      .unionByName(
-        regen(joined.filter(updRow && cardOk).select(outCols: _*))
+      .unionByName(mergedAll.filter(col("__branch") === "upd")
+        .drop("__branch")
         .withColumn("_change_type", lit("update_postimage")))
       .unionByName(joined.filter(delRow).select(tAll: _*)
         .withColumn("_change_type", lit("delete")))
-      .unionByName(
-        regen(joined.filter(isS && si.isNotNull && cardOk)
-          .select(outCols: _*))
+      .unionByName(mergedAll.filter(col("__branch") === "ins")
+        .drop("__branch")
         .withColumn("_change_type", lit("insert")))
     val named = stageChecked(spark, table, merged, st.checks, pcols,
       Some(evolved))
@@ -2730,7 +2817,11 @@ object TxnLog {
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     declared.foreach(validateAgainst(_, df.schema, mergeSchema = false))
-    val named = stageChecked(spark, table, df, st.checks, pcols, declared)
+    // identity columns (never partition columns, by DDL rule): the
+    // swapped-in rows are new rows — fresh values past the committed
+    // high-water, logged so the next writer reserves beyond them
+    val df1 = fillIdentity(df, declared, st.idHigh)
+    val named = stageChecked(spark, table, df1, st.checks, pcols, declared)
     // `explicitParts` carries a STATIC partition spec (Hive/Spark
     // static-mode OVERWRITE): the named partitions are replaced even
     // when the source lands no rows in them — an empty query output
@@ -2759,9 +2850,13 @@ object TxnLog {
       stage(spark, table, c, subdir = Some("_change_data")))
     val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
     val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
+    val idColsOp = declared.toSeq.flatMap(_.fields)
+      .filter(_.metadata.contains(IdKey)).map(_.name)
+    val idLines = idHighLines(spark, table, named, idColsOp,
+      physMapOf(declared))
     val actions = "op\treplacePartitions" +:
       (removes.map("remove\t" + _) ++ named.map("add\t" + _) ++
-        cdcNames.map("cdc\t" + _) ++
+        cdcNames.map("cdc\t" + _) ++ idLines ++
         statsLines(spark, table, named, trackedStats,
           physMapOf(declared)) ++
         bloomLines(spark, table, named, trackedBlooms,
@@ -2771,6 +2866,16 @@ object TxnLog {
     var v = base + 1
     while (!publish(table, v, actions)) {
       val head = versions(table).last
+      // identity guard (same as append's): a lost race is only safely
+      // retried when no intervening commit moved the high-water our
+      // reserved range was computed from
+      if (idLines.nonEmpty) {
+        val hs = replayState(table, head)
+        if (idColsOp.exists(cn =>
+            hs.idHigh.getOrElse(cn, Long.MinValue) !=
+            st.idHigh.getOrElse(cn, Long.MinValue)))
+          throw new ConcurrentCommitException(v)
+      }
       val conflict = (checkedUpTo + 1 to head).exists(cv =>
         actionTouches(actionsOf(table, cv), touched))
       if (conflict) throw new ConcurrentCommitException(v)
@@ -2892,7 +2997,12 @@ object TxnLog {
     val declared =
       st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     val pcols = partitionColsOf(st).getOrElse(Nil)
-    val df0 = fillDefaults(batch, declared)
+    // identity columns: the batch's rows are NEW rows — GENERATED
+    // ALWAYS overwrites any supplied values with fresh ones past the
+    // committed high-water, and the commit advances the high-water
+    // (survivor rows below keep their stored ids untouched)
+    val df0 = fillIdentity(fillDefaults(batch, declared), declared,
+      st.idHigh)
     declared.foreach(validateAgainst(_, df0.schema, mergeSchema = false))
     val hit = coalesce(expr(condSql), lit(false))
     val candidates = candidateFiles(spark, st, condSql, declared)
@@ -2938,9 +3048,12 @@ object TxnLog {
       if (st.dvCounts.nonEmpty &&
         st.dvCounts.keySet.subsetOf(victims.toSet)) Seq("dvclear")
       else Nil
+    val idColsRw = declared.toSeq.flatMap(_.fields)
+      .filter(_.metadata.contains(IdKey)).map(_.name)
     val actions = "op\treplaceWhere" +: (dvLine ++
       victims.map("remove\t" + _) ++ named.map("add\t" + _) ++
       cdcNames.map("cdc\t" + _) ++
+      idHighLines(spark, table, namedNew, idColsRw, pm) ++
       statsLines(spark, table, named, trackedStats, pm) ++
       bloomLines(spark, table, named, trackedBlooms, pm) ++
       rowcountLines(table, named))
@@ -3142,7 +3255,7 @@ object TxnLog {
     val survivors = snap.filter(!hit)
     val deleted = snap.filter(hit).withColumn("_change_type", lit("delete"))
     overwrite(spark, table, survivors, Some(base), cdcRows = Some(deleted),
-      opName = "delete")
+      opName = "delete", assignIdentity = false)
   }
 
   /** SQL UPDATE as a transactional copy-on-write commit (Delta's
@@ -3179,6 +3292,11 @@ object TxnLog {
       val missing = byName.keySet -- d.fieldNames.toSet
       require(missing.isEmpty,
         s"UPDATE sets undeclared column(s): ${missing.mkString(", ")}")
+      d.fields.filter(f => f.metadata.contains(GenKey) ||
+          f.metadata.contains(IdKey)).foreach(f => require(
+        !byName.keySet.exists(_.equalsIgnoreCase(f.name)),
+        s"cannot SET generated column ${f.name} — " +
+          "its value channel is the table's (GENERATED ALWAYS)"))
     }
     val snap = snapshot(spark, table, Some(base))
     val hit = coalesce(cond, lit(false))
@@ -3190,12 +3308,19 @@ object TxnLog {
           declared.map(_(c).dataType).fold(v)(v.cast).as(c)
         }
       }: _*)
-    val post = assigned(pre)
+    // generated columns follow their base columns (recompute-always,
+    // same contract as the DV path): a SET that moves a base column
+    // cannot leave its generated (often partition) column stale
+    val post = declared.fold(assigned(pre))(d =>
+      d.fields.filter(_.metadata.contains(GenKey))
+        .foldLeft(assigned(pre))((acc, f) => acc.withColumn(f.name,
+          org.apache.spark.sql.functions
+            .expr(f.metadata.getString(GenKey)).cast(f.dataType))))
     val cdc = pre.withColumn("_change_type", lit("update_preimage"))
       .unionByName(post.withColumn("_change_type",
         lit("update_postimage")))
     overwrite(spark, table, untouched.unionByName(post), Some(base),
-      cdcRows = Some(cdc), opName = "update")
+      cdcRows = Some(cdc), opName = "update", assignIdentity = false)
   }
 
   /** MERGE-ON-READ DELETE via deletion vectors (Delta's DV feature /
@@ -3305,7 +3430,8 @@ object TxnLog {
       val missing = byName.keySet -- d.fieldNames.toSet
       require(missing.isEmpty,
         s"UPDATE sets undeclared column(s): ${missing.mkString(", ")}")
-      d.fields.filter(_.metadata.contains(GenKey)).foreach(f => require(
+      d.fields.filter(f => f.metadata.contains(GenKey) ||
+          f.metadata.contains(IdKey)).foreach(f => require(
         !byName.keySet.exists(_.equalsIgnoreCase(f.name)),
         s"cannot SET generated column ${f.name} — it is recomputed"))
     }
@@ -3441,7 +3567,8 @@ object TxnLog {
       else if (removes.nonEmpty)
         throw new IllegalStateException(
           s"version $v removes files but journaled no change data " +
-            "(raw overwrite); use upsert/deleteWhere or diff snapshots")
+            "(raw overwrite / TRUNCATE / CREATE OR REPLACE); use " +
+            "upsert/deleteWhere or diff snapshots")
       else if (adds.nonEmpty) {
         // pure-add synthesis reads DATA files — pin the schema the
         // commit declared so column mapping (physical names in the

@@ -3078,15 +3078,15 @@ class TxnLogSpec extends SparkSpec {
     // a (hypothetical newer) writer raises the WRITE floor to 2
     val log = Paths.get(t, "_txn_log")
     Files.write(log.resolve(f"${2L}%020d.log"),
-      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t2"))
+      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t3"))
     // reads are NOT gated by minwriter
     assert(TxnLog.snapshot(spark, t).count() == nation.count())
     // every commit path refuses descriptively
     val e = intercept[Exception] { TxnLog.append(spark, t, nation) }
-    assert(e.getMessage.contains("writer version 2"), e.getMessage)
+    assert(e.getMessage.contains("writer version 3"), e.getMessage)
     val e2 = intercept[Exception] {
       TxnLog.deleteWhereDV(spark, t, col("n_nationkey") < 3) }
-    assert(e2.getMessage.contains("writer version 2"))
+    assert(e2.getMessage.contains("writer version 3"))
   }
 
   test("protocol floors survive inside checkpoints") {
@@ -3094,7 +3094,7 @@ class TxnLogSpec extends SparkSpec {
     TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 3))
     val log = Paths.get(t, "_txn_log")
     Files.write(log.resolve(f"${2L}%020d.log"),
-      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t2"))
+      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t3"))
     // hand-publish two more appends (the guard refuses TxnLog.append —
     // which is the point — so re-add the existing file as raw lines)
     val f0 = TxnLog.files(t).head
@@ -3112,7 +3112,7 @@ class TxnLogSpec extends SparkSpec {
         "only in the checkpoint")
     assert(TxnLog.snapshot(spark, t).count() > 0) // reads stay legal
     val e = intercept[Exception] { TxnLog.append(spark, t, nation) }
-    assert(e.getMessage.contains("writer version 2"),
+    assert(e.getMessage.contains("writer version 3"),
       s"floor must survive checkpoint replay, got: ${e.getMessage}")
   }
 
@@ -3349,7 +3349,7 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_rw_t")
   }
 
-  test("TRUNCATE TABLE: metadata wipe, schema survives, CDF journaled") {
+  test("TRUNCATE TABLE: metadata-only wipe, schema survives, CDF refuses") {
     val t = freshTable()
     TxnLog.create(spark, t, nation)
     spark.sql("DROP TABLE IF EXISTS txn_trunc_t")
@@ -3364,10 +3364,14 @@ class TxnLogSpec extends SparkSpec {
       Seq("n_nationkey", "n_name", "n_regionkey"))
     assert(TxnLog.snapshot(spark, t, Some(vBase)).count() ==
       nation.count())
-    // the wipe is row-level CDF (every row a delete)
-    val cdf = TxnLog.changesBetween(spark, t, vBase, vBase + 1)
-    assert(cdf.filter(col("_change_type") === "delete").count() ==
-      nation.count())
+    // TRULY metadata-only: the truncate commit carries no CDF files
+    // (zero data bytes read or written — the 100 TB contract), so a
+    // change window crossing it refuses descriptively, exactly like
+    // CREATE OR REPLACE; a journaled wipe is deleteWhere(lit(true))
+    val e = intercept[IllegalStateException] {
+      TxnLog.changesBetween(spark, t, vBase, vBase + 1).count()
+    }
+    assert(e.getMessage.contains("journaled no change data"))
     // and the table keeps working: an append lands normally
     TxnLog.append(spark, t, nation.limit(3))
     assert(TxnLog.snapshot(spark, t).count() == 3)
@@ -3477,6 +3481,91 @@ class TxnLogSpec extends SparkSpec {
     spark.sql("DROP TABLE txn_dvu_g")
   }
 
+  test("IDENTITY through non-append writers: fresh ids, guarded paths") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_idw_t")
+    spark.sql(s"CREATE TABLE txn_idw_t (id BIGINT GENERATED ALWAYS AS " +
+      s"IDENTITY (START WITH 10 INCREMENT BY 3), k INT, v STRING) " +
+      s"USING txnlog LOCATION '$t'")
+    // identity tables stamp the protocol floor: an old build must see
+    // "upgrade", not "corrupt log" (idhigh) or silent id collisions
+    val v1 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(t, "_txn_log", f"${1L}%020d.log"))
+    assert(v1.contains("minreader\t2") && v1.contains("minwriter\t2"),
+      s"identity tables must raise the protocol floor, got $v1")
+    TxnLog.append(spark, t, spark.sql(
+      "SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b'"))
+    val high1 = TxnLog.snapshot(spark, t).agg(max(col("id")))
+      .head.getLong(0)
+    // replaceWhere: batch rows are NEW rows — supplied ids overwritten
+    // with fresh ones past the high-water, high-water advances
+    TxnLog.replaceWhere(spark, t, "k = 2", spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS id, 2 AS k, 'b2' AS v"))
+    val s1 = TxnLog.snapshot(spark, t)
+    assert(s1.select("id").distinct().count() == s1.count())
+    val rwId = s1.filter(col("v") === "b2").head.getLong(0)
+    assert(rwId > high1, s"replaceWhere must mint past high-water: $rwId")
+    // overwrite: full replace still assigns fresh ids beyond history
+    TxnLog.overwrite(spark, t, spark.sql(
+      "SELECT CAST(2 AS BIGINT) AS id, 9 AS k, 'ow' AS v"))
+    val owId = TxnLog.snapshot(spark, t).head.getLong(0)
+    assert(owId > rwId, s"overwrite must mint past high-water: $owId")
+    // the row-preserving paths keep stored ids verbatim
+    TxnLog.append(spark, t, spark.sql("SELECT 9 AS k, 'keep' AS v"))
+    val before = TxnLog.snapshot(spark, t)
+      .filter(col("v") === "keep").head.getLong(0)
+    TxnLog.updateWhere(spark, t, col("v") === "ow",
+      Seq("v" -> org.apache.spark.sql.functions.lit("ow2")))
+    assert(TxnLog.snapshot(spark, t).filter(col("v") === "keep")
+      .head.getLong(0) == before,
+      "updateWhere must not reassign untouched rows' ids")
+    // SET of the identity column refuses (GENERATED ALWAYS)
+    val eSet = intercept[Exception] { TxnLog.updateWhere(spark, t,
+      col("v") === "ow2",
+      Seq("id" -> org.apache.spark.sql.functions.lit(1L))) }
+    assert(eSet.getMessage.contains("GENERATED ALWAYS") ||
+      eSet.getMessage.contains("recomputed"))
+    // the key-rewrite upsert refuses on identity tables (routes to
+    // merge, which is clause-aware about the id channel)
+    val eUp = intercept[Exception] { TxnLog.upsert(spark, t,
+      spark.sql("SELECT 9 AS k, 'up' AS v"), Seq("k")) }
+    assert(eUp.getMessage.contains("use merge"), eUp.getMessage)
+    spark.sql("DROP TABLE txn_idw_t")
+  }
+
+  test("merge on an identity table: CDF insert rows carry the ids the " +
+      "table holds (single-materialization contract)") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS txn_idm_t")
+    spark.sql(s"CREATE TABLE txn_idm_t (id BIGINT GENERATED ALWAYS AS " +
+      s"IDENTITY, k INT, v STRING) USING txnlog LOCATION '$t'")
+    TxnLog.append(spark, t, spark.sql(
+      "SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b'"))
+    val vBase = TxnLog.versions(t).last
+    // merge inserts two new keys: the identity assignment is
+    // non-deterministic across executions, so staged files and the
+    // CDF insert journal MUST come from one pinned materialization
+    TxnLog.merge(spark, t,
+      spark.sql("SELECT 2 AS k, 'b2' AS v UNION ALL " +
+        "SELECT 3, 'c' UNION ALL SELECT 4, 'd'"),
+      keys = Seq("k"),
+      matched = Seq(TxnLog.MergeClause(None, isDelete = false,
+        Seq("v" -> col("__s.v")))),
+      notMatched = Seq(TxnLog.MergeClause(None, isDelete = false,
+        Seq("k" -> col("__s.k"), "v" -> col("__s.v")))))
+    val snap = TxnLog.snapshot(spark, t)
+    assert(snap.select("id").distinct().count() == snap.count(),
+      "ids stay unique through a merge")
+    val tableIds = snap.filter(col("k").isin(3, 4))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val cdfIns = TxnLog.changesBetween(spark, t, vBase, vBase + 1)
+      .filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cdfIns == tableIds,
+      s"CDF insert ids $cdfIns must equal the table's $tableIds")
+    spark.sql("DROP TABLE txn_idm_t")
+  }
+
   test("IDENTITY columns: unique, increasing, high-water in the log") {
     val t = freshTable()
     spark.sql("DROP TABLE IF EXISTS txn_id_t")
@@ -3518,7 +3607,7 @@ class TxnLogSpec extends SparkSpec {
     val e1 = intercept[Exception] { spark.sql(
       s"CREATE TABLE txn_id_bad1 (id STRING GENERATED ALWAYS AS " +
         s"IDENTITY, v STRING) USING txnlog LOCATION '${freshTable()}'") }
-    assert(e1.getMessage.contains("BIGINT or INT"))
+    assert(e1.getMessage.contains("must be BIGINT"))
     spark.sql("DROP TABLE txn_id_t")
   }
 
