@@ -40,7 +40,10 @@ object EventStream {
     spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
   }
-  private val StatePartitions = 4
+  // env-overridable for A/B probing (state-store commit cost is
+  // per-store-per-batch; see the round-16 README probe note)
+  private val StatePartitions =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(4)
 
   /** Best-effort recursive delete of a staging temp dir (every streaming
     * query stages fixture copies into a landing dir; [[runToResult]]
@@ -232,6 +235,28 @@ object EventStream {
     * the landing dir DELETED before returning. Without this, repeated
     * bench passes accumulate full result sets in driver memory (one
     * never-dropped temp view per invocation) and fixture copies in /tmp. */
+  /** Throwaway checkpoint dir (offsets + state store files) on tmpfs
+    * when available: the harness queries commit state + offset files
+    * every micro-batch, and that fsync-bound I/O — not computation —
+    * dominates short stream-stream joins. Production checkpoints
+    * belong on durable storage; a bench/verify harness's throwaway
+    * checkpoints do not. Writable is not enough: containers commonly
+    * mount /dev/shm at 64MB, and a stream-stream join's state store
+    * exhausting it mid-query fails a run that would have succeeded on
+    * disk. Require real headroom (512MB) before choosing tmpfs;
+    * otherwise fall through (None) to Spark's default disk-backed
+    * checkpoint location. */
+  private def tmpfsCheckpoint(): Option[java.nio.file.Path] = {
+    val ckptBase = java.nio.file.Paths.get("/dev/shm")
+    val shmUsable = java.nio.file.Files.isWritable(ckptBase) &&
+      (try java.nio.file.Files.getFileStore(ckptBase).getUsableSpace >=
+        512L * 1024 * 1024
+       catch { case _: java.io.IOException => false })
+    if (shmUsable)
+      Some(java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_"))
+    else None
+  }
+
   private def runToResult(spark: SparkSession, df: DataFrame, mode: String,
                           statePartitioned: Boolean,
                           landing: Option[java.nio.file.Path])
@@ -241,25 +266,7 @@ object EventStream {
     // streaming queries to sometimes throw and keeps going — without the
     // finally, each failed pass would leak its landing dir and sink view,
     // exactly the accumulation this helper exists to prevent
-    // Checkpoint (offsets + state store files) on tmpfs when available:
-    // the harness queries commit state + offset files every micro-batch,
-    // and that fsync-bound I/O — not computation — dominates short
-    // stream-stream joins. Production checkpoints belong on durable
-    // storage; a bench/verify harness's throwaway checkpoints do not.
-    // Writable is not enough: containers commonly mount /dev/shm at 64MB,
-    // and a stream-stream join's state store exhausting it mid-query
-    // fails a run that would have succeeded on disk. Require real
-    // headroom (512MB) before choosing tmpfs; otherwise fall through to
-    // Spark's default disk-backed checkpoint location.
-    val ckptBase = java.nio.file.Paths.get("/dev/shm")
-    val shmUsable = java.nio.file.Files.isWritable(ckptBase) &&
-      (try java.nio.file.Files.getFileStore(ckptBase).getUsableSpace >=
-        512L * 1024 * 1024
-       catch { case _: java.io.IOException => false })
-    val ckpt: Option[java.nio.file.Path] =
-      if (shmUsable)
-        Some(java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_"))
-      else None
+    val ckpt = tmpfsCheckpoint()
     try {
       def run(): Unit = {
         val w0 = df.writeStream.outputMode(mode).format("memory")
@@ -328,7 +335,7 @@ object EventStream {
       .join(broadcast(dim), "event_type")
       .withColumn("weighted", col("value") * col("weight"))
     runToResult(spark, enriched, "append",
-      statePartitioned = false, Some(landing)) { t =>
+      statePartitioned = true, Some(landing)) { t =>
       t.groupBy("event_type", "weight")
         .agg(count(lit(1)).as("n"),
           sum(col("weighted").cast(Exact.Money)).cast(DoubleType).as("weighted_value"))
@@ -900,7 +907,7 @@ object EventStream {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast(Exact.Money)).as("tp"))
     try runToResult(spark, agg, "complete",
-      statePartitioned = false, None) { t =>
+      statePartitioned = true, None) { t =>
       t.select(col("_change_type"), col("n_rows"),
         col("tp").cast(DoubleType).as("total_price"))
         .orderBy("_change_type")
@@ -942,14 +949,25 @@ object EventStream {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast(Exact.Money)).as("tp"))
     val name = s"stream_rate_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(name).start()
+    // same harness discipline as runToResult (this query drives its own
+    // loop to read progress records): throwaway checkpoint on tmpfs and
+    // state partitions sized to state volume (~3 status keys) — without
+    // either, each micro-batch paid 32 disk-fsynced store commits
+    // (round-16 StreamProbe: ~600 ms per store under full contention)
+    val ckpt = tmpfsCheckpoint()
+    val w0 = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(name)
+    val w = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString))
+    val q = withStatePartitions(spark, StatePartitions)(w.start())
     try {
       q.processAllAvailable()
       val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
       require(nonEmpty >= 4,
         s"4 versions at 1/trigger need >= 4 micro-batches, got $nonEmpty")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      ckpt.foreach(deleteRecursively)
+    }
     try spark.table(name)
       .select(col("o_orderstatus"), col("n_rows"),
         col("tp").cast(DoubleType).as("total_price"))
@@ -982,7 +1000,7 @@ object EventStream {
         sum(col("o_totalprice").cast(Exact.Money)).as("tp"),
         min(col("_commit_version")).as("first_v"))
     try runToResult(spark, agg, "complete",
-      statePartitioned = false, None) { t =>
+      statePartitioned = true, None) { t =>
       t.select(col("_change_type"), col("n_rows"),
         col("tp").cast(DoubleType).as("total_price"), col("first_v"))
         .orderBy("_change_type")
@@ -1020,7 +1038,7 @@ object EventStream {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast(Exact.Money)).as("tp"))
     try runToResult(spark, agg, "complete",
-      statePartitioned = false, None) { t =>
+      statePartitioned = true, None) { t =>
       t.select(col("o_orderstatus"), col("n_rows"),
         col("tp").cast(DoubleType).as("total_price"))
         .orderBy("o_orderstatus")
@@ -1058,7 +1076,7 @@ object EventStream {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast(Exact.Money)).as("tp"))
     try runToResult(spark, agg, "complete",
-      statePartitioned = false, None) { t =>
+      statePartitioned = true, None) { t =>
       t.select(col("o_orderstatus"), col("n_rows"),
         col("tp").cast(DoubleType).as("total_price"))
         .orderBy("o_orderstatus")
