@@ -6110,6 +6110,103 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // ── [ext] ROW TRACKING (Delta row IDs): stable physical row
+    // identity — assigned once at ingest (contiguous per-file ranges
+    // past a logged high-water), surviving OPTIMIZE (the rewrite
+    // materializes ids into its output) and merge-on-read DELETE
+    // (masked rows vanish, survivors keep their ids AND their original
+    // positions). This removes the audit-key workaround the
+    // reference's schema carries (`src/db/bigquery/daily_stock_price
+    // .sql:13`): a downstream MERGE can key on `_row_id` instead of a
+    // user key. The two loads land as one sorted file each, so the
+    // ids are DETERMINISTIC (odd keys then even keys, rank order) and
+    // the oracle reconstructs the entire id space with ROW_NUMBER —
+    // the strongest possible check of assignment order, enablement
+    // backfill, high-water reservation, and delete masking. In-query
+    // pins: zero id churn across OPTIMIZE + DV delete. ────────────────
+    "q337_txn_row_ids" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val tbl = TempWork.fresh("q337_txn")
+      val cust = T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      def oneSortedFile(df: org.apache.spark.sql.DataFrame) =
+        df.repartition(1).sortWithinPartitions("c_custkey")
+      TxnLog.create(s, tbl,
+        oneSortedFile(cust.filter(pmod(col("c_custkey"), lit(2)) === 1)))
+      // enablement BACKFILLS the existing file from committed
+      // rowcounts (pure metadata); the second load reserves past the
+      // high-water — ids = odd keys ranked 0.., then even keys
+      TxnLog.setProperties(s, tbl, Map(TxnLog.RowTrackKey -> "true"))
+      TxnLog.append(s, tbl,
+        oneSortedFile(cust.filter(pmod(col("c_custkey"), lit(2)) === 0)))
+      val pre = TxnLog.snapshotWithRowIds(s, tbl)
+        .select(col("c_custkey"), col("_row_id").as("rid_pre"))
+        .localCheckpoint(true) // pinned BEFORE the rewrites
+      // OPTIMIZE re-lays the whole table (acctbal-clustered); the DV
+      // delete then masks rows with zero files rewritten
+      val before = TxnLog.files(tbl)
+      TxnLog.compact(s, tbl, targetFiles = 3,
+        clusterBy = Seq("c_acctbal"))
+      TxnLog.deleteWhereDV(s, tbl, col("c_acctbal") < 0)
+      require(TxnLog.files(tbl).intersect(before).isEmpty,
+        "OPTIMIZE must have replaced every original file — otherwise " +
+          "the id-stability pin below is vacuous")
+      val post = TxnLog.snapshotWithRowIds(s, tbl)
+      val chk = post.join(pre, Seq("c_custkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("rid_pre").isNull ||
+            col("_row_id") =!= col("rid_pre"), 1L).otherwise(0L))
+            .as("moved")).head
+      require(chk.getLong(1) == 0L,
+        s"${chk.getLong(1)} of ${chk.getLong(0)} surviving rows " +
+          "changed identity across OPTIMIZE + DV delete")
+      post.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("_row_id")).as("id_sum"),
+          min(col("_row_id")).as("min_id"),
+          max(col("_row_id")).as("max_id"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ── [ext] COPY INTO — idempotent file ingestion (Delta's COPY
+    // INTO): the reference's staged-CSV daily load
+    // (`src/etl/sql/bigquery_dml__ingest_daily_stock_price.sql:5-10`)
+    // as ONE retry-safe statement. Loaded source files are remembered
+    // in the log's `copied` manifest; a crashed-after-load job that
+    // re-runs the statement loads NOTHING and commits NOTHING — the
+    // in-query pins replay the COPY through SQL and require zero rows,
+    // zero files, zero new versions. At 100 TB the re-run costs one
+    // driver-side LIST against O(loaded files) log metadata. ──────────
+    "q338_txn_copy_into" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val tbl = TempWork.fresh("q338_txn")
+      val stage = TempWork.fresh("q338_stage")
+      val src = T(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      // the day's extract lands as a staged CSV directory (several
+      // part files — exactly the reference's external staging bucket)
+      src.repartition(4).write.mode("overwrite")
+        .option("header", "true").csv(stage)
+      TxnLog.createEmpty(s, tbl, src.schema)
+      val (v1, nf1, nr1) = TxnLog.copyInto(s, tbl, stage, "csv",
+        Map("header" -> "true"))
+      require(nf1 > 0 && nr1 == src.count(),
+        s"first COPY must load the full extract, got $nf1 files/$nr1 rows")
+      // the retry — same statement, through the SQL surface
+      val again = s.sql(s"COPY INTO '$tbl' FROM '$stage' " +
+        "FILEFORMAT = CSV FORMAT_OPTIONS ('header'='true')").head
+      require(again.getAs[Long]("num_inserted_rows") == 0L &&
+        again.getAs[Long]("num_files") == 0L,
+        "re-running the same COPY INTO must load nothing")
+      require(TxnLog.versions(tbl).last == v1,
+        "the no-op re-run must not even commit a version")
+      TxnLog.snapshot(s, tbl)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          Exact.moneySum(col("s_acctbal")).as("total_bal"))
+        .orderBy("s_nationkey")
+    }),
+
     // ── [north star] DSIR data selection (Xie et al. 2023, Data
     // Selection with Importance Resampling): pick out-of-domain docs
     // that LOOK like the in-domain target by importance weight under
@@ -11677,6 +11774,36 @@ object SparkEntry {
           |  FROM m JOIN t USING (doc_id))
           |SELECT doc_id, source, align FROM j
           |ORDER BY align DESC, doc_id LIMIT 30""".stripMargin,
+
+      // q337: the engine's row-id space reconstructed from scratch —
+      // odd custkeys rank 0.. (first load, one sorted file), even
+      // custkeys continue past the odd count (second load reserves
+      // beyond the high-water); negative-balance rows are DV-masked.
+      // Aggregating ids per segment catches any misassignment.
+      "q337_txn_row_ids" ->
+        """WITH odd AS (
+          |  SELECT c_custkey, c_acctbal, c_mktsegment,
+          |    ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rid
+          |  FROM customer WHERE c_custkey % 2 = 1),
+          |even AS (
+          |  SELECT c_custkey, c_acctbal, c_mktsegment,
+          |    (SELECT count(*) FROM odd) +
+          |      ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rid
+          |  FROM customer WHERE c_custkey % 2 = 0),
+          |t AS (SELECT * FROM odd UNION ALL SELECT * FROM even)
+          |SELECT c_mktsegment, count(*) AS n_rows,
+          |  CAST(sum(rid) AS BIGINT) AS id_sum,
+          |  min(rid) AS min_id, max(rid) AS max_id
+          |FROM t WHERE c_acctbal >= 0
+          |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+      // q338: the COPY-INTO-loaded table is exactly the supplier
+      // extract — loaded once despite the statement running twice
+      "q338_txn_copy_into" ->
+        """SELECT s_nationkey, count(*) AS n_suppliers,
+          |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_bal
+          |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
 
       // q335: DSIR replayed — same sha-bucket models, same smoothing,
       // same linear-domain importance ratio, same top-50

@@ -84,7 +84,8 @@ object GraftSqlParser {
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + Tok +
-      """(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
+      """(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+(INCREMENTAL))?\s*;?\s*""").r
   // OPTIMIZE WHERE takes partition-value equalities only (Delta's
   // restriction): a conjunction of col = 'val' / col = val
   private val PartEq =
@@ -131,6 +132,14 @@ object GraftSqlParser {
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""").r
   private val ConstraintClause =
     """(?is)\s*CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s*\((.*)\)\s*""".r
+  // Delta's idempotent file ingestion: COPY INTO t FROM '<dir|glob>'
+  // FILEFORMAT = CSV|PARQUET|JSON [FORMAT_OPTIONS(...)] [COPY_OPTIONS
+  // ('force'='true')] — re-running the same statement loads nothing
+  private val CopyIntoStmt =
+    ("""(?is)\s*COPY\s+INTO\s+""" + Tok +
+      """\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)""" +
+      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
+      """(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?\s*;?\s*""").r
   // Delta's arbitrary-predicate replaceWhere as SQL:
   // INSERT INTO t REPLACE WHERE <pred> SELECT …
   private val InsertReplaceWhere =
@@ -255,7 +264,7 @@ object GraftSqlParser {
     case Vacuum(target, hours, dry) =>
       Some(TxnLogVacuumCommand(pathOf(spark, delegate, target),
         Option(hours).map(_.toLong), dryRun = dry != null))
-    case Optimize(target, where, zorder) =>
+    case Optimize(target, where, zorder, inc) =>
       val cols = Option(zorder).toSeq.flatMap(_.split(','))
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
       val parts = Option(where).toSeq
@@ -267,8 +276,11 @@ object GraftSqlParser {
           case bad => fail("OPTIMIZE WHERE takes a conjunction of " +
             s"partition equalities (col = 'value'), got: $bad")
         }
+      if (inc != null && cols.isEmpty)
+        fail("OPTIMIZE … INCREMENTAL needs ZORDER BY — it is the " +
+          "clustering maintenance path")
       Some(TxnLogOptimizeCommand(pathOf(spark, delegate, target), cols,
-        parts))
+        parts, incremental = inc != null))
     case History(target) =>
       Some(TxnLogHistoryCommand(pathOf(spark, delegate, target)))
     case RestoreV(target, v) =>
@@ -407,6 +419,13 @@ object GraftSqlParser {
       maybePath(spark, delegate, target).map(p =>
         TxnLogReplaceWhereCommand(p, pred.trim,
           delegate.parsePlan(query), refreshNameOf(target)))
+    case CopyIntoStmt(target, src, fmt, fopts, copts) =>
+      def kvs(s: String): Map[String, String] =
+        Option(s).toSeq.flatMap(PropPair.findAllMatchIn(_).map(m =>
+          m.group(1) -> m.group(2))).toMap
+      Some(TxnLogCopyIntoCommand(pathOf(spark, delegate, target),
+        src, fmt, kvs(fopts),
+        force = kvs(copts).get("force").contains("true")))
     // ALTER TABLE is in Spark's own grammar: claim it ONLY for a
     // txnlog target — the commit is a metadata-only schema change in
     // the table's own log (column mapping), not a catalog edit.
@@ -513,7 +532,8 @@ case class TxnLogVacuumCommand(table: String, retainHours: Option[Long],
   * blooms on the cluster columns so pruning is effective on every one
   * of them. Returns (version, n_files_after). */
 case class TxnLogOptimizeCommand(table: String, zorderBy: Seq[String],
-                                 partitions: Seq[(String, String)] = Nil)
+                                 partitions: Seq[(String, String)] = Nil,
+                                 incremental: Boolean = false)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -529,8 +549,30 @@ case class TxnLogOptimizeCommand(table: String, zorderBy: Seq[String],
           .defaultParallelism / 2),
         clusterBy = zorderBy, hilbert = zorderBy.size >= 2,
         statsCols = zorderBy, bloomCols = zorderBy,
-        partitions = partitions)
+        partitions = partitions, incremental = incremental)
     Seq(Row(v, TxnLog.files(table).size.toLong))
+  }
+}
+
+/** `COPY INTO t FROM '<dir|glob>' FILEFORMAT = …`: idempotent file
+  * ingestion — loaded source files are remembered in the log's
+  * `copied` manifest, so re-running the statement loads nothing
+  * ([[TxnLog.copyInto]]). Returns Delta's metric row shape
+  * (num_affected_rows, num_inserted_rows) plus the commit version. */
+case class TxnLogCopyIntoCommand(table: String, source: String,
+                                 format: String,
+                                 options: Map[String, String],
+                                 force: Boolean)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("num_affected_rows", LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, nf, nr) = TxnLog.copyInto(session, table, source, format,
+      options, force)
+    Seq(Row(nr, nr, nf, v))
   }
 }
 

@@ -171,6 +171,59 @@ object TxnLog {
     new HPath(logDir(table), f"$v%020d.log")
   private def checkpointFile(table: String, v: Long): HPath =
     new HPath(logDir(table), f"$v%020d.checkpoint.parquet")
+
+  // ─── multi-part checkpoints (Delta's classic multi-part scheme) ────
+  //
+  // A streaming sink committing per-batch (q264-style) pushes a table
+  // to 10⁶ commits; its checkpoint rows grow with live files + stats +
+  // txn markers, and ONE driver-written parquet becomes the metadata
+  // bottleneck. Above [[checkpointShardRows]] rows the state shards
+  // into `<v>.checkpoint.<i>.<n>.parquet` parts (i ∈ 1..n, Delta's
+  // exact naming); a reader requires ALL n parts — an in-progress or
+  // torn write is simply not a checkpoint and replay degrades to the
+  // log, the same never-fail contract as the pointer file.
+  private def checkpointShardRows: Int =
+    Integer.getInteger("graft.checkpoint.shardRows", 100000)
+
+  private def checkpointPartFile(table: String, v: Long,
+                                 i: Int, n: Int): HPath =
+    new HPath(logDir(table),
+      f"$v%020d.checkpoint.$i%05d.$n%05d.parquet")
+
+  private val CheckpointPartRe =
+    """^(\d{20})\.checkpoint\.(\d{5})\.(\d{5})\.parquet$""".r
+  private val CheckpointSingleRe =
+    """^(\d{20})\.checkpoint\.parquet$""".r
+
+  /** Version a checkpoint file name addresses — single or part form. */
+  private def checkpointVersionOf(name: String): Option[Long] =
+    name match {
+      case CheckpointSingleRe(v) => Some(v.toLong)
+      case CheckpointPartRe(v, _, _) => Some(v.toLong)
+      case _ => None
+    }
+
+  /** The COMPLETE on-disk file set of the checkpoint at `v`: the
+    * single file, or every one of its n parts in order — None when
+    * absent or incomplete (a reader must then fall back to replay). */
+  private def checkpointParts(table: String, v: Long): Option[Seq[HPath]] = {
+    val fs = fsOf(logDir(table))
+    val single = checkpointFile(table, v)
+    try {
+      if (fs.exists(single)) return Some(Seq(single))
+      val found = fs.listStatus(logDir(table)).toSeq.map(_.getPath)
+        .flatMap(p => p.getName match {
+          case CheckpointPartRe(pv, i, n) if pv.toLong == v =>
+            Some((i.toInt, n.toInt, p))
+          case _ => None
+        })
+      if (found.isEmpty) return None
+      val n = found.head._2
+      if (found.exists(_._2 != n) ||
+          found.map(_._1).sorted != (1 to n).toList) None
+      else Some(found.sortBy(_._1).map(_._3))
+    } catch { case _: java.io.IOException => None }
+  }
   private def lastCheckpointPtr(table: String): HPath =
     new HPath(logDir(table), "_last_checkpoint")
 
@@ -229,13 +282,13 @@ object TxnLog {
         // minimal JSON: {"version":N} — no parser dependency needed
         val v = "\"version\"\\s*:\\s*(\\d+)".r
           .findFirstMatchIn(txt).map(_.group(1).toLong)
-        v.filter(cv => cv <= upTo && fs.exists(checkpointFile(table, cv)))
+        v.filter(cv => cv <= upTo &&
+          checkpointParts(table, cv).isDefined)
       } catch { case scala.util.control.NonFatal(_) => None }
     fromPtr.orElse {
       val cps = fs.listStatus(d).toSeq.map(_.getPath.getName)
-        .filter(_.endsWith(".checkpoint.parquet"))
-        .map(_.stripSuffix(".checkpoint.parquet").toLong)
-        .filter(_ <= upTo)
+        .flatMap(checkpointVersionOf).distinct
+        .filter(cv => cv <= upTo && checkpointParts(table, cv).isDefined)
       if (cps.isEmpty) None else Some(cps.max)
     }
   }
@@ -279,7 +332,10 @@ object TxnLog {
                                  props: Map[String, String],
                                  minReader: Long = 1L,
                                  minWriter: Long = 1L,
-                                 idHigh: Map[String, Long] = Map.empty)
+                                 idHigh: Map[String, Long] = Map.empty,
+                                 rowBases: Map[String, Long] = Map.empty,
+                                 rowHigh: Long = 0L,
+                                 copied: Set[String] = Set.empty)
 
   /** Replay state at `upTo`. Starts from the newest checkpoint ≤ upTo
     * when one exists, else from the log's beginning. Memoized — see
@@ -318,6 +374,9 @@ object TxnLog {
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     val props = scala.collection.mutable.Map.empty[String, String]
     val idHigh = scala.collection.mutable.Map.empty[String, Long]
+    val rowBases = scala.collection.mutable.Map.empty[String, Long]
+    var rowHigh = 0L
+    val copied = scala.collection.mutable.Set.empty[String]
     var minReader = 1L
     var minWriter = 1L
     def dropFile(f: String): Unit = {
@@ -327,6 +386,7 @@ object TxnLog {
       rowcounts.remove(f)
       dvCounts.remove(f) // a rewritten file's DV entries are dead
       sizes.remove(f)
+      rowBases.remove(f)
     }
     def applyLine(where: String)(line: String): Unit =
       line.split('\t') match {
@@ -360,6 +420,14 @@ object TxnLog {
         // keeps the max so rebased/retried commits can never shrink it
         case Array("idhigh", c, n) =>
           idHigh(c) = math.max(idHigh.getOrElse(c, Long.MinValue), n.toLong)
+        // row tracking (Delta row IDs): each data file's fresh-row BASE
+        // (row id = base + position-in-file) and the table's row-id
+        // high-water, max-merged on replay like idhigh
+        case Array("rowbase", f, b) => rowBases(f) = b.toLong
+        case Array("rowhigh", n) => rowHigh = math.max(rowHigh, n.toLong)
+        // COPY INTO's per-source-file ingestion manifest: a file listed
+        // here has been loaded and every later COPY skips it
+        case Array("copied", p) => copied += p
         // forward-compat guard (Delta's protocol action): a writer that
         // needs semantics this reader lacks raises minreader, and every
         // replay refuses DESCRIPTIVELY instead of serving a snapshot
@@ -402,7 +470,8 @@ object TxnLog {
     }
     State(live.toSeq, schemaJson, checks.toMap, txn.toMap, stats.toMap,
       blooms.toMap, rowcounts.toMap, dvFiles.toSeq, dvCounts.toMap,
-      sizes.toMap, props.toMap, minReader, minWriter, idHigh.toMap)
+      sizes.toMap, props.toMap, minReader, minWriter, idHigh.toMap,
+      rowBases.toMap, rowHigh, copied.toSet)
   }
 
   /** Raw action lines of one committed version (no checkpoint
@@ -497,27 +566,47 @@ object TxnLog {
           st.props.toSeq.sortBy(_._1).map { case (k, pv) =>
             g("prop").append("name", k).append("detail", pv) } ++
           st.idHigh.toSeq.sortBy(_._1).map { case (c, n) =>
-            g("idhigh").append("name", c).append("lo", n) }
+            g("idhigh").append("name", c).append("lo", n) } ++
+          st.rowBases.toSeq.sortBy(_._1).map { case (f, b) =>
+            g("rowbase").append("path", f).append("lo", b) } ++
+          (if (st.rowHigh > 0L) Seq(g("rowhigh").append("lo", st.rowHigh))
+           else Nil) ++
+          st.copied.toSeq.sorted.map(p => g("copied").append("path", p))
       // write-temp-then-rename, like the log itself: a reader can never
       // observe a half-written checkpoint. Rename refusing an existing
       // destination is FINE here — a concurrent checkpointer of the
       // same version wrote identical content, so the loser just drops
       // its temp (checkpoints are derived data).
       val fs = fsOf(logDir(table))
-      val tmp = new HPath(logDir(table),
-        s"_cp_${UUID.randomUUID()}.inprogress")
       // parquet-mr's GroupWriteSupport MUTATES the conf it's given —
       // never hand it the shared ioConf
       val conf = new Configuration(ioConf)
       org.apache.parquet.hadoop.example.GroupWriteSupport
         .setSchema(CheckpointSchema, conf)
-      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
-        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-          fs.makeQualified(tmp), conf))
-        .withConf(conf).withType(CheckpointSchema).build()
-      try rows.foreach(w.write) finally w.close()
-      val dest = checkpointFile(table, v)
-      if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, false)
+      def writeOne(chunk: Seq[org.apache.parquet.example.data.Group],
+                   dest: HPath): Unit = {
+        val tmp = new HPath(logDir(table),
+          s"_cp_${UUID.randomUUID()}.inprogress")
+        val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(fs.makeQualified(tmp), conf))
+          .withConf(conf).withType(CheckpointSchema).build()
+        try chunk.foreach(w.write) finally w.close()
+        if (fs.exists(dest) || !fs.rename(tmp, dest))
+          fs.delete(tmp, false)
+      }
+      // shard above the row threshold (multi-part checkpoints): parts
+      // appear one rename at a time, and a reader that lists an
+      // INCOMPLETE part set treats the checkpoint as absent — torn
+      // multi-part writes degrade to log replay, never to wrong state
+      val shard = checkpointShardRows
+      if (rows.size <= shard)
+        writeOne(rows, checkpointFile(table, v))
+      else {
+        val chunks = rows.grouped(shard).toSeq
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          writeOne(c, checkpointPartFile(table, v, i + 1, chunks.size)) }
+      }
       // publish the pointer LAST: readers that already resolved the old
       // pointer keep working (older checkpoints are never invalidated).
       // The pointer REPLACE is delete+rename — not atomic everywhere,
@@ -543,11 +632,16 @@ object TxnLog {
       // costs replay speed.
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** [[readCheckpoint]] through the write-once memo (see [[cpCache]]). */
+  /** [[readCheckpoint]] through the write-once memo (see [[cpCache]]).
+    * The fingerprint keys the FIRST part's status — parts of one
+    * checkpoint land together and are never rewritten, so one part
+    * identifies the set. */
   private def checkpointLines(table: String, v: Long): Seq[String] = {
     val fp =
       try {
-        val st = fsOf(logDir(table)).getFileStatus(checkpointFile(table, v))
+        val first = checkpointParts(table, v)
+          .map(_.head).getOrElse(checkpointFile(table, v))
+        val st = fsOf(logDir(table)).getFileStatus(first)
         Some((st.getModificationTime, st.getLen))
       } catch { case _: java.io.IOException => None }
     fp match {
@@ -567,6 +661,12 @@ object TxnLog {
     * (the `file`/`schema`/`check`/`txn`/`stats` subset a checkpoint can
     * contain) so replay shares one interpreter with the log proper. */
   private def readCheckpoint(table: String, v: Long): Seq[String] = {
+    val parts = checkpointParts(table, v).getOrElse(sys.error(
+      s"checkpoint at v$v of $table is absent or incomplete"))
+    parts.flatMap(readCheckpointFile)
+  }
+
+  private def readCheckpointFile(file: HPath): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     // the READ side never mutates the conf (only GroupWriteSupport
     // does), so the shared ioConf is safe here — a per-call
@@ -574,7 +674,7 @@ object TxnLog {
     // and inverted the checkpoint-vs-replay planning advantage
     val r = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-        checkpointFile(table, v))
+        file)
       .withConf(ioConf).build()
     try {
       var g = r.read()
@@ -599,6 +699,9 @@ object TxnLog {
           case "minreader" => s"minreader\t${l("lo")}"
           case "minwriter" => s"minwriter\t${l("lo")}"
           case "idhigh" => s"idhigh\t${s("name")}\t${l("lo")}"
+          case "rowbase" => s"rowbase\t${s("path")}\t${l("lo")}"
+          case "rowhigh" => s"rowhigh\t${l("lo")}"
+          case "copied" => s"copied\t${s("path")}"
           // same `opt.` forward-compat namespace as the log-line
           // parser: informational-by-contract, ignorable here
           case tag if tag.startsWith("opt.") => s"opt.ignored"
@@ -770,8 +873,12 @@ object TxnLog {
       : DataFrame = declared.filter(mappingActive).fold(df) { s =>
     import org.apache.spark.sql.functions.col
     val have = df.columns.toSet
-    df.select(s.fields.toSeq.filter(f => have.contains(f.name))
-      .map(f => col(f.name).as(physName(f))): _*)
+    // the materialized row-id column rides OUTSIDE the declared schema
+    // (a compaction's staged batch carries it); the physical projection
+    // must not drop it
+    df.select((s.fields.toSeq.filter(f => have.contains(f.name))
+      .map(f => col(f.name).as(physName(f))) ++
+      (if (have.contains(RidCol)) Seq(col(RidCol)) else Nil)): _*)
   }
 
   // ─── readers ───────────────────────────────────────────────────────
@@ -786,7 +893,8 @@ object TxnLog {
                         relPaths: Seq[String],
                         schema: Option[StructType],
                         dv: Option[DataFrame] = None,
-                        keepDvPos: Boolean = false): DataFrame = {
+                        keepDvPos: Boolean = false,
+                        withRid: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
     val t = tablePath(table)
     val base = fsOf(t).makeQualified(t)
@@ -804,7 +912,7 @@ object TxnLog {
     // keeps the position columns for a caller that needs them (the DV
     // delete's victim scan) — _metadata resolves only on the scan
     // itself, so positions must be captured in this pass.
-    val needPos = dv.isDefined || keepDvPos
+    val needPos = dv.isDefined || keepDvPos || withRid
     // hive-partitioned paths need a `basePath` so Spark re-derives the
     // partition columns — and a post-clone table can mix bases (its own
     // dir plus the clone source's), so scan one group per base and
@@ -825,8 +933,18 @@ object TxnLog {
       val r1 = if (gPaths.exists(_.substring(gBase.length).contains('=')))
         r0.option("basePath", gBase) else r0
       // the scan reads the files' PHYSICAL column names; the final
-      // select below renames them to declared names (column mapping)
-      val r2 = schema.fold(r1)(s => r1.schema(physSchema(s)))
+      // select below renames them to declared names (column mapping).
+      // `withRid` extends the READ schema (never the declared one) with
+      // the nullable materialized row-id column: files that carry it (a
+      // compaction's output on a row-tracking table) surface it, files
+      // that don't read null — exactly the per-file fill semantics the
+      // row-id reader's base+position fallback needs.
+      val r2 = schema.fold(r1)(s => r1.schema {
+        val ps = physSchema(s)
+        if (withRid && !ps.fieldNames.contains(RidCol))
+          ps.add(StructField(RidCol, LongType, nullable = true))
+        else ps
+      })
       val g0 = r2.parquet(gPaths: _*)
       if (!needPos) g0
       else g0.withColumn("__dv_f",
@@ -848,7 +966,8 @@ object TxnLog {
     // rename physical → logical where mapping is active
     schema.fold(df)(s => df.select(
       (s.fields.toSeq.map(f => col(physName(f)).as(f.name)) ++
-        (if (keepDvPos) Seq(col("__dv_f"), col("__dv_r")) else Nil)): _*))
+        (if (keepDvPos) Seq(col("__dv_f"), col("__dv_r")) else Nil) ++
+        (if (withRid) Seq(col(RidCol)) else Nil)): _*))
   }
 
   /** The live-DV relation of a snapshot state: (leaf data-file name,
@@ -915,6 +1034,77 @@ object TxnLog {
       return emptyDf(spark, declared.getOrElse(sys.error(
         s"empty snapshot of $table with no declared schema")))
     readFiles(spark, table, st.live, declared, dvOf(spark, table, st))
+  }
+
+  /** Declared-columns-plus-[[RidCol]] read of `files` in state `st`:
+    * each row's stable id attached as the physical [[RidCol]] column —
+    * the materialized value when the file carries one (a rewrite's
+    * output), else the file's committed `rowbase` + the parquet row
+    * index. ONE broadcast join against the ≤|files|-row base map; the
+    * scan itself resolves positions, so DV-surviving rows keep their
+    * ORIGINAL indexes (a deletion never renumbers its neighbours). */
+  private def readFilesWithRid(spark: SparkSession, table: String,
+                               files: Seq[String],
+                               declared: Option[StructType],
+                               st: State,
+                               keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    import scala.jdk.CollectionConverters._
+    val missing = files.filterNot(st.rowBases.contains)
+    require(missing.isEmpty,
+      s"row-tracking invariant broken on $table: live file(s) without " +
+        s"a committed rowbase (first: ${missing.headOption.getOrElse("")})")
+    val raw = readFiles(spark, table, files, declared,
+      dvOf(spark, table, st), keepDvPos = true, withRid = true)
+    // base map keys by LEAF name (the scan's __dv_f); leaves are
+    // part-<uuid>.parquet, unique across partition directories
+    val bases = spark.createDataFrame(
+      files.map(f => Row(f.split('/').last, st.rowBases(f))).asJava,
+      StructType(Seq(StructField("__dv_f", StringType, nullable = false),
+        StructField("__rb", LongType, nullable = false))))
+    val withId = raw.join(broadcast(bases), Seq("__dv_f"), "left")
+      .withColumn(RidCol,
+        coalesce(col(RidCol), col("__rb") + col("__dv_r")))
+      .drop("__rb")
+    if (keepPos) withId else withId.drop("__dv_f", "__dv_r")
+  }
+
+  /** Snapshot read with each row's STABLE ROW ID attached as `_row_id`
+    * (Delta's row tracking, the read half): ids are assigned once at
+    * ingest — contiguous ranges reserved per committed file past the
+    * log's `rowhigh` high-water — and survive layout rewrites
+    * ([[compact]] materializes them into its output files) and
+    * merge-on-read DML ([[deleteWhereDV]] masks positions without
+    * moving rows; [[updateWhereDV]] carries the victim's id into the
+    * touch-up file). This is what lets a downstream incremental MERGE
+    * key on PHYSICAL row identity instead of user keys — the
+    * audit-key workaround the reference's schema carries
+    * (`src/db/bigquery/daily_stock_price.sql:13`) becomes unnecessary.
+    * Copy-on-write rewrites (predicate UPDATE/DELETE without DVs,
+    * overwrite, key-rewrite upsert) assign FRESH ids to the rows they
+    * re-stage — the same preserved-only-where-declared contract Delta
+    * ships. Requires `graft.rowTracking` = true (enable via
+    * [[setProperties]]; enablement backfills existing files from
+    * committed rowcounts, pure metadata). */
+  def snapshotWithRowIds(spark: SparkSession, table: String,
+                         asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val upTo = asOf.getOrElse(vs.last)
+    require(vs.contains(upTo), s"version $upTo not in log (have $vs)")
+    val st = replayState(table, upTo)
+    require(rowTrackingOn(st),
+      s"row tracking is not enabled on $table — ALTER TABLE … SET " +
+        s"TBLPROPERTIES ('$RowTrackKey'='true') first")
+    val declared =
+      st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (st.live.isEmpty)
+      return emptyDf(spark, StructType(
+        declared.getOrElse(sys.error(
+          s"empty snapshot of $table with no declared schema")).fields :+
+          StructField("_row_id", LongType, nullable = true)))
+    readFilesWithRid(spark, table, st.live, declared, st)
+      .withColumnRenamed(RidCol, "_row_id")
   }
 
   /** Zero-row DataFrame with exactly `schema` (nullable-normalized —
@@ -995,8 +1185,11 @@ object TxnLog {
     * Raise it only alongside a semantic the old reader would silently
     * misread. Version 2 = identity tables: replay must understand the
     * `idhigh` high-water action (an old build would refuse it as a
-    * corrupt log line; the floor turns that into an upgrade message). */
-  private[sources] val SupportedReaderVersion = 2L
+    * corrupt log line; the floor turns that into an upgrade message).
+    * Version 3 = row tracking: replay must understand `rowbase` /
+    * `rowhigh`. Version 4 = COPY INTO ingestion manifests: replay must
+    * understand `copied`. */
+  private[sources] val SupportedReaderVersion = 4L
 
   /** The log protocol this build can WRITE (Delta's minWriterVersion
     * shape): `minwriter` floors above it refuse every commit at
@@ -1007,8 +1200,13 @@ object TxnLog {
     * would append without reserving identity values past the logged
     * high-water and silently break id uniqueness — exactly the class
     * of invariant the floor exists for (Delta gates IDENTITY behind a
-    * writer feature the same way). */
-  private[sources] val SupportedWriterVersion = 2L
+    * writer feature the same way). Version 3 = row tracking: a
+    * version-2 writer would add data files without reserving row-id
+    * bases, leaving rows with no identity. Version 4 = COPY INTO: an
+    * older checkpointer cannot serialize `copied` manifests — its
+    * checkpoint would silently DROP the dedup state and a re-run of
+    * the same COPY would double-load. */
+  private[sources] val SupportedWriterVersion = 4L
 
   /** Protocol stamp for a table born with `schema`: identity columns
     * need reader/writer 2 (see the constants above); everything else
@@ -1616,6 +1814,55 @@ object TxnLog {
         }
     }
 
+  /** Table property that turns on ROW TRACKING (Delta row IDs): every
+    * data file carries a committed `rowbase`, a row's stable id is
+    * `base + position-in-file` (or the materialized [[RidCol]] column
+    * a rewrite preserves it into), and `rowhigh` is the never-shrinking
+    * allocation high-water. Enabled via
+    * `ALTER TABLE … SET TBLPROPERTIES ('graft.rowTracking'='true')` —
+    * the enablement commit BACKFILLS bases for all existing live files
+    * from their committed rowcounts (pure metadata, zero data bytes),
+    * exactly Delta's property-triggered backfill. */
+  val RowTrackKey = "graft.rowTracking"
+
+  /** Physical column name a rewrite (compaction) materializes row ids
+    * into. Never part of the declared schema — plain reads with the
+    * declared read schema never see it; [[snapshotWithRowIds]] prefers
+    * it over base+position, which is what makes ids survive rewrites. */
+  private[sources] val RidCol = "_graft_rid"
+
+  private def rowTrackingOn(st: State): Boolean =
+    st.props.get(RowTrackKey).contains("true")
+
+  /** `rowbase`/`rowhigh` lines for freshly staged data files on a
+    * row-tracking table: bases allocated contiguously past the
+    * committed high-water in sorted-name order, counts read straight
+    * off the staged files' parquet FOOTERS on the driver (the same
+    * zero-job read [[rowcountLines]] does). Files that already carry a
+    * materialized [[RidCol]] column (a compaction's output) keep their
+    * rows' ids through that column, but still get a base: the table's
+    * invariant is every live data file has one, and an id is served
+    * from the materialized column FIRST, so the base is only a
+    * fresh-range reservation. Empty for non-tracking tables. */
+  private def rowTrackLines(table: String, named: Seq[String],
+                            st: State): Seq[String] = {
+    if (!rowTrackingOn(st) || named.isEmpty) return Nil
+    val t = tablePath(table)
+    val fs = fsOf(t)
+    var next = st.rowHigh
+    val lines = named.sorted.map { n =>
+      val p = fs.makeQualified(new HPath(t, n))
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, ioConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val cnt = try r.getRecordCount finally r.close()
+      val b = next
+      next += cnt
+      s"rowbase\t$n\t$b"
+    }
+    lines :+ s"rowhigh\t$next"
+  }
+
   /** Under active column mapping, a column ADDED by evolution gets a
     * GUID physical name: a previously DROPPED column's name can then be
     * re-added without resurrecting the old files' stale values (their
@@ -1861,6 +2108,7 @@ object TxnLog {
       checks.map { case (n, e) => s"check\t$n\t$e" } ++
       named.map("add\t" + _) ++
       idHighLines(spark, table, named, idCols, physMapOf(Some(df.schema))) ++
+      rowTrackLines(table, named, st) ++
       rowcountLines(table, named)
     val v = base + 1
     if (!publish(table, v, actions))
@@ -2007,7 +2255,8 @@ object TxnLog {
     val idCols = declared.toSeq.flatMap(_.fields)
       .filter(_.metadata.contains(IdKey)).map(_.name)
     val idLines = idHighLines(spark, table, named, idCols, pm)
-    val rest = named.map("add\t" + _) ++ idLines ++
+    val rtLines = rowTrackLines(table, named, st)
+    val rest = named.map("add\t" + _) ++ idLines ++ rtLines ++
       statsLines(spark, table, named, statsCols, pm) ++
       bloomLines(spark, table, named, bloomCols, pm) ++
       rowcountLines(table, named)
@@ -2024,6 +2273,11 @@ object TxnLog {
             st.idHigh.getOrElse(cn, Long.MinValue)))
           throw new ConcurrentCommitException(v)
       }
+      // row-id base guard: same reservation-collision shape — retry
+      // only if no intervening commit moved the row-id high-water
+      if (rtLines.nonEmpty &&
+          replayState(table, versions(table).last).rowHigh != st.rowHigh)
+        throw new ConcurrentCommitException(v)
       if (schemaLine.isDefined) {
         // a schema-carrying commit is NOT valid against arbitrary
         // snapshots: replay is last-schema-wins, so re-publishing a
@@ -2046,6 +2300,115 @@ object TxnLog {
     feedLink(table, named)
     maybeCheckpoint(table, v)
     v
+  }
+
+  /** `COPY INTO` — IDEMPOTENT file ingestion (Delta's COPY INTO): load
+    * the files under `source` into the table, remembering each loaded
+    * file in the commit's `copied` manifest so a RE-RUN of the same
+    * statement loads nothing and commits nothing. This is the
+    * reference's staged-CSV load
+    * (`src/etl/sql/bigquery_dml__ingest_daily_stock_price.sql:5-10`)
+    * as one retry-safe statement: the daily job can crash after load
+    * and simply run again. Dedup keys the QUALIFIED source path —
+    * Delta's exact contract (a modified file under the same name is
+    * still skipped; `force` reloads everything and re-records).
+    *
+    * The batch reads with the DECLARED schema (a drifted source file
+    * fails at read, never lands as silent nulls), takes CURRENT_DEFAULT
+    * fills and identity assignment like any append, and passes the
+    * same CHECK-constraint observe pass. At 100 TB scale the manifest
+    * is O(loaded files) metadata in the log — the load itself is one
+    * distributed read + write, and re-runs cost one driver-side LIST.
+    *
+    * Returns (commit version — unchanged when nothing fresh —,
+    * files loaded, rows loaded). */
+  def copyInto(spark: SparkSession, table: String, source: String,
+               format: String,
+               options: Map[String, String] = Map.empty,
+               force: Boolean = false): (Long, Long, Long) = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a TxnLog table: $table")
+    val st = replayState(table, vs.last)
+    val declared = st.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(sys.error(
+        s"COPY INTO needs a declared schema on $table"))
+    // driver-side LIST of the source: glob patterns expand, a bare
+    // directory lists its (non-hidden) files — the same shapes
+    // spark.read accepts, resolved HERE so the manifest can dedup
+    val srcPath = new HPath(source)
+    val sfs = srcPath.getFileSystem(ioConf)
+    val matched: Seq[FileStatus] =
+      if (source.exists("*?[{".contains(_)))
+        Option(sfs.globStatus(srcPath)).map(_.toSeq).getOrElse(Nil)
+          .flatMap(s => if (s.isDirectory) sfs.listStatus(s.getPath).toSeq
+            else Seq(s))
+      else {
+        val s0 = sfs.getFileStatus(srcPath)
+        if (s0.isDirectory) sfs.listStatus(srcPath).toSeq else Seq(s0)
+      }
+    val candidates = matched.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => sfs.makeQualified(s.getPath).toString).sorted
+    candidates.foreach(p => require(!p.contains('\t'),
+      s"source path must be tab-free: $p"))
+    val fresh =
+      if (force) candidates else candidates.filterNot(st.copied.contains)
+    if (fresh.isEmpty) return (vs.last, 0L, 0L)
+    val r = spark.read.options(options).schema(declared)
+    val df0 = format.toLowerCase match {
+      case "csv" => r.csv(fresh: _*)
+      case "parquet" => r.parquet(fresh: _*)
+      case "json" => r.json(fresh: _*)
+      case other => sys.error(
+        s"COPY INTO FILEFORMAT $other not supported (csv/parquet/json)")
+    }
+    val df = fillIdentity(fillDefaults(df0, Some(declared)),
+      Some(declared), st.idHigh)
+    val named = stageChecked(spark, table, df, st.checks,
+      partitionColsOf(st).getOrElse(Nil), Some(declared))
+    val pm = physMapOf(Some(declared))
+    val idCols = declared.fields.toSeq
+      .filter(_.metadata.contains(IdKey)).map(_.name)
+    val idLines = idHighLines(spark, table, named, idCols, pm)
+    val rtLines = rowTrackLines(table, named, st)
+    val rcLines = rowcountLines(table, named)
+    val rows = rcLines.filter(_.startsWith("rowcount\t"))
+      .map(_.split('\t')(2).toLong).sum
+    // first COPY INTO on this table raises the protocol floors: an
+    // older checkpointer would DROP the manifest (see
+    // [[SupportedWriterVersion]]); the bump turns that into an
+    // upgrade message
+    val floors =
+      (if (st.minReader < 4L) Seq("minreader\t4") else Nil) ++
+        (if (st.minWriter < 4L) Seq("minwriter\t4") else Nil)
+    val actions = "op\tcopyInto" +: (floors ++
+      named.map("add\t" + _) ++ idLines ++ rtLines ++
+      fresh.map("copied\t" + _) ++ rcLines)
+    var v = vs.last + 1
+    while (!publish(table, v, actions)) {
+      val hs = replayState(table, versions(table).last)
+      if (fresh.exists(hs.copied.contains)) {
+        // a concurrent COPY of (some of) the same files won: abandon
+        // our staged files and re-dedup from the new head — the retry
+        // loads only what is still fresh, usually nothing
+        val fs = fsOf(tablePath(table))
+        named.foreach(n => fs.delete(new HPath(tablePath(table), n), false))
+        return copyInto(spark, table, source, format, options, force)
+      }
+      // identity / row-id reservations are stale if any winner moved
+      // a high-water (same guards as append)
+      if ((idLines.nonEmpty && idCols.exists(cn =>
+            hs.idHigh.getOrElse(cn, Long.MinValue) !=
+              st.idHigh.getOrElse(cn, Long.MinValue))) ||
+          (rtLines.nonEmpty && hs.rowHigh != st.rowHigh))
+        throw new ConcurrentCommitException(v)
+      v = versions(table).last + 1
+    }
+    feedLink(table, named)
+    maybeCheckpoint(table, v)
+    (v, fresh.size.toLong, rows)
   }
 
   /** Highest committed writer-transaction version for `appId`
@@ -2105,8 +2468,9 @@ object TxnLog {
     declared.foreach(validateAgainst(_, df.schema, mergeSchema = false))
     val named = stageChecked(spark, table, df, st.checks,
       partitionColsOf(st).getOrElse(Nil), declared)
+    val rtLines = rowTrackLines(table, named, st)
     val actions = "op\tappend" +: s"txn\t$appId\t$txnVersion" +:
-      (named.map("add\t" + _) ++ rowcountLines(table, named))
+      (named.map("add\t" + _) ++ rtLines ++ rowcountLines(table, named))
     var v = versions(table).last + 1
     while (!publish(table, v, actions)) {
       if (lastTxnVersion(table, appId) >= txnVersion) {
@@ -2117,6 +2481,12 @@ object TxnLog {
         return txnCommitVersion(table, appId, txnVersion)
           .getOrElse(versions(table).last)
       }
+      // row-id reservations were computed against `st`: a concurrent
+      // winner that moved the high-water makes them stale — refuse
+      // rather than publish duplicate ids (caller retries the batch)
+      if (rtLines.nonEmpty &&
+          replayState(table, versions(table).last).rowHigh != st.rowHigh)
+        throw new ConcurrentCommitException(v)
       v = versions(table).last + 1
     }
     feedLink(table, named)
@@ -2183,6 +2553,7 @@ object TxnLog {
         st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
         cdcNames.map("cdc\t" + _) ++
         idHighLines(spark, table, named, idCols, pm) ++
+        rowTrackLines(table, named, st) ++
         statsLines(spark, table, named, statsCols, pm) ++
         bloomLines(spark, table, named, bloomCols, pm) ++
         rowcountLines(table, named))))
@@ -2434,6 +2805,7 @@ object TxnLog {
               txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
               touchedFiles.map("remove\t" + _) ++
               named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
+              rowTrackLines(table, named, st) ++
               statsLines(spark, table, named, trackedStats, pm) ++
               bloomLines(spark, table, named, trackedBlooms, pm) ++
               rowcountLines(table, named))
@@ -2471,6 +2843,7 @@ object TxnLog {
           txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
           touchedFiles.map("remove\t" + _) ++
           named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
+          rowTrackLines(table, named, st) ++
           rowcountLines(table, named))
         // partition-conflict-aware publish: a lost race re-checks the
         // commits that beat us; disjoint partitions → retry at the new
@@ -2481,7 +2854,13 @@ object TxnLog {
           val head = versions(table).last
           val conflict = (checkedUpTo + 1 to head).exists(cv =>
             actionTouches(actionsOf(table, cv), touched))
-          if (conflict) throw new ConcurrentCommitException(v)
+          // row-id/identity reservations were computed against `st`: a
+          // disjoint-partition winner that moved either high-water
+          // makes them stale — duplicates, not a safe retry
+          if (conflict ||
+              (rowTrackingOn(st) &&
+                replayState(table, head).rowHigh != st.rowHigh))
+            throw new ConcurrentCommitException(v)
           checkedUpTo = head
           v = head + 1
         }
@@ -2775,6 +3154,7 @@ object TxnLog {
       (if (newFields.nonEmpty) Seq(s"schema\t${evolved.json}") else Nil) ++
       touchedFiles.map("remove\t" + _) ++ named.map("add\t" + _) ++
       cdcNames.map("cdc\t" + _) ++
+      rowTrackLines(table, named, st) ++
       idHighLines(spark, table, named,
         idFieldsM.map(_.name).toSeq, pm) ++
       statsLines(spark, table, named, trackedStats, pm) ++
@@ -2854,9 +3234,10 @@ object TxnLog {
       .filter(_.metadata.contains(IdKey)).map(_.name)
     val idLines = idHighLines(spark, table, named, idColsOp,
       physMapOf(declared))
+    val rtLines = rowTrackLines(table, named, st)
     val actions = "op\treplacePartitions" +:
       (removes.map("remove\t" + _) ++ named.map("add\t" + _) ++
-        cdcNames.map("cdc\t" + _) ++ idLines ++
+        cdcNames.map("cdc\t" + _) ++ idLines ++ rtLines ++
         statsLines(spark, table, named, trackedStats,
           physMapOf(declared)) ++
         bloomLines(spark, table, named, trackedBlooms,
@@ -3054,6 +3435,7 @@ object TxnLog {
       victims.map("remove\t" + _) ++ named.map("add\t" + _) ++
       cdcNames.map("cdc\t" + _) ++
       idHighLines(spark, table, namedNew, idColsRw, pm) ++
+      rowTrackLines(table, named, st) ++
       statsLines(spark, table, named, trackedStats, pm) ++
       bloomLines(spark, table, named, trackedBlooms, pm) ++
       rowcountLines(table, named))
@@ -3124,7 +3506,8 @@ object TxnLog {
               statsCols: Seq[String] = Nil,
               hilbert: Boolean = false,
               bloomCols: Seq[String] = Nil,
-              partitions: Seq[(String, String)] = Nil): Long = {
+              partitions: Seq[(String, String)] = Nil,
+              incremental: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, greatest, least, lit,
       max, min}
     require(exists(table), s"not a TxnLog table: $table")
@@ -3139,8 +3522,36 @@ object TxnLog {
     // untouched partitions survives (their masks stay live; the
     // rewritten files' dvcounts drop with the removes), so the scoped
     // form never emits the table-wide `dvclear`.
+    // INCREMENTAL CLUSTERING MAINTENANCE (Delta's liquid-style
+    // incremental OPTIMIZE): re-lay ONLY the files added since the
+    // last clustering pass — the log remembers the clustered-through
+    // version as the sticky `graft.clusteredThrough` property every
+    // clustering commit updates, and "what arrived since" is a pure
+    // metadata set-difference of two replay states. The daily
+    // "cluster yesterday's arrivals" then costs ∝ yesterday's data,
+    // not the whole partition — at 100 TB the difference between a
+    // maintenance pass and a table rewrite.
+    val clusteredThroughKey = "graft.clusteredThrough"
     val scope =
-      if (partitions.isEmpty) st.live
+      if (incremental) {
+        require(clusterBy.nonEmpty, "incremental compaction is the " +
+          "clustering maintenance path — pass clusterBy")
+        require(partitions.isEmpty,
+          "incremental and partition scoping are mutually exclusive")
+        val through = st.props.get(clusteredThroughKey).map(_.toLong)
+          .getOrElse(sys.error(s"no clustering baseline on $table: " +
+            "run a full clusterBy compaction first"))
+        // a baseline pruned by log retention degrades to a full
+        // re-lay (empty base set) — never a wrong subset
+        val baseLive =
+          if (versions(table).contains(through))
+            replayState(table, through).live.toSet
+          else Set.empty[String]
+        val fresh = st.live.filterNot(baseLive)
+        if (fresh.isEmpty) return base // nothing arrived: zero-cost no-op
+        fresh
+      }
+      else if (partitions.isEmpty) st.live
       else {
         val pcols = partitionColsOf(st).getOrElse(sys.error(
           s"partition-scoped compaction requires a partitioned table: " +
@@ -3155,8 +3566,19 @@ object TxnLog {
           s"no files match partitions ${partitions.mkString(", ")}")
         hit
       }
-    val snap0 = readFiles(spark, table, scope, declared,
-      dvOf(spark, table, st))
+    // ROW TRACKING: a compaction is layout-only by contract, so on a
+    // tracking table the rewrite MATERIALIZES each row's stable id into
+    // the output files' [[RidCol]] column (computed from base+position
+    // or an earlier rewrite's materialized value) — ids survive the
+    // rewrite, which is the whole point of row tracking (Delta
+    // preserves row ids through OPTIMIZE the same way). The extra
+    // column never enters the declared schema: plain reads scan with
+    // the declared read schema and never see it.
+    val snap0 =
+      if (rowTrackingOn(st))
+        readFilesWithRid(spark, table, scope, declared, st)
+      else readFiles(spark, table, scope, declared,
+        dvOf(spark, table, st))
     // clusterBy = Delta's OPTIMIZE ZORDER in its range-cluster form:
     // the rewrite range-lays rows on the cluster columns, so each new
     // file owns a narrow value interval and the fresh per-file stats
@@ -3199,7 +3621,7 @@ object TxnLog {
           // lexicographic range layout rather than NPE
           return compact(spark, table, targetFiles, expectedVersion,
             clusterBy, statsCols, hilbert = false, bloomCols = bloomCols,
-            partitions = partitions)
+            partitions = partitions, incremental = incremental)
         def grid(c: String, i: Int) = {
           val mn = bounds.getLong(2 * i)
           val span = math.max(1L, bounds.getLong(2 * i + 1) - mn)
@@ -3224,10 +3646,20 @@ object TxnLog {
     val named = stage(spark, table, toPhys(snap, declared),
       partitionColsOf(st).getOrElse(Nil))
     val sc = if (statsCols.nonEmpty) statsCols else clusterBy
-    val dvLine = if (partitions.isEmpty) Seq("dvclear") else Nil
+    // scoped rewrites (partition / incremental) leave untouched files'
+    // DV masks live; only a FULL compaction materializes all deletes
+    val dvLine =
+      if (partitions.isEmpty && !incremental) Seq("dvclear") else Nil
     val v = base + 1
+    // every clustering commit advances the clustered-through marker —
+    // the baseline the next incremental pass diffs against
+    val ctLine =
+      if (clusterBy.nonEmpty) Seq(s"prop\t$clusteredThroughKey\t$v")
+      else Nil
     if (!publish(table, v, "op\tcompact" +: "nochange" +: (dvLine ++
+        ctLine ++
         scope.map("remove\t" + _) ++ named.map("add\t" + _) ++
+          rowTrackLines(table, named, st) ++
           statsLines(spark, table, named, sc, physMapOf(declared)) ++
           bloomLines(spark, table, named, bloomCols, physMapOf(declared)) ++
           rowcountLines(table, named))))
@@ -3439,8 +3871,18 @@ object TxnLog {
     require(!pcols.exists(byName.keySet.contains),
       "DV update cannot move rows across partitions — SET of a " +
         "partition column needs the copy-on-write updateWhere")
-    val raw = readFiles(spark, table, st.live, declared,
-      dvOf(spark, table, st), keepDvPos = true)
+    val tracking = rowTrackingOn(st)
+    // ROW TRACKING: the victim scan also resolves each row's stable id
+    // so the touch-up file can MATERIALIZE it — an updated row keeps
+    // its identity across the update (Delta's preserved-row-ids MERGE
+    // contract, in the one DML path where it costs nothing extra: the
+    // positions are already in hand for the DV mask)
+    val raw =
+      if (tracking)
+        readFilesWithRid(spark, table, st.live, declared, st,
+          keepPos = true)
+      else readFiles(spark, table, st.live, declared,
+        dvOf(spark, table, st), keepDvPos = true)
     val hit = coalesce(cond, lit(false))
     val victims = raw.filter(hit)
       .localCheckpoint(true) // one scan feeds DV stage + post + cdc
@@ -3462,11 +3904,14 @@ object TxnLog {
     val dataCols = declared.map(_.fieldNames.toSeq)
       .getOrElse(raw.columns.toSeq.filterNot(_.startsWith("__dv_")))
     val pre = victims.select(dataCols.map(col): _*)
-    val post0 = pre.select(dataCols.map { c =>
+    // the touch-up rows carry the victims' stable ids (RidCol) on a
+    // tracking table, so the update PRESERVES row identity; the CDF
+    // pre/postimage pairs stay at table schema (no rid column)
+    val post0 = victims.select((dataCols.map { c =>
       byName.get(c).fold(col(c)) { v =>
         declared.map(_(c).dataType).fold(v)(v.cast).as(c)
       }
-    }: _*)
+    } ++ (if (tracking) Seq(col(RidCol)) else Nil)): _*)
     // generated columns follow their base columns (recompute-always)
     val post = declared.fold(post0)(d =>
       d.fields.filter(_.metadata.contains(GenKey))
@@ -3475,8 +3920,9 @@ object TxnLog {
             .expr(f.metadata.getString(GenKey)).cast(f.dataType))))
     val named = stageChecked(spark, table, post, st.checks, pcols,
       declared)
+    val postCdc = if (tracking) post.drop(RidCol) else post
     val cdc = pre.withColumn("_change_type", lit("update_preimage"))
-      .unionByName(post.withColumn("_change_type",
+      .unionByName(postCdc.withColumn("_change_type",
         lit("update_postimage")))
     val cdcNames = stage(spark, table, cdc, subdir = Some("_change_data"))
     val trackedStats = st.stats.keys.map(_._2).toSeq.distinct.sorted
@@ -3486,6 +3932,7 @@ object TxnLog {
       perFile.toSeq.sortBy(_._1).map { case (leaf, n) =>
         s"dvcount\t${byLeaf(leaf)}\t$n" } ++
       named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
+      rowTrackLines(table, named, st) ++
       statsLines(spark, table, named, trackedStats, pm) ++
       bloomLines(spark, table, named, trackedBlooms, pm) ++
       rowcountLines(table, named))
@@ -3646,10 +4093,24 @@ object TxnLog {
     val dvLines = "dvclear" +: (tgt.dvFiles.map("dv\t" + _) ++
       tgt.dvCounts.toSeq.sortBy(_._1).map { case (f, n) =>
         s"dvcount\t$f\t$n" })
+    // ROW TRACKING: re-added files come back with their ORIGINAL bases
+    // from the target state — a restore undoes the data change AND the
+    // re-identification, so rows recover the ids they had at
+    // `toVersion`. Files the target state has no base for (tracking
+    // enabled after `toVersion`; its backfill keyed the then-live set)
+    // reserve fresh ranges past the current high-water — `rowhigh` is
+    // max-merged on replay, so history's reservations never shrink.
+    val rtLines: Seq[String] =
+      if (!rowTrackingOn(cur)) Nil
+      else {
+        val (known, fresh) = adds.partition(tgt.rowBases.contains)
+        known.sorted.map(f => s"rowbase\t$f\t${tgt.rowBases(f)}") ++
+          rowTrackLines(table, fresh, cur)
+      }
     val v = base + 1
     if (!publish(table, v, "op\trestore" +: (schemaLine.toSeq ++
         removes.map("remove\t" + _) ++ adds.map("add\t" + _) ++ stats ++
-        rcs ++ dvLines)))
+        rcs ++ dvLines ++ rtLines)))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -3693,6 +4154,11 @@ object TxnLog {
     val statsByFile = st.stats.groupBy(_._1._1)
     val bloomsByFile = st.blooms.groupBy(_._1._1)
     val lines = Seq(s"op\tclone\t$srcQ\t$v") ++
+      // the source's protocol floors travel with the semantics they
+      // gate (identity reservations, row tracking): an old build must
+      // refuse the clone exactly as it would refuse the source
+      (if (st.minReader > 1L) Seq(s"minreader\t${st.minReader}") else Nil) ++
+      (if (st.minWriter > 1L) Seq(s"minwriter\t${st.minWriter}") else Nil) ++
       st.schemaJson.map("schema\t" + _) ++
       st.props.toSeq.sortBy(_._1).map { case (k, pv) => s"prop\t$k\t$pv" } ++
       st.checks.toSeq.sortBy(_._1).map { case (n, e) => s"check\t$n\t$e" } ++
@@ -3712,7 +4178,13 @@ object TxnLog {
       // rows stay deleted through every read path
       st.dvFiles.map(f => "dv\t" + abs(f)) ++
       st.dvCounts.toSeq.sortBy(_._1).map { case (f, n) =>
-        s"dvcount\t${abs(f)}\t$n" }
+        s"dvcount\t${abs(f)}\t$n" } ++
+      // row-tracking state clones too (keys follow the absolute
+      // spelling of the add lines): the clone's rows keep the SOURCE
+      // ids, and its own writers reserve past the source's high-water
+      st.live.flatMap(f =>
+        st.rowBases.get(f).map(b => s"rowbase\t${abs(f)}\t$b")) ++
+      (if (st.rowHigh > 0L) Seq(s"rowhigh\t${st.rowHigh}") else Nil)
     if (!publish(dest, 1L, lines))
       throw new ConcurrentCommitException(1L)
     1L
@@ -3814,9 +4286,34 @@ object TxnLog {
       require(!k.contains('\t') && !pv.contains('\t'),
         "property keys/values must be tab-free") }
     val base = versions(table).last
+    // ROW TRACKING enablement (Delta's property-triggered backfill):
+    // the SAME commit that sets the property assigns every existing
+    // live file its base from the COMMITTED rowcounts — pure metadata,
+    // zero data bytes — and raises the protocol floor so an old build
+    // fails with "upgrade", not corrupt-log/missing-ids. Re-setting an
+    // already-on property is a plain prop write (bases exist).
+    val enableRt = props.get(RowTrackKey).contains("true") && {
+      val st = replayState(table, base)
+      !rowTrackingOn(st)
+    }
+    val rtLines: Seq[String] =
+      if (!enableRt) Nil
+      else {
+        val st = replayState(table, base)
+        var next = st.rowHigh
+        val bases = st.live.sorted.map { f =>
+          val cnt = st.rowcounts.getOrElse(f, sys.error(
+            s"cannot enable $RowTrackKey: live file $f has no committed " +
+              "rowcount (pre-rowcount log era) — compact the table first"))
+          val b = next
+          next += cnt
+          s"rowbase\t$f\t$b"
+        }
+        Seq("minreader\t3", "minwriter\t3") ++ bases :+ s"rowhigh\t$next"
+      }
     val v = base + 1
-    if (!publish(table, v, "op\tsetProperties" +:
-        props.toSeq.sortBy(_._1).map { case (k, pv) => s"prop\t$k\t$pv" }))
+    if (!publish(table, v, "op\tsetProperties" +: (rtLines ++
+        props.toSeq.sortBy(_._1).map { case (k, pv) => s"prop\t$k\t$pv" })))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -4228,8 +4725,7 @@ object TxnLog {
       cpOpt.filter(_ > vs.head).toSeq.flatMap { cp =>
         val oldLogs = vs.filter(_ < cp).map(v => logFile(table, v))
         val oldCps = fs.listStatus(ld).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".checkpoint.parquet"))
-          .filter(_.getName.stripSuffix(".checkpoint.parquet").toLong < cp)
+          .filter(p => checkpointVersionOf(p.getName).exists(_ < cp))
         (oldLogs ++ oldCps).filter { p =>
           fs.exists(p) && oldEnough(fs.getFileStatus(p))
         }

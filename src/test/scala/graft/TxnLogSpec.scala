@@ -3078,15 +3078,15 @@ class TxnLogSpec extends SparkSpec {
     // a (hypothetical newer) writer raises the WRITE floor to 2
     val log = Paths.get(t, "_txn_log")
     Files.write(log.resolve(f"${2L}%020d.log"),
-      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t3"))
+      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t9"))
     // reads are NOT gated by minwriter
     assert(TxnLog.snapshot(spark, t).count() == nation.count())
     // every commit path refuses descriptively
     val e = intercept[Exception] { TxnLog.append(spark, t, nation) }
-    assert(e.getMessage.contains("writer version 3"), e.getMessage)
+    assert(e.getMessage.contains("writer version 9"), e.getMessage)
     val e2 = intercept[Exception] {
       TxnLog.deleteWhereDV(spark, t, col("n_nationkey") < 3) }
-    assert(e2.getMessage.contains("writer version 3"))
+    assert(e2.getMessage.contains("writer version 9"))
   }
 
   test("protocol floors survive inside checkpoints") {
@@ -3094,7 +3094,7 @@ class TxnLogSpec extends SparkSpec {
     TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 3))
     val log = Paths.get(t, "_txn_log")
     Files.write(log.resolve(f"${2L}%020d.log"),
-      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t3"))
+      java.util.Arrays.asList("op\tprotocolBump", "minwriter\t9"))
     // hand-publish two more appends (the guard refuses TxnLog.append —
     // which is the point — so re-add the existing file as raw lines)
     val f0 = TxnLog.files(t).head
@@ -3112,7 +3112,7 @@ class TxnLogSpec extends SparkSpec {
         "only in the checkpoint")
     assert(TxnLog.snapshot(spark, t).count() > 0) // reads stay legal
     val e = intercept[Exception] { TxnLog.append(spark, t, nation) }
-    assert(e.getMessage.contains("writer version 3"),
+    assert(e.getMessage.contains("writer version 9"),
       s"floor must survive checkpoint replay, got: ${e.getMessage}")
   }
 
@@ -3855,6 +3855,283 @@ class TxnLogSpec extends SparkSpec {
     assert(untouchedParts.forall(TxnLog.files(t).contains),
       "partitions outside the band must keep their exact files")
     spark.sql("DROP TABLE IF EXISTS txn_idr_t")
+  }
+
+  // ─── row tracking (Delta row IDs) ──────────────────────────────────
+
+  private def rowIds(t: String): Map[Long, Long] =
+    TxnLog.snapshotWithRowIds(spark, t)
+      .select(col("n_nationkey").cast("long"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("row tracking: enablement backfills bases; ids survive OPTIMIZE") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_regionkey") < 2))
+    TxnLog.append(spark, t, nation.filter(col("n_regionkey") >= 2))
+    // reads refuse until the property is on — no silent wrong ids
+    val e0 = intercept[Exception] { TxnLog.snapshotWithRowIds(spark, t) }
+    assert(e0.getMessage.contains("row tracking"))
+    TxnLog.setProperties(spark, t, Map(TxnLog.RowTrackKey -> "true"))
+    val before = rowIds(t)
+    assert(before.size == nation.count())
+    assert(before.values.toSeq.distinct.size == before.size, "ids unique")
+    // backfill reserves contiguous ranges from 0 over the live files
+    assert(before.values.min == 0L &&
+      before.values.max == before.size - 1L, "backfill is dense from 0")
+    // the enablement commit raised the protocol floors alongside the
+    // semantics they gate (an old build must refuse, not misread)
+    val enable = Files.readAllLines(
+      Paths.get(t, "_txn_log", f"${3L}%020d.log"))
+    assert(enable.contains("minreader\t3") &&
+      enable.contains("minwriter\t3"),
+      s"enablement must bump the protocol, got: $enable")
+    // OPTIMIZE (a full rewrite, here also re-clustering) is layout-only:
+    // every row keeps its id via the materialized column
+    TxnLog.compact(spark, t, targetFiles = 2,
+      clusterBy = Seq("n_regionkey"))
+    assert(rowIds(t) == before, "ids must survive the rewrite")
+    // plain reads never see the materialized rid column
+    assert(!TxnLog.snapshot(spark, t).columns.contains("_graft_rid"))
+  }
+
+  test("row tracking: merge-on-read DML preserves row identity") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    TxnLog.setProperties(spark, t, Map(TxnLog.RowTrackKey -> "true"))
+    val before = rowIds(t)
+    TxnLog.deleteWhereDV(spark, t, col("n_nationkey") % 5 === 0)
+    val afterDel = rowIds(t)
+    assert(afterDel.keySet == before.keySet.filter(_ % 5 != 0))
+    afterDel.foreach { case (k, id) =>
+      assert(id == before(k), s"survivor $k must keep its id") }
+    // DV update: the touch-up file carries the victim's id forward
+    TxnLog.updateWhereDV(spark, t, col("n_nationkey") === 1,
+      Seq("n_name" -> lit("RENAMED")))
+    assert(rowIds(t) == afterDel, "update must not re-identify any row")
+    assert(TxnLog.snapshot(spark, t)
+      .filter(col("n_name") === "RENAMED").count() == 1)
+    // OPTIMIZE purges the DVs and coalesces base+position rows with
+    // materialized-rid rows — identity still intact
+    TxnLog.compact(spark, t)
+    assert(rowIds(t) == afterDel)
+  }
+
+  test("row tracking: appends reserve past the high-water — deleted " +
+      "ids are never reused") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 10))
+    TxnLog.setProperties(spark, t, Map(TxnLog.RowTrackKey -> "true"))
+    val n0 = rowIds(t).size.toLong
+    TxnLog.deleteWhereDV(spark, t, col("n_nationkey") < 5)
+    TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey").between(10, 14)))
+    val ids = rowIds(t)
+    assert(ids.values.toSeq.distinct.size == ids.size)
+    val newIds = ids.filter(_._1 >= 10).values
+    assert(newIds.forall(_ >= n0),
+      s"fresh rows must reserve past the high-water $n0, got $newIds")
+  }
+
+  test("row tracking: bases and high-water survive checkpoint replay") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 10))
+    TxnLog.setProperties(spark, t, Map(TxnLog.RowTrackKey -> "true"))
+    TxnLog.deleteWhereDV(spark, t, col("n_nationkey") === 2)
+    TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey").between(10, 12)))
+    val before = rowIds(t)
+    // horizon checkpoint + log pruned below it: replay must now
+    // recover every base and the high-water from the checkpoint alone
+    TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
+    val log = Paths.get(t, "_txn_log")
+    assert(!Files.exists(log.resolve(f"${1L}%020d.log")),
+      "pre-checkpoint log must be pruned for this test to bite")
+    assert(rowIds(t) == before, "ids must survive checkpoint replay")
+    TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey").between(13, 14)))
+    val ids = rowIds(t)
+    assert(ids.values.toSeq.distinct.size == ids.size,
+      "post-checkpoint reservations must not collide with history")
+  }
+
+  test("row tracking: RESTORE recovers the ids rows had at the target " +
+      "version; clones inherit source ids") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 10))
+    TxnLog.setProperties(spark, t, Map(TxnLog.RowTrackKey -> "true"))
+    val atV2 = rowIds(t)
+    // a copy-on-write rewrite re-identifies (the documented contract) …
+    TxnLog.deleteWhere(spark, t, col("n_nationkey") === 3)
+    // … and RESTORE undoes the re-identification along with the data
+    TxnLog.restore(spark, t, 2L)
+    assert(rowIds(t) == atV2, "restore must recover the v2 ids")
+    // shallow clone: same rows, same ids, independent lifecycle
+    val dest = freshTable()
+    TxnLog.shallowClone(spark, t, dest)
+    assert(rowIds(dest) == atV2)
+    TxnLog.append(spark, dest,
+      nation.filter(col("n_nationkey").between(10, 11)))
+    val cloneIds = rowIds(dest)
+    assert(cloneIds.values.toSeq.distinct.size == cloneIds.size,
+      "clone writers must reserve past the SOURCE high-water")
+  }
+
+  // ─── COPY INTO (idempotent file ingestion) ─────────────────────────
+
+  test("COPY INTO: loads once, re-run is a no-op, new files " +
+      "incremental, force reloads") {
+    val t = freshTable()
+    val src = Files.createTempDirectory("graft_copy_src_")
+    src.toFile.deleteOnExit()
+    Files.writeString(src.resolve("a.csv"), "1,ALGERIA,0\n2,BRAZIL,1\n")
+    Files.writeString(src.resolve("b.csv"), "3,CANADA,1\n")
+    Files.writeString(src.resolve("_meta.txt"), "hidden — never loaded")
+    TxnLog.createEmpty(spark, t, nation.schema)
+    val (v1, f1, r1) = TxnLog.copyInto(spark, t, src.toString, "csv")
+    assert(f1 == 2L && r1 == 3L)
+    assert(TxnLog.snapshot(spark, t).count() == 3L)
+    // idempotent re-run: zero files, zero rows, NO new version
+    val (v2, f2, r2) = TxnLog.copyInto(spark, t, src.toString, "csv")
+    assert(v2 == v1 && f2 == 0L && r2 == 0L)
+    assert(TxnLog.versions(t).last == v1)
+    assert(TxnLog.snapshot(spark, t).count() == 3L)
+    // a file arriving later loads alone
+    Files.writeString(src.resolve("c.csv"), "4,EGYPT,4\n5,ETHIOPIA,0\n")
+    val (v3, f3, r3) = TxnLog.copyInto(spark, t, src.toString, "csv")
+    assert(v3 == v1 + 1 && f3 == 1L && r3 == 2L)
+    assert(TxnLog.snapshot(spark, t).count() == 5L)
+    // force: reload everything (the explicit double-load escape hatch)
+    val (_, f4, r4) =
+      TxnLog.copyInto(spark, t, src.toString, "csv", force = true)
+    assert(f4 == 3L && r4 == 5L)
+    assert(TxnLog.snapshot(spark, t).count() == 10L)
+  }
+
+  test("COPY INTO: manifest survives checkpoint replay; protocol " +
+      "floors raised") {
+    val t = freshTable()
+    val src = Files.createTempDirectory("graft_copy_cp_")
+    src.toFile.deleteOnExit()
+    Files.writeString(src.resolve("a.csv"), "1,ALGERIA,0\n")
+    TxnLog.createEmpty(spark, t, nation.schema)
+    val (v1, _, _) = TxnLog.copyInto(spark, t, src.toString, "csv")
+    // the first COPY INTO bumps both floors to 4 (an old checkpointer
+    // would silently drop the manifest)
+    val lines = Files.readAllLines(
+      Paths.get(t, "_txn_log", f"$v1%020d.log"))
+    assert(lines.contains("minreader\t4") && lines.contains("minwriter\t4"),
+      s"first COPY must raise the protocol, got: $lines")
+    // horizon checkpoint + pruned log: the manifest must survive so
+    // the re-run STAYS a no-op
+    TxnLog.append(spark, t, nation.filter(col("n_nationkey") === 9))
+    TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
+    val (v3, f3, _) = TxnLog.copyInto(spark, t, src.toString, "csv")
+    assert(f3 == 0L && v3 == TxnLog.versions(t).last,
+      "manifest lost across checkpoint replay — double-load!")
+  }
+
+  test("COPY INTO through SQL: FILEFORMAT, FORMAT_OPTIONS, metrics row") {
+    val t = freshTable()
+    val src = Files.createTempDirectory("graft_copy_sql_")
+    src.toFile.deleteOnExit()
+    Files.writeString(src.resolve("a.csv"),
+      "k,name,region\n1,ALGERIA,0\n2,BRAZIL,1\n")
+    TxnLog.createEmpty(spark, t, nation.schema)
+    val out = spark.sql(s"COPY INTO '$t' FROM '$src' FILEFORMAT = CSV " +
+      "FORMAT_OPTIONS ('header'='true')").collect()
+    assert(out.head.getAs[Long]("num_inserted_rows") == 2L)
+    assert(out.head.getAs[Long]("num_files") == 1L)
+    val again = spark.sql(
+      s"COPY INTO '$t' FROM '$src' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header'='true')").collect()
+    assert(again.head.getAs[Long]("num_inserted_rows") == 0L)
+    assert(TxnLog.snapshot(spark, t).count() == 2L)
+  }
+
+  // ─── incremental clustering maintenance ────────────────────────────
+
+  test("incremental clustering: second OPTIMIZE touches only " +
+      "post-clustering files") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 10))
+    // the full clustering pass establishes the clustered-through
+    // baseline the incremental path diffs against
+    TxnLog.compact(spark, t, targetFiles = 2,
+      clusterBy = Seq("n_regionkey"))
+    val clustered = TxnLog.files(t)
+    TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey").between(10, 14)))
+    TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey").between(15, 19)))
+    val arrivals = TxnLog.files(t).filterNot(clustered.contains)
+    assert(arrivals.size == 2)
+    val v = TxnLog.compact(spark, t, clusterBy = Seq("n_regionkey"),
+      incremental = true)
+    val after = TxnLog.files(t)
+    assert(clustered.forall(after.contains),
+      "incremental must NOT rewrite already-clustered files")
+    assert(arrivals.forall(f => !after.contains(f)),
+      "every post-baseline arrival must be re-laid")
+    assert(TxnLog.snapshot(spark, t).count() == 20)
+    // nothing new since → zero-cost no-op, not even a commit
+    assert(TxnLog.compact(spark, t, clusterBy = Seq("n_regionkey"),
+      incremental = true) == v)
+    assert(TxnLog.versions(t).last == v)
+    // the SQL spelling drives the same path
+    TxnLog.append(spark, t, nation.filter(col("n_nationkey") === 20))
+    val pre = TxnLog.files(t)
+    spark.sql(s"OPTIMIZE '$t' ZORDER BY (n_regionkey) INCREMENTAL")
+    assert(after.filter(pre.contains)
+      .forall(TxnLog.files(t).contains),
+      "SQL INCREMENTAL must keep the clustered set intact")
+    assert(TxnLog.snapshot(spark, t).count() == 21)
+  }
+
+  // ─── multi-part checkpoints ────────────────────────────────────────
+
+  test("multi-part checkpoints: sharded write, complete-set read, " +
+      "torn set degrades to log replay") {
+    System.setProperty("graft.checkpoint.shardRows", "4")
+    try {
+      val t = freshTable()
+      TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 5))
+      (1 to 9).foreach(i => TxnLog.append(spark, t,
+        nation.filter(col("n_nationkey") === i)))
+      // v10 checkpointed on schedule — now as parts
+      val log = Paths.get(t, "_txn_log")
+      val names = log.toFile.list().toSeq
+      val parts = names.filter(_.matches(
+        """\d{20}\.checkpoint\.\d{5}\.\d{5}\.parquet"""))
+      assert(parts.size >= 2, s"expected sharded checkpoint, got $names")
+      assert(!names.contains(f"${10L}%020d.checkpoint.parquet"),
+        "single-file checkpoint must not coexist with parts")
+      val expect = TxnLog.snapshot(spark, t).count()
+      // prune the log below the checkpoint: replay now MUST recover
+      // the whole state from the part set alone
+      TxnLog.vacuum(t, retainVersions = 1, minAgeMs = 0)
+      assert(!Files.exists(log.resolve(f"${1L}%020d.log")))
+      assert(TxnLog.snapshot(spark, t).count() == expect)
+      assert(TxnLog.append(spark, t,
+        nation.filter(col("n_nationkey") === 9)) > 10L)
+      // torn part set (fresh table, log intact): an incomplete
+      // checkpoint is NOT a checkpoint — replay degrades to the log
+      val t2 = freshTable()
+      TxnLog.create(spark, t2, nation.filter(col("n_nationkey") < 5))
+      (1 to 9).foreach(i => TxnLog.append(spark, t2,
+        nation.filter(col("n_nationkey") === i)))
+      val log2 = Paths.get(t2, "_txn_log")
+      val part2 = log2.toFile.list().toSeq.filter(_.matches(
+        """\d{20}\.checkpoint\.\d{5}\.\d{5}\.parquet""")).sorted
+      assert(part2.size >= 2)
+      Files.delete(log2.resolve(part2.last))
+      // a NEW commit forces a fresh (un-memoized) replay of the head:
+      // it must treat the torn v10 checkpoint as absent and replay
+      // the log from v1
+      TxnLog.append(spark, t2, nation.filter(col("n_nationkey") === 0))
+      assert(TxnLog.snapshot(spark, t2).count() == 15,
+        "torn checkpoint must fall back to full log replay")
+    } finally System.clearProperty("graft.checkpoint.shardRows")
   }
 
   test("opt.* log actions are ignorable forward-compat metadata") {
