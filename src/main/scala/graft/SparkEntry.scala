@@ -6168,6 +6168,51 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // ── [ext] row-id-ADDRESSED DML — the payoff of row tracking: an
+    // external system (a labeling job, an audit, a downstream CDC
+    // consumer) captures `_row_id`s from [[snapshotWithRowIds]] and
+    // hands back physical row addresses; DELETE/UPDATE then apply BY
+    // id through the merge-on-read paths — no user key, zero files
+    // rewritten for the delete, one touch-up file for the update, and
+    // every surviving row keeps its identity. The id space is
+    // deterministic (q337's sorted-single-file loads), so DuckDB
+    // replays the ENTIRE id-addressed edit sequence with ROW_NUMBER
+    // arithmetic — delete rid%7=0, then bump rid%5=0 survivors by
+    // rid%3 — the strongest cross-engine check of id-addressed
+    // semantics. At 100 TB: an id predicate rides the same one scan
+    // as any DV DML; candidates could further prune by rowbase range
+    // (ids are per-file contiguous). ──────────────────────────────────
+    "q339_txn_rowid_dml" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val tbl = TempWork.fresh("q339_txn")
+      val src = T(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+      def oneSortedFile(df: org.apache.spark.sql.DataFrame) =
+        df.repartition(1).sortWithinPartitions("p_partkey")
+      TxnLog.create(s, tbl,
+        oneSortedFile(src.filter(pmod(col("p_partkey"), lit(2)) === 1)))
+      TxnLog.setProperties(s, tbl, Map(TxnLog.RowTrackKey -> "true"))
+      TxnLog.append(s, tbl,
+        oneSortedFile(src.filter(pmod(col("p_partkey"), lit(2)) === 0)))
+      val files0 = TxnLog.files(tbl)
+      // the external edit list, as id arithmetic: delete every 7th id
+      TxnLog.deleteWhereDV(s, tbl, pmod(col("_row_id"), lit(7L)) === 0)
+      require(TxnLog.files(tbl) == files0,
+        "id-addressed delete must rewrite ZERO data files")
+      // … then bump every 5th surviving id, the SET reading the id too
+      TxnLog.updateWhereDV(s, tbl, pmod(col("_row_id"), lit(5L)) === 0,
+        Seq("p_retailprice" ->
+          (col("p_retailprice") + pmod(col("_row_id"), lit(3L)))))
+      require(files0.forall(TxnLog.files(tbl).contains),
+        "id-addressed update must keep every original file")
+      TxnLog.snapshotWithRowIds(s, tbl)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          Exact.moneySum(col("p_retailprice")).as("total_price"),
+          sum(col("_row_id")).as("id_sum"))
+        .orderBy("p_brand")
+    }),
+
     // ── [ext] COPY INTO — idempotent file ingestion (Delta's COPY
     // INTO): the reference's staged-CSV daily load
     // (`src/etl/sql/bigquery_dml__ingest_daily_stock_price.sql:5-10`)
@@ -11796,6 +11841,31 @@ object SparkEntry {
           |  min(rid) AS min_id, max(rid) AS max_id
           |FROM t WHERE c_acctbal >= 0
           |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+      // q339: the id-addressed edit sequence replayed from scratch —
+      // ids reconstructed like q337 (odd partkeys rank 0.., even
+      // continue), delete rid%7=0, bump rid%5=0 survivors by rid%3
+      "q339_txn_rowid_dml" ->
+        """WITH odd AS (
+          |  SELECT p_brand, p_retailprice,
+          |    ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS rid
+          |  FROM part WHERE p_partkey % 2 = 1),
+          |even AS (
+          |  SELECT p_brand, p_retailprice,
+          |    (SELECT count(*) FROM odd) +
+          |      ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS rid
+          |  FROM part WHERE p_partkey % 2 = 0),
+          |t AS (SELECT * FROM odd UNION ALL SELECT * FROM even),
+          |edited AS (
+          |  SELECT p_brand, rid,
+          |    p_retailprice + CASE WHEN rid % 5 = 0 THEN rid % 3
+          |      ELSE 0 END AS price
+          |  FROM t WHERE rid % 7 <> 0)
+          |SELECT p_brand, count(*) AS n_parts,
+          |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price,
+          |  CAST(sum(rid) AS BIGINT) AS id_sum
+          |FROM edited GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
       // q338: the COPY-INTO-loaded table is exactly the supplier
       // extract — loaded once despite the statement running twice

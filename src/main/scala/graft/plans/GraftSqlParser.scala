@@ -132,6 +132,16 @@ object GraftSqlParser {
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""").r
   private val ConstraintClause =
     """(?is)\s*CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s*\((.*)\)\s*""".r
+  // Delta's fsck: FSCK REPAIR TABLE t [DRY RUN] — drop log entries
+  // whose data files are gone on storage
+  private val FsckStmt =
+    ("""(?is)\s*FSCK\s+REPAIR\s+TABLE\s+""" + Tok +
+      """(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
+  // Delta's manifest generation (Presto/Trino interop):
+  // GENERATE symlink_format_manifest FOR TABLE t
+  private val GenerateStmt =
+    ("""(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
+      Tok + """\s*;?\s*""").r
   // Delta's idempotent file ingestion: COPY INTO t FROM '<dir|glob>'
   // FILEFORMAT = CSV|PARQUET|JSON [FORMAT_OPTIONS(...)] [COPY_OPTIONS
   // ('force'='true')] — re-running the same statement loads nothing
@@ -419,6 +429,11 @@ object GraftSqlParser {
       maybePath(spark, delegate, target).map(p =>
         TxnLogReplaceWhereCommand(p, pred.trim,
           delegate.parsePlan(query), refreshNameOf(target)))
+    case FsckStmt(target, dry) =>
+      Some(TxnLogFsckCommand(pathOf(spark, delegate, target),
+        dryRun = dry != null))
+    case GenerateStmt(target) =>
+      Some(TxnLogGenerateManifestCommand(pathOf(spark, delegate, target)))
     case CopyIntoStmt(target, src, fmt, fopts, copts) =>
       def kvs(s: String): Map[String, String] =
         Option(s).toSeq.flatMap(PropPair.findAllMatchIn(_).map(m =>
@@ -552,6 +567,28 @@ case class TxnLogOptimizeCommand(table: String, zorderBy: Seq[String],
         partitions = partitions, incremental = incremental)
     Seq(Row(v, TxnLog.files(table).size.toLong))
   }
+}
+
+/** `FSCK REPAIR TABLE t [DRY RUN]`: drop log entries for data files
+  * missing on storage ([[TxnLog.fsck]]) — returns the removed (or,
+  * dry, the missing) paths. */
+case class TxnLogFsckCommand(table: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    TxnLog.fsck(table, dryRun).map(Row(_))
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t`: write the live
+  * file set as per-partition symlink manifests for external engines
+  * ([[TxnLog.generateManifest]]). */
+case class TxnLogGenerateManifestCommand(table: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("manifest", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    TxnLog.generateManifest(table).map(Row(_))
 }
 
 /** `COPY INTO t FROM '<dir|glob>' FILEFORMAT = …`: idempotent file

@@ -2411,6 +2411,78 @@ object TxnLog {
     (v, fresh.size.toLong, rows)
   }
 
+  /** `FSCK REPAIR TABLE` (Delta's fsck): drop log entries for live
+    * data files whose bytes are GONE on storage — an external actor
+    * deleted them, an object-store bucket lost them — so reads stop
+    * failing on the missing file and serve what remains. One
+    * transactional remove-only commit; `dryRun` lists without
+    * repairing. The removed rows are unrecoverable by definition, so
+    * no delete CDF can be journaled — a [[changesBetween]] window
+    * crossing an fsck commit refuses (the honest answer). Missing
+    * DELETION-VECTOR files refuse descriptively instead: dropping a
+    * lost mask would RESURRECT deleted rows, and dropping every
+    * masked data file would delete live ones — neither is a repair;
+    * RESTORE to a version before those DVs is. Returns the removed
+    * (or, dry, the missing) relative paths. */
+  def fsck(table: String, dryRun: Boolean = false): Seq[String] = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val base = versions(table).last
+    val st = replayState(table, base)
+    val t = tablePath(table)
+    val fs = fsOf(t)
+    val missingDv = st.dvFiles.filterNot(f => fs.exists(new HPath(t, f)))
+    require(missingDv.isEmpty,
+      s"deletion-vector file(s) missing (first: ${missingDv.headOption
+        .getOrElse("")}) — fsck cannot repair lost masks; RESTORE to a " +
+        "version before them")
+    val missing = st.live.filterNot(f => fs.exists(new HPath(t, f)))
+    if (missing.isEmpty || dryRun) return missing
+    val v = base + 1
+    if (!publish(table, v, "op\tfsck" +: missing.map("remove\t" + _)))
+      throw new ConcurrentCommitException(v)
+    maybeCheckpoint(table, v)
+    missing
+  }
+
+  /** `GENERATE symlink_format_manifest` (Delta's manifest generation —
+    * the Presto/Trino/Athena interop hook): write the CURRENT live
+    * file set as newline-separated absolute paths under
+    * `_symlink_format_manifest/`, hive-partitioned tables getting one
+    * manifest per partition directory (the layout external engines'
+    * SymlinkTextInputFormat expects). Refuses under live deletion
+    * vectors — a path manifest cannot express row-level masks, and
+    * serving unmasked rows to an external engine would resurrect
+    * deleted data; `compact()` materializes the deletes away first.
+    * Returns the manifest-relative paths written. */
+  def generateManifest(table: String): Seq[String] = {
+    require(exists(table), s"not a TxnLog table: $table")
+    val st = replayState(table, versions(table).last)
+    require(st.dvCounts.isEmpty,
+      "symlink manifests cannot represent DV-masked reads — run " +
+        "compact() (REORG PURGE) first")
+    val t = tablePath(table)
+    val fs = fsOf(t)
+    val tQ = fs.makeQualified(t)
+    val byDir = st.live.groupBy(f =>
+      f.split('/').dropRight(1).mkString("/"))
+    val mRoot = new HPath(tQ, "_symlink_format_manifest")
+    // regenerate from scratch: a stale manifest for a partition that
+    // no longer exists must not survive
+    fs.delete(mRoot, true)
+    byDir.toSeq.sortBy(_._1).map { case (dir, fs0) =>
+      val rel = "_symlink_format_manifest" +
+        (if (dir.isEmpty) "" else s"/$dir") + "/manifest"
+      val dest = new HPath(tQ, rel)
+      fs.mkdirs(dest.getParent)
+      val out = fs.create(dest, true)
+      try out.write(fs0.sorted.map(f =>
+        new HPath(tQ, f).toString).mkString("", "\n", "\n")
+        .getBytes(UTF_8))
+      finally out.close()
+      rel
+    }
+  }
+
   /** Highest committed writer-transaction version for `appId`
     * (checkpoint-accelerated like [[files]]), or -1 if none. */
   def lastTxnVersion(table: String, appId: String): Long = {
@@ -3790,8 +3862,17 @@ object TxnLog {
     // table a single-footer inference may lack evolved columns, so the
     // predicate (or the CDC projection) would fail or see the column on
     // only some files — inconsistent with deleteWhere's behavior.
-    val raw = readFiles(spark, table, st.live, declared,
-      dvOf(spark, table, st), keepDvPos = true)
+    // On a row-tracking table the scan also surfaces `_row_id`, so the
+    // predicate can address rows PHYSICALLY (`_row_id IN (…)` from an
+    // external system — a labeling job, an audit — that captured ids
+    // from [[snapshotWithRowIds]]): row-id DML without user keys, the
+    // point of row tracking.
+    val raw =
+      if (rowTrackingOn(st))
+        readFilesWithRid(spark, table, st.live, declared, st,
+          keepPos = true).withColumn("_row_id", col(RidCol))
+      else readFiles(spark, table, st.live, declared,
+        dvOf(spark, table, st), keepDvPos = true)
     val hit = org.apache.spark.sql.functions.coalesce(cond, lit(false))
     val victims = raw.filter(hit)
       .localCheckpoint(true) // one scan feeds DV stage + counts + cdc
@@ -3815,7 +3896,8 @@ object TxnLog {
     // col=val dirs; the DV keys use the leaf, counts key the log path)
     val byLeaf = st.live.map(f => f.split('/').last -> f).toMap
     val dataCols = declared.map(_.fieldNames.toSeq)
-      .getOrElse(raw.columns.toSeq.filterNot(_.startsWith("__dv_")))
+      .getOrElse(raw.columns.toSeq.filterNot(c =>
+        c.startsWith("__dv_") || c == RidCol || c == "_row_id"))
     val cdc = victims
       .select(dataCols.map(col): _*)
       .withColumn("_change_type", lit("delete"))
@@ -3880,7 +3962,7 @@ object TxnLog {
     val raw =
       if (tracking)
         readFilesWithRid(spark, table, st.live, declared, st,
-          keepPos = true)
+          keepPos = true).withColumn("_row_id", col(RidCol))
       else readFiles(spark, table, st.live, declared,
         dvOf(spark, table, st), keepDvPos = true)
     val hit = coalesce(cond, lit(false))
@@ -3902,7 +3984,8 @@ object TxnLog {
       subdir = Some("_deletion_vectors"))
     val byLeaf = st.live.map(f => f.split('/').last -> f).toMap
     val dataCols = declared.map(_.fieldNames.toSeq)
-      .getOrElse(raw.columns.toSeq.filterNot(_.startsWith("__dv_")))
+      .getOrElse(raw.columns.toSeq.filterNot(c =>
+        c.startsWith("__dv_") || c == RidCol || c == "_row_id"))
     val pre = victims.select(dataCols.map(col): _*)
     // the touch-up rows carry the victims' stable ids (RidCol) on a
     // tracking table, so the update PRESERVES row identity; the CDF

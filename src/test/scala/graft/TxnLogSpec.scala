@@ -4006,6 +4006,11 @@ class TxnLogSpec extends SparkSpec {
       TxnLog.copyInto(spark, t, src.toString, "csv", force = true)
     assert(f4 == 3L && r4 == 5L)
     assert(TxnLog.snapshot(spark, t).count() == 10L)
+    // COPY commits are append-shaped: the change feed synthesizes
+    // their inserts from the added files — incremental consumers see
+    // the loaded rows without any extra journaling
+    val cdf = TxnLog.changesBetween(spark, t, 0L, v3)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 5L)
   }
 
   test("COPY INTO: manifest survives checkpoint replay; protocol " +
@@ -4047,6 +4052,95 @@ class TxnLogSpec extends SparkSpec {
         "FORMAT_OPTIONS ('header'='true')").collect()
     assert(again.head.getAs[Long]("num_inserted_rows") == 0L)
     assert(TxnLog.snapshot(spark, t).count() == 2L)
+  }
+
+  test("row tracking: DV DML predicates can address rows by _row_id") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    TxnLog.setProperties(spark, t, Map(TxnLog.RowTrackKey -> "true"))
+    val before = rowIds(t)
+    val doomed = before.filter(_._2 % 7 == 0).values.toSet
+    // physical-address delete: the predicate never touches user keys
+    TxnLog.deleteWhereDV(spark, t, pmod(col("_row_id"), lit(7L)) === 0)
+    val after = rowIds(t)
+    assert(after.values.toSet == before.values.toSet -- doomed)
+    // id-addressed update, SET expression may read the id too
+    TxnLog.updateWhereDV(spark, t, pmod(col("_row_id"), lit(5L)) === 0,
+      Seq("n_regionkey" -> (col("n_regionkey") + lit(100))))
+    val bumped = TxnLog.snapshot(spark, t)
+      .filter(col("n_regionkey") >= 100).count()
+    assert(bumped ==
+      after.values.count(id => id % 5 == 0 && id % 7 != 0))
+    assert(rowIds(t) == after, "id-addressed update keeps identity")
+    // plain reads still never see any rid machinery
+    assert(TxnLog.snapshot(spark, t).columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+  }
+
+  // ─── fsck + symlink manifests ──────────────────────────────────────
+
+  test("FSCK REPAIR: drops entries for externally-deleted files; " +
+      "DRY RUN lists; missing DVs refuse") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation.filter(col("n_nationkey") < 5))
+    TxnLog.append(spark, t,
+      nation.filter(col("n_nationkey").between(5, 9)))
+    val victim = TxnLog.files(t).head
+    Files.delete(Paths.get(t, victim))
+    // reads now fail on the missing file; DRY RUN names it
+    val dry = spark.sql(s"FSCK REPAIR TABLE '$t' DRY RUN")
+      .collect().map(_.getString(0))
+    assert(dry.toSeq == Seq(victim))
+    assert(TxnLog.versions(t).last == 2L, "DRY RUN must not commit")
+    val fixed = spark.sql(s"FSCK REPAIR TABLE '$t'")
+      .collect().map(_.getString(0))
+    assert(fixed.toSeq == Seq(victim))
+    assert(TxnLog.versions(t).last == 3L)
+    assert(TxnLog.snapshot(spark, t).count() == 5L,
+      "post-repair reads serve the surviving files")
+    // a lost deletion-vector file is NOT repairable — refuse
+    val t2 = freshTable()
+    TxnLog.create(spark, t2, nation)
+    TxnLog.deleteWhereDV(spark, t2, col("n_nationkey") < 3)
+    val dv = Paths.get(t2, "_deletion_vectors").toFile.list().head
+    Files.delete(Paths.get(t2, "_deletion_vectors", dv))
+    val e = intercept[Exception] { TxnLog.fsck(t2) }
+    assert(e.getMessage.contains("RESTORE"), e.getMessage)
+  }
+
+  test("GENERATE symlink_format_manifest: per-partition manifests " +
+      "naming exactly the live files; DV tables refuse") {
+    val t = freshTable()
+    TxnLog.create(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    val rels = spark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE '$t'")
+      .collect().map(_.getString(0))
+    assert(rels.forall(_.startsWith("_symlink_format_manifest/")))
+    val listed = rels.flatMap(r =>
+      new String(Files.readAllBytes(Paths.get(t, r))).split('\n'))
+      .filter(_.nonEmpty).toSet
+    val live = TxnLog.files(t)
+      .map(f => "file:" + Paths.get(t, f)).toSet
+    assert(listed == live,
+      s"manifest must name exactly the live set: ${listed.size} vs " +
+        s"${live.size}")
+    // regeneration after a rewrite reflects the new layout and drops
+    // stale partition manifests
+    TxnLog.compact(spark, t, targetFiles = 1)
+    val rels2 = spark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE '$t'")
+      .collect().map(_.getString(0))
+    val listed2 = rels2.flatMap(r =>
+      new String(Files.readAllBytes(Paths.get(t, r))).split('\n'))
+      .filter(_.nonEmpty).toSet
+    assert(listed2 == TxnLog.files(t)
+      .map(f => "file:" + Paths.get(t, f)).toSet)
+    assert(!Files.exists(Paths.get(t, rels.head.split('/').dropRight(1)
+      .mkString("/"))) || rels2.nonEmpty)
+    // DV-masked tables refuse (a path manifest cannot mask rows)
+    TxnLog.deleteWhereDV(spark, t, col("n_nationkey") === 1)
+    val e = intercept[Exception] { TxnLog.generateManifest(t) }
+    assert(e.getMessage.contains("compact"), e.getMessage)
   }
 
   // ─── incremental clustering maintenance ────────────────────────────
