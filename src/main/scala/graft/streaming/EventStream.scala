@@ -485,66 +485,66 @@ object EventStream {
   /** [[eventsStream]] plus one far-future sentinel row landed as its own
     * final micro-batch (see [[leftOuterJoined]]): the fixture file first,
     * then a single-row parquet 30 days past the fixture's max ts, mtimes
-    * staggered so the file source orders them deterministically. */
+    * staggered so the file source orders them deterministically.
+    *
+    * ONE sentinel batch suffices: the sentinel's batch raises the max
+    * event time, the watermark recomputes from it at batch end, and the
+    * engine's no-data micro-batch (`noDataMicroBatches`, on by default —
+    * it fires whenever the watermark advanced and a stateful operator
+    * may emit; observed as the trailing rows=0 batch in StreamProbe)
+    * performs the eviction under the new watermark. The previous second
+    * (+60 d) sentinel pre-dated that observation and paid one full extra
+    * micro-batch (~1 s of state-commit + replan fixed cost) per
+    * invocation for an eviction the no-data batch already does.
+    *
+    * The staged landing dir is a pure function of the fixture dir, so it
+    * rides the [[LandingCache]] like [[eventsStream]]'s — the max-ts
+    * scan, the sentinel write job, and the fixture copy are paid once
+    * per JVM, not once per bench pass. */
   private def eventsStreamWithSentinel(spark: SparkSession, dir: String)
       : (DataFrame, java.nio.file.Path) = {
     graft.Tables.fixtureConf(spark)
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val schema = raw.schema
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val tsIsTimestamp =
       schema("ts").dataType == org.apache.spark.sql.types.TimestampType
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_in_")
-    val eventsFile = landing.resolve("events_1.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
-    // TWO sentinel files (+30 d and +60 d), each its own micro-batch: a
-    // batch's watermark is computed from the PREVIOUS batch's max event
-    // time, and AvailableNow stops at the last data batch — so the first
-    // sentinel alone would advance the watermark without a batch left to
-    // evict state into. Sentinel 2's batch runs WITH sentinel 1's
-    // watermark (+30 d − delay), which is already past every real click.
-    // One stats-only max scan + one two-file write stages both.
-    val dayNs = 24L * 3600 * 1000000000L
-    val sentTsCol =
-      if (tsIsTimestamp) {
-        val maxTs = raw.agg(max(col("ts"))).head().getTimestamp(0)
-        (i: Int) => lit(maxTs) + expr(s"INTERVAL ${30 * i} DAYS")
-      } else {
-        val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-        (i: Int) => lit(maxNs + 30L * i * dayNs)
+    val landing = LandingCache.getOrCreate(s"$dir||sentinel=1") {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_in_")
+      val eventsFile = out.resolve("events_1.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
+      val dayNs = 24L * 3600 * 1000000000L
+      val sentTsCol =
+        if (tsIsTimestamp) {
+          val maxTs = raw.agg(max(col("ts"))).head().getTimestamp(0)
+          lit(maxTs) + expr("INTERVAL 30 DAYS")
+        } else {
+          val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+          lit(maxNs + 30L * dayNs)
+        }
+      val sentinel = spark.range(1, 2).toDF("i").select(
+        lit(-1L).as("event_id"), sentTsCol.as("ts"),
+        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val st = java.nio.file.Files.list(tmp)
+        try st.filter(_.toString.endsWith(".parquet")).findFirst()
+          .orElseThrow(() => new IllegalStateException("no sentinel part"))
+        finally st.close()
       }
-    val sentinel = spark.range(1, 3).toDF("i").select(
-      col("i"),
-      lit(-1L).as("event_id"),
-      when(col("i") === 1, sentTsCol(1)).otherwise(sentTsCol(2)).as("ts"),
-      lit(-1L).as("user_id"), lit("flush").as("event_type"),
-      lit(0.0).as("value"), lit(null).cast("string").as("props"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
-    // ONE write job into two deterministic directories (i=1 early, i=2
-    // late) — the partition column rides the directory name, so each
-    // file holds exactly the events schema; the previous
-    // repartitionByRange(2, ts) paid an extra range-sampling job for a
-    // 2-row dataset and left file→sentinel order to part-name sorting
-    sentinel.write.partitionBy("i").mode("overwrite").parquet(tmp.toString)
-    def sentinelPart(i: Int): java.nio.file.Path = {
-      val st = java.nio.file.Files.list(tmp.resolve(s"i=$i"))
-      try st.filter(_.toString.endsWith(".parquet")).findFirst()
-        .orElseThrow(() => new IllegalStateException(s"no sentinel part for i=$i"))
-      finally st.close()
+      val sent1 = out.resolve("events_2_sentinel.parquet")
+      java.nio.file.Files.copy(part, sent1)
+      deleteRecursively(tmp)
+      // the file source processes files oldest-mtime-first: pin the order
+      val base = System.currentTimeMillis()
+      java.nio.file.Files.setLastModifiedTime(eventsFile,
+        java.nio.file.attribute.FileTime.fromMillis(base - 120000))
+      java.nio.file.Files.setLastModifiedTime(sent1,
+        java.nio.file.attribute.FileTime.fromMillis(base - 60000))
+      out
     }
-    val sent1 = landing.resolve("events_2_sentinel.parquet")
-    val sent2 = landing.resolve("events_3_sentinel.parquet")
-    java.nio.file.Files.copy(sentinelPart(1), sent1)
-    java.nio.file.Files.copy(sentinelPart(2), sent2)
-    deleteRecursively(tmp)
-    // the file source processes files oldest-mtime-first: pin the order
-    val base = System.currentTimeMillis()
-    java.nio.file.Files.setLastModifiedTime(eventsFile,
-      java.nio.file.attribute.FileTime.fromMillis(base - 120000))
-    java.nio.file.Files.setLastModifiedTime(sent1,
-      java.nio.file.attribute.FileTime.fromMillis(base - 60000))
-    java.nio.file.Files.setLastModifiedTime(sent2,
-      java.nio.file.attribute.FileTime.fromMillis(base))
     val df = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing.toString)
