@@ -1419,21 +1419,13 @@ object TxnLog {
     * footer is already local after the stage). Every data-writing
     * commit records them, which is what makes [[countRows]] a pure
     * metadata operation. */
-  private def rowcountLines(table: String, named: Seq[String]): Seq[String] = {
-    val t = tablePath(table)
-    val fs = fsOf(t)
-    named.flatMap { n =>
-      val p = fs.makeQualified(new HPath(t, n))
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(p, ioConf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      // size rides the same commit (Delta's add.size): read planning
-      // then never stats a data file — at 1M files on an object store
-      // that is 1M HEAD requests the log already paid for
-      try Seq(s"rowcount\t$n\t${r.getRecordCount}",
-        s"fsize\t$n\t${fs.getFileStatus(p).getLen}")
-      finally r.close()
-    }
+  private def rowcountLines(table: String, named: Seq[String],
+                            foot: Seq[StagedFooter] = null): Seq[String] = {
+    // size rides the same commit (Delta's add.size): read planning
+    // then never stats a data file — at 1M files on an object store
+    // that is 1M HEAD requests the log already paid for
+    Option(foot).getOrElse(readFooters(table, named)).flatMap(f =>
+      Seq(s"rowcount\t${f.name}\t${f.rows}", s"fsize\t${f.name}\t${f.bytes}"))
   }
 
   /** `count(*)` answered from the LOG alone — the sum of the live
@@ -1633,20 +1625,167 @@ object TxnLog {
     }
   }
 
+  /** One parquet FOOTER read per freshly staged file, shared by every
+    * per-commit metadata helper ([[statsLines]], [[idHighLines]],
+    * [[rowcountLines]], [[rowTrackLines]]). Before this, a commit with
+    * stats + identity + row tracking opened each staged footer three
+    * times AND ran two extra Spark jobs re-reading the staged data —
+    * pure per-commit fixed cost (the write itself already visited every
+    * row). One open serves all four; at 100 TB the cost is the same
+    * O(files) driver metadata pass the rowcount reader already paid. */
+  private final case class StagedFooter(
+      name: String, rows: Long, bytes: Long,
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata)
+
+  private def readFooters(table: String, named: Seq[String])
+      : Seq[StagedFooter] = {
+    val t = tablePath(table)
+    val fs = fsOf(t)
+    named.map { n =>
+      val p = fs.makeQualified(new HPath(t, n))
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, ioConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try StagedFooter(n, r.getRecordCount, in.getLength, r.getFooter)
+      finally r.close()
+    }
+  }
+
+  /** Per-file footer verdict for one physical column (see
+    * [[footerCanonical]]). `Absent` = not in this file's schema;
+    * `Opaque` = present but the footer statistics cannot reproduce
+    * [[canonicalCol]] losslessly (type unsupported, stats missing,
+    * unknown null count) — the caller must fall back to the Spark job;
+    * `AllNull` = provably every value null (no stats line, same as the
+    * job's null-aggregate behavior). */
+  private sealed trait FooterStat
+  private case object FooterAbsent extends FooterStat
+  private case object FooterOpaque extends FooterStat
+  private case object FooterAllNull extends FooterStat
+  private final case class FooterMinMax(mn: Long, mx: Long)
+      extends FooterStat
+
+  /** Canonical-long min/max for one physical column of one staged file
+    * read from its parquet footer — EXACTLY [[canonicalCol]]'s mapping,
+    * restricted to the types where footer statistics are lossless under
+    * it: plain INT32/INT64 (cast to long is the identity), DATE (the
+    * stored int IS epoch days), and INT64 timestamps in MILLIS/MICROS
+    * (`to_date` under a UTC session is the day floor, which is
+    * monotonic, so floor(min) = min(floor)). Everything else — strings
+    * (numeric parse ≠ byte order), doubles (ANSI cast may throw on
+    * NaN), decimals, INT96, NANOS — reports `Opaque` and keeps the
+    * Spark-job path, so pruning semantics can never drift. */
+  private def footerCanonical(
+      md: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      pc: String, utcSession: Boolean): FooterStat = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    import scala.jdk.CollectionConverters._
+    val blocks = md.getBlocks.asScala.toSeq
+    val perBlock = blocks.map(b =>
+      (b, b.getColumns.asScala.find(_.getPath.toDotString == pc)))
+    if (perBlock.forall(_._2.isEmpty)) return FooterAbsent
+    if (perBlock.exists(_._2.isEmpty)) return FooterOpaque
+    var mn = Long.MaxValue; var mx = Long.MinValue; var seen = false
+    perBlock.foreach { case (b, ccOpt) =>
+      val cc = ccOpt.get
+      val st = cc.getStatistics
+      if (st == null || st.isEmpty) return FooterOpaque
+      if (!st.hasNonNullValue) {
+        // usable only when provably all-null; an unknown null count
+        // could hide real values the job would have surfaced
+        if (!st.isNumNullsSet || st.getNumNulls != b.getRowCount)
+          return FooterOpaque
+      } else {
+        val pt = cc.getPrimitiveType
+        def canon(v: AnyRef): Option[Long] = pt.getPrimitiveTypeName match {
+          case INT32 => pt.getLogicalTypeAnnotation match {
+            case null => Some(v.asInstanceOf[java.lang.Integer].toLong)
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+              Some(v.asInstanceOf[java.lang.Integer].toLong)
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                if i.isSigned =>
+              Some(v.asInstanceOf[java.lang.Integer].toLong)
+            case _ => None
+          }
+          case INT64 => pt.getLogicalTypeAnnotation match {
+            case null => Some(v.asInstanceOf[java.lang.Long].longValue)
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                if i.isSigned && i.getBitWidth == 64 =>
+              Some(v.asInstanceOf[java.lang.Long].longValue)
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              // adjusted-to-UTC timestamps day-floor through the SESSION
+              // zone; only UTC makes that floorDiv. NTZ (adjusted=false)
+              // day-floors identically in any session zone.
+              if (ts.isAdjustedToUTC && !utcSession) None
+              else ts.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  Some(Math.floorDiv(
+                    v.asInstanceOf[java.lang.Long].longValue, 86400000L))
+                case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                  Some(Math.floorDiv(
+                    v.asInstanceOf[java.lang.Long].longValue, 86400000000L))
+                case _ => None // NANOS surfaces as LongType under
+                               // nanosAsLong — identity, not day-floor
+              }
+            case _ => None
+          }
+          case _ => None
+        }
+        (canon(st.genericGetMin.asInstanceOf[AnyRef]),
+          canon(st.genericGetMax.asInstanceOf[AnyRef])) match {
+          case (Some(a), Some(z)) =>
+            mn = math.min(mn, a); mx = math.max(mx, z); seen = true
+          case _ => return FooterOpaque
+        }
+      }
+    }
+    if (seen) FooterMinMax(mn, mx) else FooterAllNull
+  }
+
   private def statsLines(spark: SparkSession, table: String,
                          named: Seq[String],
                          statsCols: Seq[String],
-                         phys: Map[String, String] = Map.empty)
+                         phys: Map[String, String] = Map.empty,
+                         foot: Seq[StagedFooter] = null)
       : Seq[String] = {
     if (statsCols.isEmpty || named.isEmpty) return Nil
+    val footers = Option(foot).getOrElse(readFooters(table, named))
+    val utc = spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    val cols = statsCols.map(c => c -> phys.getOrElse(c, c))
+    val fromFooter = scala.collection.mutable.ArrayBuffer.empty[String]
+    val leftover = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    cols.foreach { case (c, pc) =>
+      val per = footers.map(f => f.name -> footerCanonical(f.footer, pc, utc))
+      if (per.forall(_._2 == FooterAbsent)) () // renamed/dropped away:
+                                               // unprunable, never wrong
+      else if (per.forall(p => p._2.isInstanceOf[FooterMinMax] ||
+          p._2 == FooterAllNull))
+        per.foreach {
+          case (n, FooterMinMax(mn, mx)) =>
+            fromFooter += s"stats\t$n\t$c\t$mn\t$mx"
+          case _ => ()
+        }
+      else leftover += ((c, pc))
+    }
+    fromFooter.toSeq ++ statsLinesJob(spark, table, named, leftover.toSeq)
+  }
+
+  /** The original one-Spark-job stats pass — now only the FALLBACK for
+    * columns whose footer statistics cannot reproduce [[canonicalCol]]
+    * (strings, doubles, decimals, INT96 timestamps). */
+  private def statsLinesJob(spark: SparkSession, table: String,
+                            named: Seq[String],
+                            colPairs: Seq[(String, String)])
+      : Seq[String] = {
+    if (colPairs.isEmpty || named.isEmpty) return Nil
     import org.apache.spark.sql.functions._
     val byLeaf = named.map(n => n.split('/').last -> n).toMap
     val df = spark.read.parquet(
       named.map(n => new HPath(tablePath(table), n).toString): _*)
     // staged files carry PHYSICAL names; lines are keyed by the LOGICAL
     // name probes use (same contract as bloomLines)
-    val cols = statsCols.map(c => c -> phys.getOrElse(c, c))
-      .filter { case (_, pc) => df.columns.contains(pc) }
+    val cols = colPairs.filter { case (_, pc) => df.columns.contains(pc) }
     if (cols.isEmpty) return Nil
     val aggs = cols.flatMap { case (c, pc) => Seq(
       min(canonicalCol(df, pc)).as(s"__mn_$c"),
@@ -1777,13 +1916,37 @@ object TxnLog {
     * holds, so the NEXT writer reserves beyond it. */
   private def idHighLines(spark: SparkSession, table: String,
                           named: Seq[String], idCols: Seq[String],
-                          pm: Map[String, String]): Seq[String] = {
+                          pm: Map[String, String],
+                          foot: Seq[StagedFooter] = null): Seq[String] = {
     if (idCols.isEmpty || named.isEmpty) return Nil
+    // identity columns are integral (INT32/INT64 plain), so the staged
+    // footers' max IS max(col) — zero Spark jobs; anything the footer
+    // cannot prove falls back to the original aggregate job
+    val footers = Option(foot).getOrElse(readFooters(table, named))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val leftover = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    idCols.map(n => n -> pm.getOrElse(n, n)).foreach { case (c, pc) =>
+      val per = footers.map(f => footerCanonical(f.footer, pc,
+        utcSession = true))
+      if (per.forall(_ == FooterAbsent)) () // not in staged files: no line
+      else if (per.forall(p => p.isInstanceOf[FooterMinMax] ||
+          p == FooterAllNull)) {
+        val mxs = per.collect { case FooterMinMax(_, mx) => mx }
+        if (mxs.nonEmpty) out += s"idhigh\t$c\t${mxs.max}"
+      } else leftover += ((c, pc))
+    }
+    out.toSeq ++ idHighLinesJob(spark, table, named, leftover.toSeq)
+  }
+
+  private def idHighLinesJob(spark: SparkSession, table: String,
+                             named: Seq[String],
+                             colPairs: Seq[(String, String)])
+      : Seq[String] = {
+    if (colPairs.isEmpty || named.isEmpty) return Nil
     import org.apache.spark.sql.functions.{col => c, max}
     val dfS = spark.read.parquet(named.map(n =>
       new HPath(tablePath(table), n).toString): _*)
-    val cols = idCols.map(n => n -> pm.getOrElse(n, n))
-      .filter { case (_, p) => dfS.columns.contains(p) }
+    val cols = colPairs.filter { case (_, p) => dfS.columns.contains(p) }
     if (cols.isEmpty) return Nil
     val row = dfS.agg(max(c(cols.head._2)).cast(LongType),
       cols.tail.map(p => max(c(p._2)).cast(LongType)): _*).head
@@ -1845,19 +2008,15 @@ object TxnLog {
     * from the materialized column FIRST, so the base is only a
     * fresh-range reservation. Empty for non-tracking tables. */
   private def rowTrackLines(table: String, named: Seq[String],
-                            st: State): Seq[String] = {
+                            st: State,
+                            foot: Seq[StagedFooter] = null): Seq[String] = {
     if (!rowTrackingOn(st) || named.isEmpty) return Nil
-    val t = tablePath(table)
-    val fs = fsOf(t)
+    val rowsOf = Option(foot).getOrElse(readFooters(table, named))
+      .map(f => f.name -> f.rows).toMap
     var next = st.rowHigh
     val lines = named.sorted.map { n =>
-      val p = fs.makeQualified(new HPath(t, n))
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(p, ioConf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val cnt = try r.getRecordCount finally r.close()
       val b = next
-      next += cnt
+      next += rowsOf(n)
       s"rowbase\t$n\t$b"
     }
     lines :+ s"rowhigh\t$next"
@@ -1894,13 +2053,15 @@ object TxnLog {
       require(!n.contains('\t') && !e.contains('\t'),
         "constraint names/expressions must be tab-free") }
     val named = stageChecked(spark, table, df, checks.toMap, partitionBy)
+    val foot = readFooters(table, named)
     val actions = "op\tcreate" +: (protocolLines(df.schema) :+
       s"schema\t${df.schema.json}") ++:
       (txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
         checks.map { case (n, e) => s"check\t$n\t$e" } ++
-        named.map("add\t" + _) ++ statsLines(spark, table, named, statsCols)
+        named.map("add\t" + _) ++
+        statsLines(spark, table, named, statsCols, foot = foot)
         ++ bloomLines(spark, table, named, bloomCols)
-        ++ rowcountLines(table, named))
+        ++ rowcountLines(table, named, foot))
     if (!publish(table, 1L, actions))
       throw new ConcurrentCommitException(1L)
     feedLink(table, named)
@@ -2106,10 +2267,13 @@ object TxnLog {
       st.checks.keys.toSeq.sorted.map("checkdrop\t" + _) ++
       Seq(s"schema\t${df.schema.json}", partLine) ++
       checks.map { case (n, e) => s"check\t$n\t$e" } ++
-      named.map("add\t" + _) ++
-      idHighLines(spark, table, named, idCols, physMapOf(Some(df.schema))) ++
-      rowTrackLines(table, named, st) ++
-      rowcountLines(table, named)
+      named.map("add\t" + _) ++ {
+        val foot = readFooters(table, named)
+        idHighLines(spark, table, named, idCols,
+          physMapOf(Some(df.schema)), foot) ++
+          rowTrackLines(table, named, st, foot) ++
+          rowcountLines(table, named, foot)
+      }
     val v = base + 1
     if (!publish(table, v, actions))
       throw new ConcurrentCommitException(v)
@@ -2254,12 +2418,13 @@ object TxnLog {
     // reserved, so the next writer starts beyond it
     val idCols = declared.toSeq.flatMap(_.fields)
       .filter(_.metadata.contains(IdKey)).map(_.name)
-    val idLines = idHighLines(spark, table, named, idCols, pm)
-    val rtLines = rowTrackLines(table, named, st)
+    val foot = readFooters(table, named)
+    val idLines = idHighLines(spark, table, named, idCols, pm, foot)
+    val rtLines = rowTrackLines(table, named, st, foot)
     val rest = named.map("add\t" + _) ++ idLines ++ rtLines ++
-      statsLines(spark, table, named, statsCols, pm) ++
+      statsLines(spark, table, named, statsCols, pm, foot) ++
       bloomLines(spark, table, named, bloomCols, pm) ++
-      rowcountLines(table, named)
+      rowcountLines(table, named, foot)
     var actions = "op\tappend" +: (schemaLine.toSeq ++ rest)
     var v = vs.last + 1
     while (!publish(table, v, actions)) {
@@ -2371,9 +2536,10 @@ object TxnLog {
     val pm = physMapOf(Some(declared))
     val idCols = declared.fields.toSeq
       .filter(_.metadata.contains(IdKey)).map(_.name)
-    val idLines = idHighLines(spark, table, named, idCols, pm)
-    val rtLines = rowTrackLines(table, named, st)
-    val rcLines = rowcountLines(table, named)
+    val foot = readFooters(table, named)
+    val idLines = idHighLines(spark, table, named, idCols, pm, foot)
+    val rtLines = rowTrackLines(table, named, st, foot)
+    val rcLines = rowcountLines(table, named, foot)
     val rows = rcLines.filter(_.startsWith("rowcount\t"))
       .map(_.split('\t')(2).toLong).sum
     // first COPY INTO on this table raises the protocol floors: an
@@ -2540,9 +2706,10 @@ object TxnLog {
     declared.foreach(validateAgainst(_, df.schema, mergeSchema = false))
     val named = stageChecked(spark, table, df, st.checks,
       partitionColsOf(st).getOrElse(Nil), declared)
-    val rtLines = rowTrackLines(table, named, st)
+    val foot = readFooters(table, named)
+    val rtLines = rowTrackLines(table, named, st, foot)
     val actions = "op\tappend" +: s"txn\t$appId\t$txnVersion" +:
-      (named.map("add\t" + _) ++ rtLines ++ rowcountLines(table, named))
+      (named.map("add\t" + _) ++ rtLines ++ rowcountLines(table, named, foot))
     var v = versions(table).last + 1
     while (!publish(table, v, actions)) {
       if (lastTxnVersion(table, appId) >= txnVersion) {
@@ -2623,12 +2790,14 @@ object TxnLog {
     if (!publish(table, v, s"op\t$opName" +: "dvclear" +: (schemaLine.toSeq ++
         txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
         st.live.map("remove\t" + _) ++ named.map("add\t" + _) ++
-        cdcNames.map("cdc\t" + _) ++
-        idHighLines(spark, table, named, idCols, pm) ++
-        rowTrackLines(table, named, st) ++
-        statsLines(spark, table, named, statsCols, pm) ++
-        bloomLines(spark, table, named, bloomCols, pm) ++
-        rowcountLines(table, named))))
+        cdcNames.map("cdc\t" + _) ++ {
+          val foot = readFooters(table, named)
+          idHighLines(spark, table, named, idCols, pm, foot) ++
+            rowTrackLines(table, named, st, foot) ++
+            statsLines(spark, table, named, statsCols, pm, foot) ++
+            bloomLines(spark, table, named, bloomCols, pm) ++
+            rowcountLines(table, named, foot)
+        })))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -2876,11 +3045,13 @@ object TxnLog {
             (evolvedJson.map("schema\t" + _).toSeq ++
               txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
               touchedFiles.map("remove\t" + _) ++
-              named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
-              rowTrackLines(table, named, st) ++
-              statsLines(spark, table, named, trackedStats, pm) ++
-              bloomLines(spark, table, named, trackedBlooms, pm) ++
-              rowcountLines(table, named))
+              named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++ {
+                val foot = readFooters(table, named)
+                rowTrackLines(table, named, st, foot) ++
+                  statsLines(spark, table, named, trackedStats, pm, foot) ++
+                  bloomLines(spark, table, named, trackedBlooms, pm) ++
+                  rowcountLines(table, named, foot)
+              })
           val v = base + 1
           if (!publish(table, v, actions))
             throw new ConcurrentCommitException(v)
@@ -2915,8 +3086,11 @@ object TxnLog {
           txn.map { case (id, tv) => s"txn\t$id\t$tv" }.toSeq ++
           touchedFiles.map("remove\t" + _) ++
           named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
-          rowTrackLines(table, named, st) ++
-          rowcountLines(table, named))
+          {
+            val foot = readFooters(table, named)
+            rowTrackLines(table, named, st, foot) ++
+              rowcountLines(table, named, foot)
+          })
         // partition-conflict-aware publish: a lost race re-checks the
         // commits that beat us; disjoint partitions → retry at the new
         // head (our removes are still live), overlap → stale merge
@@ -3225,11 +3399,13 @@ object TxnLog {
     val actions = "op\tmerge" +: (dvLine ++
       (if (newFields.nonEmpty) Seq(s"schema\t${evolved.json}") else Nil) ++
       touchedFiles.map("remove\t" + _) ++ named.map("add\t" + _) ++
-      cdcNames.map("cdc\t" + _) ++
-      rowTrackLines(table, named, st) ++
-      idHighLines(spark, table, named,
-        idFieldsM.map(_.name).toSeq, pm) ++
-      statsLines(spark, table, named, trackedStats, pm) ++
+      cdcNames.map("cdc\t" + _) ++ {
+        val foot = readFooters(table, named)
+        rowTrackLines(table, named, st, foot) ++
+          idHighLines(spark, table, named,
+            idFieldsM.map(_.name).toSeq, pm, foot) ++
+          statsLines(spark, table, named, trackedStats, pm, foot)
+      } ++
       bloomLines(spark, table, named, trackedBlooms, pm) ++
       rowcountLines(table, named))
     val v = base + 1
@@ -3304,17 +3480,18 @@ object TxnLog {
     val trackedBlooms = st.blooms.keys.map(_._2).toSeq.distinct.sorted
     val idColsOp = declared.toSeq.flatMap(_.fields)
       .filter(_.metadata.contains(IdKey)).map(_.name)
+    val foot = readFooters(table, named)
     val idLines = idHighLines(spark, table, named, idColsOp,
-      physMapOf(declared))
-    val rtLines = rowTrackLines(table, named, st)
+      physMapOf(declared), foot)
+    val rtLines = rowTrackLines(table, named, st, foot)
     val actions = "op\treplacePartitions" +:
       (removes.map("remove\t" + _) ++ named.map("add\t" + _) ++
         cdcNames.map("cdc\t" + _) ++ idLines ++ rtLines ++
         statsLines(spark, table, named, trackedStats,
-          physMapOf(declared)) ++
+          physMapOf(declared), foot) ++
         bloomLines(spark, table, named, trackedBlooms,
           physMapOf(declared)) ++
-        rowcountLines(table, named))
+        rowcountLines(table, named, foot))
     var checkedUpTo = base
     var v = base + 1
     while (!publish(table, v, actions)) {
@@ -3506,11 +3683,13 @@ object TxnLog {
     val actions = "op\treplaceWhere" +: (dvLine ++
       victims.map("remove\t" + _) ++ named.map("add\t" + _) ++
       cdcNames.map("cdc\t" + _) ++
-      idHighLines(spark, table, namedNew, idColsRw, pm) ++
-      rowTrackLines(table, named, st) ++
-      statsLines(spark, table, named, trackedStats, pm) ++
-      bloomLines(spark, table, named, trackedBlooms, pm) ++
-      rowcountLines(table, named))
+      idHighLines(spark, table, namedNew, idColsRw, pm) ++ {
+        val foot = readFooters(table, named)
+        rowTrackLines(table, named, st, foot) ++
+          statsLines(spark, table, named, trackedStats, pm, foot) ++
+          bloomLines(spark, table, named, trackedBlooms, pm) ++
+          rowcountLines(table, named, foot)
+      })
     val v = base + 1
     if (!publish(table, v, actions))
       throw new ConcurrentCommitException(v)
@@ -3731,10 +3910,15 @@ object TxnLog {
     if (!publish(table, v, "op\tcompact" +: "nochange" +: (dvLine ++
         ctLine ++
         scope.map("remove\t" + _) ++ named.map("add\t" + _) ++
-          rowTrackLines(table, named, st) ++
-          statsLines(spark, table, named, sc, physMapOf(declared)) ++
-          bloomLines(spark, table, named, bloomCols, physMapOf(declared)) ++
-          rowcountLines(table, named))))
+          {
+            val foot = readFooters(table, named)
+            rowTrackLines(table, named, st, foot) ++
+              statsLines(spark, table, named, sc, physMapOf(declared),
+                foot) ++
+              bloomLines(spark, table, named, bloomCols,
+                physMapOf(declared)) ++
+              rowcountLines(table, named, foot)
+          })))
       throw new ConcurrentCommitException(v)
     maybeCheckpoint(table, v)
     v
@@ -4014,11 +4198,13 @@ object TxnLog {
     val actions = "op\tupdateDV" +: (dvNamed.map("dv\t" + _) ++
       perFile.toSeq.sortBy(_._1).map { case (leaf, n) =>
         s"dvcount\t${byLeaf(leaf)}\t$n" } ++
-      named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++
-      rowTrackLines(table, named, st) ++
-      statsLines(spark, table, named, trackedStats, pm) ++
-      bloomLines(spark, table, named, trackedBlooms, pm) ++
-      rowcountLines(table, named))
+      named.map("add\t" + _) ++ cdcNames.map("cdc\t" + _) ++ {
+        val foot = readFooters(table, named)
+        rowTrackLines(table, named, st, foot) ++
+          statsLines(spark, table, named, trackedStats, pm, foot) ++
+          bloomLines(spark, table, named, trackedBlooms, pm) ++
+          rowcountLines(table, named, foot)
+      })
     val v = base + 1
     if (!publish(table, v, actions))
       throw new ConcurrentCommitException(v)

@@ -227,6 +227,75 @@ class TxnLogSpec extends SparkSpec {
       s"pruned column must not be read:\n${plan.take(2000)}")
   }
 
+  test("footer-derived stats lines equal the Spark-job canonicalization " +
+      "across types, nulls, and all-null columns") {
+    // The commit's per-file min/max now comes from the staged parquet
+    // FOOTERS for lossless types (int/long/date/ts-micros) and falls
+    // back to the original Spark job otherwise (string/double here).
+    // Both paths feed the SAME `stats\t` lines, so this pins the
+    // committed values against an independently computed canonical
+    // min/max per (file, column) — any footer/job drift fails here.
+    val t = freshTable()
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"),                        // INT64 plain
+        col("id").cast("int").as("ki"),                 // INT32 plain
+        date_add(to_date(lit("2020-01-01")),
+          (col("id") % 400).cast("int")).as("d"),       // DATE
+        to_timestamp(date_add(to_date(lit("2020-01-01")),
+          (col("id") % 90).cast("int"))).as("ts"),      // TIMESTAMP
+        (col("id") * 1.5 - 200.0).as("x"),              // DOUBLE (job path)
+        concat(lit("s"), col("id")).as("s"),            // STRING (job path)
+        when(col("id") % 3 === 0, col("id")).as("kn"),  // nullable INT64
+        lit(null).cast("long").as("allnull"))           // all-null column
+      .repartitionByRange(4, col("k"))
+    val cols = Seq("k", "ki", "d", "ts", "x", "kn", "allnull")
+    TxnLog.create(spark, t, df, statsCols = cols)
+    val log = new String(Files.readAllBytes(
+      Paths.get(t, "_txn_log", f"${1L}%020d.log")), "UTF-8")
+    val statLines = log.linesIterator.filter(_.startsWith("stats\t"))
+      .map(_.split('\t')).map(a => (a(1), a(2)) -> (a(3).toLong, a(4).toLong))
+      .toMap
+    // independently recompute the canonical min/max per (file, column)
+    val staged = spark.read.parquet(
+      statLines.keys.map(_._1).toSeq.distinct.map(n => s"$t/$n"): _*)
+    def canon(c: String) = staged.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType =>
+        datediff(to_date(col(c)), to_date(lit("1970-01-01"))).cast("long")
+      case _ => col(c).cast("long")
+    }
+    val expected = staged
+      .groupBy(input_file_name().as("f"))
+      .agg(cols.flatMap(c => Seq(min(canon(c)).as(s"mn_$c"),
+        max(canon(c)).as(s"mx_$c"))).head,
+        cols.flatMap(c => Seq(min(canon(c)).as(s"mn_$c"),
+          max(canon(c)).as(s"mx_$c"))).tail: _*)
+      .collect()
+    assert(expected.nonEmpty)
+    var checked = 0
+    expected.foreach { r =>
+      val leaf = r.getAs[String]("f").split('/').last
+      cols.foreach { c =>
+        val key = statLines.keys.find(k =>
+          k._1.split('/').last == leaf && k._2 == c)
+        if (r.isNullAt(r.fieldIndex(s"mn_$c")))
+          assert(key.isEmpty, s"all-null $c must have no stats line")
+        else {
+          assert(key.nonEmpty, s"missing stats line for $c on $leaf")
+          assert(statLines(key.get) ==
+            (r.getLong(r.fieldIndex(s"mn_$c")),
+              r.getLong(r.fieldIndex(s"mx_$c"))),
+            s"stats mismatch for $c on $leaf")
+          checked += 1
+        }
+      }
+    }
+    assert(checked >= 4 * 6, s"expected 4 files x 6 non-null cols, got $checked")
+    // and the lines still prune correctly through the reader
+    assert(TxnLog.snapshotWhere(spark, t, "k", 0L, 10L).inputFiles.length <
+      TxnLog.snapshot(spark, t).inputFiles.length)
+  }
+
   test("stats-based file skipping prunes the scan, never the answer") {
     val t = freshTable()
     // range-lay the data so per-file [min,max] stats are tight
