@@ -16,9 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // honor SPARK_GRAFT_CPUS like Bench does, so the probe can produce
+    // 8c-vs-32c datapoints at 10x/100x data (the core-scaling evidence
+    // the sf0.1 bench cannot show); optional args select sections
+    // ("docs", "events", "graph", "ml", "txn") to keep a paired run
+    // affordable
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sections: Set[String] =
+      if (args.isEmpty) Set("docs", "events", "graph", "ml", "txn")
+      else args.map(_.trim.toLowerCase).toSet
+    def on(s: String): Boolean = sections.contains(s)
     val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.GraftExtensions").master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
@@ -54,7 +65,7 @@ object ScaleProbe {
       println(f"SCALE $name%-16s x$mult%-4d ${s}%7.3f s  ${inRows / s / 1000}%9.1f krows/s  ($rows out)")
     }
 
-    for (mult <- Seq(1, 10, 100)) {
+    if (on("docs")) for (mult <- Seq(1, 10, 100)) {
       time("repetition", mult)(d =>
         Corpus.repetitionStats(d, "doc_id", "text").filter(col("keep")).count())
       time("quality", mult)(d => d.select(col("doc_id"),
@@ -151,7 +162,7 @@ object ScaleProbe {
       val inRows = ebaseRows * mult
       println(f"SCALE $name%-16s x$mult%-4d ${s}%7.3f s  ${inRows / s / 1000}%9.1f krows/s  ($rows out)")
     }
-    for (mult <- Seq(1, 10, 100)) {
+    if (on("events")) for (mult <- Seq(1, 10, 100)) {
       etime("watermark", mult)(e =>
         graft.ops.Watermark.latestDates(e, "user_id", "ts").count())
       etime("argmax_dedup", mult)(e =>
@@ -249,7 +260,7 @@ object ScaleProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"SCALE $name%-16s x$mult%-4d ${s}%7.3f s  ${s / iters}%7.3f s/iter  (${gbaseRows * mult} edges, $rows out)")
     }
-    for (mult <- Seq(1, 10, 100)) {
+    if (on("graph")) for (mult <- Seq(1, 10, 100)) {
       gtime("pagerank", mult, iters = 3)(e =>
         graft.operators.Graph.pageRankFixedPoint(e, iters = 3).count())
       // q200: same join-per-round shape as pagerank (|E| equi-join +
@@ -317,7 +328,7 @@ object ScaleProbe {
     // at D=100k, the power-law death); the shipped cap owes C(64,2) ≈
     // 2k regardless of D, so probe time must stay ~FLAT as the hub
     // grows 10×, 100×. ────────────────────────────────────────────────
-    for (hubDeg <- Seq(1000, 10000, 100000)) {
+    if (on("graph")) for (hubDeg <- Seq(1000, 10000, 100000)) {
       val hub = spark.range(1, hubDeg + 1)
         .select(lit(0L).as("a"), (col("id") + 1000000L).as("b"))
       val bg = spark.range(0, 100000)
@@ -364,7 +375,7 @@ object ScaleProbe {
       spark.read.parquet(path)
     }
     val vbaseRows = vbase.count()
-    for (mult <- Seq(1, 10, 100)) {
+    if (on("ml")) for (mult <- Seq(1, 10, 100)) {
       val q = vecsAt(mult).select(col("vec_id"),
         graft.operators.Clustering.quantize(col("embedding")).as("qv"))
       val run = () =>
@@ -375,7 +386,7 @@ object ScaleProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"SCALE kmeans_2it       x$mult%-4d ${s}%7.3f s  ${vbaseRows * mult / s / 1000}%9.1f kvec/s  ($out assigned)")
     }
-    for (mult <- Seq(1, 10, 100)) {
+    if (on("ml")) for (mult <- Seq(1, 10, 100)) {
       val docs = corpusAt(mult)
       val run = () =>
         graft.operators.Bpe.learnMerges(docs, "text", nMerges = 2).count()
@@ -400,7 +411,7 @@ object ScaleProbe {
     val dbase = Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select("doc_id", "text")
     val dbaseRows = dbase.count()
-    for (mult <- Seq(1, 10, 100)) {
+    if (on("ml")) for (mult <- Seq(1, 10, 100)) {
       val docs = spark.range(0, mult).crossJoin(dbase)
         .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
           regexp_replace(col("text"), lit("(\\S+)"),
@@ -421,7 +432,7 @@ object ScaleProbe {
     // times are microseconds here — the SHAPE (flat vs linear in
     // version count) is what carries to a table with 100k commits on
     // an object store where every log read is a GET. ──────────────────
-    {
+    if (on("txn")) {
       val tdir = java.nio.file.Files
         .createTempDirectory("graft_txn_probe_").resolve("t").toString
       val one = Tables.load(spark, "/root/testdata/sf0.001", "nation")
@@ -467,7 +478,7 @@ object ScaleProbe {
     // that makes a daily merge into a 100 TB date-partitioned corpus
     // affordable (the whole-table copy-on-write alternative grows
     // linearly with the table). ─────────────────────────────────────────
-    {
+    if (on("txn")) {
       val base = Tables.load(spark, "/root/testdata/sf0.01", "orders")
         .select("o_orderkey", "o_totalprice")
       for (parts <- Seq(4, 16, 64)) {
@@ -499,7 +510,7 @@ object ScaleProbe {
     // probe asserts it), so the 100 TB table clones in the same
     // milliseconds as the 100 MB one. The read-back count proves the
     // absolute-path references serve immediately. ───────────────────────
-    {
+    if (on("txn")) {
       val base = Tables.load(spark, "/root/testdata/sf0.01", "orders")
         .select("o_orderkey", "o_totalprice")
       for (nFiles <- Seq(16, 64, 256)) {
@@ -533,7 +544,7 @@ object ScaleProbe {
     // file count roughly CONSTANT, so the conditional merge's cost is
     // flat-ish while the table grows — the property that makes a
     // daily recency-guarded merge affordable at 100 TB. ────────────────
-    {
+    if (on("txn")) {
       val base = Tables.load(spark, "/root/testdata/sf0.01", "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       for (nFiles <- Seq(8, 32, 128)) {
@@ -587,7 +598,7 @@ object ScaleProbe {
     // rewritten file count bounded by the band while every other file
     // keeps its identity — the property that makes "replace the
     // re-extracted days" affordable on an unpartitioned 100 TB table. ──
-    {
+    if (on("txn")) {
       val base = Tables.load(spark, "/root/testdata/sf0.01", "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       for (nFiles <- Seq(8, 32, 128)) {

@@ -12,9 +12,12 @@ object StageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qname = if (args.nonEmpty) args(0) else "q183_containment"
+    // honor SPARK_GRAFT_CPUS like Bench does, so per-core-count job/stage
+    // composition can be compared (q269 anti-scaling attribution)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.GraftExtensions").master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -107,11 +107,24 @@ object TxnLog {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
     val c = new Configuration(base)
-    c.set("fs.file.impl",
-      classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    c.set("fs.file.impl", classOf[FastLocalFs].getName)
     c.setBoolean("fs.file.impl.disable.cache", true)
     c
   }
+
+  /** Writer options for every staging write: route the write job's
+    * `file://` I/O through [[FastLocalFs]] (no `.crc` sidecars, no
+    * fork+exec chmod per dir/file — see that class), skip the
+    * `_SUCCESS` marker (the commit protocol here is the published log
+    * line, not a marker file), and use commit algorithm v2 (task
+    * output renamed straight to the staging dir — its weaker
+    * job-level atomicity is irrelevant because a staged dir is listed
+    * only after the write returns, and never published on failure). */
+  private val stageWriteOptions: Map[String, String] = Map(
+    "fs.file.impl" -> classOf[FastLocalFs].getName,
+    "fs.file.impl.disable.cache" -> "true",
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false",
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2")
 
   /** FileSystem instances memoized per (scheme, authority): the
     * file-scheme Hadoop cache is disabled (see [[ioConf]]), and
@@ -1531,7 +1544,7 @@ object TxnLog {
     fs.mkdirs(t)
     val tableQ = fs.makeQualified(t)
     val tmp = new HPath(tableQ, s"_staging_${UUID.randomUUID()}")
-    val w = df.write.mode("overwrite")
+    val w = df.write.mode("overwrite").options(stageWriteOptions)
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(tmp.toString)
     val tmpQ = fs.makeQualified(tmp).toString

@@ -45,6 +45,36 @@ object EventStream {
   private val StatePartitions =
     sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(4)
 
+  /** Route a streaming query's `file://` I/O — offset/commit WAL,
+    * state-store delta files, foreachBatch table commits — through
+    * [[graft.sources.FastLocalFs]] for the query's duration. A
+    * micro-batch commits offsets + one delta file PER STATE STORE per
+    * batch; without the Hadoop native library each of those local
+    * creates/mkdirs pays a fork+exec `chmod` (see FastLocalFs), and
+    * concurrent store commits serialize on the kernel's fork path —
+    * measured at ~45 ms/store commit before, ~? after (StreamProbe).
+    * SQLConf entries are copied verbatim into
+    * `sessionState.newHadoopConf()`, which is exactly the conf
+    * StreamExecution snapshots at query start, so a scoped
+    * set/restore around start+await is sufficient and leaks nothing.
+    * Cluster deployments checkpoint to HDFS/object stores (other
+    * schemes) and are untouched. */
+  private def withFastFs[A](spark: SparkSession)(body: => A): A = {
+    val kvs = Seq(
+      "fs.file.impl" -> classOf[graft.sources.FastLocalFs].getName,
+      "fs.file.impl.disable.cache" -> "true",
+      // the checkpoint layer (WAL + state stores) uses the FileContext
+      // API, which resolves impls through this separate key
+      "fs.AbstractFileSystem.file.impl" ->
+        classOf[graft.sources.FastLocalAbstractFs].getName)
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Best-effort recursive delete of a staging temp dir (every streaming
     * query stages fixture copies into a landing dir; [[runToResult]]
     * deletes it once the memory sink is materialized, so /tmp stays
@@ -268,7 +298,7 @@ object EventStream {
     // exactly the accumulation this helper exists to prevent
     val ckpt = tmpfsCheckpoint()
     try {
-      def run(): Unit = {
+      def run(): Unit = withFastFs(spark) {
         val w0 = df.writeStream.outputMode(mode).format("memory")
           .queryName(name).trigger(Trigger.AvailableNow())
         val w = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString))
@@ -685,7 +715,7 @@ object EventStream {
       if (ids.isEmpty) None else Some(ids.max)
     }
     def dataV(id: Long) = dest.resolve(s"data_v$id")
-    val q = stream.writeStream
+    def startQ() = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cur = committed()
         if (!cur.exists(_ >= batchId)) { // idempotent re-delivery guard
@@ -715,7 +745,7 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow()).start()
     try {
-      q.awaitTermination()
+      withFastFs(spark) { val q = startQ(); q.awaitTermination() }
       val last = committed().getOrElse(
         sys.error("streaming merge produced no committed version"))
       spark.read.parquet(dataV(last).toString)
@@ -750,7 +780,7 @@ object EventStream {
       graft.Tables.load(spark, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
         .limit(0)) // schema-only init commit (D4's empty-table create)
-    def runOnce(): Unit = {
+    def runOnce(): Unit = withFastFs(spark) {
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           graft.sources.TxnLog.idempotentAppend(
@@ -789,7 +819,7 @@ object EventStream {
       .createTempDirectory("graft_txn_fmt_").resolve("t").toString
     val src = stream0.select(col("event_id"), col("event_type"),
       col("value"))
-    def runOnce(): Unit = {
+    def runOnce(): Unit = withFastFs(spark) {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_txn_fmt_ck_").toString
       val q = src.writeStream.format("txnlog")
@@ -847,7 +877,7 @@ object EventStream {
     window("1997-04-01", "1997-07-01").coalesce(1)
       .write.mode("overwrite").parquet(s"$landing/b")
     val schema = o.schema
-    def runOnce(): Unit = {
+    def runOnce(): Unit = withFastFs(spark) {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$landing/*")
@@ -958,15 +988,17 @@ object EventStream {
     val w0 = agg.writeStream.outputMode("complete").format("memory")
       .queryName(name)
     val w = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString))
-    val q = withStatePartitions(spark, StatePartitions)(w.start())
-    try {
-      q.processAllAvailable()
-      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
-      require(nonEmpty >= 4,
-        s"4 versions at 1/trigger need >= 4 micro-batches, got $nonEmpty")
-    } finally {
-      q.stop()
-      ckpt.foreach(deleteRecursively)
+    withFastFs(spark) {
+      val q = withStatePartitions(spark, StatePartitions)(w.start())
+      try {
+        q.processAllAvailable()
+        val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+        require(nonEmpty >= 4,
+          s"4 versions at 1/trigger need >= 4 micro-batches, got $nonEmpty")
+      } finally {
+        q.stop()
+        ckpt.foreach(deleteRecursively)
+      }
     }
     try spark.table(name)
       .select(col("o_orderstatus"), col("n_rows"),

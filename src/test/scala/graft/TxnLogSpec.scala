@@ -227,6 +227,49 @@ class TxnLogSpec extends SparkSpec {
       s"pruned column must not be read:\n${plan.take(2000)}")
   }
 
+  test("staging writes leave a clean table dir (no .crc sidecars, no " +
+      "_SUCCESS, no _staging leftovers) and publish readable files") {
+    // The staging write rides FastLocalFs (no fork+exec chmod, no
+    // checksum sidecars) with committer algorithm v2 and no success
+    // marker — this pins the on-disk hygiene those options promise and
+    // that the published files still serve every row.
+    val t = freshTable()
+    TxnLog.create(spark, t, nation)
+    TxnLog.upsert(spark, t,
+      nation.filter(col("n_nationkey") < 3)
+        .withColumn("n_name", concat(col("n_name"), lit("_V2"))),
+      Seq("n_nationkey"))
+    val walk = Files.walk(Paths.get(t))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.map(_.getFileName.toString).toVector
+    } finally walk.close()
+    assert(!names.exists(_.endsWith(".crc")),
+      s"checksum sidecars must not be staged: $names")
+    assert(!names.contains("_SUCCESS"),
+      s"success markers must not be staged: $names")
+    assert(!names.exists(_.startsWith("_staging_")),
+      s"staging temp dirs must be swept: $names")
+    assert(TxnLog.snapshot(spark, t).count() == nation.count())
+    // the FileContext twin used by streaming checkpoints resolves and
+    // round-trips a create+rename (the state-store commit primitive)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.AbstractFileSystem.file.impl",
+      classOf[graft.sources.FastLocalAbstractFs].getName)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new java.net.URI("file:///"), conf)
+    val dir = Files.createTempDirectory("graft_fastfs_fc_")
+    val tmp = new org.apache.hadoop.fs.Path(dir.toString, "x.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir.toString, "x")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE))
+    out.write(42); out.close()
+    fc.rename(tmp, dst)
+    assert(fc.getFileStatus(dst).getLen == 1)
+    TempWork.deleteRecursively(dir)
+  }
+
   test("footer-derived stats lines equal the Spark-job canonicalization " +
       "across types, nulls, and all-null columns") {
     // The commit's per-file min/max now comes from the staged parquet
